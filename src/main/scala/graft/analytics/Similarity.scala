@@ -1,0 +1,84 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an ARRAY<FLOAT> embedding column.
+  *
+  * Two paths, one contract:
+  *  - bruteForceTopK: exact cosine top-k. The query side is broadcast
+  *    (it is k rows), so the candidate table streams through ONE scan
+  *    with no shuffle of the big side — at 100 TB this is a map-only
+  *    stage plus a per-query top-k heap (TakeOrdered via window).
+  *  - lshTopK: sign-random-projection LSH. Vectors hash to a bucket by
+  *    the sign pattern of projections onto deterministic ±1
+  *    hyperplanes; candidates share the query's bucket, shrinking the
+  *    scanned fraction by ~2^planes. Recall/latency trade is the
+  *    number of planes (see SimilaritySpec for the recall check).
+  *
+  * All arithmetic: float→double casts are exact, products of floats in
+  * double are exact, and the fold order is the array order — so the
+  * only inexactness is the running double sum, pinned by round(…,6)
+  * at the output boundary.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double, left-to-right. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Deterministic ±1 hyperplanes: sign from sha256("p|d") parity —
+    * reproducible across engines, runs, and languages. */
+  def planeWeights(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val h = md.digest(s"$p|$d".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** LSH bucket id: bit p set iff dot(v, plane_p) >= 0. */
+  def bucketExpr(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (w, p) =>
+      when(dot(v, typedLit(w.toSeq)) >= 0, lit(1L)).otherwise(lit(0L)) * (1L << p)
+    }.reduce(_ + _)
+
+  /** Exact cosine top-k for each query vector (queries broadcast). */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val c = candidates.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .withColumn("nn", norm(col("nv")))
+    val sims = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    sims.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** LSH-bucketed approximate top-k: same output shape as brute force,
+    * but candidates are restricted to the query's bucket. */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int, nPlanes: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = 64
+    val planes = planeWeights(nPlanes, dim)
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("bucket", bucketExpr(col("qv"), planes))
+    val c = candidates.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .withColumn("nn", norm(col("nv")))
+      .withColumn("bucket", bucketExpr(col("nv"), planes))
+    val sims = c.join(broadcast(q), Seq("bucket")).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    sims.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+}

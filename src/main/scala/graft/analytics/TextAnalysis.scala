@@ -1,0 +1,105 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * shingling, fingerprinting, language ID, quality scoring. All pure
+  * column expressions (codegen'd, no UDFs) so they run inside
+  * whole-stage codegen and scale linearly with input splits.
+  *
+  * Determinism rules (cross-engine oracle parity):
+  *  - no transcendental functions (exp/log/pow are not correctly
+  *    rounded and differ across libm implementations); only + * / and
+  *    sqrt, which IEEE 754 requires to be exact;
+  *  - hashing is sha-256 (bit-identical everywhere) — not murmur,
+  *    which differs between engines.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Canonical text normalization: lowercase, trim, collapse runs of
+    * whitespace — the usual pre-fingerprint cleanup. */
+  def normalizeText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Content fingerprint: sha-256 of the normalized text. Used as the
+    * exact-dedup key (a 100 TB-safe groupBy key: 32 bytes, uniform). */
+  def fingerprint(text: Column): Column =
+    sha2(normalizeText(text), 256)
+
+  /** Word n-gram shingles as an array column. Guarded so texts shorter
+    * than n yield an empty array (Spark's sequence(1, k) would count
+    * DOWN for k<1). */
+  def shingles(ws: Column, n: Int): Column =
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n)))))
+
+  /** (doc_id, s) distinct shingle set, exploded — the working set for
+    * Jaccard / MinHash. Distinct is a shuffle on (doc_id, s); at scale
+    * this is the right shuffle to pay once and reuse. */
+  def shingleSet(docs: DataFrame, n: Int = 3,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("s"))
+      .distinct()
+
+  /** Number of tokens matching a fixed vocabulary (stopword counting
+    * without an explode — runs entirely inside codegen). */
+  def vocabHits(ws: Column, vocab: Seq[String]): Column =
+    size(filter(ws, w => array_contains(typedLit(vocab), w)))
+
+  private def charClassCount(text: Column, pattern: String): Column =
+    length(text) - length(regexp_replace(text, pattern, ""))
+
+  val EN_MARKERS = Seq("the", "a", "of", "and", "is", "to", "in")
+  val DE_MARKERS = Seq("der", "die", "das", "und", "ist", "nicht", "ein")
+  val FR_MARKERS = Seq("le", "la", "les", "et", "est", "un", "une")
+  val ES_MARKERS = Seq("el", "los", "las", "y", "es", "un", "una")
+
+  /** Language ID: character-script ratios decide CJK/Hangul/Cyrillic;
+    * Latin-script text is classified by marker-word vote with a
+    * deterministic tie-break (en > de > fr > es). An n-gram model
+    * would slot in the same shape; the operator contract (one scan,
+    * one string out) is what matters at scale. */
+  def langId(text: Column): Column = {
+    val ws = tokens(text)
+    val n = greatest(length(text), lit(1)).cast("double")
+    val hangul = charClassCount(text, "[\\x{ac00}-\\x{d7a3}]").cast("double") / n
+    val cjk = charClassCount(text, "[\\x{4e00}-\\x{9fff}]").cast("double") / n
+    val kana = charClassCount(text, "[\\x{3040}-\\x{30ff}]").cast("double") / n
+    val cyr = charClassCount(text, "[\\x{0400}-\\x{04ff}]").cast("double") / n
+    val nEn = vocabHits(ws, EN_MARKERS)
+    val nDe = vocabHits(ws, DE_MARKERS)
+    val nFr = vocabHits(ws, FR_MARKERS)
+    val nEs = vocabHits(ws, ES_MARKERS)
+    when(kana > 0.05, "ja")
+      .when(hangul > 0.3, "ko")
+      .when(cjk > 0.3, "zh")
+      .when(cyr > 0.3, "ru")
+      .when(nDe > nEn && nDe >= nFr && nDe >= nEs, "de")
+      .when(nFr > nEn && nFr >= nEs, "fr")
+      .when(nEs > nEn, "es")
+      .otherwise("en")
+  }
+
+  /** Document quality score in [0,1] from cheap surface statistics —
+    * rational arithmetic only (deterministic across engines). */
+  def qualityScore(text: Column): Column = {
+    val ws = tokens(text)
+    val nChars = length(text).cast("double")
+    val nTokens = size(ws).cast("double")
+    val digits = charClassCount(text, "[0-9]").cast("double")
+    val stop = vocabHits(ws, EN_MARKERS).cast("double")
+    val lengthTerm = least(lit(1.0), nTokens / lit(100.0))
+    val digitTerm = lit(1.0) - digits / greatest(nChars, lit(1.0))
+    val stopTerm = least(lit(1.0), stop / greatest(nTokens, lit(1.0)) * lit(5.0))
+    val meanLenTerm = least(lit(1.0),
+      nChars / greatest(nTokens, lit(1.0)) / lit(8.0))
+    round(lit(0.3) * lengthTerm + lit(0.2) * digitTerm +
+          lit(0.3) * stopTerm + lit(0.2) * meanLenTerm, 6)
+  }
+}

@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.analytics.DedupOps
+import graft.analytics.DedupOps._
+
+/** Near-dup detection inventory: Jaccard, MinHash+LSH, SimHash — all
+  * with byte-identical DuckDB oracles (sha-256-based hashing keeps the
+  * signatures engine-portable).
+  */
+object DedupQueries {
+
+  /** Shared shingle CTE prefix (3-gram word shingles, distinct). */
+  private val SHINGLES =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |idx AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i FROM w),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s FROM idx)""".stripMargin
+
+  /** Jaccard-pairs CTE chain over `sh` (candidates = docs sharing a
+    * shingle; jaccard rounded then thresholded, mirroring DedupOps). */
+  private def jaccardCtes(threshold: Double): String =
+    s"""cm AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |jac AS (SELECT d1, d2,
+       |    round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 4) AS jaccard
+       |  FROM cm JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2),
+       |pairs AS (SELECT d1, d2, jaccard FROM jac WHERE jaccard >= $threshold)""".stripMargin
+
+  private val sigCols: String = (0 until MINHASH_K)
+    .map(i => s"min(substr(sha256(s || '#$i'), 1, 16)) AS m${"%02d".format(i)}")
+    .mkString(",\n    ")
+
+  private val bandCols: String = (0 until MINHASH_BANDS).map { b =>
+    val rows = MINHASH_K / MINHASH_BANDS
+    (0 until rows).map(r => s"m${"%02d".format(b * rows + r)}").mkString(" || ") + s" AS band$b"
+  }.mkString(",\n    ")
+
+  /** 16-bit token hash from the first 4 hex chars of sha256(w). */
+  private val v16Sql: String = {
+    val hex = "0123456789abcdef"
+    (0 until 4).map { i =>
+      val mult = 1 << (4 * (3 - i))
+      s"(strpos('$hex', substr(h, ${i + 1}, 1)) - 1) * $mult"
+    }.mkString(" + ")
+  }
+
+  private val simhashBitsSql: String = (0 until SIMHASH_BITS).map { b =>
+    s"(CASE WHEN sum(((v >> $b) & 1) * 2 - 1) >= 0 THEN 1 ELSE 0 END) * ${1L << b}"
+  }.mkString("\n      + ")
+
+  private val simhashSigCte: String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |hv AS (SELECT doc_id, $v16Sql AS v
+       |       FROM (SELECT doc_id, substr(sha256(w), 1, 4) AS h FROM t)),
+       |sig AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS sig
+       |        FROM hv GROUP BY doc_id)""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- q29
+    // Exact n-gram Jaccard near-dup pairs via inverted-index join.
+    Q("q29_neardup_jaccard",
+      s"""$SHINGLES,
+         |${jaccardCtes(0.6)}
+         |SELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      DedupOps.jaccardPairs(shingleSetOf(s, d), 0.6).orderBy("d1", "d2")
+    },
+
+    // ---------------------------------------------------------------- q30
+    // MinHash signatures (16 sha-derived hash functions).
+    Q("q30_minhash_signatures",
+      s"""$SHINGLES
+         |SELECT doc_id,
+         |    $sigCols
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      DedupOps.minhashSignatures(shingleSetOf(s, d)).orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q31
+    // MinHash-LSH banding (4x4) → candidates → exact-Jaccard verify.
+    Q("q31_minhash_lsh_pairs",
+      s"""$SHINGLES,
+         |sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM sh GROUP BY doc_id),
+         |band AS (SELECT doc_id,
+         |    $bandCols
+         |  FROM sig),
+         |cand AS (${(0 until MINHASH_BANDS).map(b =>
+             s"SELECT a.doc_id AS d1, b.doc_id AS d2 FROM band a JOIN band b ON a.band$b = b.band$b AND a.doc_id < b.doc_id")
+             .mkString("\n   UNION\n   ")}),
+         |${jaccardCtes(0.6)}
+         |SELECT p.d1, p.d2, p.jaccard FROM pairs p
+         |WHERE EXISTS (SELECT 1 FROM cand c WHERE c.d1 = p.d1 AND c.d2 = p.d2)
+         |ORDER BY p.d1, p.d2""".stripMargin) { (s, d) =>
+      DedupOps.minhashLshPairs(Tables.documents(s, d), 0.6).orderBy("d1", "d2")
+    },
+
+    // ---------------------------------------------------------------- q32
+    // SimHash signatures (16-bit, token-frequency bit votes).
+    Q("q32_simhash_signatures",
+      s"""$simhashSigCte
+         |SELECT doc_id, sig FROM sig ORDER BY doc_id""".stripMargin) { (s, d) =>
+      DedupOps.simhashSignatures(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q33
+    // SimHash near-dup pairs: banded Hamming-distance join (<= 2).
+    Q("q33_simhash_pairs",
+      s"""$simhashSigCte,
+         |bb AS (SELECT doc_id, sig, k, (sig >> (k * 4)) & 15 AS band
+         |       FROM (SELECT doc_id, sig, unnest([0, 1, 2, 3]) AS k FROM sig)),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2, x.sig AS s1, y.sig AS s2
+         |         FROM bb x JOIN bb y ON x.k = y.k AND x.band = y.band AND x.doc_id < y.doc_id)
+         |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(s1, s2)) <= 1
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      DedupOps.simhashPairs(Tables.documents(s, d), 1).orderBy("d1", "d2")
+    }
+  )
+
+  private def shingleSetOf(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.analytics.TextAnalysis.shingleSet(Tables.documents(s, d), 3)
+}

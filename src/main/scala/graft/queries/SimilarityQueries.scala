@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.analytics.Similarity
+
+/** Embedding similarity search + multimodal column plumbing.
+  * Oracle parity notes: embeddings are cast FLOAT→DOUBLE up front
+  * (exact); dot products are folded in array order on both engines;
+  * the similarity is rounded to 6 decimals at the output boundary so
+  * sub-ulp summation-order noise cannot flip the compare; ranks are
+  * computed over the ROUNDED value with a vec_id tiebreak so ordering
+  * is engine-independent.
+  */
+object SimilarityQueries {
+
+  private val N_QUERIES = 10
+  private val TOP_K = 10
+  private val N_PLANES = 6
+  private val DIM = 64
+
+  private val normCtes =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)""".stripMargin
+
+  /** ±1 hyperplanes inlined as SQL list literals (computed once in
+    * Scala from sha-256 parity — both engines consume the same
+    * constants, so there is nothing hash-related to keep in sync). */
+  private lazy val planesSql: String = {
+    val planes = Similarity.planeWeights(N_PLANES, DIM)
+    planes.zipWithIndex.map { case (w, p) =>
+      s"($p, CAST([${w.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")}] AS DOUBLE[]))"
+    }.mkString("planes(p, w) AS (VALUES\n  ", ",\n  ", ")")
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- q34
+    // Brute-force exact cosine top-k (query side broadcast: one
+    // map-only pass over the candidate table, no shuffle of the big
+    // side — the exact baseline every ANN variant is judged against).
+    Q("q34_cosine_topk",
+      s"""$normCtes,
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $N_QUERIES),
+         |s AS (SELECT qid, n.vec_id AS nid,
+         |        round(list_dot_product(qv, v) / (qn * nrm), 6) AS sim
+         |      FROM q, n WHERE n.vec_id <> qid),
+         |r AS (SELECT qid, nid, sim,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+         |      FROM s)
+         |SELECT qid, nid, rnk, sim FROM r WHERE rnk <= $TOP_K
+         |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < N_QUERIES), e, TOP_K)
+        .select("qid", "nid", "rnk", "sim")
+        .orderBy("qid", "rnk")
+    },
+
+    // ---------------------------------------------------------------- q35
+    // LSH-bucketed approximate top-k: sign-random-projection buckets
+    // shrink the candidate set ~2^planes; same output contract.
+    Q("q35_ann_lsh_topk",
+      s"""WITH $planesSql,
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |bk AS (SELECT vec_id,
+         |         CAST(sum((CASE WHEN list_dot_product(v, w) >= 0 THEN 1 ELSE 0 END) * (1 << p)) AS BIGINT) AS bucket
+         |       FROM n, planes GROUP BY vec_id),
+         |nb AS (SELECT n.vec_id, v, nrm, bucket FROM n JOIN bk ON n.vec_id = bk.vec_id),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket FROM nb WHERE vec_id < $N_QUERIES),
+         |s AS (SELECT qid, nb.vec_id AS nid,
+         |        round(list_dot_product(qv, v) / (qn * nrm), 6) AS sim
+         |      FROM q JOIN nb ON q.bucket = nb.bucket WHERE nb.vec_id <> qid),
+         |r AS (SELECT qid, nid, sim,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+         |      FROM s)
+         |SELECT qid, nid, rnk, sim FROM r WHERE rnk <= $TOP_K
+         |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(e.filter(col("vec_id") < N_QUERIES), e, TOP_K, N_PLANES)
+        .select("qid", "nid", "rnk", "sim")
+        .orderBy("qid", "rnk")
+    },
+
+    // ---------------------------------------------------------------- q36
+    // Multimodal column plumbing: treat payloads as opaque binary +
+    // typed metadata; deterministic feature extraction (byte length,
+    // content hash) — the decode step itself is stubbed in
+    // graft.multimodal (no codecs in this container), but the schema,
+    // partitioning and feature contract are real.
+    Q("q36_multimodal_features",
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS content_sha,
+        |  substr(sha256(text), 1, 16) AS content_key
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(
+          col("doc_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          sha2(col("payload"), 256).as("content_sha"),
+          substring(sha2(col("payload"), 256), 1, 16).as("content_key"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.analytics.TextAnalysis
+import graft.analytics.TextAnalysis._
+
+/** Text-analysis operator inventory over `documents` (SURVEY.md §7.4
+  * north-star). Oracle SQL mirrors the column expressions exactly —
+  * same operation order, doubles only (no transcendentals), sha-256
+  * for anything hashed.
+  */
+object TextQueries {
+
+  private def vocabSql(vocab: Seq[String]): String =
+    vocab.mkString("['", "', '", "']")
+
+  /** DuckDB mirror of TextAnalysis.vocabHits. */
+  private def hitsSql(vocab: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), w -> list_contains(${vocabSql(vocab)}, w)))"
+
+  private def charCountSql(pattern: String): String =
+    s"length(text) - length(regexp_replace(text, '$pattern', '', 'g'))"
+
+  val queries: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- q24
+    // Token counting: the whitespace tokenizer + surface stats.
+    Q("q24_token_stats",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"),
+          round(length(translate(col("text"), " ", "")).cast("double")
+                / size(tokens(col("text"))).cast("double"), 6).as("avg_token_len"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q25
+    // Language ID: char-script ratios + marker-word vote.
+    Q("q25_lang_id", {
+      val ratio = (p: String) =>
+        s"CAST(${charCountSql(p)} AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)"
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN ${ratio("[\\x{3040}-\\x{30ff}]")} > 0.05 THEN 'ja'
+         |       WHEN ${ratio("[\\x{ac00}-\\x{d7a3}]")} > 0.3 THEN 'ko'
+         |       WHEN ${ratio("[\\x{4e00}-\\x{9fff}]")} > 0.3 THEN 'zh'
+         |       WHEN ${ratio("[\\x{0400}-\\x{04ff}]")} > 0.3 THEN 'ru'
+         |       WHEN ${hitsSql(DE_MARKERS)} > ${hitsSql(EN_MARKERS)}
+         |        AND ${hitsSql(DE_MARKERS)} >= ${hitsSql(FR_MARKERS)}
+         |        AND ${hitsSql(DE_MARKERS)} >= ${hitsSql(ES_MARKERS)} THEN 'de'
+         |       WHEN ${hitsSql(FR_MARKERS)} > ${hitsSql(EN_MARKERS)}
+         |        AND ${hitsSql(FR_MARKERS)} >= ${hitsSql(ES_MARKERS)} THEN 'fr'
+         |       WHEN ${hitsSql(ES_MARKERS)} > ${hitsSql(EN_MARKERS)} THEN 'es'
+         |       ELSE 'en' END AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q26
+    // Quality scoring: rational-arithmetic surface heuristics.
+    Q("q26_quality_score",
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS DOUBLE) AS nc,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+         |    CAST(${charCountSql("[0-9]")} AS DOUBLE) AS dg,
+         |    CAST(${hitsSql(EN_MARKERS)} AS DOUBLE) AS st
+         |  FROM documents)
+         |SELECT doc_id,
+         |  round(0.3 * least(1.0, nt / 100.0)
+         |      + 0.2 * (1.0 - dg / greatest(nc, 1.0))
+         |      + 0.3 * least(1.0, st / greatest(nt, 1.0) * 5.0)
+         |      + 0.2 * least(1.0, nc / greatest(nt, 1.0) / 8.0), 6) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q27
+    // Shingling stats: instances vs distinct 3-gram shingles.
+    Q("q27_shingle_stats",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i FROM w),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s FROM idx),
+        |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct FROM sh GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS n_shingles, c.n_distinct
+        |FROM w JOIN c ON w.doc_id = c.doc_id
+        |ORDER BY w.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val stats = docs.select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        greatest(size(tokens(col("text"))) - 2, lit(0)).cast("long").as("n_shingles"))
+      val distinctCounts = shingleSet(docs, 3)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_distinct"))
+      stats.join(distinctCounts, Seq("doc_id"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q28
+    // Document fingerprint + exact dedup groups (the groupBy-hash
+    // dedup that replaces the reference's in-memory key set).
+    Q("q28_fingerprint_dedup",
+      """SELECT fp, min(doc_id) AS keep_id, count(*) AS n_docs FROM (
+        |  SELECT doc_id,
+        |    sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents)
+        |GROUP BY fp ORDER BY keep_id""".stripMargin) { (s, d) =>
+      graft.analytics.DedupOps.exactGroups(Tables.documents(s, d))
+        .orderBy("keep_id")
+    }
+  )
+}
