@@ -62,19 +62,28 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
-  /** LSH-bucketed approximate top-k: same output shape as brute force,
-    * but candidates are restricted to the query's bucket. */
+  /** LSH-bucketed approximate top-k with multi-probe: each query
+    * searches its own bucket plus every bucket at Hamming distance 1
+    * in bucket-bit space (flip one plane's sign) — the standard
+    * recall/latency knob. Candidate fraction ≈ (planes+1)/2^planes of
+    * the table instead of a full scan. Same output shape as brute
+    * force. */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int, nPlanes: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dim = 64
     val planes = planeWeights(nPlanes, dim)
+    val probeMasks = 0L +: (0 until nPlanes).map(p => 1L << p)
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("qn", norm(col("qv")))
       .withColumn("bucket", bucketExpr(col("qv"), planes))
+      .withColumn("probe", explode(array(
+        probeMasks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
+      .drop("bucket")
     val c = candidates.select(col("vec_id").as("nid"), col("embedding").as("nv"))
       .withColumn("nn", norm(col("nv")))
       .withColumn("bucket", bucketExpr(col("nv"), planes))
-    val sims = c.join(broadcast(q), Seq("bucket")).filter(col("qid") =!= col("nid"))
+    val sims = c.join(broadcast(q), col("bucket") === col("probe"))
+      .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))

@@ -1,0 +1,67 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque
+  * BINARY columns + typed metadata, with feature extraction as a
+  * partition-batched transform.
+  *
+  * The actual codec step is STUBBED (this container ships no
+  * image/audio libraries): `decodeWith` takes any byte→float-vector
+  * decoder, and `FakeDecoder` provides the deterministic stand-in the
+  * tests use. Everything Spark-side — schema, binary handling,
+  * partition batching, feature contract — is real; swapping in a JNI
+  * or ONNX decoder changes one function value, not the plumbing.
+  *
+  * Scale notes: payloads stay opaque bytes end-to-end (no base64
+  * blow-up); decode runs mapPartitions so a model/codec loads once per
+  * partition, not per row; features come back as ARRAY<FLOAT> ready
+  * for analytics.Similarity.
+  */
+object Multimodal {
+
+  final case class MediaRow(
+      media_id: Long, kind: String, payload: Array[Byte])
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long,
+      content_sha: String, features: Array[Float])
+
+  /** Wrap a text/binary frame into the media schema (payload = UTF-8
+    * bytes when starting from a text column, as the corpus does). */
+  def fromText(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+               kind: String = "blob"): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), lit(kind), col(textCol).cast("binary"))
+      .as[(Long, String, Array[Byte])]
+      .map { case (id, k, b) => MediaRow(id, k, b) }
+  }
+
+  /** The stand-in decoder: deterministic pseudo-features from the
+    * payload's sha-256 — byte i scaled to [-0.5, 0.5). A real system
+    * plugs an image/audio decoder with the same signature.
+    */
+  object FakeDecoder extends (Array[Byte] => Array[Float]) with Serializable {
+    def apply(payload: Array[Byte]): Array[Float] = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(payload).take(8).map(b => ((b & 0xff) / 256.0f) - 0.5f)
+    }
+  }
+
+  /** Partition-batched decode/feature-extract (the Scala analog of a
+    * pandas mapInPandas UDF: one decoder instance per partition,
+    * iterator-to-iterator, spill-friendly). */
+  def decodeWith(media: Dataset[MediaRow],
+                 decoder: Array[Byte] => Array[Float]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      rows.map { r =>
+        val sha = md.digest(r.payload).map("%02x".format(_)).mkString
+        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, sha, decoder(r.payload))
+      }
+    }
+  }
+}

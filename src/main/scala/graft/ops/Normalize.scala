@@ -49,9 +49,14 @@ object Normalize {
   def surrogateKey(cols: Column*): Column =
     sha2(concat_ws("|", cols: _*), 256)
 
-  /** O6: string → int with default (reference `int(x or 0)`). */
+  /** O6: string → int with default (reference `int(x or 0)`).
+    * The numeric-shape guard keeps malformed input tolerant under
+    * ANSI mode (Spark 4 default) instead of failing the task —
+    * try_cast semantics via public API. */
   def castWithDefault(c: Column, default: Int): Column =
-    coalesce(c.cast("int"), lit(default))
+    coalesce(
+      when(c.rlike("^\\s*[+-]?[0-9]{1,9}\\s*$"), c).cast("int"),
+      lit(default))
 
   /** O7: the RDS sink's null-coalescing defaults. */
   def fillSinkDefaults(df: DataFrame): DataFrame =

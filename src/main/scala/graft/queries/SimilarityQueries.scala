@@ -68,9 +68,11 @@ object SimilarityQueries {
          |       FROM n, planes GROUP BY vec_id),
          |nb AS (SELECT n.vec_id, v, nrm, bucket FROM n JOIN bk ON n.vec_id = bk.vec_id),
          |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket FROM nb WHERE vec_id < $N_QUERIES),
+         |qp AS (SELECT qid, qv, qn, xor(bucket, m) AS probe
+         |       FROM (SELECT *, unnest([${(0L +: (0 until N_PLANES).map(p => 1L << p)).mkString(", ")}]) AS m FROM q)),
          |s AS (SELECT qid, nb.vec_id AS nid,
          |        round(list_dot_product(qv, v) / (qn * nrm), 6) AS sim
-         |      FROM q JOIN nb ON q.bucket = nb.bucket WHERE nb.vec_id <> qid),
+         |      FROM qp JOIN nb ON qp.probe = nb.bucket WHERE nb.vec_id <> qid),
          |r AS (SELECT qid, nid, sim,
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
          |      FROM s)

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.{DedupOps, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Analytics-layer invariants that the SQL oracle cannot express:
+  * LSH recall vs brute force, MinHash candidate soundness, and
+  * property-style checks.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MinHash-LSH pairs ⊆ exact Jaccard pairs; catches all jaccard ≥ 0.9") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val sh = TextAnalysis.shingleSet(docs, 3)
+    val exact = DedupOps.jaccardPairs(sh, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val lsh = DedupOps.minhashLshPairs(docs, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exactSet = exact.map(t => (t._1, t._2)).toSet
+    val lshSet = lsh.map(t => (t._1, t._2)).toSet
+    assert(lshSet.subsetOf(exactSet), "LSH must not invent pairs")
+    val highSim = exact.filter(_._3 >= 0.9).map(t => (t._1, t._2)).toSet
+    assert(highSim.subsetOf(lshSet), "LSH must catch all near-identical pairs")
+  }
+
+  test("SimHash: identical docs collide; near-identical docs stay close") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words about database engines and shuffles")
+    ).toDF("doc_id", "text")
+    val sigs = DedupOps.simhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 1)
+  }
+
+  test("LSH ANN recall beats its scanned fraction (real signal, not sampling)") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val q = e.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, e, 10).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(q, e, 10, 6).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // multi-probe scans 7 of 64 buckets ≈ 11% of the table; a random
+    // 11% sample would land recall ≈ 0.11. The corpus embeddings are
+    // near-uniform (max cosine ≈ 0.37), so demand a clear lift over
+    // random plus a usable floor.
+    val scannedFraction = 7.0 / 64.0
+    assert(recall > scannedFraction * 1.3, s"recall=$recall (no lift over random)")
+    assert(recall >= 0.15, s"recall=$recall")
+  }
+
+  test("language ID prefers script signals over marker votes") {
+    val out = Seq(
+      (1L, "의미 있는 한국어 문장입니다 오늘 날씨가 좋네요 정말 좋아요"),
+      (2L, "the cat sat of the mat and the dog is here"),
+      (3L, "der hund und die katze das ist nicht gut"),
+      (4L, "le chat et la maison est une belle chose")
+    ).toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.langId($"text").as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "ko"); assert(out(2L) == "en")
+    assert(out(3L) == "de"); assert(out(4L) == "fr")
+  }
+
+  test("quality score stays in [0,1]") {
+    val bounds = Tables.documents(spark, sf("sf0.001"))
+      .select(TextAnalysis.qualityScore($"text").as("q"))
+      .agg(min($"q"), max($"q")).collect().head
+    assert(bounds.getDouble(0) >= 0.0 && bounds.getDouble(1) <= 1.0)
+  }
+
+  test("exact dedup groups cover all docs exactly once") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val groups = DedupOps.exactGroups(docs)
+    assert(groups.agg(sum($"n_docs")).collect().head.getLong(0) == docs.count())
+  }
+}

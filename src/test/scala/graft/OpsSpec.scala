@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Unit tests for the reference-surface scalar/join/merge operators,
+  * exercised on reference-shaped fixtures (FIXTURES.md §A) including
+  * the Korean text and schema-drift cases.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("O2 cleanAddress keeps road address, strips detail, falls back on miss") {
+    val df = Seq(
+      "서울 마포구 마포대로 100 2층",          // detail suffix to strip is absent here (kept prefix)
+      "not an address at all"
+    ).toDF("addr").select(Normalize.cleanAddress($"addr").as("out"))
+    val out = df.collect().map(_.getString(0))
+    assert(out(0).startsWith("서울 마포구 마포대로 100"))
+    assert(out(1) == "not an address at all") // fallback-to-input semantics
+  }
+
+  test("O3 placeIdFromUrl extracts digits") {
+    val out = Seq("https://m.place.naver.com/restaurant/place/31238198/home", "no-match")
+      .toDF("url").select(Normalize.placeIdFromUrl($"url").as("id"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("31238198", ""))
+  }
+
+  test("O4 surrogateKey equals sha256 of pipe-joined fields and is stable") {
+    val got = Seq(("익명", "리뷰 본문", "7.25.금")).toDF("a", "c", "v")
+      .select(Normalize.surrogateKey($"a", $"c", $"v").as("id"))
+      .collect().head.getString(0)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val want = md.digest("익명|리뷰 본문|7.25.금".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got == want)
+  }
+
+  test("O6 castWithDefault defaults bad casts to 0") {
+    val out = Seq("123", "xyz", null).toDF("s")
+      .select(Normalize.castWithDefault($"s", 0).as("i"))
+      .collect().map(_.getInt(0))
+    assert(out.toSeq == Seq(123, 0, 0))
+  }
+
+  test("O8 validate split routes invalid rows to dead letter with reason") {
+    val df = Seq(("1", "a"), (null, "b"), ("3", null))
+      .toDF("place_id", "name")
+    val (valid, dead) = Validate.split(df, Seq("place_id", "name"))
+    assert(valid.count() == 1)
+    val reasons = dead.select("_reject_reason").as[String].collect().toSet
+    assert(reasons == Set("place_id", "name"))
+  }
+
+  test("§1.2 canonicalize repairs the reference's schema drift") {
+    val df = Seq(("31238198", "img.jpg")).toDF("placeId", "thumbnail")
+    val out = Normalize.canonicalize(df)
+    assert(out.columns.toSet == Set("place_id", "thumbnail_url"))
+  }
+
+  test("J1 antiJoinKeys removes existing keys only") {
+    val fresh = Seq(("1", "x"), ("2", "y"), ("3", "z")).toDF("place_id", "v")
+    val existing = Seq("2").toDF("place_id")
+    val out = Dedup.antiJoinKeys(fresh, existing, "place_id")
+    assert(out.select("place_id").as[String].collect().sorted.toSeq == Seq("1", "3"))
+    // invariant: result ∩ existing = ∅
+    assert(out.join(existing, Seq("place_id"), "left_semi").count() == 0)
+  }
+
+  test("U2 mergeByKey is idempotent (U2∘U2 = U2)") {
+    val existing = Seq(("1", "old")).toDF("k", "v")
+    val fresh = Seq(("1", "new"), ("2", "b")).toDF("k", "v")
+    val once = Merge.mergeByKey(existing, fresh, Seq("k"))
+    val twice = Merge.mergeByKey(once, fresh, Seq("k"))
+    assert(once.count() == 2)
+    assert(twice.except(once).count() == 0 && once.except(twice).count() == 0)
+  }
+
+  test("U1 unionAll aligns schemas by name with missing columns nulled") {
+    val a = Seq(("1", "n1")).toDF("place_id", "name")
+    val b = Seq(("2", "n2", "url")).toDF("place_id", "name", "thumbnail_url")
+    val out = Merge.unionAll(Seq(a, b))
+    assert(out.count() == 2 && out.columns.contains("thumbnail_url"))
+    assert(out.filter($"place_id" === "1").select("thumbnail_url").collect().head.isNullAt(0))
+  }
+
+  test("S7/O10 S3 event parsing explodes records and url-decodes Korean keys") {
+    val ev = """{"Records":[{"s3":{"bucket":{"name":"naver-map-restaurant"},
+               |"object":{"key":"%EA%B3%B5%EB%8D%95%EC%97%AD+%EC%8B%9D%EB%8B%B9.json"}}},
+               |{"s3":{"bucket":{"name":"b2"},"object":{"key":"31238198.json"}}}]}"""
+      .stripMargin.replace("\n", "")
+    val out = graft.sources.S3Events.objects(Seq(ev).toDF("value"))
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("naver-map-restaurant", "공덕역 식당.json"), ("b2", "31238198.json")))
+  }
+
+  test("Exact.dsum is partition-count independent") {
+    val vals = (1 to 10000).map(i => i / 100.0)
+    val one = vals.toDF("v").repartition(1).agg(Exact.dsum($"v")).collect().head.getDouble(0)
+    val many = vals.toDF("v").repartition(37).agg(Exact.dsum($"v")).collect().head.getDouble(0)
+    assert(one == many)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.sources.Tables
+
+/** Structured Streaming semantics (§2.8): streaming results must match
+  * their batch twins, and stateful dedup must stop-on-seen across
+  * micro-batches.
+  */
+object StreamingSpec {
+  val collected = new java.util.concurrent.ConcurrentLinkedQueue[EventStreams.Keyed]()
+}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  test("ST1 streaming hourly rollup over file source matches batch result") {
+    val events = Tables.events(spark, sf("sf0.001"))
+    // batch twin
+    val want = EventStreams.hourlyRollup(events)
+      .orderBy("hour", "event_type").collect().toSeq
+    // stream the same rows from parquet files
+    val dir = tmp("graft-stream-in")
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+    // complete mode: append would hold back windows the watermark has
+    // not closed at end-of-stream
+    EventStreams.runToMemory(EventStreams.hourlyRollup(stream), "hourly_out", "complete")
+    val got = spark.table("hourly_out").orderBy("hour", "event_type").collect().toSeq
+    assert(got == want)
+  }
+
+  test("session windows: streaming session rollup completes and bounds sessions") {
+    val events = Tables.events(spark, sf("sf0.001"))
+    val dir = tmp("graft-sess-in")
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+    EventStreams.runToMemory(EventStreams.sessionRollup(stream), "sess_out")
+    val got = spark.table("sess_out")
+    assert(got.count() > 0)
+    // every (user, session) is disjoint in time per user: no more
+    // sessions than events
+    assert(got.count() <= events.count())
+  }
+
+  test("ST2 statefulDedup emits each (key,id) once across micro-batches") {
+    val dir = tmp("graft-dedup-in")
+    // batch 1: ids a,b for key k1
+    Seq(("k1", "a"), ("k1", "b")).toDF("key", "id")
+      .write.mode("overwrite").json(s"$dir/f1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.StringType)))
+    val checkpoint = tmp("graft-dedup-ck")
+    // memory sink cannot resume from a checkpoint; foreachBatch can.
+    def runOnce(): Seq[EventStreams.Keyed] = {
+      StreamingSpec.collected.clear()
+      val stream = spark.readStream.schema(schema).json(s"$dir/f*")
+        .as[EventStreams.Keyed]
+      val q = EventStreams.statefulDedup(stream).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.as[EventStreams.Keyed].collect()
+            .foreach(StreamingSpec.collected.add)
+        }
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      StreamingSpec.collected.asScala.toSeq
+    }
+    assert(runOnce().map(_.id).sorted == Seq("a", "b"))
+    // batch 2: replay a + new c → only c must come out (stop-on-seen)
+    Seq(("k1", "a"), ("k1", "c"), ("k1", "c")).toDF("key", "id")
+      .write.mode("overwrite").json(s"$dir/f2")
+    assert(runOnce().map(_.id) == Seq("c"))
+  }
+}
