@@ -54,26 +54,47 @@ object DedupOps {
   val MINHASH_K = 16          // signature length
   val MINHASH_BANDS = 4       // 4 bands x 4 rows
 
-  /** Portable MinHash: the i-th hash of shingle s is the first 16 hex
-    * chars of sha256(s || "#i"); min is taken over the hex STRING
-    * (equal-length hex ⇒ string order = numeric order). */
+  /** Universal-hash family over one sha-256 base hash per shingle:
+    * h = first 8 hex chars of sha256(s) as a 32-bit int, then
+    * hᵢ = (aᵢ·h + bᵢ) mod p with p prime < 2^30 — so aᵢ·h < 2^62
+    * stays in BIGINT on every engine (no overflow, ANSI-safe).
+    * One sha per shingle instead of K: ~16x less hashing than the
+    * naive sha-per-seed scheme at identical LSH quality. */
+  val MINHASH_PRIME = 1073741789L
+  val MINHASH_A: Array[Long] = Array.tabulate(MINHASH_K)(i => 2L * i + 1L) // odd ⇒ coprime-ish spread
+    .map(a => (a * 1000003L + 12345L) % MINHASH_PRIME)
+  val MINHASH_B: Array[Long] = Array.tabulate(MINHASH_K)(i => (i * 999983L + 42L) % MINHASH_PRIME)
+
+  /** 32-bit base hash of a shingle string. */
+  def baseHash(s: Column): Column =
+    conv(substring(sha2(s, 256), 1, 8), 16, 10).cast("long")
+
   def minhashSignatures(sh: DataFrame): DataFrame = {
+    val withH = sh.withColumn("h", baseHash(col("s")))
     val aggs = (0 until MINHASH_K).map { i =>
-      min(substring(sha2(concat(col("s"), lit("#" + i)), 256), 1, 16)).as(f"m$i%02d")
+      min((lit(MINHASH_A(i)) * col("h") + lit(MINHASH_B(i))) % MINHASH_PRIME).as(f"m$i%02d")
     }
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    withH.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH band values: concatenation of the band's minhashes. */
+  /** LSH band values: separator-joined band minhashes (separator
+    * prevents numeric-concat collisions like 12|345 vs 123|45). */
   def withBands(sig: DataFrame): DataFrame = {
     val rows = MINHASH_K / MINHASH_BANDS
     (0 until MINHASH_BANDS).foldLeft(sig) { (df, b) =>
       val cols = (0 until rows).map(r => col(f"m${b * rows + r}%02d"))
-      df.withColumn(s"band$b", concat(cols: _*))
+      df.withColumn(s"band$b", concat_ws("|", cols: _*))
     }
   }
 
-  /** MinHash-LSH candidate pairs verified with exact Jaccard. */
+  /** MinHash-LSH candidate pairs verified with exact Jaccard.
+    *
+    * The verify step computes Jaccard ONLY for LSH candidates — the
+    * candidate pair list drives the shingle joins, so verification
+    * cost is O(|candidates| · shingles-per-doc), independent of how
+    * many incidental co-shingle pairs exist in the corpus. This is
+    * what makes the LSH path the 100 TB plan: band-bucket join for
+    * candidates, then a narrow verify join. */
   def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingleSet(docs, 3)
     val banded = withBands(minhashSignatures(sh))
@@ -82,8 +103,17 @@ object DedupOps {
       val r = banded.select(col("doc_id").as("d2"), col(s"band$b").as("bv"))
       l.join(r, Seq("bv")).filter(col("d1") < col("d2")).select(col("d1"), col("d2"))
     }.reduce(_.unionByName(_)).distinct()
-    jaccardPairs(sh, threshold)
-      .join(cands, Seq("d1", "d2"), "left_semi")
+    val common = cands
+      .join(sh.select(col("doc_id").as("d1"), col("s")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+    val sz = shingleSizes(sh)
+    common
+      .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .withColumn("jaccard",
+        round(col("c").cast("double") / (col("n1") + col("n2") - col("c")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 

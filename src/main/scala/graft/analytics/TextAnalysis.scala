@@ -30,18 +30,28 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     sha2(normalizeText(text), 256)
 
-  /** Word n-gram shingles as an array column. Guarded so texts shorter
-    * than n yield an empty array (Spark's sequence(1, k) would count
-    * DOWN for k<1). */
-  def shingles(ws: Column, n: Int): Column =
-    when(size(ws) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(ws) - (n - 1)),
-        i => concat_ws(" ", slice(ws, i, lit(n)))))
+  /** Word n-gram shingles as an array column, built by zipping n
+    * shifted slices of the token array.
+    *
+    * Expression-shape warning learned the hard way: a lambda body that
+    * captures an outer column (e.g. transform(seq, i =>
+    * element_at(ws, i))) re-evaluates that captured expression on
+    * EVERY lambda invocation — with ws = split(text) that meant
+    * re-running the split ~300x per document (~20x slowdown). Here
+    * the slices are first-class HOF arguments, evaluated once per
+    * row; the lambdas touch only their bound variables.
+    * Short texts: slice length max(size-n+1, 0) = 0 → empty result. */
+  def shingles(ws: Column, n: Int): Column = {
+    val len = greatest(size(ws) - (n - 1), lit(0))
+    (1 to n).map(o => slice(ws, lit(o), len))
+      .reduce((acc, p) => zip_with(acc, p, (a, b) => concat_ws(" ", a, b)))
+  }
 
   /** (doc_id, s) distinct shingle set, exploded — the working set for
-    * Jaccard / MinHash. Distinct is a shuffle on (doc_id, s); at scale
-    * this is the right shuffle to pay once and reuse. */
+    * Jaccard / MinHash. Distinct is a shuffle on (doc_id, s). Cheap to
+    * recompute from the source (explode of a narrow scan), so it is
+    * NOT persisted — measured: caching the exploded set costs more in
+    * memory-format materialization than the recompute. */
   def shingleSet(docs: DataFrame, n: Int = 3,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("s"))

@@ -29,13 +29,29 @@ object DedupQueries {
        |  FROM cm JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2),
        |pairs AS (SELECT d1, d2, jaccard FROM jac WHERE jaccard >= $threshold)""".stripMargin
 
+  /** DuckDB mirror of DedupOps.baseHash: 8 sha-256 hex nibbles → 32-bit int. */
+  private val baseHashSql: String = {
+    val hex = "0123456789abcdef"
+    (0 until 8).map { i =>
+      val mult = 1L << (4 * (7 - i))
+      s"CAST(strpos('$hex', substr(hh, ${i + 1}, 1)) - 1 AS BIGINT) * $mult"
+    }.mkString(" + ")
+  }
+
+  /** Shared CTE: shingles + their universal base hash. */
+  private val hashedShingles: String =
+    s"""$SHINGLES,
+       |shh AS (SELECT doc_id, $baseHashSql AS h
+       |        FROM (SELECT doc_id, substr(sha256(s), 1, 8) AS hh FROM sh))""".stripMargin
+
   private val sigCols: String = (0 until MINHASH_K)
-    .map(i => s"min(substr(sha256(s || '#$i'), 1, 16)) AS m${"%02d".format(i)}")
+    .map(i => s"min((${MINHASH_A(i)} * h + ${MINHASH_B(i)}) % $MINHASH_PRIME) AS m${"%02d".format(i)}")
     .mkString(",\n    ")
 
   private val bandCols: String = (0 until MINHASH_BANDS).map { b =>
     val rows = MINHASH_K / MINHASH_BANDS
-    (0 until rows).map(r => s"m${"%02d".format(b * rows + r)}").mkString(" || ") + s" AS band$b"
+    (0 until rows).map(r => s"m${"%02d".format(b * rows + r)}")
+      .mkString(" || '|' || ") + s" AS band$b"
   }.mkString(",\n    ")
 
   /** 16-bit token hash from the first 4 hex chars of sha256(w). */
@@ -70,22 +86,22 @@ object DedupQueries {
     },
 
     // ---------------------------------------------------------------- q30
-    // MinHash signatures (16 sha-derived hash functions).
+    // MinHash signatures: 16 universal hashes over one sha base hash.
     Q("q30_minhash_signatures",
-      s"""$SHINGLES
+      s"""$hashedShingles
          |SELECT doc_id,
          |    $sigCols
-         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+         |FROM shh GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       DedupOps.minhashSignatures(shingleSetOf(s, d)).orderBy("doc_id")
     },
 
     // ---------------------------------------------------------------- q31
     // MinHash-LSH banding (4x4) → candidates → exact-Jaccard verify.
     Q("q31_minhash_lsh_pairs",
-      s"""$SHINGLES,
+      s"""$hashedShingles,
          |sig AS (SELECT doc_id,
          |    $sigCols
-         |  FROM sh GROUP BY doc_id),
+         |  FROM shh GROUP BY doc_id),
          |band AS (SELECT doc_id,
          |    $bandCols
          |  FROM sig),

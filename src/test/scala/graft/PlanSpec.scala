@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan assertions: the properties that decide whether a
+  * query survives a 100x scale-up. Each check reads the executed plan
+  * the optimizer actually chose — not what we hope it chose.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf("sf0.001"))
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filters and projection are pushed into the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("l_shipdate"), p)
+    // pruned read schema: only the needed columns reach the reader
+    assert(!p.contains("l_returnflag"), "scan must not read unused columns")
+  }
+
+  test("q03: small dim side is broadcast (no shuffle of lineitem)") {
+    val p = plan("q03_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q05: anti-join executes as broadcast hash join") {
+    val p = plan("q05_anti_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
+  test("q04: star joins broadcast every dimension table") {
+    val p = plan("q04_nation_revenue")
+    // customer/nation/region all small → 3+ broadcast joins
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q34: query side broadcasts; candidates stream (nested loop only vs k rows)") {
+    val p = plan("q34_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q31: LSH pipeline contains no cartesian product anywhere") {
+    val p = plan("q31_minhash_lsh_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q01: aggregation is two-phase (partial before shuffle)") {
+    val p = plan("q01_pricing_summary")
+    // partial HashAggregate appears below the exchange
+    assert(p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q11: top-k runs as TakeOrderedAndProject, not global sort") {
+    val p = plan("q11_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
