@@ -12,7 +12,8 @@ object SparkEntry {
   /** Every verifiable operator demonstration, grouped by domain. */
   val allQueries: Seq[Q] =
     Relational.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ SimilarityQueries.queries
+      DedupQueries.queries ++ SimilarityQueries.queries ++
+      SketchQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

