@@ -32,6 +32,19 @@ object Scratch {
     time("shingleSet+sha")(
       TextAnalysis.shingleSet(docs, 3).select(DedupOps.baseHash(col("s"))).count())
     time("minhash sigs")(DedupOps.minhashSignatures(TextAnalysis.shingleSet(docs, 3)).count())
+
+    // native VecDot vs HOF dot on the full pairwise similarity space
+    val e = Tables.embeddings(spark, d)
+    val q = e.limit(200).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    time("pairwise dot HOF")(
+      e.join(broadcast(q), col("qid") =!= col("vec_id"))
+        .select(sum(hofDot(col("qv"), col("embedding")))).count())
+    time("pairwise dot native")(
+      e.join(broadcast(q), col("qid") =!= col("vec_id"))
+        .select(sum(graft.functions.VecExpressions.vec_dot(col("qv"), col("embedding")))).count())
     spark.stop()
   }
 }

@@ -23,11 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double, left-to-right. */
+  /** Σ aᵢ·bᵢ in double, left-to-right — the native codegen'd
+    * expression (graft.functions.VecDot). Bit-identical to the HOF
+    * formulation `aggregate(zip_with(a, b, _*_), 0.0, _+_)` but stays
+    * inside whole-stage codegen (VecSpec asserts both claims). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VecExpressions.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
