@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DataSourceV2 jsonl source: correctness of reads, pushdown
+  * visibility in the plan, and partition-per-file planning. */
+class JsonLinesSourceSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("place_id", StringType),
+    StructField("name", StringType),
+    StructField("page", LongType),
+    StructField("latitude", DoubleType)))
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-jsonl").toString
+    Files.writeString(Paths.get(d, "p1.jsonl"),
+      """{"place_id":"1","name":"공덕 맛집","page":1,"latitude":37.5}
+        |{"place_id":"2","name":"b","page":1,"latitude":35.1}
+        |not json at all
+        |{"place_id":null,"name":"c","page":1}
+        |""".stripMargin)
+    Files.writeString(Paths.get(d, "p2.jsonl"),
+      """{"place_id":"3","name":"d","page":2,"latitude":36.0}
+        |{"place_id":"4","name":"e","page":2,"latitude":33.3,"extra":"ignored"}
+        |""".stripMargin)
+    d
+  }
+
+  private def read = spark.read
+    .format("graft.sources.v2.JsonLinesSource").schema(schema).load(dir)
+
+  test("reads all rows with PERMISSIVE nulls for bad lines/missing fields") {
+    val rows = read.collect()
+    assert(rows.length == 6) // 4 + 2, corrupt line -> all-null row
+    assert(read.filter(col("place_id").isNull).count() == 2)
+    assert(read.filter(col("name") === "공덕 맛집").count() == 1)
+  }
+
+  test("filter + projection are pushed into the scan") {
+    val q = read.filter(col("page") === 2 && col("latitude") > 34.0)
+      .select("place_id", "name")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("3"))
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains("graft-jsonl PushedFilters: [") &&
+           desc.contains("EqualTo(page,2)"), desc)
+    assert(desc.contains("ReadSchema: struct<place_id:string,name:string"), desc)
+  }
+
+  test("one input partition per file") {
+    assert(read.rdd.getNumPartitions == 2)
+  }
+
+  test("null comparisons follow SQL semantics (filter never matches null)") {
+    assert(read.filter(col("latitude") > 0.0).count() == 4) // row c has null latitude
+  }
+}
