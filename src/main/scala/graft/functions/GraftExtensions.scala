@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+/** Session extension wiring for graft's custom Catalyst pieces:
+  *
+  *  - `vec_dot(a, b)` registered as a SQL function, so
+  *    `spark.sql("SELECT vec_dot(e, e) FROM ...")` plans the native
+  *    expression;
+  *  - RewriteVecDot: an optimizer rule that recognizes the
+  *    idiomatic-but-interpreted HOF spelling
+  *    `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0D, (acc,v) -> acc+v)`
+  *    and replaces it with the codegen'd VecDot — users keep writing
+  *    declarative code, the optimizer picks the fast plan (the whole
+  *    Catalyst philosophy in one rule).
+  *
+  * Use at session build: `.config("spark.sql.extensions",
+  * "graft.functions.GraftExtensions")` or `.withExtensions(new
+  * GraftExtensions)`; on a live session call
+  * `GraftExtensions.install(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.vecDotDescription)
+    e.injectOptimizerRule(_ => RewriteVecDot)
+  }
+}
+
+object GraftExtensions {
+  val vecDotDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "vec_dot(a, b) takes exactly 2 arguments")
+      VecDot(exprs.head, exprs(1))
+    })
+
+  /** Register on an already-running session (function registry +
+    * experimental optimizer rules). */
+  def install(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
+    if (!spark.experimental.extraOptimizations.contains(RewriteVecDot))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteVecDot
+  }
+}
+
+/** aggregate(zip_with(a, b, multiply), 0.0, add) → VecDot(a, b).
+  *
+  * Pattern details: the zip lambda must be a product of the two lambda
+  * variables (possibly under numeric casts to double); the fold lambda
+  * must be acc + v with zero literal 0.0; the finish lambda must be
+  * identity. VecDot's null semantics (null element / length mismatch
+  * ⇒ null) match the HOF fold exactly, so the rewrite is
+  * semantics-preserving.
+  */
+object RewriteVecDot extends Rule[LogicalPlan] {
+
+  private def isDoubleOf(e: Expression, v: NamedLambdaVariable): Boolean = e match {
+    case `v` => v.dataType == DoubleType
+    case Cast(`v`, DoubleType, _, _) => v.dataType == DoubleType || v.dataType == FloatType
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+          ZipWith(a, b,
+            LambdaFunction(Multiply(mx, my, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+          Literal(0.0, DoubleType),
+          LambdaFunction(Add(accRef: NamedLambdaVariable, vRef: NamedLambdaVariable, _),
+            Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
+          LambdaFunction(finishRef: NamedLambdaVariable, Seq(finishArg: NamedLambdaVariable), _))
+        if (isDoubleOf(mx, x) && isDoubleOf(my, y)) &&
+           accRef.exprId == acc.exprId && vRef.exprId == v.exprId &&
+           finishRef.exprId == finishArg.exprId =>
+      VecDot(a, b)
+  }
+}

@@ -48,6 +48,10 @@ case class VecDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // null element ⇒ null result (matches the HOF formulation, where
+      // null * y poisons the whole fold — keeps the optimizer rewrite
+      // RewriteVecDot semantics-preserving)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -70,9 +74,10 @@ case class VecDot(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })
