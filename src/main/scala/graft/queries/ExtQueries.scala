@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.AsOfJoin
+
+/** Extended training-data operators: subword tokenization, char-gram
+  * fingerprinting, and the as-of join.
+  */
+object ExtQueries {
+
+  /** BPE-ish piece pattern: letter runs, digit runs, single symbols —
+    * identical RE2/Java semantics. */
+  private val PIECE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  val queries: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- q39
+    // Subword-ish token counting (the regex stand-in for a BPE
+    // tokenizer: letter runs / digit runs / symbols as pieces).
+    Q("q39_subword_tokens",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(lower(text), '$PIECE')) AS BIGINT) AS n_pieces,
+         |  CAST(len(list_distinct(regexp_extract_all(lower(text), '$PIECE'))) AS BIGINT) AS n_unique
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(expr(s"regexp_extract_all(lower(text), '$PIECE', 0)")).cast("long").as("n_pieces"),
+          size(array_distinct(expr(s"regexp_extract_all(lower(text), '$PIECE', 0)"))).cast("long").as("n_unique"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q40
+    // Char-8-gram rolling fingerprint: min sha over all grams (the
+    // winnowing-style document signature; robust to reordering at the
+    // edges in a way the whole-text hash is not).
+    Q("q40_chargram_fingerprint",
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |           FROM documents),
+        |g AS (SELECT doc_id, substr(norm, i, 8) AS gram
+        |      FROM (SELECT doc_id, norm, unnest(generate_series(1, length(norm) - 7)) AS i
+        |            FROM n WHERE length(norm) >= 8))
+        |SELECT doc_id,
+        |  min(substr(sha256(gram), 1, 16)) AS fingerprint,
+        |  CAST(count(DISTINCT gram) AS BIGINT) AS n_grams
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.analytics.TextAnalysis.normalizeText(col("text")).as("norm"))
+        .filter(length(col("norm")) >= 8)
+        .select(col("doc_id"), col("norm"),
+          explode(sequence(lit(1), length(col("norm")) - 7)).as("i"))
+        .select(col("doc_id"), expr("substring(norm, i, 8)").as("gram"))
+        .groupBy(col("doc_id"))
+        .agg(
+          min(substring(sha2(col("gram"), 256), 1, 16)).as("fingerprint"),
+          countDistinct(col("gram")).as("n_grams"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q41
+    // As-of join: each event enriched with the user's most recent
+    // order as of the event time. Oracle = DuckDB's native ASOF LEFT
+    // JOIN; the Spark side is AsOfJoin.leftAsOf (single shuffle +
+    // window, no inequality-join explosion).
+    Q("q41_asof_join",
+      """WITH ro AS (SELECT o_custkey AS k, o_orderdate AS t,
+        |                   max(o_orderkey) AS last_orderkey
+        |            FROM orders GROUP BY 1, 2)
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  strftime(t, '%Y-%m-%d') AS last_order_date, last_orderkey
+        |FROM events ASOF LEFT JOIN ro
+        |  ON events.user_id = ro.k AND events.ts >= ro.t
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ro = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"))
+        .select(col("o_custkey").as("k"), col("o_orderdate").as("t"), col("last_orderkey"))
+      AsOfJoin.leftAsOf(
+          Tables.events(s, d).select("event_id", "user_id", "ts"),
+          ro, leftKey = "user_id", rightKey = "k", leftTime = "ts", rightTime = "t")
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          date_format(col("_match.t"), "yyyy-MM-dd").as("last_order_date"),
+          col("_match.last_orderkey").as("last_orderkey"))
+        .orderBy("event_id")
+    }
+  )
+}
