@@ -48,6 +48,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() <= events.count())
   }
 
+  test("ST1+K3 end-to-end: file stream -> validate -> foreachBatch HTTP delivery") {
+    import graft.sinks.HttpSink
+    val events = Tables.events(spark, sf("sf0.001")).limit(50)
+    val dir = tmp("graft-e2e-in")
+    events.write.mode("overwrite").parquet(dir)
+    HttpSink.RecordingTransport.clear()
+    val transport = new HttpSink.RecordingTransport()
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+      .filter(col("value").isNotNull && col("event_type").isin("click", "purchase"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmp("graft-e2e-ck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        HttpSink.deliver(batch.toDF(), "http://api.test/events", "event_id", transport).count()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val expected = events.filter(col("value").isNotNull &&
+      col("event_type").isin("click", "purchase")).count()
+    assert(HttpSink.RecordingTransport.delivered.size() == expected)
+    assert(expected > 0)
+  }
+
   test("ST2 statefulDedup emits each (key,id) once across micro-batches") {
     val dir = tmp("graft-dedup-in")
     // batch 1: ids a,b for key k1
