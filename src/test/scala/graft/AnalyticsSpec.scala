@@ -54,6 +54,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(recall >= 0.15, s"recall=$recall")
   }
 
+  test("IVF ANN recall beats its scanned fraction") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val q = e.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, e, 10).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(q, e, 10, 16, 2).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    val scannedFraction = 2.0 / 16.0
+    assert(recall > scannedFraction, s"recall=$recall")
+  }
+
   test("language ID prefers script signals over marker votes") {
     val out = Seq(
       (1L, "의미 있는 한국어 문장입니다 오늘 날씨가 좋네요 정말 좋아요"),
