@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Exact, Merge, Normalize}
+
+/** Property tests for the algebraic invariants (SURVEY.md §5):
+  * merge idempotency, anti-join disjointness, surrogate-key
+  * determinism, duckRound semantics — each over seeded random case
+  * batches (hand-rolled generation: the scalatest-scalacheck bridge
+  * is not in the offline dependency set).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private def randBatch(n: Int): List[(String, String)] =
+    List.fill(n)((s"k${rnd.nextInt(20)}", rnd.alphanumeric.take(8).mkString))
+
+  test("U2: mergeByKey is idempotent for arbitrary batches") {
+    (1 to 8).foreach { _ =>
+      val e = randBatch(rnd.nextInt(30) + 1)
+      val f = randBatch(rnd.nextInt(30) + 1)
+      val once = Merge.mergeByKey(e.toDF("k", "v"), f.toDF("k", "v"), Seq("k"))
+      val twice = Merge.mergeByKey(once, f.toDF("k", "v"), Seq("k"))
+      assert(once.select("k").distinct().count() == once.count())
+      assert(twice.count() == once.count())
+      assert(twice.select("k").except(once.select("k")).count() == 0)
+    }
+  }
+
+  test("J1: anti-join output is disjoint from existing and preserves the rest") {
+    (1 to 8).foreach { _ =>
+      val f = randBatch(rnd.nextInt(30) + 1)
+      val e = randBatch(rnd.nextInt(30))
+      val out = Dedup.antiJoinKeys(f.toDF("place_id", "v"),
+        e.map(_._1).toDF("place_id"), "place_id")
+      assert(out.join(e.map(_._1).toDF("place_id"), Seq("place_id"), "left_semi").count() == 0)
+      val keptKeys = f.map(_._1).toSet -- e.map(_._1).toSet
+      assert(out.count() == f.count(r => keptKeys.contains(r._1)))
+    }
+  }
+
+  test("O4: surrogate key is deterministic and collision-free on distinct inputs") {
+    (1 to 5).foreach { _ =>
+      val xs = List.fill(20)(rnd.alphanumeric.take(12).mkString).distinct
+      val df = xs.toDF("a")
+      val keys = df.select(Normalize.surrogateKey($"a", lit("x")).as("id"))
+      assert(keys.except(df.select(Normalize.surrogateKey($"a", lit("x")).as("id"))).count() == 0)
+      assert(keys.distinct().count() == xs.size)
+    }
+  }
+
+  test("duckRound matches half-away-from-zero on the scaled double") {
+    val cases = List.fill(60)((rnd.nextDouble() * 4 - 2, rnd.nextInt(7))) ++
+      List((0.6146874999999999, 6), (-0.6146874999999999, 6), (2.5e-6, 6), (0.125, 2))
+    cases.foreach { case (v, n) =>
+      val got = Seq(v).toDF("v").select(Exact.duckRound($"v", n)).collect().head.getDouble(0)
+      val p = math.pow(10, n)
+      val scaled = v * p
+      val want = (if (scaled >= 0) math.floor(scaled + 0.5) else math.ceil(scaled - 0.5)) / p
+      assert(got == want, s"v=$v n=$n got=$got want=$want")
+    }
+  }
+}
