@@ -117,18 +117,23 @@ object DedupOps {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
-  val SIMHASH_BITS = 16
+  /** 32 bits / 4 bands of 8: 256 buckets per band keeps the banded
+    * candidate join sparse (16-bit signatures made buckets of n/16
+    * docs → millions of candidate pairs at sf0.1; 8-bit bands cut
+    * that ~16x) while the pigeonhole guarantee (≤ 3 flipped bits
+    * leaves one band intact) still holds. */
+  val SIMHASH_BITS = 32
   val SIMHASH_BANDS = 4
 
-  /** Per-token 16-bit hash: first 4 hex chars of sha256(token). */
-  def tokenHash16(w: Column): Column =
-    conv(substring(sha2(w, 256), 1, 4), 16, 10).cast("long")
+  /** Per-token 32-bit hash: first 8 hex chars of sha256(token). */
+  def tokenHash32(w: Column): Column =
+    conv(substring(sha2(w, 256), 1, 8), 16, 10).cast("long")
 
   /** SimHash signature over token-frequency-weighted bit votes. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(tokens(col("text"))).as("w"))
-      .withColumn("v", tokenHash16(col("w")))
+      .withColumn("v", tokenHash32(col("w")))
     val sig = (0 until SIMHASH_BITS).map { b =>
       when(sum(shiftright(col("v"), b).bitwiseAND(lit(1L)) * 2 - 1) >= 0, lit(1L))
         .otherwise(lit(0L)) * (1L << b)
@@ -148,10 +153,13 @@ object DedupOps {
         expr(s"shiftright(sig, cast(k * $bitsPerBand AS int))").bitwiseAND(lit((1 << bitsPerBand) - 1)))
     val l = banded.select(col("k"), col("band"), col("doc_id").as("d1"), col("sig").as("sig1"))
     val r = banded.select(col("k"), col("band"), col("doc_id").as("d2"), col("sig").as("sig2"))
+    // Hamming filter BEFORE the dedup shuffle: filter and distinct
+    // commute here, and the filter drops ~99.9% of banded candidates,
+    // so the distinct shuffles thousands of rows instead of millions.
     l.join(r, Seq("k", "band")).filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
         bit_count(col("sig1").bitwiseXOR(col("sig2"))).cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 }

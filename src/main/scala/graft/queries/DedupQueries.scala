@@ -54,12 +54,13 @@ object DedupQueries {
       .mkString(" || '|' || ") + s" AS band$b"
   }.mkString(",\n    ")
 
-  /** 16-bit token hash from the first 4 hex chars of sha256(w). */
-  private val v16Sql: String = {
+  /** 32-bit token hash from the first 8 hex chars of sha256(w)
+    * (BIGINT-cast per term: DuckDB int32 would overflow at 15·16^7). */
+  private val tokenHashSql: String = {
     val hex = "0123456789abcdef"
-    (0 until 4).map { i =>
-      val mult = 1 << (4 * (3 - i))
-      s"(strpos('$hex', substr(h, ${i + 1}, 1)) - 1) * $mult"
+    (0 until 8).map { i =>
+      val mult = 1L << (4 * (7 - i))
+      s"CAST(strpos('$hex', substr(h, ${i + 1}, 1)) - 1 AS BIGINT) * $mult"
     }.mkString(" + ")
   }
 
@@ -69,8 +70,8 @@ object DedupQueries {
 
   private val simhashSigCte: String =
     s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-       |hv AS (SELECT doc_id, $v16Sql AS v
-       |       FROM (SELECT doc_id, substr(sha256(w), 1, 4) AS h FROM t)),
+       |hv AS (SELECT doc_id, $tokenHashSql AS v
+       |       FROM (SELECT doc_id, substr(sha256(w), 1, 8) AS h FROM t)),
        |sig AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS sig
        |        FROM hv GROUP BY doc_id)""".stripMargin
 
@@ -127,14 +128,15 @@ object DedupQueries {
     // SimHash near-dup pairs: banded Hamming-distance join (<= 2).
     Q("q33_simhash_pairs",
       s"""$simhashSigCte,
-         |bb AS (SELECT doc_id, sig, k, (sig >> (k * 4)) & 15 AS band
+         |bb AS (SELECT doc_id, sig, k,
+         |         (sig >> (k * ${SIMHASH_BITS / SIMHASH_BANDS})) & ${(1 << (SIMHASH_BITS / SIMHASH_BANDS)) - 1} AS band
          |       FROM (SELECT doc_id, sig, unnest([0, 1, 2, 3]) AS k FROM sig)),
          |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2, x.sig AS s1, y.sig AS s2
          |         FROM bb x JOIN bb y ON x.k = y.k AND x.band = y.band AND x.doc_id < y.doc_id)
          |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(s1, s2)) <= 1
+         |FROM cand WHERE bit_count(xor(s1, s2)) <= 2
          |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-      DedupOps.simhashPairs(Tables.documents(s, d), 1).orderBy("d1", "d2")
+      DedupOps.simhashPairs(Tables.documents(s, d), 2).orderBy("d1", "d2")
     }
   )
 

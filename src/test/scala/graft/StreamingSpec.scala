@@ -35,6 +35,21 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("sliding windows: streaming rollup matches the q21 batch grid") {
+    val events = Tables.events(spark, sf("sf0.001"))
+    val dir = tmp("graft-slide-in")
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+    EventStreams.runToMemory(EventStreams.slidingRollup(stream), "slide_out", "complete")
+    val got = spark.table("slide_out")
+      .orderBy("win_start").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // batch twin: q21's arithmetic window construction
+    val want = SparkEntry.queries("q21_sliding_window")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want) // native window() and the arithmetic grid agree
+  }
+
   test("session windows: streaming session rollup completes and bounds sessions") {
     val events = Tables.events(spark, sf("sf0.001"))
     val dir = tmp("graft-sess-in")
