@@ -63,6 +63,34 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Embedding near-dup pairs: all (v1 < v2) with cosine ≥ threshold.
+    * Exact by construction (this is the oracle-checkable baseline);
+    * one side broadcasts, so the pair space streams through a
+    * map-side nested loop with the codegen'd VecDot inner loop. At
+    * corpus sizes where n² streaming is no longer viable, the
+    * candidate set comes from lshTopK/ivfTopK buckets instead — same
+    * verify step, sub-quadratic candidates. */
+  def cosineNearDupPairs(vecs: DataFrame, threshold: Double): DataFrame = {
+    // Block trick: an equi-join on a synthetic block key turns the
+    // all-pairs nested loop into a codegen'd BroadcastHashJoin (a
+    // BroadcastNestedLoopJoin evaluates row-at-a-time, ~4x slower
+    // measured). Same pair space: the broadcast side is replicated
+    // once per block, the stream side hashes to its own block.
+    val blocks = 16
+    val n = vecs.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+    val a = n.select(col("vec_id").as("v1"), col("embedding").as("av"), col("nrm").as("an"))
+      .withColumn("_blk", explode(array((0 until blocks).map(lit): _*)))
+    val b = n.select(col("vec_id").as("v2"), col("embedding").as("bv"), col("nrm").as("bn"))
+      .withColumn("_blk", pmod(col("v2"), lit(blocks)).cast("int"))
+    b.join(broadcast(a), Seq("_blk"))
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        graft.ops.Exact.duckRound(
+          dot(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** IVF-style approximate top-k: a deterministic coarse quantizer
     * (the `nCentroids` lowest-id vectors serve as centroids — a
     * k-means iteration would refine them; the partition/probe

@@ -84,6 +84,20 @@ object SimilarityQueries {
         .orderBy("qid", "rnk")
     },
 
+    // ---------------------------------------------------------------- q46
+    // Embedding-cosine near-dup pairs (exact): the vector-space
+    // counterpart of the Jaccard/MinHash text dedup.
+    Q("q46_embedding_neardup",
+      s"""$normCtes
+         |SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45
+         |ORDER BY v1, v2""".stripMargin) { (s, d) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.45)
+        .orderBy("v1", "v2")
+    },
+
     // ---------------------------------------------------------------- q45
     // IVF-style ANN: deterministic coarse quantizer (16 cells, probe
     // 2) — the second scale path next to LSH; cells partition the
