@@ -44,10 +44,8 @@ object Exact {
     * .5 boundary (~1 row in a few thousand at 6 decimals), so every
     * rounded double in a verified output uses this replica of the
     * oracle's algorithm. */
-  def duckRound(c: Column, n: Int): Column = {
-    val p = lit(math.pow(10, n))
-    when(c >= 0, floor(c * p + lit(0.5))).otherwise(ceil(c * p - lit(0.5))) / p
-  }
+  def duckRound(c: Column, n: Int): Column =
+    graft.functions.DuckRoundExpr.duck_round(c, n)
 
   /** Exact-component sample stddev: the two sums are exact decimals,
     * the final scalar math is plain IEEE double (deterministic). */
