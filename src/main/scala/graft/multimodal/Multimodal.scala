@@ -21,11 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Typed metadata travels beside the opaque payload — the schema
+    * contract for image/audio/video columns (dims for images, rate +
+    * duration for audio/video; unused fields zero). */
+  final case class MediaMeta(
+      width: Int, height: Int, sampleRateHz: Int, durationMs: Long)
   final case class MediaRow(
-      media_id: Long, kind: String, payload: Array[Byte])
+      media_id: Long, kind: String, payload: Array[Byte], meta: MediaMeta)
   final case class MediaFeatures(
       media_id: Long, kind: String, n_bytes: Long,
       content_sha: String, features: Array[Float])
+  final case class FrameFeatures(
+      media_id: Long, frame_idx: Int, features: Array[Float])
 
   /** Wrap a text/binary frame into the media schema (payload = UTF-8
     * bytes when starting from a text column, as the corpus does). */
@@ -35,7 +42,9 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), lit(kind), col(textCol).cast("binary"))
       .as[(Long, String, Array[Byte])]
-      .map { case (id, k, b) => MediaRow(id, k, b) }
+      .map { case (id, k, b) =>
+        MediaRow(id, k, b, MediaMeta(0, 0, 0, durationMs = b.length.toLong))
+      }
   }
 
   /** The stand-in decoder: deterministic pseudo-features from the
@@ -62,6 +71,36 @@ object Multimodal {
         val sha = md.digest(r.payload).map("%02x".format(_)).mkString
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, sha, decoder(r.payload))
       }
+    }
+  }
+
+  /** Resize: re-encode the payload to a bounded size (stub = byte
+    * truncation; a real image resize plugs in with the same
+    * signature). Metadata is updated alongside the payload — the
+    * point of the contract: payload transforms never detach from
+    * their typed metadata. */
+  def resize(media: Dataset[MediaRow], maxBytes: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { r =>
+      val p = if (r.payload.length <= maxBytes) r.payload else r.payload.take(maxBytes)
+      r.copy(payload = p, meta = r.meta.copy(durationMs = p.length.toLong))
+    }
+  }
+
+  /** Frame sampling: split the payload into fixed-size windows
+    * ("frames"), keep every `stride`-th, extract features per frame —
+    * the video/audio fan-out shape (one row in, N frame rows out,
+    * iterator-to-iterator so a long video never materializes all
+    * frames in memory at once). */
+  def frameSample(media: Dataset[MediaRow], frameBytes: Int, stride: Int,
+                  decoder: Array[Byte] => Array[Float] = FakeDecoder): Dataset[FrameFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex
+        .filter { case (_, i) => i % stride == 0 }
+        .map { case (frame, i) => FrameFeatures(r.media_id, i, decoder(frame)) }
     }
   }
 }

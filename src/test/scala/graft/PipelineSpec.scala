@@ -78,4 +78,46 @@ class PipelineSpec extends SparkSpec {
       .collect().sortBy(_.media_id)
     assert(again.head.features.toSeq == feats.head.features.toSeq)
   }
+
+  test("multimodal: resize bounds payload and keeps metadata attached") {
+    import graft.multimodal.Multimodal
+    val docs = Seq((1L, "x" * 100), (2L, "short")).toDF("doc_id", "text")
+    val resized = Multimodal.resize(Multimodal.fromText(docs), maxBytes = 32)
+      .collect().sortBy(_.media_id)
+    assert(resized(0).payload.length == 32 && resized(0).meta.durationMs == 32)
+    assert(resized(1).payload.length == 5 && resized(1).meta.durationMs == 5)
+  }
+
+  test("multimodal: frame sampling fans one row into strided frame features") {
+    import graft.multimodal.Multimodal
+    val docs = Seq((7L, "abcdefghij" * 4)).toDF("doc_id", "text") // 40 bytes
+    val frames = Multimodal.frameSample(Multimodal.fromText(docs),
+      frameBytes = 8, stride = 2).collect().sortBy(_.frame_idx)
+    // 40/8 = 5 frames, every 2nd → idx 0,2,4
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(frames.forall(_.features.length == 8))
+  }
+
+  test("O9/F5: PERMISSIVE read quarantines corrupt records as data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "r.json"),
+      """{"place_id":"1","name":"ok"}
+        |this line is not json
+        |{"place_id":"2","name":"also ok"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("place_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt", org.apache.spark.sql.types.StringType)))
+    // cache(): Spark refuses corrupt-column-only queries straight off
+    // raw files (the documented contract for this column)
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(dir)
+      .cache()
+    assert(df.count() == 3)
+    assert(df.filter($"_corrupt".isNotNull).count() == 1) // dead-lettered, not dropped
+    assert(df.filter($"_corrupt".isNull).count() == 2)
+  }
 }
