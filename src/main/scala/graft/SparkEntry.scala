@@ -13,7 +13,8 @@ object SparkEntry {
   val allQueries: Seq[Q] =
     Relational.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
-      SketchQueries.queries ++ ExtQueries.queries ++ OlapQueries.queries
+      SketchQueries.queries ++ ExtQueries.queries ++ OlapQueries.queries ++
+      MiscQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

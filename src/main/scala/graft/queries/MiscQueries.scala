@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.Exact
+
+/** Surface gap-fill: outer joins, date/time arithmetic, string
+  * function suite, grouping sets. Parity notes: Spark dayofweek is
+  * 1=Sunday, DuckDB 0=Sunday (+1 in the oracle); month-diff semantics
+  * differ between engines (boundary count vs fractional) so only day
+  * diffs are exposed; no initcap in DuckDB 1.0.
+  */
+object MiscQueries {
+
+  private val DEC = "DECIMAL(18,2)"
+  private def dsum(c: String) = s"CAST(sum(CAST($c AS $DEC)) AS DOUBLE)"
+
+  val queries: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- q47
+    // LEFT OUTER enrichment with miss-handling (J3/O5 shape: the
+    // geocode join where some addresses don't resolve).
+    Q("q47_left_outer_enrich",
+      """SELECT c_custkey,
+        |  coalesce(n_name, 'UNKNOWN') AS nation_name,
+        |  CASE WHEN n_name IS NULL THEN 'miss' ELSE 'hit' END AS enrich_status
+        |FROM customer LEFT JOIN (SELECT * FROM nation WHERE n_regionkey < 2) n
+        |  ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_regionkey") < 2)),
+              col("c_nationkey") === col("n_nationkey"), "left_outer")
+        .select(
+          col("c_custkey"),
+          coalesce(col("n_name"), lit("UNKNOWN")).as("nation_name"),
+          when(col("n_name").isNull, lit("miss")).otherwise(lit("hit")).as("enrich_status"))
+        .orderBy("c_custkey")
+    },
+
+    // ---------------------------------------------------------------- q48
+    // FULL OUTER join: per-nation customer vs supplier counts.
+    Q("q48_full_outer",
+      """WITH c AS (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT coalesce(c.k, s.k) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.k = s.k
+        |ORDER BY nationkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("ck"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = Tables.supplier(s, d).groupBy(col("s_nationkey").as("sk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, col("ck") === col("sk"), "full_outer")
+        .select(
+          coalesce(col("ck"), col("sk")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    },
+
+    // ---------------------------------------------------------------- q49
+    // Date/time arithmetic + component extraction.
+    Q("q49_datetime",
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |  strftime(date_add(CAST(o_orderdate AS DATE), 30), '%Y-%m-%d') AS plus30,
+        |  CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+          datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long").as("days_since"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---------------------------------------------------------------- q50
+    // String function suite over part attributes.
+    Q("q50_strings",
+      """SELECT p_partkey,
+        |  upper(p_type) AS t_up,
+        |  lower(p_brand) AS b_low,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        |  reverse(p_name) AS name_rev,
+        |  left(p_name, 5) AS name_l,
+        |  right(p_name, 3) AS name_r,
+        |  replace(p_name, ' ', '_') AS name_us,
+        |  CAST(instr(p_name, 'o') AS BIGINT) AS o_pos,
+        |  repeat('*', p_size % 4) AS stars,
+        |  translate(p_type, 'AEO', 'aeo') AS t_tr
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_type")).as("t_up"),
+          lower(col("p_brand")).as("b_low"),
+          lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+          reverse(col("p_name")).as("name_rev"),
+          expr("left(p_name, 5)").as("name_l"),
+          expr("right(p_name, 3)").as("name_r"),
+          regexp_replace(col("p_name"), " ", "_").as("name_us"),
+          instr(col("p_name"), "o").cast("long").as("o_pos"),
+          expr("repeat('*', p_size % 4)").as("stars"),
+          translate(col("p_type"), "AEO", "aeo").as("t_tr"))
+        .orderBy("p_partkey")
+    },
+
+    // ---------------------------------------------------------------- q51
+    // GROUPING SETS beyond rollup: two single-dimension cuts + total.
+    Q("q51_grouping_sets",
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n, ${dsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }
+  )
+}
