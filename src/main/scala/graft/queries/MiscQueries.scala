@@ -114,6 +114,46 @@ object MiscQueries {
         .orderBy("p_partkey")
     },
 
+    // ---------------------------------------------------------------- q52
+    // The custom TopKPerKey operator under the oracle: its heap-based
+    // result must match SQL's window formulation row for row.
+    Q("q52_topk_per_key",
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin) { (s, d) =>
+      graft.plans.TopKPerKey(
+          Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+          Seq("o_custkey"), "o_totalprice", "o_orderkey", 3)
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    },
+
+    // ---------------------------------------------------------------- q53
+    // Array/collection function suite (arrays stringified for the
+    // compare — list-valued output columns are hash-hostile).
+    Q("q53_array_funcs",
+      """SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_sort(list_distinct(ws)), ',') AS sorted_vocab,
+        |  list_contains(ws, 'spark') AS has_spark,
+        |  CAST(list_position(ws, 'data') AS BIGINT) AS data_pos,
+        |  array_to_string(ws[2:4], ' ') AS mid3
+        |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(
+          col("doc_id"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          array_join(array_sort(array_distinct(col("ws"))), ",").as("sorted_vocab"),
+          array_contains(col("ws"), "spark").as("has_spark"),
+          array_position(col("ws"), "data").cast("long").as("data_pos"),
+          array_join(slice(col("ws"), 2, 3), " ").as("mid3"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- q51
     // GROUPING SETS beyond rollup: two single-dimension cuts + total.
     Q("q51_grouping_sets",
