@@ -154,6 +154,30 @@ object MiscQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- q54
+    // Exact median per group, deterministically: the element at
+    // position (n+1)/2 under a total order (value, id) — the exact
+    // counterpart of q38's sketch quantiles.
+    Q("q54_exact_median",
+      """WITH o AS (
+        |  SELECT event_type, value, event_id,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, value AS median FROM o
+        |WHERE rn = (n + 1) // 2
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("value").as("median"))
+        .orderBy("event_type")
+    },
+
     // ---------------------------------------------------------------- q51
     // GROUPING SETS beyond rollup: two single-dimension cuts + total.
     Q("q51_grouping_sets",
