@@ -88,6 +88,18 @@ class StreamingSpec extends SparkSpec {
     assert(expected > 0)
   }
 
+  test("runAvailableNow delivers every micro-batch to the sink exactly once per run") {
+    val events = Tables.events(spark, sf("sf0.001")).limit(20)
+    val dir = tmp("graft-ran-in")
+    events.write.mode("overwrite").parquet(dir)
+    val seen = new java.util.concurrent.atomic.AtomicLong()
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+    EventStreams.runAvailableNow(stream, tmp("graft-ran-ck")) { (batch, _) =>
+      seen.addAndGet(batch.count()); ()
+    }
+    assert(seen.get() == 20)
+  }
+
   test("ST2 statefulDedup emits each (key,id) once across micro-batches") {
     val dir = tmp("graft-dedup-in")
     // batch 1: ids a,b for key k1
