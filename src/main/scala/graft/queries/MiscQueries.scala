@@ -154,6 +154,32 @@ object MiscQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- q55
+    // INTERSECT: customers active in both 1997 and 1998.
+    Q("q55_intersect",
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+        .intersect(o.filter(year(col("o_orderdate")) === 1998).select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    // ---------------------------------------------------------------- q56
+    // EXCEPT: customers active in 1997 but gone in 1998 (churn).
+    Q("q56_except",
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+        .except(o.filter(year(col("o_orderdate")) === 1998).select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
     // ---------------------------------------------------------------- q54
     // Exact median per group, deterministically: the element at
     // position (n+1)/2 under a total order (value, id) — the exact
