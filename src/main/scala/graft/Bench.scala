@@ -26,11 +26,19 @@ object Bench {
     val selected = SparkEntry.allQueries.filter(q =>
       only.forall(_.exists(q.name.contains)))
     // Untimed warmup at the smallest sf: JIT + whole-stage-codegen
-    // compilation for the exact plan shapes being measured.
+    // compilation for the exact plan shapes being measured. Derived
+    // from the measured dir (sibling sf0.001, else the dir itself) so
+    // it never silently no-ops on a machine with a different layout.
+    val warmupDir = sys.env.get("SPARK_GRAFT_WARMUP_DIR").getOrElse {
+      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sibling.isDirectory) sibling.getPath else sfDir
+    }
     selected.foreach { q =>
-      try q.run(spark, "/root/testdata/sf0.001")
+      try q.run(spark, warmupDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup ${q.name} failed: ${e.getMessage}")
+      }
     }
     // Best-of-N timing (N=1 default): repeats share the JVM, so later
     // passes measure steady-state rather than JIT ramp.

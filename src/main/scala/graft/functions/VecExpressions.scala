@@ -37,6 +37,13 @@ case class VecDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Length mismatch / null element produce null even when both inputs
+  // are non-null; without this the non-nullable codegen branch would
+  // assign an undeclared isNull and the interpreted path would violate
+  // the declared non-nullability (downstream unsafe projections could
+  // silently coerce the null to 0.0).
+  override def nullable: Boolean = true
+
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 

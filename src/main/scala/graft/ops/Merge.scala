@@ -1,6 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, lit, row_number}
 
 /** Union/merge semantics (SURVEY.md §2.4 U1/U2).
   *
@@ -22,10 +24,21 @@ object Merge {
   def unionAll(frames: Seq[DataFrame]): DataFrame =
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
 
-  /** U2: append-merge with first-writer-wins key dedup. `existing`
-    * rows win ties because they are unioned first and dropDuplicates
-    * keeps the first row per key under a stable plan. For a real
-    * lakehouse sink this becomes MERGE INTO; semantics are identical. */
-  def mergeByKey(existing: DataFrame, fresh: DataFrame, keys: Seq[String]): DataFrame =
-    existing.unionByName(fresh, allowMissingColumns = true).dropDuplicates(keys)
+  /** U2: append-merge with first-writer-wins key dedup. Precedence is
+    * explicit: each side is tagged with a priority (existing=0,
+    * fresh=1) and the min-priority row per key survives via a
+    * row_number window — dropDuplicates' "first row wins" is
+    * plan-dependent (shuffle/AQE ordering) and cannot be relied on
+    * across a cluster. For a real lakehouse sink this becomes MERGE
+    * INTO; semantics are identical. */
+  def mergeByKey(existing: DataFrame, fresh: DataFrame, keys: Seq[String]): DataFrame = {
+    val prio = "__graft_prio"
+    val rn = "__graft_rn"
+    val unioned = existing.withColumn(prio, lit(0))
+      .unionByName(fresh.withColumn(prio, lit(1)), allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(prio))
+    unioned.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(prio, rn)
+  }
 }

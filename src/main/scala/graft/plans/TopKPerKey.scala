@@ -80,7 +80,11 @@ final case class TopKPerKeyExec(
             heaps.put(key, heap)
           }
           val s = scoreRow.getDouble(0)
-          val t = tieEval(row).getLong(0)
+          // null tiebreak sorts first (best), matching the window
+          // formulation's ascending nulls-first ordering — without the
+          // explicit check a null would silently read as 0
+          val tieRow = tieEval(row)
+          val t = if (tieRow.isNullAt(0)) Long.MinValue else tieRow.getLong(0)
           if (heap.size < limit) heap.enqueue((s, t, row.copy()))
           else {
             val (ws, wt, _) = heap.head
@@ -99,7 +103,9 @@ final case class TopKPerKeyExec(
 
 object TopKPerKey {
   /** Top `k` rows per key by `score` descending (ties: `tiebreak`
-    * ascending, integral column). Columns are referenced by name and
+    * ascending, nulls first, integral column — the ANSI cast to LONG
+    * throws on malformed strings, same as the window formulation
+    * would). Columns are referenced by name and
     * resolved against the analyzed child (the Column → Expression
     * bridge would hand the custom node unresolved attributes). Output
     * order within keys is unspecified — orderBy downstream if needed. */

@@ -138,7 +138,7 @@ object MiscQueries {
         |  CAST(len(ws) AS BIGINT) AS n_tokens,
         |  array_to_string(list_sort(list_distinct(ws)), ',') AS sorted_vocab,
         |  list_contains(ws, 'spark') AS has_spark,
-        |  CAST(list_position(ws, 'data') AS BIGINT) AS data_pos,
+        |  CAST(coalesce(list_position(ws, 'data'), 0) AS BIGINT) AS data_pos,
         |  array_to_string(ws[2:4], ' ') AS mid3
         |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
@@ -149,6 +149,10 @@ object MiscQueries {
           size(col("ws")).cast("long").as("n_tokens"),
           array_join(array_sort(array_distinct(col("ws"))), ",").as("sorted_vocab"),
           array_contains(col("ws"), "spark").as("has_spark"),
+          // array_position yields 0 when absent — matches the
+          // coalesce(list_position, 0) on the DuckDB side by
+          // construction, so parity no longer depends on every
+          // document containing the token
           array_position(col("ws"), "data").cast("long").as("data_pos"),
           array_join(slice(col("ws"), 2, 3), " ").as("mid3"))
         .orderBy("doc_id")

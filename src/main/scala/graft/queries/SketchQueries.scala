@@ -24,12 +24,18 @@ object SketchQueries {
         .orderBy(col("event_type"))
     },
 
-    // GK-sketch quantiles of event value per type.
+    // GK-sketch quantiles of event value per type. Scalar columns (not an
+    // array) so the driver's rows-only comparator can sort the frame.
     Q.noOracle("q38_approx_quantiles") { (s, d) =>
+      val q = percentile_approx(col("value"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(1000))
       Tables.events(s, d)
         .groupBy(col("event_type"))
-        .agg(percentile_approx(col("value"),
-          array(lit(0.5), lit(0.9), lit(0.99)), lit(1000)).as("p50_p90_p99"))
+        .agg(q.as("qs"))
+        .select(col("event_type"),
+          col("qs").getItem(0).as("p50"),
+          col("qs").getItem(1).as("p90"),
+          col("qs").getItem(2).as("p99"))
         .orderBy(col("event_type"))
     }
   )

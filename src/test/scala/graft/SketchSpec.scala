@@ -24,7 +24,7 @@ class SketchSpec extends SparkSpec {
   test("q38 approx quantiles bracket exact medians") {
     val events = Tables.events(spark, sf("sf0.01"))
     val approx = SparkEntry.queries("q38_approx_quantiles")(spark, sf("sf0.01"))
-      .select($"event_type", $"p50_p90_p99".getItem(0).as("p50")).collect()
+      .select($"event_type", $"p50").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val bounds = events.groupBy($"event_type")
       .agg(min($"value").as("lo"), max($"value").as("hi"),
