@@ -40,9 +40,10 @@ object Bench {
         System.err.println(s"[bench] warmup ${q.name} failed: ${e.getMessage}")
       }
     }
-    // Best-of-N timing (N=1 default): repeats share the JVM, so later
-    // passes measure steady-state rather than JIT ramp.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    // Best-of-N timing (N=2 default, BASELINE.md protocol): repeats
+    // share the JVM, so later passes measure steady-state rather than
+    // JIT ramp; best-of damps the ±20-30% launch-to-launch variance.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
     val results = selected.map { q =>
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
