@@ -69,6 +69,19 @@ object DedupOps {
   def baseHash(s: Column): Column =
     conv(substring(sha2(s, 256), 1, 8), 16, 10).cast("long")
 
+  /** MinHash signatures: explode the (map-side-distinct) shingle set,
+    * hash once per shingle, and fold the K minima with a partial-
+    * aggregate groupBy. The shuffle carries only ~|docs| x K values
+    * (map-side combine collapses each partition to one row per doc
+    * before the exchange); the shingle corpus itself never shuffles
+    * (shingleSet is explode-of-array_distinct, no distinct exchange).
+    *
+    * Measured dead end (kept for the record): computing the K minima
+    * per document row with array HOFs (aggregate + zip_with) has zero
+    * shuffle but runs interpreted (HOFs are CodegenFallback) and
+    * allocates a K-array per shingle — 2x SLOWER at sf0.1 than this
+    * codegen'd explode+groupBy whose shuffle is already tiny. Partial
+    * aggregation was the real map-side combine all along. */
   def minhashSignatures(sh: DataFrame): DataFrame = {
     val withH = sh.withColumn("h", baseHash(col("s")))
     val aggs = (0 until MINHASH_K).map { i =>
@@ -115,6 +128,48 @@ object DedupOps {
         graft.ops.Exact.duckRound(col("c").cast("double") / (col("n1") + col("n2") - col("c")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** Connected components over a near-dup pair list: every document
+    * gets the MIN doc_id of its transitive near-dup group as its
+    * component label — the canonical "keep one copy of each near-dup
+    * cluster" step that follows pair generation in a dedup pipeline.
+    *
+    * Algorithm: iterative min-label propagation (each round, a node
+    * takes the min of its own label and its neighbors' labels) with a
+    * driver-side convergence check — the standard scalable CC
+    * formulation (cf. Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14). Rounds = O(component diameter);
+    * near-dup clusters are small and dense, so 2–4 rounds converge.
+    * Each round is one shuffle-join on node id + one groupBy min.
+    * Lineage is truncated per round (localCheckpoint) — without it
+    * the plan doubles every iteration. The pair list is assumed ≪
+    * corpus (it is the OUTPUT of LSH/Jaccard thresholding); docs with
+    * no near-dup partner are implicit singletons and not emitted. */
+  def nearDupComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src")).agg(min(col("nl")).as("nmin"))
+        .select(col("src").as("node"), col("nmin"))
+      val updated = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("next"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("next") < col("label")).count()
+      labels = updated.select(col("node"), col("next").as("label"))
+      i += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("component"),
+      (col("node") === col("label")).as("is_keeper"))
   }
 
   /** 32 bits / 4 bands of 8: 256 buckets per band keeps the banded

@@ -48,14 +48,19 @@ object TextAnalysis {
   }
 
   /** (doc_id, s) distinct shingle set, exploded — the working set for
-    * Jaccard / MinHash. Distinct is a shuffle on (doc_id, s). Cheap to
-    * recompute from the source (explode of a narrow scan), so it is
-    * NOT persisted — measured: caching the exploded set costs more in
-    * memory-format materialization than the recompute. */
+    * Jaccard / MinHash. Distinctness is per-document by construction,
+    * so `array_distinct` BEFORE the explode gives the same rows as a
+    * global distinct on (doc_id, s) with zero shuffle — the whole
+    * frame is a map-only scan that pipelines into whatever join or
+    * aggregation consumes it. (The earlier explode-then-distinct
+    * formulation shuffled the full shingle set; at 100 TB that shuffle
+    * is the corpus itself.) Cheap to recompute from the source, so it
+    * is NOT persisted — measured: caching the exploded set costs more
+    * in memory-format materialization than the recompute. */
   def shingleSet(docs: DataFrame, n: Int = 3,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("s"))
-      .distinct()
+    docs.select(col(idCol),
+      explode(array_distinct(shingles(tokens(col(textCol)), n))).as("s"))
 
   /** Number of tokens matching a fixed vocabulary (stopword counting
     * without an explode — runs entirely inside codegen). */

@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.vecDotDescription)
     e.injectOptimizerRule(_ => RewriteVecDot)
+    e.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
 
@@ -41,13 +43,19 @@ object GraftExtensions {
     })
 
   /** Register on an already-running session (function registry +
-    * experimental optimizer rules). */
+    * experimental optimizer rules + planner strategies). */
   def install(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
     if (!spark.experimental.extraOptimizations.contains(RewriteVecDot))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteVecDot
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteWindowTopK))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteWindowTopK
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
   }
 }
 

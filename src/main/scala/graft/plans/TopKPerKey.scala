@@ -40,19 +40,30 @@ final case class TopKPerKeyPlan(
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyPlan(keys, score, tiebreak, k, child) =>
-      TopKPerKeyExec(keys, score, tiebreak, k, planLater(child)) :: Nil
+      // Two-phase, like partial aggregation: the map-side (partial)
+      // heap pass runs before the exchange, so at most k rows per key
+      // PER INPUT PARTITION are shuffled — top-k of per-partition
+      // top-ks is the global top-k. At 100 TB this turns the shuffle
+      // from "the whole table" into "k × keys × partitions" rows.
+      TopKPerKeyExec(keys, score, tiebreak, k,
+        TopKPerKeyExec(keys, score, tiebreak, k, planLater(child),
+          partial = true)) :: Nil
     case _ => Nil
   }
 }
 
 final case class TopKPerKeyExec(
     keys: Seq[Expression], score: Expression, tiebreak: Expression,
-    k: Int, child: SparkPlan) extends UnaryExecNode {
+    k: Int, child: SparkPlan, partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
+
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys

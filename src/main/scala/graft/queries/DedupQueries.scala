@@ -116,6 +116,28 @@ object DedupQueries {
       DedupOps.minhashLshPairs(Tables.documents(s, d), 0.6).orderBy("d1", "d2")
     },
 
+    // ---------------------------------------------------------------- q58
+    // Near-dup clustering: connected components over the Jaccard pair
+    // list (min-label propagation; oracle = recursive transitive
+    // closure). component = min doc_id of the transitive group;
+    // is_keeper marks the one document a dedup pass would retain.
+    Q("q58_neardup_components",
+      s"""${SHINGLES.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |${jaccardCtes(0.6)},
+         |e AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |      UNION SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+         |         FROM reach GROUP BY a)
+         |SELECT doc_id, component, doc_id = component AS is_keeper
+         |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
+      DedupOps.nearDupComponents(
+        DedupOps.jaccardPairs(shingleSetOf(s, d), 0.6)).orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- q32
     // SimHash signatures (16-bit, token-frequency bit votes).
     Q("q32_simhash_signatures",

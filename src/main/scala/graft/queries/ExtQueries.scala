@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.ops.AsOfJoin
+import graft.ops.{AsOfJoin, RangeJoin}
 
 /** Extended training-data operators: subword tokenization, char-gram
   * fingerprinting, and the as-of join.
@@ -54,10 +54,15 @@ object ExtQueries {
         .select(col("doc_id"), col("norm"),
           explode(sequence(lit(1), length(col("norm")) - 7, lit(4))).as("i"))
         .select(col("doc_id"), expr("substring(norm, i, 8)").as("gram"))
+        // dedup grams BEFORE hashing: min(sha) over distinct grams ==
+        // min over all grams, so the two-stage groupBy replaces the
+        // mixed distinct aggregate (which plans an Expand that doubles
+        // the exploded rows) and sha-256 runs only on distinct grams
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("__c"))
         .groupBy(col("doc_id"))
         .agg(
           min(substring(sha2(col("gram"), 256), 1, 16)).as("fingerprint"),
-          countDistinct(col("gram")).as("n_grams"))
+          count(lit(1)).as("n_grams"))
         .orderBy("doc_id")
     },
 
@@ -88,6 +93,30 @@ object ExtQueries {
           date_format(col("_match.t"), "yyyy-MM-dd").as("last_order_date"),
           col("_match.last_orderkey").as("last_orderkey"))
         .orderBy("event_id")
+    },
+
+    // ---------------------------------------------------------------- q61
+    // Range join via binning: every event falling inside each user's
+    // first-hour activity window, counted per window. Spark would plan
+    // the bare inequality join as a nested loop; RangeJoin.binned
+    // turns it into a bin equi-join + residual filter (same rows,
+    // scale-safe). Oracle = DuckDB's native inequality join.
+    Q("q61_range_join",
+      """WITH iv AS (SELECT user_id AS owner, min(ts) AS lo,
+        |                   min(ts) + INTERVAL 1 HOUR AS hi
+        |            FROM events GROUP BY 1)
+        |SELECT owner, epoch_us(lo) AS lo_us,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM iv JOIN events e ON e.ts >= iv.lo AND e.ts <= iv.hi
+        |GROUP BY owner, lo ORDER BY owner""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+      val iv = ev.groupBy(col("user_id").as("owner")).agg(min(col("ts")).as("lo"))
+        .withColumn("hi", col("lo") + expr("INTERVAL 1 HOUR"))
+      RangeJoin.binned(ev.select("event_id", "ts"), "ts", iv, "lo", "hi", 3600)
+        .groupBy(col("owner"), col("lo"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("owner"), unix_micros(col("lo")).as("lo_us"), col("n_events"))
+        .orderBy("owner")
     }
   )
 }

@@ -221,6 +221,38 @@ object MiscQueries {
           col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), Exact.dsum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // ---------------------------------------------------------------- q57
+    // Declarative window top-k, auto-rewritten: the user writes the
+    // idiomatic row_number-over-window-then-filter spelling; the
+    // RewriteWindowTopK optimizer rule (GraftExtensions) replaces it
+    // with the TopKPerKey bounded-heap plan. Same rows as the window
+    // form — RewriteTopKSpec proves the plan swap, this query proves
+    // value parity against the window-formulated oracle.
+    Q("q57_window_topk_rewrite",
+      """WITH t AS (SELECT o_custkey, o_orderkey,
+        |                  coalesce(CAST(o_totalprice AS DOUBLE), 0.0) AS price
+        |           FROM orders),
+        |r AS (SELECT o_custkey, o_orderkey, price,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY price DESC, o_orderkey) AS rn
+        |      FROM t)
+        |SELECT o_custkey, o_orderkey, price FROM r WHERE rn <= 3
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      graft.functions.GraftExtensions.install(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("price").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          // coalesce makes the score provably non-nullable — the
+          // rewrite only fires when null scores are impossible
+          coalesce(col("o_totalprice").cast("double"), lit(0.0)).as("price"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .drop("rn")
+        .orderBy("o_custkey", "o_orderkey")
     }
   )
 }

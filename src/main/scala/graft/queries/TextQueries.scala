@@ -121,6 +121,60 @@ object TextQueries {
         |GROUP BY fp ORDER BY keep_id""".stripMargin) { (s, d) =>
       graft.analytics.DedupOps.exactGroups(Tables.documents(s, d))
         .orderBy("keep_id")
+    },
+
+    // ---------------------------------------------------------------- q59
+    // Deterministic hash sampling: a reproducible ~10% corpus sample
+    // via sha-256(doc_id) mod 100 < 10. This is how a training
+    // pipeline takes STABLE samples — rerunning (or re-sharding) the
+    // job selects the same documents, unlike rand()/TABLESAMPLE which
+    // are engine- and partitioning-dependent. Map-only: the predicate
+    // evaluates inside the scan, no shuffle.
+    Q("q59_hash_sample",
+      """SELECT doc_id,
+        |  CAST(strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 16
+        |  + CAST(strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT) AS bucket
+        |FROM documents
+        |WHERE (CAST(strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 16
+        |  + CAST(strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT)) % 100 < 10
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val bucket = conv(substring(sha2(col("doc_id").cast("string"), 256), 1, 2), 16, 10)
+        .cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"), bucket.as("bucket"))
+        .filter(col("bucket") % 100 < 10)
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q60
+    // Token-budget shard packing: documents in doc_id order are
+    // assigned to consecutive training shards of ≤ 10k tokens via a
+    // running prefix sum (window cumsum → shard = floor((cum - n) /
+    // budget)). The contiguous-by-order contract makes packing
+    // deterministic and mergeable: shard boundaries depend only on
+    // the prefix sums, not on partitioning. (A single global window
+    // is fine here because the frame is one row per document —
+    // at 100 TB the same prefix sum runs per corpus slice with a
+    // two-pass offset: per-partition sums, broadcast the running
+    // offsets, then local cumsum.)
+    Q("q60_token_packing",
+      """SELECT doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 10000 AS BIGINT) AS shard
+        |FROM (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents))
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / 10000).cast("long").as("shard"))
+        .orderBy("doc_id")
     }
   )
 }

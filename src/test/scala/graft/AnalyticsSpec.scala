@@ -86,6 +86,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(bounds.getDouble(0) >= 0.0 && bounds.getDouble(1) <= 1.0)
   }
 
+  test("nearDupComponents: transitive groups get min-id label") {
+    // chain 1-2-3 (1-3 never paired directly) + island 7-9 + singleton
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (7L, 9L, 0.7))
+      .toDF("d1", "d2", "jaccard")
+    val got = DedupOps.nearDupComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (7L, 7L, true), (9L, 7L, false)))
+  }
+
   test("exact dedup groups cover all docs exactly once") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val groups = DedupOps.exactGroups(docs)
