@@ -253,6 +253,25 @@ object MiscQueries {
         .filter(col("rn") <= 3)
         .drop("rn")
         .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ---------------------------------------------------------------- q62
+    // Semi-structured extraction: events.props is a JSON string;
+    // pull $.k out, type it, aggregate per event_type. The JSON path
+    // evaluates inside the scan projection (codegen'd get_json_object)
+    // — no UDF, no intermediate parse table.
+    Q("q62_json_extract",
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+        |             THEN 1 END) AS BIGINT) AS n_high
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(sum(k).as("sum_k"),
+          count(when(k > 50, lit(1))).as("n_high"))
+        .orderBy("event_type")
     }
   )
 }

@@ -123,6 +123,35 @@ object TextQueries {
         .orderBy("keep_id")
     },
 
+    // ---------------------------------------------------------------- q63
+    // Repetition signals (Gopher-style quality filters): fraction of
+    // duplicated tokens and duplicated bigrams per document. Entirely
+    // map-side — the distinct counts come from array_distinct on the
+    // row's own token/bigram arrays, no explode, no shuffle.
+    Q("q63_repetition_stats",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i FROM w),
+        |bg AS (SELECT doc_id, count(DISTINCT array_to_string(ws[i:i+1], ' ')) AS d2
+        |       FROM idx GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6) AS tok_rep,
+        |  round(1.0 - CAST(coalesce(d2, 0) AS DOUBLE) / CAST(greatest(len(ws) - 1, 1) AS DOUBLE), 6) AS bigram_rep
+        |FROM w LEFT JOIN bg ON w.doc_id = bg.doc_id
+        |ORDER BY w.doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          graft.ops.Exact.duckRound(lit(1.0)
+            - size(array_distinct(col("ws"))).cast("double")
+              / size(col("ws")).cast("double"), 6).as("tok_rep"),
+          graft.ops.Exact.duckRound(lit(1.0)
+            - size(array_distinct(shingles(col("ws"), 2))).cast("double")
+              / greatest(size(col("ws")) - 1, lit(1)).cast("double"), 6).as("bigram_rep"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- q59
     // Deterministic hash sampling: a reproducible ~10% corpus sample
     // via sha-256(doc_id) mod 100 < 10. This is how a training
