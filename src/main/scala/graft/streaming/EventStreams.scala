@@ -89,6 +89,29 @@ object EventStreams {
         })
   }
 
+  /** Stream-stream interval join — the streaming counterpart of the
+    * batch range join (ops/RangeJoin): each purchase joins the same
+    * user's clicks from the preceding 10 minutes. Watermarks on BOTH
+    * sides are what make this bounded: a buffered click older than
+    * the purchase-side watermark minus the interval can never match
+    * again, so Spark evicts it — state is O(users x 10min of clicks),
+    * not O(history). Identical expression works on batch frames
+    * (StreamingSpec proves result equality). */
+  def intervalJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+      col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("p_user").as("user_id"), col("c_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   /** Run any streaming frame to completion over currently-available
     * input (the batch-ish trigger the reference's per-upload Lambda
     * maps to), delivering each micro-batch to `sink`. */

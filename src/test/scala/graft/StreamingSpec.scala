@@ -100,6 +100,27 @@ class StreamingSpec extends SparkSpec {
     assert(seen.get() == 20)
   }
 
+  test("stream-stream interval join matches its batch twin") {
+    val events = Tables.events(spark, sf("sf0.001"))
+    val dir = tmp("graft-ssj-in")
+    events.write.mode("overwrite").parquet(dir)
+    def purchases(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "purchase")
+    def clicks(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "click")
+    // batch twin: same expression over batch frames
+    val want = EventStreams.intervalJoin(purchases(events), clicks(events))
+      .select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s1 = spark.readStream.schema(events.schema).parquet(dir)
+    val s2 = spark.readStream.schema(events.schema).parquet(dir)
+    EventStreams.runToMemory(
+      EventStreams.intervalJoin(purchases(s1), clicks(s2)), "ssj_out")
+    val got = spark.table("ssj_out").select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
   test("ST2 statefulDedup emits each (key,id) once across micro-batches") {
     val dir = tmp("graft-dedup-in")
     // batch 1: ids a,b for key k1
