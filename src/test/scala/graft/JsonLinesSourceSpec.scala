@@ -56,4 +56,42 @@ class JsonLinesSourceSpec extends SparkSpec {
   test("null comparisons follow SQL semantics (filter never matches null)") {
     assert(read.filter(col("latitude") > 0.0).count() == 4) // row c has null latitude
   }
+
+  // ------------------------------------------------------------ write path
+
+  private def readFrom(d: String) = spark.read
+    .format("graft.sources.v2.JsonLinesSource").schema(schema).load(d)
+
+  private def sample = {
+    import spark.implicits._
+    Seq(("10", "써니 식당", 1L, 37.5), ("11", "x", 2L, 35.0))
+      .toDF("place_id", "name", "page", "latitude")
+  }
+
+  test("write round-trips through the v2 sink (UTF-8, nulls)") {
+    val out = Files.createTempDirectory("graft-jsonl-w").toString
+    import spark.implicits._
+    val df = sample.unionByName(
+      Seq((null.asInstanceOf[String], "c", 3L, null.asInstanceOf[java.lang.Double]))
+        .toDF("place_id", "name", "page", "latitude"))
+    df.write.format("graft.sources.v2.JsonLinesSource")
+      .mode("append").save(out)
+    val back = readFrom(out)
+    assert(back.count() == 3)
+    assert(back.filter(col("name") === "써니 식당").count() == 1)
+    assert(back.filter(col("place_id").isNull).count() == 1)
+  }
+
+  test("append accumulates; overwrite truncates; no temp files remain") {
+    val out = Files.createTempDirectory("graft-jsonl-a").toString
+    sample.write.format("graft.sources.v2.JsonLinesSource").mode("append").save(out)
+    sample.write.format("graft.sources.v2.JsonLinesSource").mode("append").save(out)
+    assert(readFrom(out).count() == 4)
+    sample.limit(1).write.format("graft.sources.v2.JsonLinesSource")
+      .mode("overwrite").save(out)
+    assert(readFrom(out).count() == 1)
+    val leftovers = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith(".tmp-"))
+    assert(leftovers.isEmpty, leftovers.mkString(", "))
+  }
 }
