@@ -110,17 +110,27 @@ object DedupOps {
     * candidates, then a narrow verify join. */
   def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingleSet(docs, 3)
+    // One self-join on exploded (band-index, band-value) rows instead
+    // of a per-band join union: band-equality within the same index IS
+    // the (k, bv) equi-join, so the signature subplan evaluates once
+    // and candidates come from a single shuffle stage.
     val banded = withBands(minhashSignatures(sh))
-    val cands = (0 until MINHASH_BANDS).map { b =>
-      val l = banded.select(col("doc_id").as("d1"), col(s"band$b").as("bv"))
-      val r = banded.select(col("doc_id").as("d2"), col(s"band$b").as("bv"))
-      l.join(r, Seq("bv")).filter(col("d1") < col("d2")).select(col("d1"), col("d2"))
-    }.reduce(_.unionByName(_)).distinct()
+    val long = banded.select(col("doc_id"),
+      explode(array((0 until MINHASH_BANDS).map(b =>
+        struct(lit(b).as("k"), col(s"band$b").as("bv"))): _*)).as("kb"))
+      .select(col("doc_id"), col("kb.k").as("k"), col("kb.bv").as("bv"))
+    val cands = long.select(col("k"), col("bv"), col("doc_id").as("d1"))
+      .join(long.select(col("k"), col("bv"), col("doc_id").as("d2")), Seq("k", "bv"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
     val common = cands
       .join(sh.select(col("doc_id").as("d1"), col("s")), Seq("d1"))
       .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
-    val sz = shingleSizes(sh)
+    // per-doc distinct-shingle counts, map-side (array_distinct on the
+    // row's own shingle array — no explode, no groupBy)
+    val sz = docs.select(col("doc_id"),
+      size(array_distinct(shingles(tokens(col("text")), 3))).cast("long").as("n"))
     common
       .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
       .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
