@@ -105,15 +105,27 @@ object Relational {
          |JOIN region   ON n_regionkey = r_regionkey
          |GROUP BY n_name
          |ORDER BY n_name""".stripMargin) { (s, d) =>
-      Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
-        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      // Aggregation pushed below the join: lineitem collapses to one
+      // decimal revenue row per order BEFORE meeting orders, so the
+      // fact-fact join moves |orders| rows instead of |lineitem|, the
+      // per-order groupBy's hash partitioning feeds the orderkey join
+      // with no extra exchange, and n_orders becomes a plain count
+      // (per-order rows are unique) — no countDistinct Expand. The
+      // decimal partial sums re-aggregate exactly (associative), so
+      // the result is bit-identical to the flat formulation.
+      val perOrder = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(Exact.discPrice(col("l_extendedprice"), col("l_discount"))).as("rev"))
+      perOrder
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("c_custkey") === col("o_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(
-          Exact.dsumExpr(Exact.discPrice(col("l_extendedprice"), col("l_discount"))).as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+        .agg(sum(col("rev")).cast("double").as("revenue"),
+          count(col("o_orderkey")).as("n_orders"))
         .orderBy(col("n_name"))
     },
 
