@@ -272,6 +272,28 @@ object MiscQueries {
         .agg(sum(k).as("sum_k"),
           count(when(k > 50, lit(1))).as("n_high"))
         .orderBy("event_type")
+    },
+
+    // ---------------------------------------------------------------- q64
+    // SQL surface: correlated EXISTS + NOT IN subqueries run through
+    // spark.sql over the registered corpus views — the same query
+    // text both engines execute. Catalyst decorrelates EXISTS to a
+    // semi join and NOT IN to a null-aware anti join; no float
+    // arithmetic, so parity is structural.
+    Q("q64_sql_subqueries",
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND c_custkey NOT IN (SELECT s_suppkey FROM supplier)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.register(s, d)
+      s.sql("""SELECT c_custkey FROM customer c
+              |WHERE EXISTS (SELECT 1 FROM orders o
+              |              WHERE o.o_custkey = c.c_custkey
+              |                AND o.o_orderpriority = '1-URGENT')
+              |  AND c_custkey NOT IN (SELECT s_suppkey FROM supplier)
+              |ORDER BY c_custkey""".stripMargin)
     }
   )
 }

@@ -50,6 +50,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopKPerKey equals the window formulation on random data") {
+    import org.apache.spark.sql.expressions.Window
+    (1 to 5).foreach { _ =>
+      val rows = List.fill(rnd.nextInt(200) + 20)(
+        (s"k${rnd.nextInt(8)}", rnd.nextLong(), rnd.nextInt(10).toDouble))
+      val df = rows.toDF("k", "id", "score") // many score ties by design
+      val k = rnd.nextInt(4) + 1
+      val got = graft.plans.TopKPerKey(df, Seq("k"), "score", "id", k)
+        .select("k", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val w = Window.partitionBy($"k").orderBy($"score".desc, $"id".asc)
+      val want = df.withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+        .select("k", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == want)
+    }
+  }
+
+  test("RangeJoin.binned equals the naive inequality join on random intervals") {
+    (1 to 5).foreach { _ =>
+      val t0 = 1700000000000000L // epoch micros base
+      val pts = List.fill(rnd.nextInt(150) + 10)(
+        (rnd.nextLong().abs % 100000, t0 + rnd.nextInt(86400) * 1000000L))
+        .map { case (id, us) => (id, new java.sql.Timestamp(us / 1000)) }
+      val ivs = List.fill(rnd.nextInt(30) + 2) {
+        val lo = t0 + rnd.nextInt(86400) * 1000000L
+        (rnd.nextLong().abs % 1000, new java.sql.Timestamp(lo / 1000),
+          new java.sql.Timestamp(lo / 1000 + (rnd.nextInt(7200) + 1) * 1000L))
+      }
+      val p = pts.toDF("id", "ts")
+      val iv = ivs.toDF("iid", "lo", "hi")
+      val got = graft.ops.RangeJoin.binned(p, "ts", iv, "lo", "hi", rnd.nextInt(3600) + 30)
+        .select("id", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = p.join(iv, $"ts" >= $"lo" && $"ts" <= $"hi")
+        .select("id", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+    }
+  }
+
   test("duckRound matches half-away-from-zero on the scaled double") {
     val cases = List.fill(60)((rnd.nextDouble() * 4 - 2, rnd.nextInt(7))) ++
       List((0.6146874999999999, 6), (-0.6146874999999999, 6), (2.5e-6, 6), (0.125, 2))
