@@ -51,6 +51,35 @@ object DedupOps {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** Jaccard with a document-frequency cap on the inverted index:
+    * shingles appearing in more than `dfCap` documents are dropped
+    * before the candidate join — the "stop-shingle" guard that bounds
+    * worst-case join skew at corpus scale (a shingle shared by n docs
+    * contributes n² candidate rows; capping df caps that at dfCap²).
+    * Sizes still count ALL shingles, so the computed similarity is a
+    * LOWER BOUND of exact Jaccard (shared stop-shingles don't count
+    * toward the intersection) — thresholded output is therefore a
+    * subset of the exact output, with exact values whenever no shared
+    * shingle was capped. Same deliberate trade stopword removal
+    * makes. */
+  def jaccardPairsCapped(sh: DataFrame, threshold: Double, dfCap: Long): DataFrame = {
+    val kept = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("s"))
+    val shKept = sh.join(kept, Seq("s"))
+    val a = shKept.select(col("doc_id").as("d1"), col("s"))
+    val b = shKept.select(col("doc_id").as("d2"), col("s"))
+    val common = a.join(b, Seq("s")).filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+    val sz = shingleSizes(sh)
+    common
+      .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .withColumn("jaccard",
+        graft.ops.Exact.duckRound(col("c").cast("double") / (col("n1") + col("n2") - col("c")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
   val MINHASH_K = 16          // signature length
   val MINHASH_BANDS = 4       // 4 bands x 4 rows
 

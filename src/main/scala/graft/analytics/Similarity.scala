@@ -91,6 +91,44 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Deterministic k-means-lite for the IVF coarse quantizer: start
+    * from the `k` lowest-id vectors and run `iters` Lloyd rounds
+    * (assign by cosine to nearest centroid — broadcast join — then
+    * recompute centroids as the per-cell mean). Everything is
+    * deterministic: fixed init, total-order tiebreaks, and the mean is
+    * a per-dimension double sum over a fixed small cell — so the
+    * trained quantizer is reproducible run-to-run (the oracle
+    * constraint that kept round 1 on id-picked centroids). At scale
+    * the same loop runs on a sample; the probe structure downstream is
+    * unchanged. Returns (cid, cv, cn) like the id-picked quantizer. */
+  def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var cent = vecs.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("cv"))
+    (1 to iters).foreach { _ =>
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("_sim").desc, col("cid"))
+      val assigned = vecs.select(col("vec_id"), col("embedding"))
+        .join(broadcast(cent), lit(true))
+        .withColumn("_sim", dot(col("embedding"), col("cv")) / (norm(col("embedding")) * norm(col("cv"))))
+        .withColumn("_r", row_number().over(w))
+        .filter(col("_r") === 1)
+        .select(col("cid"), col("embedding"))
+      // per-dimension mean of each cell, via posexplode + regroup;
+      // decimal sums make the mean partition-order-independent (the
+      // cast truncates deterministically at scale 18), so training is
+      // bit-reproducible under any parallelism
+      cent = assigned
+        .select(col("cid"), posexplode(col("embedding").cast("array<double>")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(30, 18)))
+          / count(lit(1))).cast("double").as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), expr("transform(pm, x -> x.m)").as("cv"))
+    }
+    cent.withColumn("cn", norm(col("cv")))
+  }
+
   /** IVF-style approximate top-k: a deterministic coarse quantizer
     * (the `nCentroids` lowest-id vectors serve as centroids — a
     * k-means iteration would refine them; the partition/probe
@@ -100,11 +138,13 @@ object Similarity {
     * assignment is itself a broadcast join — both sides scale
     * linearly. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+              nCentroids: Int = 16, nProbe: Int = 2,
+              centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cent = candidates.orderBy(col("vec_id")).limit(nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      .withColumn("cn", norm(col("cv")))
+    val cent = centroids.getOrElse(
+      candidates.orderBy(col("vec_id")).limit(nCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        .withColumn("cn", norm(col("cv"))))
     def assign(df: DataFrame, vCol: String, nCol: String, nCells: Int): DataFrame = {
       val w = Window.partitionBy(col("_aid"))
         .orderBy(col("_csim").desc, col("cid"))

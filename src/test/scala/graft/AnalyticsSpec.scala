@@ -54,6 +54,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(recall >= 0.15, s"recall=$recall")
   }
 
+  test("trained k-means quantizer: deterministic, and IVF recall holds up") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val c1 = Similarity.kmeansCentroids(e, 16, 2).orderBy("cid")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val c2 = Similarity.kmeansCentroids(e, 16, 2).orderBy("cid")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(c1.toSeq == c2.toSeq) // bit-reproducible training
+    val q = e.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, e, 10).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trained = Similarity.kmeansCentroids(e, 16, 2)
+    val approx = Similarity.ivfTopK(q, e, 10, 16, 2, Some(trained))
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 2.0 / 16.0, s"recall=$recall")
+  }
+
+  test("capped Jaccard is a sound subset; equals exact when cap covers all") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val sh = TextAnalysis.shingleSet(docs, 3)
+    val exact = DedupOps.jaccardPairs(sh, 0.6).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = DedupOps.jaccardPairsCapped(sh, 0.6, 5).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(exact))
+    val uncapped = DedupOps.jaccardPairsCapped(sh, 0.6, Long.MaxValue)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == exact)
+  }
+
   test("IVF ANN recall beats its scanned fraction") {
     val e = Tables.embeddings(spark, sf("sf0.001"))
     val q = e.filter($"vec_id" < 10)
