@@ -294,6 +294,39 @@ object MiscQueries {
               |                AND o.o_orderpriority = '1-URGENT')
               |  AND c_custkey NOT IN (SELECT s_suppkey FROM supplier)
               |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // ---------------------------------------------------------------- q65
+    // Entity-resolution-style fuzzy matching, dictionary-first: the
+    // expensive pairwise Levenshtein runs over DISTINCT names (the
+    // dictionary — |names|² evals, 64² here), and row pairs are then
+    // recovered through equi-joins on (name, brand). The naive
+    // formulation (the oracle SQL below — correct but row-pairwise)
+    // evaluates the metric O(rows²/brand) times: 800M evals at sf0.1
+    // vs 4k this way. Dictionary ≪ corpus is the normal shape for
+    // names/titles/categories at 100 TB, so precompute-the-dictionary
+    // is the scalable plan; blocking by brand bounds the recovered
+    // pair space.
+    Q("q65_fuzzy_match",
+      """SELECT a.p_partkey AS pk1, b.p_partkey AS pk2,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY pk1, pk2""".stripMargin) { (s, d) =>
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
+      val names = p.select(col("p_name")).distinct()
+      val nd = names.select(col("p_name").as("n1"))
+        .crossJoin(names.select(col("p_name").as("n2")))
+        .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
+        .filter(col("dist") <= 2)
+      val a = p.select(col("p_partkey").as("pk1"), col("p_brand"), col("p_name").as("n1"))
+      val b = p.select(col("p_partkey").as("pk2"), col("p_brand").as("b2"), col("p_name").as("n2b"))
+      a.join(broadcast(nd), Seq("n1"))
+        .join(b, col("n2") === col("n2b") && col("p_brand") === col("b2")
+          && col("pk1") < col("pk2"))
+        .select(col("pk1"), col("pk2"), col("dist"))
+        .orderBy("pk1", "pk2")
     }
   )
 }
