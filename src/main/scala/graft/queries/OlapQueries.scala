@@ -31,6 +31,30 @@ object OlapQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    // ---------------------------------------------------------------- q66
+    // CUBE completes the OLAP grouping family (ROLLUP q42, GROUPING
+    // SETS q51, pivot q43): all four (flag, status) subtotal
+    // combinations, with grouping() flags disambiguating real nulls
+    // from subtotal rows.
+    Q("q66_cube",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+         |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+         |  count(*) AS n, ${dsum("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          count(lit(1)).as("n"), Exact.dsum(col("l_extendedprice")).as("sum_price"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("g_flag"),
+          col("g_status"), col("n"), col("sum_price"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
     // ---------------------------------------------------------------- q43
     Q("q43_pivot",
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
