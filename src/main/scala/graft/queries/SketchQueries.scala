@@ -37,6 +37,26 @@ object SketchQueries {
           col("qs").getItem(1).as("p90"),
           col("qs").getItem(2).as("p99"))
         .orderBy(col("event_type"))
+    },
+
+    // ---------------------------------------------------------------- q67
+    // Count-Min-Sketch-prefiltered heavy hitters (custom typed
+    // Aggregator — functions/CmsAgg). The sketch prunes candidates
+    // with zero false negatives, exact counts decide — so the output
+    // is exact and the oracle is a plain GROUP BY ... HAVING over the
+    // same relative threshold (1% of occurrences).
+    Q("q67_heavy_hitters",
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |SELECT w, CAST(count(*) AS BIGINT) AS n FROM t
+        |GROUP BY w
+        |HAVING count(*) >= (SELECT count(*) // 100 FROM t)
+        |ORDER BY w""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w")).as[String]
+      val threshold = words.count() / 100
+      graft.functions.CmsAgg.heavyHitters(words, threshold)
+        .orderBy("w")
     }
   )
 }

@@ -21,6 +21,31 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("CMS heavy hitters are exact; sketch prunes skewed tails") {
+    import graft.functions.CmsAgg
+    // 3 hot words + a long rare tail: CMS must keep all hot words
+    // (no false negatives) and the exact-count stage kills the tail
+    val hot = Seq.fill(500)("alpha") ++ Seq.fill(400)("beta") ++ Seq.fill(300)("gamma")
+    val tail = (1 to 2000).map(i => s"rare$i")
+    val words = spark.createDataset(scala.util.Random.shuffle(hot ++ tail))(
+      org.apache.spark.sql.Encoders.STRING).repartition(8)
+    val got = CmsAgg.heavyHitters(words, 300).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("alpha" -> 500L, "beta" -> 400L, "gamma" -> 300L))
+  }
+
+  test("q67 equals the naive exact groupBy on the corpus") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val words = docs.select(explode(split($"text", " ")).as("w"))
+    val total = words.count()
+    val naive = words.groupBy($"w").agg(count(lit(1)).as("n"))
+      .filter($"n" >= total / 100).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("q67_heavy_hitters")(spark, sf("sf0.001"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == naive && got.nonEmpty)
+  }
+
   test("q38 approx quantiles bracket exact medians") {
     val events = Tables.events(spark, sf("sf0.01"))
     val approx = SparkEntry.queries("q38_approx_quantiles")(spark, sf("sf0.01"))
