@@ -89,6 +89,40 @@ object EventStreams {
         })
   }
 
+  final case class TimedKeyed(key: String, id: String, ts: java.sql.Timestamp)
+
+  /** statefulDedup with a TTL: per-key seen-sets expire via event-time
+    * timeout once the watermark passes last-seen + ttl. This is the
+    * production contract at 100 TB — dedup state is bounded by the
+    * TTL window, not by history; an id replayed AFTER its window
+    * re-emits (the deliberate at-least-once trade every TTL'd dedup
+    * makes; the idempotent sha-keyed sinks downstream absorb it). */
+  def statefulDedupTtl(ds: Dataset[TimedKeyed], ttl: String,
+                       watermarkDelay: String = "10 seconds"): Dataset[TimedKeyed] = {
+    import ds.sparkSession.implicits._
+    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+    val ttlMillis = ttlMs.days * 86400000L + ttlMs.microseconds / 1000L
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, rows: Iterator[TimedKeyed], state: GroupState[SeenState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val seen = state.getOption.map(_.ids).getOrElse(Set.empty)
+            val out = scala.collection.mutable.ListBuffer.empty[TimedKeyed]
+            var maxTs = 0L
+            rows.foreach { r =>
+              maxTs = math.max(maxTs, r.ts.getTime)
+              if (!seen.contains(r.id) && !out.exists(_.id == r.id)) out += r
+            }
+            state.update(SeenState(seen ++ out.map(_.id)))
+            state.setTimeoutTimestamp(maxTs + ttlMillis)
+            out.iterator
+          }
+        })
+  }
+
   /** Stream-stream interval join — the streaming counterpart of the
     * batch range join (ops/RangeJoin): each purchase joins the same
     * user's clicks from the preceding 10 minutes. Watermarks on BOTH

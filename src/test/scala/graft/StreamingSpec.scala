@@ -11,6 +11,7 @@ import graft.sources.Tables
   */
 object StreamingSpec {
   val collected = new java.util.concurrent.ConcurrentLinkedQueue[EventStreams.Keyed]()
+  val collectedTtl = new java.util.concurrent.ConcurrentLinkedQueue[EventStreams.TimedKeyed]()
 }
 
 class StreamingSpec extends SparkSpec {
@@ -119,6 +120,57 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("ssj_out").select("p_id", "c_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(want.nonEmpty && got == want)
+  }
+
+  test("statefulDedupTtl: dedups inside the TTL window, state expires after it") {
+    val dir = tmp("graft-ttl-in")
+    val checkpoint = tmp("graft-ttl-ck")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def runOnce(): Seq[String] = {
+      StreamingSpec.collectedTtl.clear()
+      val stream = spark.readStream.schema(schema).json(s"$dir/f*")
+        .as[EventStreams.TimedKeyed]
+      val q = EventStreams.statefulDedupTtl(stream, "1 hour").toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.as[EventStreams.TimedKeyed].collect()
+            .foreach(StreamingSpec.collectedTtl.add)
+        }
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      StreamingSpec.collectedTtl.asScala.toSeq.map(_.id)
+    }
+    // run 1: a, b at 10:00 → both emit; replayed a deduped in-run
+    Seq(("k", "a", t("2024-01-01 10:00:00")), ("k", "b", t("2024-01-01 10:00:00")),
+        ("k", "a", t("2024-01-01 10:00:10")))
+      .toDF("key", "id", "ts").write.mode("overwrite").json(s"$dir/f1")
+    assert(runOnce().sorted == Seq("a", "b"))
+    // run 2: replayed a within TTL → deduped; k's timeout := 10:00+1h
+    Seq(("k", "a", t("2024-01-01 10:00:30")))
+      .toDF("key", "id", "ts").write.mode("overwrite").json(s"$dir/f2")
+    assert(runOnce().isEmpty)
+    // run 3: other-key traffic at 13:00 advances the watermark past
+    // k's 11:00 timeout (takes effect next batch)
+    Seq(("k2", "x", t("2024-01-01 13:00:00")))
+      .toDF("key", "id", "ts").write.mode("overwrite").json(s"$dir/f3")
+    assert(runOnce() == Seq("x"))
+    // run 4: k has no data this batch and its timeout < watermark →
+    // state evicted (timeout branch emits nothing)
+    Seq(("k2", "y", t("2024-01-01 13:01:00")))
+      .toDF("key", "id", "ts").write.mode("overwrite").json(s"$dir/f4")
+    assert(runOnce() == Seq("y"))
+    // run 5: a replayed AFTER its window → re-emits on fresh state
+    // (the documented at-least-once trade of any TTL'd dedup)
+    Seq(("k", "a", t("2024-01-01 13:30:00")))
+      .toDF("key", "id", "ts").write.mode("overwrite").json(s"$dir/f5")
+    assert(runOnce() == Seq("a"))
   }
 
   test("ST2 statefulDedup emits each (key,id) once across micro-batches") {
