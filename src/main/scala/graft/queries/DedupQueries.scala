@@ -117,15 +117,30 @@ object DedupQueries {
     },
 
     // ---------------------------------------------------------------- q58
-    // Near-dup clustering: connected components over the Jaccard pair
-    // list (min-label propagation; oracle = recursive transitive
-    // closure). component = min doc_id of the transitive group;
-    // is_keeper marks the one document a dedup pass would retain.
+    // Near-dup clustering: connected components over the LSH-verified
+    // near-dup pair list (min-label propagation; oracle = recursive
+    // transitive closure over the same LSH chain). Consuming the LSH
+    // pairs — not the exact inverted-index pairs — is the point: this
+    // is the whole 100 TB dedup path end-to-end (band candidates →
+    // exact verify → cluster → keeper). component = min doc_id of the
+    // transitive group; is_keeper marks the document a dedup pass
+    // retains.
     Q("q58_neardup_components",
-      s"""${SHINGLES.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      s"""${hashedShingles.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM shh GROUP BY doc_id),
+         |band AS (SELECT doc_id,
+         |    $bandCols
+         |  FROM sig),
+         |cand AS (${(0 until MINHASH_BANDS).map(b =>
+             s"SELECT a.doc_id AS d1, b.doc_id AS d2 FROM band a JOIN band b ON a.band$b = b.band$b AND a.doc_id < b.doc_id")
+             .mkString("\n   UNION\n   ")}),
          |${jaccardCtes(0.6)},
-         |e AS (SELECT d1 AS a, d2 AS b FROM pairs
-         |      UNION SELECT d2, d1 FROM pairs),
+         |lsh AS (SELECT p.d1, p.d2 FROM pairs p
+         |        WHERE EXISTS (SELECT 1 FROM cand c WHERE c.d1 = p.d1 AND c.d2 = p.d2)),
+         |e AS (SELECT d1 AS a, d2 AS b FROM lsh
+         |      UNION SELECT d2, d1 FROM lsh),
          |reach(a, b) AS (
          |  SELECT a, b FROM e
          |  UNION
@@ -135,7 +150,7 @@ object DedupQueries {
          |SELECT doc_id, component, doc_id = component AS is_keeper
          |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
       DedupOps.nearDupComponents(
-        DedupOps.jaccardPairs(shingleSetOf(s, d), 0.6)).orderBy("doc_id")
+        DedupOps.minhashLshPairs(Tables.documents(s, d), 0.6)).orderBy("doc_id")
     },
 
     // ---------------------------------------------------------------- q32
