@@ -152,6 +152,30 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- q68
+    // Decontamination: training documents sharing any word 4-gram
+    // with the held-out benchmark slice (doc_id % 50 = 0). The bench
+    // side's distinct grams are small by construction (it is the
+    // benchmark, not the corpus) → broadcast; the corpus side streams
+    // map-side-distinct grams through the broadcast join, so the scan
+    // never shuffles. n_hits counts distinct overlapping grams — the
+    // triage signal for "remove or audit".
+    Q("q68_decontamination",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 3, 0))) AS i FROM w),
+        |sh4 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS s FROM idx),
+        |bench AS (SELECT DISTINCT s FROM sh4 WHERE doc_id % 50 = 0)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM (SELECT * FROM sh4 WHERE doc_id % 50 <> 0) c JOIN bench USING (s)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      val sh4 = shingleSet(Tables.documents(s, d), 4)
+      val bench = sh4.filter(col("doc_id") % 50 === 0).select(col("s")).distinct()
+      sh4.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench), Seq("s"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- q59
     // Deterministic hash sampling: a reproducible ~10% corpus sample
     // via sha-256(doc_id) mod 100 < 10. This is how a training
