@@ -59,4 +59,23 @@ class PlanSpec extends SparkSpec {
     val p = plan("q11_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q61: range join binned into equi-joins — no nested loop") {
+    val p = plan("q61_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q65: only the name dictionary cross-joins; row pairs go hash") {
+    val p = plan("q65_fuzzy_match")
+    // the 64x64 dictionary product is the single allowed nested loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q68: benchmark grams broadcast; corpus grams never cross-join") {
+    val p = plan("q68_decontamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
