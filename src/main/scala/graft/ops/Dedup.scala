@@ -34,4 +34,32 @@ object Dedup {
   /** U3 / ST3: first-row-wins dedup by key columns. */
   def byKey(df: DataFrame, keys: Seq[String]): DataFrame =
     df.dropDuplicates(keys)
+
+  /** J1 at the scale where the key set no longer broadcasts: a Bloom
+    * filter of the existing keys (a few bytes per key at 3% fpp —
+    * 100M keys ≈ 90 MB vs gigabytes for the exact set) broadcasts
+    * instead, and splits `fresh` map-side:
+    *
+    *  - "definitely not present" rows (no false negatives, by Bloom
+    *    contract) are emitted immediately — they never shuffle;
+    *  - "might be present" rows — the true matches plus fpp% false
+    *    positives — go through the exact anti-join.
+    *
+    * Result is row-identical to the plain anti-join (the exact join
+    * resolves every false positive); the shuffle shrinks from |fresh|
+    * to ~|matches| + fpp·|fresh|. This is the runtime-filter idea
+    * (Spark's own bloom-filter join pruning) applied where we hold
+    * the build side ourselves. */
+  def bloomAntiJoinKeys(fresh: DataFrame, existingKeys: DataFrame, key: String,
+                        expectedKeys: Long, fpp: Double = 0.03): DataFrame = {
+    val spark = fresh.sparkSession
+    val bloom = existingKeys.select(col(key).cast("string").as("k"))
+      .na.drop().stat.bloomFilter("k", expectedKeys, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: String) => k != null && bc.value.mightContainString(k))
+    val definitelyNew = fresh.filter(!mightContain(col(key).cast("string")))
+    val candidates = fresh.filter(mightContain(col(key).cast("string")))
+    definitelyNew.unionByName(
+      candidates.join(existingKeys.select(key).distinct(), Seq(key), "left_anti"))
+  }
 }

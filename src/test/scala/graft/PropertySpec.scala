@@ -40,6 +40,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("J1-at-scale: bloom anti-join is row-identical to the exact anti-join") {
+    (1 to 5).foreach { _ =>
+      val f = randBatch(rnd.nextInt(80) + 20)
+      val e = randBatch(rnd.nextInt(40))
+      val fresh = f.toDF("place_id", "v")
+      val keys = e.map(_._1).toDF("place_id")
+      val exact = Dedup.antiJoinKeys(fresh, keys, "place_id")
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      val bloomed = Dedup.bloomAntiJoinKeys(fresh, keys, "place_id",
+          expectedKeys = math.max(e.size.toLong, 1L))
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(bloomed == exact)
+    }
+  }
+
   test("O4: surrogate key is deterministic and collision-free on distinct inputs") {
     (1 to 5).foreach { _ =>
       val xs = List.fill(20)(rnd.alphanumeric.take(12).mkString).distinct
