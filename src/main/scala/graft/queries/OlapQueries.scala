@@ -55,6 +55,47 @@ object OlapQueries {
           col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    // ---------------------------------------------------------------- q69
+    // Exact interpolated percentiles (R-7 / linear interpolation —
+    // both engines place the quantile at p·(n-1) and lerp), the exact
+    // counterpart of q38's GK sketch and a generalization of q54's
+    // median. Both sides round at 6 to absorb last-bit lerp
+    // differences.
+    Q("q69_percentile_cont",
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.75), 6) AS p75
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          Exact.duckRound(expr("percentile(value, 0.25)"), 6).as("p25"),
+          Exact.duckRound(expr("percentile(value, 0.5)"), 6).as("p50"),
+          Exact.duckRound(expr("percentile(value, 0.75)"), 6).as("p75"))
+        .orderBy("event_type")
+    },
+
+    // ---------------------------------------------------------------- q70
+    // Relative-rank window functions: percent_rank ((rank-1)/(n-1))
+    // and cume_dist (peers-inclusive fraction) — rational arithmetic
+    // over integers, identical definitions in both engines.
+    Q("q70_window_relrank",
+      """SELECT event_id,
+        |  round(percent_rank() OVER w, 6) AS prank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"))
+      Tables.events(s, d)
+        .select(col("event_id"),
+          Exact.duckRound(percent_rank().over(w), 6).as("prank"),
+          Exact.duckRound(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("event_id")
+    },
+
     // ---------------------------------------------------------------- q43
     Q("q43_pivot",
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
