@@ -56,6 +56,16 @@ class RewriteTopKSpec extends SparkSpec {
     assert(perKey == 1L)
   }
 
+  test("strict-inequality form rn < k rewrites with limit k-1") {
+    val df = ordersNn.withColumn("rn", row_number().over(w))
+      .filter($"rn" < 4).drop("rn")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("TopKPerKey "), physical)
+    val want = ordersNn.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+    assert(df.count() == want.count())
+  }
+
   test("declines when the rank column survives the projection") {
     val df = ordersNn.withColumn("rn", row_number().over(w))
       .filter($"rn" <= 3) // rn still in output
