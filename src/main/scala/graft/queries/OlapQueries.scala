@@ -96,6 +96,27 @@ object OlapQueries {
         .orderBy("event_id")
     },
 
+    // ---------------------------------------------------------------- q71
+    // UNPIVOT (melt): the inverse of q43's pivot — wide per-nation
+    // counts back to long (nationkey, metric, value) form.
+    Q("q71_unpivot",
+      """WITH wide AS (
+        |  SELECT c_nationkey AS k,
+        |    CAST(count(*) AS BIGINT) AS n_cust,
+        |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+        |  FROM customer GROUP BY 1)
+        |SELECT k, metric, value FROM wide
+        |UNPIVOT (value FOR metric IN (n_cust, n_segments))
+        |ORDER BY k, metric""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey").as("k"))
+        .agg(count(lit(1)).as("n_cust"),
+          countDistinct(col("c_mktsegment")).as("n_segments"))
+        .unpivot(Array(col("k")), Array(col("n_cust"), col("n_segments")),
+          "metric", "value")
+        .orderBy("k", "metric")
+    },
+
     // ---------------------------------------------------------------- q43
     Q("q43_pivot",
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

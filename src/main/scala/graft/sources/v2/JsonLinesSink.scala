@@ -6,6 +6,7 @@ import java.util
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 
 /** DataSourceV2 write path for the JSON-lines format — the
@@ -37,11 +38,39 @@ final class JsonLinesWriteBuilder(schema: StructType, path: String)
 }
 
 final class JsonLinesWrite(schema: StructType, path: String, truncate: Boolean)
-    extends Write with BatchWrite {
+    extends Write with BatchWrite with StreamingWrite {
   override def toBatch: BatchWrite = this
+  override def toStreaming: StreamingWrite = this
+  // both parent traits default this; Scala requires an explicit pick
+  override def useCommitCoordinator(): Boolean = true
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     JsonLinesWriterFactory(schema, path)
+
+  // ---- streaming epochs: exactly-once by deterministic file names.
+  // A task writes part-e<epoch>-p<partition>.jsonl via temp+rename;
+  // if a failure replays the epoch, commit sees the destination
+  // already present and discards the replay — the file-level
+  // idempotence that makes the sink safe under at-least-once task
+  // execution (deterministic micro-batch input assumed, which
+  // checkpointed sources provide).
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    JsonLinesStreamingFactory(schema, path)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new File(path)
+    messages.collect { case m: JsonLinesCommit if m.rows > 0 =>
+      val tmp = new File(m.tempPath)
+      val dest = new File(dir, m.finalName)
+      if (dest.exists()) { tmp.delete(); () } // epoch replayed: keep first commit
+      else if (!tmp.renameTo(dest))
+        throw new java.io.IOException(s"epoch $epochId commit rename failed: $tmp -> $dest")
+    }
+    messages.collect { case m: JsonLinesCommit if m.rows == 0 => new File(m.tempPath).delete() }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    abort(messages)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
@@ -71,8 +100,16 @@ final case class JsonLinesWriterFactory(schema: StructType, path: String)
     new JsonLinesWriter(schema, path, partitionId, taskId)
 }
 
+final case class JsonLinesStreamingFactory(schema: StructType, path: String)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new JsonLinesWriter(schema, path, partitionId, taskId,
+      finalNameOverride = Some(f"part-e$epochId%05d-p$partitionId%05d.jsonl"))
+}
+
 final class JsonLinesWriter(schema: StructType, path: String,
-                            partitionId: Int, taskId: Long)
+                            partitionId: Int, taskId: Long,
+                            finalNameOverride: Option[String] = None)
     extends DataWriter[InternalRow] {
   private val mapper = new ObjectMapper()
   private val uuid = java.util.UUID.randomUUID().toString
@@ -106,7 +143,7 @@ final class JsonLinesWriter(schema: StructType, path: String,
   override def commit(): WriterCommitMessage = {
     if (out != null) out.close()
     JsonLinesCommit(temp.getAbsolutePath,
-      f"part-$partitionId%05d-$uuid.jsonl", rows)
+      finalNameOverride.getOrElse(f"part-$partitionId%05d-$uuid.jsonl"), rows)
   }
 
   override def abort(): Unit = { if (out != null) out.close(); temp.delete() }

@@ -51,7 +51,8 @@ final class JsonLinesTable(schema: StructType, path: String)
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonLinesScanBuilder(schema, path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -82,6 +82,31 @@ class JsonLinesSourceSpec extends SparkSpec {
     assert(back.filter(col("place_id").isNull).count() == 1)
   }
 
+  test("streaming write: epoch-named files, resumable, read-back matches") {
+    val in = Files.createTempDirectory("graft-jsonl-sin").toString
+    val out = Files.createTempDirectory("graft-jsonl-sout").toString
+    val ck = Files.createTempDirectory("graft-jsonl-sck").toString
+    sample.write.mode("overwrite").parquet(s"$in/b1")
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(sample.schema).parquet(s"$in/b*")
+        .writeStream.format("graft.sources.v2.JsonLinesSource")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(readFrom(out).count() == 2)
+    // second batch arrives; resume from checkpoint → only new rows land
+    sample.limit(1).write.mode("overwrite").parquet(s"$in/b2")
+    runOnce()
+    assert(readFrom(out).count() == 3)
+    val files = new java.io.File(out).listFiles().map(_.getName).filter(_.endsWith(".jsonl"))
+    assert(files.forall(_.matches("part-e\\d+-p\\d+\\.jsonl")), files.mkString(", "))
+  }
+
   test("append accumulates; overwrite truncates; no temp files remain") {
     val out = Files.createTempDirectory("graft-jsonl-a").toString
     sample.write.format("graft.sources.v2.JsonLinesSource").mode("append").save(out)
