@@ -78,4 +78,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("engine-wide: no query plans a nested loop except documented baselines") {
+    // queries whose nested loop is the point (bounded by construction):
+    //  q34: k query rows broadcast vs candidate stream (exact top-k)
+    //  q45: candidates x 16 centroids (IVF cell assignment)
+    //  q46: blocked all-pairs — THE deliberate quadratic baseline
+    //  q65: 64x64 distinct-name dictionary product
+    val allowed = Set("q34_cosine_topk", "q45_ann_ivf_topk",
+      "q46_embedding_neardup", "q65_fuzzy_match")
+    val offenders = SparkEntry.allQueries
+      .filterNot(q => allowed.contains(q.name))
+      .flatMap { q =>
+        val p = SparkEntry.queries(q.name)(spark, sf("sf0.001"))
+          .queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(q.name)
+        else None
+      }
+    assert(offenders.isEmpty, s"unbounded-join plans: ${offenders.mkString(", ")}")
+  }
 }
