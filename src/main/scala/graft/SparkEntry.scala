@@ -14,7 +14,7 @@ object SparkEntry {
     Relational.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
       SketchQueries.queries ++ ExtQueries.queries ++ OlapQueries.queries ++
-      MiscQueries.queries
+      MiscQueries.queries ++ EventQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

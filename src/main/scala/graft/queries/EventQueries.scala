@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Event-analytics suite over the events stream table: gap-filled
+  * time series, funnel conversion, cohort retention — the product-
+  * analytics queries an events pipeline serves. All joins are
+  * equi-keyed (user_id / hour), so every plan is hash-join shaped;
+  * the generated hour spine derives its bounds from the data, not
+  * constants.
+  */
+object EventQueries {
+
+  val queries: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- q72
+    // Gap-filled hourly series: hours with zero purchases appear with
+    // n = 0. The hour spine is generated from the aggregate's own
+    // min/max (sequence + explode), then left-joined — the standard
+    // densification step before charting/forecasting.
+    Q("q72_gapfill",
+      """WITH agg AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        |            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM agg),
+        |hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b)
+        |SELECT epoch_us(hours.h) AS h_us, CAST(coalesce(n, 0) AS BIGINT) AS n
+        |FROM hours LEFT JOIN agg ON hours.h = agg.h
+        |ORDER BY h_us""".stripMargin) { (s, d) =>
+      val agg = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val hours = agg.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
+      hours.join(agg, Seq("h"), "left")
+        .select(unix_micros(col("h")).as("h_us"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("h_us")
+    },
+
+    // ---------------------------------------------------------------- q73
+    // Funnel: per first-click day, how many users purchased within an
+    // hour of their first click. The purchase probe is an equi-join on
+    // user_id with a time-range residual — hash join, no inequality
+    // explosion.
+    Q("q73_funnel",
+      """WITH fc AS (SELECT user_id, min(ts) AS t0 FROM events
+        |            WHERE event_type = 'click' GROUP BY 1),
+        |conv AS (SELECT fc.user_id, min(p.ts) AS tp
+        |         FROM fc JOIN events p ON p.user_id = fc.user_id
+        |           AND p.event_type = 'purchase'
+        |           AND p.ts >= t0 AND p.ts <= t0 + INTERVAL 1 HOUR
+        |         GROUP BY 1)
+        |SELECT strftime(date_trunc('day', t0), '%Y-%m-%d') AS day,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(count(tp) AS BIGINT) AS n_converted
+        |FROM fc LEFT JOIN conv ON fc.user_id = conv.user_id
+        |GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val fc = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      val conv = fc.join(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("pts")), Seq("user_id"))
+        .filter(col("pts") >= col("t0") &&
+          col("pts") <= col("t0") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("user_id")).agg(min(col("pts")).as("tp"))
+      fc.join(conv, Seq("user_id"), "left")
+        .groupBy(date_format(date_trunc("day", col("t0")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_users"), count(col("tp")).as("n_converted"))
+        .orderBy("day")
+    },
+
+    // ---------------------------------------------------------------- q74
+    // Cohort retention: users grouped by first-seen day; how many
+    // return exactly 1 and 7 days later. One distinct activity frame
+    // joined back on user_id.
+    Q("q74_retention",
+      """WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS d0 FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+        |SELECT strftime(d0, '%Y-%m-%d') AS cohort,
+        |  CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users,
+        |  CAST(count(DISTINCT CASE WHEN a.d = d0 + INTERVAL 1 DAY THEN f.user_id END) AS BIGINT) AS d1,
+        |  CAST(count(DISTINCT CASE WHEN a.d = d0 + INTERVAL 7 DAY THEN f.user_id END) AS BIGINT) AS d7
+        |FROM f JOIN act a ON f.user_id = a.user_id
+        |GROUP BY d0 ORDER BY cohort""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val f = ev.groupBy(col("user_id")).agg(date_trunc("day", min(col("ts"))).as("d0"))
+      val act = ev.select(col("user_id"), date_trunc("day", col("ts")).as("d")).distinct()
+      f.join(act, Seq("user_id"))
+        .groupBy(date_format(col("d0"), "yyyy-MM-dd").as("cohort"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(when(col("d") === col("d0") + expr("INTERVAL 1 DAY"), col("user_id"))).as("d1"),
+          countDistinct(when(col("d") === col("d0") + expr("INTERVAL 7 DAY"), col("user_id"))).as("d7"))
+        .orderBy("cohort")
+    }
+  )
+}
