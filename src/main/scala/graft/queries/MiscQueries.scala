@@ -296,6 +296,40 @@ object MiscQueries {
               |ORDER BY c_custkey""".stripMargin)
     },
 
+    // ---------------------------------------------------------------- q75
+    // Data profiling: per-column row/null/distinct counts over
+    // customer — the data-quality summary every ingest pipeline runs
+    // before trusting a batch. One pass for counts + one distinct agg
+    // per column, unpivoted to (column, metric) rows.
+    Q("q75_profile",
+      """WITH s AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(c_name) AS BIGINT) AS nn_name,
+        |  CAST(count(c_mktsegment) AS BIGINT) AS nn_seg,
+        |  CAST(count(DISTINCT c_name) AS BIGINT) AS nd_name,
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS nd_seg,
+        |  CAST(count(DISTINCT c_nationkey) AS BIGINT) AS nd_nation
+        |FROM customer)
+        |SELECT col, n_nonnull, n_distinct FROM (
+        |  SELECT 'c_name' AS col, nn_name AS n_nonnull, nd_name AS n_distinct FROM s
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', nn_seg, nd_seg FROM s
+        |  UNION ALL
+        |  SELECT 'c_nationkey', n_rows, nd_nation FROM s)
+        |ORDER BY col""".stripMargin) { (s, d) =>
+      val prof = Tables.customer(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("c_name")).as("nn_name"),
+        count(col("c_mktsegment")).as("nn_seg"),
+        countDistinct(col("c_name")).as("nd_name"),
+        countDistinct(col("c_mktsegment")).as("nd_seg"),
+        countDistinct(col("c_nationkey")).as("nd_nation"))
+      prof.select(lit("c_name").as("col"), col("nn_name").as("n_nonnull"), col("nd_name").as("n_distinct"))
+        .unionByName(prof.select(lit("c_mktsegment").as("col"), col("nn_seg").as("n_nonnull"), col("nd_seg").as("n_distinct")))
+        .unionByName(prof.select(lit("c_nationkey").as("col"), col("n_rows").as("n_nonnull"), col("nd_nation").as("n_distinct")))
+        .orderBy("col")
+    },
+
     // ---------------------------------------------------------------- q65
     // Entity-resolution-style fuzzy matching, dictionary-first: the
     // expensive pairwise Levenshtein runs over DISTINCT names (the
