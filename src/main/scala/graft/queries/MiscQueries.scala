@@ -296,6 +296,22 @@ object MiscQueries {
               |ORDER BY c_custkey""".stripMargin)
     },
 
+    // ---------------------------------------------------------------- q76
+    // Skew-safe exact distinct: dedup (key, value) first, then count
+    // per key — two partial-aggregated shuffles, each spreading load
+    // across (key, value) hash space, instead of countDistinct's
+    // Expand + per-key value collection. event_type has 5 hot keys
+    // over the whole table: exactly the shape where the single-stage
+    // form concentrates a key's every distinct value in one task.
+    Q("q76_twostage_distinct",
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+        .orderBy("event_type")
+    },
+
     // ---------------------------------------------------------------- q75
     // Data profiling: per-column row/null/distinct counts over
     // customer — the data-quality summary every ingest pipeline runs
