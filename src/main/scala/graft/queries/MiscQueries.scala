@@ -296,6 +296,34 @@ object MiscQueries {
               |ORDER BY c_custkey""".stripMargin)
     },
 
+    // ---------------------------------------------------------------- q77
+    // Ordered aggregation: top-5 users per event type as a
+    // comma-joined ranked list. collect_list's order is partition-
+    // dependent — sorting the collected (rank, id) structs inside the
+    // aggregation makes the output deterministic on any cluster
+    // layout, mirroring DuckDB's string_agg(... ORDER BY).
+    Q("q77_ordered_agg",
+      """WITH c AS (SELECT event_type, user_id, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, n,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS rn
+        |      FROM c)
+        |SELECT event_type,
+        |  string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY rn) AS top_users
+        |FROM r WHERE rn <= 5 GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("n").desc, col("user_id"))
+      Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("event_type"))
+        .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(rn, user_id))), x -> cast(x.user_id AS string))"),
+          ",").as("top_users"))
+        .orderBy("event_type")
+    },
+
     // ---------------------------------------------------------------- q76
     // Skew-safe exact distinct: dedup (key, value) first, then count
     // per key — two partial-aggregated shuffles, each spreading load
