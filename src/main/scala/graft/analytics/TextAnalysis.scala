@@ -60,7 +60,7 @@ object TextAnalysis {
   def shingleSet(docs: DataFrame, n: Int = 3,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol),
-      explode(array_distinct(shingles(tokens(col(textCol)), n))).as("s"))
+      graft.functions.ShingleExplode.shingle_explode(col(textCol), n).as("s"))
 
   /** Number of tokens matching a fixed vocabulary (stopword counting
     * without an explode — runs entirely inside codegen). */
