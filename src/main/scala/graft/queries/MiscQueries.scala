@@ -215,11 +215,15 @@ object MiscQueries {
          |FROM lineitem
          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      // pre-aggregated base: the grouping-sets Expand runs over ~25
+      // (flag, status) partials, not the fact table (see OlapQueries)
       Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("pn"), sum(Exact.dec(col("l_quantity"))).as("ps"))
         .groupingSets(
           Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
           col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), Exact.dsum(col("l_quantity")).as("sum_qty"))
+        .agg(sum(col("pn")).as("n"), sum(col("ps")).cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 

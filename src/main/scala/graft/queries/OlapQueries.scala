@@ -17,6 +17,17 @@ object OlapQueries {
   private val DEC = "DECIMAL(18,2)"
   private def dsum(c: String) = s"CAST(sum(CAST($c AS $DEC)) AS DOUBLE)"
 
+  /** Shared pre-aggregate for the grouping-set family: lineitem
+    * collapsed to one partial (count, decimal sum) row per
+    * (returnflag, linestatus) combo — the Expand of rollup/cube/
+    * grouping-sets then multiplies ~25 rows, not the fact table. */
+  private[queries] def groupingBase(s: org.apache.spark.sql.SparkSession,
+      d: String, valueCol: String): org.apache.spark.sql.DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("pn"),
+        sum(graft.ops.Exact.dec(col(valueCol))).as("ps"))
+
   val queries: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------- q42
@@ -25,9 +36,13 @@ object OlapQueries {
          |FROM lineitem
          |GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d)
+      // pre-aggregate to the (flag, status) combos BEFORE the rollup:
+      // the Expand that multiplies rows per grouping set then runs
+      // over ~25 partial rows instead of the whole fact table, and
+      // decimal partials re-aggregate exactly
+      OlapQueries.groupingBase(s, d, "l_quantity")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), Exact.dsum(col("l_quantity")).as("sum_qty"))
+        .agg(sum(col("pn")).as("n"), sum(col("ps")).cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
@@ -44,11 +59,11 @@ object OlapQueries {
          |FROM lineitem
          |GROUP BY CUBE(l_returnflag, l_linestatus)
          |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d)
+      OlapQueries.groupingBase(s, d, "l_extendedprice")
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
           grouping(col("l_linestatus")).cast("long").as("g_status"),
-          count(lit(1)).as("n"), Exact.dsum(col("l_extendedprice")).as("sum_price"))
+          sum(col("pn")).as("n"), sum(col("ps")).cast("double").as("sum_price"))
         .select(col("l_returnflag"), col("l_linestatus"), col("g_flag"),
           col("g_status"), col("n"), col("sum_price"))
         .orderBy(col("g_flag"), col("g_status"),
