@@ -39,7 +39,15 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
-  /** Register all corpus tables as temp views so `spark.sql` works too. */
-  def register(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+  /** Register all corpus tables as temp views so `spark.sql` works
+    * too. Idempotent per (session, dir): repeated calls with the same
+    * dir skip the 10 parquet-footer reads; a dir CHANGE re-registers
+    * (views always reflect the last requested dir). */
+  private val lastRegistered =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def register(spark: SparkSession, dir: String): Unit = {
+    val prev = lastRegistered.put(spark.sparkContext.applicationId, dir)
+    if (prev != dir)
+      all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+  }
 }
