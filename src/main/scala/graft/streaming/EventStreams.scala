@@ -123,6 +123,24 @@ object EventStreams {
         })
   }
 
+  /** Built-in within-watermark dedup — completes the dedup triad
+    * (exact cross-batch: statefulDedup; TTL'd custom state:
+    * statefulDedupTtl; built-in bounded: this). State is evicted by
+    * the watermark automatically; duplicates arriving farther apart
+    * than the delay may re-emit, same trade as the TTL variant. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           delay: String): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** A2's streaming analog: observable metrics ride the query —
+    * per-batch row/error counts surface through QueryProgress without
+    * a second aggregation pass over the stream. */
+  def observed(events: DataFrame): DataFrame =
+    events.observe("graft_metrics",
+      count(lit(1)).as("n_rows"),
+      count(when(col("event_type") === "error", lit(1))).as("n_errors"))
+
   /** Stream-stream interval join — the streaming counterpart of the
     * batch range join (ops/RangeJoin): each purchase joins the same
     * user's clicks from the preceding 10 minutes. Watermarks on BOTH

@@ -101,6 +101,49 @@ class StreamingSpec extends SparkSpec {
     assert(seen.get() == 20)
   }
 
+  test("dropDuplicatesWithinWatermark: in-window duplicates collapse") {
+    val dir = tmp("graft-wmdedup-in")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, "a", t("2024-01-01 10:00:00")), (2L, "a", t("2024-01-01 10:05:00")),
+        (3L, "b", t("2024-01-01 10:06:00")))
+      .toDF("event_id", "key", "ts").write.mode("overwrite").json(s"$dir/f1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    val stream = spark.readStream.schema(schema).json(s"$dir/f*")
+    EventStreams.runToMemory(
+      EventStreams.dedupWithinWatermark(stream, Seq("key"), "1 hour"), "wmdedup_out")
+    val keys = spark.table("wmdedup_out").select($"key").collect().map(_.getString(0)).sorted
+    assert(keys.toSeq == Seq("a", "b")) // duplicate 'a' within the window collapsed
+  }
+
+  test("observable metrics report per-batch counts without a second pass") {
+    val events = Tables.events(spark, sf("sf0.001"))
+    val dir = tmp("graft-obs-in")
+    events.write.mode("overwrite").parquet(dir)
+    @volatile var observed: Option[(Long, Long)] = None
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val m = e.progress.observedMetrics.get("graft_metrics")
+        if (m != null) observed = Some((m.getLong(0), m.getLong(1)))
+      }
+    }
+    spark.streams.addListener(listener)
+    try {
+      val stream = spark.readStream.schema(events.schema).parquet(dir)
+      EventStreams.runToMemory(EventStreams.observed(stream), "obs_out")
+      // listener delivery is async; poll briefly
+      val deadline = System.currentTimeMillis() + 20000
+      while (observed.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val (n, nerr) = observed.getOrElse(fail("no observed metrics delivered"))
+      assert(n == events.count())
+      assert(nerr == events.filter($"event_type" === "error").count())
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("stream-stream interval join matches its batch twin") {
     val events = Tables.events(spark, sf("sf0.001"))
     val dir = tmp("graft-ssj-in")
