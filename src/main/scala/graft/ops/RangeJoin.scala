@@ -38,4 +38,30 @@ object RangeJoin {
         col(tsCol) >= col(loCol) && col(tsCol) <= col(hiCol))
       .drop("__lbin", "__rbin")
   }
+
+  /** Interval × interval OVERLAP join (inclusive ends: lo1 <= hi2 AND
+    * lo2 <= hi1), the generalization of `binned` to two interval
+    * sets. Both sides explode to the bins they cover and equi-join on
+    * the bin; because an overlapping pair can share MANY bins, the
+    * join would emit duplicates — the EMIT-ONCE guard keeps a pair
+    * only in the first bin both cover (the bin of max(lo1, lo2)), so
+    * every overlap surfaces exactly once with no distinct shuffle.
+    * Left columns must be named (loCol1, hiCol1), right (loCol2,
+    * hiCol2) distinct from each other. */
+  def overlapBinned(left: DataFrame, lo1: String, hi1: String,
+                    right: DataFrame, lo2: String, hi2: String,
+                    binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    val binUs = binSeconds * 1000000L
+    def bins(df: DataFrame, lo: String, hi: String, out: String) =
+      df.withColumn(out, explode(sequence(
+        floor(unix_micros(col(lo)) / binUs),
+        floor(unix_micros(col(hi)) / binUs))))
+    val l = bins(left, lo1, hi1, "__b1")
+    val r = bins(right, lo2, hi2, "__b2")
+    l.join(r, col("__b1") === col("__b2") &&
+        col(lo1) <= col(hi2) && col(lo2) <= col(hi1) &&
+        col("__b1") === floor(greatest(unix_micros(col(lo1)), unix_micros(col(lo2))) / binUs))
+      .drop("__b1", "__b2")
+  }
 }

@@ -117,6 +117,30 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_events"))
         .select(col("owner"), unix_micros(col("lo")).as("lo_us"), col("n_events"))
         .orderBy("owner")
+    },
+
+    // ---------------------------------------------------------------- q78
+    // Interval-overlap join: pairs of users whose first-hour activity
+    // windows overlap. Both interval sets bin-explode and equi-join;
+    // the emit-once guard (pair kept only in the bin of max(lo1, lo2))
+    // surfaces each overlap exactly once with no distinct shuffle.
+    Q("q78_interval_overlap",
+      """WITH iv AS (SELECT user_id AS u, min(ts) AS lo,
+        |                   min(ts) + INTERVAL 1 HOUR AS hi
+        |            FROM events GROUP BY 1)
+        |SELECT a.u AS u1, b.u AS u2
+        |FROM iv a JOIN iv b
+        |  ON a.u < b.u AND a.lo <= b.hi AND b.lo <= a.hi
+        |ORDER BY u1, u2""".stripMargin) { (s, d) =>
+      val iv = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("lo"))
+        .withColumn("hi", col("lo") + expr("INTERVAL 1 HOUR"))
+      val a = iv.select(col("user_id").as("u1"), col("lo").as("lo1"), col("hi").as("hi1"))
+      val b = iv.select(col("user_id").as("u2"), col("lo").as("lo2"), col("hi").as("hi2"))
+      RangeJoin.overlapBinned(a, "lo1", "hi1", b, "lo2", "hi2", 3600)
+        .filter(col("u1") < col("u2"))
+        .select(col("u1"), col("u2"))
+        .orderBy("u1", "u2")
     }
   )
 }

@@ -102,6 +102,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("overlapBinned equals the naive overlap join; emits each pair once") {
+    (1 to 5).foreach { _ =>
+      val t0 = 1700000000000000L
+      def ivs(n: Int, tag: String) = List.fill(n) {
+        val lo = t0 + rnd.nextInt(86400) * 1000000L
+        (rnd.nextLong().abs % 100000,
+          new java.sql.Timestamp(lo / 1000),
+          new java.sql.Timestamp(lo / 1000 + (rnd.nextInt(7200) + 1) * 1000L))
+      }.toDF(s"id$tag", s"lo$tag", s"hi$tag")
+      val a = ivs(rnd.nextInt(60) + 5, "1")
+      val b = ivs(rnd.nextInt(60) + 5, "2")
+      val got = graft.ops.RangeJoin.overlapBinned(a, "lo1", "hi1", b, "lo2", "hi2",
+          rnd.nextInt(3600) + 30)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+      val want = a.join(b, $"lo1" <= $"hi2" && $"lo2" <= $"hi1")
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+      assert(got.sorted == want.sorted) // list equality: no duplicate emissions
+    }
+  }
+
   test("duckRound matches half-away-from-zero on the scaled double") {
     val cases = List.fill(60)((rnd.nextDouble() * 4 - 2, rnd.nextInt(7))) ++
       List((0.6146874999999999, 6), (-0.6146874999999999, 6), (2.5e-6, 6), (0.125, 2))
