@@ -64,9 +64,13 @@ object CmsAgg {
       val seen = scala.collection.mutable.HashSet.empty[String]
       it.filter(w => seen.add(w) && cms.estimateCount(w) >= threshold)
     }.toDF("w").distinct()
-    // only candidate occurrences reach the exact-count shuffle
+    // only candidate occurrences reach the exact-count shuffle. No
+    // forced broadcast: with a low threshold (or eps coarse relative
+    // to it) the CMS prunes little and the candidate set can approach
+    // corpus size — let AQE pick broadcast vs shuffle from its
+    // measured size instead of OOMing the driver on a bad hint.
     words.toDF("w")
-      .join(broadcast(candidates), Seq("w"), "left_semi")
+      .join(candidates, Seq("w"), "left_semi")
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= threshold)
   }

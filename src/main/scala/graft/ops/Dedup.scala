@@ -49,16 +49,31 @@ object Dedup {
     * resolves every false positive); the shuffle shrinks from |fresh|
     * to ~|matches| + fpp·|fresh|. This is the runtime-filter idea
     * (Spark's own bloom-filter join pruning) applied where we hold
-    * the build side ourselves. */
+    * the build side ourselves — and it probes through the same
+    * Catalyst `BloomFilterMightContain` expression the engine's
+    * runtime filters use (codegen'd; insert and probe both hash the
+    * key with xxhash64, matching BloomFilterAggregate's convention),
+    * not a Scala UDF.
+    *
+    * Determinism contract: `fresh` is evaluated once per branch of
+    * the split (the split IS the optimization — the definitely-new
+    * branch never shuffles), so `fresh` must be deterministic. If it
+    * contains rand()/sample/non-deterministic recomputation, persist
+    * it first or rows can be lost from / duplicated in the union. */
   def bloomAntiJoinKeys(fresh: DataFrame, existingKeys: DataFrame, key: String,
                         expectedKeys: Long, fpp: Double = 0.03): DataFrame = {
-    val spark = fresh.sparkSession
-    val bloom = existingKeys.select(col(key).cast("string").as("k"))
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bloom = existingKeys.select(xxhash64(col(key).cast("string")).as("k"))
       .na.drop().stat.bloomFilter("k", expectedKeys, fpp)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: String) => k != null && bc.value.mightContainString(k))
-    val definitelyNew = fresh.filter(!mightContain(col(key).cast("string")))
-    val candidates = fresh.filter(mightContain(col(key).cast("string")))
+    val out = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(out)
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(out.toByteArray, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(xxhash64(col(key).cast("string")))))
+    val flagged = fresh.withColumn("_graft_mc", mightContain)
+    val definitelyNew = flagged.filter(!col("_graft_mc")).drop("_graft_mc")
+    val candidates = flagged.filter(col("_graft_mc")).drop("_graft_mc")
     definitelyNew.unionByName(
       candidates.join(existingKeys.select(key).distinct(), Seq(key), "left_anti"))
   }

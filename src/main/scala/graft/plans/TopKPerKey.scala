@@ -77,9 +77,17 @@ final case class TopKPerKeyExec(
       val tieEval = UnsafeProjection.create(Seq(tieExpr), childOutput)
       // PriorityQueue.head is the MAX under the ordering; rank the
       // WORST entry (lowest score, largest tiebreak) as max so it is
-      // the one evicted.
+      // the one evicted. Scores compare via java.lang.Double.compare
+      // (total order, NaN greatest) — the window formulation's
+      // descending sort ranks NaN first, and primitive </> would
+      // silently drop NaN rows once the heap fills.
       type Entry = (Double, Long, InternalRow)
-      val worstFirst = Ordering.by[Entry, (Double, Long)] { case (s, t, _) => (-s, t) }
+      val worstFirst = new Ordering[Entry] {
+        def compare(a: Entry, b: Entry): Int = {
+          val c = java.lang.Double.compare(b._1, a._1)
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+        }
+      }
       val heaps = new java.util.HashMap[InternalRow, scala.collection.mutable.PriorityQueue[Entry]]()
       rows.foreach { row =>
         val scoreRow = scoreEval(row)
@@ -99,7 +107,8 @@ final case class TopKPerKeyExec(
           if (heap.size < limit) heap.enqueue((s, t, row.copy()))
           else {
             val (ws, wt, _) = heap.head
-            if (s > ws || (s == ws && t < wt)) { heap.dequeue(); heap.enqueue((s, t, row.copy())) }
+            val c = java.lang.Double.compare(s, ws)
+            if (c > 0 || (c == 0 && t < wt)) { heap.dequeue(); heap.enqueue((s, t, row.copy())) }
           }
         }
       }

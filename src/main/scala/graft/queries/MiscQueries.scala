@@ -388,7 +388,11 @@ object MiscQueries {
     // vs 4k this way. Dictionary ≪ corpus is the normal shape for
     // names/titles/categories at 100 TB, so precompute-the-dictionary
     // is the scalable plan; blocking by brand bounds the recovered
-    // pair space.
+    // pair space. The dictionary pair space is itself blocked: edit
+    // distance <= 2 forces |len(n1) - len(n2)| <= 2, so the left side
+    // explodes to its five candidate lengths and equi-joins the right
+    // side's exact length — a millions-of-names dictionary yields
+    // O(|names| x names-per-length-band) pairs, not |names|².
     Q("q65_fuzzy_match",
       """SELECT a.p_partkey AS pk1, b.p_partkey AS pk2,
         |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
@@ -398,8 +402,10 @@ object MiscQueries {
         |ORDER BY pk1, pk2""".stripMargin) { (s, d) =>
       val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
       val names = p.select(col("p_name")).distinct()
-      val nd = names.select(col("p_name").as("n1"))
-        .crossJoin(names.select(col("p_name").as("n2")))
+      val left = names.select(col("p_name").as("n1"))
+        .withColumn("_lb", explode(array((-2 to 2).map(dl => length(col("n1")) + dl): _*)))
+      val right = names.select(col("p_name").as("n2"), length(col("p_name")).as("_lb"))
+      val nd = left.join(right, Seq("_lb")).drop("_lb")
         .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
         .filter(col("dist") <= 2)
       val a = p.select(col("p_partkey").as("pk1"), col("p_brand"), col("p_name").as("n1"))

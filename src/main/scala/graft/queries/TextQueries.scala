@@ -202,14 +202,14 @@ object TextQueries {
     // ---------------------------------------------------------------- q60
     // Token-budget shard packing: documents in doc_id order are
     // assigned to consecutive training shards of ≤ 10k tokens via a
-    // running prefix sum (window cumsum → shard = floor((cum - n) /
-    // budget)). The contiguous-by-order contract makes packing
-    // deterministic and mergeable: shard boundaries depend only on
-    // the prefix sums, not on partitioning. (A single global window
-    // is fine here because the frame is one row per document —
-    // at 100 TB the same prefix sum runs per corpus slice with a
-    // two-pass offset: per-partition sums, broadcast the running
-    // offsets, then local cumsum.)
+    // running prefix sum (shard = floor((cum - n) / budget)). The
+    // contiguous-by-order contract makes packing deterministic and
+    // mergeable: shard boundaries depend only on the prefix sums, not
+    // on partitioning. The cumsum is ops.PrefixSum's two-pass
+    // distributed form (range-partition → per-partition totals →
+    // broadcast offsets → local cumsum) — NOT a global-order window,
+    // which would move the whole corpus to one partition (PlanSpec
+    // asserts no WindowExec in this plan).
     Q("q60_token_packing",
       """SELECT doc_id, n_tokens,
         |  CAST((cum - n_tokens) // 10000 AS BIGINT) AS shard
@@ -218,13 +218,9 @@ object TextQueries {
         |    sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents))
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      Tables.documents(s, d)
+      val base = Tables.documents(s, d)
         .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
+      graft.ops.PrefixSum.withRunningSum(base, "doc_id", "n_tokens", "cum")
         .select(col("doc_id"), col("n_tokens"),
           floor((col("cum") - col("n_tokens")) / 10000).cast("long").as("shard"))
         .orderBy("doc_id")

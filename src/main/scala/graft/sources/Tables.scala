@@ -42,11 +42,14 @@ object Tables {
   /** Register all corpus tables as temp views so `spark.sql` works
     * too. Idempotent per (session, dir): repeated calls with the same
     * dir skip the 10 parquet-footer reads; a dir CHANGE re-registers
-    * (views always reflect the last requested dir). */
+    * (views always reflect the last requested dir). Temp views are
+    * per-SparkSession, so the cache key is the session identity —
+    * keying by applicationId would silently skip registration for a
+    * second session (spark.newSession()) in the same application. */
   private val lastRegistered =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   def register(spark: SparkSession, dir: String): Unit = {
-    val prev = lastRegistered.put(spark.sparkContext.applicationId, dir)
+    val prev = lastRegistered.put(System.identityHashCode(spark).toString, dir)
     if (prev != dir)
       all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
   }

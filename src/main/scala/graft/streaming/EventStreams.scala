@@ -102,6 +102,10 @@ object EventStreams {
     import ds.sparkSession.implicits._
     val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+    // A months component has no fixed millisecond width; silently
+    // ignoring it would yield ttlMillis=0 and instant state expiry.
+    require(ttlMs.months == 0,
+      s"TTL '$ttl' has a calendar months component; use days/hours/minutes")
     val ttlMillis = ttlMs.days * 86400000L + ttlMs.microseconds / 1000L
     ds.withWatermark("ts", watermarkDelay)
       .groupByKey(_.key)
