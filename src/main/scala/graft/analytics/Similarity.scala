@@ -91,42 +91,71 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
-  /** Deterministic k-means-lite for the IVF coarse quantizer: start
-    * from the `k` lowest-id vectors and run `iters` Lloyd rounds
-    * (assign by cosine to nearest centroid — broadcast join — then
-    * recompute centroids as the per-cell mean). Everything is
-    * deterministic: fixed init, total-order tiebreaks, and the mean is
-    * a per-dimension double sum over a fixed small cell — so the
-    * trained quantizer is reproducible run-to-run (the oracle
-    * constraint that kept round 1 on id-picked centroids). At scale
-    * the same loop runs on a sample; the probe structure downstream is
-    * unchanged. Returns (cid, cv, cn) like the id-picked quantizer. */
-  def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    var cent = vecs.orderBy(col("vec_id")).limit(k)
+  /** Initial coarse-quantizer centroids: the `k` lowest-id vectors —
+    * the deterministic init both the id-picked quantizer (q45) and
+    * k-means training start from. Returns (cid, cv, cn). */
+  def initCentroids(vecs: DataFrame, k: Int): DataFrame =
+    vecs.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+
+  /** One Lloyd assignment: each vector to its nearest centroid by
+    * ROUNDED cosine (round(…,6), ties → lowest cid) — the same
+    * boundary-pinning every oracled cosine in this engine uses, which
+    * is what makes the assignment (and so the whole training round)
+    * engine-portable: q80 hash-verifies this step against DuckDB.
+    * Centroids broadcast; the vector side streams map-only. */
+  def kmeansAssign(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("_sim").desc, col("cid"))
+    vecs.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cent), lit(true))
+      .withColumn("_sim", graft.ops.Exact.duckRound(
+        dot(col("embedding"), col("cv")) / (norm(col("embedding")) * col("cn")), 6))
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") === 1)
+      .select(col("vec_id"), col("cid"), col("embedding"))
+  }
+
+  /** Per-cell, per-dimension exact component sums of an assignment:
+    * components are rounded to 6 decimals then summed in DECIMAL —
+    * exact, associative, and portable (a raw float→DECIMAL(·,18) cast
+    * is NOT: Spark casts through the double's shortest decimal
+    * representation while DuckDB rounds its exact binary expansion,
+    * and they disagree in the 18th digit). Returns
+    * (cid, pos, comp_sum DOUBLE, n) — the verified training
+    * intermediate q80 checks; mean = comp_sum / n. */
+  def kmeansCellSums(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(
+        sum(graft.ops.Exact.duckRound(col("col"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(21, 10)))
+          .cast("double").as("comp_sum"),
+        count(lit(1)).as("n"))
+
+  /** Deterministic k-means for the IVF coarse quantizer: `iters` Lloyd
+    * rounds of kmeansAssign + per-cell means from kmeansCellSums. The
+    * mean is the exact decimal component sum cast to double, divided
+    * by the count IN DOUBLE — every step is partition-order-
+    * independent AND engine-portable, so the trained quantizer is
+    * reproducible run-to-run and expressible in the DuckDB oracle
+    * (q80 verifies a training round, q81 runs trained IVF end-to-end).
+    * At scale the same loop runs on a sample; the probe structure
+    * downstream is unchanged. Returns (cid, cv, cn) like
+    * initCentroids. */
+  def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cent = initCentroids(vecs, k)
     (1 to iters).foreach { _ =>
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("_sim").desc, col("cid"))
-      val assigned = vecs.select(col("vec_id"), col("embedding"))
-        .join(broadcast(cent), lit(true))
-        .withColumn("_sim", dot(col("embedding"), col("cv")) / (norm(col("embedding")) * norm(col("cv"))))
-        .withColumn("_r", row_number().over(w))
-        .filter(col("_r") === 1)
-        .select(col("cid"), col("embedding"))
-      // per-dimension mean of each cell, via posexplode + regroup;
-      // decimal sums make the mean partition-order-independent (the
-      // cast truncates deterministically at scale 18), so training is
-      // bit-reproducible under any parallelism
-      cent = assigned
-        .select(col("cid"), posexplode(col("embedding").cast("array<double>")))
-        .groupBy(col("cid"), col("pos"))
-        .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(30, 18)))
-          / count(lit(1))).cast("double").as("m"))
+      cent = kmeansCellSums(kmeansAssign(vecs, cent))
+        .withColumn("m", col("comp_sum") / col("n"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"), expr("transform(pm, x -> x.m)").as("cv"))
+        .withColumn("cn", norm(col("cv")))
     }
-    cent.withColumn("cn", norm(col("cv")))
+    cent
   }
 
   /** IVF-style approximate top-k: a deterministic coarse quantizer

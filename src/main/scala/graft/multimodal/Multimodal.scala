@@ -88,6 +88,41 @@ object Multimodal {
     }
   }
 
+  /** Synthesize a deterministic tiny PNG per row (dimensions derived
+    * from the id, pixels from ImageCodec's fixed function) — the
+    * corpus stand-in for an image column, produced by a REAL encoder
+    * (JDK ImageIO) so decodeImageMeta parses genuine PNG bytes. */
+  def syntheticPngs(df: DataFrame, idCol: String = "doc_id"): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (1 + id % 16).toInt
+        val h = (1 + id % 9).toInt
+        val p = ImageCodec.encodePng(w, h, id)
+        MediaRow(id, "image", p, MediaMeta(w, h, 0, p.length.toLong))
+      }
+    }
+  }
+
+  /** REAL header decode over the partition-batched path: byte-level
+    * PNG IHDR / JPEG SOF parsing (ImageCodec) with CRC validation —
+    * unparseable payloads surface as format='unknown' rows rather
+    * than task failures (per-row error isolation, F5). */
+  def decodeImageMeta(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val m = ImageCodec.decode(r.payload)
+        (r.media_id, m.map(_.format).getOrElse("unknown"),
+          m.map(_.width.toLong).getOrElse(-1L), m.map(_.height.toLong).getOrElse(-1L),
+          m.map(_.bitDepth.toLong).getOrElse(-1L), m.map(_.colorType.toLong).getOrElse(-1L),
+          m.exists(_.crcOk))
+      }
+    }.toDF("media_id", "format", "width", "height", "bit_depth", "color_type", "crc_ok")
+  }
+
   /** Frame sampling: split the payload into fixed-size windows
     * ("frames"), keep every `stride`-th, extract features per frame —
     * the video/audio fan-out shape (one row in, N frame rows out,

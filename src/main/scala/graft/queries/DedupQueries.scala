@@ -86,6 +86,32 @@ object DedupQueries {
       DedupOps.jaccardPairs(shingleSetOf(s, d), 0.6).orderBy("d1", "d2")
     },
 
+    // ---------------------------------------------------------------- q79
+    // df-capped exact Jaccard — the scale-safe spelling of q29:
+    // shingles appearing in more than 20 documents are dropped BEFORE
+    // the inverted-index candidate join, bounding per-shingle fan-out
+    // at cap² candidate rows (q29's uncapped join is the deliberate
+    // exact baseline whose stop-shingle skew this guard removes).
+    // Sizes still count ALL shingles, so output ⊆ q29's with exact
+    // values whenever no shared shingle was capped (AnalyticsSpec
+    // proves the subset property; this query gate-verifies the capped
+    // form end-to-end).
+    Q("q79_neardup_jaccard_capped",
+      s"""$SHINGLES,
+         |kept AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20),
+         |shk AS (SELECT sh.doc_id, sh.s FROM sh JOIN kept USING (s)),
+         |cm AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+         |       FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |jac AS (SELECT d1, d2,
+         |    round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 4) AS jaccard
+         |  FROM cm JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2)
+         |SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.6
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      DedupOps.jaccardPairsCapped(shingleSetOf(s, d), 0.6, 20).orderBy("d1", "d2")
+    },
+
     // ---------------------------------------------------------------- q30
     // MinHash signatures: 16 universal hashes over one sha base hash.
     Q("q30_minhash_signatures",

@@ -128,6 +128,108 @@ object SimilarityQueries {
         .orderBy("qid", "rnk")
     },
 
+    // ---------------------------------------------------------------- q80
+    // Trained-quantizer verification intermediate: one Lloyd round
+    // from the id-picked init — assignment by ROUNDED cosine, then
+    // per-cell per-dimension component sums. Components round to 6
+    // decimals before an exact DECIMAL sum (a raw float→DECIMAL(·,18)
+    // cast is NOT portable: Spark goes through the double's shortest
+    // decimal representation, DuckDB rounds the exact binary
+    // expansion, and they disagree in the 18th digit). mean =
+    // comp_sum / n, so this row set IS the trained centroid, hash-
+    // verified; q81 consumes the same training end-to-end.
+    Q("q80_kmeans_train",
+      s"""$normCtes,
+         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT 16),
+         |asg AS (SELECT vec_id, cid, v FROM (
+         |    SELECT n.vec_id, cent.cid, n.v,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
+         |    FROM n, cent) WHERE rr = 1),
+         |dims AS (SELECT cid, i - 1 AS pos, v[i] AS x
+         |         FROM (SELECT cid, v, unnest(generate_series(1, len(v))) AS i FROM asg))
+         |SELECT cid, CAST(pos AS BIGINT) AS pos,
+         |  CAST(sum(CAST(round(x, 6) AS DECIMAL(21,10))) AS DOUBLE) AS comp_sum,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM dims GROUP BY cid, pos ORDER BY cid, pos""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.kmeansCellSums(
+          Similarity.kmeansAssign(e, Similarity.initCentroids(e, 16)))
+        .select(col("cid"), col("pos").cast("long").as("pos"),
+          col("comp_sum"), col("n"))
+        .orderBy("cid", "pos")
+    },
+
+    // ---------------------------------------------------------------- q81
+    // Trained-IVF ANN end-to-end: the 1-round k-means quantizer (same
+    // training as q80; means are exact-decimal sums divided by counts
+    // in double — every step engine-portable) feeds the same IVF
+    // probe as q45. This is the full production path: train on the
+    // corpus (or a sample at 100 TB), assign cells, probe nProbe
+    // cells per query.
+    Q("q81_ann_ivf_trained",
+      s"""$normCtes,
+         |cent0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT 16),
+         |asg0 AS (SELECT vec_id, cid, v FROM (
+         |    SELECT n.vec_id, cent0.cid, n.v,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
+         |    FROM n, cent0) WHERE rr = 1),
+         |dims AS (SELECT cid, i - 1 AS pos, v[i] AS x
+         |         FROM (SELECT cid, v, unnest(generate_series(1, len(v))) AS i FROM asg0)),
+         |cm AS (SELECT cid, pos,
+         |         CAST(sum(CAST(round(x, 6) AS DECIMAL(21,10))) AS DOUBLE) / count(*) AS m
+         |       FROM dims GROUP BY cid, pos),
+         |tc AS (SELECT cid, list(m ORDER BY pos) AS cv FROM cm GROUP BY cid),
+         |tcn AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM tc),
+         |asg AS (SELECT vec_id, cid, rr FROM (
+         |    SELECT n.vec_id, tcn.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
+         |    FROM n, tcn)),
+         |nb AS (SELECT n.vec_id AS nid, v AS nv, nrm AS nn, a.cid AS cell
+         |       FROM n JOIN asg a ON n.vec_id = a.vec_id AND a.rr <= 1),
+         |qb AS (SELECT n.vec_id AS qid, v AS qv, nrm AS qn, a.cid AS cell
+         |       FROM n JOIN asg a ON n.vec_id = a.vec_id AND a.rr <= 2
+         |       WHERE n.vec_id < $N_QUERIES),
+         |s AS (SELECT qid, nid, round(list_dot_product(qv, nv) / (qn * nn), 6) AS sim
+         |      FROM qb JOIN nb ON qb.cell = nb.cell WHERE nid <> qid),
+         |r AS (SELECT qid, nid, sim,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+         |      FROM s)
+         |SELECT qid, nid, rnk, sim FROM r WHERE rnk <= $TOP_K
+         |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val trained = Similarity.kmeansCentroids(e, 16, 1)
+      Similarity.ivfTopK(e.filter(col("vec_id") < N_QUERIES), e, TOP_K, 16, 2,
+          Some(trained))
+        .select("qid", "nid", "rnk", "sim")
+        .orderBy("qid", "rnk")
+    },
+
+    // ---------------------------------------------------------------- q82
+    // REAL image decode through the multimodal path: a deterministic
+    // tiny PNG is encoded per document with the JDK's ImageIO (a real
+    // encoder), and the engine's own byte-level parser reads back the
+    // IHDR header — width, height, bit depth, color type — and
+    // validates the chunk CRC-32. The oracle knows the constructed
+    // dimensions, so a parser bug (endianness, offsets, CRC) breaks
+    // the hash. Decode runs partition-batched (one codec instance per
+    // partition); payloads stay opaque bytes end-to-end.
+    Q("q82_image_decode",
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(1 + doc_id % 16 AS BIGINT) AS width,
+        |  CAST(1 + doc_id % 9 AS BIGINT) AS height,
+        |  CAST(8 AS BIGINT) AS bit_depth,
+        |  CAST(2 AS BIGINT) AS color_type,
+        |  TRUE AS crc_ok
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.multimodal.Multimodal
+      Multimodal.decodeImageMeta(Multimodal.syntheticPngs(Tables.documents(s, d)))
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- q36
     // Multimodal column plumbing: treat payloads as opaque binary +
     // typed metadata; deterministic feature extraction (byte length,

