@@ -55,7 +55,11 @@ object Bench {
       }
       q.name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // Short qNN keys keep the whole line under the driver's 2000-char
+    // stdout tail buffer (the full names overflowed it in round 2 and
+    // the driver recorded parsed=null); the registry names are the
+    // same prefixes, so the mapping is unambiguous.
+    val qs = results.map { case (k, v) => "\"" + k.split('_').head + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

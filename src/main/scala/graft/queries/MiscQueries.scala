@@ -405,7 +405,7 @@ object MiscQueries {
       val left = names.select(col("p_name").as("n1"))
         .withColumn("_lb", explode(array((-2 to 2).map(dl => length(col("n1")) + dl): _*)))
       val right = names.select(col("p_name").as("n2"), length(col("p_name")).as("_lb"))
-      val nd = left.join(right, Seq("_lb")).drop("_lb")
+      val nd = left.join(broadcast(right), Seq("_lb")).drop("_lb")
         .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
         .filter(col("dist") <= 2)
       val a = p.select(col("p_partkey").as("pk1"), col("p_brand"), col("p_name").as("n1"))

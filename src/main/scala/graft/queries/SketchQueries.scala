@@ -57,26 +57,21 @@ object SketchQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       val qs = percentile_approx(col("value"),
         array(lit(0.5), lit(0.9), lit(0.99)), lit(1000))
+      // ONE array-percentile aggregate: the exact targets and the
+      // eight bound probes share a single per-group sort instead of
+      // nine independent percentile aggregates (9x the sort work)
+      val es = expr(
+        "percentile(value, array(0.5D, 0.9D, 0.99D, 0.49D, 0.51D, 0.89D, 0.91D, 0.98D, 1.0D))")
       Tables.events(s, d)
         .groupBy(col("event_type"))
-        .agg(
-          expr("percentile(value, 0.5)").as("e50"),
-          expr("percentile(value, 0.9)").as("e90"),
-          expr("percentile(value, 0.99)").as("e99"),
-          expr("percentile(value, 0.49)").as("lo50"),
-          expr("percentile(value, 0.51)").as("hi50"),
-          expr("percentile(value, 0.89)").as("lo90"),
-          expr("percentile(value, 0.91)").as("hi90"),
-          expr("percentile(value, 0.98)").as("lo99"),
-          expr("percentile(value, 1.0)").as("hi99"),
-          qs.as("qs"))
+        .agg(es.as("es"), qs.as("qs"))
         .select(col("event_type"),
-          graft.ops.Exact.duckRound(col("e50"), 6).as("p50"),
-          graft.ops.Exact.duckRound(col("e90"), 6).as("p90"),
-          graft.ops.Exact.duckRound(col("e99"), 6).as("p99"),
-          col("qs").getItem(0).between(col("lo50"), col("hi50")).as("ok50"),
-          col("qs").getItem(1).between(col("lo90"), col("hi90")).as("ok90"),
-          col("qs").getItem(2).between(col("lo99"), col("hi99")).as("ok99"))
+          graft.ops.Exact.duckRound(col("es").getItem(0), 6).as("p50"),
+          graft.ops.Exact.duckRound(col("es").getItem(1), 6).as("p90"),
+          graft.ops.Exact.duckRound(col("es").getItem(2), 6).as("p99"),
+          col("qs").getItem(0).between(col("es").getItem(3), col("es").getItem(4)).as("ok50"),
+          col("qs").getItem(1).between(col("es").getItem(5), col("es").getItem(6)).as("ok90"),
+          col("qs").getItem(2).between(col("es").getItem(7), col("es").getItem(8)).as("ok99"))
         .orderBy(col("event_type"))
     },
 
