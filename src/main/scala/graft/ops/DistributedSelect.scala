@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact selection — the scale path for exact per-group
+  * quantiles when the sketch (q38) won't do and the per-group sort
+  * (q54/q69: every group's full row set through one window task) is
+  * the bottleneck.
+  *
+  * Histogram narrowing, two phases over the data:
+  *   0. per-group (min, max, count) — one partial-agg shuffle;
+  *   1. per-(group, bin) counts over `nBins` equal-width value bins —
+  *      partial-agg shuffle of ≤ |groups|·nBins rows; a window over
+  *      that TINY frame finds each group's target bin (where the
+  *      cumulative count crosses the median rank) and the residual
+  *      local rank within it;
+  *   2. rows of the target bin only — expected n/nBins per group —
+  *      are ranked by (value, tiebreak) and the residual rank picked.
+  *
+  * Every shuffle is bounded by |groups|·nBins or the residual bin
+  * population; no group's full row set is ever sorted in one task.
+  * Equal values always share a bin, so the (value, tiebreak) order
+  * within the target bin agrees with the global order — the selected
+  * element is exactly the window formulation's rn = (n+1) div 2 row
+  * (DistributedSelectSpec proves equality; q87 proves it against the
+  * DuckDB oracle). Degenerate case: a single value dominating a group
+  * concentrates its bin (all-equal groups degrade to the plain sort)
+  * — one recursion level on the bin would bound that too; not needed
+  * at current skew.
+  */
+object DistributedSelect {
+
+  /** Exact median per group: the element at rank (n+1) div 2 under
+    * (value asc, tiebreak asc). Output: (groupCol, median). */
+  def groupMedian(df: DataFrame, groupCol: String, valueCol: String,
+                  tieCol: String, nBins: Int = 1024): DataFrame = {
+    val base = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("double").as("v"), col(tieCol).as("t"))
+    val stats = base.groupBy(col("g"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"), count(lit(1)).as("n"))
+    val binned = base.join(broadcast(stats), Seq("g"))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(floor((col("v") - col("lo")) / (col("hi") - col("lo")) * nBins),
+            lit(nBins - 1))).cast("int"))
+    val wBin = Window.partitionBy(col("g")).orderBy(col("bin"))
+    val target = binned.groupBy(col("g"), col("bin")).agg(count(lit(1)).as("bc"))
+      .withColumn("cum", sum(col("bc")).over(wBin))
+      .join(broadcast(stats.select(col("g"), expr("(n + 1) div 2").as("rank"))), Seq("g"))
+      .filter(col("cum") >= col("rank") && col("cum") - col("bc") < col("rank"))
+      .select(col("g"), col("bin").as("tbin"),
+        (col("rank") - (col("cum") - col("bc"))).as("lrank"))
+    val wVal = Window.partitionBy(col("g")).orderBy(col("v"), col("t"))
+    binned.join(broadcast(target), Seq("g"))
+      .filter(col("bin") === col("tbin"))
+      .withColumn("rn", row_number().over(wVal))
+      .filter(col("rn") === col("lrank"))
+      .select(col("g").as(groupCol), col("v").as("median"))
+  }
+}

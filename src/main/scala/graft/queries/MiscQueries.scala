@@ -208,6 +208,29 @@ object MiscQueries {
         .orderBy("event_type")
     },
 
+    // ---------------------------------------------------------------- q87
+    // The same exact median as q54 WITHOUT any per-group sort:
+    // ops/DistributedSelect histogram narrowing (per-group stats →
+    // per-bin counts → rank only the target bin's ~n/1024 rows).
+    // q54's window formulation sorts every group's full row set in
+    // one task — unbounded per group at scale; this is the
+    // distributed-selection twin whose shuffles are bounded by
+    // |groups|·bins and the residual bin. Same oracle as q54: the
+    // element at rank (n+1) div 2 under (value, event_id).
+    Q("q87_distributed_median",
+      """WITH o AS (
+        |  SELECT event_type, value, event_id,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, value AS median FROM o
+        |WHERE rn = (n + 1) // 2
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      graft.ops.DistributedSelect.groupMedian(
+          Tables.events(s, d), "event_type", "value", "event_id")
+        .orderBy("event_type")
+    },
+
     // ---------------------------------------------------------------- q51
     // GROUPING SETS beyond rollup: two single-dimension cuts + total.
     Q("q51_grouping_sets",

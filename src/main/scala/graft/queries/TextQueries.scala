@@ -224,6 +224,136 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"),
           floor((col("cum") - col("n_tokens")) / 10000).cast("long").as("shard"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q83
+    // PII redaction: emails and phone numbers scrubbed map-side with
+    // codegen'd regexp_replace, plus per-document match counts (the
+    // audit signal). The corpus is synthetic, so deterministic PII is
+    // appended in-query on BOTH engines — the redaction regexes then
+    // genuinely execute against it and the oracle pins the scrubbed
+    // output byte-for-byte. Patterns are RE2-and-Java-compatible (no
+    // backreferences, no lookaround) — the subset that behaves
+    // identically across engines.
+    Q("q83_pii_redaction",
+      """WITH src AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |         || '@example.com or +1-555-' || CAST(doc_id AS VARCHAR)
+        |         || ' now' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+[0-9]+-[0-9]+-[0-9]+')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(t,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+[0-9]+-[0-9]+-[0-9]+', '<PHONE>', 'g') AS clean
+        |FROM src ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\+[0-9]+-[0-9]+-[0-9]+"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1-555-"), col("doc_id").cast("string"),
+            lit(" now")).as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(email), lit(0))).cast("long").as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(phone), lit(0))).cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"),
+            phone, "<PHONE>").as("clean"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q84
+    // Per-source quality rollup (the CCNet-style "score the domain,
+    // not just the document" aggregation a crawl pipeline runs before
+    // keeping/dropping whole sources). Two-stage groupBy: pre-agg per
+    // (source, lang) so distinct-lang counting never plans an Expand
+    // over the corpus (the q40 lesson); quality values are 6-decimal
+    // doubles, so DECIMAL(18,8) partial sums re-aggregate exactly.
+    Q("q84_source_quality", {
+      val ratio = (p: String) =>
+        s"CAST(${charCountSql(p)} AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)"
+      s"""WITH f AS (
+         |  SELECT source, lang,
+         |    CAST(length(text) AS DOUBLE) AS nc,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+         |    CAST(${charCountSql("[0-9]")} AS DOUBLE) AS dg,
+         |    CAST(${hitsSql(EN_MARKERS)} AS DOUBLE) AS st
+         |  FROM documents),
+         |q AS (SELECT source, lang,
+         |  round(0.3 * least(1.0, nt / 100.0)
+         |      + 0.2 * (1.0 - dg / greatest(nc, 1.0))
+         |      + 0.3 * least(1.0, st / greatest(nt, 1.0) * 5.0)
+         |      + 0.2 * least(1.0, nc / greatest(nt, 1.0) / 8.0), 6) AS quality,
+         |  CAST(nt AS BIGINT) AS nt
+         |  FROM f)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(sum(CAST(quality AS DECIMAL(18,8))) AS DOUBLE) AS sum_quality,
+         |  CAST(sum(nt) AS BIGINT) AS sum_tokens
+         |FROM q GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      val pre = Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          size(tokens(col("text"))).cast("long").as("nt"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("quality").cast(org.apache.spark.sql.types.DecimalType(18, 8))).as("pq"),
+          sum(col("nt")).as("pt"))
+      pre.groupBy(col("source"))
+        .agg(sum(col("pn")).as("n_docs"),
+          count(lit(1)).as("n_langs"),
+          sum(col("pq")).cast("double").as("sum_quality"),
+          sum(col("pt")).as("sum_tokens"))
+        .orderBy("source")
+    },
+
+    // ---------------------------------------------------------------- q85
+    // BPE-style merge candidates: corpus-wide adjacent token-pair
+    // frequencies, top 20 — the first iteration of a vocabulary
+    // trainer. Pairs are built map-side by the native shingle
+    // generator; the partial-agg groupBy shuffles distinct pairs, and
+    // the top-k runs as TakeOrderedAndProject under a (count desc,
+    // pair asc) total order.
+    Q("q85_bpe_pair_counts",
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |idx AS (SELECT ws, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i FROM w),
+        |p AS (SELECT ws[i] || ' ' || ws[i+1] AS pair FROM idx),
+        |c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair)
+        |SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(shingles(tokens(col("text")), 2)).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(20)
+    },
+
+    // ---------------------------------------------------------------- q86
+    // Stratified split assignment: the q59 deterministic hash bucket
+    // drives train/val/test (80/10/10), reported per language — the
+    // reproducible split every training pipeline needs (re-runs and
+    // re-shards select identical documents; rand() does not).
+    // Map-only until the |langs| x 3 rollup.
+    Q("q86_split_assignment",
+      """WITH b AS (SELECT lang,
+        |    (CAST(strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 16
+        |     + CAST(strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT)) % 100 AS bucket
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin) { (s, d) =>
+      val bucket = conv(substring(sha2(col("doc_id").cast("string"), 256), 1, 2), 16, 10)
+        .cast("long") % 100
+      Tables.documents(s, d)
+        .select(col("lang"),
+          when(bucket < 80, lit("train"))
+            .when(bucket < 90, lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "split")
     }
   )
 }
