@@ -63,9 +63,15 @@ object DedupOps {
     * shingle was capped. Same deliberate trade stopword removal
     * makes. */
   def jaccardPairsCapped(sh: DataFrame, threshold: Double, dfCap: Long): DataFrame = {
-    val kept = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select(col("s"))
-    val shKept = sh.join(kept, Seq("s"))
+    // Anti-join the DROPPED set, not an inner join with the kept set:
+    // stop-shingles above the cap are few by construction (bounded by
+    // |shingle instances|/cap), so AQE broadcasts the build side and
+    // the shingle corpus streams map-only — the kept-set inner join
+    // would shuffle every shingle row against a nearly-corpus-sized
+    // dictionary.
+    val dropped = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("s"))
+    val shKept = sh.join(dropped, Seq("s"), "left_anti")
     val a = shKept.select(col("doc_id").as("d1"), col("s"))
     val b = shKept.select(col("doc_id").as("d2"), col("s"))
     val common = a.join(b, Seq("s")).filter(col("d1") < col("d2"))
