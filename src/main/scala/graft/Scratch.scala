@@ -24,27 +24,18 @@ object Scratch {
       }
     }
     val docs = Tables.documents(spark, d)
-    time("docs.count")(docs.count())
-    time("explode words")(docs.select(explode(split(col("text"), " "))).count())
-    time("shingles explode")(
-      docs.select(explode(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3))).count())
-    time("shingleSet (distinct)")(TextAnalysis.shingleSet(docs, 3).count())
-    time("shingleSet+sha")(
-      TextAnalysis.shingleSet(docs, 3).select(DedupOps.baseHash(col("s"))).count())
-    time("minhash sigs")(DedupOps.minhashSignatures(TextAnalysis.shingleSet(docs, 3)).count())
-
-    // native VecDot vs HOF dot on the full pairwise similarity space
-    val e = Tables.embeddings(spark, d)
-    val q = e.limit(200).select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    time("pairwise dot HOF")(
-      e.join(broadcast(q), col("qid") =!= col("vec_id"))
-        .select(sum(hofDot(col("qv"), col("embedding")))).count())
-    time("pairwise dot native")(
-      e.join(broadcast(q), col("qid") =!= col("vec_id"))
-        .select(sum(graft.functions.VecExpressions.vec_dot(col("qv"), col("embedding")))).count())
-    spark.stop()
+    val sh = TextAnalysis.shingleSet(docs, 3)
+    val q29 = DedupOps.jaccardPairs(sh, 0.6)
+    val plan = q29.queryExecution.executedPlan.toString
+    println("q29 ReusedExchange count: " + "ReusedExchange".r.findAllIn(plan).size)
+    println("q29 Exchange count: " + "Exchange".r.findAllIn(plan).size)
+    println("q29 Generate(shingle) count: " + "shingle_explode|ShingleExplode|Generate".r.findAllIn(plan).size)
+    time("q29 full")(q29.count())
+    // stagewise
+    val q29p = DedupOps.jaccardPairsPrefix(sh, 0.6)
+    time("q29 prefix-filtered")(q29p.count())
+    val both = q29.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = q29p.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    println("identical results: " + (both == pref) + "  naive=" + both.size + " prefix=" + pref.size)
   }
 }

@@ -72,6 +72,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(recall > 2.0 / 16.0, s"recall=$recall")
   }
 
+  test("prefix-filtered Jaccard (AllPairs) equals the naive inverted index") {
+    val sh = TextAnalysis.shingleSet(Tables.documents(spark, sf("sf0.001")), 3)
+    for (t <- Seq(0.4, 0.6, 0.8)) {
+      val naive = DedupOps.jaccardPairs(sh, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val prefix = DedupOps.jaccardPairsPrefix(sh, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(prefix == naive, s"threshold=$t")
+    }
+  }
+
   test("capped Jaccard is a sound subset; equals exact when cap covers all") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val sh = TextAnalysis.shingleSet(docs, 3)
