@@ -323,6 +323,92 @@ object MiscQueries {
               |ORDER BY c_custkey""".stripMargin)
     },
 
+    // ---------------------------------------------------------------- q88
+    // Recursive SQL (Spark 4 WITH RECURSIVE): hierarchy walk from
+    // every customer up a synthetic org tree (parent = custkey/10) to
+    // the root — depth and chain length per node. The SAME query text
+    // runs on both engines (q64 pattern), floor-division spelled
+    // portably. Each chain is ≤ 6 rows (digit count), so the
+    // recursion's per-step frame shrinks geometrically — the shape
+    // recursive CTEs scale with.
+    {
+      val sql =
+        """WITH RECURSIVE chain(custkey, anc, depth) AS (
+          |  SELECT c_custkey, c_custkey, 0 FROM customer
+          |  UNION ALL
+          |  SELECT custkey, CAST(floor(anc / 10.0) AS BIGINT), depth + 1
+          |  FROM chain WHERE anc > 0)
+          |SELECT custkey, CAST(max(depth) AS BIGINT) AS depth,
+          |  CAST(count(*) AS BIGINT) AS chain_len
+          |FROM chain GROUP BY custkey ORDER BY custkey""".stripMargin
+      Q("q88_sql_recursive_chain", sql) { (s, d) =>
+        Tables.register(s, d)
+        s.sql(sql)
+      }
+    },
+
+    // ---------------------------------------------------------------- q89
+    // Time-range window frames: per-user rolling 10-minute sums —
+    // RANGE BETWEEN INTERVAL, value-based peers (deterministic under
+    // ties without any tiebreak column). Decimal window sums keep the
+    // rolling totals exact on both engines; identical SQL text runs
+    // on both (frames partition by user_id: ~n/|users| rows per
+    // window task).
+    {
+      val sql =
+        """SELECT event_id,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+          |  CAST(count(*) OVER w AS BIGINT) AS roll_n
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+          |             RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin
+      Q("q89_rolling_time_window", sql) { (s, d) =>
+        Tables.register(s, d)
+        s.sql(sql)
+      }
+    },
+
+    // ---------------------------------------------------------------- q90
+    // Exact distributed correlation: corr(value, props.k) per event
+    // type from five exact decimal/integer component sums — the
+    // built-in corr() aggregates doubles in partition order (non-
+    // deterministic on a cluster); this form is partition-order-
+    // independent AND engine-portable, with the final scalar formula
+    // in IEEE double on both sides.
+    Q("q90_exact_corr",
+      """WITH t AS (SELECT event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS x,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS y
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round((CAST(count(*) AS DOUBLE) * CAST(sum(x * y) AS DOUBLE)
+        |       - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+        |    / sqrt((CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE)
+        |          - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+        |         * (CAST(count(*) AS DOUBLE) * CAST(sum(y * y) AS DOUBLE)
+        |          - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE))), 6) AS corr_xy
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val y = get_json_object(col("props"), "$.k").cast("long")
+      def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+      Tables.events(s, d)
+        .select(col("event_type"), Exact.dec(col("value")).as("x"), y.as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("n"),
+          Exact.duckRound(
+            (d2(col("n")) * d2(col("sxy")) - d2(col("sx")) * d2(col("sy")))
+              / sqrt((d2(col("n")) * d2(col("sxx")) - d2(col("sx")) * d2(col("sx")))
+                   * (d2(col("n")) * d2(col("syy")) - d2(col("sy")) * d2(col("sy")))),
+            6).as("corr_xy"))
+        .orderBy("event_type")
+    },
+
     // ---------------------------------------------------------------- q77
     // Ordered aggregation: top-5 users per event type as a
     // comma-joined ranked list. collect_list's order is partition-

@@ -51,6 +51,11 @@ object Tables {
   def register(spark: SparkSession, dir: String): Unit = {
     val prev = lastRegistered.put(System.identityHashCode(spark).toString, dir)
     if (prev != dir)
-      all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+      all.foreach { n =>
+        // events goes through the normalizing accessor so SQL-path
+        // queries see the micros TimestampType column, not raw nanos
+        val df = if (n == "events") events(spark, dir) else apply(spark, dir, n)
+        df.createOrReplaceTempView(n)
+      }
   }
 }
