@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger}
 import org.apache.spark.sql.types.StructType
 import graft.ops.Exact
 
@@ -125,6 +125,52 @@ object EventStreams {
             out.iterator
           }
         })
+  }
+
+  /** statefulDedupTtl on Spark 4's transformWithState (state API v2):
+    * the per-key seen-set is a native ListState carrying a built-in
+    * TTLConfig — element expiry is managed by the state store itself
+    * (requires the RocksDB provider), replacing the hand-rolled
+    * EventTimeTimeout arithmetic and the interval-parsing bug class
+    * it carries. Same contract as statefulDedup/-Ttl: emit ids never
+    * seen (within the TTL window) for the key; duplicates within one
+    * batch dedup too. */
+  final class TtlDedupProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[String, TimedKeyed, TimedKeyed] {
+    @transient private var seen: ListState[String] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[String]("seen",
+        org.apache.spark.sql.Encoders.STRING,
+        if (ttl == null) TTLConfig.NONE else TTLConfig(ttl))
+    override def handleInputRows(key: String, rows: Iterator[TimedKeyed],
+                                 timerValues: TimerValues): Iterator[TimedKeyed] = {
+      val known = scala.collection.mutable.HashSet.empty[String]
+      seen.get().foreach(known += _)
+      val out = scala.collection.mutable.ListBuffer.empty[TimedKeyed]
+      rows.foreach { r =>
+        if (known.add(r.id)) { out += r; seen.appendValue(r.id) }
+      }
+      out.iterator
+    }
+  }
+
+  /** Cross-batch TTL'd dedup via transformWithState. `ttl = null`
+    * keeps state forever (the statefulDedup twin). Deployment note:
+    * with a processing-time TTL the operator schedules maintenance
+    * batches indefinitely, so `Trigger.AvailableNow` +
+    * `awaitTermination` never returns — run continuously (the
+    * production shape) or drain with `processAllAvailable` + `stop`
+    * (StreamingSpec). TTL expiry applies on state READ, so a
+    * restarted query sees expired elements filtered either way. */
+  def statefulDedupTws(ds: Dataset[TimedKeyed],
+                       ttl: java.time.Duration = null): Dataset[TimedKeyed] = {
+    import ds.sparkSession.implicits._
+    // TTL state requires the ProcessingTime time mode; without a TTL,
+    // TimeMode.None keeps the query drainable by AvailableNow (no
+    // maintenance batches are ever scheduled)
+    val mode = if (ttl == null) TimeMode.None() else TimeMode.ProcessingTime()
+    ds.groupByKey(_.key)
+      .transformWithState(new TtlDedupProcessor(ttl), mode, OutputMode.Append())
   }
 
   /** Built-in within-watermark dedup — completes the dedup triad

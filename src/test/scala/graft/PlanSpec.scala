@@ -87,6 +87,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q84: per-source rollup plans no Expand (two-stage distinct)") {
+    assert(!plan("q84_source_quality").contains("Expand"),
+      "distinct-lang counting must pre-aggregate, not Expand the corpus")
+  }
+
+  test("q85: pair top-k runs as TakeOrderedAndProject") {
+    assert(plan("q85_bpe_pair_counts").contains("TakeOrderedAndProject"))
+  }
+
+  test("q90: correlation sums aggregate two-phase (partial before shuffle)") {
+    val p = plan("q90_exact_corr")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("engine-wide: no query plans a nested loop except documented baselines") {
     // queries whose nested loop is the point (bounded by construction):
     //  q34: k query rows broadcast vs candidate stream (exact top-k)

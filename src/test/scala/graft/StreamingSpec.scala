@@ -216,6 +216,95 @@ class StreamingSpec extends SparkSpec {
     assert(runOnce() == Seq("a"))
   }
 
+  test("statefulDedupTws (transformWithState): cross-batch dedup, native TTL expiry") {
+    val dir = tmp("graft-tws-in")
+    val checkpoint = tmp("graft-tws-ck")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val checksumKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prev = spark.conf.getOption(providerKey)
+    val prevChecksum = spark.conf.getOption(checksumKey)
+    // transformWithState requires the RocksDB state store; 4.1's
+    // checkpoint-file checksum writer deadlocks the RocksDB snapshot
+    // upload in local mode (awaitResult with no timeout inside
+    // ChecksumCancellableFSDataOutputStream.close) — disable it
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(checksumKey, "false")
+    try {
+      // A processing-time-TTL'd transformWithState operator schedules
+      // maintenance batches indefinitely — AvailableNow never
+      // self-terminates and processAllAvailable never returns
+      // (measured: 1700+ empty micro-batches). So: TimeMode.None
+      // (ttl=null) drains normally; the TTL leg polls for its
+      // expected rows, then stops the query (the production shape is
+      // a continuously-running query).
+      // separate checkpoints per time mode: Spark pins the operator's
+      // TimeMode in the state metadata, so None vs ProcessingTime
+      // cannot share one
+      val checkpointTtl = tmp("graft-tws-ck-ttl")
+      def runOnce(ttl: java.time.Duration, expected: Int): Seq[String] = {
+        StreamingSpec.collectedTtl.clear()
+        val stream = spark.readStream.schema(schema).json(s"$dir/f*")
+          .as[EventStreams.TimedKeyed]
+        val writer = EventStreams.statefulDedupTws(stream, ttl).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", if (ttl == null) checkpoint else checkpointTtl)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.as[EventStreams.TimedKeyed].collect()
+              .foreach(StreamingSpec.collectedTtl.add)
+          }
+        if (ttl == null) {
+          val q = writer
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } else {
+          val q = writer.start()
+          val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+          while (StreamingSpec.collectedTtl.size < expected && System.nanoTime() < deadline)
+            Thread.sleep(100)
+          Thread.sleep(1500) // one extra beat: in-flight dups must NOT emit
+          q.stop(); q.awaitTermination()
+        }
+        import scala.jdk.CollectionConverters._
+        StreamingSpec.collectedTtl.asScala.toSeq.map(_.id)
+      }
+      // batch 1 (no TTL): a, b + in-batch replay of a → emits a, b
+      Seq(("k", "a", t("2024-01-01 10:00:00")), ("k", "b", t("2024-01-01 10:00:00")),
+          ("k", "a", t("2024-01-01 10:00:10")))
+        .toDF("key", "id", "ts").write.mode("overwrite").json(s"$dir/f1")
+      assert(runOnce(null, 2).sorted == Seq("a", "b"))
+      // batch 2 (no TTL): replayed a deduped by the surviving
+      // ListState, new c emits — cross-batch state via checkpoint
+      Seq(("k", "a", t("2024-01-01 10:00:30")), ("k", "c", t("2024-01-01 10:00:30")))
+        .toDF("key", "id", "ts").write.mode("overwrite").json(s"$dir/f2")
+      assert(runOnce(null, 1) == Seq("c"))
+      // TTL leg (fresh checkpoint → reprocesses f1+f2 with fresh
+      // state): a,b,c emit once each under a 2 s TTL
+      assert(runOnce(java.time.Duration.ofSeconds(2), 3).sorted == Seq("a", "b", "c"))
+      Thread.sleep(2500) // past the TTL: the store expires the set itself
+      // replayed a AFTER its window re-emits on expired state — the
+      // same at-least-once trade as the EventTimeTimeout variant,
+      // with zero hand-rolled timeout arithmetic
+      Seq(("k", "a", t("2024-01-01 10:02:00")))
+        .toDF("key", "id", "ts").write.mode("overwrite").json(s"$dir/f3")
+      assert(runOnce(java.time.Duration.ofSeconds(2), 1) == Seq("a"))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None    => spark.conf.unset(providerKey)
+      }
+      prevChecksum match {
+        case Some(p) => spark.conf.set(checksumKey, p)
+        case None    => spark.conf.unset(checksumKey)
+      }
+    }
+  }
+
   test("ST2 statefulDedup emits each (key,id) once across micro-batches") {
     val dir = tmp("graft-dedup-in")
     // batch 1: ids a,b for key k1
