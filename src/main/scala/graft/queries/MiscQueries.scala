@@ -409,6 +409,31 @@ object MiscQueries {
         .orderBy("event_type")
     },
 
+    // ---------------------------------------------------------------- q91
+    // SCD2 validity intervals: each customer's order history becomes
+    // type-2 dimension rows with [eff_from, eff_to) built by lead()
+    // over (custkey, date, key) — the standard warehouse history
+    // build. Window partitions by customer (bounded per-key rows);
+    // the open interval is pinned to a sentinel date and flagged.
+    Q("q91_scd2_intervals",
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS eff_from,
+        |  coalesce(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d'), '9999-12-31') AS eff_to,
+        |  lead(o_orderdate) OVER w IS NULL AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val next = lead(col("o_orderdate"), 1).over(w)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("eff_from"),
+          coalesce(date_format(next, "yyyy-MM-dd"), lit("9999-12-31")).as("eff_to"),
+          next.isNull.as("is_current"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // ---------------------------------------------------------------- q77
     // Ordered aggregation: top-5 users per event type as a
     // comma-joined ranked list. collect_list's order is partition-
