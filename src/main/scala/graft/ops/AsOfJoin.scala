@@ -26,29 +26,56 @@ object AsOfJoin {
 
   def leftAsOf(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
-               leftTime: String, rightTime: String): DataFrame = {
+               leftTime: String, rightTime: String): DataFrame =
+    asOf(left, right, leftKey, rightKey, leftTime, rightTime, forward = false)
+
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * rightTime >= leftTime in the same key — the "next event after"
+    * lookup a labeling pipeline runs (e.g. next purchase after each
+    * view, churn horizon labels). Same single-shuffle union+window
+    * shape as leftAsOf, mirrored: frame [current row, ∞) takes
+    * first(right payload); right rows sort AFTER left rows at equal
+    * timestamps, so the match is inclusive. */
+  def leftAsOfForward(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTime: String, rightTime: String): DataFrame =
+    asOf(left, right, leftKey, rightKey, leftTime, rightTime, forward = true)
+
+  private def asOf(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTime: String, rightTime: String,
+                   forward: Boolean): DataFrame = {
+    // tag order decides equal-timestamp inclusivity: backward wants
+    // right rows BEFORE left rows at equal _t (rightTime <= leftTime
+    // inclusive), forward wants them AFTER (rightTime >= leftTime)
+    val (leftTag, rightTag) = if (forward) (0, 1) else (1, 0)
     val rightPayloadCols = right.columns.filter(c => c != rightKey && c != rightTime)
     val l = left
       .withColumn("_k", col(leftKey)).withColumn("_t", col(leftTime))
-      .withColumn("_tag", lit(1))
+      .withColumn("_tag", lit(leftTag))
       .withColumn("_rpay", lit(null).cast(
         org.apache.spark.sql.types.StructType(
           right.selectExpr(rightPayloadCols :+ rightTime: _*).schema.fields)))
     val r = right
       .withColumn("_k", col(rightKey)).withColumn("_t", col(rightTime))
-      .withColumn("_tag", lit(0))
+      .withColumn("_tag", lit(rightTag))
       .withColumn("_rpay", struct((rightPayloadCols :+ rightTime).map(col): _*))
       .select((left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
                Seq(col("_k"), col("_t"), col("_tag"), col("_rpay"))): _*)
     val combined = l.select((left.columns.map(col) ++
       Seq(col("_k"), col("_t"), col("_tag"), col("_rpay"))): _*)
       .unionByName(r)
-    val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t"), col("_tag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_tag"))
+    val (frame, pick) =
+      if (forward)
+        (w.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("_rpay"), ignoreNulls = true))
+      else
+        (w.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("_rpay"), ignoreNulls = true))
     combined
-      .withColumn("_match", last(col("_rpay"), ignoreNulls = true).over(w))
-      .filter(col("_tag") === 1)
+      .withColumn("_match", pick.over(frame))
+      .filter(col("_tag") === lit(leftTag))
       .select(left.columns.map(col) :+ col("_match"): _*)
   }
 }

@@ -95,6 +95,42 @@ object ExtQueries {
         .orderBy("event_id")
     },
 
+    // ---------------------------------------------------------------- q92
+    // FORWARD as-of join: each event labeled with the user's NEXT
+    // order at-or-after the event time — the label-generation lookup
+    // of a training pipeline (next-conversion-after-view). DuckDB has
+    // no forward ASOF, so the oracle is the explicit min-future-time
+    // formulation; the Spark side is the same single-shuffle
+    // union+window as q41, mirrored.
+    Q("q92_asof_forward",
+      """WITH ro AS (SELECT o_custkey AS k, o_orderdate AS t,
+        |                   max(o_orderkey) AS next_orderkey
+        |            FROM orders GROUP BY 1, 2),
+        |nx AS (SELECT e.event_id, min(ro.t) AS nt
+        |       FROM events e LEFT JOIN ro
+        |         ON ro.k = e.user_id AND ro.t >= CAST(e.ts AS TIMESTAMP)
+        |       GROUP BY e.event_id)
+        |SELECT e.event_id, e.user_id, epoch_us(ts) AS ts_us,
+        |  strftime(nx.nt, '%Y-%m-%d') AS next_order_date,
+        |  r2.next_orderkey
+        |FROM events e JOIN nx ON e.event_id = nx.event_id
+        |LEFT JOIN ro r2 ON r2.k = e.user_id AND r2.t = nx.nt
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val ro = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("next_orderkey"))
+        .select(col("o_custkey").as("k"), col("o_orderdate").as("t"), col("next_orderkey"))
+      AsOfJoin.leftAsOfForward(
+          Tables.events(s, d).select("event_id", "user_id", "ts"),
+          ro, leftKey = "user_id", rightKey = "k", leftTime = "ts", rightTime = "t")
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          date_format(col("_match.t"), "yyyy-MM-dd").as("next_order_date"),
+          col("_match.next_orderkey").as("next_orderkey"))
+        .orderBy("event_id")
+    },
+
     // ---------------------------------------------------------------- q61
     // Range join via binning: every event falling inside each user's
     // first-hour activity window, counted per window. Spark would plan
