@@ -409,6 +409,33 @@ object MiscQueries {
         .orderBy("event_type")
     },
 
+    // ---------------------------------------------------------------- q93
+    // Incremental aggregate maintenance: the stored rollup (events
+    // before the cutoff) merges with the delta batch's rollup (events
+    // at/after it) by RE-AGGREGATING partial states — count and
+    // decimal sum are mergeable, so merged == full recompute exactly
+    // (the oracle computes the full rollup; the Spark side never
+    // touches the pre-cutoff rows and the post-cutoff rows in one
+    // aggregation). This is the property that makes nightly
+    // incremental pipelines exact at 100 TB: decimal partial sums
+    // re-aggregate associatively, doubles would not.
+    Q("q93_incremental_rollup",
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |  ${dsum("value")} AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val cutoff = "2024-01-15" // events span 2024-01: ~half per side
+      val ev = Tables.events(s, d)
+      def rollup(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(Exact.dec(col("value"))).as("s"))
+      val stored = rollup(ev.filter(col("ts") < lit(cutoff).cast("timestamp")))
+      val delta = rollup(ev.filter(col("ts") >= lit(cutoff).cast("timestamp")))
+      stored.unionByName(delta)
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("s")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    },
+
     // ---------------------------------------------------------------- q91
     // SCD2 validity intervals: each customer's order history becomes
     // type-2 dimension rows with [eff_from, eff_to) built by lead()
