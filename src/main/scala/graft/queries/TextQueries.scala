@@ -226,6 +226,78 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- q94
+    // The training-corpus pipeline END-TO-END as one composed query:
+    // quality-filter (q26) → exact-dedup keepers (q28) → drop the
+    // held-out benchmark slice and anything sharing a 4-gram with it
+    // (q68) → deterministic stratified split (q86). Every stage is an
+    // operator verified on its own elsewhere; this query verifies the
+    // COMPOSITION — what a user of the engine actually runs nightly.
+    // Plan shape: quality and fingerprints are map-side, keepers one
+    // groupBy, decontamination a broadcast semi-join, split map-only.
+    Q("q94_corpus_pipeline", {
+      val ratio = (p: String) =>
+        s"CAST(${charCountSql(p)} AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)"
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS DOUBLE) AS nc,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+         |    CAST(${charCountSql("[0-9]")} AS DOUBLE) AS dg,
+         |    CAST(${hitsSql(EN_MARKERS)} AS DOUBLE) AS st
+         |  FROM documents),
+         |q AS (SELECT doc_id,
+         |  round(0.3 * least(1.0, nt / 100.0)
+         |      + 0.2 * (1.0 - dg / greatest(nc, 1.0))
+         |      + 0.3 * least(1.0, st / greatest(nt, 1.0) * 5.0)
+         |      + 0.2 * least(1.0, nc / greatest(nt, 1.0) / 8.0), 6) AS quality
+         |  FROM f),
+         |fp AS (SELECT doc_id,
+         |    sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |idx AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 3, 0))) AS i FROM w),
+         |sh4 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS s FROM idx),
+         |bench AS (SELECT DISTINCT s FROM sh4 WHERE doc_id % 50 = 0),
+         |contam AS (SELECT DISTINCT c.doc_id
+         |           FROM (SELECT * FROM sh4 WHERE doc_id % 50 <> 0) c JOIN bench USING (s)),
+         |b AS (SELECT doc_id,
+         |    (CAST(strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 16
+         |     + CAST(strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT)) % 100 AS bucket
+         |  FROM documents)
+         |SELECT q.doc_id, q.quality,
+         |  CASE WHEN b.bucket < 80 THEN 'train'
+         |       WHEN b.bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM q
+         |JOIN keep USING (doc_id)
+         |JOIN b USING (doc_id)
+         |LEFT JOIN contam USING (doc_id)
+         |WHERE q.quality >= 0.5 AND contam.doc_id IS NULL AND q.doc_id % 50 <> 0
+         |ORDER BY q.doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val quality = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val keepers = graft.analytics.DedupOps.exactGroups(docs)
+        .select(col("keep_id").as("doc_id"))
+      val sh4 = shingleSet(docs, 4)
+      val bench = sh4.filter(col("doc_id") % 50 === 0).select(col("s")).distinct()
+      val contaminated = sh4.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench), Seq("s"))
+        .select(col("doc_id")).distinct()
+      val bucket = conv(substring(sha2(col("doc_id").cast("string"), 256), 1, 2), 16, 10)
+        .cast("long") % 100
+      quality.filter(col("quality") >= 0.5)
+        .join(keepers, Seq("doc_id"))
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), col("quality"),
+          when(bucket < 80, lit("train"))
+            .when(bucket < 90, lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- q83
     // PII redaction: emails and phone numbers scrubbed map-side with
     // codegen'd regexp_replace, plus per-document match counts (the
