@@ -226,6 +226,30 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- q95
+    // Token-weighted systematic sampling: a document is selected iff
+    // its token interval [cum-n, cum) contains a multiple of the
+    // step — selection probability proportional to document length
+    // with ZERO randomness (deterministic under re-runs/re-shards,
+    // and transcendental-free unlike exponential/A-Res weighted
+    // reservoirs, so it oracle-verifies exactly). Same two-pass
+    // distributed cumsum as q60; the window spelling below is only
+    // the oracle.
+    Q("q95_weighted_sample",
+      """SELECT doc_id, n_tokens FROM (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents))
+        |WHERE cum // 1000 > (cum - n_tokens) // 1000
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.ops.PrefixSum.withRunningSum(base, "doc_id", "n_tokens", "cum")
+        .filter(floor(col("cum") / 1000) > floor((col("cum") - col("n_tokens")) / 1000))
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- q94
     // The training-corpus pipeline END-TO-END as one composed query:
     // quality-filter (q26) → exact-dedup keepers (q28) → drop the
