@@ -271,8 +271,75 @@ object DedupOps {
       labels = updated.select(col("node"), col("next").as("label"))
       i += 1
     }
+    // A silent cap would return WRONG labels for any component whose
+    // diameter exceeds maxIter — fail loudly; long-diameter graphs
+    // should use componentsLargeSmallStar (O(log n) rounds) instead.
+    require(changed == 0,
+      s"nearDupComponents did not converge in $maxIter rounds " +
+        "(component diameter too large) — use componentsLargeSmallStar")
     labels.select(col("node").as("doc_id"), col("label").as("component"),
       (col("node") === col("label")).as("is_keeper"))
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — converges in O(log n) rounds regardless of
+    * component DIAMETER, where min-label propagation needs
+    * diameter-many rounds. The scale path for chain-shaped duplicate
+    * graphs (paraphrase chains, boilerplate drift): a 300-hop path
+    * converges in ~10 rounds here vs 300 for label propagation.
+    *
+    *  - large-star: every node connects its LARGER neighbors to its
+    *    minimum neighborhood member;
+    *  - small-star: every node connects its smaller-or-equal
+    *    neighbors (and itself) to that minimum.
+    * Each round is a groupBy-min plus an equi-join, lineage truncated
+    * per round; the edge set only contracts. Output contract matches
+    * nearDupComponents: (doc_id, component = min id of the group,
+    * is_keeper). */
+  def componentsLargeSmallStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+    var edges = canon(pairs.select(col("d1").as("u"), col("d2").as("v")))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      // large-star over both edge directions
+      val b = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val mL = b.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val afterLarge = canon(
+        b.join(mL, Seq("u")).filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v")))
+      // small-star over (max -> min) oriented edges
+      val s = afterLarge // already canonical: u > v
+      val mS = s.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val afterSmall = canon(
+        s.join(mS, Seq("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionByName(mS.select(col("u"), col("m").as("v"))))
+        .localCheckpoint(true)
+      // symmetric difference: one-way except would miss rounds that
+      // only SHRINK the edge set and stop before the fixpoint
+      changed = afterSmall.exceptAll(edges).count() +
+        edges.exceptAll(afterSmall).count()
+      edges = afterSmall
+      i += 1
+    }
+    require(changed == 0,
+      s"componentsLargeSmallStar did not converge in $maxIter rounds")
+    // converged edge set is a star forest: (node, root)
+    val roots = edges.select(col("v")).distinct()
+      .join(edges.select(col("u").as("v")), Seq("v"), "left_anti")
+      .select(col("v").as("node"), col("v").as("label"))
+    edges.select(col("u").as("node"), col("v").as("label"))
+      .unionByName(roots)
+      .distinct()
+      .select(col("node").as("doc_id"), col("label").as("component"),
+        (col("node") === col("label")).as("is_keeper"))
   }
 
   /** 32 bits / 4 bands of 8: 256 buckets per band keeps the banded

@@ -72,6 +72,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(recall > 2.0 / 16.0, s"recall=$recall")
   }
 
+  test("large-star/small-star components: parity with min-label, O(log n) on chains") {
+    import spark.implicits._
+    // a 300-hop path: min-label propagation needs 300 rounds (its
+    // default cap now THROWS instead of silently mislabeling);
+    // large-star/small-star converges in O(log n)
+    val path = (0L until 300L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val ls = DedupOps.componentsLargeSmallStar(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ls.size == 301 && ls.values.forall(_ == 0L))
+    intercept[IllegalArgumentException] {
+      DedupOps.nearDupComponents(path).collect() // diameter > default cap
+    }
+    // random clustered graphs: parity with min-label (given rounds)
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 120).map { _ =>
+      val c = rnd.nextInt(6) * 1000L
+      (c + rnd.nextInt(20), c + rnd.nextInt(20))
+    }.filter(e => e._1 != e._2).toDF("d1", "d2")
+    val want = DedupOps.nearDupComponents(edges, maxIter = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = DedupOps.componentsLargeSmallStar(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
   test("prefix-filtered Jaccard (AllPairs) equals the naive inverted index") {
     val sh = TextAnalysis.shingleSet(Tables.documents(spark, sf("sf0.001")), 3)
     for (t <- Seq(0.4, 0.6, 0.8)) {
