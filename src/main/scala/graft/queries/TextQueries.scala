@@ -226,6 +226,32 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- q96
+    // Context-window chunking: each document split into 32-token
+    // windows at stride 16 (50% overlap) — the long-document splitter
+    // feeding a fixed-context trainer. Entirely map-side: sequence +
+    // explode + slice evaluate inside the scan projection, no shuffle
+    // until the final oracle ORDER BY; ragged tails keep their
+    // partial window (both engines' slices clip at the end).
+    Q("q96_text_chunking",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |SELECT doc_id,
+        |  CAST((i - 1) // 16 AS BIGINT) AS chunk_idx,
+        |  array_to_string(ws[i:i+31], ' ') AS chunk,
+        |  CAST(len(ws[i:i+31]) AS BIGINT) AS n_tokens
+        |FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws), 16)) AS i FROM w)
+        |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(1), size(col("ws")), lit(16))).as("i"))
+        .select(col("doc_id"),
+          ((col("i") - 1) / 16).cast("long").as("chunk_idx"),
+          array_join(slice(col("ws"), col("i"), lit(32)), " ").as("chunk"),
+          size(slice(col("ws"), col("i"), lit(32))).cast("long").as("n_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // ---------------------------------------------------------------- q95
     // Token-weighted systematic sampling: a document is selected iff
     // its token interval [cum-n, cum) contains a multiple of the
