@@ -38,13 +38,22 @@ object DistributedSelect {
                   tieCol: String, nBins: Int = 1024): DataFrame = {
     val base = df.select(col(groupCol).as("g"),
       col(valueCol).cast("double").as("v"), col(tieCol).as("t"))
+    // NaN-safe: range stats exclude NaN (a NaN hi would poison every
+    // row's bin arithmetic and the ANSI cast of floor(NaN) throws);
+    // NaN rows route to the LAST bin explicitly, consistent with
+    // Spark's sort order ranking NaN greatest — so within-bin (v, t)
+    // ranking still agrees with the global window order.
     val stats = base.groupBy(col("g"))
-      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"), count(lit(1)).as("n"))
+      .agg(min(when(!isnan(col("v")), col("v"))).as("lo"),
+        max(when(!isnan(col("v")), col("v"))).as("hi"),
+        count(lit(1)).as("n"))
     val binned = base.join(broadcast(stats), Seq("g"))
       .withColumn("bin",
-        when(col("hi") === col("lo"), lit(0)).otherwise(
-          least(floor((col("v") - col("lo")) / (col("hi") - col("lo")) * nBins),
-            lit(nBins - 1))).cast("int"))
+        when(isnan(col("v")), lit(nBins - 1))
+          .when(col("hi").isNull || col("hi") === col("lo"), lit(0))
+          .otherwise(
+            least(floor((col("v") - col("lo")) / (col("hi") - col("lo")) * nBins),
+              lit(nBins - 1))).cast("int"))
     val wBin = Window.partitionBy(col("g")).orderBy(col("bin"))
     val target = binned.groupBy(col("g"), col("bin")).agg(count(lit(1)).as("bc"))
       .withColumn("cum", sum(col("bc")).over(wBin))

@@ -31,6 +31,20 @@ class DistributedSelectSpec extends SparkSpec {
     }
   }
 
+  test("NaN values rank greatest, matching the window sort") {
+    val rows =
+      (1 to 9).map(i => ("mixed", if (i <= 6) i.toDouble else Double.NaN, i.toLong)) ++
+        (1 to 3).map(i => ("allnan", Double.NaN, i.toLong))
+    val df = rows.toDF("g", "v", "t").repartition(3)
+    val want = windowMedian(df).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = DistributedSelect.groupMedian(df, "g", "v", "t", 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // mixed: rank 5 of 9 under NaN-greatest order → 5.0; allnan → NaN
+    assert(got("mixed") == want("mixed") && got("mixed") == 5.0)
+    assert(got("allnan").isNaN && want("allnan").isNaN)
+  }
+
   test("degenerate shapes: all-equal group, single row, duplicate-heavy") {
     val rows =
       Seq.fill(100)(("same", 42.0)).zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) } ++
