@@ -46,6 +46,11 @@ object ImageCodec {
     var i = 2
     while (i + 3 < b.length) {
       if ((b(i) & 0xff) != 0xff) return None
+      // the spec allows any number of 0xff FILL bytes before a marker
+      // id — skip them, or a padded file reads a fill byte as the
+      // marker and then a bogus segment length
+      while (i + 1 < b.length && (b(i + 1) & 0xff) == 0xff) i += 1
+      if (i + 3 >= b.length) return None
       val marker = b(i + 1) & 0xff
       if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) i += 2 // standalone
       else {

@@ -38,18 +38,25 @@ object DistributedSelect {
                   tieCol: String, nBins: Int = 1024): DataFrame = {
     val base = df.select(col(groupCol).as("g"),
       col(valueCol).cast("double").as("v"), col(tieCol).as("t"))
-    // NaN-safe: range stats exclude NaN (a NaN hi would poison every
-    // row's bin arithmetic and the ANSI cast of floor(NaN) throws);
-    // NaN rows route to the LAST bin explicitly, consistent with
-    // Spark's sort order ranking NaN greatest — so within-bin (v, t)
+    // Non-finite-safe: range stats cover FINITE values only (a NaN or
+    // ±Inf hi/lo would poison every row's bin arithmetic — Inf/Inf is
+    // NaN and the ANSI cast of floor(NaN) throws). Non-finite rows get
+    // explicit bins mirroring Spark's ascending sort order
+    //   null < -Inf < finite < +Inf < NaN
+    // (nulls first, NaN greatest): null → -2, -Inf → -1, finite →
+    // 0..nBins-1, +Inf → nBins, NaN → nBins+1 — so within-bin (v, t)
     // ranking still agrees with the global window order.
+    val finite = !isnan(col("v")) && abs(col("v")) =!= Double.PositiveInfinity
     val stats = base.groupBy(col("g"))
-      .agg(min(when(!isnan(col("v")), col("v"))).as("lo"),
-        max(when(!isnan(col("v")), col("v"))).as("hi"),
+      .agg(min(when(finite, col("v"))).as("lo"),
+        max(when(finite, col("v"))).as("hi"),
         count(lit(1)).as("n"))
     val binned = base.join(broadcast(stats), Seq("g"))
       .withColumn("bin",
-        when(isnan(col("v")), lit(nBins - 1))
+        when(col("v").isNull, lit(-2))
+          .when(col("v") === Double.NegativeInfinity, lit(-1))
+          .when(isnan(col("v")), lit(nBins + 1))
+          .when(col("v") === Double.PositiveInfinity, lit(nBins))
           .when(col("hi").isNull || col("hi") === col("lo"), lit(0))
           .otherwise(
             least(floor((col("v") - col("lo")) / (col("hi") - col("lo")) * nBins),

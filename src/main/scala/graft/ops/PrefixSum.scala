@@ -25,6 +25,15 @@ import org.apache.spark.sql.types.LongType
   * i+1 and rows are sorted within each partition, so the running sum
   * is the same as the single-partition window's for any partition
   * count (requires a total order — pass a unique `orderCol`).
+  *
+  * DETERMINISTIC-INPUT CONTRACT (same one `Dedup.bloomAntiJoinKeys`
+  * documents): pass-1 offsets are collected from one execution of the
+  * shuffle. If executor loss discards those shuffle files AND the
+  * upstream plan is non-deterministic (sample, shuffle-order-dependent
+  * row_number, rand), the pass-2 recompute can shuffle DIFFERENT rows
+  * into a partition than the ones its collected offset summed — a
+  * silently wrong cumsum. Feed deterministic input, or materialize
+  * first (`df.localCheckpoint()`) to pin the lineage.
   */
 object PrefixSum {
 

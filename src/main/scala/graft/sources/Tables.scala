@@ -43,13 +43,15 @@ object Tables {
     * too. Idempotent per (session, dir): repeated calls with the same
     * dir skip the 10 parquet-footer reads; a dir CHANGE re-registers
     * (views always reflect the last requested dir). Temp views are
-    * per-SparkSession, so the cache key is the session identity —
+    * per-SparkSession, so the cache key is the session OBJECT (a
+    * WeakHashMap: reference identity, no identityHashCode collisions,
+    * and entries evict when a session is GC'd instead of leaking) —
     * keying by applicationId would silently skip registration for a
     * second session (spark.newSession()) in the same application. */
-  private val lastRegistered =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val lastRegistered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
   def register(spark: SparkSession, dir: String): Unit = {
-    val prev = lastRegistered.put(System.identityHashCode(spark).toString, dir)
+    val prev = lastRegistered.put(spark, dir)
     if (prev != dir)
       all.foreach { n =>
         // events goes through the normalizing accessor so SQL-path

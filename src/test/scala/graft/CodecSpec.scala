@@ -26,6 +26,16 @@ class CodecSpec extends SparkSpec {
     assert(m.bitDepth == 8 && m.colorType == 3) // 8-bit, 3 components
   }
 
+  test("JPEG: 0xff fill bytes before a marker are skipped, not parsed") {
+    // The spec permits any number of 0xff fill bytes ahead of a marker
+    // id; inject some after SOI and before the next marker's 0xff.
+    val bytes = ImageCodec.encodeJpeg(24, 9, seed = 7L)
+    val fill = Array.fill(3)(0xff.toByte)
+    val padded = bytes.take(2) ++ fill ++ bytes.drop(2)
+    val m = ImageCodec.decodeJpeg(padded).get
+    assert(m.width == 24 && m.height == 9 && m.colorType == 3)
+  }
+
   test("decode() dispatches by signature and rejects non-images") {
     assert(ImageCodec.decode(ImageCodec.encodePng(2, 2, 1L)).get.format == "png")
     assert(ImageCodec.decode(ImageCodec.encodeJpeg(2, 2, 1L)).get.format == "jpeg")
