@@ -330,11 +330,18 @@ object MiscQueries {
     // runs on both engines (q64 pattern), floor-division spelled
     // portably. Each chain is ≤ 6 rows (digit count), so the
     // recursion's per-step frame shrinks geometrically — the shape
-    // recursive CTEs scale with.
+    // recursive CTEs scale with. The anchor aliases every column:
+    // `SELECT c_custkey, c_custkey, 0` would project ONE attribute
+    // twice, and when the loop materializes an iteration as a
+    // LogicalRDD the optimizer dedups the twin slots to a single
+    // exprId — tripping the logical-vs-optimized output check (WARN
+    // LogicalRDD) on every step. Distinct aliases keep the anchor's
+    // output attributes distinct through optimization.
     {
       val sql =
         """WITH RECURSIVE chain(custkey, anc, depth) AS (
-          |  SELECT c_custkey, c_custkey, 0 FROM customer
+          |  SELECT c_custkey AS custkey, c_custkey AS anc, 0 AS depth
+          |  FROM customer
           |  UNION ALL
           |  SELECT custkey, CAST(floor(anc / 10.0) AS BIGINT), depth + 1
           |  FROM chain WHERE anc > 0)

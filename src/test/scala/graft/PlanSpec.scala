@@ -101,6 +101,29 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q88: recursive-loop anchor projects distinct attributes") {
+    // The recursive anchor must project DISTINCT attributes: a bare
+    // `SELECT c_custkey, c_custkey, 0` collapses both slots to one
+    // exprId under optimization, and every UnionLoop iteration the
+    // engine materializes as a LogicalRDD then logs `WARN LogicalRDD:
+    // output columns are expected to the same...` — Spark telling us
+    // the loop plan's logical and optimized outputs don't line up.
+    // Assert the invariant LogicalRDD checks, at its root: every
+    // UnionLoop's anchor (and recursion step) output is duplicate-free
+    // after optimization.
+    import org.apache.spark.sql.catalyst.plans.logical.UnionLoop
+    val df = SparkEntry.queries("q88_sql_recursive_chain")(spark, sf("sf0.001"))
+    val loops = df.queryExecution.optimizedPlan.collect { case u: UnionLoop => u }
+    assert(loops.nonEmpty, "q88 must plan a recursive UnionLoop")
+    loops.foreach { u =>
+      for (side <- Seq(u.anchor, u.recursion)) {
+        val ids = side.output.map(_.exprId)
+        assert(ids.distinct.size == ids.size,
+          s"duplicate attributes in UnionLoop side: ${side.output.mkString(", ")}")
+      }
+    }
+  }
+
   test("engine-wide: no query plans a nested loop except documented baselines") {
     // queries whose nested loop is the point (bounded by construction):
     //  q34: k query rows broadcast vs candidate stream (exact top-k)
