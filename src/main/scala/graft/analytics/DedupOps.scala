@@ -35,8 +35,24 @@ object DedupOps {
   /** Pairwise Jaccard over docs sharing >= 1 shingle (inverted-index
     * candidate generation — the shuffle key is the shingle, so skew =
     * stop-shingles; for web-scale corpora drop ultra-frequent shingles
-    * first, same as stopword removal). */
-  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    * first, same as stopword removal).
+    *
+    * This is the EXACT BASELINE, guarded so it cannot silently be
+    * mistaken for the scale path: before building the plan it sums
+    * df² over the inverted index — exactly the candidate rows the
+    * self-join will generate — and refuses to run past
+    * `maxCandidatePairs`, naming the sub-quadratic spellings. The
+    * guard costs one aggregation job over the shingle frame (tiny
+    * next to the join it bounds). */
+  def jaccardPairs(sh: DataFrame, threshold: Double,
+                   maxCandidatePairs: Long = 200000000L): DataFrame = {
+    val fanout = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(col("df") * col("df")), lit(0L))).head.getLong(0)
+    require(fanout <= maxCandidatePairs,
+      s"jaccardPairs is the exact quadratic baseline: the inverted index fans " +
+        s"out to $fanout candidate rows (> $maxCandidatePairs). At this scale " +
+        "use minhashLshPairs (banded LSH), jaccardPairsCapped (df cap), or " +
+        "jaccardPairsPrefix (AllPairs prefix filter) instead.")
     val a = sh.select(col("doc_id").as("d1"), col("s"))
     val b = sh.select(col("doc_id").as("d2"), col("s"))
     val common = a.join(b, Seq("s")).filter(col("d1") < col("d2"))

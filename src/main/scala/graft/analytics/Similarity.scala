@@ -69,8 +69,19 @@ object Similarity {
     * map-side nested loop with the codegen'd VecDot inner loop. At
     * corpus sizes where n² streaming is no longer viable, the
     * candidate set comes from lshTopK/ivfTopK buckets instead — same
-    * verify step, sub-quadratic candidates. */
-  def cosineNearDupPairs(vecs: DataFrame, threshold: Double): DataFrame = {
+    * verify step, sub-quadratic candidates.
+    *
+    * Guarded as the deliberate O(n²) baseline: refuses more than
+    * `maxVectors` inputs (the broadcast side is the FULL vector set
+    * replicated per block — past this size the broadcast alone is the
+    * failure), naming the candidate-driven scale path. */
+  def cosineNearDupPairs(vecs: DataFrame, threshold: Double,
+                         maxVectors: Long = 100000L): DataFrame = {
+    val nVecs = vecs.count()
+    require(nVecs <= maxVectors,
+      s"cosineNearDupPairs is the exact O(n^2) baseline: $nVecs vectors " +
+        s"(> $maxVectors). At this scale generate candidate pairs from " +
+        "lshTopK/ivfTopK buckets and verify with the same cosine join.")
     // Block trick: an equi-join on a synthetic block key turns the
     // all-pairs nested loop into a codegen'd BroadcastHashJoin (a
     // BroadcastNestedLoopJoin evaluates row-at-a-time, ~4x slower

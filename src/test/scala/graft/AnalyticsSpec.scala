@@ -25,6 +25,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(highSim.subsetOf(lshSet), "LSH must catch all near-identical pairs")
   }
 
+  test("quadratic baselines refuse oversized inputs, naming the scale path") {
+    val docs = Seq((1L, "a b c d"), (2L, "b c d e")).toDF("doc_id", "text")
+    val sh = TextAnalysis.shingleSet(docs, 2)
+    val e1 = intercept[IllegalArgumentException] {
+      DedupOps.jaccardPairs(sh, 0.5, maxCandidatePairs = 1L)
+    }
+    assert(e1.getMessage.contains("minhashLshPairs"), e1.getMessage)
+    // under the cap: the same input must still build a plan
+    assert(DedupOps.jaccardPairs(sh, 0.0).count() >= 0)
+    val vecs = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(vecs, 0.5, maxVectors = 1L)
+    }
+    assert(e2.getMessage.contains("lshTopK"), e2.getMessage)
+    assert(Similarity.cosineNearDupPairs(vecs, -1.0).count() == 1)
+  }
+
   test("SimHash: identical docs collide; near-identical docs stay close") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
