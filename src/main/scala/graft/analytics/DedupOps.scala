@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
   import TextAnalysis._
+  import graft.ops.Guards.lazyGuard
 
   /** Exact dedup groups: fingerprint → (keeper id, group size). */
   def exactGroups(docs: DataFrame): DataFrame =
@@ -38,22 +39,28 @@ object DedupOps {
     * first, same as stopword removal).
     *
     * This is the EXACT BASELINE, guarded so it cannot silently be
-    * mistaken for the scale path: before building the plan it sums
-    * df² over the inverted index — exactly the candidate rows the
-    * self-join will generate — and refuses to run past
-    * `maxCandidatePairs`, naming the sub-quadratic spellings. The
-    * guard costs one aggregation job over the shingle frame (tiny
-    * next to the join it bounds). */
+    * mistaken for the scale path: it sums df² over the inverted
+    * index — exactly the candidate rows the self-join will generate —
+    * and refuses to run past `maxCandidatePairs`, naming the
+    * sub-quadratic spellings. The guard is LAZY — part of the plan,
+    * not an eager pre-job: the Σdf² aggregate is a 1-row broadcast
+    * whose join key expression `raise_error`s past the cap, hash-
+    * joined under the candidate join's build side. Broadcast exchanges
+    * execute before the stage that streams them, so the check fires
+    * before any candidate row materializes, and the caller sees ONE
+    * query execution instead of a guard job plus the query. */
   def jaccardPairs(sh: DataFrame, threshold: Double,
                    maxCandidatePairs: Long = 200000000L): DataFrame = {
-    val fanout = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .agg(coalesce(sum(col("df") * col("df")), lit(0L))).head.getLong(0)
-    require(fanout <= maxCandidatePairs,
-      s"jaccardPairs is the exact quadratic baseline: the inverted index fans " +
-        s"out to $fanout candidate rows (> $maxCandidatePairs). At this scale " +
-        "use minhashLshPairs (banded LSH), jaccardPairsCapped (df cap), or " +
+    val guard = lazyGuard(
+      sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .agg(coalesce(sum(col("df") * col("df")), lit(0L)).as("fanout")),
+      col("fanout"), maxCandidatePairs,
+      "jaccardPairs is the exact quadratic baseline: the inverted index fans out to ",
+      s" candidate rows (> $maxCandidatePairs). At this scale use " +
+        "minhashLshPairs (banded LSH), jaccardPairsCapped (df cap), or " +
         "jaccardPairsPrefix (AllPairs prefix filter) instead.")
-    val a = sh.select(col("doc_id").as("d1"), col("s"))
+    val a = sh.withColumn("_g", lit(1)).join(broadcast(guard), Seq("_g"))
+      .select(col("doc_id").as("d1"), col("s"))
     val b = sh.select(col("doc_id").as("d2"), col("s"))
     val common = a.join(b, Seq("s")).filter(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))

@@ -74,14 +74,19 @@ object Similarity {
     * Guarded as the deliberate O(n²) baseline: refuses more than
     * `maxVectors` inputs (the broadcast side is the FULL vector set
     * replicated per block — past this size the broadcast alone is the
-    * failure), naming the candidate-driven scale path. */
+    * failure), naming the candidate-driven scale path. The guard is
+    * LAZY (graft.ops.Guards): the count rides the plan as a 1-row
+    * broadcast under the block-replicated side, so the check fires
+    * while building that side's broadcast — before any pair row
+    * exists — and the input is scanned by one query execution, not a
+    * count() pre-job plus the query. */
   def cosineNearDupPairs(vecs: DataFrame, threshold: Double,
                          maxVectors: Long = 100000L): DataFrame = {
-    val nVecs = vecs.count()
-    require(nVecs <= maxVectors,
-      s"cosineNearDupPairs is the exact O(n^2) baseline: $nVecs vectors " +
-        s"(> $maxVectors). At this scale generate candidate pairs from " +
-        "lshTopK/ivfTopK buckets and verify with the same cosine join.")
+    val guard = graft.ops.Guards.lazyGuard(
+      vecs.agg(count(lit(1)).as("nv")), col("nv"), maxVectors,
+      "cosineNearDupPairs is the exact O(n^2) baseline: ",
+      s" vectors (> $maxVectors). At this scale generate candidate pairs " +
+        "from lshTopK/ivfTopK buckets and verify with the same cosine join.")
     // Block trick: an equi-join on a synthetic block key turns the
     // all-pairs nested loop into a codegen'd BroadcastHashJoin (a
     // BroadcastNestedLoopJoin evaluates row-at-a-time, ~4x slower
@@ -92,6 +97,7 @@ object Similarity {
       .withColumn("nrm", norm(col("embedding")))
     val a = n.select(col("vec_id").as("v1"), col("embedding").as("av"), col("nrm").as("an"))
       .withColumn("_blk", explode(array((0 until blocks).map(lit): _*)))
+      .withColumn("_g", lit(1)).join(broadcast(guard), Seq("_g")).drop("_g")
     val b = n.select(col("vec_id").as("v2"), col("embedding").as("bv"), col("nrm").as("bn"))
       .withColumn("_blk", pmod(col("v2"), lit(blocks)).cast("int"))
     b.join(broadcast(a), Seq("_blk"))

@@ -43,10 +43,15 @@ object GraftExtensions {
     })
 
   /** Register on an already-running session (function registry +
-    * experimental optimizer rules + planner strategies). */
+    * experimental optimizer rules + planner strategies). Idempotent:
+    * every piece is check-before-put, so a second install (Bench
+    * warmup + main pass, or a shared session extended twice) is a
+    * no-op — no `replaced a previously registered function` WARN in
+    * deployment logs. */
   def install(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
+    if (!spark.sessionState.functionRegistry.functionExists(FunctionIdentifier("vec_dot")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
     if (!spark.experimental.extraOptimizations.contains(RewriteVecDot))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteVecDot

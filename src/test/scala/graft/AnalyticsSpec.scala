@@ -25,21 +25,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(highSim.subsetOf(lshSet), "LSH must catch all near-identical pairs")
   }
 
+  // The guard is lazy (part of the plan, graft.ops.Guards): building
+  // the frame always succeeds; RUNNING an oversized one raises from
+  // inside Spark execution, so the message is somewhere in the wrapped
+  // cause chain, not necessarily on the outermost exception.
+  private def messageChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
   test("quadratic baselines refuse oversized inputs, naming the scale path") {
     val docs = Seq((1L, "a b c d"), (2L, "b c d e")).toDF("doc_id", "text")
     val sh = TextAnalysis.shingleSet(docs, 2)
-    val e1 = intercept[IllegalArgumentException] {
-      DedupOps.jaccardPairs(sh, 0.5, maxCandidatePairs = 1L)
-    }
-    assert(e1.getMessage.contains("minhashLshPairs"), e1.getMessage)
-    // under the cap: the same input must still build a plan
+    val oversized = DedupOps.jaccardPairs(sh, 0.5, maxCandidatePairs = 1L)
+    val e1 = intercept[Exception] { oversized.collect() }
+    assert(messageChain(e1).contains("minhashLshPairs"), messageChain(e1))
+    // under the cap: the same input must still run
     assert(DedupOps.jaccardPairs(sh, 0.0).count() >= 0)
     val vecs = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
-    val e2 = intercept[IllegalArgumentException] {
-      Similarity.cosineNearDupPairs(vecs, 0.5, maxVectors = 1L)
-    }
-    assert(e2.getMessage.contains("lshTopK"), e2.getMessage)
+    val oversizedV = Similarity.cosineNearDupPairs(vecs, 0.5, maxVectors = 1L)
+    val e2 = intercept[Exception] { oversizedV.collect() }
+    assert(messageChain(e2).contains("lshTopK"), messageChain(e2))
     assert(Similarity.cosineNearDupPairs(vecs, -1.0).count() == 1)
   }
 

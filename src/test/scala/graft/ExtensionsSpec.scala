@@ -33,6 +33,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(hof.except(nat).count() == 0 && nat.except(hof).count() == 0)
   }
 
+  test("double install is a no-op (no duplicate registration)") {
+    installed
+    val rulesBefore = spark.experimental.extraOptimizations
+    val stratsBefore = spark.experimental.extraStrategies
+    GraftExtensions.install(spark)
+    assert(spark.experimental.extraOptimizations == rulesBefore)
+    assert(spark.experimental.extraStrategies == stratsBefore)
+    // function still resolves, registered exactly once
+    assert(spark.sessionState.functionRegistry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")))
+  }
+
   test("rewrite does not fire on non-dot folds") {
     installed
     val e = Tables.embeddings(spark, sf("sf0.001"))
