@@ -59,7 +59,7 @@ object DedupOps {
       s" candidate rows (> $maxCandidatePairs). At this scale use " +
         "minhashLshPairs (banded LSH), jaccardPairsCapped (df cap), or " +
         "jaccardPairsPrefix (AllPairs prefix filter) instead.")
-    val a = sh.withColumn("_g", lit(1)).join(broadcast(guard), Seq("_g"))
+    val a = graft.ops.Guards.gate(sh, col("doc_id"), guard)
       .select(col("doc_id").as("d1"), col("s"))
     val b = sh.select(col("doc_id").as("d2"), col("s"))
     val common = a.join(b, Seq("s")).filter(col("d1") < col("d2"))
@@ -216,37 +216,36 @@ object DedupOps {
     }
   }
 
-  /** MinHash-LSH candidate pairs verified with exact Jaccard.
-    *
-    * The verify step computes Jaccard ONLY for LSH candidates — the
-    * candidate pair list drives the shingle joins, so verification
-    * cost is O(|candidates| · shingles-per-doc), independent of how
-    * many incidental co-shingle pairs exist in the corpus. This is
-    * what makes the LSH path the 100 TB plan: band-bucket join for
-    * candidates, then a narrow verify join. */
-  def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleSet(docs, 3)
-    // One self-join on exploded (band-index, band-value) rows instead
-    // of a per-band join union: band-equality within the same index IS
-    // the (k, bv) equi-join, so the signature subplan evaluates once
-    // and candidates come from a single shuffle stage.
-    val banded = withBands(minhashSignatures(sh))
-    val long = banded.select(col("doc_id"),
+  /** Banded signatures exploded to (doc_id, k, bv) rows — ONE row per
+    * (document, band). This is the PERSISTABLE STORE FORMAT for
+    * incremental re-dedup: band-equality within the same band index k
+    * is exactly the LSH candidate condition, so a nightly pipeline
+    * persists these rows (bucketed by (k, bv) at scale, so a delta
+    * probe co-locates without reshuffling the store) and
+    * `incrementalLshPairs` joins new documents against them. */
+  def bandRows(banded: DataFrame): DataFrame =
+    banded.select(col("doc_id"),
       explode(array((0 until MINHASH_BANDS).map(b =>
         struct(lit(b).as("k"), col(s"band$b").as("bv"))): _*)).as("kb"))
       .select(col("doc_id"), col("kb.k").as("k"), col("kb.bv").as("bv"))
-    val cands = long.select(col("k"), col("bv"), col("doc_id").as("d1"))
-      .join(long.select(col("k"), col("bv"), col("doc_id").as("d2")), Seq("k", "bv"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
+
+  /** The full store build for a document batch: shingle → signature →
+    * band rows. What a nightly pipeline persists per ingested batch. */
+  def minhashBandStore(docs: DataFrame): DataFrame =
+    bandRows(withBands(minhashSignatures(shingleSet(docs, 3))))
+
+  /** Exact-Jaccard verification of a candidate pair list: the
+    * candidates DRIVE the shingle joins, so cost is
+    * O(|candidates| · shingles-per-doc) regardless of how many
+    * incidental co-shingle pairs exist in the corpus. `sh` must cover
+    * every doc id appearing in `cands`; `sz` carries each doc's
+    * distinct-shingle count. */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame, sz: DataFrame,
+                            threshold: Double): DataFrame = {
     val common = cands
       .join(sh.select(col("doc_id").as("d1"), col("s")), Seq("d1"))
       .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
-    // per-doc distinct-shingle counts, map-side (array_distinct on the
-    // row's own shingle array — no explode, no groupBy)
-    val sz = docs.select(col("doc_id"),
-      size(array_distinct(shingles(tokens(col("text")), 3))).cast("long").as("n"))
     common
       .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
       .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
@@ -254,6 +253,78 @@ object DedupOps {
         graft.ops.Exact.duckRound(col("c").cast("double") / (col("n1") + col("n2") - col("c")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** Per-doc distinct-shingle counts, map-side (array_distinct on the
+    * row's own shingle array — no explode, no groupBy). */
+  private def shingleCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(array_distinct(shingles(tokens(col("text")), 3))).cast("long").as("n"))
+
+  /** MinHash-LSH candidate pairs verified with exact Jaccard.
+    *
+    * The verify step computes Jaccard ONLY for LSH candidates — see
+    * verifyJaccard. This is what makes the LSH path the 100 TB plan:
+    * band-bucket join for candidates, then a narrow verify join. */
+  def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingleSet(docs, 3)
+    // One self-join on exploded (band-index, band-value) rows instead
+    // of a per-band join union: band-equality within the same index IS
+    // the (k, bv) equi-join, so the signature subplan evaluates once
+    // and candidates come from a single shuffle stage.
+    val long = bandRows(withBands(minhashSignatures(sh)))
+    val cands = long.select(col("k"), col("bv"), col("doc_id").as("d1"))
+      .join(long.select(col("k"), col("bv"), col("doc_id").as("d2")), Seq("k", "bv"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    verifyJaccard(cands, sh, shingleCounts(docs), threshold)
+  }
+
+  /** O(delta) incremental re-dedup: near-dup pairs INVOLVING at least
+    * one document of `delta`, found by probing the persisted band
+    * store of the already-ingested corpus with only the delta's band
+    * rows.
+    *
+    * Nightly contract (the engine analog of an incremental crawler's
+    * stop-on-seen): after ingesting batch Δ into a corpus C whose
+    * pairs P(C) and band store S(C) are already persisted,
+    *   P(C ∪ Δ) = P(C) ∪ incrementalLshPairs(S(C), C, Δ)
+    * EXACTLY — a MinHash signature depends only on the document's own
+    * shingles, so old-old pairs cannot change when documents arrive,
+    * and every new pair touches Δ. The new store is
+    * S(C) ∪ minhashBandStore(Δ). Re-dedup cost per night is
+    * O(|Δ| + |candidates|), never O(|C|): the candidate join's probe
+    * side is the delta's band rows (broadcast-sized for a typical
+    * nightly batch; at 100 TB persist the store bucketed by (k, bv)
+    * so the probe shuffles only the delta), and the verify step
+    * re-shingles ONLY candidate documents — the corpus frame is
+    * touched by one semi-join on the candidate id list.
+    *
+    * AnalyticsSpec proves stored ∪ incremental ≡ full recompute across
+    * two successive deltas; q97 gate-verifies the same identity
+    * against the DuckDB full-corpus oracle. */
+  def incrementalLshPairs(bandStore: DataFrame, corpus: DataFrame,
+                          delta: DataFrame, threshold: Double): DataFrame = {
+    val shDelta = shingleSet(delta, 3)
+    val deltaBands = bandRows(withBands(minhashSignatures(shDelta)))
+    // Probe old + new bands with the delta side only; least/greatest
+    // canonicalizes because old and new ids interleave (an anti-join
+    // on d1 < d2 would drop old<delta pairs seen from the delta side).
+    val full = bandStore.unionByName(deltaBands)
+    val cands = deltaBands.select(col("k"), col("bv"), col("doc_id").as("da"))
+      .join(full.select(col("k"), col("bv"), col("doc_id").as("db")), Seq("k", "bv"))
+      .filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"))
+      .distinct()
+    // Verify against shingles of CANDIDATE docs only: one narrow
+    // semi-join restricts the corpus scan to matched old documents.
+    val ids = cands.select(col("d1").as("doc_id"))
+      .unionByName(cands.select(col("d2").as("doc_id"))).distinct()
+    val docsNeeded = corpus.unionByName(delta)
+      .join(ids, Seq("doc_id"), "left_semi")
+    verifyJaccard(cands, shingleSet(docsNeeded, 3),
+      shingleCounts(docsNeeded), threshold)
   }
 
   /** Connected components over a near-dup pair list: every document

@@ -95,9 +95,10 @@ object Similarity {
     val blocks = 16
     val n = vecs.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm(col("embedding")))
-    val a = n.select(col("vec_id").as("v1"), col("embedding").as("av"), col("nrm").as("an"))
-      .withColumn("_blk", explode(array((0 until blocks).map(lit): _*)))
-      .withColumn("_g", lit(1)).join(broadcast(guard), Seq("_g")).drop("_g")
+    val a = graft.ops.Guards.gate(
+      n.select(col("vec_id").as("v1"), col("embedding").as("av"), col("nrm").as("an"))
+        .withColumn("_blk", explode(array((0 until blocks).map(lit): _*))),
+      col("v1"), guard)
     val b = n.select(col("vec_id").as("v2"), col("embedding").as("bv"), col("nrm").as("bn"))
       .withColumn("_blk", pmod(col("v2"), lit(blocks)).cast("int"))
     b.join(broadcast(a), Seq("_blk"))

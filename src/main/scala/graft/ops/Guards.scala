@@ -32,4 +32,14 @@ object Guards {
       when(measure > cap,
         raise_error(concat(lit(prefix), measure.cast("string"), lit(suffix))))
         .otherwise(lit(1)).cast("int").as("_g"))
+
+  /** Hash-join `guard` under `df` on a constant-1 key. The key is
+    * spelled non-foldably — pmod(id, 1) + 1, with `id` any non-null
+    * numeric column of `df` — because a literal key constant-folds
+    * OUT of the join condition and Catalyst then plans a
+    * BroadcastNestedLoopJoin (one row, harmless, but it breaks the
+    * engine-wide no-nested-loop invariant and the codegen span). */
+  def gate(df: DataFrame, id: Column, guard: DataFrame): DataFrame =
+    df.withColumn("_g", (pmod(id, lit(1L)) + lit(1L)).cast("int"))
+      .join(broadcast(guard), Seq("_g")).drop("_g")
 }

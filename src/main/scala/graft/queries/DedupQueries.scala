@@ -75,6 +75,24 @@ object DedupQueries {
        |sig AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS sig
        |        FROM hv GROUP BY doc_id)""".stripMargin
 
+  /** Full-corpus LSH pair SQL — q31's oracle, shared by q97 whose
+    * Spark side computes the same rows incrementally. */
+  private val lshPairsSql: String =
+    s"""$hashedShingles,
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM shh GROUP BY doc_id),
+       |band AS (SELECT doc_id,
+       |    $bandCols
+       |  FROM sig),
+       |cand AS (${(0 until MINHASH_BANDS).map(b =>
+           s"SELECT a.doc_id AS d1, b.doc_id AS d2 FROM band a JOIN band b ON a.band$b = b.band$b AND a.doc_id < b.doc_id")
+           .mkString("\n   UNION\n   ")}),
+       |${jaccardCtes(0.6)}
+       |SELECT p.d1, p.d2, p.jaccard FROM pairs p
+       |WHERE EXISTS (SELECT 1 FROM cand c WHERE c.d1 = p.d1 AND c.d2 = p.d2)
+       |ORDER BY p.d1, p.d2""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------- q29
@@ -124,22 +142,28 @@ object DedupQueries {
 
     // ---------------------------------------------------------------- q31
     // MinHash-LSH banding (4x4) → candidates → exact-Jaccard verify.
-    Q("q31_minhash_lsh_pairs",
-      s"""$hashedShingles,
-         |sig AS (SELECT doc_id,
-         |    $sigCols
-         |  FROM shh GROUP BY doc_id),
-         |band AS (SELECT doc_id,
-         |    $bandCols
-         |  FROM sig),
-         |cand AS (${(0 until MINHASH_BANDS).map(b =>
-             s"SELECT a.doc_id AS d1, b.doc_id AS d2 FROM band a JOIN band b ON a.band$b = b.band$b AND a.doc_id < b.doc_id")
-             .mkString("\n   UNION\n   ")}),
-         |${jaccardCtes(0.6)}
-         |SELECT p.d1, p.d2, p.jaccard FROM pairs p
-         |WHERE EXISTS (SELECT 1 FROM cand c WHERE c.d1 = p.d1 AND c.d2 = p.d2)
-         |ORDER BY p.d1, p.d2""".stripMargin) { (s, d) =>
+    Q("q31_minhash_lsh_pairs", lshPairsSql) { (s, d) =>
       DedupOps.minhashLshPairs(Tables.documents(s, d), 0.6).orderBy("d1", "d2")
+    },
+
+    // ---------------------------------------------------------------- q97
+    // Incremental MinHash re-dedup: the corpus is split 80/20 into an
+    // already-ingested batch and a nightly delta; the Spark side
+    // replays the nightly contract — persisted pairs ∪ pairs found by
+    // probing the persisted band store with ONLY the delta's band
+    // rows (O(delta) work; the corpus is touched by one candidate-id
+    // semi-join in the verify step). The oracle is the FULL-corpus
+    // LSH recompute (q31's SQL): incremental ≡ full is the property
+    // under test, hash-checked row for row.
+    Q("q97_incremental_dedup", lshPairsSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val ingested = docs.filter(col("doc_id") % 5 =!= 0)
+      val delta = docs.filter(col("doc_id") % 5 === 0)
+      val store = DedupOps.minhashBandStore(ingested)
+      val storedPairs = DedupOps.minhashLshPairs(ingested, 0.6)
+      storedPairs
+        .unionByName(DedupOps.incrementalLshPairs(store, ingested, delta, 0.6))
+        .orderBy("d1", "d2")
     },
 
     // ---------------------------------------------------------------- q58

@@ -49,6 +49,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(Similarity.cosineNearDupPairs(vecs, -1.0).count() == 1)
   }
 
+  test("incremental LSH dedup ≡ full recompute across two successive deltas") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val a = docs.filter($"doc_id" % 3 === 0)
+    val b = docs.filter($"doc_id" % 3 === 1)
+    val c = docs.filter($"doc_id" % 3 === 2)
+    // night 0: ingest a — full dedup, persist pairs + band store
+    val store0 = DedupOps.minhashBandStore(a)
+    val pairs0 = DedupOps.minhashLshPairs(a, 0.6)
+    // night 1: delta b probes store0; store grows by b's bands
+    val pairs1 = pairs0.unionByName(
+      DedupOps.incrementalLshPairs(store0, a, b, 0.6))
+    val store1 = store0.unionByName(DedupOps.minhashBandStore(b))
+    // night 2: delta c probes store1
+    val pairs2 = pairs1.unionByName(
+      DedupOps.incrementalLshPairs(store1, a.unionByName(b), c, 0.6))
+    val full = DedupOps.minhashLshPairs(docs, 0.6)
+    assert(pairs2.exceptAll(full).count() == 0 &&
+      full.exceptAll(pairs2).count() == 0,
+      "incremental pair set must equal the full recompute (values included)")
+    assert(pairs2.count() == full.count(), "no duplicate pair rows")
+  }
+
   test("SimHash: identical docs collide; near-identical docs stay close") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
