@@ -207,6 +207,101 @@ object SimilarityQueries {
         .orderBy("qid", "rnk")
     },
 
+    // ---------------------------------------------------------------- q98
+    // ANN recall audit: recall@k of the two approximate paths — LSH
+    // (q35's buckets) and trained IVF (q81's quantizer) — against the
+    // exact brute-force ranking (q34), as a user-runnable query: point
+    // it at your own corpus to decide whether the ANN knobs (planes,
+    // cells, probes) hold the recall you need before trading the full
+    // scan away. One pass: the exact top-k set is built once and
+    // semi-joins the union of both approximate sets (re-using it per
+    // method would re-evaluate the brute-force subplan per branch —
+    // the q31 multi-branch lesson); zero-hit queries are kept by a
+    // (method × qid) grid left join. All three top-k sets are the
+    // hash-verified q34/q35/q81 row sets, so recall here is exactly
+    // the number a user would compute from those queries.
+    Q("q98_ann_recall",
+      s"""WITH $planesSql,
+         |${normCtes.stripPrefix("WITH ")},
+         |xq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $N_QUERIES),
+         |xs AS (SELECT qid, n.vec_id AS nid,
+         |        round(list_dot_product(qv, v) / (qn * nrm), 6) AS sim
+         |      FROM xq, n WHERE n.vec_id <> qid),
+         |xr AS (SELECT qid, nid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM xs),
+         |xk AS (SELECT qid, nid FROM xr WHERE rnk <= $TOP_K),
+         |bk AS (SELECT vec_id,
+         |         CAST(sum((CASE WHEN list_dot_product(v, w) >= 0 THEN 1 ELSE 0 END) * (1 << p)) AS BIGINT) AS bucket
+         |       FROM n, planes GROUP BY vec_id),
+         |nb AS (SELECT n.vec_id, v, nrm, bucket FROM n JOIN bk ON n.vec_id = bk.vec_id),
+         |lq0 AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket FROM nb WHERE vec_id < $N_QUERIES),
+         |lqp AS (SELECT qid, qv, qn, xor(bucket, m) AS probe
+         |       FROM (SELECT *, unnest([${(0L +: (0 until N_PLANES).map(p => 1L << p)).mkString(", ")}]) AS m FROM lq0)),
+         |ls AS (SELECT qid, nb.vec_id AS nid,
+         |        round(list_dot_product(qv, v) / (qn * nrm), 6) AS sim
+         |      FROM lqp JOIN nb ON lqp.probe = nb.bucket WHERE nb.vec_id <> qid),
+         |lr AS (SELECT qid, nid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM ls),
+         |lk AS (SELECT qid, nid FROM lr WHERE rnk <= $TOP_K),
+         |cent0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT 16),
+         |asg0 AS (SELECT vec_id, cid, v FROM (
+         |    SELECT n.vec_id, cent0.cid, n.v,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
+         |    FROM n, cent0) WHERE rr = 1),
+         |dims AS (SELECT cid, i - 1 AS pos, v[i] AS x
+         |         FROM (SELECT cid, v, unnest(generate_series(1, len(v))) AS i FROM asg0)),
+         |cm AS (SELECT cid, pos,
+         |         CAST(sum(CAST(round(x, 6) AS DECIMAL(21,10))) AS DOUBLE) / count(*) AS m
+         |       FROM dims GROUP BY cid, pos),
+         |tc AS (SELECT cid, list(m ORDER BY pos) AS cv FROM cm GROUP BY cid),
+         |tcn AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM tc),
+         |asg AS (SELECT vec_id, cid, rr FROM (
+         |    SELECT n.vec_id, tcn.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
+         |    FROM n, tcn)),
+         |inb AS (SELECT n.vec_id AS nid, v AS nv, nrm AS nn, a.cid AS cell
+         |       FROM n JOIN asg a ON n.vec_id = a.vec_id AND a.rr <= 1),
+         |iqb AS (SELECT n.vec_id AS qid, v AS qv, nrm AS qn, a.cid AS cell
+         |       FROM n JOIN asg a ON n.vec_id = a.vec_id AND a.rr <= 2
+         |       WHERE n.vec_id < $N_QUERIES),
+         |si AS (SELECT qid, nid, round(list_dot_product(qv, nv) / (qn * nn), 6) AS sim
+         |      FROM iqb JOIN inb ON iqb.cell = inb.cell WHERE nid <> qid),
+         |ir AS (SELECT qid, nid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM si),
+         |ik AS (SELECT qid, nid FROM ir WHERE rnk <= $TOP_K),
+         |qids AS (SELECT vec_id AS qid FROM n WHERE vec_id < $N_QUERIES),
+         |grid AS (SELECT qid, unnest(['ivf', 'lsh']) AS method FROM qids),
+         |hits AS (SELECT method, qid, count(*) AS h FROM (
+         |    SELECT 'lsh' AS method, qid, nid FROM lk
+         |    UNION ALL SELECT 'ivf', qid, nid FROM ik) a
+         |  WHERE EXISTS (SELECT 1 FROM xk x WHERE x.qid = a.qid AND x.nid = a.nid)
+         |  GROUP BY method, qid)
+         |SELECT g.method, g.qid, CAST(coalesce(h, 0) AS BIGINT) AS n_hits,
+         |  round(CAST(coalesce(h, 0) AS DOUBLE) / $TOP_K, 4) AS recall
+         |FROM grid g LEFT JOIN hits ON g.method = hits.method AND g.qid = hits.qid
+         |ORDER BY g.method, g.qid""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val qv = e.filter(col("vec_id") < N_QUERIES)
+      val exact = Similarity.bruteForceTopK(qv, e, TOP_K).select("qid", "nid")
+      val lsh = Similarity.lshTopK(qv, e, TOP_K, N_PLANES).select("qid", "nid")
+      val ivf = Similarity.ivfTopK(qv, e, TOP_K, 16, 2,
+          Some(Similarity.kmeansCentroids(e, 16, 1))).select("qid", "nid")
+      val approx = lsh.withColumn("method", lit("lsh"))
+        .unionByName(ivf.withColumn("method", lit("ivf")))
+      val hits = approx.join(exact, Seq("qid", "nid"), "left_semi")
+        .groupBy(col("method"), col("qid")).agg(count(lit(1)).as("h"))
+      val grid = qv.select(col("vec_id").as("qid"))
+        .withColumn("method", explode(array(lit("ivf"), lit("lsh"))))
+      grid.join(hits, Seq("method", "qid"), "left")
+        .select(col("method"), col("qid"),
+          coalesce(col("h"), lit(0L)).as("n_hits"),
+          graft.ops.Exact.duckRound(
+            coalesce(col("h"), lit(0L)).cast("double") / lit(TOP_K.toDouble), 4).as("recall"))
+        .orderBy("method", "qid")
+    },
+
     // ---------------------------------------------------------------- q82
     // REAL image decode through the multimodal path: a deterministic
     // tiny PNG is encoded per document with the JDK's ImageIO (a real

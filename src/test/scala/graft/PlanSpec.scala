@@ -132,8 +132,11 @@ class PlanSpec extends SparkSpec {
     //  q46: blocked all-pairs — THE deliberate quadratic baseline
     // (q65's dictionary product is now length-band blocked: no longer
     // exempt)
+    //  q98: recall audit — composes q34's exact scan and q81's trained
+    //       IVF, so it inherits exactly their bounded shapes
     val allowed = Set("q34_cosine_topk", "q45_ann_ivf_topk",
-      "q80_kmeans_train", "q81_ann_ivf_trained", "q46_embedding_neardup")
+      "q80_kmeans_train", "q81_ann_ivf_trained", "q46_embedding_neardup",
+      "q98_ann_recall")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>
