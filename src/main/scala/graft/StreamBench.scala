@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** Streaming-throughput benchmark (BASELINE.md "Streaming" section):
+  * drives the two stateful streaming surfaces end-to-end over the
+  * sf-dir events table with Trigger.AvailableNow and reports rows/s —
+  * the number that grounds the ST2 "designed for scale" claim with a
+  * measurement instead of a spec.
+  *
+  *  - dedup_tws: transformWithState cross-batch dedup on the RocksDB
+  *    state store (EventStreams.statefulDedupTws) — every event id is
+  *    a state write, so this measures the state-store path, not just
+  *    the scan;
+  *  - interval_join: stream-stream interval join purchases×clicks
+  *    with watermark-bounded buffers (EventStreams.intervalJoin).
+  *
+  * Prints ONE JSON line: {"metric":"stream_bench","unit":"rows_per_sec",...}.
+  * Reproduce: sbt "runMain graft.StreamBench"   (SPARK_GRAFT_SF_DIR
+  * selects the scale, default sf0.1).
+  */
+object StreamBench {
+
+  private def tmpDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      // transformWithState requires RocksDB; 4.1's checkpoint checksum
+      // writer deadlocks the RocksDB snapshot upload in local mode
+      // (see StreamingSpec) — same two settings a deployment uses
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // Stream the events parquet with the batch reader's schema; ts
+    // arrives as nanos LongType (nanosAsLong) — truncate to micros
+    // exactly like Tables.events so watermarks see real timestamps.
+    val path = s"$sfDir/events.parquet"
+    // the streaming file source lists a DIRECTORY; events.parquet is a
+    // single file — expose it through a temp dir symlink
+    val streamDir = tmpDir("graft-sbench-in")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(streamDir, "events.parquet"),
+      java.nio.file.Paths.get(path))
+    val schema = spark.read.parquet(path).schema
+    def eventStream(): DataFrame = {
+      val raw = spark.readStream.schema(schema).parquet(streamDir)
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    }
+    val totalRows = spark.read.parquet(path).count()
+
+    def timeRun(df: DataFrame): (Double, Long) = {
+      val out = new java.util.concurrent.atomic.AtomicLong
+      val t0 = System.nanoTime()
+      EventStreams.runAvailableNow(df, tmpDir("graft-sbench-ck")) { (batch, _) =>
+        out.addAndGet(batch.count()): Unit
+      }
+      ((System.nanoTime() - t0) / 1e9, out.get())
+    }
+
+    // 1. RocksDB transformWithState dedup over every event
+    val keyed = eventStream().select(
+      col("user_id").cast("string").as("key"),
+      col("event_id").cast("string").as("id"),
+      col("ts")).as[EventStreams.TimedKeyed]
+    val (dedupSec, dedupOut) = timeRun(EventStreams.statefulDedupTws(keyed).toDF)
+
+    // 2. watermark-bounded stream-stream interval join
+    val purchases = eventStream().filter(col("event_type") === "purchase")
+    val clicks = eventStream().filter(col("event_type") === "click")
+    val joinIn = spark.read.parquet(path)
+      .filter(col("event_type").isin("purchase", "click")).count()
+    val (joinSec, joinOut) = timeRun(EventStreams.intervalJoin(purchases, clicks))
+
+    val sf = new java.io.File(sfDir).getName
+    println(
+      f"""{"metric":"stream_bench","unit":"rows_per_sec","sf":"$sf",""" +
+      f""""dedup_tws":${totalRows / dedupSec}%.0f,"dedup_sec":$dedupSec%.2f,"dedup_out":$dedupOut,""" +
+      f""""interval_join":${joinIn / joinSec}%.0f,"join_sec":$joinSec%.2f,"join_out":$joinOut}""")
+    spark.stop()
+  }
+}

@@ -9,6 +9,18 @@ import org.apache.spark.sql.types.LongType
   * parquet scans: Catalyst pushes filters/projections into the scan
   * (visible as PushedFilters/ReadSchema in explain), which at 100 TB
   * is the difference between reading a column slice and the world.
+  *
+  * PATH CONTRACT — scheme-agnostic by construction: `dir` is any URI
+  * Hadoop can resolve (`file:`, `hdfs:`, `s3a:`, ...), because every
+  * read goes through `spark.read` → `FileSystem.get(uri, conf)`.
+  * Object stores need only their connector on the classpath and the
+  * scheme registered, e.g. for S3: the hadoop-aws module plus
+  * `spark.hadoop.fs.s3a.impl=org.apache.hadoop.fs.s3a.S3AFileSystem`
+  * (+ credentials provider config) — then
+  * `Tables.documents(spark, "s3a://bucket/corpus/sf100")` works
+  * unchanged. SourcesSpec proves the contract with an in-test
+  * FileSystem registered under a fake `grafts3` scheme and asserts
+  * the bytes flow through it, not through a `file:` fallback.
   */
 object Tables {
   val all: Seq[String] = Seq(

@@ -48,6 +48,22 @@ class SourcesSpec extends SparkSpec {
     assert(out.filter($"name" === "기존 식당").count() == 0)
   }
 
+  test("S1 table paths are scheme-agnostic: a grafts3:// URI reads through the registered FileSystem") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.grafts3.impl", classOf[FakeObjectStoreFS].getName)
+    conf.set("fs.grafts3.impl.disable.cache", "true")
+    FakeObjectStoreFS.opens.set(0)
+    val viaStore = graft.sources.Tables.nation(spark, "grafts3://" + sf("sf0.001"))
+    val viaFile = graft.sources.Tables.nation(spark, sf("sf0.001"))
+    assert(viaStore.count() == viaFile.count() && viaStore.count() > 0)
+    assert(viaStore.exceptAll(viaFile).count() == 0 &&
+      viaFile.exceptAll(viaStore).count() == 0)
+    // and the bytes actually flowed through the grafts3 FileSystem —
+    // scheme resolution did not silently fall back to file:
+    assert(FakeObjectStoreFS.opens.get() > 0,
+      "expected parquet reads through FakeObjectStoreFS")
+  }
+
   test("A6/U4: dict-of-lists JSON normalizes to rows (explode map values)") {
     import org.apache.spark.sql.types._
     val json = """{"공덕역 식당": [{"placeId":"1","name":"a"},{"placeId":"2","name":"b"}],
