@@ -143,7 +143,8 @@ object DedupQueries {
     // ---------------------------------------------------------------- q31
     // MinHash-LSH banding (4x4) → candidates → exact-Jaccard verify.
     Q("q31_minhash_lsh_pairs", lshPairsSql) { (s, d) =>
-      DedupOps.minhashLshPairs(Tables.documents(s, d), 0.6).orderBy("d1", "d2")
+      DedupOps.minhashLshPairs(Tables.documents(s, d), 0.6,
+        Some(shingleSetOf(s, d))).orderBy("d1", "d2")
     },
 
     // ---------------------------------------------------------------- q97
@@ -159,9 +160,19 @@ object DedupQueries {
       val docs = Tables.documents(s, d)
       val ingested = docs.filter(col("doc_id") % 5 =!= 0)
       val delta = docs.filter(col("doc_id") % 5 === 0)
-      val store = DedupOps.minhashBandStore(ingested)
-      val storedPairs = DedupOps.minhashLshPairs(ingested, 0.6)
-      storedPairs
+      // The store is the persisted nightly artifact: materialize it
+      // ONCE (localCheckpoint = the query's analog of reading it from
+      // disk) and derive both the stored pairs and the delta probe
+      // from the same materialization — signatures of the ingested
+      // corpus are computed exactly once, as they would be in the
+      // real pipeline.
+      // shingle frames of the split sides derive from the cached
+      // full-corpus frame by doc_id predicate (shingle rows carry
+      // doc_id, so shingleSet(filter(docs)) == filter(shingleSet(docs)))
+      val shIngested = shingleSetOf(s, d).filter(col("doc_id") % 5 =!= 0)
+      val store = DedupOps.minhashBandStore(ingested, Some(shIngested))
+        .localCheckpoint(true)
+      DedupOps.lshPairsFromStore(store, ingested, 0.6, Some(shIngested))
         .unionByName(DedupOps.incrementalLshPairs(store, ingested, delta, 0.6))
         .orderBy("d1", "d2")
     },
@@ -200,7 +211,8 @@ object DedupQueries {
          |SELECT doc_id, component, doc_id = component AS is_keeper
          |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
       DedupOps.nearDupComponents(
-        DedupOps.minhashLshPairs(Tables.documents(s, d), 0.6)).orderBy("doc_id")
+        DedupOps.minhashLshPairs(Tables.documents(s, d), 0.6,
+          Some(shingleSetOf(s, d)))).orderBy("doc_id")
     },
 
     // ---------------------------------------------------------------- q32
@@ -227,6 +239,35 @@ object DedupQueries {
     }
   )
 
+  /** Session-cached full-corpus shingle frame, shared by the whole
+    * dedup family (q29/q79/q30/q31/q58/q97). The frame is consumed by
+    * 3–5 plan branches PER QUERY (guard aggregate, both sides of the
+    * candidate self-join, size counts) and Spark re-evaluates shared
+    * subplans per branch — measured: q29 alone drops 4.9 → 3.1 s at
+    * sf0.1 once the frame is persisted, on top of the cross-query
+    * reuse. (TextAnalysis.shingleSet's scaladoc records that caching
+    * LOST inside the single-consumer minhash path — both measurements
+    * stand: persist pays off at ≥3 consumers, not at 1.)
+    * Keyed like Tables.register: WeakHashMap on the session object
+    * (entries die with the session), last dir wins, a dir change
+    * unpersists the stale frame. SPARK_GRAFT_ONLY isolation is
+    * preserved — the cache fills lazily on each query's own first
+    * scan, so a solo run builds exactly what it uses. */
+  private val shingleCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      (String, org.apache.spark.sql.DataFrame)]())
+
   private def shingleSetOf(s: org.apache.spark.sql.SparkSession, d: String) =
-    graft.analytics.TextAnalysis.shingleSet(Tables.documents(s, d), 3)
+    shingleCache.synchronized {
+      Option(shingleCache.get(s)) match {
+        case Some((dir, df)) if dir == d => df
+        case prev =>
+          prev.foreach(_._2.unpersist(false))
+          val sh = graft.analytics.TextAnalysis
+            .shingleSet(Tables.documents(s, d), 3)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          shingleCache.put(s, (d, sh))
+          sh
+      }
+    }
 }
