@@ -109,6 +109,44 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Sub-quadratic embedding near-dup — the SCALE sibling of
+    * cosineNearDupPairs (which is the guarded exact O(n²) baseline):
+    * candidate pairs share a sign-LSH bucket or sit one plane flip
+    * apart (multi-probe Hamming-1), then the SAME exact-cosine verify
+    * join runs over candidates only. Candidate volume shrinks toward
+    * ~n²·(planes+1)/2^planes of the pair space and every step is an
+    * equi-join — no broadcast of the full vector set, no nested loop.
+    * Output ⊆ the exact pair set with identical sim values
+    * (AnalyticsSpec asserts the subset + high-sim recall; q99
+    * hash-verifies the whole path against DuckDB). */
+  def cosineNearDupPairsLsh(vecs: DataFrame, threshold: Double,
+                            nPlanes: Int = 6): DataFrame = {
+    val dim = 64
+    val planes = planeWeights(nPlanes, dim)
+    val probeMasks = 0L +: (0 until nPlanes).map(p => 1L << p)
+    val n = vecs.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("bucket", bucketExpr(col("embedding"), planes))
+    // one-sided probing covers both directions: if sig(a)⊕sig(b) has
+    // ≤1 bit set, a's probe list contains b's bucket
+    val probed = n.select(col("vec_id").as("v1"),
+      explode(array(probeMasks.map(m =>
+        col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
+    val cands = probed
+      .join(n.select(col("vec_id").as("v2"), col("bucket").as("probe")), Seq("probe"))
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2")).distinct()
+    // sides re-read the vectors narrowly by id; column pruning drops
+    // the bucket computation from these branches
+    val a = n.select(col("vec_id").as("v1"), col("embedding").as("av"), col("nrm").as("an"))
+    val b = n.select(col("vec_id").as("v2"), col("embedding").as("bv"), col("nrm").as("bn"))
+    cands.join(a, Seq("v1")).join(b, Seq("v2"))
+      .select(col("v1"), col("v2"),
+        graft.ops.Exact.duckRound(
+          dot(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Initial coarse-quantizer centroids: the `k` lowest-id vectors —
     * the deterministic init both the id-picked quantizer (q45) and
     * k-means training start from. Returns (cid, cv, cn). */

@@ -98,6 +98,35 @@ object SimilarityQueries {
         .orderBy("v1", "v2")
     },
 
+    // ---------------------------------------------------------------- q99
+    // Embedding near-dup at scale: sign-LSH bucket + Hamming-1 probe
+    // candidates, exact-cosine verify — the sub-quadratic sibling of
+    // q46 (same output columns, same threshold, output ⊆ q46's rows
+    // with identical sim values). The pair space never materializes:
+    // candidates come from an equi-join on bucket ids, verification
+    // joins vectors back narrowly by id.
+    Q("q99_embedding_neardup_lsh",
+      s"""WITH $planesSql,
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |bk AS (SELECT vec_id,
+         |         CAST(sum((CASE WHEN list_dot_product(v, w) >= 0 THEN 1 ELSE 0 END) * (1 << p)) AS BIGINT) AS bucket
+         |       FROM n, planes GROUP BY vec_id),
+         |pr AS (SELECT vec_id AS v1, xor(bucket, m) AS probe
+         |       FROM (SELECT vec_id, bucket,
+         |               unnest([${(0L +: (0 until N_PLANES).map(p => 1L << p)).mkString(", ")}]) AS m
+         |             FROM bk)),
+         |cand AS (SELECT DISTINCT v1, b.vec_id AS v2
+         |         FROM pr JOIN bk b ON pr.probe = b.bucket AND pr.v1 < b.vec_id)
+         |SELECT v1, v2,
+         |  round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS sim
+         |FROM cand JOIN n x ON x.vec_id = v1 JOIN n y ON y.vec_id = v2
+         |WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.45
+         |ORDER BY v1, v2""".stripMargin) { (s, d) =>
+      Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, d), 0.45, N_PLANES)
+        .orderBy("v1", "v2")
+    },
+
     // ---------------------------------------------------------------- q45
     // IVF-style ANN: deterministic coarse quantizer (16 cells, probe
     // 2) — the second scale path next to LSH; cells partition the

@@ -71,6 +71,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(pairs2.count() == full.count(), "no duplicate pair rows")
   }
 
+  test("LSH embedding near-dup ⊆ exact pairs, identical sims, catches sim ≥ 0.9") {
+    val vecs = Tables.embeddings(spark, sf("sf0.001"))
+    val exact = Similarity.cosineNearDupPairs(vecs, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.cosineNearDupPairsLsh(vecs, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.keySet.subsetOf(exact.keySet), "LSH must not invent pairs")
+    lsh.foreach { case (k, sim) =>
+      assert(sim == exact(k), s"sim mismatch for $k") }
+    val high = exact.filter(_._2 >= 0.9).keySet
+    assert(high.subsetOf(lsh.keySet),
+      s"LSH must catch near-identical embeddings; missed ${high -- lsh.keySet}")
+  }
+
   test("SimHash: identical docs collide; near-identical docs stay close") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
