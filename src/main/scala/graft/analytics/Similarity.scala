@@ -155,21 +155,58 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("cv"))
       .withColumn("cn", norm(col("cv")))
 
+  /** A coarse quantizer pulled to the driver: (cid, components, norm)
+    * per centroid, sorted by cid. A quantizer is a MODEL — k rows of
+    * dim doubles, bytes not data — so collecting it is the vector
+    * analog of fetching fitted centroids from a k-means estimator,
+    * NOT a driver-side data loop. Inlining the model as literals is
+    * what removes every shuffle from cell assignment (see cellsExpr). */
+  private def collectQuantizer(cent: DataFrame): Array[(Long, Array[Double], Double)] =
+    cent.select(col("cid"), col("cv").cast("array<double>"), col("cn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+
+  /** The `nCells` nearest centroids of `v` by ROUNDED cosine
+    * (round(…,6) desc, ties → lowest cid) as a pure map-side
+    * expression: one struct per centroid — (-sim, cid), sign-flipped
+    * so the default ascending array_sort IS the (sim DESC, cid ASC)
+    * order — sorted and sliced. `+ 0.0` collapses -0.0 to +0.0
+    * (array_sort compares raw doubles; sort/window operators would
+    * have normalized), and a null sim (zero-norm vector) maps to
+    * -2.0 < min cosine, reproducing the window's NULLS LAST.
+    *
+    * Everything stays inside whole-stage codegen and NOTHING
+    * shuffles: the old spelling (broadcast nested-loop against the
+    * centroid frame + row_number window) expanded the corpus k-fold
+    * and shuffled it by vec_id just to pick each row's argmax — at
+    * 100 TB that is a full-corpus shuffle per Lloyd round vs zero
+    * here. Assignment semantics are bit-identical (q80/q81 hashes). */
+  private def cellsExpr(v: Column, nrm: Column,
+                        quant: Array[(Long, Array[Double], Double)],
+                        nCells: Int): Column = {
+    val entries = quant.map { case (cid, cv, cn) =>
+      val sim = graft.ops.Exact.duckRound(
+        dot(v, typedLit(cv.toSeq)) / (nrm * lit(cn)), 6)
+      struct((-coalesce(sim, lit(-2.0)) + lit(0.0)).as("ns"), lit(cid).as("c"))
+    }
+    slice(transform(array_sort(array(entries.toIndexedSeq: _*)),
+      e => e.getField("c")), 1, nCells)
+  }
+
   /** One Lloyd assignment: each vector to its nearest centroid by
     * ROUNDED cosine (round(…,6), ties → lowest cid) — the same
     * boundary-pinning every oracled cosine in this engine uses, which
     * is what makes the assignment (and so the whole training round)
     * engine-portable: q80 hash-verifies this step against DuckDB.
-    * Centroids broadcast; the vector side streams map-only. */
+    * The centroids (a model, ≤ k rows) are inlined as literals via
+    * cellsExpr, so assignment is one map-side codegen'd pass — no
+    * join, no window, no shuffle of the vector side. */
   def kmeansAssign(vecs: DataFrame, cent: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("_sim").desc, col("cid"))
+    val quant = collectQuantizer(cent)
     vecs.select(col("vec_id"), col("embedding"))
-      .join(broadcast(cent), lit(true))
-      .withColumn("_sim", graft.ops.Exact.duckRound(
-        dot(col("embedding"), col("cv")) / (norm(col("embedding")) * col("cn")), 6))
-      .withColumn("_r", row_number().over(w))
-      .filter(col("_r") === 1)
+      .withColumn("cid", element_at(
+        cellsExpr(col("embedding"), norm(col("embedding")), quant, 1), 1))
       .select(col("vec_id"), col("cid"), col("embedding"))
   }
 
@@ -202,14 +239,26 @@ object Similarity {
     * downstream is unchanged. Returns (cid, cv, cn) like
     * initCentroids. */
   def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
     var cent = initCentroids(vecs, k)
     (1 to iters).foreach { _ =>
-      cent = kmeansCellSums(kmeansAssign(vecs, cent))
-        .withColumn("m", col("comp_sum") / col("n"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), expr("transform(pm, x -> x.m)").as("cv"))
-        .withColumn("cn", norm(col("cv")))
+      // One distributed pass per round: map-side assignment (no
+      // shuffle) + the partial-agg cell-sum groupBy. The k×dim sum
+      // rows come back to the driver — model-sized, like the
+      // quantizer itself — and the next round's centroids are plain
+      // local rows. mean = exact-decimal comp_sum (double) / n and
+      // norm = left-to-right Σm² fold, both bit-equal to the SQL
+      // spelling the q80/q81 oracles verify.
+      val next = kmeansCellSums(kmeansAssign(vecs, cent)).collect()
+        .groupBy(_.getLong(0)).toSeq
+        .map { case (cid, rows) =>
+          val cv = rows.sortBy(_.getInt(1))
+            .map(r => r.getDouble(2) / r.getLong(3)).toSeq
+          (cid, cv, math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x)))
+        }
+        .sortBy(_._1)
+      cent = next.toDF("cid", "cv", "cn")
     }
     cent
   }
@@ -220,32 +269,23 @@ object Similarity {
     * structure is what matters) assigns every vector to its nearest
     * centroid by cosine; queries probe the `nProbe` nearest cells.
     * Scanned fraction ≈ nProbe/nCentroids of the table, and the cell
-    * assignment is itself a broadcast join — both sides scale
-    * linearly. */
+    * assignment is the inlined-quantizer expression (cellsExpr) — the
+    * candidate side never joins or shuffles to learn its cell. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 2,
               centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cent = centroids.getOrElse(
-      candidates.orderBy(col("vec_id")).limit(nCentroids)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-        .withColumn("cn", norm(col("cv"))))
-    def assign(df: DataFrame, vCol: String, nCol: String, nCells: Int): DataFrame = {
-      val w = Window.partitionBy(col("_aid"))
-        .orderBy(col("_csim").desc, col("cid"))
-      df.join(broadcast(cent), lit(true))
-        .withColumn("_csim",
-          graft.ops.Exact.duckRound(dot(col(vCol), col("cv")) / (col(nCol) * col("cn")), 6))
-        .withColumn("_crnk", row_number().over(w))
-        .filter(col("_crnk") <= nCells)
-        .drop("cv", "cn", "_csim", "_crnk")
-    }
-    val c = candidates.select(col("vec_id").as("nid"), col("embedding").as("nv"))
-      .withColumn("nn", norm(col("nv"))).withColumn("_aid", col("nid"))
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .withColumn("qn", norm(col("qv"))).withColumn("_aid", col("qid"))
-    val cCells = assign(c, "nv", "nn", 1).withColumnRenamed("cid", "cell").drop("_aid")
-    val qCells = assign(q, "qv", "qn", nProbe).withColumnRenamed("cid", "cell").drop("_aid")
+    val quant = collectQuantizer(
+      centroids.getOrElse(initCentroids(candidates, nCentroids)))
+    // Cell assignment is the inlined-model expression (cellsExpr): the
+    // candidate side streams map-only through ONE codegen'd scan — at
+    // 100 TB the only shuffle left in this query is the final top-k.
+    val cCells = candidates.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .withColumn("nn", norm(col("nv")))
+      .withColumn("cell", element_at(cellsExpr(col("nv"), col("nn"), quant, 1), 1))
+    val qCells = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("cell", explode(cellsExpr(col("qv"), col("qn"), quant, nProbe)))
     val sims = cCells.join(broadcast(qCells), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
