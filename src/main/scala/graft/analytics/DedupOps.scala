@@ -514,4 +514,62 @@ object DedupOps {
       .filter(col("hamming") <= maxDist)
       .distinct()
   }
+
+  /** Every k-token span occurrence — (doc_id, pos, h) where h is the
+    * 16-hex sha-256 prefix of the space-joined span. The corpus-wide
+    * substring multiset behind EXACT span-level dedup (cf. Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22 — repeated long spans are memorization fuel that set-
+    * similarity dedup misses when the containing documents differ).
+    * Unlike shingleSet this keeps MULTIPLICITY and POSITION: the same
+    * span at three positions is three rows. Map-only (zip-with window
+    * builder + posexplode); the 8-byte key keeps the shuffled rows
+    * narrow and uniformly distributed — no span text ever shuffles. */
+  def spanOccurrences(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(shingles(tokens(col("text")), k)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        substring(sha2(col("col"), 256), 1, 16).as("h"))
+
+  /** The removal list of exact span dedup: every span occurring ≥ 2
+    * times corpus-wide, with occurrence count, distinct-document
+    * count, and the lowest containing doc_id (the canonical keeper).
+    * Two-stage aggregation — (h, doc_id) partials, then per-h — so
+    * the distinct-doc count never plans an Expand (the q40 lesson)
+    * and both shuffles are partial-agg reduced map-side. */
+  def repeatedSpanGroups(docs: DataFrame, k: Int): DataFrame =
+    spanOccurrences(docs, k)
+      .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("h"))
+      .agg(sum(col("c")).as("n_occ"), count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_occ") >= 2)
+
+  /** Per-document duplicated-span profile — the span-level filter
+    * signal: of a document's n_spans k-token windows, n_dup occur at
+    * least twice corpus-wide (anywhere, any document, the document's
+    * own repeats included). dup_frac is the Lee-et-al-style "how much
+    * of this text exists elsewhere" score a filtering pass thresholds
+    * on. Shapes: one partial-agged span-count groupBy, one semi-join
+    * on the uniform sha key, one per-doc count; n_spans is computed
+    * map-side from the token count, never from the exploded frame.
+    * The occurrence scan has two consumers and is cheap to recompute
+    * (map-only), so it is not persisted — the ≥3-consumer rule. */
+  def spanDupProfile(docs: DataFrame, k: Int): DataFrame = {
+    val occ = spanOccurrences(docs, k)
+    val dup = occ.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+    val perDoc = occ.join(dup.select(col("h")), Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    val base = docs.select(col("doc_id"),
+        greatest(size(tokens(col("text"))) - (k - 1), lit(0))
+          .cast("long").as("n_spans"))
+      .filter(col("n_spans") > 0)
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        graft.ops.Exact.duckRound(
+          coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_spans").cast("double"),
+          4).as("dup_frac"))
+  }
 }

@@ -240,6 +240,45 @@ object DedupQueries {
          |FROM cand WHERE bit_count(xor(s1, s2)) <= 2
          |ORDER BY d1, d2""".stripMargin) { (s, d) =>
       DedupOps.simhashPairs(Tables.documents(s, d), 2).orderBy("d1", "d2")
+    },
+
+    // ---------------------------------------------------------------- q100
+    // Exact span-level dedup, the filter signal: per document, how
+    // many of its 8-token windows occur >= 2 times corpus-wide
+    // (Lee et al. ACL'22 substring dedup — catches copied passages
+    // that set-similarity dedup misses when the containing documents
+    // differ). dup_frac is what a filtering pass thresholds on.
+    Q("q100_span_dup_profile",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |idx AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i FROM w),
+         |sp AS (SELECT doc_id, substr(sha256(array_to_string(ws[i:i+7], ' ')), 1, 16) AS h FROM idx),
+         |occ AS (SELECT h, count(*) AS c FROM sp GROUP BY h),
+         |dupw AS (SELECT doc_id, count(*) AS nd FROM sp JOIN occ USING (h)
+         |         WHERE c >= 2 GROUP BY doc_id),
+         |base AS (SELECT doc_id, greatest(len(string_split(text, ' ')) - 7, 0) AS ns FROM documents)
+         |SELECT doc_id, CAST(ns AS BIGINT) AS n_spans,
+         |  CAST(coalesce(nd, 0) AS BIGINT) AS n_dup,
+         |  round(CAST(coalesce(nd, 0) AS DOUBLE) / ns, 4) AS dup_frac
+         |FROM base LEFT JOIN dupw USING (doc_id)
+         |WHERE ns > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      DedupOps.spanDupProfile(Tables.documents(s, d), 8).orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q101
+    // The removal list of exact span dedup: every 8-token span
+    // occurring >= 2 times corpus-wide, with occurrence/document
+    // counts and the canonical keeper (lowest containing doc_id).
+    Q("q101_repeated_spans",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |idx AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i FROM w),
+         |sp AS (SELECT doc_id, substr(sha256(array_to_string(ws[i:i+7], ' ')), 1, 16) AS h FROM idx),
+         |pd AS (SELECT h, doc_id, count(*) AS c FROM sp GROUP BY h, doc_id),
+         |g AS (SELECT h, CAST(sum(c) AS BIGINT) AS n_occ, CAST(count(*) AS BIGINT) AS n_docs,
+         |        min(doc_id) AS first_doc
+         |      FROM pd GROUP BY h)
+         |SELECT h, n_occ, n_docs, first_doc FROM g
+         |WHERE n_occ >= 2 ORDER BY h""".stripMargin) { (s, d) =>
+      DedupOps.repeatedSpanGroups(Tables.documents(s, d), 8).orderBy("h")
     }
   )
 

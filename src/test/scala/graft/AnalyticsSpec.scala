@@ -224,6 +224,27 @@ class AnalyticsSpec extends SparkSpec {
       (7L, 7L, true), (9L, 7L, false)))
   }
 
+  test("span dedup: profile counts window positions, groups count docs") {
+    // doc 1 and 2 share one 3-token span ("x y z"); doc 3 repeats its
+    // own span twice; doc 4 is unique; doc 5 is too short for any span
+    val docs = Seq(
+      (1L, "a b x y z c"),   // 4 windows, 1 duplicated ("x y z")
+      (2L, "x y z q r"),     // 3 windows, 1 duplicated
+      (3L, "p q s p q s p q s"), // 7 windows: "p q s" ×3, "q s p" ×2, "s p q" ×2 → all 7 dup
+      (4L, "m n o u v"),     // 3 windows, none duplicated
+      (5L, "h i")            // no 3-token window → excluded
+    ).toDF("doc_id", "text")
+    val prof = DedupOps.spanDupProfile(docs, 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(prof.toSeq == Seq(
+      (1L, 4L, 1L, 0.25), (2L, 3L, 1L, 0.3333),
+      (3L, 7L, 7L, 1.0), (4L, 3L, 0L, 0.0)))
+    val groups = DedupOps.repeatedSpanGroups(docs, 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    // "x y z" (2 occ, 2 docs, keeper 1); doc 3's three self-repeats
+    assert(groups.toSeq == Seq((2L, 1L, 3L), (2L, 1L, 3L), (2L, 2L, 1L), (3L, 1L, 3L)))
+  }
+
   test("exact dedup groups cover all docs exactly once") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val groups = DedupOps.exactGroups(docs)
