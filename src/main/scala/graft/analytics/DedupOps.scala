@@ -522,14 +522,15 @@ object DedupOps {
     * ACL'22 — repeated long spans are memorization fuel that set-
     * similarity dedup misses when the containing documents differ).
     * Unlike shingleSet this keeps MULTIPLICITY and POSITION: the same
-    * span at three positions is three rows. Map-only (zip-with window
-    * builder + posexplode); the 8-byte key keeps the shuffled rows
-    * narrow and uniformly distributed — no span text ever shuffles. */
+    * span at three positions is three rows. Map-only (the native
+    * SpanExplode generator — one pass, one builder); the 8-byte key
+    * keeps the shuffled rows narrow and uniformly distributed — no
+    * span text ever shuffles. */
   def spanOccurrences(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"),
-        posexplode(shingles(tokens(col("text")), k)))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"),
-        substring(sha2(col("col"), 256), 1, 16).as("h"))
+        graft.functions.SpanExplode.span_explode(col("text"), k))
+      .select(col("doc_id"), col("pos"),
+        substring(sha2(col("s"), 256), 1, 16).as("h"))
 
   /** The removal list of exact span dedup: every span occurring ≥ 2
     * times corpus-wide, with occurrence count, distinct-document
