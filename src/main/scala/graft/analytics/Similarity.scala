@@ -147,6 +147,91 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Exact-cosine verification of a candidate pair list: vectors are
+    * re-read narrowly by id (two equi-joins), sims rounded at the
+    * boundary, thresholded. The shared tail of every bucketed
+    * near-dup spelling. */
+  private def verifyCosine(cands: DataFrame, vecs: DataFrame,
+                           threshold: Double): DataFrame = {
+    val n = vecs.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+    val a = n.select(col("vec_id").as("v1"), col("embedding").as("av"), col("nrm").as("an"))
+    val b = n.select(col("vec_id").as("v2"), col("embedding").as("bv"), col("nrm").as("bn"))
+    cands.join(a, Seq("v1")).join(b, Seq("v2"))
+      .select(col("v1"), col("v2"),
+        graft.ops.Exact.duckRound(
+          dot(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Persisted sign-LSH bucket store — (vec_id, bucket) — the nightly
+    * artifact incremental embedding dedup probes; the vector-space
+    * analog of DedupOps.minhashBandStore. */
+  def embedBucketStore(vecs: DataFrame, nPlanes: Int = 6): DataFrame =
+    vecs.select(col("vec_id"),
+      bucketExpr(col("embedding"), planeWeights(nPlanes, 64)).as("bucket"))
+
+  /** Near-dup pairs among already-ingested vectors, read from the
+    * persisted bucket store (buckets are NOT recomputed): candidates
+    * from the store's Hamming-1 probe self-join, verified over
+    * `vecs`, which must cover every id in the store. Same output as
+    * cosineNearDupPairsLsh over the same vectors. */
+  def pairsFromBucketStore(store: DataFrame, vecs: DataFrame,
+                           threshold: Double, nPlanes: Int = 6): DataFrame = {
+    val probeMasks = 0L +: (0 until nPlanes).map(p => 1L << p)
+    val probed = store.select(col("vec_id").as("v1"),
+      explode(array(probeMasks.map(m =>
+        col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
+    val cands = probed
+      .join(store.select(col("vec_id").as("v2"), col("bucket").as("probe")), Seq("probe"))
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2")).distinct()
+    verifyCosine(cands, vecs, threshold)
+  }
+
+  /** O(delta) incremental embedding near-dup — the q97 nightly
+    * contract in vector space: pairs INVOLVING at least one vector of
+    * `delta`, found by probing the persisted bucket store with only
+    * the delta's buckets. A sign-LSH bucket depends only on the
+    * vector itself, so old-old pairs cannot change when vectors
+    * arrive and P(C ∪ Δ) = P(C) ∪ incremental — EXACTLY; the new
+    * store is S(C) ∪ embedBucketStore(Δ). The Hamming-≤1 candidate
+    * rule is symmetric, so one-sided probing FROM the delta reaches
+    * every old-new and new-new candidate; least/greatest
+    * canonicalizes because old and new ids interleave. Verification
+    * re-reads ONLY candidate vectors: one semi-join on the candidate
+    * id list touches the corpus. AnalyticsSpec proves stored ∪
+    * incremental ≡ full recompute across two successive deltas; q102
+    * gate-verifies the identity against the full-corpus oracle. */
+  def incrementalCosinePairsLsh(store: DataFrame, corpus: DataFrame,
+                                delta: DataFrame, threshold: Double,
+                                nPlanes: Int = 6): DataFrame = {
+    val probeMasks = 0L +: (0 until nPlanes).map(p => 1L << p)
+    // |delta| rows, consumed by both probe sides AND the store union —
+    // materialized, exactly like q97's deltaBands (it IS the store
+    // increment a nightly run persists anyway).
+    val deltaB = embedBucketStore(delta, nPlanes).localCheckpoint(true)
+    val full = store.unionByName(deltaB)
+    val probed = deltaB.select(col("vec_id").as("va"),
+      explode(array(probeMasks.map(m =>
+        col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
+    // output-sized but feeds the verify chain's three branches —
+    // materialized like q97's candidate list
+    val cands = probed
+      .join(full.select(col("vec_id").as("vb"), col("bucket").as("probe")), Seq("probe"))
+      .filter(col("va") =!= col("vb"))
+      .select(least(col("va"), col("vb")).as("v1"),
+        greatest(col("va"), col("vb")).as("v2"))
+      .distinct()
+      .localCheckpoint(true)
+    val ids = cands.select(col("v1").as("vec_id"))
+      .unionByName(cands.select(col("v2").as("vec_id"))).distinct()
+    val needed = corpus.unionByName(delta)
+      .join(ids, Seq("vec_id"), "left_semi")
+      .localCheckpoint(true)
+    verifyCosine(cands, needed, threshold)
+  }
+
   /** Initial coarse-quantizer centroids: the `k` lowest-id vectors —
     * the deterministic init both the id-picked quantizer (q45) and
     * k-means training start from. Returns (cid, cv, cn). */

@@ -33,6 +33,28 @@ object SimilarityQueries {
     }.mkString("planes(p, w) AS (VALUES\n  ", ",\n  ", ")")
   }
 
+  /** Full-table LSH near-dup SQL — q99's oracle, shared by q102 whose
+    * Spark side computes the same rows incrementally (stored pairs ∪
+    * delta probe ≡ full recompute). */
+  private lazy val lshNearDupSql: String =
+    s"""WITH $planesSql,
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |bk AS (SELECT vec_id,
+       |         CAST(sum((CASE WHEN list_dot_product(v, w) >= 0 THEN 1 ELSE 0 END) * (1 << p)) AS BIGINT) AS bucket
+       |       FROM n, planes GROUP BY vec_id),
+       |pr AS (SELECT vec_id AS v1, xor(bucket, m) AS probe
+       |       FROM (SELECT vec_id, bucket,
+       |               unnest([${(0L +: (0 until N_PLANES).map(p => 1L << p)).mkString(", ")}]) AS m
+       |             FROM bk)),
+       |cand AS (SELECT DISTINCT v1, b.vec_id AS v2
+       |         FROM pr JOIN bk b ON pr.probe = b.bucket AND pr.v1 < b.vec_id)
+       |SELECT v1, v2,
+       |  round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS sim
+       |FROM cand JOIN n x ON x.vec_id = v1 JOIN n y ON y.vec_id = v2
+       |WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.45
+       |ORDER BY v1, v2""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------- q34
@@ -105,25 +127,31 @@ object SimilarityQueries {
     // with identical sim values). The pair space never materializes:
     // candidates come from an equi-join on bucket ids, verification
     // joins vectors back narrowly by id.
-    Q("q99_embedding_neardup_lsh",
-      s"""WITH $planesSql,
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-         |bk AS (SELECT vec_id,
-         |         CAST(sum((CASE WHEN list_dot_product(v, w) >= 0 THEN 1 ELSE 0 END) * (1 << p)) AS BIGINT) AS bucket
-         |       FROM n, planes GROUP BY vec_id),
-         |pr AS (SELECT vec_id AS v1, xor(bucket, m) AS probe
-         |       FROM (SELECT vec_id, bucket,
-         |               unnest([${(0L +: (0 until N_PLANES).map(p => 1L << p)).mkString(", ")}]) AS m
-         |             FROM bk)),
-         |cand AS (SELECT DISTINCT v1, b.vec_id AS v2
-         |         FROM pr JOIN bk b ON pr.probe = b.bucket AND pr.v1 < b.vec_id)
-         |SELECT v1, v2,
-         |  round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS sim
-         |FROM cand JOIN n x ON x.vec_id = v1 JOIN n y ON y.vec_id = v2
-         |WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.45
-         |ORDER BY v1, v2""".stripMargin) { (s, d) =>
+    Q("q99_embedding_neardup_lsh", lshNearDupSql) { (s, d) =>
       Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, d), 0.45, N_PLANES)
+        .orderBy("v1", "v2")
+    },
+
+    // ---------------------------------------------------------------- q102
+    // Incremental embedding near-dup: the q97 nightly contract in
+    // vector space. The table splits 80/20 into an ingested batch and
+    // a delta; the Spark side unions the pairs read from the persisted
+    // bucket store with the pairs found by probing that store with
+    // ONLY the delta's buckets (O(delta) probe; the corpus is touched
+    // by one candidate-id semi-join in the verify step). The oracle is
+    // the FULL-corpus LSH recompute (q99's SQL): incremental ≡ full
+    // is the property under test, hash-checked row for row.
+    Q("q102_embedding_neardup_incr", lshNearDupSql) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val ingested = e.filter(col("vec_id") % 5 =!= 0)
+      val delta = e.filter(col("vec_id") % 5 === 0)
+      // the persisted nightly artifact, materialized ONCE; stored
+      // pairs and the delta probe both derive from it (q97 pattern)
+      val store = Similarity.embedBucketStore(ingested, N_PLANES)
+        .localCheckpoint(true)
+      Similarity.pairsFromBucketStore(store, ingested, 0.45, N_PLANES)
+        .unionByName(
+          Similarity.incrementalCosinePairsLsh(store, ingested, delta, 0.45, N_PLANES))
         .orderBy("v1", "v2")
     },
 

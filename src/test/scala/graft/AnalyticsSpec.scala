@@ -224,6 +224,32 @@ class AnalyticsSpec extends SparkSpec {
       (7L, 7L, true), (9L, 7L, false)))
   }
 
+  test("incremental embedding near-dup ≡ full recompute across two deltas") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val a = e.filter($"vec_id" % 3 === 0)
+    val b = e.filter($"vec_id" % 3 === 1)
+    val c = e.filter($"vec_id" % 3 === 2)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val th = 0.3
+    // night 0: ingest a — full dedup, persist buckets + pairs
+    val store0 = Similarity.embedBucketStore(a)
+    val pairs0 = pairSet(Similarity.cosineNearDupPairsLsh(a, th))
+    // night 1: delta b probes store0
+    val inc1 = pairSet(Similarity.incrementalCosinePairsLsh(store0, a, b, th))
+    val full1 = pairSet(Similarity.cosineNearDupPairsLsh(a.unionByName(b), th))
+    assert((pairs0 ++ inc1) == full1)
+    // night 2: delta c probes the grown store
+    val store1 = store0.unionByName(Similarity.embedBucketStore(b))
+    val inc2 = pairSet(Similarity.incrementalCosinePairsLsh(store1, a.unionByName(b), c, th))
+    val full2 = pairSet(Similarity.cosineNearDupPairsLsh(e, th))
+    assert((full1 ++ inc2) == full2)
+    assert(full2.nonEmpty, "threshold too high for the fixture — test would be vacuous")
+    assert(inc1.nonEmpty || inc2.nonEmpty, "no delta pair ever crossed the threshold")
+    // the store path reads back what the full path computes
+    assert(pairSet(Similarity.pairsFromBucketStore(store1, a.unionByName(b), th)) == full1)
+  }
+
   test("span dedup: profile counts window positions, groups count docs") {
     // doc 1 and 2 share one 3-token span ("x y z"); doc 3 repeats its
     // own span twice; doc 4 is unique; doc 5 is too short for any span
