@@ -252,31 +252,47 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
 
-  /** The `nCells` nearest centroids of `v` by ROUNDED cosine
-    * (round(…,6) desc, ties → lowest cid) as a pure map-side
-    * expression: one struct per centroid — (-sim, cid), sign-flipped
-    * so the default ascending array_sort IS the (sim DESC, cid ASC)
-    * order — sorted and sliced. `+ 0.0` collapses -0.0 to +0.0
-    * (array_sort compares raw doubles; sort/window operators would
-    * have normalized), and a null sim (zero-norm vector) maps to
-    * -2.0 < min cosine, reproducing the window's NULLS LAST.
-    *
-    * Everything stays inside whole-stage codegen and NOTHING
-    * shuffles: the old spelling (broadcast nested-loop against the
-    * centroid frame + row_number window) expanded the corpus k-fold
-    * and shuffled it by vec_id just to pick each row's argmax — at
-    * 100 TB that is a full-corpus shuffle per Lloyd round vs zero
-    * here. Assignment semantics are bit-identical (q80/q81 hashes). */
+  /** Per-centroid (sim, cid) comparison keys for `v` against an
+    * inlined quantizer: sim is the ROUNDED cosine (round(…,6) — the
+    * boundary-pinning every oracled cosine uses), `+ 0.0` collapses
+    * -0.0 to +0.0 (raw struct comparisons do not normalize the way
+    * sort/window operators would), a null sim (zero-norm vector) maps
+    * to -2.0 < min cosine (the window's NULLS LAST), and cid rides
+    * along NEGATED so lexicographic MAX breaks sim ties toward the
+    * LOWEST cid. */
+  private def cellKeys(v: Column, nrm: Column,
+                       quant: Array[(Long, Array[Double], Double)]): Array[Column] =
+    quant.map { case (cid, cv, cn) =>
+      val sim = graft.ops.Exact.duckRound(
+        dot(v, typedLit(cv.toSeq)) / (nrm * lit(cn)), 6)
+      struct((coalesce(sim, lit(-2.0)) + lit(0.0)).as("s"), lit(-cid).as("nc"))
+    }
+
+  /** The nearest centroid of `v` — argmax by (rounded cosine desc,
+    * cid asc) — as `greatest` over the per-centroid keys: one
+    * codegen'd map-side expression, NOTHING shuffles. The old
+    * spelling (broadcast nested-loop against the centroid frame +
+    * row_number window) expanded the corpus k-fold and shuffled it by
+    * vec_id just to pick each row's argmax — at 100 TB that is a
+    * full-corpus shuffle per Lloyd round vs zero here. Assignment
+    * semantics are bit-identical (q80/q81 hashes). */
+  private def nearestCellExpr(v: Column, nrm: Column,
+                              quant: Array[(Long, Array[Double], Double)]): Column =
+    -greatest(cellKeys(v, nrm, quant).toIndexedSeq: _*).getField("nc")
+
+  /** The `nCells` nearest centroids, nearest first — the multi-probe
+    * (query-side) variant: keys sorted DESC via an ascending
+    * array_sort on their negation-free form is awkward, so sort the
+    * (s, nc) keys ascending and read the tail. array_sort/transform
+    * are CodegenFallback HOFs, fine here because only the k query
+    * rows (not the corpus) evaluate them; the corpus side always
+    * goes through nearestCellExpr. */
   private def cellsExpr(v: Column, nrm: Column,
                         quant: Array[(Long, Array[Double], Double)],
                         nCells: Int): Column = {
-    val entries = quant.map { case (cid, cv, cn) =>
-      val sim = graft.ops.Exact.duckRound(
-        dot(v, typedLit(cv.toSeq)) / (nrm * lit(cn)), 6)
-      struct((-coalesce(sim, lit(-2.0)) + lit(0.0)).as("ns"), lit(cid).as("c"))
-    }
-    slice(transform(array_sort(array(entries.toIndexedSeq: _*)),
-      e => e.getField("c")), 1, nCells)
+    val sorted = array_sort(array(cellKeys(v, nrm, quant).toIndexedSeq: _*))
+    slice(reverse(transform(sorted, e => -e.getField("nc"))),
+      1, nCells)
   }
 
   /** One Lloyd assignment: each vector to its nearest centroid by
@@ -285,13 +301,13 @@ object Similarity {
     * is what makes the assignment (and so the whole training round)
     * engine-portable: q80 hash-verifies this step against DuckDB.
     * The centroids (a model, ≤ k rows) are inlined as literals via
-    * cellsExpr, so assignment is one map-side codegen'd pass — no
-    * join, no window, no shuffle of the vector side. */
+    * nearestCellExpr, so assignment is one map-side codegen'd pass —
+    * no join, no window, no shuffle of the vector side. */
   def kmeansAssign(vecs: DataFrame, cent: DataFrame): DataFrame = {
     val quant = collectQuantizer(cent)
     vecs.select(col("vec_id"), col("embedding"))
-      .withColumn("cid", element_at(
-        cellsExpr(col("embedding"), norm(col("embedding")), quant, 1), 1))
+      .withColumn("cid",
+        nearestCellExpr(col("embedding"), norm(col("embedding")), quant))
       .select(col("vec_id"), col("cid"), col("embedding"))
   }
 
@@ -362,12 +378,13 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val quant = collectQuantizer(
       centroids.getOrElse(initCentroids(candidates, nCentroids)))
-    // Cell assignment is the inlined-model expression (cellsExpr): the
-    // candidate side streams map-only through ONE codegen'd scan — at
-    // 100 TB the only shuffle left in this query is the final top-k.
+    // Cell assignment is the inlined-model expression
+    // (nearestCellExpr): the candidate side streams map-only through
+    // ONE codegen'd scan — at 100 TB the only shuffle left in this
+    // query is the final top-k.
     val cCells = candidates.select(col("vec_id").as("nid"), col("embedding").as("nv"))
       .withColumn("nn", norm(col("nv")))
-      .withColumn("cell", element_at(cellsExpr(col("nv"), col("nn"), quant, 1), 1))
+      .withColumn("cell", nearestCellExpr(col("nv"), col("nn"), quant))
     val qCells = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("qn", norm(col("qv")))
       .withColumn("cell", explode(cellsExpr(col("qv"), col("qn"), quant, nProbe)))
