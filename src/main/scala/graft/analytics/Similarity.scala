@@ -175,7 +175,9 @@ object Similarity {
     * persisted bucket store (buckets are NOT recomputed): candidates
     * from the store's Hamming-1 probe self-join, verified over
     * `vecs`, which must cover every id in the store. Same output as
-    * cosineNearDupPairsLsh over the same vectors. */
+    * cosineNearDupPairsLsh over the same vectors. `nPlanes` must
+    * match the value the store was built with (it sets the probe
+    * mask width); a mismatch silently under-probes. */
   def pairsFromBucketStore(store: DataFrame, vecs: DataFrame,
                            threshold: Double, nPlanes: Int = 6): DataFrame = {
     val probeMasks = 0L +: (0 until nPlanes).map(p => 1L << p)
@@ -337,8 +339,10 @@ object Similarity {
     * reproducible run-to-run and expressible in the DuckDB oracle
     * (q80 verifies a training round, q81 runs trained IVF end-to-end).
     * At scale the same loop runs on a sample; the probe structure
-    * downstream is unchanged. Returns (cid, cv, cn) like
-    * initCentroids. */
+    * downstream is unchanged. A cell that captures no vectors drops
+    * out of the next round (standard Lloyd behavior, and exactly what
+    * the oracle's groupBy does — k shrinks rather than resurrecting
+    * an empty cell). Returns (cid, cv, cn) like initCentroids. */
   def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
