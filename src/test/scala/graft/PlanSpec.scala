@@ -96,6 +96,26 @@ class PlanSpec extends SparkSpec {
     assert(plan("q85_bpe_pair_counts").contains("TakeOrderedAndProject"))
   }
 
+  test("q100/q101: span dedup plans no Expand, and no span text in any exchange") {
+    Seq("q100_span_dup_profile", "q101_repeated_spans").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Expand"),
+        s"$name: distinct-doc counting must be two-stage, not Expand")
+      // every Exchange row carries the 16-hex hash `h`, never the span
+      // string `s` (SpanExplode's output column)
+      assert(!p.linesIterator.exists(l => l.contains("Exchange") && l.contains(" s#")),
+        s"$name shuffles raw span text")
+    }
+  }
+
+  test("q81: inlined-quantizer assignment plans no join or window below the probe") {
+    val p = plan("q81_ann_ivf_trained")
+    // one Window remains (the final top-k rank); the old spelling had
+    // three more plus per-assignment exchanges of the k-fold corpus
+    assert("Window \\[row_number".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q90: correlation sums aggregate two-phase (partial before shuffle)") {
     val p = plan("q90_exact_corr")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
