@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, FloatType}
+import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType}
 
 /** Session extension wiring for graft's custom Catalyst pieces:
   *
@@ -27,6 +27,8 @@ import org.apache.spark.sql.types.{DoubleType, FloatType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.vecDotDescription)
+    e.injectFunction(GraftExtensions.shingleExplodeDescription)
+    e.injectFunction(GraftExtensions.spanExplodeDescription)
     e.injectOptimizerRule(_ => RewriteVecDot)
     e.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
@@ -42,6 +44,30 @@ object GraftExtensions {
       VecDot(exprs.head, exprs(1))
     })
 
+  /** The generator width must be a compile-time constant: it fixes
+    * the output schema, so a column-valued n cannot work. */
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn(text, n): n must be an INT literal, got $e")
+  }
+
+  val shingleExplodeDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_explode"),
+    new ExpressionInfo(classOf[ShingleExplode].getName, "shingle_explode"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "shingle_explode(text, n) takes exactly 2 arguments")
+      ShingleExplode(exprs.head, intLit(exprs(1), "shingle_explode"))
+    })
+
+  val spanExplodeDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("span_explode"),
+    new ExpressionInfo(classOf[SpanExplode].getName, "span_explode"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "span_explode(text, n) takes exactly 2 arguments")
+      SpanExplode(exprs.head, intLit(exprs(1), "span_explode"))
+    })
+
   /** Register on an already-running session (function registry +
     * experimental optimizer rules + planner strategies). Idempotent:
     * every piece is check-before-put, so a second install (Bench
@@ -49,9 +75,12 @@ object GraftExtensions {
     * no-op — no `replaced a previously registered function` WARN in
     * deployment logs. */
   def install(spark: SparkSession): Unit = {
-    if (!spark.sessionState.functionRegistry.functionExists(FunctionIdentifier("vec_dot")))
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
+    Seq(vecDotDescription, shingleExplodeDescription, spanExplodeDescription)
+      .foreach { case (ident, _, builder) =>
+        if (!spark.sessionState.functionRegistry.functionExists(ident))
+          spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+            ident.funcName, builder, "built-in")
+      }
     if (!spark.experimental.extraOptimizations.contains(RewriteVecDot))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteVecDot

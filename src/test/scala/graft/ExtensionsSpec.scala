@@ -45,6 +45,26 @@ class ExtensionsSpec extends SparkSpec {
       org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")))
   }
 
+  test("shingle_explode and span_explode callable from SQL") {
+    installed
+    Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+      .createOrReplaceTempView("docs_ext")
+    val sh = spark.sql(
+      "SELECT doc_id, shingle_explode(text, 3) AS s FROM docs_ext").collect()
+    assert(sh.map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a b c"), (1L, "b c d")))
+    val sp = spark.sql(
+      "SELECT doc_id, span_explode(text, 2) FROM docs_ext").collect()
+    assert(sp.map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet ==
+      Set((1L, 1, "a b"), (1L, 2, "b c"), (1L, 3, "c d"), (2L, 1, "x y")))
+    // the width fixes the output schema, so it must be a literal
+    val e = intercept[Exception] {
+      spark.sql("SELECT span_explode(text, doc_id) FROM docs_ext").collect()
+    }
+    assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null).take(5)
+      .exists(t => Option(t.getMessage).exists(_.contains("INT literal"))), e.toString)
+  }
+
   test("rewrite does not fire on non-dot folds") {
     installed
     val e = Tables.embeddings(spark, sf("sf0.001"))
