@@ -93,6 +93,31 @@ object DedupQueries {
        |WHERE EXISTS (SELECT 1 FROM cand c WHERE c.d1 = p.d1 AND c.d2 = p.d2)
        |ORDER BY p.d1, p.d2""".stripMargin
 
+  /** Recursive-closure component CTE chain over the LSH pair list —
+    * q58's oracle prefix, shared by q103's compaction report. */
+  private lazy val componentsCtes: String =
+    s"""${hashedShingles.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM shh GROUP BY doc_id),
+       |band AS (SELECT doc_id,
+       |    $bandCols
+       |  FROM sig),
+       |cand AS (${(0 until MINHASH_BANDS).map(b =>
+           s"SELECT a.doc_id AS d1, b.doc_id AS d2 FROM band a JOIN band b ON a.band$b = b.band$b AND a.doc_id < b.doc_id")
+           .mkString("\n   UNION\n   ")}),
+       |${jaccardCtes(0.6)},
+       |lsh AS (SELECT p.d1, p.d2 FROM pairs p
+       |        WHERE EXISTS (SELECT 1 FROM cand c WHERE c.d1 = p.d1 AND c.d2 = p.d2)),
+       |e AS (SELECT d1 AS a, d2 AS b FROM lsh
+       |      UNION SELECT d2, d1 FROM lsh),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+       |         FROM reach GROUP BY a)""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------- q29
@@ -193,30 +218,44 @@ object DedupQueries {
     // cache fills lazily, so a solo q58 run still builds its own
     // pairs once.
     Q("q58_neardup_components",
-      s"""${hashedShingles.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |sig AS (SELECT doc_id,
-         |    $sigCols
-         |  FROM shh GROUP BY doc_id),
-         |band AS (SELECT doc_id,
-         |    $bandCols
-         |  FROM sig),
-         |cand AS (${(0 until MINHASH_BANDS).map(b =>
-             s"SELECT a.doc_id AS d1, b.doc_id AS d2 FROM band a JOIN band b ON a.band$b = b.band$b AND a.doc_id < b.doc_id")
-             .mkString("\n   UNION\n   ")}),
-         |${jaccardCtes(0.6)},
-         |lsh AS (SELECT p.d1, p.d2 FROM pairs p
-         |        WHERE EXISTS (SELECT 1 FROM cand c WHERE c.d1 = p.d1 AND c.d2 = p.d2)),
-         |e AS (SELECT d1 AS a, d2 AS b FROM lsh
-         |      UNION SELECT d2, d1 FROM lsh),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM e
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
-         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
-         |         FROM reach GROUP BY a)
+      s"""$componentsCtes
          |SELECT doc_id, component, doc_id = component AS is_keeper
          |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
       DedupOps.nearDupComponents(lshPairsOf(s, d)).orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q103
+    // Dedup compaction report — what the dedup pass buys: document
+    // count, documents in near-dup clusters, cluster count, documents
+    // a keeper-only compaction drops, and the kept fraction. The
+    // summary every nightly run logs. The distinct aggregate runs
+    // over the component labels ONLY (output-sized — its Expand is
+    // harmless there; over the corpus it would be the q40
+    // anti-pattern), and the corpus contributes one column-pruned
+    // count, scalar-joined on a constant key. Clustering reads the
+    // cached pair artifact (lshPairsOf, see q58).
+    Q("q103_dedup_compaction",
+      s"""$componentsCtes
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(c.component) AS BIGINT) AS n_dup_docs,
+         |  CAST(count(DISTINCT c.component) AS BIGINT) AS n_clusters,
+         |  CAST(count(CASE WHEN c.doc_id <> c.component THEN 1 END) AS BIGINT) AS n_dropped,
+         |  round(CAST(count(*) - count(CASE WHEN c.doc_id <> c.component THEN 1 END) AS DOUBLE)
+         |        / count(*), 4) AS kept_frac
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin) { (s, d) =>
+      val compAgg = DedupOps.nearDupComponents(lshPairsOf(s, d))
+        .groupBy(lit(1).as("_k"))
+        .agg(
+          count(lit(1)).as("n_dup_docs"),
+          countDistinct(col("component")).as("n_clusters"),
+          count(when(col("is_keeper") === false, lit(1))).as("n_dropped"))
+      Tables.documents(s, d).groupBy(lit(1).as("_k"))
+        .agg(count(lit(1)).as("n_docs"))
+        .join(compAgg, Seq("_k"))
+        .select(col("n_docs"), col("n_dup_docs"), col("n_clusters"), col("n_dropped"),
+          graft.ops.Exact.duckRound(
+            (col("n_docs") - col("n_dropped")).cast("double")
+              / col("n_docs").cast("double"), 4).as("kept_frac"))
     },
 
     // ---------------------------------------------------------------- q32
