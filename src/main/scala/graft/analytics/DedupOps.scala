@@ -555,7 +555,14 @@ object DedupOps {
     * on the uniform sha key, one per-doc count; n_spans is computed
     * map-side from the token count, never from the exploded frame.
     * The occurrence scan has two consumers and is cheap to recompute
-    * (map-only), so it is not persisted — the ≥3-consumer rule. */
+    * (map-only), so it is not persisted — the ≥3-consumer rule.
+    * Skew note: the count aggregate reduces a corpus-wide boilerplate
+    * span map-side (partial agg), but the semi-join's probe side
+    * shuffles every occurrence of it to one partition — AQE's
+    * skew-join split handles that; for adversarial boilerplate apply
+    * the q79 df-cap idea first (drop spans above a document-frequency
+    * cap and report them separately — they are removal candidates by
+    * definition, not filter-signal). */
   def spanDupProfile(docs: DataFrame, k: Int): DataFrame = {
     val occ = spanOccurrences(docs, k)
     val dup = occ.groupBy(col("h")).agg(count(lit(1)).as("c"))
