@@ -85,8 +85,9 @@ object Similarity {
     val guard = graft.ops.Guards.lazyGuard(
       vecs.agg(count(lit(1)).as("nv")), col("nv"), maxVectors,
       "cosineNearDupPairs is the exact O(n^2) baseline: ",
-      s" vectors (> $maxVectors). At this scale generate candidate pairs " +
-        "from lshTopK/ivfTopK buckets and verify with the same cosine join.")
+      s" vectors (> $maxVectors). At this scale use cosineNearDupPairsLsh " +
+        "(sign-LSH bucket candidates, same verify join, oracled as q99) — " +
+        "or incrementalCosinePairsLsh against a persisted bucket store.")
     // Block trick: an equi-join on a synthetic block key turns the
     // all-pairs nested loop into a codegen'd BroadcastHashJoin (a
     // BroadcastNestedLoopJoin evaluates row-at-a-time, ~4x slower

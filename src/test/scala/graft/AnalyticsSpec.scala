@@ -45,7 +45,7 @@ class AnalyticsSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val oversizedV = Similarity.cosineNearDupPairs(vecs, 0.5, maxVectors = 1L)
     val e2 = intercept[Exception] { oversizedV.collect() }
-    assert(messageChain(e2).contains("lshTopK"), messageChain(e2))
+    assert(messageChain(e2).contains("cosineNearDupPairsLsh"), messageChain(e2))
     assert(Similarity.cosineNearDupPairs(vecs, -1.0).count() == 1)
   }
 
