@@ -232,8 +232,10 @@ object DedupQueries {
     // over the component labels ONLY (output-sized — its Expand is
     // harmless there; over the corpus it would be the q40
     // anti-pattern), and the corpus contributes one column-pruned
-    // count, scalar-joined on a constant key. Clustering reads the
-    // cached pair artifact (lshPairsOf, see q58).
+    // count. The two 1-row aggregates combine by union + max — a
+    // constant-key scalar join would constant-fold its condition and
+    // plan the nested loop the engine-wide PlanSpec bans. Clustering
+    // reads the cached pair artifact (lshPairsOf, see q58).
     Q("q103_dedup_compaction",
       s"""$componentsCtes
          |SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -243,15 +245,22 @@ object DedupQueries {
          |  round(CAST(count(*) - count(CASE WHEN c.doc_id <> c.component THEN 1 END) AS DOUBLE)
          |        / count(*), 4) AS kept_frac
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin) { (s, d) =>
+      val nul = lit(null).cast("long")
       val compAgg = DedupOps.nearDupComponents(lshPairsOf(s, d))
-        .groupBy(lit(1).as("_k"))
         .agg(
           count(lit(1)).as("n_dup_docs"),
           countDistinct(col("component")).as("n_clusters"),
           count(when(col("is_keeper") === false, lit(1))).as("n_dropped"))
-      Tables.documents(s, d).groupBy(lit(1).as("_k"))
+        .select(nul.as("n_docs"), col("n_dup_docs"), col("n_clusters"), col("n_dropped"))
+      val docAgg = Tables.documents(s, d)
         .agg(count(lit(1)).as("n_docs"))
-        .join(compAgg, Seq("_k"))
+        .select(col("n_docs"), nul.as("n_dup_docs"), nul.as("n_clusters"), nul.as("n_dropped"))
+      docAgg.unionByName(compAgg)
+        .agg(
+          max(col("n_docs")).as("n_docs"),
+          max(col("n_dup_docs")).as("n_dup_docs"),
+          max(col("n_clusters")).as("n_clusters"),
+          max(col("n_dropped")).as("n_dropped"))
         .select(col("n_docs"), col("n_dup_docs"), col("n_clusters"), col("n_dropped"),
           graft.ops.Exact.duckRound(
             (col("n_docs") - col("n_dropped")).cast("double")
