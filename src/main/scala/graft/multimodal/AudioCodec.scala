@@ -1,0 +1,89 @@
+package graft.multimodal
+
+/** Real binary audio-header codec — pure-JVM byte-level parsing of
+  * the WAV/RIFF container (no native libraries), the audio sibling of
+  * [[ImageCodec]]. The matching encoder uses the JDK's own
+  * javax.sound.sampled writer, so tests and q104 exercise the parser
+  * against bytes a real encoder produced — an endianness, chunk-walk,
+  * or padding bug breaks the oracle hash, not just a unit fixture.
+  *
+  * Scope: format metadata (PCM code, channels, sample rate, bit
+  * depth, sample count) plus RIFF size-consistency validation — the
+  * fields a 100 TB media-ingest pass extracts while leaving sample
+  * decode to a pluggable codec (Multimodal.decodeWith).
+  */
+object AudioCodec {
+
+  /** Decoded WAV metadata. `nSamples` counts sample FRAMES
+    * (dataBytes / (channels × bits/8)); `sizeOk` validates that the
+    * RIFF declared size matches the file length (the container's only
+    * integrity field — WAV has no checksum). */
+  final case class WavMeta(format: String, audioFormat: Int, channels: Int,
+                           sampleRateHz: Int, bitsPerSample: Int,
+                           nSamples: Long, sizeOk: Boolean)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b.slice(off, off + 4), "US-ASCII")
+
+  /** Walk the RIFF chunk list: 'fmt ' yields the format block, 'data'
+    * the payload size. Chunks are word-aligned — an odd-sized chunk is
+    * followed by one pad byte (the classic parser bug this codec gets
+    * right; cf. the JPEG fill-byte lesson in ImageCodec). */
+  def decodeWav(b: Array[Byte]): Option[WavMeta] = {
+    if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    val riffSize = le32(b, 4)
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // audioFormat, channels, rate, bits
+    var dataBytes = -1L
+    while (off + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
+      val id = tag(b, off)
+      val size = le32(b, off + 4)
+      if (id == "fmt " && size >= 16 && off + 8 + 16 <= b.length)
+        fmt = Some((le16(b, off + 8), le16(b, off + 10),
+          le32(b, off + 12).toInt, le16(b, off + 22)))
+      else if (id == "data")
+        dataBytes = size
+      // advance past the chunk + its word-alignment pad byte
+      off += 8 + size.toInt + (size.toInt & 1)
+    }
+    fmt match {
+      case Some((af, ch, rate, bits)) if dataBytes >= 0 && ch > 0 && bits > 0 =>
+        val bytesPerFrame = ch.toLong * (bits / 8)
+        Some(WavMeta("wav", af, ch, rate, bits,
+          if (bytesPerFrame > 0) dataBytes / bytesPerFrame else -1L,
+          sizeOk = riffSize == b.length - 8))
+      case _ => None
+    }
+  }
+
+  /** Encode a deterministic PCM WAV through the JDK's own writer
+    * (javax.sound.sampled) — a REAL encoder, same philosophy as
+    * ImageCodec.encodePng via ImageIO. Samples are a fixed sawtooth
+    * of the id (content never reaches the metadata oracle; determinism
+    * keeps re-runs byte-identical). */
+  def encodeWav(channels: Int, sampleRateHz: Int, nSamples: Int, seed: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val bits = 16
+    val pcm = new Array[Byte](nSamples * channels * (bits / 8))
+    var i = 0
+    while (i < nSamples * channels) {
+      val v = (((seed + i * 2654435761L) % 4096) - 2048).toShort
+      pcm(2 * i) = (v & 0xff).toByte          // little-endian per frame
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRateHz.toFloat, bits, channels,
+      /* signed = */ true, /* bigEndian = */ false)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+}

@@ -123,6 +123,47 @@ object Multimodal {
     }.toDF("media_id", "format", "width", "height", "bit_depth", "color_type", "crc_ok")
   }
 
+  /** Synthesize a deterministic tiny WAV per row (rate/channels/
+    * length derived from the id) through the JDK's own audio writer —
+    * the corpus stand-in for an audio column, real bytes for
+    * decodeAudioMeta to parse (the audio twin of syntheticPngs). */
+  def syntheticWavs(df: DataFrame, idCol: String = "doc_id"): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val rate = (8000 + (id % 4) * 4000).toInt
+        val ch = (1 + id % 2).toInt
+        val n = (50 + id % 100).toInt
+        val p = AudioCodec.encodeWav(ch, rate, n, id)
+        MediaRow(id, "audio", p,
+          MediaMeta(0, 0, rate, n.toLong * 1000L / rate))
+      }
+    }
+  }
+
+  /** REAL audio-header decode over the partition-batched path:
+    * byte-level WAV/RIFF chunk walk (AudioCodec) with size
+    * validation — unparseable payloads surface as format='unknown'
+    * rows rather than task failures (per-row error isolation, F5). */
+  def decodeAudioMeta(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val m = AudioCodec.decodeWav(r.payload)
+        (r.media_id, m.map(_.format).getOrElse("unknown"),
+          m.map(_.audioFormat.toLong).getOrElse(-1L),
+          m.map(_.channels.toLong).getOrElse(-1L),
+          m.map(_.sampleRateHz.toLong).getOrElse(-1L),
+          m.map(_.bitsPerSample.toLong).getOrElse(-1L),
+          m.map(_.nSamples).getOrElse(-1L),
+          m.exists(_.sizeOk))
+      }
+    }.toDF("media_id", "format", "audio_format", "channels",
+      "sample_rate", "bits", "n_samples", "size_ok")
+  }
+
   /** Frame sampling: split the payload into fixed-size windows
     * ("frames"), keep every `stride`-th, extract features per frame —
     * the video/audio fan-out shape (one row in, N frame rows out,

@@ -382,6 +382,30 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- q104
+    // REAL audio decode through the multimodal path — the audio twin
+    // of q82: a deterministic PCM WAV is encoded per document with the
+    // JDK's own javax.sound writer (a real encoder), and the engine's
+    // byte-level RIFF chunk walk reads back the fmt/data blocks —
+    // PCM code, channels, sample rate, bit depth, frame count — and
+    // validates the declared RIFF size. The oracle knows the
+    // constructed parameters, so an endianness, chunk-walk, or
+    // word-alignment-padding bug breaks the hash.
+    Q("q104_audio_decode",
+      """SELECT doc_id, 'wav' AS format,
+        |  CAST(1 AS BIGINT) AS audio_format,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |  CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+        |  CAST(16 AS BIGINT) AS bits,
+        |  CAST(50 + doc_id % 100 AS BIGINT) AS n_samples,
+        |  TRUE AS size_ok
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.multimodal.Multimodal
+      Multimodal.decodeAudioMeta(Multimodal.syntheticWavs(Tables.documents(s, d)))
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- q36
     // Multimodal column plumbing: treat payloads as opaque binary +
     // typed metadata; deterministic feature extraction (byte length,

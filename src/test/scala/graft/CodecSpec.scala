@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.multimodal.{ImageCodec, Multimodal}
+import graft.multimodal.{AudioCodec, ImageCodec, Multimodal}
 
 /** Real binary decode: the byte-level PNG/JPEG header parser against
   * bytes the JDK's own encoders produced, plus the partition-batched
@@ -41,6 +41,40 @@ class CodecSpec extends SparkSpec {
     assert(ImageCodec.decode(ImageCodec.encodeJpeg(2, 2, 1L)).get.format == "jpeg")
     assert(ImageCodec.decode("not an image".getBytes("UTF-8")).isEmpty)
     assert(ImageCodec.decode(Array.emptyByteArray).isEmpty)
+  }
+
+  test("WAV: fmt/data round-trip against the JDK's own writer") {
+    val bytes = AudioCodec.encodeWav(channels = 2, sampleRateHz = 16000,
+      nSamples = 77, seed = 5L)
+    val m = AudioCodec.decodeWav(bytes).get
+    assert(m.format == "wav" && m.audioFormat == 1) // PCM
+    assert(m.channels == 2 && m.sampleRateHz == 16000)
+    assert(m.bitsPerSample == 16 && m.nSamples == 77)
+    assert(m.sizeOk)
+    // a truncated payload must fail the RIFF size check, not parse ok
+    assert(!AudioCodec.decodeWav(bytes.dropRight(4)).get.sizeOk)
+    assert(AudioCodec.decodeWav("RIFFnope".getBytes("US-ASCII")).isEmpty)
+    assert(AudioCodec.decodeWav(ImageCodec.encodePng(2, 2, 1L)).isEmpty)
+  }
+
+  test("WAV: odd-sized chunks are word-aligned with a pad byte") {
+    // Splice a 3-byte custom chunk between 'fmt ' and 'data'; per the
+    // RIFF spec it must be followed by one pad byte, and the walker
+    // has to skip BOTH to find 'data'.
+    val bytes = AudioCodec.encodeWav(1, 8000, 10, 1L)
+    val dataAt = {
+      var off = 12
+      while (new String(bytes.slice(off, off + 4), "US-ASCII") != "data")
+        off += 8 + ((bytes(off + 4) & 0xff) | ((bytes(off + 5) & 0xff) << 8)) // sizes < 64k here
+      off
+    }
+    val odd = Array[Byte]('j', 'u', 'n', 'k', 3, 0, 0, 0, 1, 2, 3, 0) // id+size+3 bytes+pad
+    val spliced = bytes.take(dataAt) ++ odd ++ bytes.drop(dataAt)
+    // fix the RIFF size for the inserted bytes (little-endian at 4)
+    val newSize = (spliced.length - 8).toLong
+    (0 until 4).foreach(i => spliced(4 + i) = ((newSize >> (8 * i)) & 0xff).toByte)
+    val m = AudioCodec.decodeWav(spliced).get
+    assert(m.nSamples == 10 && m.channels == 1 && m.sizeOk, m.toString)
   }
 
   test("partition-batched Spark path: synthesize, decode, validate") {
