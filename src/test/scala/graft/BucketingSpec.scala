@@ -33,4 +33,25 @@ class BucketingSpec extends SparkSpec {
       .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
     assert(joined.except(want).count() == 0 && want.except(joined).count() == 0)
   }
+
+  test("hive-partitioned layout prunes non-matching partitions at the scan") {
+    val d = sf("sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    // the standard 100 TB layout: directory-partition the fact table
+    // by its hottest filter column at write time
+    Tables.events(spark, d).write.mode("overwrite")
+      .partitionBy("event_type").parquet(dir)
+    val one = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val plan = one.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (directory pruning —
+    // non-matching partitions are never opened), NOT in the row-level
+    // PushedFilters / post-scan Filter
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    assert(!plan.contains("PushedFilters: [IsNotNull(event_type"), plan)
+    // pruned read matches the unpartitioned filter
+    val want = Tables.events(spark, d).filter(col("event_type") === "click").count()
+    assert(one.count() == want)
+    // and the partition column survives the round-trip as data
+    assert(one.select("event_type").distinct().collect().map(_.getString(0)).toSeq == Seq("click"))
+  }
 }
