@@ -38,19 +38,24 @@ object AudioCodec {
   def decodeWav(b: Array[Byte]): Option[WavMeta] = {
     if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
     val riffSize = le32(b, 4)
-    var off = 12
+    // offsets advance in LONG: a crafted 32-bit chunk size truncated
+    // to Int can go non-positive and freeze the walk; in Long the
+    // step is always >= 8, so malformed sizes run off the end and
+    // fall out of the loop instead
+    var off = 12L
     var fmt: Option[(Int, Int, Int, Int)] = None // audioFormat, channels, rate, bits
     var dataBytes = -1L
     while (off + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
-      val id = tag(b, off)
-      val size = le32(b, off + 4)
+      val o = off.toInt
+      val id = tag(b, o)
+      val size = le32(b, o + 4)
       if (id == "fmt " && size >= 16 && off + 8 + 16 <= b.length)
-        fmt = Some((le16(b, off + 8), le16(b, off + 10),
-          le32(b, off + 12).toInt, le16(b, off + 22)))
+        fmt = Some((le16(b, o + 8), le16(b, o + 10),
+          le32(b, o + 12).toInt, le16(b, o + 22)))
       else if (id == "data")
         dataBytes = size
       // advance past the chunk + its word-alignment pad byte
-      off += 8 + size.toInt + (size.toInt & 1)
+      off += 8L + size + (size & 1L)
     }
     fmt match {
       case Some((af, ch, rate, bits)) if dataBytes >= 0 && ch > 0 && bits > 0 =>

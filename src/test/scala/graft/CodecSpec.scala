@@ -55,6 +55,13 @@ class CodecSpec extends SparkSpec {
     assert(!AudioCodec.decodeWav(bytes.dropRight(4)).get.sizeOk)
     assert(AudioCodec.decodeWav("RIFFnope".getBytes("US-ASCII")).isEmpty)
     assert(AudioCodec.decodeWav(ImageCodec.encodePng(2, 2, 1L)).isEmpty)
+    // a crafted chunk size whose Int truncation is negative must fall
+    // off the end of the walk, not freeze it (Long offset arithmetic)
+    val evil = bytes.clone()
+    val fmtAt = 12 // canonical writer emits fmt first
+    assert(new String(evil.slice(fmtAt, fmtAt + 4), "US-ASCII") == "fmt ")
+    (0 until 4).foreach(i => evil(fmtAt + 4 + i) = 0xf8.toByte) // size 0xF8F8F8F8
+    assert(AudioCodec.decodeWav(evil).isEmpty)
   }
 
   test("WAV: odd-sized chunks are word-aligned with a pad byte") {
