@@ -84,6 +84,20 @@ class CodecSpec extends SparkSpec {
     assert(m.nSamples == 10 && m.channels == 1 && m.sizeOk, m.toString)
   }
 
+  test("codecs are total on arbitrary bytes: terminate, never throw") {
+    val rnd = new scala.util.Random(11)
+    (1 to 200).foreach { _ =>
+      val n = rnd.nextInt(128)
+      val junk = Array.fill(n)(rnd.nextInt(256).toByte)
+      ImageCodec.decode(junk)       // Option, no exception
+      AudioCodec.decodeWav(junk)    // Option, no exception
+      // and with valid magic but garbage bodies
+      AudioCodec.decodeWav("RIFF".getBytes ++ junk ++ "WAVE".getBytes ++ junk)
+      ImageCodec.decode(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++ junk)
+      ImageCodec.decode(Array[Byte](0xff.toByte, 0xd8.toByte) ++ junk)
+    }
+  }
+
   test("partition-batched Spark path: synthesize, decode, validate") {
     val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
     val meta = Multimodal.decodeImageMeta(Multimodal.syntheticPngs(docs))
