@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.analytics.DedupOps
+
+/** Streaming near-dup detection: the q97 incremental band-store
+  * contract as a CONTINUOUS stream instead of a nightly batch.
+  * Documents arrive; each one's LSH band rows probe a per-bucket state
+  * store that holds the ids already seen in that bucket; candidate
+  * pairs emit the moment the second member arrives. State is the band
+  * store itself — the same (k, bv) → ids structure a nightly pipeline
+  * persists (DedupOps.bandRows scaladoc), kept by the streaming state
+  * backend instead of a table.
+  *
+  * Emission is at-least-once per SHARED BAND: a pair agreeing on two
+  * bands emits from both buckets (buckets are independent state
+  * groups; cross-group dedup would need a second stateful stage).
+  * Downstream, `dropDuplicates` — or the exact-Jaccard verify in a
+  * foreachBatch, which is idempotent — absorbs the duplicates, the
+  * same trade statefulDedupTtl documents for TTL replays.
+  */
+object DedupStream {
+
+  final case class Doc(doc_id: Long, text: String)
+  final case class BandRow(k: Int, bv: String, doc_id: Long)
+  final case class CandidatePair(d1: Long, d2: Long)
+  final case class BucketState(ids: List[Long])
+
+  /** The LSH band rows of one document as plain Scala — bit-equal to
+    * the batch pipeline (shingleSet → minhashSignatures → withBands →
+    * bandRows; StreamingSpec pins the parity on the corpus): distinct
+    * 3-token shingles, one sha-256 base hash per shingle, the
+    * MINHASH_A/B universal family mod MINHASH_PRIME, minima folded
+    * per hash, 4 bands of 4 minima joined with '|'. Documents with
+    * fewer than 3 tokens have no shingles, hence no band rows —
+    * exactly the batch behavior. */
+  def bandRowsOf(docId: Long, text: String, n: Int = 3): Seq[BandRow] = {
+    if (text == null) return Nil
+    val words = text.split(" ", -1)
+    if (words.length < n) return Nil
+    val shingles = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      shingles.add(sb.toString)
+      i += 1
+    }
+    val mins = Array.fill(DedupOps.MINHASH_K)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val it = shingles.iterator()
+    while (it.hasNext) {
+      val digest = md.digest(it.next().getBytes("UTF-8"))
+      // first 8 hex chars = first 4 bytes, unsigned (batch: conv(substring(sha2,1,8),16,10))
+      val h = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+        ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+      var q = 0
+      while (q < DedupOps.MINHASH_K) {
+        val v = (DedupOps.MINHASH_A(q) * h + DedupOps.MINHASH_B(q)) % DedupOps.MINHASH_PRIME
+        if (v < mins(q)) mins(q) = v
+        q += 1
+      }
+    }
+    val rows = DedupOps.MINHASH_K / DedupOps.MINHASH_BANDS
+    (0 until DedupOps.MINHASH_BANDS).map { b =>
+      BandRow(b, (0 until rows).map(r => mins(b * rows + r)).mkString("|"), docId)
+    }
+  }
+
+  /** Candidate near-dup pairs over a document stream. Pairs are
+    * canonical (d1 < d2) and each pairs a NEW document with a stored
+    * or same-batch one — the O(delta) property: an arriving document
+    * costs its own band probes, never a corpus rescan. Verify exactly
+    * as in batch: feed the candidates to DedupOps-style Jaccard in a
+    * foreachBatch against the document store. */
+  def streamingNearDupCandidates(docs: Dataset[Doc]): Dataset[CandidatePair] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap(d => bandRowsOf(d.doc_id, d.text))
+      .groupByKey(r => (r.k, r.bv))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, String), rows: Iterator[BandRow], state: GroupState[BucketState]) => {
+          val stored = state.getOption.map(_.ids).getOrElse(Nil)
+          // deterministic emission order within a batch
+          val fresh = rows.map(_.doc_id).toSeq.distinct.filterNot(stored.contains).sorted
+          val out = scala.collection.mutable.ListBuffer.empty[CandidatePair]
+          var known = stored
+          fresh.foreach { id =>
+            known.foreach { o =>
+              if (o != id) out += CandidatePair(math.min(id, o), math.max(id, o))
+            }
+            known = id :: known
+          }
+          state.update(BucketState(known))
+          out.iterator
+        })
+  }
+}

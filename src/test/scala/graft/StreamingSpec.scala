@@ -20,6 +20,66 @@ class StreamingSpec extends SparkSpec {
   private def tmp(prefix: String) =
     Files.createTempDirectory(prefix).toString
 
+  test("streaming band rows are bit-equal to the batch store") {
+    import graft.streaming.DedupStream
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val streamed = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().flatMap { case (id, t) => DedupStream.bandRowsOf(id, t) }
+      .map(r => (r.doc_id, r.k, r.bv)).toSet
+    val batch = graft.analytics.DedupOps.minhashBandStore(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming near-dup candidates: incremental across batches, equal to the batch self-join") {
+    import graft.streaming.DedupStream
+    import graft.analytics.DedupOps
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val night1 = docs.filter($"doc_id" % 3 =!= 0)
+    val night2 = docs.filter($"doc_id" % 3 === 0)
+    val n2Ids = night2.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val dir = tmp("graft-dedup-stream")
+    night1.select($"doc_id", $"text").write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(night1.select($"doc_id", $"text").schema).parquet(dir)
+      .as[DedupStream.Doc]
+    val out = DedupStream.streamingNearDupCandidates(stream)
+    // ONE long-running query: bucket state must survive from night 1
+    // to night 2 (a second query would start with empty state)
+    val q = out.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("cand_stream")
+      .option("checkpointLocation", tmp("graft-dedup-ckpt"))
+      .start()
+    q.processAllAvailable() // night 1
+    val afterN1 = spark.table("cand_stream").as[DedupStream.CandidatePair]
+      .collect().toSeq
+    assert(afterN1.forall(p => !n2Ids(p.d1) && !n2Ids(p.d2)))
+    // night 2 lands in the same directory; only delta-involving pairs may emit
+    night2.select($"doc_id", $"text").write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("cand_stream").as[DedupStream.CandidatePair]
+      .collect().toSeq
+    val delta = all.diff(afterN1)
+    assert(delta.nonEmpty, "fixture has no cross-batch near-dups — vacuous test")
+    assert(delta.forall(p => n2Ids(p.d1) || n2Ids(p.d2)),
+      "a pair of two already-stored docs re-emitted: not O(delta)")
+    // union over both nights == the batch band self-join (dedup the
+    // at-least-once per-shared-band emissions)
+    val store = DedupOps.minhashBandStore(docs)
+    val want = store.select($"k", $"bv", $"doc_id".as("d1"))
+      .join(store.select($"k", $"bv", $"doc_id".as("d2")), Seq("k", "bv"))
+      .filter($"d1" < $"d2").select("d1", "d2").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = all.map(p => (p.d1, p.d2)).toSet
+    assert(got == want)
+    // and the oracled LSH pair list (q31) is the verified subset of these
+    val lsh = DedupOps.minhashLshPairs(docs, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(got))
+  }
+
   test("ST1 streaming hourly rollup over file source matches batch result") {
     val events = Tables.events(spark, sf("sf0.001"))
     // batch twin
