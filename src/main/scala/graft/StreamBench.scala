@@ -91,11 +91,28 @@ object StreamBench {
       .filter(col("event_type").isin("purchase", "click")).count()
     val (joinSec, joinOut) = timeRun(EventStreams.intervalJoin(purchases, clicks))
 
+    // 3. streaming near-dup candidates over the documents table:
+    // per-document minhash + band-bucket state probes (DedupStream) —
+    // the continuous-dedup path; docs/s is the ingest-rate figure.
+    val docsPath = s"$sfDir/documents.parquet"
+    val docsDir = tmpDir("graft-sbench-docs")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(docsDir, "documents.parquet"),
+      java.nio.file.Paths.get(docsPath))
+    val docsSchema = spark.read.parquet(docsPath).schema
+    val nDocs = spark.read.parquet(docsPath).count()
+    val docStream = spark.readStream.schema(docsSchema).parquet(docsDir)
+      .select(col("doc_id"), col("text"))
+      .as[graft.streaming.DedupStream.Doc]
+    val (ndSec, ndOut) = timeRun(
+      graft.streaming.DedupStream.streamingNearDupCandidates(docStream).toDF)
+
     val sf = new java.io.File(sfDir).getName
     println(
       f"""{"metric":"stream_bench","unit":"rows_per_sec","sf":"$sf",""" +
       f""""dedup_tws":${totalRows / dedupSec}%.0f,"dedup_sec":$dedupSec%.2f,"dedup_out":$dedupOut,""" +
-      f""""interval_join":${joinIn / joinSec}%.0f,"join_sec":$joinSec%.2f,"join_out":$joinOut}""")
+      f""""interval_join":${joinIn / joinSec}%.0f,"join_sec":$joinSec%.2f,"join_out":$joinOut,""" +
+      f""""neardup_docs_per_sec":${nDocs / ndSec}%.0f,"neardup_sec":$ndSec%.2f,"neardup_pairs":$ndOut}""")
     spark.stop()
   }
 }
