@@ -82,7 +82,7 @@ object StreamBench {
       col("user_id").cast("string").as("key"),
       col("event_id").cast("string").as("id"),
       col("ts")).as[EventStreams.TimedKeyed]
-    val (dedupSec, dedupOut) = timeRun(EventStreams.statefulDedupTws(keyed).toDF)
+    val (dedupSec, dedupOut) = timeRun(EventStreams.statefulDedupTws(keyed).toDF())
 
     // 2. watermark-bounded stream-stream interval join
     val purchases = eventStream().filter(col("event_type") === "purchase")
@@ -105,7 +105,7 @@ object StreamBench {
       .select(col("doc_id"), col("text"))
       .as[graft.streaming.DedupStream.Doc]
     val (ndSec, ndOut) = timeRun(
-      graft.streaming.DedupStream.streamingNearDupCandidates(docStream).toDF)
+      graft.streaming.DedupStream.streamingNearDupCandidates(docStream).toDF())
 
     val sf = new java.io.File(sfDir).getName
     println(

@@ -55,15 +55,15 @@ object AsOfJoin {
       .withColumn("_tag", lit(leftTag))
       .withColumn("_rpay", lit(null).cast(
         org.apache.spark.sql.types.StructType(
-          right.selectExpr(rightPayloadCols :+ rightTime: _*).schema.fields)))
+          right.selectExpr((rightPayloadCols :+ rightTime).toIndexedSeq: _*).schema.fields)))
     val r = right
       .withColumn("_k", col(rightKey)).withColumn("_t", col(rightTime))
       .withColumn("_tag", lit(rightTag))
-      .withColumn("_rpay", struct((rightPayloadCols :+ rightTime).map(col): _*))
+      .withColumn("_rpay", struct((rightPayloadCols :+ rightTime).map(col).toIndexedSeq: _*))
       .select((left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-               Seq(col("_k"), col("_t"), col("_tag"), col("_rpay"))): _*)
+               Seq(col("_k"), col("_t"), col("_tag"), col("_rpay"))).toIndexedSeq: _*)
     val combined = l.select((left.columns.map(col) ++
-      Seq(col("_k"), col("_t"), col("_tag"), col("_rpay"))): _*)
+      Seq(col("_k"), col("_t"), col("_tag"), col("_rpay"))).toIndexedSeq: _*)
       .unionByName(r)
     val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_tag"))
     val (frame, pick) =
@@ -76,6 +76,6 @@ object AsOfJoin {
     combined
       .withColumn("_match", pick.over(frame))
       .filter(col("_tag") === lit(leftTag))
-      .select(left.columns.map(col) :+ col("_match"): _*)
+      .select((left.columns.map(col) :+ col("_match")).toIndexedSeq: _*)
   }
 }

@@ -70,7 +70,7 @@ object HttpSink {
   def deliver(df: DataFrame, url: String, idCol: String, transport: Transport): Dataset[Delivery] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("string").as("_id"), to_json(struct(df.columns.map(col): _*)).as("_body"))
+    df.select(col(idCol).cast("string").as("_id"), to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("_body"))
       .as[(String, String)]
       .mapPartitions { rows =>
         rows.map { case (id, body) =>
