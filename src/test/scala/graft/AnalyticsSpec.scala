@@ -250,6 +250,46 @@ class AnalyticsSpec extends SparkSpec {
     assert(pairSet(Similarity.pairsFromBucketStore(store1, a.unionByName(b), th)) == full1)
   }
 
+  test("incremental identities hold on seeded random corpora (text + vectors)") {
+    val rnd = new scala.util.Random(3)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omega", "pi")
+    // random docs + planted near-dups (copy with one word mutated)
+    val base = (0L until 60L).map { i =>
+      (i, List.fill(5 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val mutated = base.take(20).map { case (i, t) =>
+      val ws = t.split(" "); ws(rnd.nextInt(ws.length)) = vocab(rnd.nextInt(vocab.length))
+      (i + 100L, ws.mkString(" "))
+    }
+    val docs = (base ++ mutated).toDF("doc_id", "text")
+    val a = docs.filter($"doc_id" % 3 === 0)
+    val delta = docs.filter($"doc_id" % 3 =!= 0)
+    def ps(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val store = DedupOps.minhashBandStore(a)
+    val full = ps(DedupOps.minhashLshPairs(docs, 0.5))
+    val incr = ps(DedupOps.lshPairsFromStore(store, a, 0.5)) ++
+      ps(DedupOps.incrementalLshPairs(store, a, delta, 0.5))
+    assert(incr == full)
+    assert(full.nonEmpty, "planted near-dups below threshold — vacuous")
+    // vectors: random 64-dim embeddings (the plane dim — shorter
+    // vectors would null the projections and collapse every bucket),
+    // biased positive so a low threshold yields many pairs
+    val vecs = (0L until 80L).map { i =>
+      (i, Seq.fill(64)(rnd.nextFloat() - 0.2f))
+    }.toDF("vec_id", "embedding")
+    val va = vecs.filter($"vec_id" % 4 === 0)
+    val vd = vecs.filter($"vec_id" % 4 =!= 0)
+    val vstore = Similarity.embedBucketStore(va, nPlanes = 4)
+    // nPlanes must match the store's (probe-width contract)
+    val vfull = ps(Similarity.cosineNearDupPairsLsh(vecs, 0.2, nPlanes = 4))
+    val vincr = ps(Similarity.pairsFromBucketStore(vstore, va, 0.2, nPlanes = 4)) ++
+      ps(Similarity.incrementalCosinePairsLsh(vstore, va, vd, 0.2, nPlanes = 4))
+    assert(vincr == vfull)
+    assert(vfull.nonEmpty)
+  }
+
   test("span dedup: profile counts window positions, groups count docs") {
     // doc 1 and 2 share one 3-token span ("x y z"); doc 3 repeats its
     // own span twice; doc 4 is unique; doc 5 is too short for any span
