@@ -12,6 +12,8 @@ import graft.sources.Tables
 object StreamingSpec {
   val collected = new java.util.concurrent.ConcurrentLinkedQueue[EventStreams.Keyed]()
   val collectedTtl = new java.util.concurrent.ConcurrentLinkedQueue[EventStreams.TimedKeyed]()
+  val collectedPairs =
+    new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.DedupStream.CandidatePair]()
 }
 
 class StreamingSpec extends SparkSpec {
@@ -35,44 +37,73 @@ class StreamingSpec extends SparkSpec {
     import graft.streaming.DedupStream
     import graft.analytics.DedupOps
     val docs = Tables.documents(spark, sf("sf0.001"))
-    val night1 = docs.filter($"doc_id" % 3 =!= 0)
-    val night2 = docs.filter($"doc_id" % 3 === 0)
-    val n2Ids = night2.select("doc_id").collect().map(_.getLong(0)).toSet
+    val night1 = docs.filter($"doc_id" % 3 === 1)
+    val night2 = docs.filter($"doc_id" % 3 === 2)
+    val night3 = docs.filter($"doc_id" % 3 === 0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val (n2Ids, n3Ids) = (ids(night2), ids(night3))
 
     val dir = tmp("graft-dedup-stream")
+    val ckpt = tmp("graft-dedup-ckpt")
     night1.select($"doc_id", $"text").write.mode("overwrite").parquet(dir)
-    val stream = spark.readStream
-      .schema(night1.select($"doc_id", $"text").schema).parquet(dir)
-      .as[DedupStream.Doc]
-    val out = DedupStream.streamingNearDupCandidates(stream)
+    // foreachBatch collector: the memory sink cannot recover from a
+    // checkpoint, and checkpoint recovery is exactly what the restart
+    // half of this test proves
+    StreamingSpec.collectedPairs.clear()
+    def start() = {
+      val stream = spark.readStream
+        .schema(night1.select($"doc_id", $"text").schema).parquet(dir)
+        .as[DedupStream.Doc]
+      DedupStream.streamingNearDupCandidates(stream).toDF()
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.as[DedupStream.CandidatePair].collect()
+            .foreach(StreamingSpec.collectedPairs.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    def pairsNow() = {
+      import scala.jdk.CollectionConverters._
+      StreamingSpec.collectedPairs.asScala.toSeq
+    }
     // ONE long-running query: bucket state must survive from night 1
-    // to night 2 (a second query would start with empty state)
-    val q = out.toDF().writeStream.outputMode("append")
-      .format("memory").queryName("cand_stream")
-      .option("checkpointLocation", tmp("graft-dedup-ckpt"))
-      .start()
+    // to night 2 (a fresh query without the checkpoint starts empty)
+    val q = start()
     q.processAllAvailable() // night 1
-    val afterN1 = spark.table("cand_stream").as[DedupStream.CandidatePair]
-      .collect().toSeq
-    assert(afterN1.forall(p => !n2Ids(p.d1) && !n2Ids(p.d2)))
+    val afterN1 = pairsNow()
+    assert(afterN1.forall(p =>
+      !n2Ids(p.d1) && !n2Ids(p.d2) && !n3Ids(p.d1) && !n3Ids(p.d2)))
     // night 2 lands in the same directory; only delta-involving pairs may emit
     night2.select($"doc_id", $"text").write.mode("append").parquet(dir)
     q.processAllAvailable()
     q.stop()
-    val all = spark.table("cand_stream").as[DedupStream.CandidatePair]
-      .collect().toSeq
-    val delta = all.diff(afterN1)
-    assert(delta.nonEmpty, "fixture has no cross-batch near-dups — vacuous test")
-    assert(delta.forall(p => n2Ids(p.d1) || n2Ids(p.d2)),
+    val all12 = pairsNow()
+    val delta2 = all12.diff(afterN1)
+    assert(delta2.nonEmpty, "fixture has no cross-batch near-dups — vacuous test")
+    assert(delta2.forall(p => n2Ids(p.d1) || n2Ids(p.d2)),
       "a pair of two already-stored docs re-emitted: not O(delta)")
-    // union over both nights == the batch band self-join (dedup the
+    // RESTART from the checkpoint (new query, new sink): the band
+    // store must come back — a night-3 doc pairing with a night-1/2
+    // doc can only happen through recovered bucket state
+    night3.select($"doc_id", $"text").write.mode("append").parquet(dir)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val delta3 = pairsNow().diff(all12)
+    assert(delta3.forall(p => n3Ids(p.d1) || n3Ids(p.d2)),
+      "restart re-emitted stored-stored pairs: state or source log lost")
+    assert(delta3.exists(p => !n3Ids(p.d1) || !n3Ids(p.d2)),
+      "no night-3 × earlier pair after restart: bucket state did not recover")
+    // union over all nights == the batch band self-join (dedup the
     // at-least-once per-shared-band emissions)
     val store = DedupOps.minhashBandStore(docs)
     val want = store.select($"k", $"bv", $"doc_id".as("d1"))
       .join(store.select($"k", $"bv", $"doc_id".as("d2")), Seq("k", "bv"))
       .filter($"d1" < $"d2").select("d1", "d2").distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val got = all.map(p => (p.d1, p.d2)).toSet
+    val got = (all12 ++ delta3).map(p => (p.d1, p.d2)).toSet
     assert(got == want)
     // and the oracled LSH pair list (q31) is the verified subset of these
     val lsh = DedupOps.minhashLshPairs(docs, 0.6)
