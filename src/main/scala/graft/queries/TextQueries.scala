@@ -226,6 +226,45 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- q105
+    // Shard manifest — the reproducibility artifact a data release
+    // publishes next to q60's packing: per shard, document/token
+    // counts, id range, and a sha-256 over the ordered id list. A
+    // re-pack (any partition count — shard assignment depends only on
+    // prefix sums) recomputes the manifest and verifies byte-for-byte
+    // that the release is intact. Shards are token-budget-sized, so
+    // the per-shard collected id list is small by construction; the
+    // order inside the hash comes from array_sort at finalization,
+    // not from collect_list's partition-dependent arrival order.
+    Q("q105_shard_manifest",
+      """WITH b AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |s AS (SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 10000 AS BIGINT) AS shard
+        |      FROM (SELECT doc_id, n_tokens,
+        |              sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |            FROM b))
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  sha256(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS content_sha
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.ops.PrefixSum.withRunningSum(base, "doc_id", "n_tokens", "cum")
+        .select(col("doc_id"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / 10000).cast("long").as("shard"))
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          sha2(array_join(expr(
+            "transform(array_sort(collect_list(doc_id)), x -> cast(x AS string))"),
+            ","), 256).as("content_sha"))
+        .orderBy("shard")
+    },
+
     // ---------------------------------------------------------------- q96
     // Context-window chunking: each document split into 32-token
     // windows at stride 16 (50% overlap) — the long-document splitter
