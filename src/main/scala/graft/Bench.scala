@@ -7,8 +7,26 @@ import org.apache.spark.sql.SparkSession
   * Materialization is a noop-format write — the whole result set is
   * computed and serialized, unlike count() which lets Catalyst prune
   * the plan to nothing for scan-shaped queries.
+  *
+  * Suite-state hygiene (the driver-r5 lesson: a contended host plus
+  * resident family caches inflated one run-order window 2–36× while
+  * clean re-runs measured baseline): the dedup family's session
+  * caches are released as soon as their LAST consumer finishes, so
+  * ~100 later queries run with full storage headroom, and per-query
+  * GC time is recorded so an anomalous run is diagnosable from the
+  * artifact itself (high gc + high sec = host/memory pressure, not a
+  * plan regression).
   */
 object Bench {
+
+  private def gcMillis: Long = {
+    val beans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    var total = 0L
+    val it = beans.iterator()
+    while (it.hasNext) total += math.max(it.next().getCollectionTime, 0L)
+    total
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -40,29 +58,58 @@ object Bench {
         System.err.println(s"[bench] warmup ${q.name} failed: ${e.getMessage}")
       }
     }
+    // Warmup filled the family caches against warmupDir — drop them so
+    // the measured pass starts from the state a real run starts from.
+    graft.queries.DedupQueries.releaseCaches(spark)
+    // The last query (in run order) that reads the dedup-family session
+    // caches: right after it, the caches are released and a GC nudges
+    // the ContextCleaner to free the family's localCheckpoint RDDs.
+    val lastCacheUser = selected.lastIndexWhere(q =>
+      graft.queries.DedupQueries.cacheConsumers.contains(q.name))
     // Best-of-N timing (N=2 default, BASELINE.md protocol): repeats
     // share the JVM, so later passes measure steady-state rather than
     // JIT ramp; best-of damps the ±20-30% launch-to-launch variance.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
-    val results = selected.map { q =>
-      val times = (1 to repeat).map { _ =>
+    val results = selected.zipWithIndex.map { case (q, i) =>
+      val runs = (1 to repeat).map { _ =>
+        val g0 = gcMillis
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        (sec, (gcMillis - g0) / 1e3)
       }
-      q.name -> times.min
+      if (i == lastCacheUser) {
+        graft.queries.DedupQueries.releaseCaches(spark)
+        System.gc() // lets ContextCleaner reclaim family checkpoint RDDs
+      }
+      (q.name, runs.minBy(_._1))
     }
     // Short qNN keys keep the whole line under the driver's 2000-char
     // stdout tail buffer (the full names overflowed it in round 2 and
     // the driver recorded parsed=null); the registry names are the
-    // same prefixes, so the mapping is unambiguous.
-    val qs = results.map { case (k, v) => "\"" + k.split('_').head + f"\":$v%.3f" }
+    // same prefixes, so the mapping is unambiguous. Per-query GC rides
+    // in the detail FILE, not the stdout line — 105 more keys would
+    // blow the tail buffer.
+    val qs = results.map { case (k, (sec, _)) => "\"" + k.split('_').head + f"\":$sec%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2._1).sum
+    val gcTotal = results.map(_._2._2).sum
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "bench_detail.json")
+    try {
+      val detail = results.map { case (k, (sec, gc)) =>
+        f""""$k":{"sec":$sec%.3f,"gc":$gc%.3f}"""
+      }.mkString("{", ",", "}")
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(
+        f"""{"sf":"$sfDir","total_sec":$total%.3f,"gc_sec":$gcTotal%.3f,"queries":$detail}""")
+      finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","gc_sec":$gcTotal%.3f,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   *    (it is k rows), so the candidate table streams through ONE scan
   *    with no shuffle of the big side — at 100 TB this is a map-only
   *    stage plus a per-query top-k heap (TakeOrdered via window).
-  *  - lshTopK: sign-random-projection LSH. Vectors hash to a bucket by
-  *    the sign pattern of projections onto deterministic ±1
-  *    hyperplanes; candidates share the query's bucket, shrinking the
-  *    scanned fraction by ~2^planes. Recall/latency trade is the
-  *    number of planes (see SimilaritySpec for the recall check).
+  *  - lshTopK: multi-table sign-random-projection LSH. Vectors hash
+  *    per table to the sign pattern of projections onto deterministic
+  *    ±1 hyperplanes; candidates share ANY table's bucket with the
+  *    query (L-table union — the standard recall amplification).
+  *    Recall/latency trade is (tables, planes-per-table); q98 is the
+  *    recall audit that measures both paths on the user's corpus.
   *
   * All arithmetic: float→double casts are exact, products of floats in
   * double are exact, and the fold order is the array order — so the
@@ -280,8 +281,16 @@ object Similarity {
     * full-corpus shuffle per Lloyd round vs zero here. Assignment
     * semantics are bit-identical (q80/q81 hashes). */
   private def nearestCellExpr(v: Column, nrm: Column,
-                              quant: Array[(Long, Array[Double], Double)]): Column =
-    -greatest(cellKeys(v, nrm, quant).toIndexedSeq: _*).getField("nc")
+                              quant: Array[(Long, Array[Double], Double)]): Column = {
+    require(quant.nonEmpty, "nearestCellExpr: empty quantizer (no centroids)")
+    // `greatest` requires >= 2 arguments, and a quantizer CAN shrink to
+    // one centroid (kmeansCentroids drops empty cells — a degenerate
+    // corpus of near-identical vectors collapses every round into one
+    // cell). With a single centroid the argmax is that centroid for
+    // every vector, zero-norm ones included.
+    if (quant.length == 1) lit(quant.head._1)
+    else -greatest(cellKeys(v, nrm, quant).toIndexedSeq: _*).getField("nc")
+  }
 
   /** The `nCells` nearest centroids, nearest first — the multi-probe
     * (query-side) variant: keys sorted DESC via an ascending
@@ -293,6 +302,7 @@ object Similarity {
   private def cellsExpr(v: Column, nrm: Column,
                         quant: Array[(Long, Array[Double], Double)],
                         nCells: Int): Column = {
+    require(quant.nonEmpty, "cellsExpr: empty quantizer (no centroids)")
     val sorted = array_sort(array(cellKeys(v, nrm, quant).toIndexedSeq: _*))
     slice(reverse(transform(sorted, e => -e.getField("nc"))),
       1, nCells)
@@ -402,28 +412,75 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
-  /** LSH-bucketed approximate top-k with multi-probe: each query
-    * searches its own bucket plus every bucket at Hamming distance 1
-    * in bucket-bit space (flip one plane's sign) — the standard
-    * recall/latency knob. Candidate fraction ≈ (planes+1)/2^planes of
-    * the table instead of a full scan. Same output shape as brute
-    * force. */
-  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int, nPlanes: Int = 6): DataFrame = {
+  /** lshTopK default hash structure: 6 independent tables of 3 sign
+    * planes each — all 18 planes one deterministic sha-parity family
+    * (table t owns rows [3t, 3t+3) of planeWeights(18, dim)). */
+  val LSH_TABLES = 6
+  val LSH_TABLE_PLANES = 3
+
+  /** The per-table bucket ids of `v` as an array column (index =
+    * table). One codegen'd expression: 18 VecDot projections, each
+    * table folding its 3 sign bits. */
+  def tableBucketsExpr(v: Column, nTables: Int = LSH_TABLES,
+                       planesPerTable: Int = LSH_TABLE_PLANES,
+                       dim: Int = 64): Column = {
+    val all = planeWeights(nTables * planesPerTable, dim)
+    array((0 until nTables).map { t =>
+      bucketExpr(v, all.slice(t * planesPerTable, (t + 1) * planesPerTable))
+    }: _*)
+  }
+
+  /** Multi-table sign-LSH approximate top-k (the standard recall
+    * amplification: L independent small tables, candidates = union of
+    * per-table bucket matches — Indyk–Motwani/Gionis et al., VLDB'99).
+    * Recall 1−(1−p^b)^L instead of a single table's p^b, at candidate
+    * fraction ≈ 1−(1−2^−b)^L.
+    *
+    * Knob history, measured on the sf0.1 corpus by q98 (the recall
+    * audit): the old default — ONE 6-plane table with Hamming-1
+    * multi-probe — scanned 11% of the table but found only 20% of the
+    * true top-10; the corpus's top neighbors sit at cosine ≈ 0.31–0.41
+    * (barely above isotropic noise), so every sign-LSH design needs a
+    * large candidate volume, and the measured frontier is ~recall ≈
+    * 1.4×fraction whatever the family (Hamming-2/3 balls,
+    * query-directed probing per Lv et al. VLDB'07, cross-polytope per
+    * Andoni et al. NeurIPS'15 — all simulated on the real corpus).
+    * 6 tables × 3 planes lands recall 0.81 at fraction 0.55 — the
+    * best measured point at recall ≥ 0.8. On a corpus with genuine
+    * cluster structure both recall and fraction improve sharply; when
+    * the corpus clusters, trained IVF (ivfTopK, recall 0.97 at
+    * fraction 0.125 here) is the stronger path, and q98 is the
+    * user-runnable audit that says which applies.
+    *
+    * Shape: both sides compute their table buckets map-side
+    * (tableBucketsExpr, codegen'd), the query side broadcasts, the
+    * (qid, nid) candidate set dedups across tables on narrow id rows
+    * ONLY, and candidate ids drive the verify joins (AQE broadcasts
+    * the candidate list, so the corpus re-read is map-side) — no
+    * corpus shuffle anywhere. */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              nTables: Int = LSH_TABLES,
+              planesPerTable: Int = LSH_TABLE_PLANES): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dim = 64
-    val planes = planeWeights(nPlanes, dim)
-    val probeMasks = 0L +: (0 until nPlanes).map(p => 1L << p)
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val qSide = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("qn", norm(col("qv")))
-      .withColumn("bucket", bucketExpr(col("qv"), planes))
-      .withColumn("probe", explode(array(
-        probeMasks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
-      .drop("bucket")
-    val c = candidates.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    val cSide = candidates.select(col("vec_id").as("nid"), col("embedding").as("nv"))
       .withColumn("nn", norm(col("nv")))
-      .withColumn("bucket", bucketExpr(col("nv"), planes))
-    val sims = c.join(broadcast(q), col("bucket") === col("probe"))
+    val qB = qSide.select(col("qid"),
+      posexplode(tableBucketsExpr(col("qv"), nTables, planesPerTable)))
+      .select(col("qid"), col("pos").as("t"), col("col").as("bucket"))
+    val cB = cSide.select(col("nid"),
+      posexplode(tableBucketsExpr(col("nv"), nTables, planesPerTable)))
+      .select(col("nid"), col("pos").as("t"), col("col").as("bucket"))
+    // narrow (qid, nid) rows dedup the cross-table union; vectors are
+    // joined back by id afterwards (verifyCosine's candidate-driven
+    // pattern), so the distinct never shuffles an embedding
+    val cands = cB.join(broadcast(qB), Seq("t", "bucket"))
       .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid")).distinct()
+    val sims = cands
+      .join(cSide, Seq("nid"))
+      .join(broadcast(qSide), Seq("qid"))
       .select(col("qid"), col("nid"),
         graft.ops.Exact.duckRound(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))

@@ -339,11 +339,16 @@ object DedupQueries {
     * reuse. (TextAnalysis.shingleSet's scaladoc records that caching
     * LOST inside the single-consumer minhash path — both measurements
     * stand: persist pays off at ≥3 consumers, not at 1.)
-    * Keyed like Tables.register: WeakHashMap on the session object
-    * (entries die with the session), last dir wins, a dir change
-    * unpersists the stale frame. SPARK_GRAFT_ONLY isolation is
-    * preserved — the cache fills lazily on each query's own first
-    * scan, so a solo run builds exactly what it uses. */
+    * Keyed like Tables.register: a WeakHashMap on the session object —
+    * BUT note the classic value→key leak: the cached DataFrame's
+    * queryExecution strongly references its SparkSession, so the weak
+    * key can never be collected while the entry lives. Entries are
+    * therefore freed only by a dir change, session stop, or an
+    * explicit releaseCaches(session) — which Bench calls once the
+    * suite pass ends, so the family's storage memory does not ride
+    * along under the remaining 100-odd queries. SPARK_GRAFT_ONLY
+    * isolation is preserved — the cache fills lazily on each query's
+    * own first scan, so a solo run builds exactly what it uses. */
   private val shingleCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       (String, org.apache.spark.sql.DataFrame)]())
@@ -387,4 +392,29 @@ object DedupQueries {
           p
       }
     }
+
+  /** Query names that read the session caches below — Bench releases
+    * the caches right after the LAST of these finishes a pass. */
+  val cacheConsumers: Set[String] = Set(
+    "q29_neardup_jaccard", "q79_neardup_jaccard_capped",
+    "q30_minhash_signatures", "q31_minhash_lsh_pairs",
+    "q97_incremental_dedup", "q58_neardup_components",
+    "q103_dedup_compaction")
+
+  /** Drop this session's dedup-family caches and free their storage
+    * memory. The WeakHashMap entries cannot be collected on their own
+    * (the cached DataFrame strongly references the session — see
+    * shingleCache scaladoc), and the family's queries run early in a
+    * full-suite pass: without an explicit release the shingle + pair
+    * blocks occupy executor storage for every later query, shrinking
+    * the headroom GC-sensitive queries depend on. Bench calls this
+    * after each timing pass; harmless when nothing is cached. */
+  def releaseCaches(s: org.apache.spark.sql.SparkSession): Unit = {
+    shingleCache.synchronized {
+      Option(shingleCache.remove(s)).foreach(_._2.unpersist(false))
+    }
+    pairCache.synchronized {
+      Option(pairCache.remove(s)).foreach(_._2.unpersist(false))
+    }
+  }
 }

@@ -33,6 +33,36 @@ object SimilarityQueries {
     }.mkString("planes(p, w) AS (VALUES\n  ", ",\n  ", ")")
   }
 
+  /** The 18 planes of lshTopK's 6×3 multi-table structure, each row
+    * carrying its table index t = p / 3 and in-table bit b = p % 3 —
+    * same family, same slicing as Similarity.tableBucketsExpr. */
+  private lazy val tablePlanesSql: String = {
+    val nPl = Similarity.LSH_TABLES * Similarity.LSH_TABLE_PLANES
+    val planes = Similarity.planeWeights(nPl, DIM)
+    planes.zipWithIndex.map { case (w, p) =>
+      s"($p, ${p / Similarity.LSH_TABLE_PLANES}, ${p % Similarity.LSH_TABLE_PLANES}, " +
+        s"CAST([${w.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")}] AS DOUBLE[]))"
+    }.mkString("tplanes(p, t, b, w) AS (VALUES\n  ", ",\n  ", ")")
+  }
+
+  /** Shared multi-table LSH top-k CTE chain: per-(vec, table) buckets,
+    * query-side bucket probe, cross-table-dedup'd candidates, exact
+    * rounded-cosine rank — the q35 oracle body, reused by q98. */
+  private def lshTopKCtes(prefix: String): String =
+    s"""${prefix}bk AS (SELECT vec_id, t,
+       |         CAST(sum((CASE WHEN list_dot_product(v, w) >= 0 THEN 1 ELSE 0 END) * (1 << b)) AS BIGINT) AS bucket
+       |       FROM n, tplanes GROUP BY vec_id, t),
+       |${prefix}qb AS (SELECT vec_id AS qid, t, bucket FROM ${prefix}bk WHERE vec_id < $N_QUERIES),
+       |${prefix}cand AS (SELECT DISTINCT qid, c.vec_id AS nid
+       |         FROM ${prefix}qb qq JOIN ${prefix}bk c ON qq.t = c.t AND qq.bucket = c.bucket
+       |         WHERE c.vec_id <> qid),
+       |${prefix}s AS (SELECT qid, nid,
+       |        round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS sim
+       |      FROM ${prefix}cand JOIN n x ON x.vec_id = qid JOIN n y ON y.vec_id = nid),
+       |${prefix}r AS (SELECT qid, nid, sim,
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+       |      FROM ${prefix}s)""".stripMargin
+
   /** Full-table LSH near-dup SQL — q99's oracle, shared by q102 whose
     * Spark side computes the same rows incrementally (stored pairs ∪
     * delta probe ≡ full recompute). */
@@ -79,29 +109,19 @@ object SimilarityQueries {
     },
 
     // ---------------------------------------------------------------- q35
-    // LSH-bucketed approximate top-k: sign-random-projection buckets
-    // shrink the candidate set ~2^planes; same output contract.
+    // Multi-table LSH approximate top-k: 6 independent 3-plane sign
+    // tables; candidates = cross-table union of bucket matches. The
+    // knob replaced the old 1-table Hamming-1 default after q98
+    // measured it at recall@10 = 0.20 (this structure: 0.81 at sf0.1).
     Q("q35_ann_lsh_topk",
-      s"""WITH $planesSql,
+      s"""WITH $tablePlanesSql,
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-         |bk AS (SELECT vec_id,
-         |         CAST(sum((CASE WHEN list_dot_product(v, w) >= 0 THEN 1 ELSE 0 END) * (1 << p)) AS BIGINT) AS bucket
-         |       FROM n, planes GROUP BY vec_id),
-         |nb AS (SELECT n.vec_id, v, nrm, bucket FROM n JOIN bk ON n.vec_id = bk.vec_id),
-         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket FROM nb WHERE vec_id < $N_QUERIES),
-         |qp AS (SELECT qid, qv, qn, xor(bucket, m) AS probe
-         |       FROM (SELECT *, unnest([${(0L +: (0 until N_PLANES).map(p => 1L << p)).mkString(", ")}]) AS m FROM q)),
-         |s AS (SELECT qid, nb.vec_id AS nid,
-         |        round(list_dot_product(qv, v) / (qn * nrm), 6) AS sim
-         |      FROM qp JOIN nb ON qp.probe = nb.bucket WHERE nb.vec_id <> qid),
-         |r AS (SELECT qid, nid, sim,
-         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
-         |      FROM s)
+         |${lshTopKCtes("")}
          |SELECT qid, nid, rnk, sim FROM r WHERE rnk <= $TOP_K
          |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
-      Similarity.lshTopK(e.filter(col("vec_id") < N_QUERIES), e, TOP_K, N_PLANES)
+      Similarity.lshTopK(e.filter(col("vec_id") < N_QUERIES), e, TOP_K)
         .select("qid", "nid", "rnk", "sim")
         .orderBy("qid", "rnk")
     },
@@ -278,7 +298,7 @@ object SimilarityQueries {
     // hash-verified q34/q35/q81 row sets, so recall here is exactly
     // the number a user would compute from those queries.
     Q("q98_ann_recall",
-      s"""WITH $planesSql,
+      s"""WITH $tablePlanesSql,
          |${normCtes.stripPrefix("WITH ")},
          |xq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $N_QUERIES),
          |xs AS (SELECT qid, n.vec_id AS nid,
@@ -287,18 +307,7 @@ object SimilarityQueries {
          |xr AS (SELECT qid, nid,
          |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM xs),
          |xk AS (SELECT qid, nid FROM xr WHERE rnk <= $TOP_K),
-         |bk AS (SELECT vec_id,
-         |         CAST(sum((CASE WHEN list_dot_product(v, w) >= 0 THEN 1 ELSE 0 END) * (1 << p)) AS BIGINT) AS bucket
-         |       FROM n, planes GROUP BY vec_id),
-         |nb AS (SELECT n.vec_id, v, nrm, bucket FROM n JOIN bk ON n.vec_id = bk.vec_id),
-         |lq0 AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket FROM nb WHERE vec_id < $N_QUERIES),
-         |lqp AS (SELECT qid, qv, qn, xor(bucket, m) AS probe
-         |       FROM (SELECT *, unnest([${(0L +: (0 until N_PLANES).map(p => 1L << p)).mkString(", ")}]) AS m FROM lq0)),
-         |ls AS (SELECT qid, nb.vec_id AS nid,
-         |        round(list_dot_product(qv, v) / (qn * nrm), 6) AS sim
-         |      FROM lqp JOIN nb ON lqp.probe = nb.bucket WHERE nb.vec_id <> qid),
-         |lr AS (SELECT qid, nid,
-         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM ls),
+         |${lshTopKCtes("l")},
          |lk AS (SELECT qid, nid FROM lr WHERE rnk <= $TOP_K),
          |cent0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT 16),
          |asg0 AS (SELECT vec_id, cid, v FROM (
@@ -342,7 +351,7 @@ object SimilarityQueries {
       val e = Tables.embeddings(s, d)
       val qv = e.filter(col("vec_id") < N_QUERIES)
       val exact = Similarity.bruteForceTopK(qv, e, TOP_K).select("qid", "nid")
-      val lsh = Similarity.lshTopK(qv, e, TOP_K, N_PLANES).select("qid", "nid")
+      val lsh = Similarity.lshTopK(qv, e, TOP_K).select("qid", "nid")
       val ivf = Similarity.ivfTopK(qv, e, TOP_K, 16, 2,
           Some(Similarity.kmeansCentroids(e, 16, 1))).select("qid", "nid")
       val approx = lsh.withColumn("method", lit("lsh"))

@@ -222,7 +222,10 @@ object TextQueries {
         .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
       graft.ops.PrefixSum.withRunningSum(base, "doc_id", "n_tokens", "cum")
         .select(col("doc_id"), col("n_tokens"),
-          floor((col("cum") - col("n_tokens")) / 10000).cast("long").as("shard"))
+          // integral division on longs, matching the oracle's `//`
+          // exactly at ANY prefix-sum magnitude — a double floor-div
+          // loses integer precision past 2^53
+          expr("(cum - n_tokens) div 10000").as("shard"))
         .orderBy("doc_id")
     },
 
@@ -252,7 +255,8 @@ object TextQueries {
         .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
       graft.ops.PrefixSum.withRunningSum(base, "doc_id", "n_tokens", "cum")
         .select(col("doc_id"), col("n_tokens"),
-          floor((col("cum") - col("n_tokens")) / 10000).cast("long").as("shard"))
+          // integral division, exact at any scale (see q60)
+          expr("(cum - n_tokens) div 10000").as("shard"))
         .groupBy(col("shard"))
         .agg(
           count(lit(1)).as("n_docs"),

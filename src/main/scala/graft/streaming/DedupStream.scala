@@ -25,7 +25,13 @@ object DedupStream {
   final case class Doc(doc_id: Long, text: String)
   final case class BandRow(k: Int, bv: String, doc_id: Long)
   final case class CandidatePair(d1: Long, d2: Long)
-  final case class BucketState(ids: List[Long])
+  /** `ids` is the bucket's member set (encoded as a list; membership
+    * checks go through a Set built per invocation — a hot bucket must
+    * not pay O(n) per probe). `saturated` latches once the bucket
+    * exceeds the size cap: a saturated bucket is the streaming analog
+    * of a q79 stop-shingle — boilerplate, not near-dup signal — so it
+    * stops pairing AND stops growing (bounded state). */
+  final case class BucketState(ids: List[Long], saturated: Boolean)
 
   /** The LSH band rows of one document as plain Scala — bit-equal to
     * the batch pipeline (shingleSet → minhashSignatures → withBands →
@@ -79,25 +85,45 @@ object DedupStream {
     * or same-batch one — the O(delta) property: an arriving document
     * costs its own band probes, never a corpus rescan. Verify exactly
     * as in batch: feed the candidates to DedupOps-style Jaccard in a
-    * foreachBatch against the document store. */
-  def streamingNearDupCandidates(docs: Dataset[Doc]): Dataset[CandidatePair] = {
+    * foreachBatch against the document store.
+    *
+    * `maxBucketIds` bounds per-bucket state and emission: a bucket
+    * that would grow past the cap emits the pairs for the documents
+    * that still fit, then SATURATES — further members neither pair nor
+    * store (state stays bounded; a hot boilerplate band would
+    * otherwise degrade to O(n²) pairs per batch with unbounded state,
+    * the adversarial case the batch path caps with the q79 df cap).
+    * Saturated-bucket members are boilerplate-removal candidates, not
+    * near-dup signal, and genuine near-dups still meet through their
+    * other MINHASH_BANDS-1 buckets. Default Int.MaxValue = uncapped. */
+  def streamingNearDupCandidates(docs: Dataset[Doc],
+                                 maxBucketIds: Int = Int.MaxValue): Dataset[CandidatePair] = {
     import docs.sparkSession.implicits._
     docs.flatMap(d => bandRowsOf(d.doc_id, d.text))
       .groupByKey(r => (r.k, r.bv))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: (Int, String), rows: Iterator[BandRow], state: GroupState[BucketState]) => {
-          val stored = state.getOption.map(_.ids).getOrElse(Nil)
+          val prev = state.getOption.getOrElse(BucketState(Nil, saturated = false))
+          val stored = prev.ids
+          val storedSet = stored.toSet // O(1) membership for hot buckets
           // deterministic emission order within a batch
-          val fresh = rows.map(_.doc_id).toSeq.distinct.filterNot(stored.contains).sorted
+          val fresh = rows.map(_.doc_id).toSeq.distinct
+            .filterNot(storedSet.contains).sorted
           val out = scala.collection.mutable.ListBuffer.empty[CandidatePair]
           var known = stored
+          var n = stored.size
+          var saturated = prev.saturated
           fresh.foreach { id =>
-            known.foreach { o =>
-              if (o != id) out += CandidatePair(math.min(id, o), math.max(id, o))
+            if (!saturated && n >= maxBucketIds) saturated = true
+            if (!saturated) {
+              known.foreach { o =>
+                if (o != id) out += CandidatePair(math.min(id, o), math.max(id, o))
+              }
+              known = id :: known
+              n += 1
             }
-            known = id :: known
           }
-          state.update(BucketState(known))
+          state.update(BucketState(known, saturated))
           out.iterator
         })
   }
