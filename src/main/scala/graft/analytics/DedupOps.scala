@@ -580,4 +580,54 @@ object DedupOps {
           coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_spans").cast("double"),
           4).as("dup_frac"))
   }
+
+  /** spanDupProfile with the q79 df-cap applied to spans — the
+    * adversarial-boilerplate spelling the uncapped profile's scaladoc
+    * names: a span whose distinct-DOCUMENT frequency exceeds `dfCap`
+    * is boilerplate (headers, licenses, templates), not near-dup
+    * signal, so it is EXCLUDED from n_dup and reported separately as
+    * n_capped — removal candidates by definition. At scale this is
+    * what bounds the semi-join skew the uncapped profile leaves to
+    * AQE: a corpus-wide boilerplate span's occurrence rows all carry
+    * the same `h`, and here they drop out of the dup-signal join by
+    * classification instead of shuffling to one partition.
+    *
+    * Output per document: (doc_id, n_spans, n_dup, n_capped,
+    * dup_frac = n_dup / n_spans). Invariant vs the uncapped profile
+    * (AnalyticsSpec proves it): for dfCap ≥ 1 every capped span is a
+    * dup span (df > dfCap ≥ 1 ⇒ ≥ 2 occurrences), so
+    *   n_dup_uncapped = n_dup_capped + n_capped   exactly,
+    * and n_dup_capped ≤ n_dup_uncapped row for row.
+    *
+    * Shapes: the same two-stage (h, doc)→h aggregation as
+    * repeatedSpanGroups (no Expand), then ONE h-join of occurrences
+    * against the classified span dictionary filtered to dup∪capped
+    * rows (class 0 spans never join), one per-doc count of each
+    * class. */
+  def spanDupProfileCapped(docs: DataFrame, k: Int, dfCap: Long): DataFrame = {
+    val occ = spanOccurrences(docs, k)
+    val g = occ.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("h"))
+      .agg(sum(col("c")).as("n_occ"), count(lit(1)).as("n_docs"))
+    val cls = g.select(col("h"),
+        when(col("n_docs") > dfCap, lit(2))
+          .when(col("n_occ") >= 2, lit(1))
+          .otherwise(lit(0)).as("cl"))
+      .filter(col("cl") =!= 0)
+    val perDoc = occ.join(cls, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(when(col("cl") === 1, lit(1))).as("n_dup"),
+        count(when(col("cl") === 2, lit(1))).as("n_capped"))
+    val base = docs.select(col("doc_id"),
+        greatest(size(tokens(col("text"))) - (k - 1), lit(0))
+          .cast("long").as("n_spans"))
+      .filter(col("n_spans") > 0)
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("n_capped"), lit(0L)).as("n_capped"),
+        graft.ops.Exact.duckRound(
+          coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_spans").cast("double"),
+          4).as("dup_frac"))
+  }
 }

@@ -224,6 +224,22 @@ object DedupQueries {
       DedupOps.nearDupComponents(lshPairsOf(s, d)).orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- q106
+    // The SAME clustering contract as q58 computed by the O(log n)
+    // algorithm: alternating large-star/small-star rounds (Kiveris et
+    // al. SoCC'14) over the identical cached pair artifact, against
+    // the identical recursive-closure oracle. q58 verifies min-label
+    // propagation (diameter-bounded rounds); this row proves the
+    // chain-diameter SCALE path — the one a 100 TB dedup must use when
+    // duplicate graphs form long paraphrase/boilerplate-drift chains —
+    // computes the exact same labels on the gate corpus.
+    Q("q106_components_lss",
+      s"""$componentsCtes
+         |SELECT doc_id, component, doc_id = component AS is_keeper
+         |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
+      DedupOps.componentsLargeSmallStar(lshPairsOf(s, d)).orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- q103
     // Dedup compaction report — what the dedup pass buys: document
     // count, documents in near-dup clusters, cluster count, documents
@@ -327,6 +343,36 @@ object DedupQueries {
          |SELECT h, n_occ, n_docs, first_doc FROM g
          |WHERE n_occ >= 2 ORDER BY h""".stripMargin) { (s, d) =>
       DedupOps.repeatedSpanGroups(Tables.documents(s, d), 8).orderBy("h")
+    },
+
+    // ---------------------------------------------------------------- q107
+    // q100's span-dup profile with the q79 df cap on spans: a span in
+    // more than 2 distinct documents is boilerplate — excluded from
+    // the dup-signal count, reported per document as n_capped
+    // (removal candidates). For dfCap >= 1 every capped span is a dup
+    // span, so q100.n_dup = q107.n_dup + q107.n_capped exactly
+    // (AnalyticsSpec proves the identity; this row gate-verifies the
+    // capped form end-to-end).
+    Q("q107_span_dup_capped",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |idx AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i FROM w),
+         |sp AS (SELECT doc_id, substr(sha256(array_to_string(ws[i:i+7], ' ')), 1, 16) AS h FROM idx),
+         |pd AS (SELECT h, doc_id, count(*) AS c FROM sp GROUP BY h, doc_id),
+         |g AS (SELECT h, sum(c) AS n_occ, count(*) AS n_docs FROM pd GROUP BY h),
+         |cls AS (SELECT h, CASE WHEN n_docs > 2 THEN 2 WHEN n_occ >= 2 THEN 1 ELSE 0 END AS cl
+         |        FROM g),
+         |dd AS (SELECT doc_id,
+         |         count(CASE WHEN cl = 1 THEN 1 END) AS nd,
+         |         count(CASE WHEN cl = 2 THEN 1 END) AS nc
+         |       FROM sp JOIN cls USING (h) WHERE cl <> 0 GROUP BY doc_id),
+         |base AS (SELECT doc_id, greatest(len(string_split(text, ' ')) - 7, 0) AS ns FROM documents)
+         |SELECT doc_id, CAST(ns AS BIGINT) AS n_spans,
+         |  CAST(coalesce(nd, 0) AS BIGINT) AS n_dup,
+         |  CAST(coalesce(nc, 0) AS BIGINT) AS n_capped,
+         |  round(CAST(coalesce(nd, 0) AS DOUBLE) / ns, 4) AS dup_frac
+         |FROM base LEFT JOIN dd USING (doc_id)
+         |WHERE ns > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      DedupOps.spanDupProfileCapped(Tables.documents(s, d), 8, 2).orderBy("doc_id")
     }
   )
 
@@ -399,7 +445,7 @@ object DedupQueries {
     "q29_neardup_jaccard", "q79_neardup_jaccard_capped",
     "q30_minhash_signatures", "q31_minhash_lsh_pairs",
     "q97_incremental_dedup", "q58_neardup_components",
-    "q103_dedup_compaction")
+    "q106_components_lss", "q103_dedup_compaction")
 
   /** Drop this session's dedup-family caches and free their storage
     * memory. The WeakHashMap entries cannot be collected on their own

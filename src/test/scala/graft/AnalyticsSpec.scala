@@ -315,6 +315,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(groups.toSeq == Seq((2L, 1L, 3L), (2L, 1L, 3L), (2L, 2L, 1L), (3L, 1L, 3L)))
   }
 
+  test("quantizer shrunk to one centroid still assigns (degenerate corpus)") {
+    // identical vectors: every Lloyd round sends all mass to the
+    // lowest-cid cell, the other cells drop, and k collapses to 1 —
+    // the argmax expression must survive a single-centroid quantizer
+    // (greatest() needs >= 2 args)
+    val one = Array.fill(8)(0.5f).toSeq
+    val vecs = (0L until 6L).map(i => (i, one)).toDF("vec_id", "embedding")
+    val cent = Similarity.kmeansCentroids(vecs, 4, 2)
+    assert(cent.count() == 1L)
+    val assigned = Similarity.kmeansAssign(vecs, cent).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(assigned.length == 6 && assigned.forall(_._2 == 0L))
+    val topk = Similarity.ivfTopK(vecs.filter($"vec_id" < 2), vecs, 3, 4, 2, Some(cent))
+    assert(topk.count() > 0)
+  }
+
+  test("capped span profile: n_dup splits exactly into signal + boilerplate") {
+    // dfCap=1: any span crossing documents is "boilerplate"; doc 3's
+    // self-repeats (1 doc) stay dup signal. "x y z" (2 docs) caps.
+    val docs = Seq(
+      (1L, "a b x y z c"),
+      (2L, "x y z q r"),
+      (3L, "p q s p q s p q s"),
+      (4L, "m n o u v")
+    ).toDF("doc_id", "text")
+    val capped = DedupOps.spanDupProfileCapped(docs, 3, 1).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(capped.toSeq == Seq(
+      (1L, 4L, 0L, 1L, 0.0), (2L, 3L, 0L, 1L, 0.0),
+      (3L, 7L, 7L, 0L, 1.0), (4L, 3L, 0L, 0L, 0.0)))
+    // identity vs the uncapped profile on the real corpus: for any
+    // dfCap >= 1 every capped span is a dup span, so
+    // uncapped.n_dup = capped.n_dup + capped.n_capped row for row
+    val corpus = Tables.documents(spark, sf("sf0.001"))
+    val un = DedupOps.spanDupProfile(corpus, 8).select("doc_id", "n_dup").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cp = DedupOps.spanDupProfileCapped(corpus, 8, 2)
+      .select("doc_id", "n_dup", "n_capped").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cp.nonEmpty && cp.forall { case (id, nd, nc) => un(id) == nd + nc })
+    assert(cp.exists(_._3 > 0), "no span capped at dfCap=2 — vacuous fixture")
+  }
+
   test("exact dedup groups cover all docs exactly once") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val groups = DedupOps.exactGroups(docs)

@@ -111,6 +111,33 @@ class StreamingSpec extends SparkSpec {
     assert(lsh.subsetOf(got))
   }
 
+  test("streaming near-dup bucket cap: saturated buckets stop pairing and growing") {
+    import graft.streaming.DedupStream
+    // four identical documents: every band bucket receives all four
+    val docs = Seq.tabulate(4)(i =>
+      (i + 1L, "the same boilerplate sentence repeated across documents"))
+      .toDF("doc_id", "text")
+    val dir = tmp("graft-capstream")
+    val ckpt = tmp("graft-capstream-ckpt")
+    docs.select($"doc_id", $"text").write.mode("overwrite").parquet(dir)
+    def run(cap: Int, sink: String): Set[(Long, Long)] = {
+      val stream = spark.readStream.schema(docs.schema).parquet(dir)
+        .as[DedupStream.Doc]
+      val q = DedupStream.streamingNearDupCandidates(stream, cap).toDF()
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .option("checkpointLocation", s"$ckpt-$sink-$cap")
+        .start()
+      q.processAllAvailable(); q.stop()
+      spark.table(sink).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // uncapped: all 6 pairs of 4 identical docs
+    assert(run(Int.MaxValue, "cap_off") ==
+      (for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)).toSet)
+    // cap 2: buckets saturate after ids 1,2 — only (1,2) emits; ids
+    // 3,4 neither pair nor grow the state
+    assert(run(2, "cap_on") == Set((1L, 2L)))
+  }
+
   test("ST1 streaming hourly rollup over file source matches batch result") {
     val events = Tables.events(spark, sf("sf0.001"))
     // batch twin
