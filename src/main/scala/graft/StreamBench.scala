@@ -107,12 +107,60 @@ object StreamBench {
     val (ndSec, ndOut) = timeRun(
       graft.streaming.DedupStream.streamingNearDupCandidates(docStream).toDF())
 
+    // 4. steady-state RocksDB dedup: N successive file drops through
+    // ONE running query. The single-AvailableNow figures above are
+    // COLD numbers — store init and first-batch JIT dominate. Here
+    // batch 1 pays that cost and the per-drop rate of batches 2..N is
+    // the sustained nightly-ingest figure. Slices are staged to a
+    // side dir and their part files MOVED in (atomic) so the source
+    // cannot start on a half-written drop and the timer covers
+    // exactly one drop's processing.
+    val nDrops = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "4").toInt
+    val dropDir = tmpDir("graft-sbench-drop")
+    val srcEvents = spark.read.parquet(path)
+    val ssTimes: Seq[(Long, Double)] = {
+      val raw = spark.readStream.schema(schema).parquet(dropDir)
+      val fixed =
+        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val keyedSs = fixed.select(
+        col("user_id").cast("string").as("key"),
+        col("event_id").cast("string").as("id"),
+        col("ts")).as[EventStreams.TimedKeyed]
+      val q = EventStreams.statefulDedupTws(keyedSs).toDF()
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) => b.count(): Unit }
+        .option("checkpointLocation", tmpDir("graft-sbench-ss-ck"))
+        .start()
+      val times = (0 until nDrops).map { i =>
+        val slice = srcEvents.filter(pmod(col("event_id"), lit(nDrops)) === i)
+        val n = slice.count()
+        val stage = tmpDir(s"graft-sbench-stage$i")
+        slice.write.mode("overwrite").parquet(stage)
+        java.nio.file.Files.list(java.nio.file.Paths.get(stage)).iterator()
+          .forEachRemaining { p =>
+            if (p.toString.endsWith(".parquet"))
+              java.nio.file.Files.move(p,
+                java.nio.file.Paths.get(dropDir, p.getFileName.toString))
+          }
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      q.stop()
+      times
+    }
+    val coldRate = ssTimes.head._1 / ssTimes.head._2
+    val steadyRate = ssTimes.tail.map(_._1).sum / ssTimes.tail.map(_._2).sum
+
     val sf = new java.io.File(sfDir).getName
     println(
       f"""{"metric":"stream_bench","unit":"rows_per_sec","sf":"$sf",""" +
       f""""dedup_tws":${totalRows / dedupSec}%.0f,"dedup_sec":$dedupSec%.2f,"dedup_out":$dedupOut,""" +
       f""""interval_join":${joinIn / joinSec}%.0f,"join_sec":$joinSec%.2f,"join_out":$joinOut,""" +
-      f""""neardup_docs_per_sec":${nDocs / ndSec}%.0f,"neardup_sec":$ndSec%.2f,"neardup_pairs":$ndOut}""")
+      f""""neardup_docs_per_sec":${nDocs / ndSec}%.0f,"neardup_sec":$ndSec%.2f,"neardup_pairs":$ndOut,""" +
+      f""""ss_batches":$nDrops,"ss_cold":$coldRate%.0f,"ss_steady":$steadyRate%.0f}""")
     spark.stop()
   }
 }

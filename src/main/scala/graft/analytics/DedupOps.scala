@@ -360,6 +360,27 @@ object DedupOps {
       shingleCounts(docsNeeded), threshold)
   }
 
+  /** Nightly GC of the incremental-dedup artifacts (what the q103
+    * compaction report prices): rewrite the band store dropping the
+    * rows of documents a keeper-only compaction removes — the
+    * non-keepers of `components` (nearDupComponents /
+    * componentsLargeSmallStar output; docs absent from it are
+    * singletons and always kept). One anti-join on doc_id: the
+    * dropped set is output-sized (non-keepers ≪ corpus), so AQE
+    * broadcasts it and the store streams map-only; at 100 TB a store
+    * bucketed by (k, bv) keeps its bucketing through this rewrite
+    * because the anti-join never touches the (k, bv) key.
+    * Invariant (AnalyticsSpec): store′ = store ∖ {rows of dropped
+    * docs}, exactly — store′ ∪ droppedRows = store, store′ ∩
+    * droppedRows = ∅. Future deltas probe keepers only, which is
+    * sound BECAUSE compaction also removed the non-keeper documents
+    * themselves: a new document near-dup to a dropped one is near-dup
+    * to its keeper by transitivity of the cluster. */
+  def compactBandStore(store: DataFrame, components: DataFrame): DataFrame =
+    store.join(
+      components.filter(col("is_keeper") === false).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+
   /** Connected components over a near-dup pair list: every document
     * gets the MIN doc_id of its transitive near-dup group as its
     * component label — the canonical "keep one copy of each near-dup

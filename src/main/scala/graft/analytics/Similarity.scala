@@ -308,6 +308,45 @@ object Similarity {
       1, nCells)
   }
 
+  /** Ceiling on quantizer size (k×dim doubles) for the
+    * inline-as-literals assignment path. The inlined model rides in
+    * every task binary: the 16×64 gate quantizer (1k doubles) already
+    * shows `Broadcasting large task binary with size 4.1 MiB`
+    * warnings — literal arrays cost ~4 KB/double in plan form — so at
+    * 4096-dim embeddings × 1024 cells (4M doubles) the pattern would
+    * ship ~16 GB per stage. Past this ceiling kmeansAssign/ivfTopK
+    * switch to the broadcast-join spelling (assignByJoin): same
+    * rounded-cosine argmax semantics, one k-fold explode + broadcast
+    * hash join + partial-agged per-vector max instead of a zero-
+    * shuffle map pass — the API degrades to one corpus-width shuffle
+    * of (vec_id, key) rows rather than cliffing on task-binary size. */
+  val MAX_INLINE_DOUBLES: Long = 8192L
+
+  /** The broadcast-join argmax assignment — bit-identical semantics
+    * to nearestCellExpr (rounded cosine desc, null→-2.0, -0.0
+    * normalized, ties → lowest cid) for quantizers too large to
+    * inline. The corpus expands k-fold by a cid-list literal (k longs
+    * — tiny), equi-joins the broadcast centroid frame by cid (never a
+    * nested loop), and reduces per vector with a partial-agged
+    * struct-max: the k rows of each vector sit in one partition, so
+    * map-side combine collapses them before the exchange. */
+  private def assignByJoin(vecs: DataFrame, cent: DataFrame,
+                           cids: Array[Long]): DataFrame = {
+    val expanded = vecs.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("cid", explode(array(cids.map(lit): _*)))
+    val joined = expanded.join(
+      broadcast(cent.select(col("cid"), col("cv").cast("array<double>").as("cv"), col("cn"))),
+      Seq("cid"))
+    val sim = graft.ops.Exact.duckRound(
+      dot(col("embedding"), col("cv")) / (col("nrm") * col("cn")), 6)
+    val key = struct((coalesce(sim, lit(-2.0)) + lit(0.0)).as("s"),
+      (-col("cid")).as("nc"))
+    joined.groupBy(col("vec_id"))
+      .agg(max(key).as("bk"), first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), (-col("bk.nc")).as("cid"), col("embedding"))
+  }
+
   /** One Lloyd assignment: each vector to its nearest centroid by
     * ROUNDED cosine (round(…,6), ties → lowest cid) — the same
     * boundary-pinning every oracled cosine in this engine uses, which
@@ -315,13 +354,23 @@ object Similarity {
     * engine-portable: q80 hash-verifies this step against DuckDB.
     * The centroids (a model, ≤ k rows) are inlined as literals via
     * nearestCellExpr, so assignment is one map-side codegen'd pass —
-    * no join, no window, no shuffle of the vector side. */
-  def kmeansAssign(vecs: DataFrame, cent: DataFrame): DataFrame = {
-    val quant = collectQuantizer(cent)
-    vecs.select(col("vec_id"), col("embedding"))
-      .withColumn("cid",
-        nearestCellExpr(col("embedding"), norm(col("embedding")), quant))
-      .select(col("vec_id"), col("cid"), col("embedding"))
+    * no join, no window, no shuffle of the vector side; past
+    * `maxInlineDoubles` (see MAX_INLINE_DOUBLES) the broadcast-join
+    * fallback takes over with identical output. */
+  def kmeansAssign(vecs: DataFrame, cent: DataFrame,
+                   maxInlineDoubles: Long = MAX_INLINE_DOUBLES): DataFrame = {
+    val kd = cent.agg(count(lit(1)), min(size(col("cv")))).first()
+    val modelDoubles = kd.getLong(0) * (if (kd.isNullAt(1)) 0L else kd.getInt(1).toLong)
+    if (modelDoubles > maxInlineDoubles) {
+      val cids = cent.select(col("cid")).collect().map(_.getLong(0)).sorted
+      assignByJoin(vecs, cent, cids)
+    } else {
+      val quant = collectQuantizer(cent)
+      vecs.select(col("vec_id"), col("embedding"))
+        .withColumn("cid",
+          nearestCellExpr(col("embedding"), norm(col("embedding")), quant))
+        .select(col("vec_id"), col("cid"), col("embedding"))
+    }
   }
 
   /** Per-cell, per-dimension exact component sums of an assignment:
@@ -389,20 +438,52 @@ object Similarity {
     * candidate side never joins or shuffles to learn its cell. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 2,
-              centroids: Option[DataFrame] = None): DataFrame = {
+              centroids: Option[DataFrame] = None,
+              maxInlineDoubles: Long = MAX_INLINE_DOUBLES): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val quant = collectQuantizer(
-      centroids.getOrElse(initCentroids(candidates, nCentroids)))
-    // Cell assignment is the inlined-model expression
-    // (nearestCellExpr): the candidate side streams map-only through
-    // ONE codegen'd scan — at 100 TB the only shuffle left in this
-    // query is the final top-k.
-    val cCells = candidates.select(col("vec_id").as("nid"), col("embedding").as("nv"))
-      .withColumn("nn", norm(col("nv")))
-      .withColumn("cell", nearestCellExpr(col("nv"), col("nn"), quant))
-    val qCells = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .withColumn("qn", norm(col("qv")))
-      .withColumn("cell", explode(cellsExpr(col("qv"), col("qn"), quant, nProbe)))
+    val cent = centroids.getOrElse(initCentroids(candidates, nCentroids))
+    val kd = cent.agg(count(lit(1)), min(size(col("cv")))).first()
+    val modelDoubles = kd.getLong(0) * (if (kd.isNullAt(1)) 0L else kd.getInt(1).toLong)
+    val (cCells, qCells) =
+      if (modelDoubles > maxInlineDoubles) {
+        // Broadcast-join fallback for quantizers past the inline
+        // ceiling (see MAX_INLINE_DOUBLES): candidate cells from
+        // assignByJoin (identical argmax semantics), query probe
+        // cells from the same k-fold equi-join ranked per query —
+        // the window runs over |Q|·k rows only.
+        val cids = cent.select(col("cid")).collect().map(_.getLong(0)).sorted
+        val c = assignByJoin(
+            candidates.select(col("vec_id"), col("embedding")), cent, cids)
+          .select(col("vec_id").as("nid"), col("cid").as("cell"),
+            col("embedding").as("nv"))
+          .withColumn("nn", norm(col("nv")))
+        val qExp = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+          .withColumn("qn", norm(col("qv")))
+          .withColumn("cid", explode(array(cids.map(lit): _*)))
+          .join(broadcast(cent.select(col("cid"),
+            col("cv").cast("array<double>").as("cv"), col("cn"))), Seq("cid"))
+        val qSim = graft.ops.Exact.duckRound(
+          dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+        val pw = Window.partitionBy(col("qid"))
+          .orderBy(coalesce(qSim, lit(-2.0)).desc, col("cid"))
+        val q = qExp.withColumn("rr", row_number().over(pw))
+          .filter(col("rr") <= nProbe)
+          .select(col("qid"), col("qv"), col("qn"), col("cid").as("cell"))
+        (c, q)
+      } else {
+        val quant = collectQuantizer(cent)
+        // Cell assignment is the inlined-model expression
+        // (nearestCellExpr): the candidate side streams map-only
+        // through ONE codegen'd scan — at 100 TB the only shuffle
+        // left in this query is the final top-k.
+        val c = candidates.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+          .withColumn("nn", norm(col("nv")))
+          .withColumn("cell", nearestCellExpr(col("nv"), col("nn"), quant))
+        val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+          .withColumn("qn", norm(col("qv")))
+          .withColumn("cell", explode(cellsExpr(col("qv"), col("qn"), quant, nProbe)))
+        (c, q)
+      }
     val sims = cCells.join(broadcast(qCells), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),

@@ -331,6 +331,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(topk.count() > 0)
   }
 
+  test("quantizer past the inline ceiling: broadcast-join fallback, identical output") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val cent = Similarity.kmeansCentroids(e, 16, 1)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = Similarity.kmeansAssign(e, cent)
+    val fallback = Similarity.kmeansAssign(e, cent, maxInlineDoubles = 1)
+    assert(pairs(fallback) == pairs(inline))
+    // the fallback must be the broadcast equi-join, not a giant
+    // literal and not a nested loop
+    val plan = fallback.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+    val q = e.filter($"vec_id" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "rnk", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val a = rows(Similarity.ivfTopK(q, e, 10, 16, 2, Some(cent)))
+    val b = rows(Similarity.ivfTopK(q, e, 10, 16, 2, Some(cent), maxInlineDoubles = 1))
+    assert(a == b && a.nonEmpty)
+  }
+
   test("capped span profile: n_dup splits exactly into signal + boilerplate") {
     // dfCap=1: any span crossing documents is "boilerplate"; doc 3's
     // self-repeats (1 doc) stay dup signal. "x y z" (2 docs) caps.
@@ -356,6 +379,22 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(cp.nonEmpty && cp.forall { case (id, nd, nc) => un(id) == nd + nc })
     assert(cp.exists(_._3 > 0), "no span capped at dfCap=2 — vacuous fixture")
+  }
+
+  test("band-store compaction removes exactly the non-keeper rows") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val store = DedupOps.minhashBandStore(docs)
+    val comps = DedupOps.nearDupComponents(DedupOps.minhashLshPairs(docs, 0.6))
+      .localCheckpoint(true)
+    val dropped = comps.filter(!$"is_keeper").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "no near-dup cluster to compact — vacuous fixture")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val before = rows(store)
+    val after = rows(DedupOps.compactBandStore(store, comps))
+    assert(after == before.filterNot(r => dropped(r._1)))
+    assert(after.subsetOf(before) && (before -- after).forall(r => dropped(r._1)))
   }
 
   test("exact dedup groups cover all docs exactly once") {
