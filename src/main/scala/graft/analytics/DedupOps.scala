@@ -470,10 +470,14 @@ object DedupOps {
           .select(col("v").as("u"), col("m").as("v"))
           .unionByName(mS.select(col("u"), col("m").as("v"))))
         .localCheckpoint(true)
-      // symmetric difference: one-way except would miss rounds that
-      // only SHRINK the edge set and stop before the fixpoint
-      changed = afterSmall.exceptAll(edges).count() +
-        edges.exceptAll(afterSmall).count()
+      // set equality via count + ONE-way except: both frames are
+      // distinct (canon ends in .distinct()), so |A| = |B| ∧ A∖B = ∅
+      // ⟹ A = B. A bare one-way except would miss rounds that only
+      // SHRINK the edge set; the count comparison (a cheap agg job)
+      // restores soundness at half the exceptAll cost.
+      changed =
+        if (afterSmall.count() != edges.count()) 1L
+        else afterSmall.exceptAll(edges).count()
       edges = afterSmall
       i += 1
     }

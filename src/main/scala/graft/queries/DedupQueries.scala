@@ -345,6 +345,32 @@ object DedupQueries {
       DedupOps.repeatedSpanGroups(Tables.documents(s, d), 8).orderBy("h")
     },
 
+    // ---------------------------------------------------------------- q108
+    // The compaction q103 PRICES, executed on the band store: rewrite
+    // the (doc_id, k, bv) rows dropping every non-keeper of the
+    // near-dup clustering — the nightly GC of the incremental-dedup
+    // artifact. Spark side: one anti-join of the store against the
+    // output-sized non-keeper list (compactBandStore); clustering and
+    // shingles come from the session-cached artifacts (see q58). The
+    // oracle rebuilds store ∖ dropped from first principles: same
+    // signature/band chain as q31, same recursive-closure components
+    // as q58.
+    Q("q108_band_compaction",
+      s"""$componentsCtes,
+         |ks(k) AS (VALUES (0), (1), (2), (3)),
+         |br AS (SELECT doc_id, k,
+         |         CASE k WHEN 0 THEN band0 WHEN 1 THEN band1 WHEN 2 THEN band2 ELSE band3 END AS bv
+         |       FROM band, ks),
+         |dropped AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+         |SELECT doc_id, CAST(k AS INT) AS k, bv FROM br
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY doc_id, k""".stripMargin) { (s, d) =>
+      val store = DedupOps.minhashBandStore(Tables.documents(s, d),
+        Some(shingleSetOf(s, d)))
+      DedupOps.compactBandStore(store, DedupOps.nearDupComponents(lshPairsOf(s, d)))
+        .orderBy("doc_id", "k")
+    },
+
     // ---------------------------------------------------------------- q107
     // q100's span-dup profile with the q79 df cap on spans: a span in
     // more than 2 distinct documents is boilerplate — excluded from
@@ -445,7 +471,8 @@ object DedupQueries {
     "q29_neardup_jaccard", "q79_neardup_jaccard_capped",
     "q30_minhash_signatures", "q31_minhash_lsh_pairs",
     "q97_incremental_dedup", "q58_neardup_components",
-    "q106_components_lss", "q103_dedup_compaction")
+    "q106_components_lss", "q103_dedup_compaction",
+    "q108_band_compaction")
 
   /** Drop this session's dedup-family caches and free their storage
     * memory. The WeakHashMap entries cannot be collected on their own
