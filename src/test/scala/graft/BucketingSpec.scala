@@ -34,6 +34,42 @@ class BucketingSpec extends SparkSpec {
     assert(joined.except(want).count() == 0 && want.except(joined).count() == 0)
   }
 
+  test("band store bucketed by (k, bv): the delta probe shuffles only the delta") {
+    import graft.analytics.DedupOps
+    // the incremental-dedup scale claim (bandRows scaladoc): a nightly
+    // pipeline persists the band store bucketed by (k, bv), so the
+    // delta's probe join co-locates against it with NO store-side
+    // exchange — re-dedup shuffles O(delta), never O(store)
+    val d = sf("sf0.001")
+    val docs = Tables.documents(spark, d)
+    val ingested = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    DedupOps.minhashBandStore(ingested).write.mode("overwrite")
+      .bucketBy(8, "k", "bv").sortBy("k", "bv").saveAsTable("band_store_b")
+    val store = spark.table("band_store_b")
+    val deltaBands = DedupOps.minhashBandStore(delta)
+    val probe = deltaBands.select(col("k"), col("bv"), col("doc_id").as("da"))
+      .hint("merge")
+      .join(store.select(col("k"), col("bv"), col("doc_id").as("db")), Seq("k", "bv"))
+      .filter(col("da") =!= col("db"))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    // exactly ONE hashpartitioning exchange on (k, bv) — the delta
+    // side; the bucketed store reads pre-partitioned
+    val nExch = "Exchange hashpartitioning\\(k".r.findAllIn(plan).size
+    assert(nExch == 1, plan)
+    assert(plan.contains("Bucketed: true") || plan.contains("SelectedBucketsCount"), plan)
+    // and the bucketed probe finds exactly the unbucketed candidates
+    val want = deltaBands.select(col("k"), col("bv"), col("doc_id").as("da"))
+      .join(DedupOps.minhashBandStore(ingested)
+        .select(col("k"), col("bv"), col("doc_id").as("db")), Seq("k", "bv"))
+      .filter(col("da") =!= col("db"))
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = probe.select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("hive-partitioned layout prunes non-matching partitions at the scan") {
     val d = sf("sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
