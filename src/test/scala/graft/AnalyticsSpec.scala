@@ -118,6 +118,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("lshTopK: every returned sim equals the exact cosine; ranks contiguous") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val q = e.filter($"vec_id" < 10)
+    // brute force with k = everything ranks ALL (qid, nid) sims
+    val exact = Similarity.bruteForceTopK(q, e, Int.MaxValue)
+      .select("qid", "nid", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(q, e, 10)
+      .select("qid", "nid", "rnk", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(lsh.nonEmpty)
+    // the verify join must re-attach the RIGHT vectors: sims match
+    // the exact computation bit-for-bit (same rounding pin)
+    assert(lsh.forall { case (qid, nid, _, sim) => exact((qid, nid)) == sim })
+    // ranks are 1..n contiguous per query (candidate dedup across
+    // tables happened BEFORE ranking — duplicates would leave holes)
+    lsh.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
   test("trained k-means quantizer: deterministic, and IVF recall holds up") {
     val e = Tables.embeddings(spark, sf("sf0.001"))
     val c1 = Similarity.kmeansCentroids(e, 16, 2).orderBy("cid")
