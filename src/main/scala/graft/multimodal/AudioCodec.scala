@@ -67,6 +67,37 @@ object AudioCodec {
     }
   }
 
+  /** The 16-bit PCM payload of a WAV as interleaved samples — the
+    * data-chunk twin of decodeWav's metadata walk (same RIFF
+    * traversal, same word-alignment rule), little-endian int16 per
+    * the format. None for non-RIFF bytes, non-PCM, or non-16-bit
+    * audio — per-row error isolation, not a task failure. */
+  def pcmSamples16(b: Array[Byte]): Option[Array[Short]] = {
+    if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var off = 12L
+    var bits = -1
+    var dataOff = -1L
+    var dataBytes = -1L
+    while (off + 8 <= b.length && (bits < 0 || dataOff < 0)) {
+      val o = off.toInt
+      val id = tag(b, o)
+      val size = le32(b, o + 4)
+      if (id == "fmt " && size >= 16 && off + 8 + 16 <= b.length)
+        bits = le16(b, o + 22)
+      else if (id == "data") { dataOff = off + 8; dataBytes = size }
+      off += 8L + size + (size & 1L)
+    }
+    if (bits != 16 || dataOff < 0 || dataOff + dataBytes > b.length) return None
+    val n = (dataBytes / 2).toInt
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = le16(b, (dataOff + 2L * i).toInt).toShort
+      i += 1
+    }
+    Some(out)
+  }
+
   /** Encode a deterministic PCM WAV through the JDK's own writer
     * (javax.sound.sampled) — a REAL encoder, same philosophy as
     * ImageCodec.encodePng via ImageIO. Samples are a fixed sawtooth

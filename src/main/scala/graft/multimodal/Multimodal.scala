@@ -88,6 +88,101 @@ object Multimodal {
     }
   }
 
+  /** REAL pixel-level image resize: full PNG/JPEG decode through the
+    * JDK's ImageIO (inflate + unfilter — not just the header walk),
+    * deterministic nearest-neighbor mapping
+    * `src = (dst * srcDim) / dstDim` in INTEGER arithmetic (the
+    * engine-portable spelling — q109's oracle recomputes it with `//`),
+    * PNG re-encode, metadata updated beside the payload. Undecodable
+    * payloads DROP (per-row error isolation, F5) rather than failing
+    * the task. Partition-batched like every codec step. */
+  def resizeNearest(media: Dataset[MediaRow], tw: Int, th: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val img = try {
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
+        } catch { case _: Throwable => None }
+        img.map { src =>
+          val out = new java.awt.image.BufferedImage(
+            tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < th) {
+            val sy = y * src.getHeight / th
+            var x = 0
+            while (x < tw) {
+              out.setRGB(x, y, src.getRGB(x * src.getWidth / tw, sy))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          val p = bos.toByteArray
+          r.copy(payload = p, meta = r.meta.copy(width = tw, height = th,
+            durationMs = p.length.toLong))
+        }
+      }
+    }
+  }
+
+  /** Pixel statistics via a REAL full decode: (media_id, width,
+    * height, px_sum = Σ 24-bit RGB over all pixels) — the verifiable
+    * probe of any pixel transform (q109 checks resizeNearest's output
+    * against a closed-form oracle through it). Undecodable payloads
+    * surface as (-1, -1, -1) rows. */
+  def pixelStats(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = try {
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
+        } catch { case _: Throwable => None }
+        img match {
+          case Some(m) =>
+            var s = 0L
+            var y = 0
+            while (y < m.getHeight) {
+              var x = 0
+              while (x < m.getWidth) {
+                s += (m.getRGB(x, y) & 0xffffff).toLong
+                x += 1
+              }
+              y += 1
+            }
+            (r.media_id, m.getWidth.toLong, m.getHeight.toLong, s)
+          case None => (r.media_id, -1L, -1L, -1L)
+        }
+      }
+    }.toDF("media_id", "width", "height", "px_sum")
+  }
+
+  /** REAL audio frame sampling: the WAV data chunk decodes to
+    * interleaved int16 PCM (AudioCodec.pcmSamples16 — same RIFF walk
+    * as the metadata codec), frames of `frameSamples` values, every
+    * `stride`-th frame kept, per-frame count + amplitude sum — the
+    * video/audio fan-out shape (one row in, N frame rows out) with a
+    * closed-form oracle (q110). Non-PCM16/undecodable payloads drop
+    * (F5 isolation). */
+  def frameAmplitudes(media: Dataset[MediaRow], frameSamples: Int,
+                      stride: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        AudioCodec.pcmSamples16(r.payload).iterator.flatMap { samples =>
+          samples.grouped(frameSamples).zipWithIndex
+            .filter { case (_, j) => j % stride == 0 }
+            .map { case (fr, j) =>
+              (r.media_id, j.toLong, fr.length.toLong, fr.foldLeft(0L)(_ + _))
+            }
+        }
+      }
+    }.toDF("media_id", "frame_idx", "n_samples", "amp_sum")
+  }
+
   /** Synthesize a deterministic tiny PNG per row (dimensions derived
     * from the id, pixels from ImageCodec's fixed function) — the
     * corpus stand-in for an image column, produced by a REAL encoder

@@ -415,6 +415,54 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- q109
+    // REAL pixel-level resize through the multimodal path: each
+    // synthetic PNG is FULLY decoded by ImageIO (inflate + unfilter),
+    // nearest-neighbor resized to 4×3 with integer source mapping,
+    // re-encoded, and decoded AGAIN by pixelStats — so the checked
+    // px_sum crosses two real decodes and one real encode. The oracle
+    // recomputes the resized pixels in closed form: source pixel
+    // (x,y) of image id is (x·31 + y·17 + id) mod 2^24 (the encoder's
+    // fixed function), and nearest-neighbor picks sx = (x·w)//4,
+    // sy = (y·h)//3 — any decoder, mapping, or re-encode bug shifts
+    // the sum and breaks the hash.
+    Q("q109_image_resize",
+      """WITH g AS (SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 9 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, 3)) AS x FROM g),
+        |xy AS (SELECT doc_id, w, h, x, unnest(generate_series(0, 2)) AS y FROM xs)
+        |SELECT doc_id, CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
+        |  CAST(sum(((x * w) // 4 * 31 + (y * h) // 3 * 17 + doc_id) % 16777216) AS BIGINT) AS px_sum
+        |FROM xy GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.multimodal.Multimodal
+      Multimodal.pixelStats(
+          Multimodal.resizeNearest(Multimodal.syntheticPngs(Tables.documents(s, d)), 4, 3))
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q110
+    // REAL audio frame sampling: the WAV data chunk decodes to
+    // interleaved int16 PCM (the RIFF walk + little-endian read the
+    // metadata codec uses), frames of 16 samples, every 2nd frame
+    // kept, per-frame amplitude sums. The oracle recomputes the PCM
+    // in closed form — sample i of doc id is
+    // ((id + i·2654435761) mod 4096) − 2048, the encoder's sawtooth —
+    // so an endianness, chunk-offset, or frame-boundary bug breaks
+    // the hash on the exact frame it corrupts.
+    Q("q110_audio_framesample",
+      """WITH b AS (SELECT doc_id, (50 + doc_id % 100) * (1 + doc_id % 2) AS total FROM documents),
+        |fr AS (SELECT doc_id, total, unnest(generate_series(0, (total - 1) // 16)) AS j FROM b),
+        |k AS (SELECT doc_id, total, j FROM fr WHERE j % 2 = 0),
+        |s AS (SELECT doc_id, j, unnest(generate_series(j * 16, least((j + 1) * 16, total) - 1)) AS i FROM k)
+        |SELECT doc_id, CAST(j AS BIGINT) AS frame_idx, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum((doc_id + i * 2654435761) % 4096 - 2048) AS BIGINT) AS amp_sum
+        |FROM s GROUP BY doc_id, j ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      import graft.multimodal.Multimodal
+      Multimodal.frameAmplitudes(Multimodal.syntheticWavs(Tables.documents(s, d)), 16, 2)
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // ---------------------------------------------------------------- q36
     // Multimodal column plumbing: treat payloads as opaque binary +
     // typed metadata; deterministic feature extraction (byte length,

@@ -98,6 +98,47 @@ class CodecSpec extends SparkSpec {
     }
   }
 
+  test("PCM extraction matches the generator sample-for-sample; total on junk") {
+    // the data-chunk walk must agree with the encoder's sawtooth for
+    // every (channels, rate, length) combination the corpus produces
+    for (id <- Seq(0L, 1L, 7L, 153L)) {
+      val ch = (1 + id % 2).toInt
+      val n = (50 + id % 100).toInt
+      val wav = AudioCodec.encodeWav(ch, (8000 + (id % 4) * 4000).toInt, n, id)
+      val got = AudioCodec.pcmSamples16(wav).get
+      assert(got.length == n * ch)
+      got.zipWithIndex.foreach { case (v, i) =>
+        assert(v == (((id + i * 2654435761L) % 4096) - 2048).toShort, s"id=$id i=$i")
+      }
+    }
+    val rnd = new scala.util.Random(17)
+    (1 to 100).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(96))(rnd.nextInt(256).toByte)
+      AudioCodec.pcmSamples16(junk)                                     // no throw
+      AudioCodec.pcmSamples16("RIFF".getBytes ++ junk ++ "WAVE".getBytes ++ junk)
+    }
+  }
+
+  test("resizeNearest: pixel-exact against the closed form; junk rows drop") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001")).limit(40)
+    val resized = Multimodal.resizeNearest(Multimodal.syntheticPngs(docs), 4, 3)
+    val stats = Multimodal.pixelStats(resized).collect()
+    assert(stats.length == 40)
+    stats.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((1 + id % 16).toInt, (1 + id % 9).toInt)
+      val want = (for (x <- 0 until 4; y <- 0 until 3)
+        yield (x * w / 4 * 31L + y * h / 3 * 17L + id) % 0x1000000L).sum
+      assert(r.getLong(1) == 4 && r.getLong(2) == 3)
+      assert(r.getLong(3) == want, s"px_sum mismatch for $id")
+    }
+    // an undecodable payload drops instead of failing the task
+    val junk = Seq(Multimodal.MediaRow(99L, "image", Array[Byte](1, 2, 3),
+      Multimodal.MediaMeta(0, 0, 0, 3L))).toDS()
+    assert(Multimodal.resizeNearest(junk, 4, 3).count() == 0)
+  }
+
   test("partition-batched Spark path: synthesize, decode, validate") {
     val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
     val meta = Multimodal.decodeImageMeta(Multimodal.syntheticPngs(docs))
