@@ -159,6 +159,45 @@ object Multimodal {
     }.toDF("media_id", "width", "height", "px_sum")
   }
 
+  /** Synthesize a deterministic minimal MP4 per row (timescale /
+    * duration / mvhd version derived from the id) — the corpus
+    * stand-in for a video column (the triple's third leg next to
+    * syntheticPngs/syntheticWavs). */
+  def syntheticMp4s(df: DataFrame, idCol: String = "doc_id"): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val ts = (600 * (1 + id % 3)).toInt
+        val dur = 100 + id % 1000
+        val p = VideoCodec.encodeMp4(ts, dur, id)
+        MediaRow(id, "video", p, MediaMeta(0, 0, ts, dur * 1000L / ts))
+      }
+    }
+  }
+
+  /** REAL video-container decode over the partition-batched path:
+    * byte-level ISO-BMFF box walk (VideoCodec) — brand, mvhd
+    * timescale/duration (both versions), integer-ms duration, size
+    * tiling check; unparseable payloads surface as format='unknown'
+    * rows (F5 isolation). */
+  def decodeVideoMeta(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val m = VideoCodec.decodeMp4(r.payload)
+        (r.media_id, m.map(_.format).getOrElse("unknown"),
+          m.map(_.brand).getOrElse(""),
+          m.map(_.timescale).getOrElse(-1L),
+          m.map(_.durationTicks).getOrElse(-1L),
+          m.map(_.durationMs).getOrElse(-1L),
+          m.exists(_.sizeOk))
+      }
+    }.toDF("media_id", "format", "brand", "timescale", "duration_ticks",
+      "duration_ms", "size_ok")
+  }
+
   /** REAL audio frame sampling: the WAV data chunk decodes to
     * interleaved int16 PCM (AudioCodec.pcmSamples16 — same RIFF walk
     * as the metadata codec), frames of `frameSamples` values, every

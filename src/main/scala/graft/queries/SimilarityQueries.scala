@@ -463,6 +463,30 @@ object SimilarityQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // ---------------------------------------------------------------- q111
+    // REAL video-container decode — the triple's third leg after
+    // q82 (image) and q104 (audio): a deterministic minimal MP4 per
+    // document (hand-rolled to the ISO 14496-12 box layout — the JDK
+    // ships no MP4 writer), parsed back by the engine's byte-level
+    // box walk: big-endian sizes, nested moov traversal past sibling
+    // free boxes, and BOTH mvhd versions (v0 32-bit / v1 64-bit
+    // times, alternating by id parity) — a field-offset or endianness
+    // bug breaks the hash on exactly the parity it corrupts. The
+    // oracle knows the constructed parameters; duration_ms is integer
+    // division on both engines.
+    Q("q111_video_decode",
+      """SELECT doc_id, 'mp4' AS format, 'isom' AS brand,
+        |  CAST(600 * (1 + doc_id % 3) AS BIGINT) AS timescale,
+        |  CAST(100 + doc_id % 1000 AS BIGINT) AS duration_ticks,
+        |  CAST((100 + doc_id % 1000) * 1000 // (600 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms,
+        |  TRUE AS size_ok
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.multimodal.Multimodal
+      Multimodal.decodeVideoMeta(Multimodal.syntheticMp4s(Tables.documents(s, d)))
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- q36
     // Multimodal column plumbing: treat payloads as opaque binary +
     // typed metadata; deterministic feature extraction (byte length,

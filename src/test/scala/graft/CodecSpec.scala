@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.multimodal.{AudioCodec, ImageCodec, Multimodal}
+import graft.multimodal.{AudioCodec, ImageCodec, Multimodal, VideoCodec}
 
 /** Real binary decode: the byte-level PNG/JPEG header parser against
   * bytes the JDK's own encoders produced, plus the partition-batched
@@ -137,6 +137,32 @@ class CodecSpec extends SparkSpec {
     val junk = Seq(Multimodal.MediaRow(99L, "image", Array[Byte](1, 2, 3),
       Multimodal.MediaMeta(0, 0, 0, 3L))).toDS()
     assert(Multimodal.resizeNearest(junk, 4, 3).count() == 0)
+  }
+
+  test("MP4: both mvhd versions round-trip; largesize escape; total on junk") {
+    // v0 (even seed) and v1 (odd seed) layouts both parse
+    for (seed <- Seq(0L, 1L, 42L, 43L)) {
+      val m = VideoCodec.decodeMp4(VideoCodec.encodeMp4(1200, 777L, seed)).get
+      assert(m.brand == "isom" && m.timescale == 1200L && m.durationTicks == 777L)
+      assert(m.durationMs == 777L * 1000 / 1200 && m.sizeOk)
+    }
+    // hand-crafted size==1 largesize header on the moov box
+    def be32b(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64b(v: Long) = be32b(v >> 32) ++ be32b(v & 0xffffffffL)
+    val mvhd = be32b(8L + 4 + 16) ++ "mvhd".getBytes ++ Array[Byte](0, 0, 0, 0) ++
+      be32b(0L) ++ be32b(0L) ++ be32b(600L) ++ be32b(90L)
+    val ftyp = be32b(16L) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32b(0L)
+    val moovLarge = be32b(1L) ++ "moov".getBytes ++ be64b(16L + mvhd.length) ++ mvhd
+    val m2 = VideoCodec.decodeMp4(ftyp ++ moovLarge).get
+    assert(m2.timescale == 600L && m2.durationTicks == 90L && m2.sizeOk)
+    // totality on junk, with and without a plausible ftyp prefix
+    val rnd = new scala.util.Random(23)
+    (1 to 100).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(96))(rnd.nextInt(256).toByte)
+      VideoCodec.decodeMp4(junk)                                        // no throw
+      VideoCodec.decodeMp4(be32b(16L) ++ "ftyp".getBytes ++ junk)
+    }
   }
 
   test("partition-batched Spark path: synthesize, decode, validate") {
