@@ -154,13 +154,47 @@ object StreamBench {
     val coldRate = ssTimes.head._1 / ssTimes.head._2
     val steadyRate = ssTimes.tail.map(_._1).sum / ssTimes.tail.map(_._2).sum
 
+    // 5. steady-state near-dup: same drop protocol over the documents
+    // table through the band-bucket state stream — the sustained
+    // continuous-ingest figure next to the cold AvailableNow number.
+    val ndDropDir = tmpDir("graft-sbench-nddrop")
+    val srcDocs = spark.read.parquet(docsPath).select(col("doc_id"), col("text"))
+    val ndTimes: Seq[(Long, Double)] = {
+      val stream = spark.readStream.schema(srcDocs.schema).parquet(ndDropDir)
+        .as[graft.streaming.DedupStream.Doc]
+      val q = graft.streaming.DedupStream.streamingNearDupCandidates(stream).toDF()
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) => b.count(): Unit }
+        .option("checkpointLocation", tmpDir("graft-sbench-nd-ck"))
+        .start()
+      val times = (0 until nDrops).map { i =>
+        val slice = srcDocs.filter(pmod(col("doc_id"), lit(nDrops)) === i)
+        val n = slice.count()
+        val stage = tmpDir(s"graft-sbench-ndstage$i")
+        slice.write.mode("overwrite").parquet(stage)
+        java.nio.file.Files.list(java.nio.file.Paths.get(stage)).iterator()
+          .forEachRemaining { p =>
+            if (p.toString.endsWith(".parquet"))
+              java.nio.file.Files.move(p,
+                java.nio.file.Paths.get(ndDropDir, p.getFileName.toString))
+          }
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      q.stop()
+      times
+    }
+    val ndSteadyRate = ndTimes.tail.map(_._1).sum / ndTimes.tail.map(_._2).sum
+
     val sf = new java.io.File(sfDir).getName
     println(
       f"""{"metric":"stream_bench","unit":"rows_per_sec","sf":"$sf",""" +
       f""""dedup_tws":${totalRows / dedupSec}%.0f,"dedup_sec":$dedupSec%.2f,"dedup_out":$dedupOut,""" +
       f""""interval_join":${joinIn / joinSec}%.0f,"join_sec":$joinSec%.2f,"join_out":$joinOut,""" +
       f""""neardup_docs_per_sec":${nDocs / ndSec}%.0f,"neardup_sec":$ndSec%.2f,"neardup_pairs":$ndOut,""" +
-      f""""ss_batches":$nDrops,"ss_cold":$coldRate%.0f,"ss_steady":$steadyRate%.0f}""")
+      f""""ss_batches":$nDrops,"ss_cold":$coldRate%.0f,"ss_steady":$steadyRate%.0f,""" +
+      f""""nd_steady":$ndSteadyRate%.0f}""")
     spark.stop()
   }
 }

@@ -122,6 +122,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("capped span profile splits uncapped n_dup exactly, for random corpora and caps") {
+    // for ANY corpus and any dfCap >= 1, every capped span (df > cap
+    // >= 1 means >= 2 docs, hence >= 2 occurrences) is a dup span, so
+    // uncapped.n_dup = capped.n_dup + capped.n_capped per document
+    val words = Vector("a", "b", "c", "d", "e")
+    (1 to 6).foreach { _ =>
+      val docs = (1L to (rnd.nextInt(12) + 4).toLong).map { id =>
+        (id, List.fill(rnd.nextInt(10) + 3)(words(rnd.nextInt(words.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val k = rnd.nextInt(2) + 2
+      val cap = rnd.nextInt(3) + 1
+      val un = graft.analytics.DedupOps.spanDupProfile(docs, k)
+        .select("doc_id", "n_dup").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val cp = graft.analytics.DedupOps.spanDupProfileCapped(docs, k, cap)
+        .select("doc_id", "n_dup", "n_capped").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(cp.nonEmpty)
+      cp.foreach { case (id, nd, nc) =>
+        assert(un(id) == nd + nc, s"doc $id: uncapped=${un(id)} capped=$nd+$nc (k=$k cap=$cap)")
+      }
+    }
+  }
+
   test("duckRound matches half-away-from-zero on the scaled double") {
     val cases = List.fill(60)((rnd.nextDouble() * 4 - 2, rnd.nextInt(7))) ++
       List((0.6146874999999999, 6), (-0.6146874999999999, 6), (2.5e-6, 6), (0.125, 2))
