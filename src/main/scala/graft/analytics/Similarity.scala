@@ -49,6 +49,23 @@ object Similarity {
       when(dot(v, typedLit(w.toSeq)) >= 0, lit(1L)).otherwise(lit(0L)) * (1L << p)
     }.reduce(_ + _)
 
+  /** XOR masks of the Hamming ball of `radius` over `nPlanes` bits —
+    * the multi-probe list of the near-dup LSH family. One-sided
+    * probing with these masks finds every pair whose signatures
+    * differ in ≤ radius bits (XOR distance is symmetric).
+    *
+    * Choosing radius: a pair at cosine s agrees on one plane with
+    * p = 1 − acos(s)/π, so it is caught with probability
+    * Σ_{i≤radius} C(n,i)·p^(n−i)·(1−p)^i. At the defaults (6 planes,
+    * radius 1): ≈0.98 at s=0.99, 0.79 at s=0.9, 0.32 at s=0.45 —
+    * fine for true near-dups (they sit near s=1), thin for pairs at
+    * a low threshold; radius 2 lifts s=0.9 to 0.95 at 22/7× the
+    * probe count. The q98-audit lesson applied to this family: the
+    * knob is explicit and the math is here, instead of a silent
+    * default. */
+  def probeMasks(nPlanes: Int, radius: Int = 1): Seq[Long] =
+    (0L until (1L << nPlanes)).filter(m => java.lang.Long.bitCount(m) <= radius)
+
   /** Exact cosine top-k for each query vector (queries broadcast). */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -122,17 +139,18 @@ object Similarity {
     * (AnalyticsSpec asserts the subset + high-sim recall; q99
     * hash-verifies the whole path against DuckDB). */
   def cosineNearDupPairsLsh(vecs: DataFrame, threshold: Double,
-                            nPlanes: Int = 6): DataFrame = {
+                            nPlanes: Int = 6, probeRadius: Int = 1): DataFrame = {
     val dim = 64
     val planes = planeWeights(nPlanes, dim)
-    val probeMasks = 0L +: (0 until nPlanes).map(p => 1L << p)
+    val masks = probeMasks(nPlanes, probeRadius)
     val n = vecs.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm(col("embedding")))
       .withColumn("bucket", bucketExpr(col("embedding"), planes))
     // one-sided probing covers both directions: if sig(a)⊕sig(b) has
-    // ≤1 bit set, a's probe list contains b's bucket
+    // ≤radius bits set, a's probe list contains b's bucket (see
+    // probeMasks for the radius→detection-probability math)
     val probed = n.select(col("vec_id").as("v1"),
-      explode(array(probeMasks.map(m =>
+      explode(array(masks.map(m =>
         col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
     val cands = probed
       .join(n.select(col("vec_id").as("v2"), col("bucket").as("probe")), Seq("probe"))
@@ -181,10 +199,10 @@ object Similarity {
     * match the value the store was built with (it sets the probe
     * mask width); a mismatch silently under-probes. */
   def pairsFromBucketStore(store: DataFrame, vecs: DataFrame,
-                           threshold: Double, nPlanes: Int = 6): DataFrame = {
-    val probeMasks = 0L +: (0 until nPlanes).map(p => 1L << p)
+                           threshold: Double, nPlanes: Int = 6,
+                           probeRadius: Int = 1): DataFrame = {
     val probed = store.select(col("vec_id").as("v1"),
-      explode(array(probeMasks.map(m =>
+      explode(array(probeMasks(nPlanes, probeRadius).map(m =>
         col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
     val cands = probed
       .join(store.select(col("vec_id").as("v2"), col("bucket").as("probe")), Seq("probe"))
@@ -209,15 +227,15 @@ object Similarity {
     * gate-verifies the identity against the full-corpus oracle. */
   def incrementalCosinePairsLsh(store: DataFrame, corpus: DataFrame,
                                 delta: DataFrame, threshold: Double,
-                                nPlanes: Int = 6): DataFrame = {
-    val probeMasks = 0L +: (0 until nPlanes).map(p => 1L << p)
+                                nPlanes: Int = 6, probeRadius: Int = 1): DataFrame = {
+    val masks = probeMasks(nPlanes, probeRadius)
     // |delta| rows, consumed by both probe sides AND the store union —
     // materialized, exactly like q97's deltaBands (it IS the store
     // increment a nightly run persists anyway).
     val deltaB = embedBucketStore(delta, nPlanes).localCheckpoint(true)
     val full = store.unionByName(deltaB)
     val probed = deltaB.select(col("vec_id").as("va"),
-      explode(array(probeMasks.map(m =>
+      explode(array(masks.map(m =>
         col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
     // output-sized but feeds the verify chain's three branches —
     // materialized like q97's candidate list

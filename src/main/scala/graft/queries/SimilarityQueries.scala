@@ -75,7 +75,7 @@ object SimilarityQueries {
        |       FROM n, planes GROUP BY vec_id),
        |pr AS (SELECT vec_id AS v1, xor(bucket, m) AS probe
        |       FROM (SELECT vec_id, bucket,
-       |               unnest([${(0L +: (0 until N_PLANES).map(p => 1L << p)).mkString(", ")}]) AS m
+       |               unnest([${Similarity.probeMasks(N_PLANES).mkString(", ")}]) AS m
        |             FROM bk)),
        |cand AS (SELECT DISTINCT v1, b.vec_id AS v2
        |         FROM pr JOIN bk b ON pr.probe = b.bucket AND pr.v1 < b.vec_id)

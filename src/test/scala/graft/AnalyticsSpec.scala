@@ -83,6 +83,14 @@ class AnalyticsSpec extends SparkSpec {
     val high = exact.filter(_._2 >= 0.9).keySet
     assert(high.subsetOf(lsh.keySet),
       s"LSH must catch near-identical embeddings; missed ${high -- lsh.keySet}")
+    // probeRadius is monotone: a wider Hamming ball can only ADD
+    // pairs, and everything it adds is still an exact pair with the
+    // exact sim (the verify join is shared)
+    val r2 = Similarity.cosineNearDupPairsLsh(vecs, 0.45, probeRadius = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.keySet.subsetOf(r2.keySet), "radius 2 lost a radius-1 pair")
+    assert(r2.keySet.subsetOf(exact.keySet), "radius 2 invented a pair")
+    r2.foreach { case (k, sim) => assert(sim == exact(k)) }
   }
 
   test("SimHash: identical docs collide; near-identical docs stay close") {
