@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
   * BINARY columns + typed metadata, with feature extraction as a
   * partition-batched transform.
   *
-  * The actual codec step is STUBBED (this container ships no
-  * image/audio libraries): `decodeWith` takes any byte→float-vector
-  * decoder, and `FakeDecoder` provides the deterministic stand-in the
-  * tests use. Everything Spark-side — schema, binary handling,
-  * partition batching, feature contract — is real; swapping in a JNI
-  * or ONNX decoder changes one function value, not the plumbing.
+  * Codec status: the FORMAT layer is real — byte-level PNG/JPEG
+  * (ImageCodec), WAV/RIFF incl. int16 PCM extraction (AudioCodec),
+  * ISO-BMFF/MP4 (VideoCodec), plus full pixel decode/encode and
+  * nearest-neighbor resize through the JDK's ImageIO (q82/q104/q109/
+  * q110/q111 hash-verify all of it against closed-form oracles). Only
+  * the ML-embedding step is a stand-in: `decodeWith` takes any
+  * byte→float-vector decoder and `FakeDecoder` is the deterministic
+  * stub the tests use (no ONNX runtime in this container) — swapping
+  * in a real embedding model changes one function value, not the
+  * plumbing.
   *
   * Scale notes: payloads stay opaque bytes end-to-end (no base64
   * blow-up); decode runs mapPartitions so a model/codec loads once per
