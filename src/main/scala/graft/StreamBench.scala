@@ -29,6 +29,22 @@ object StreamBench {
     d.toString
   }
 
+  /** Move a staged slice's part files into the watched dir. The
+    * Files.list stream is closed explicitly (it holds a directory fd;
+    * leaking one per drop adds up as SPARK_GRAFT_STREAM_BATCHES
+    * grows). Callers must capture t0 BEFORE this move: the running
+    * query can pick up the first moved file and complete a micro-batch
+    * while later files are still moving, so a timer started after the
+    * loop would miss that work and overstate rows/s. */
+  private def moveParts(stage: String, dest: String): Unit = {
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+    try s.iterator().forEachRemaining { p =>
+      if (p.toString.endsWith(".parquet"))
+        java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(dest, p.getFileName.toString))
+    } finally s.close()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -138,13 +154,8 @@ object StreamBench {
         val n = slice.count()
         val stage = tmpDir(s"graft-sbench-stage$i")
         slice.write.mode("overwrite").parquet(stage)
-        java.nio.file.Files.list(java.nio.file.Paths.get(stage)).iterator()
-          .forEachRemaining { p =>
-            if (p.toString.endsWith(".parquet"))
-              java.nio.file.Files.move(p,
-                java.nio.file.Paths.get(dropDir, p.getFileName.toString))
-          }
         val t0 = System.nanoTime()
+        moveParts(stage, dropDir)
         q.processAllAvailable()
         (n, (System.nanoTime() - t0) / 1e9)
       }
@@ -172,13 +183,8 @@ object StreamBench {
         val n = slice.count()
         val stage = tmpDir(s"graft-sbench-ndstage$i")
         slice.write.mode("overwrite").parquet(stage)
-        java.nio.file.Files.list(java.nio.file.Paths.get(stage)).iterator()
-          .forEachRemaining { p =>
-            if (p.toString.endsWith(".parquet"))
-              java.nio.file.Files.move(p,
-                java.nio.file.Paths.get(ndDropDir, p.getFileName.toString))
-          }
         val t0 = System.nanoTime()
+        moveParts(stage, ndDropDir)
         q.processAllAvailable()
         (n, (System.nanoTime() - t0) / 1e9)
       }

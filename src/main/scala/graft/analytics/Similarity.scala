@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Vector similarity search over an ARRAY<FLOAT> embedding column.
@@ -64,7 +64,12 @@ object Similarity {
     * knob is explicit and the math is here, instead of a silent
     * default. */
   def probeMasks(nPlanes: Int, radius: Int = 1): Seq[Long] =
-    (0L until (1L << nPlanes)).filter(m => java.lang.Long.bitCount(m) <= radius)
+    // built from bit-position combinations — Σ C(n,i) masks of work,
+    // never a 2^nPlanes sweep (a store built with nPlanes=32 would
+    // otherwise make the driver filter 4.3 B longs)
+    (0 to radius).flatMap(r =>
+      (0 until nPlanes).combinations(r)
+        .map(_.foldLeft(0L)((m, p) => m | (1L << p)))).sorted
 
   /** Exact cosine top-k for each query vector (queries broadcast). */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
@@ -274,6 +279,19 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
 
+  /** A collected quantizer rebuilt as a local (cid, cv, cn) frame —
+    * the broadcast side of assignByJoin. A centroid plan can be a
+    * full-corpus pass (initCentroids is orderBy+limit over the whole
+    * table), so every consumer collects the model ONCE via
+    * collectQuantizer and re-derives any frame it needs from the rows
+    * — never a second execution of the centroid plan per action. */
+  private def localCentroids(spark: SparkSession,
+                             quant: Array[(Long, Array[Double], Double)]): DataFrame = {
+    import spark.implicits._
+    quant.toSeq.map { case (cid, cv, cn) => (cid, cv.toSeq, cn) }
+      .toDF("cid", "cv", "cn")
+  }
+
   /** Per-centroid (sim, cid) comparison keys for `v` against an
     * inlined quantizer: sim is the ROUNDED cosine (round(…,6) — the
     * boundary-pinning every oracled cosine uses), `+ 0.0` collapses
@@ -348,14 +366,14 @@ object Similarity {
     * nested loop), and reduces per vector with a partial-agged
     * struct-max: the k rows of each vector sit in one partition, so
     * map-side combine collapses them before the exchange. */
-  private def assignByJoin(vecs: DataFrame, cent: DataFrame,
-                           cids: Array[Long]): DataFrame = {
+  private def assignByJoin(vecs: DataFrame,
+                           quant: Array[(Long, Array[Double], Double)]): DataFrame = {
+    val cids = quant.map(_._1)
     val expanded = vecs.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm(col("embedding")))
-      .withColumn("cid", explode(array(cids.map(lit): _*)))
+      .withColumn("cid", explode(array(cids.map(lit).toIndexedSeq: _*)))
     val joined = expanded.join(
-      broadcast(cent.select(col("cid"), col("cv").cast("array<double>").as("cv"), col("cn"))),
-      Seq("cid"))
+      broadcast(localCentroids(vecs.sparkSession, quant)), Seq("cid"))
     val sim = graft.ops.Exact.duckRound(
       dot(col("embedding"), col("cv")) / (col("nrm") * col("cn")), 6)
     val key = struct((coalesce(sim, lit(-2.0)) + lit(0.0)).as("s"),
@@ -377,18 +395,18 @@ object Similarity {
     * fallback takes over with identical output. */
   def kmeansAssign(vecs: DataFrame, cent: DataFrame,
                    maxInlineDoubles: Long = MAX_INLINE_DOUBLES): DataFrame = {
-    val kd = cent.agg(count(lit(1)), min(size(col("cv")))).first()
-    val modelDoubles = kd.getLong(0) * (if (kd.isNullAt(1)) 0L else kd.getInt(1).toLong)
-    if (modelDoubles > maxInlineDoubles) {
-      val cids = cent.select(col("cid")).collect().map(_.getLong(0)).sorted
-      assignByJoin(vecs, cent, cids)
-    } else {
-      val quant = collectQuantizer(cent)
+    // ONE action on the centroid plan: the model rows decide
+    // inline-vs-join AND feed whichever path runs (re-probing the
+    // plan with a count/min(size) aggregate would execute a possibly
+    // full-corpus centroid derivation twice per call)
+    val quant = collectQuantizer(cent)
+    val modelDoubles = quant.foldLeft(0L)((a, c) => a + c._2.length)
+    if (modelDoubles > maxInlineDoubles) assignByJoin(vecs, quant)
+    else
       vecs.select(col("vec_id"), col("embedding"))
         .withColumn("cid",
           nearestCellExpr(col("embedding"), norm(col("embedding")), quant))
         .select(col("vec_id"), col("cid"), col("embedding"))
-    }
   }
 
   /** Per-cell, per-dimension exact component sums of an assignment:
@@ -460,8 +478,11 @@ object Similarity {
               maxInlineDoubles: Long = MAX_INLINE_DOUBLES): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cent = centroids.getOrElse(initCentroids(candidates, nCentroids))
-    val kd = cent.agg(count(lit(1)), min(size(col("cv")))).first()
-    val modelDoubles = kd.getLong(0) * (if (kd.isNullAt(1)) 0L else kd.getInt(1).toLong)
+    // ONE action on the centroid plan (initCentroids is a full-corpus
+    // orderBy+limit — see kmeansAssign): the collected model decides
+    // inline-vs-join and feeds both paths.
+    val quant = collectQuantizer(cent)
+    val modelDoubles = quant.foldLeft(0L)((a, c) => a + c._2.length)
     val (cCells, qCells) =
       if (modelDoubles > maxInlineDoubles) {
         // Broadcast-join fallback for quantizers past the inline
@@ -469,17 +490,16 @@ object Similarity {
         // assignByJoin (identical argmax semantics), query probe
         // cells from the same k-fold equi-join ranked per query —
         // the window runs over |Q|·k rows only.
-        val cids = cent.select(col("cid")).collect().map(_.getLong(0)).sorted
+        val cids = quant.map(_._1)
         val c = assignByJoin(
-            candidates.select(col("vec_id"), col("embedding")), cent, cids)
+            candidates.select(col("vec_id"), col("embedding")), quant)
           .select(col("vec_id").as("nid"), col("cid").as("cell"),
             col("embedding").as("nv"))
           .withColumn("nn", norm(col("nv")))
         val qExp = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
           .withColumn("qn", norm(col("qv")))
-          .withColumn("cid", explode(array(cids.map(lit): _*)))
-          .join(broadcast(cent.select(col("cid"),
-            col("cv").cast("array<double>").as("cv"), col("cn"))), Seq("cid"))
+          .withColumn("cid", explode(array(cids.map(lit).toIndexedSeq: _*)))
+          .join(broadcast(localCentroids(queries.sparkSession, quant)), Seq("cid"))
         val qSim = graft.ops.Exact.duckRound(
           dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
         val pw = Window.partitionBy(col("qid"))
@@ -489,7 +509,6 @@ object Similarity {
           .select(col("qid"), col("qv"), col("qn"), col("cid").as("cell"))
         (c, q)
       } else {
-        val quant = collectQuantizer(cent)
         // Cell assignment is the inlined-model expression
         // (nearestCellExpr): the candidate side streams map-only
         // through ONE codegen'd scan — at 100 TB the only shuffle

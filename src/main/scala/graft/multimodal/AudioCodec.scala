@@ -75,6 +75,7 @@ object AudioCodec {
   def pcmSamples16(b: Array[Byte]): Option[Array[Short]] = {
     if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
     var off = 12L
+    var af = -1
     var bits = -1
     var dataOff = -1L
     var dataBytes = -1L
@@ -82,12 +83,16 @@ object AudioCodec {
       val o = off.toInt
       val id = tag(b, o)
       val size = le32(b, o + 4)
-      if (id == "fmt " && size >= 16 && off + 8 + 16 <= b.length)
+      if (id == "fmt " && size >= 16 && off + 8 + 16 <= b.length) {
+        af = le16(b, o + 8)
         bits = le16(b, o + 22)
-      else if (id == "data") { dataOff = off + 8; dataBytes = size }
+      } else if (id == "data") { dataOff = off + 8; dataBytes = size }
       off += 8L + size + (size & 1L)
     }
-    if (bits != 16 || dataOff < 0 || dataOff + dataBytes > b.length) return None
+    // af == 1 is WAVE_FORMAT_PCM — a compressed codec declaring 16
+    // bits/sample (or 0xFFFE extensible) must NOT be reinterpreted as
+    // int16 samples; it drops per-row like any malformed payload
+    if (af != 1 || bits != 16 || dataOff < 0 || dataOff + dataBytes > b.length) return None
     val n = (dataBytes / 2).toInt
     val out = new Array[Short](n)
     var i = 0

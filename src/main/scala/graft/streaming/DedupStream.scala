@@ -30,7 +30,15 @@ object DedupStream {
     * not pay O(n) per probe). `saturated` latches once the bucket
     * exceeds the size cap: a saturated bucket is the streaming analog
     * of a q79 stop-shingle — boilerplate, not near-dup signal — so it
-    * stops pairing AND stops growing (bounded state). */
+    * stops pairing AND stops growing (bounded state).
+    *
+    * CHECKPOINT COMPATIBILITY: this case class IS the persisted state
+    * schema. flatMapGroupsWithState state rows written under an older
+    * shape (e.g. pre-`saturated`) do not decode with the new encoder —
+    * restarting an existing checkpoint across such a change fails on
+    * the first batch instead of resuming. Changing these fields means
+    * a fresh checkpoint dir + state rebuild from the band store (the
+    * batch twin regenerates it); do not evolve the schema in place. */
   final case class BucketState(ids: List[Long], saturated: Boolean)
 
   /** The LSH band rows of one document as plain Scala — bit-equal to
