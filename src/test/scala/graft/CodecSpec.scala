@@ -119,6 +119,24 @@ class CodecSpec extends SparkSpec {
     }
   }
 
+  test("pcmSamples16 rejects 16-bit non-PCM payloads (format tag enforced)") {
+    // a compressed codec (or WAVE_FORMAT_EXTENSIBLE 0xFFFE) declaring
+    // 16 bits/sample must drop, not decode its payload as int16 PCM
+    val wav = AudioCodec.encodeWav(1, 8000, 50, 3L)
+    assert(AudioCodec.pcmSamples16(wav).isDefined)
+    for (fakeFormat <- Seq(0x0002, 0xFFFE, 0x0055)) {
+      val tampered = wav.clone()
+      // fmt chunk follows the 12-byte RIFF/WAVE header in encodeWav
+      // output; audioFormat is the first fmt field (offset 12+8)
+      assert(new String(tampered.slice(12, 16), "US-ASCII") == "fmt ")
+      tampered(20) = (fakeFormat & 0xff).toByte
+      tampered(21) = ((fakeFormat >> 8) & 0xff).toByte
+      assert(AudioCodec.pcmSamples16(tampered).isEmpty, f"format 0x$fakeFormat%04x")
+      // metadata decode still reports the tag faithfully
+      assert(AudioCodec.decodeWav(tampered).get.audioFormat == fakeFormat)
+    }
+  }
+
   test("resizeNearest: pixel-exact against the closed form; junk rows drop") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf("sf0.001")).limit(40)

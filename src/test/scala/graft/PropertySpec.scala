@@ -146,6 +146,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("probeMasks: combination construction equals the Hamming-ball definition") {
+    // the combination spelling exists so wide signatures never sweep
+    // 2^nPlanes on the driver; it must stay set-equal (and sorted)
+    // vs the definitional filter on ranges small enough to enumerate
+    for (n <- 1 to 12; r <- 0 to 3) {
+      val got = graft.analytics.Similarity.probeMasks(n, r)
+      val want = (0L until (1L << n)).filter(m => java.lang.Long.bitCount(m) <= r)
+      assert(got == want, s"nPlanes=$n radius=$r")
+    }
+    // and the wide case the old spelling could not touch: linear count
+    assert(graft.analytics.Similarity.probeMasks(62, 1).length == 63)
+  }
+
   test("duckRound matches half-away-from-zero on the scaled double") {
     val cases = List.fill(60)((rnd.nextDouble() * 4 - 2, rnd.nextInt(7))) ++
       List((0.6146874999999999, 6), (-0.6146874999999999, 6), (2.5e-6, 6), (0.125, 2))
