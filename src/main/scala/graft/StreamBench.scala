@@ -123,6 +123,22 @@ object StreamBench {
     val (ndSec, ndOut) = timeRun(
       graft.streaming.DedupStream.streamingNearDupCandidates(docStream).toDF())
 
+    // 3b. streaming embedding near-dup (the vector twin, EmbedStream):
+    // per-vector sign-LSH bucket probes with in-stream exact verify —
+    // vecs/s is the continuous vector-ingest figure.
+    val embPath = s"$sfDir/embeddings.parquet"
+    val embDir = tmpDir("graft-sbench-emb")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(embDir, "embeddings.parquet"),
+      java.nio.file.Paths.get(embPath))
+    val embSchema = spark.read.parquet(embPath).schema
+    val nVecs = spark.read.parquet(embPath).count()
+    val vecStream = spark.readStream.schema(embSchema).parquet(embDir)
+      .select(col("vec_id"), col("embedding"))
+      .as[graft.streaming.EmbedStream.Vec]
+    val (embSec, embOut) = timeRun(
+      graft.streaming.EmbedStream.streamingNearDupPairs(vecStream, 0.45).toDF())
+
     // 4. steady-state RocksDB dedup: N successive file drops through
     // ONE running query. The single-AvailableNow figures above are
     // COLD numbers — store init and first-batch JIT dominate. Here
@@ -199,6 +215,7 @@ object StreamBench {
       f""""dedup_tws":${totalRows / dedupSec}%.0f,"dedup_sec":$dedupSec%.2f,"dedup_out":$dedupOut,""" +
       f""""interval_join":${joinIn / joinSec}%.0f,"join_sec":$joinSec%.2f,"join_out":$joinOut,""" +
       f""""neardup_docs_per_sec":${nDocs / ndSec}%.0f,"neardup_sec":$ndSec%.2f,"neardup_pairs":$ndOut,""" +
+      f""""emb_vecs_per_sec":${nVecs / embSec}%.0f,"emb_sec":$embSec%.2f,"emb_pairs":$embOut,""" +
       f""""ss_batches":$nDrops,"ss_cold":$coldRate%.0f,"ss_steady":$steadyRate%.0f,""" +
       f""""nd_steady":$ndSteadyRate%.0f}""")
     spark.stop()

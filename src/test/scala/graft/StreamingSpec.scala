@@ -14,6 +14,8 @@ object StreamingSpec {
   val collectedTtl = new java.util.concurrent.ConcurrentLinkedQueue[EventStreams.TimedKeyed]()
   val collectedPairs =
     new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.DedupStream.CandidatePair]()
+  val collectedVecPairs =
+    new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.EmbedStream.VerifiedPair]()
 }
 
 class StreamingSpec extends SparkSpec {
@@ -136,6 +138,96 @@ class StreamingSpec extends SparkSpec {
     // cap 2: buckets saturate after ids 1,2 — only (1,2) emits; ids
     // 3,4 neither pair nor grow the state
     assert(run(2, "cap_on") == Set((1L, 2L)))
+  }
+
+  test("streaming bucket ids are bit-equal to the batch embed bucket store") {
+    import graft.streaming.EmbedStream
+    import graft.analytics.Similarity
+    val vecs = Tables.embeddings(spark, sf("sf0.001"))
+    val planes = Similarity.planeWeights(6, 64)
+    val streamed = vecs.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().map { case (id, e) => (id, EmbedStream.bucketOf(e, planes)) }.toSet
+    val batch = Similarity.embedBucketStore(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming embedding near-dup: verified pairs equal the batch LSH recompute, O(delta) across batches") {
+    import graft.streaming.EmbedStream
+    import graft.analytics.Similarity
+    val vecs = Tables.embeddings(spark, sf("sf0.001"))
+      .select($"vec_id", $"embedding")
+    val night1 = vecs.filter($"vec_id" % 2 === 1)
+    val night2 = vecs.filter($"vec_id" % 2 === 0)
+    val n2Ids = night2.select("vec_id").collect().map(_.getLong(0)).toSet
+    val dir = tmp("graft-embstream")
+    val ckpt = tmp("graft-embstream-ckpt")
+    night1.write.mode("overwrite").parquet(dir)
+    StreamingSpec.collectedVecPairs.clear()
+    def start() = {
+      val stream = spark.readStream.schema(night1.schema).parquet(dir)
+        .as[EmbedStream.Vec]
+      EmbedStream.streamingNearDupPairs(stream, 0.45).toDF()
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.as[EmbedStream.VerifiedPair].collect()
+            .foreach(StreamingSpec.collectedVecPairs.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    def pairsNow() = {
+      import scala.jdk.CollectionConverters._
+      StreamingSpec.collectedVecPairs.asScala.toSeq
+    }
+    // ONE long-running query: bucket state must survive night 1 → 2
+    val q = start()
+    q.processAllAvailable() // night 1
+    val after1 = pairsNow()
+    assert(after1.forall(p => !n2Ids(p.v1) && !n2Ids(p.v2)))
+    night2.write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val all = pairsNow()
+    val delta = all.diff(after1)
+    assert(delta.nonEmpty, "fixture has no cross-batch near-dups — vacuous test")
+    assert(delta.forall(p => n2Ids(p.v1) || n2Ids(p.v2)),
+      "a pair of two already-stored vectors re-emitted: not O(delta)")
+    // union over both nights == the batch recompute, SIMS INCLUDED
+    // (in-stream verify must be bit-equal to the batch verify column)
+    val want = Similarity.cosineNearDupPairsLsh(vecs, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = all.map(p => (p.v1, p.v2, p.sim)).toSet
+    assert(got == want)
+    assert(all.size == got.size, "duplicate emissions on a clean run")
+  }
+
+  test("streaming embedding near-dup cap: saturated buckets stop pairing and growing") {
+    import graft.streaming.EmbedStream
+    // four identical embeddings collapse into ONE bucket; 0.5f keeps
+    // sqrt(na)*sqrt(nb) == na exact (na = 16.0), so sim is exactly 1.0
+    val e = Array.fill(64)(0.5f)
+    val docs = Seq.tabulate(4)(i => (i + 1L, e)).toDF("vec_id", "embedding")
+    val dir = tmp("graft-embcap")
+    val ckpt = tmp("graft-embcap-ckpt")
+    docs.write.mode("overwrite").parquet(dir)
+    def run(cap: Int, sink: String): Set[(Long, Long, Double)] = {
+      val stream = spark.readStream.schema(docs.schema).parquet(dir)
+        .as[EmbedStream.Vec]
+      val q = EmbedStream.streamingNearDupPairs(stream, 0.9, maxBucketIds = cap)
+        .toDF()
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .option("checkpointLocation", s"$ckpt-$sink-$cap")
+        .start()
+      q.processAllAvailable(); q.stop()
+      spark.table(sink).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    assert(run(Int.MaxValue, "vcap_off") ==
+      (for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b, 1.0)).toSet)
+    // cap 2: the bucket saturates after ids 1,2 — ids 3,4 neither
+    // pair nor grow the state
+    assert(run(2, "vcap_on") == Set((1L, 2L, 1.0)))
   }
 
   test("ST1 streaming hourly rollup over file source matches batch result") {
