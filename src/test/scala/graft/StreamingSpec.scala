@@ -157,9 +157,17 @@ class StreamingSpec extends SparkSpec {
     import graft.analytics.Similarity
     val vecs = Tables.embeddings(spark, sf("sf0.001"))
       .select($"vec_id", $"embedding")
-    val night1 = vecs.filter($"vec_id" % 2 === 1)
-    val night2 = vecs.filter($"vec_id" % 2 === 0)
-    val n2Ids = night2.select("vec_id").collect().map(_.getLong(0)).toSet
+    // the sf0.001 corpus has exactly two LSH pairs at 0.45 —
+    // (45, 237) and (352, 411); the %5 split places 45/352 in night 1,
+    // 237 and 352's partner-completion in night 2 (237 ≡ 2, 352 ≡ 2),
+    // and 411 (≡ 1) in night 3, so night 2 completes one pair and the
+    // post-restart night 3 completes the other ACROSS the checkpoint
+    val night1 = vecs.filter($"vec_id" % 5 =!= 1 && $"vec_id" % 5 =!= 2)
+    val night2 = vecs.filter($"vec_id" % 5 === 2)
+    val night3 = vecs.filter($"vec_id" % 5 === 1)
+    def idsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val (n2Ids, n3Ids) = (idsOf(night2), idsOf(night3))
     val dir = tmp("graft-embstream")
     val ckpt = tmp("graft-embstream-ckpt")
     night1.write.mode("overwrite").parquet(dir)
@@ -184,16 +192,31 @@ class StreamingSpec extends SparkSpec {
     val q = start()
     q.processAllAvailable() // night 1
     val after1 = pairsNow()
-    assert(after1.forall(p => !n2Ids(p.v1) && !n2Ids(p.v2)))
+    assert(after1.forall(p =>
+      !n2Ids(p.v1) && !n2Ids(p.v2) && !n3Ids(p.v1) && !n3Ids(p.v2)))
     night2.write.mode("append").parquet(dir)
     q.processAllAvailable()
     q.stop()
-    val all = pairsNow()
-    val delta = all.diff(after1)
-    assert(delta.nonEmpty, "fixture has no cross-batch near-dups — vacuous test")
-    assert(delta.forall(p => n2Ids(p.v1) || n2Ids(p.v2)),
+    val all12 = pairsNow()
+    val delta2 = all12.diff(after1)
+    assert(delta2.nonEmpty, "fixture has no cross-batch near-dups — vacuous test")
+    assert(delta2.forall(p => n2Ids(p.v1) || n2Ids(p.v2)),
       "a pair of two already-stored vectors re-emitted: not O(delta)")
-    // union over both nights == the batch recompute, SIMS INCLUDED
+    // RESTART from the checkpoint (new query, same sink): bucket state
+    // — including the member VECTORS the in-stream verify needs —
+    // must come back; a night-3 × earlier pair can only form through
+    // recovered state
+    night3.write.mode("append").parquet(dir)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val all = pairsNow()
+    val delta3 = all.diff(all12)
+    assert(delta3.forall(p => n3Ids(p.v1) || n3Ids(p.v2)),
+      "restart re-emitted stored-stored pairs: state or source log lost")
+    assert(delta3.exists(p => !n3Ids(p.v1) || !n3Ids(p.v2)),
+      "no night-3 × earlier pair after restart: bucket state did not recover")
+    // union over all nights == the batch recompute, SIMS INCLUDED
     // (in-stream verify must be bit-equal to the batch verify column)
     val want = Similarity.cosineNearDupPairsLsh(vecs, 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
