@@ -209,6 +209,33 @@ object StreamBench {
     }
     val ndSteadyRate = ndTimes.tail.map(_._1).sum / ndTimes.tail.map(_._2).sum
 
+    // 6. steady-state embedding near-dup: the same drop protocol over
+    // the embeddings table through the vector bucket-state stream.
+    val embDropDir = tmpDir("graft-sbench-embdrop")
+    val srcVecs = spark.read.parquet(embPath).select(col("vec_id"), col("embedding"))
+    val embTimes: Seq[(Long, Double)] = {
+      val stream = spark.readStream.schema(srcVecs.schema).parquet(embDropDir)
+        .as[graft.streaming.EmbedStream.Vec]
+      val q = graft.streaming.EmbedStream.streamingNearDupPairs(stream, 0.45).toDF()
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) => b.count(): Unit }
+        .option("checkpointLocation", tmpDir("graft-sbench-emb-ck"))
+        .start()
+      val times = (0 until nDrops).map { i =>
+        val slice = srcVecs.filter(pmod(col("vec_id"), lit(nDrops)) === i)
+        val n = slice.count()
+        val stage = tmpDir(s"graft-sbench-embstage$i")
+        slice.write.mode("overwrite").parquet(stage)
+        val t0 = System.nanoTime()
+        moveParts(stage, embDropDir)
+        q.processAllAvailable()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      q.stop()
+      times
+    }
+    val embSteadyRate = embTimes.tail.map(_._1).sum / embTimes.tail.map(_._2).sum
+
     val sf = new java.io.File(sfDir).getName
     println(
       f"""{"metric":"stream_bench","unit":"rows_per_sec","sf":"$sf",""" +
@@ -217,7 +244,7 @@ object StreamBench {
       f""""neardup_docs_per_sec":${nDocs / ndSec}%.0f,"neardup_sec":$ndSec%.2f,"neardup_pairs":$ndOut,""" +
       f""""emb_vecs_per_sec":${nVecs / embSec}%.0f,"emb_sec":$embSec%.2f,"emb_pairs":$embOut,""" +
       f""""ss_batches":$nDrops,"ss_cold":$coldRate%.0f,"ss_steady":$steadyRate%.0f,""" +
-      f""""nd_steady":$ndSteadyRate%.0f}""")
+      f""""nd_steady":$ndSteadyRate%.0f,"emb_steady":$embSteadyRate%.0f}""")
     spark.stop()
   }
 }
