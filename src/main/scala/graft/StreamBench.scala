@@ -5,17 +5,22 @@ import org.apache.spark.sql.functions._
 import graft.streaming.EventStreams
 
 /** Streaming-throughput benchmark (BASELINE.md "Streaming" section):
-  * drives the two stateful streaming surfaces end-to-end over the
-  * sf-dir events table with Trigger.AvailableNow and reports rows/s —
-  * the number that grounds the ST2 "designed for scale" claim with a
-  * measurement instead of a spec.
+  * drives the stateful streaming surfaces end-to-end over the sf-dir
+  * tables with Trigger.AvailableNow and reports rows/s — the numbers
+  * that ground the ST2 "designed for scale" claim with a measurement
+  * instead of a spec.
   *
   *  - dedup_tws: transformWithState cross-batch dedup on the RocksDB
   *    state store (EventStreams.statefulDedupTws) — every event id is
   *    a state write, so this measures the state-store path, not just
   *    the scan;
   *  - interval_join: stream-stream interval join purchases×clicks
-  *    with watermark-bounded buffers (EventStreams.intervalJoin).
+  *    with watermark-bounded buffers (EventStreams.intervalJoin);
+  *  - neardup / emb: the continuous near-dup streams in text
+  *    (DedupStream) and vector (EmbedStream) space;
+  *  - ss_* / nd_steady / emb_steady: N-drop steady-state rates
+  *    through ONE running query (batch 1 pays store init; the rate of
+  *    batches 2..N is the sustained figure).
   *
   * Prints ONE JSON line: {"metric":"stream_bench","unit":"rows_per_sec",...}.
   * Reproduce: sbt "runMain graft.StreamBench"   (SPARK_GRAFT_SF_DIR
@@ -27,6 +32,17 @@ object StreamBench {
     val d = java.nio.file.Files.createTempDirectory(prefix)
     d.toFile.deleteOnExit()
     d.toString
+  }
+
+  /** The streaming file source lists a DIRECTORY; the corpus tables
+    * are single parquet files — expose one through a temp-dir
+    * symlink. */
+  private def linkDir(prefix: String, file: String): String = {
+    val d = tmpDir(prefix)
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(d, new java.io.File(file).getName),
+      java.nio.file.Paths.get(file))
+    d
   }
 
   /** Move a staged slice's part files into the watched dir. The
@@ -44,6 +60,41 @@ object StreamBench {
           java.nio.file.Paths.get(dest, p.getFileName.toString))
     } finally s.close()
   }
+
+  /** The steady-state drop protocol, shared by every surface: N
+    * successive slices of `src` (by `keyCol` mod N) land in a watched
+    * dir feeding ONE running query built by `mkQuery` from the raw
+    * file-source stream. Slices are staged to a side dir and their
+    * part files MOVED in (atomic per file) so the source cannot start
+    * on a half-written drop; the timer starts before the move (see
+    * moveParts). Returns (rows, seconds) per drop — batch 1 is the
+    * cold figure, 2..N the sustained one. */
+  private def steadyDrops(src: DataFrame, keyCol: String, nDrops: Int,
+                          prefix: String)
+                         (mkQuery: DataFrame => DataFrame): Seq[(Long, Double)] = {
+    val spark = src.sparkSession
+    val dropDir = tmpDir(s"graft-sbench-$prefix-drop")
+    val q = mkQuery(spark.readStream.schema(src.schema).parquet(dropDir))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) => b.count(): Unit }
+      .option("checkpointLocation", tmpDir(s"graft-sbench-$prefix-ck"))
+      .start()
+    val times = (0 until nDrops).map { i =>
+      val slice = src.filter(pmod(col(keyCol), lit(nDrops)) === i)
+      val n = slice.count()
+      val stage = tmpDir(s"graft-sbench-$prefix-stage$i")
+      slice.write.mode("overwrite").parquet(stage)
+      val t0 = System.nanoTime()
+      moveParts(stage, dropDir)
+      q.processAllAvailable()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    q.stop()
+    times
+  }
+
+  private def steadyRate(times: Seq[(Long, Double)]): Double =
+    times.tail.map(_._1).sum / times.tail.map(_._2).sum
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -69,19 +120,21 @@ object StreamBench {
     // arrives as nanos LongType (nanosAsLong) — truncate to micros
     // exactly like Tables.events so watermarks see real timestamps.
     val path = s"$sfDir/events.parquet"
-    // the streaming file source lists a DIRECTORY; events.parquet is a
-    // single file — expose it through a temp dir symlink
-    val streamDir = tmpDir("graft-sbench-in")
-    java.nio.file.Files.createSymbolicLink(
-      java.nio.file.Paths.get(streamDir, "events.parquet"),
-      java.nio.file.Paths.get(path))
+    val streamDir = linkDir("graft-sbench-in", path)
     val schema = spark.read.parquet(path).schema
-    def eventStream(): DataFrame = {
-      val raw = spark.readStream.schema(schema).parquet(streamDir)
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    // idempotent: checks the INPUT's ts type, so composing it (the
+    // cold path pre-fixes, keyedEvents fixes its raw steady stream)
+    // never double-converts
+    def fixTs(raw: DataFrame): DataFrame =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw
-    }
+    def eventStream(): DataFrame =
+      fixTs(spark.readStream.schema(schema).parquet(streamDir))
+    def keyedEvents(raw: DataFrame) = fixTs(raw).select(
+      col("user_id").cast("string").as("key"),
+      col("event_id").cast("string").as("id"),
+      col("ts")).as[EventStreams.TimedKeyed]
     val totalRows = spark.read.parquet(path).count()
 
     def timeRun(df: DataFrame): (Double, Long) = {
@@ -94,11 +147,8 @@ object StreamBench {
     }
 
     // 1. RocksDB transformWithState dedup over every event
-    val keyed = eventStream().select(
-      col("user_id").cast("string").as("key"),
-      col("event_id").cast("string").as("id"),
-      col("ts")).as[EventStreams.TimedKeyed]
-    val (dedupSec, dedupOut) = timeRun(EventStreams.statefulDedupTws(keyed).toDF())
+    val (dedupSec, dedupOut) = timeRun(
+      EventStreams.statefulDedupTws(keyedEvents(eventStream())).toDF())
 
     // 2. watermark-bounded stream-stream interval join
     val purchases = eventStream().filter(col("event_type") === "purchase")
@@ -111,10 +161,7 @@ object StreamBench {
     // per-document minhash + band-bucket state probes (DedupStream) —
     // the continuous-dedup path; docs/s is the ingest-rate figure.
     val docsPath = s"$sfDir/documents.parquet"
-    val docsDir = tmpDir("graft-sbench-docs")
-    java.nio.file.Files.createSymbolicLink(
-      java.nio.file.Paths.get(docsDir, "documents.parquet"),
-      java.nio.file.Paths.get(docsPath))
+    val docsDir = linkDir("graft-sbench-docs", docsPath)
     val docsSchema = spark.read.parquet(docsPath).schema
     val nDocs = spark.read.parquet(docsPath).count()
     val docStream = spark.readStream.schema(docsSchema).parquet(docsDir)
@@ -127,10 +174,7 @@ object StreamBench {
     // per-vector sign-LSH bucket probes with in-stream exact verify —
     // vecs/s is the continuous vector-ingest figure.
     val embPath = s"$sfDir/embeddings.parquet"
-    val embDir = tmpDir("graft-sbench-emb")
-    java.nio.file.Files.createSymbolicLink(
-      java.nio.file.Paths.get(embDir, "embeddings.parquet"),
-      java.nio.file.Paths.get(embPath))
+    val embDir = linkDir("graft-sbench-emb", embPath)
     val embSchema = spark.read.parquet(embPath).schema
     val nVecs = spark.read.parquet(embPath).count()
     val vecStream = spark.readStream.schema(embSchema).parquet(embDir)
@@ -139,102 +183,24 @@ object StreamBench {
     val (embSec, embOut) = timeRun(
       graft.streaming.EmbedStream.streamingNearDupPairs(vecStream, 0.45).toDF())
 
-    // 4. steady-state RocksDB dedup: N successive file drops through
-    // ONE running query. The single-AvailableNow figures above are
-    // COLD numbers — store init and first-batch JIT dominate. Here
-    // batch 1 pays that cost and the per-drop rate of batches 2..N is
-    // the sustained nightly-ingest figure. Slices are staged to a
-    // side dir and their part files MOVED in (atomic) so the source
-    // cannot start on a half-written drop and the timer covers
-    // exactly one drop's processing.
+    // 4–6. steady-state drops (see steadyDrops): RocksDB dedup, text
+    // near-dup, embedding near-dup — the sustained nightly-ingest
+    // figures next to the cold AvailableNow numbers above.
     val nDrops = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "4").toInt
-    val dropDir = tmpDir("graft-sbench-drop")
-    val srcEvents = spark.read.parquet(path)
-    val ssTimes: Seq[(Long, Double)] = {
-      val raw = spark.readStream.schema(schema).parquet(dropDir)
-      val fixed =
-        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
-      val keyedSs = fixed.select(
-        col("user_id").cast("string").as("key"),
-        col("event_id").cast("string").as("id"),
-        col("ts")).as[EventStreams.TimedKeyed]
-      val q = EventStreams.statefulDedupTws(keyedSs).toDF()
-        .writeStream.outputMode("append")
-        .foreachBatch { (b: DataFrame, _: Long) => b.count(): Unit }
-        .option("checkpointLocation", tmpDir("graft-sbench-ss-ck"))
-        .start()
-      val times = (0 until nDrops).map { i =>
-        val slice = srcEvents.filter(pmod(col("event_id"), lit(nDrops)) === i)
-        val n = slice.count()
-        val stage = tmpDir(s"graft-sbench-stage$i")
-        slice.write.mode("overwrite").parquet(stage)
-        val t0 = System.nanoTime()
-        moveParts(stage, dropDir)
-        q.processAllAvailable()
-        (n, (System.nanoTime() - t0) / 1e9)
-      }
-      q.stop()
-      times
+    val ssTimes = steadyDrops(spark.read.parquet(path), "event_id", nDrops, "ss") {
+      raw => EventStreams.statefulDedupTws(keyedEvents(raw)).toDF()
     }
     val coldRate = ssTimes.head._1 / ssTimes.head._2
-    val steadyRate = ssTimes.tail.map(_._1).sum / ssTimes.tail.map(_._2).sum
-
-    // 5. steady-state near-dup: same drop protocol over the documents
-    // table through the band-bucket state stream — the sustained
-    // continuous-ingest figure next to the cold AvailableNow number.
-    val ndDropDir = tmpDir("graft-sbench-nddrop")
     val srcDocs = spark.read.parquet(docsPath).select(col("doc_id"), col("text"))
-    val ndTimes: Seq[(Long, Double)] = {
-      val stream = spark.readStream.schema(srcDocs.schema).parquet(ndDropDir)
-        .as[graft.streaming.DedupStream.Doc]
-      val q = graft.streaming.DedupStream.streamingNearDupCandidates(stream).toDF()
-        .writeStream.outputMode("append")
-        .foreachBatch { (b: DataFrame, _: Long) => b.count(): Unit }
-        .option("checkpointLocation", tmpDir("graft-sbench-nd-ck"))
-        .start()
-      val times = (0 until nDrops).map { i =>
-        val slice = srcDocs.filter(pmod(col("doc_id"), lit(nDrops)) === i)
-        val n = slice.count()
-        val stage = tmpDir(s"graft-sbench-ndstage$i")
-        slice.write.mode("overwrite").parquet(stage)
-        val t0 = System.nanoTime()
-        moveParts(stage, ndDropDir)
-        q.processAllAvailable()
-        (n, (System.nanoTime() - t0) / 1e9)
-      }
-      q.stop()
-      times
+    val ndTimes = steadyDrops(srcDocs, "doc_id", nDrops, "nd") { raw =>
+      graft.streaming.DedupStream.streamingNearDupCandidates(
+        raw.as[graft.streaming.DedupStream.Doc]).toDF()
     }
-    val ndSteadyRate = ndTimes.tail.map(_._1).sum / ndTimes.tail.map(_._2).sum
-
-    // 6. steady-state embedding near-dup: the same drop protocol over
-    // the embeddings table through the vector bucket-state stream.
-    val embDropDir = tmpDir("graft-sbench-embdrop")
     val srcVecs = spark.read.parquet(embPath).select(col("vec_id"), col("embedding"))
-    val embTimes: Seq[(Long, Double)] = {
-      val stream = spark.readStream.schema(srcVecs.schema).parquet(embDropDir)
-        .as[graft.streaming.EmbedStream.Vec]
-      val q = graft.streaming.EmbedStream.streamingNearDupPairs(stream, 0.45).toDF()
-        .writeStream.outputMode("append")
-        .foreachBatch { (b: DataFrame, _: Long) => b.count(): Unit }
-        .option("checkpointLocation", tmpDir("graft-sbench-emb-ck"))
-        .start()
-      val times = (0 until nDrops).map { i =>
-        val slice = srcVecs.filter(pmod(col("vec_id"), lit(nDrops)) === i)
-        val n = slice.count()
-        val stage = tmpDir(s"graft-sbench-embstage$i")
-        slice.write.mode("overwrite").parquet(stage)
-        val t0 = System.nanoTime()
-        moveParts(stage, embDropDir)
-        q.processAllAvailable()
-        (n, (System.nanoTime() - t0) / 1e9)
-      }
-      q.stop()
-      times
+    val embTimes = steadyDrops(srcVecs, "vec_id", nDrops, "embss") { raw =>
+      graft.streaming.EmbedStream.streamingNearDupPairs(
+        raw.as[graft.streaming.EmbedStream.Vec], 0.45).toDF()
     }
-    val embSteadyRate = embTimes.tail.map(_._1).sum / embTimes.tail.map(_._2).sum
 
     val sf = new java.io.File(sfDir).getName
     println(
@@ -243,8 +209,8 @@ object StreamBench {
       f""""interval_join":${joinIn / joinSec}%.0f,"join_sec":$joinSec%.2f,"join_out":$joinOut,""" +
       f""""neardup_docs_per_sec":${nDocs / ndSec}%.0f,"neardup_sec":$ndSec%.2f,"neardup_pairs":$ndOut,""" +
       f""""emb_vecs_per_sec":${nVecs / embSec}%.0f,"emb_sec":$embSec%.2f,"emb_pairs":$embOut,""" +
-      f""""ss_batches":$nDrops,"ss_cold":$coldRate%.0f,"ss_steady":$steadyRate%.0f,""" +
-      f""""nd_steady":$ndSteadyRate%.0f,"emb_steady":$embSteadyRate%.0f}""")
+      f""""ss_batches":$nDrops,"ss_cold":$coldRate%.0f,"ss_steady":${steadyRate(ssTimes)}%.0f,""" +
+      f""""nd_steady":${steadyRate(ndTimes)}%.0f,"emb_steady":${steadyRate(embTimes)}%.0f}""")
     spark.stop()
   }
 }

@@ -53,14 +53,19 @@ object EmbedStream {
     * double fold of float components against the ±1 sha-parity plane;
     * bit p set iff the projection is >= 0. */
   def bucketOf(emb: Array[Float], planes: Array[Array[Double]]): Long = {
+    // batch parity for malformed vectors: VecDot yields NULL on a
+    // length mismatch, `when(null >= 0, 1).otherwise(0)` clears every
+    // bit, so bucketExpr assigns bucket 0 — mirror that instead of
+    // truncating the fold (a truncated projection would put the
+    // stream copy in a DIFFERENT bucket than the batch recompute)
+    if (planes.exists(_.length != emb.length)) return 0L
     var b = 0L
     var p = 0
     while (p < planes.length) {
       val w = planes(p)
-      val m = math.min(w.length, emb.length)
       var acc = 0.0
       var i = 0
-      while (i < m) { acc += emb(i).toDouble * w(i); i += 1 }
+      while (i < w.length) { acc += emb(i).toDouble * w(i); i += 1 }
       if (acc >= 0) b |= 1L << p
       p += 1
     }
@@ -113,8 +118,14 @@ object EmbedStream {
     val planes = Similarity.planeWeights(nPlanes, 64)
     val masks = Similarity.probeMasks(nPlanes, probeRadius)
     vecs.flatMap { v =>
-      val b = bucketOf(v.embedding, planes)
-      masks.map(m => ProbeRow(b ^ m, v.vec_id, m == 0L, v.embedding))
+      // null embedding: drop the row, exactly like the batch path
+      // (VecDot → null sim → filtered) and the text twin's null-text
+      // guard — a poison row must not kill the long-running query
+      if (v.embedding == null) Nil
+      else {
+        val b = bucketOf(v.embedding, planes)
+        masks.map(m => ProbeRow(b ^ m, v.vec_id, m == 0L, v.embedding))
+      }
     }
       .groupByKey(_.probe)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(

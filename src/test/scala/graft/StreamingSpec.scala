@@ -158,10 +158,10 @@ class StreamingSpec extends SparkSpec {
     val vecs = Tables.embeddings(spark, sf("sf0.001"))
       .select($"vec_id", $"embedding")
     // the sf0.001 corpus has exactly two LSH pairs at 0.45 —
-    // (45, 237) and (352, 411); the %5 split places 45/352 in night 1,
-    // 237 and 352's partner-completion in night 2 (237 ≡ 2, 352 ≡ 2),
-    // and 411 (≡ 1) in night 3, so night 2 completes one pair and the
-    // post-restart night 3 completes the other ACROSS the checkpoint
+    // (45, 237) and (352, 411). The %5 split: 45 (≡ 0) arrives in
+    // night 1; 237 and 352 (both ≡ 2) in night 2, completing the
+    // first pair; 411 (≡ 1) in night 3, completing the second pair
+    // against 352's NIGHT-2 state ACROSS the checkpoint restart
     val night1 = vecs.filter($"vec_id" % 5 =!= 1 && $"vec_id" % 5 =!= 2)
     val night2 = vecs.filter($"vec_id" % 5 === 2)
     val night3 = vecs.filter($"vec_id" % 5 === 1)
@@ -251,6 +251,29 @@ class StreamingSpec extends SparkSpec {
     // cap 2: the bucket saturates after ids 1,2 — ids 3,4 neither
     // pair nor grow the state
     assert(run(2, "vcap_on") == Set((1L, 2L, 1.0)))
+  }
+
+  test("streaming embedding near-dup drops a null embedding instead of dying") {
+    import graft.streaming.EmbedStream
+    // a poison row must not kill the long-running query (the batch
+    // path filters it via the null VecDot sim; the stream must too)
+    val rows = Seq(
+      (1L, Option(Array.fill(64)(0.5f))),
+      (2L, Option.empty[Array[Float]]),
+      (3L, Option(Array.fill(64)(0.5f))))
+      .toDF("vec_id", "embedding")
+    val dir = tmp("graft-embnull")
+    rows.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(rows.schema).parquet(dir)
+      .as[EmbedStream.Vec]
+    val q = EmbedStream.streamingNearDupPairs(stream, 0.9).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("embnull")
+      .option("checkpointLocation", tmp("graft-embnull-ckpt"))
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("embnull").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ==
+      Set((1L, 3L, 1.0)))
   }
 
   test("ST1 streaming hourly rollup over file source matches batch result") {
