@@ -269,6 +269,50 @@ object TextQueries {
         .orderBy("shard")
     },
 
+    // ---------------------------------------------------------------- q112
+    // Corpus snapshot delta — the report a nightly ingest publishes
+    // next to the incremental-dedup artifacts: which documents were
+    // added, removed, or changed (by exact fingerprint, q28's
+    // normalization) between two snapshots. The snapshots are
+    // deterministic slices of the corpus (%7 / %5 membership, a %11
+    // fingerprint edit) so both engines derive them identically. ONE
+    // full-outer equi-join of two map-side fingerprint scans; at
+    // scale both snapshots live bucketed by doc_id (the layout a
+    // snapshot store keeps), so the join co-locates with no shuffle
+    // of either side.
+    Q("q112_snapshot_delta",
+      """WITH fp AS (SELECT doc_id,
+        |    sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM documents),
+        |prev AS (SELECT doc_id, f FROM fp WHERE doc_id % 7 <> 0),
+        |cur AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN sha256(f || '|v2') ELSE f END AS f
+        |  FROM fp WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+        |  CASE WHEN p.doc_id IS NULL THEN 'added'
+        |       WHEN c.doc_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status
+        |FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id
+        |WHERE p.doc_id IS NULL OR c.doc_id IS NULL OR p.f <> c.f
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val fp = Tables.documents(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("f"))
+      val prev = fp.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("f").as("f_prev"))
+      val cur = fp.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, sha2(concat(col("f"), lit("|v2")), 256))
+            .otherwise(col("f")).as("f_cur"))
+      prev.join(cur, Seq("doc_id"), "full_outer")
+        .filter(col("f_prev").isNull || col("f_cur").isNull ||
+          col("f_prev") =!= col("f_cur"))
+        .select(col("doc_id"),
+          when(col("f_prev").isNull, lit("added"))
+            .when(col("f_cur").isNull, lit("removed"))
+            .otherwise(lit("changed")).as("status"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- q96
     // Context-window chunking: each document split into 32-token
     // windows at stride 16 (50% overlap) — the long-document splitter
