@@ -75,6 +75,52 @@ object SketchQueries {
         .orderBy(col("event_type"))
     },
 
+    // ---------------------------------------------------------------- q113
+    // Mergeable-sketch rollup: per-type Apache DataSketches HLL
+    // sketches (hll_sketch_agg) union into the global distinct-user
+    // estimate WITHOUT rescanning rows — hll_union_agg merges the
+    // per-group sketch blobs. This is the re-aggregation contract a
+    // 100 TB cube needs: per-slice sketches persist once, any rollup
+    // (day→month, type→all) is a merge of sketch bytes, never a
+    // second pass over the data. q37 verifies one-shot estimation;
+    // this verifies MERGE correctness: the merged estimate must sit
+    // within 3x the lgK=12 rsd (~1.6%) of the exact global distinct.
+    // Exact sides are two-stage distincts (no Expand, q40 lesson);
+    // the ALL row combines the two scalar aggregates by union + max
+    // per column — the q103 pattern, never a constant-key join.
+    Q("q113_sketch_rollup",
+      """SELECT event_type AS scope,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT), TRUE FROM events
+        |ORDER BY scope""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+      val perSk = ev.groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val per = ev.distinct()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("exact_users"))
+        .join(perSk.select(col("event_type"),
+          hll_sketch_estimate(col("sk")).cast("double").as("est")), Seq("event_type"))
+        .select(col("event_type").as("scope"), col("exact_users"), col("est"))
+      val allExact = ev.select(col("user_id")).distinct()
+        .agg(count(lit(1)).cast("long").as("exact_users"))
+        .select(col("exact_users"), lit(null).cast("double").as("est"))
+      val allEst = perSk.agg(hll_union_agg(col("sk")).as("sk"))
+        .select(lit(null).cast("long").as("exact_users"),
+          hll_sketch_estimate(col("sk")).cast("double").as("est"))
+      val allRow = allExact.unionByName(allEst)
+        .agg(max(col("exact_users")).as("exact_users"), max(col("est")).as("est"))
+        .select(lit("ALL").as("scope"), col("exact_users"), col("est"))
+      per.unionByName(allRow)
+        .select(col("scope"), col("exact_users"),
+          (abs(col("est") / col("exact_users").cast("double") - 1.0) <= 0.05)
+            .as("approx_ok"))
+        .orderBy(col("scope"))
+    },
+
     // ---------------------------------------------------------------- q67
     // Count-Min-Sketch-prefiltered heavy hitters (custom typed
     // Aggregator — functions/CmsAgg). The sketch prunes candidates
