@@ -35,9 +35,12 @@ object Multimodal {
 
   /** Typed metadata travels beside the opaque payload — the schema
     * contract for image/audio/video columns (dims for images, rate +
-    * duration for audio/video; unused fields zero). */
+    * duration for audio/video, `nBytes` = payload length for every
+    * kind; unused fields zero — a time-unit field never carries a
+    * byte count). */
   final case class MediaMeta(
-      width: Int, height: Int, sampleRateHz: Int, durationMs: Long)
+      width: Int, height: Int, sampleRateHz: Int, durationMs: Long,
+      nBytes: Long = 0L)
   final case class MediaRow(
       media_id: Long, kind: String, payload: Array[Byte], meta: MediaMeta)
   final case class MediaFeatures(
@@ -55,7 +58,7 @@ object Multimodal {
     df.select(col(idCol).cast("long"), lit(kind), col(textCol).cast("binary"))
       .as[(Long, String, Array[Byte])]
       .map { case (id, k, b) =>
-        MediaRow(id, k, b, MediaMeta(0, 0, 0, durationMs = b.length.toLong))
+        MediaRow(id, k, b, MediaMeta(0, 0, 0, 0L, nBytes = b.length.toLong))
       }
   }
 
@@ -96,7 +99,7 @@ object Multimodal {
     import spark.implicits._
     media.map { r =>
       val p = if (r.payload.length <= maxBytes) r.payload else r.payload.take(maxBytes)
-      r.copy(payload = p, meta = r.meta.copy(durationMs = p.length.toLong))
+      r.copy(payload = p, meta = r.meta.copy(nBytes = p.length.toLong))
     }
   }
 
@@ -134,7 +137,7 @@ object Multimodal {
           javax.imageio.ImageIO.write(out, "png", bos)
           val p = bos.toByteArray
           r.copy(payload = p, meta = r.meta.copy(width = tw, height = th,
-            durationMs = p.length.toLong))
+            nBytes = p.length.toLong))
         }
       }
     }
@@ -185,7 +188,8 @@ object Multimodal {
         val ts = (600 * (1 + id % 3)).toInt
         val dur = 100 + id % 1000
         val p = VideoCodec.encodeMp4(ts, dur, id)
-        MediaRow(id, "video", p, MediaMeta(0, 0, ts, dur * 1000L / ts))
+        MediaRow(id, "video", p,
+          MediaMeta(0, 0, ts, dur * 1000L / ts, nBytes = p.length.toLong))
       }
     }
   }
@@ -249,7 +253,7 @@ object Multimodal {
         val w = (1 + id % 16).toInt
         val h = (1 + id % 9).toInt
         val p = ImageCodec.encodePng(w, h, id)
-        MediaRow(id, "image", p, MediaMeta(w, h, 0, p.length.toLong))
+        MediaRow(id, "image", p, MediaMeta(w, h, 0, 0L, nBytes = p.length.toLong))
       }
     }
   }
@@ -286,7 +290,7 @@ object Multimodal {
         val n = (50 + id % 100).toInt
         val p = AudioCodec.encodeWav(ch, rate, n, id)
         MediaRow(id, "audio", p,
-          MediaMeta(0, 0, rate, n.toLong * 1000L / rate))
+          MediaMeta(0, 0, rate, n.toLong * 1000L / rate, nBytes = p.length.toLong))
       }
     }
   }

@@ -99,14 +99,18 @@ object SketchQueries {
       val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
       val perSk = ev.groupBy(col("event_type"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      // count(user_id) after the distinct, not count(*): NULL user_ids
+      // must not count as a distinct value (DuckDB's count(DISTINCT x)
+      // and hll_sketch_agg both skip NULLs) while an all-NULL group
+      // still keeps its row — count(col) gives both for free.
       val per = ev.distinct()
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).cast("long").as("exact_users"))
+        .agg(count(col("user_id")).cast("long").as("exact_users"))
         .join(perSk.select(col("event_type"),
           hll_sketch_estimate(col("sk")).cast("double").as("est")), Seq("event_type"))
         .select(col("event_type").as("scope"), col("exact_users"), col("est"))
       val allExact = ev.select(col("user_id")).distinct()
-        .agg(count(lit(1)).cast("long").as("exact_users"))
+        .agg(count(col("user_id")).cast("long").as("exact_users"))
         .select(col("exact_users"), lit(null).cast("double").as("est"))
       val allEst = perSk.agg(hll_union_agg(col("sk")).as("sk"))
         .select(lit(null).cast("long").as("exact_users"),

@@ -38,8 +38,14 @@ object DedupStream {
     * restarting an existing checkpoint across such a change fails on
     * the first batch instead of resuming. Changing these fields means
     * a fresh checkpoint dir + state rebuild from the band store (the
-    * batch twin regenerates it); do not evolve the schema in place. */
-  final case class BucketState(ids: List[Long], saturated: Boolean)
+    * batch twin regenerates it); do not evolve the schema in place.
+    *
+    * `ver` is the state-schema version (this shape = 1). It is the
+    * LAST breaking addition: future field additions bump `ver`, keep
+    * the old fields in place, and branch on the decoded version to
+    * migrate old rows instead of forcing a checkpoint rebuild. */
+  final case class BucketState(ids: List[Long], saturated: Boolean,
+                               ver: Int = 1)
 
   /** The LSH band rows of one document as plain Scala — bit-equal to
     * the batch pipeline (shingleSet → minhashSignatures → withBands →

@@ -44,8 +44,11 @@ object EmbedStream {
     * stops growing. Same CHECKPOINT COMPATIBILITY rule as the text
     * twin: these fields are the persisted state schema; changing them
     * breaks restore of existing checkpoints — rebuild from a fresh
-    * checkpoint dir (the batch bucket store regenerates state). */
-  final case class VecBucketState(members: List[Member], saturated: Boolean)
+    * checkpoint dir (the batch bucket store regenerates state). `ver`
+    * (this shape = 1) is the last breaking addition — future
+    * evolutions bump it and migrate decoded old rows in place. */
+  final case class VecBucketState(members: List[Member], saturated: Boolean,
+                                  ver: Int = 1)
 
   /** Sign-LSH bucket id in plain Scala — bit-equal to
     * `Similarity.bucketExpr` over `planeWeights` (StreamingSpec pins
@@ -147,7 +150,11 @@ object EmbedStream {
             .sortBy(_._1)
           arrivals.foreach { case (id, own, emb) =>
             if (!knownIds.contains(id)) {
-              if (own && !saturated && n >= maxBucketIds) saturated = true
+              // latch on ANY arrival at the cap (own or probe visitor):
+              // the text twin latches every arrival, and a probe-only
+              // visitor pairing against an at-cap bucket would drift
+              // from the "stops pairing" contract in the scaladoc
+              if (!saturated && n >= maxBucketIds) saturated = true
               if (!saturated) {
                 members.foreach { m =>
                   if (m.id != id) {

@@ -84,8 +84,10 @@ class PipelineSpec extends SparkSpec {
     val docs = Seq((1L, "x" * 100), (2L, "short")).toDF("doc_id", "text")
     val resized = Multimodal.resize(Multimodal.fromText(docs), maxBytes = 32)
       .collect().sortBy(_.media_id)
-    assert(resized(0).payload.length == 32 && resized(0).meta.durationMs == 32)
-    assert(resized(1).payload.length == 5 && resized(1).meta.durationMs == 5)
+    assert(resized(0).payload.length == 32 && resized(0).meta.nBytes == 32)
+    assert(resized(1).payload.length == 5 && resized(1).meta.nBytes == 5)
+    // durationMs is a TIME field — byte lengths live in nBytes only
+    assert(resized.forall(_.meta.durationMs == 0L))
   }
 
   test("multimodal: frame sampling fans one row into strided frame features") {
