@@ -263,15 +263,61 @@ object DedupOps {
     docs.select(col("doc_id"),
       size(array_distinct(shingles(tokens(col("text")), 3))).cast("long").as("n"))
 
+  /** Band-store rows ranked within their (k, bv) bucket by doc_id —
+    * the deterministic order the bucket cap keeps (lowest ids first).
+    * One shuffle on the bucket key, the same partitioning the
+    * candidate self-join needs anyway; the window sorts only within
+    * each bucket, never globally. */
+  private def rankedBandStore(store: DataFrame): DataFrame =
+    store.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k"), col("bv")).orderBy(col("doc_id"))))
+
+  /** The band store with at most `maxBucketIds` members per (k, bv)
+    * bucket — the batch twin of DedupStream's saturation cap. Kept
+    * members are the LOWEST doc_ids of each bucket (deterministic, so
+    * re-runs and the oracle agree); everything past the cap is what
+    * [[bandSaturationReport]] accounts for. */
+  def capBandStore(store: DataFrame, maxBucketIds: Int): DataFrame =
+    rankedBandStore(store).filter(col("rn") <= maxBucketIds).drop("rn")
+
+  /** Side report of the buckets the cap saturated: (k, bv, n_members,
+    * n_dropped) for every bucket past `maxBucketIds`. A hot bucket is
+    * boilerplate signal, not near-dup signal (the q79 stop-shingle
+    * argument in band space) — at 100 TB this report is what a nightly
+    * run consumes (feed the members to boilerplate removal), NEVER the
+    * recovered pair list, whose size is exactly the b² blow-up the cap
+    * exists to prevent. */
+  def bandSaturationReport(store: DataFrame, maxBucketIds: Int): DataFrame =
+    store.groupBy(col("k"), col("bv"))
+      .agg(count(lit(1)).cast("long").as("n_members"))
+      .filter(col("n_members") > maxBucketIds)
+      .select(col("k"), col("bv"), col("n_members"),
+        (col("n_members") - maxBucketIds).cast("long").as("n_dropped"))
+
   /** Candidate pairs from a band-row frame: one self-join on
     * (band-index, band-value) instead of a per-band join union —
     * band-equality within the same index IS the (k, bv) equi-join, so
-    * candidates come from a single shuffle stage. */
-  private def bandCandidates(store: DataFrame): DataFrame =
-    store.select(col("k"), col("bv"), col("doc_id").as("d1"))
-      .join(store.select(col("k"), col("bv"), col("doc_id").as("d2")), Seq("k", "bv"))
+    * candidates come from a single shuffle stage.
+    *
+    * `maxBucketIds` caps members per bucket BEFORE the self-join
+    * (deterministically — lowest ids; see [[capBandStore]]): a
+    * boilerplate-heavy corpus otherwise puts b documents in one
+    * bucket and this join emits b²/2 rows on a single shuffle key —
+    * the one uncapped quadratic the LSH family had left. Capped runs
+    * bound every bucket's contribution at maxBucketIds²/2 and account
+    * for the remainder via [[bandSaturationReport]]; q114
+    * gate-verifies that capped ∪ diverted reconciles with uncapped.
+    * Default Int.MaxValue = uncapped (q31/q97-era behavior). */
+  private def bandCandidates(store: DataFrame,
+                             maxBucketIds: Int = Int.MaxValue): DataFrame = {
+    val side = if (maxBucketIds == Int.MaxValue) store
+               else capBandStore(store, maxBucketIds)
+    side.select(col("k"), col("bv"), col("doc_id").as("d1"))
+      .join(side.select(col("k"), col("bv"), col("doc_id").as("d2")), Seq("k", "bv"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
+  }
 
   /** MinHash-LSH candidate pairs verified with exact Jaccard.
     *
@@ -279,10 +325,62 @@ object DedupOps {
     * verifyJaccard. This is what makes the LSH path the 100 TB plan:
     * band-bucket join for candidates, then a narrow verify join. */
   def minhashLshPairs(docs: DataFrame, threshold: Double,
-                      sh: Option[DataFrame] = None): DataFrame = {
+                      sh: Option[DataFrame] = None,
+                      maxBucketIds: Int = Int.MaxValue): DataFrame = {
     val shingleFrame = sh.getOrElse(shingleSet(docs, 3))
-    val cands = bandCandidates(bandRows(withBands(minhashSignatures(shingleFrame))))
+    val cands = bandCandidates(
+      bandRows(withBands(minhashSignatures(shingleFrame))), maxBucketIds)
     verifyJaccard(cands, shingleFrame, shingleCounts(docs), threshold)
+  }
+
+  /** Capped LSH pairs WITH the reconciliation the cap diverts — the
+    * identity q114 gate-verifies:
+    *
+    *   minhashLshPairs (uncapped) ≡ this output, with `via` marking
+    *   how each pair was found: 'capped' = the capped candidate join
+    *   alone finds it (both members within the bucket cap in some
+    *   band), 'overflow' = only recoverable through a saturated
+    *   bucket's diverted members.
+    *
+    * The overflow recovery join (diverted rows × their full buckets)
+    * is TEST-SCALE machinery: it re-creates exactly the hot-bucket
+    * blow-up the cap prevents, and exists so the gate can prove the
+    * cap loses nothing it didn't account for. A 100 TB run calls
+    * minhashLshPairs(maxBucketIds = …) + bandSaturationReport and
+    * routes saturated buckets to boilerplate removal instead. */
+  def minhashLshPairsCapped(docs: DataFrame, threshold: Double,
+                            maxBucketIds: Int,
+                            sh: Option[DataFrame] = None): DataFrame = {
+    val shingleFrame = sh.getOrElse(shingleSet(docs, 3))
+    // ranked rows feed four consumers (both capped join sides, the
+    // overflow probe, the full-store probe side) — materialize once
+    val ranked = rankedBandStore(
+      bandRows(withBands(minhashSignatures(shingleFrame))))
+      .localCheckpoint(true)
+    val kept = ranked.filter(col("rn") <= maxBucketIds)
+    val cappedCands = kept.select(col("k"), col("bv"), col("doc_id").as("d1"))
+      .join(kept.select(col("k"), col("bv"), col("doc_id").as("d2")), Seq("k", "bv"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    // pairs involving a diverted member: probe the FULL buckets with
+    // the overflow rows only; least/greatest canonicalizes because a
+    // diverted id can sit on either side of its partners
+    val overCands = ranked.filter(col("rn") > maxBucketIds)
+      .select(col("k"), col("bv"), col("doc_id").as("da"))
+      .join(ranked.select(col("k"), col("bv"), col("doc_id").as("db")), Seq("k", "bv"))
+      .filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2")).distinct()
+    // label with capped-path priority: a pair found by both routes is
+    // 'capped' (the oracle labels identically via EXISTS-on-capped)
+    val labeled = cappedCands.withColumn("via", lit("capped"))
+      .unionByName(overCands.join(cappedCands, Seq("d1", "d2"), "left_anti")
+        .withColumn("via", lit("overflow")))
+      .localCheckpoint(true)
+    verifyJaccard(labeled.select(col("d1"), col("d2")),
+        shingleFrame, shingleCounts(docs), threshold)
+      .join(labeled, Seq("d1", "d2"))
+      .select(col("d1"), col("d2"), col("jaccard"), col("via"))
   }
 
   /** LSH pairs read from an already-materialized band store (the
@@ -293,8 +391,10 @@ object DedupOps {
     * (cached) shingle frame that must equal shingleSet(docs, 3). */
   def lshPairsFromStore(store: DataFrame, docs: DataFrame,
                         threshold: Double,
-                        sh: Option[DataFrame] = None): DataFrame =
-    verifyJaccard(bandCandidates(store), sh.getOrElse(shingleSet(docs, 3)),
+                        sh: Option[DataFrame] = None,
+                        maxBucketIds: Int = Int.MaxValue): DataFrame =
+    verifyJaccard(bandCandidates(store, maxBucketIds),
+      sh.getOrElse(shingleSet(docs, 3)),
       shingleCounts(docs), threshold)
 
   /** O(delta) incremental re-dedup: near-dup pairs INVOLVING at least

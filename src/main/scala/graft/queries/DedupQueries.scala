@@ -401,6 +401,47 @@ object DedupQueries {
          |FROM base LEFT JOIN dd USING (doc_id)
          |WHERE ns > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
       DedupOps.spanDupProfileCapped(Tables.documents(s, d), 8, 2).orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q114
+    // q31's LSH pairs under a hot-bucket cap (2 members per (k, bv)
+    // bucket, lowest ids kept) — the batch twin of the streaming
+    // maxBucketIds saturation, with the q107-style reconciliation:
+    // every uncapped pair appears exactly once, labeled 'capped' when
+    // the capped candidate join alone finds it and 'overflow' when
+    // only a saturated bucket's diverted members reach it. Identity
+    // under test: capped ∪ diverted ≡ uncapped (q31), hash-checked
+    // row for row including the label. The oracle ranks bucket
+    // members with the same window the Spark side uses.
+    Q("q114_lsh_capped",
+      s"""$hashedShingles,
+         |sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM shh GROUP BY doc_id),
+         |band AS (SELECT doc_id,
+         |    $bandCols
+         |  FROM sig),
+         |ks(k) AS (VALUES (0), (1), (2), (3)),
+         |br AS (SELECT doc_id, k,
+         |         CASE k WHEN 0 THEN band0 WHEN 1 THEN band1 WHEN 2 THEN band2 ELSE band3 END AS bv
+         |       FROM band, ks),
+         |rk AS (SELECT doc_id, k, bv,
+         |         row_number() OVER (PARTITION BY k, bv ORDER BY doc_id) AS rn
+         |       FROM br),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM br a JOIN br b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |candc AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |          FROM rk a JOIN rk b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |          WHERE a.rn <= 2 AND b.rn <= 2),
+         |${jaccardCtes(0.6)}
+         |SELECT p.d1, p.d2, p.jaccard,
+         |  CASE WHEN EXISTS (SELECT 1 FROM candc c WHERE c.d1 = p.d1 AND c.d2 = p.d2)
+         |       THEN 'capped' ELSE 'overflow' END AS via
+         |FROM pairs p
+         |WHERE EXISTS (SELECT 1 FROM cand c WHERE c.d1 = p.d1 AND c.d2 = p.d2)
+         |ORDER BY p.d1, p.d2""".stripMargin) { (s, d) =>
+      DedupOps.minhashLshPairsCapped(Tables.documents(s, d), 0.6, 2,
+        Some(shingleSetOf(s, d))).orderBy("d1", "d2")
     }
   )
 
@@ -508,7 +549,7 @@ object DedupQueries {
     "q30_minhash_signatures", "q31_minhash_lsh_pairs",
     "q97_incremental_dedup", "q58_neardup_components",
     "q106_components_lss", "q103_dedup_compaction",
-    "q108_band_compaction")
+    "q108_band_compaction", "q114_lsh_capped")
 
   /** Drop this session's dedup-family caches and free their storage
     * memory. The WeakHashMap entries cannot be collected on their own

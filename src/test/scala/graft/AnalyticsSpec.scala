@@ -426,6 +426,54 @@ class AnalyticsSpec extends SparkSpec {
     assert(after.subsetOf(before) && (before -- after).forall(r => dropped(r._1)))
   }
 
+  test("hot-bucket cap: capped ∪ diverted ≡ uncapped; report prices every diverted row") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val uncapped = DedupOps.minhashLshPairs(docs, 0.6).localCheckpoint(true)
+    assert(uncapped.count() > 0, "no LSH pairs — vacuous fixture")
+    // cap=1 is the extreme (one kept member per bucket → the capped
+    // join can emit NOTHING, every pair must come back via the
+    // diverted members); cap=2 exercises the mixed regime
+    for (cap <- Seq(1, 2)) {
+      val labeled = DedupOps.minhashLshPairsCapped(docs, 0.6, cap)
+        .localCheckpoint(true)
+      val plain = labeled.select($"d1", $"d2", $"jaccard")
+      assert(plain.exceptAll(uncapped).count() == 0 &&
+        uncapped.exceptAll(plain).count() == 0,
+        s"cap=$cap: capped ∪ diverted must reconcile with uncapped, values included")
+      assert(labeled.count() == uncapped.count(), s"cap=$cap: one label per pair")
+      // rows labeled 'capped' ≡ the production capped path (both the
+      // recompute spelling and the persisted-store spelling)
+      val cappedRows = labeled.filter($"via" === "capped")
+        .select($"d1", $"d2", $"jaccard")
+      val prod = DedupOps.minhashLshPairs(docs, 0.6, maxBucketIds = cap)
+      assert(cappedRows.exceptAll(prod).count() == 0 &&
+        prod.exceptAll(cappedRows).count() == 0,
+        s"cap=$cap: 'capped' label must match minhashLshPairs(maxBucketIds)")
+      val store = DedupOps.minhashBandStore(docs).localCheckpoint(true)
+      val fromStore = DedupOps.lshPairsFromStore(store, docs, 0.6,
+        maxBucketIds = cap)
+      assert(cappedRows.exceptAll(fromStore).count() == 0 &&
+        fromStore.exceptAll(cappedRows).count() == 0,
+        s"cap=$cap: store spelling must agree")
+    }
+    if (DedupOps.minhashLshPairsCapped(docs, 0.6, 1)
+      .filter($"via" === "overflow").count() == 0)
+      fail("cap=1 produced no overflow pairs — fixture lost its near-dups")
+    // store-split invariants at cap=1: kept = per-bucket min id;
+    // the saturation report prices exactly the rows the cap diverted
+    val store = DedupOps.minhashBandStore(docs).localCheckpoint(true)
+    val kept = DedupOps.capBandStore(store, 1)
+    val minPerBucket = store.groupBy($"k", $"bv")
+      .agg(min($"doc_id").as("doc_id")).select($"doc_id", $"k", $"bv")
+    assert(kept.count() == minPerBucket.count() &&
+      kept.exceptAll(minPerBucket).count() == 0,
+      "cap=1 keeps exactly the lowest id of every bucket")
+    val droppedTotal = DedupOps.bandSaturationReport(store, 1)
+      .agg(coalesce(sum($"n_dropped"), lit(0L))).as[Long].head()
+    assert(droppedTotal == store.count() - kept.count(),
+      "report must account for every diverted store row")
+  }
+
   test("exact dedup groups cover all docs exactly once") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val groups = DedupOps.exactGroups(docs)
