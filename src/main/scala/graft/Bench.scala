@@ -27,6 +27,21 @@ object Bench {
     total
   }
 
+  /** Total process CPU time (all threads), for the contention
+    * diagnostic the round-5/6 driver artifacts needed a judge for: a
+    * query whose `cpu` stays at its baseline while `sec` inflates N×
+    * was WAITING (the host stole the cores), not re-planned — the JVM
+    * did the same work in the same CPU seconds. A genuine plan
+    * regression inflates cpu and sec together. -1 when the platform
+    * bean is unavailable. */
+  private def cpuNanos: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        val t = b.getProcessCpuTime
+        if (t < 0) -1L else t
+      case _ => -1L
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -73,13 +88,15 @@ object Bench {
     val results = selected.zipWithIndex.map { case (q, i) =>
       val runs = (1 to repeat).map { _ =>
         val g0 = gcMillis
+        val c0 = cpuNanos
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         }
         val sec = (System.nanoTime() - t0) / 1e9
-        (sec, (gcMillis - g0) / 1e3)
+        val cpu = if (c0 < 0) -1.0 else (cpuNanos - c0) / 1e9
+        (sec, (gcMillis - g0) / 1e3, cpu)
       }
       if (i == lastCacheUser) {
         graft.queries.DedupQueries.releaseCaches(spark)
@@ -93,18 +110,23 @@ object Bench {
     // same prefixes, so the mapping is unambiguous. Per-query GC rides
     // in the detail FILE, not the stdout line — 105 more keys would
     // blow the tail buffer.
-    val qs = results.map { case (k, (sec, _)) => "\"" + k.split('_').head + f"\":$sec%.3f" }
+    val qs = results.map { case (k, (sec, _, _)) => "\"" + k.split('_').head + f"\":$sec%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val gcTotal = results.map(_._2._2).sum
+    val cpuTotal = results.map(_._2._3).filter(_ >= 0).sum
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "bench_detail.json")
     try {
-      val detail = results.map { case (k, (sec, gc)) =>
-        f""""$k":{"sec":$sec%.3f,"gc":$gc%.3f}"""
+      // cpu beside gc makes a contended window self-diagnosing: an
+      // inflated sec with cpu at its baseline = the host stole the
+      // cores (the r5/r6 driver-artifact shape); cpu inflated with
+      // sec = the plan actually did more work.
+      val detail = results.map { case (k, (sec, gc, cpu)) =>
+        f""""$k":{"sec":$sec%.3f,"gc":$gc%.3f,"cpu":$cpu%.3f}"""
       }.mkString("{", ",", "}")
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(
-        f"""{"sf":"$sfDir","total_sec":$total%.3f,"gc_sec":$gcTotal%.3f,"queries":$detail}""")
+        f"""{"sf":"$sfDir","total_sec":$total%.3f,"gc_sec":$gcTotal%.3f,"cpu_sec":$cpuTotal%.3f,"queries":$detail}""")
       finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
