@@ -177,6 +177,43 @@ object ExtQueries {
         .filter(col("u1") < col("u2"))
         .select(col("u1"), col("u2"))
         .orderBy("u1", "u2")
+    },
+
+    // ---------------------------------------------------------------- q115
+    // The DSv2 jsonl source driven end-to-end in STREAMING mode with
+    // checkpointed offsets (ST2 as a first-class source contract, not
+    // the stateful-dedup emulation): the documents table round-trips
+    // batch-write → micro-batch read (Trigger.AvailableNow, offsets
+    // committed to the checkpoint log, filter pushed into each batch's
+    // scan) → exactly-once streaming jsonl sink → batch read-back.
+    // Oracle = the same filter over the parquet table, so the gate
+    // hash-checks the whole source→stream→sink chain row for row.
+    // Restart-delta behavior (a second incarnation reads only new
+    // files) is JsonLinesSourceSpec's recovery test; here every run
+    // uses fresh dirs so the measured work is one full pass.
+    Q("q115_stream_jsonl_roundtrip",
+      """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id > 50 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types._
+      val root = java.nio.file.Files.createTempDirectory("graft-q115")
+      val (src, out, ck) = (s"$root/src", s"$root/out", s"$root/ck")
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("text", StringType)))
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+        .write.format("graft.sources.v2.JsonLinesSource").mode("append").save(src)
+      val q = s.readStream
+        .format("graft.sources.v2.JsonLinesSource").schema(schema).load(src)
+        .filter(col("doc_id") > 50)
+        .writeStream.format("graft.sources.v2.JsonLinesSource")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.format("graft.sources.v2.JsonLinesSource").schema(schema).load(out)
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
     }
   )
 }

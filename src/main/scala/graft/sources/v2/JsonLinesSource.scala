@@ -52,7 +52,7 @@ final class JsonLinesTable(schema: StructType, path: String)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonLinesScanBuilder(schema, path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -87,18 +87,103 @@ final class JsonLinesScan(fullSchema: StructType, required: StructType,
   override def description(): String =
     s"graft-jsonl PushedFilters: [${pushed.mkString(", ")}], ReadSchema: ${required.catalogString}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    JsonLinesScan.listFiles(path).map(JsonLinesPartition(_): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonLinesReaderFactory(fullSchema, required, pushed)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new JsonLinesMicroBatchStream(fullSchema, required, pushed, path)
+}
+
+object JsonLinesScan {
+  /** Stable file listing: a directory's visible data files sorted by
+    * absolute path (crawl batch files are append-only and
+    * lexically increasing, so the order is the arrival order). */
+  def listFiles(path: String): Array[String] = {
     val f = new java.io.File(path)
-    val files =
-      if (f.isDirectory)
-        f.listFiles().filter(x => x.isFile && !x.getName.startsWith(".")
-          && !x.getName.startsWith("_")).map(_.getAbsolutePath).sorted
-      else Array(path)
-    files.map(JsonLinesPartition(_): InputPartition)
+    if (f.isDirectory)
+      f.listFiles().filter(x => x.isFile && !x.getName.startsWith(".")
+        && !x.getName.startsWith("_")).map(_.getAbsolutePath).sorted
+    else Array(path)
+  }
+}
+
+/** Cumulative file-set offset: the source's high-watermark is the
+  * sorted list of files already delivered. Serialized into Spark's
+  * checkpoint offset log, so a restarted query resumes from the last
+  * committed batch and [[JsonLinesMicroBatchStream.planInputPartitions]]
+  * plans ONLY files past the watermark — the first-class spelling of
+  * the ST2 stop-on-seen contract (SURVEY.md §2.8; the reference's
+  * incremental review crawl re-fetched until it hit a seen review id,
+  * review-crawler/naver_crawler.py:242-247). Files are treated as
+  * append-only immutable crawl batches: deletions never rewind the
+  * watermark, and in-place appends to an already-delivered file are
+  * NOT re-read (write a new batch file instead — the same contract as
+  * the reference's dated batch objects). */
+final case class JsonFilesOffset(files: Array[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    new ObjectMapper().writeValueAsString(files.sorted)
+}
+
+object JsonFilesOffset {
+  def fromJson(j: String): JsonFilesOffset =
+    JsonFilesOffset(new ObjectMapper().readValue(j, classOf[Array[String]]))
+}
+
+/** Micro-batch read path: each trigger delivers the files that
+  * appeared since the previous offset, one input partition per new
+  * file, through the SAME pruned/pushed reader the batch scan uses
+  * (column pruning and filter pushdown are decided in the ScanBuilder
+  * before this stream is created, so they apply per micro-batch). */
+final class JsonLinesMicroBatchStream(fullSchema: StructType,
+                                      required: StructType,
+                                      pushed: Array[Filter], path: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  /** Trigger.AvailableNow contract: snapshot the listing at query
+    * start; every batch up to termination reads toward THIS cap, so
+    * files landing mid-run wait for the next incarnation (which
+    * resumes from the committed offset). */
+  private var availableNowCap: Option[Array[String]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(JsonLinesScan.listFiles(path))
+
+  override def initialOffset(): Offset = JsonFilesOffset(Array.empty)
+
+  override def latestOffset(): Offset =
+    JsonFilesOffset(availableNowCap.getOrElse(JsonLinesScan.listFiles(path)))
+
+  // SupportsAdmissionControl: this source has no rate limiting — every
+  // known file is admitted each batch (a crawl batch file is small by
+  // construction; rate control belongs to the producer's batch size).
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    latestOffset()
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  override def deserializeOffset(json: String): Offset =
+    JsonFilesOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[JsonFilesOffset].files.toSet
+    end.asInstanceOf[JsonFilesOffset].files
+      .filterNot(seen).sorted
+      .map(JsonLinesPartition(_): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new JsonLinesReaderFactory(fullSchema, required, pushed)
+
+  /** The offset log IS the watermark store — nothing else to commit. */
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final case class JsonLinesPartition(file: String) extends InputPartition

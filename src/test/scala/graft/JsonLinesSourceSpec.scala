@@ -107,6 +107,71 @@ class JsonLinesSourceSpec extends SparkSpec {
     assert(files.forall(_.matches("part-e\\d+-p\\d+\\.jsonl")), files.mkString(", "))
   }
 
+  // ------------------------------------------------------- streaming read
+
+  test("micro-batch read: restart resumes the offset log, delivering only the delta") {
+    val in = Files.createTempDirectory("graft-jsonl-mbr").toString
+    val ck = Files.createTempDirectory("graft-jsonl-mbrck").toString
+    Files.writeString(Paths.get(in, "b1.jsonl"),
+      """{"place_id":"1","name":"a","page":1,"latitude":37.5}
+        |{"place_id":"2","name":"b","page":1,"latitude":35.1}
+        |""".stripMargin)
+    // sink = our recoverable jsonl sink (the memory sink refuses
+    // checkpoint recovery, which is exactly what this test exercises)
+    val out = Files.createTempDirectory("graft-jsonl-mbrout").toString
+    var lastInputRows = -1L
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.v2.JsonLinesSource").schema(schema).load(in)
+        .writeStream.format("graft.sources.v2.JsonLinesSource")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastInputRows = q.recentProgress.map(_.numInputRows).sum
+    }
+    runOnce()
+    assert(readFrom(out).count() == 2 && lastInputRows == 2)
+    // a new crawl batch lands; the RESTARTED query (same checkpoint)
+    // must read ONLY the new file — the committed offset already
+    // covers b1.jsonl, so a re-read would land 5 rows, not 3
+    Files.writeString(Paths.get(in, "b2.jsonl"),
+      """{"place_id":"3","name":"c","page":2,"latitude":36.0}
+        |""".stripMargin)
+    runOnce()
+    assert(lastInputRows == 1,
+      "restart must deliver the delta file only, resumed from the offset log")
+    // union over the two incarnations ≡ a batch read of the source dir
+    val streamed = readFrom(out)
+    val batch = readFrom(in)
+    assert(streamed.count() == 3 && streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streamed-over-restarts must equal the batch read")
+  }
+
+  test("micro-batch read: pruning and pushdown apply per batch") {
+    val in = Files.createTempDirectory("graft-jsonl-mbp").toString
+    val ck = Files.createTempDirectory("graft-jsonl-mbpck").toString
+    Files.writeString(Paths.get(in, "b1.jsonl"),
+      """{"place_id":"1","name":"a","page":1,"latitude":37.5}
+        |{"place_id":"2","name":"b","page":2,"latitude":35.1}
+        |{"place_id":"3","name":"c","page":2,"latitude":33.0}
+        |""".stripMargin)
+    val q = spark.readStream
+      .format("graft.sources.v2.JsonLinesSource").schema(schema).load(in)
+      .filter(col("page") === 2 && col("latitude") > 34.0)
+      .select("place_id")
+      .writeStream.format("memory").queryName("mbp")
+      .option("checkpointLocation", ck)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("mbp").collect().map(_.getString(0)).toSeq == Seq("2"))
+  }
+
   test("append accumulates; overwrite truncates; no temp files remain") {
     val out = Files.createTempDirectory("graft-jsonl-a").toString
     sample.write.format("graft.sources.v2.JsonLinesSource").mode("append").save(out)
