@@ -214,6 +214,39 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"),
           length(col("text")).cast("long").as("n_chars"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q116
+    // Storage-side aggregation over the DSv2 jsonl source: the scan
+    // itself computes per-file COUNT/MIN/MAX partials (pushed through
+    // SupportsPushDownAggregates — the completion of the S3-Select
+    // emulation, where the storage endpoint answers the SQL and only
+    // group rows travel) and Spark merges the partials. PlanSpec
+    // asserts PushedAggregates appears in this exact plan; here the
+    // gate hash-checks the merged values against the parquet oracle.
+    Q("q116_jsonl_agg_pushdown",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      jsonlAggFrame(s, d).orderBy("lang")
     }
   )
+
+  /** q116's frame without the ORDER BY — shared with PlanSpec, which
+    * asserts the scan carries the pushed aggregate. */
+  def jsonlAggFrame(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-q116")
+    val src = s"$root/src"
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType)))
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .write.format("graft.sources.v2.JsonLinesSource").mode("append").save(src)
+    s.read.format("graft.sources.v2.JsonLinesSource").schema(schema).load(src)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_id"),
+        max(col("doc_id")).as("last_id"))
+  }
 }

@@ -59,12 +59,29 @@ final class JsonLinesTable(schema: StructType, path: String)
     new JsonLinesWriteBuilder(info.schema(), path)
 }
 
+/** Pushed aggregate shapes the source can compute per file: the
+  * storage-side COUNT/MIN/MAX the reference issued as S3-Select SQL
+  * (restaurant-crawler/storage_manager.py:57-64). Partial pushdown:
+  * each file partition emits its per-group partials and Spark plans
+  * the final merge (sum of counts, min of mins, max of maxes), which
+  * is exactly the distributed shape a 100 TB manifest scan wants —
+  * the bytes never leave the storage side, only group rows do. */
+private[v2] sealed trait AggSpec { def resultType: DataType }
+private[v2] case object CountStarSpec extends AggSpec { val resultType: DataType = LongType }
+private[v2] final case class CountColSpec(col: String) extends AggSpec { val resultType: DataType = LongType }
+private[v2] final case class MinSpec(col: String, resultType: DataType) extends AggSpec
+private[v2] final case class MaxSpec(col: String, resultType: DataType) extends AggSpec
+
 final class JsonLinesScanBuilder(fullSchema: StructType, path: String)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
+  import org.apache.spark.sql.connector.expressions.aggregate._
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggPushed: Option[(Seq[String], Seq[AggSpec])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -75,23 +92,78 @@ final class JsonLinesScanBuilder(fullSchema: StructType, path: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  private def fieldOf(e: Expression): Option[StructField] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 =>
+      fullSchema.fields.find(_.name == f.fieldNames.head)
+    case _ => None
+  }
+
+  /** Accept the aggregation only when EVERY function and group key
+    * translates — a half-pushed aggregate would make Spark's final
+    * merge wrong. Residual-filter note: because pushFilters reports
+    * every filter residual, Spark only offers aggregates when no
+    * filter sits between the aggregate and the scan. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val groups = agg.groupByExpressions().toSeq.map(fieldOf)
+    val funcs = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(CountStarSpec)
+      case c: Count if !c.isDistinct =>
+        fieldOf(c.column).map(f => CountColSpec(f.name))
+      case m: Min => fieldOf(m.column).map(f => MinSpec(f.name, f.dataType))
+      case m: Max => fieldOf(m.column).map(f => MaxSpec(f.name, f.dataType))
+      case _ => None
+    }
+    if (groups.forall(_.isDefined) && funcs.forall(_.isDefined)) {
+      aggPushed = Some((groups.flatten.map(_.name), funcs.flatten))
+      true
+    } else false
+  }
+
   override def build(): Scan =
-    new JsonLinesScan(fullSchema, required, pushed, path)
+    new JsonLinesScan(fullSchema, required, pushed, path, aggPushed)
 }
 
 final class JsonLinesScan(fullSchema: StructType, required: StructType,
-                          pushed: Array[Filter], path: String)
+                          pushed: Array[Filter], path: String,
+                          agg: Option[(Seq[String], Seq[AggSpec])] = None)
     extends Scan with Batch {
-  override def readSchema(): StructType = required
+
+  /** When an aggregate is pushed, the scan's output IS the per-file
+    * partial aggregation rows: group columns then agg columns, by
+    * position (Spark's pushdown rewrite zips them positionally). */
+  private def aggName(a: AggSpec): String = a match {
+    case CountStarSpec => "count(*)"
+    case CountColSpec(c) => s"count($c)"
+    case MinSpec(c, _) => s"min($c)"
+    case MaxSpec(c, _) => s"max($c)"
+  }
+
+  override def readSchema(): StructType = agg match {
+    case None => required
+    case Some((groups, funcs)) =>
+      StructType(
+        groups.map(g => fullSchema.fields.find(_.name == g).get) ++
+          funcs.map(f => StructField(aggName(f), f.resultType)))
+  }
+
   override def toBatch: Batch = this
-  override def description(): String =
-    s"graft-jsonl PushedFilters: [${pushed.mkString(", ")}], ReadSchema: ${required.catalogString}"
+  override def description(): String = {
+    val aggDesc = agg.map { case (groups, funcs) =>
+      s", PushedAggregates: [${funcs.map(aggName).mkString(", ")}]" +
+        s", PushedGroupBy: [${groups.mkString(", ")}]"
+    }.getOrElse("")
+    s"graft-jsonl PushedFilters: [${pushed.mkString(", ")}]$aggDesc" +
+      s", ReadSchema: ${readSchema().catalogString}"
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     JsonLinesScan.listFiles(path).map(JsonLinesPartition(_): InputPartition)
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new JsonLinesReaderFactory(fullSchema, required, pushed)
+  override def createReaderFactory(): PartitionReaderFactory = agg match {
+    case None => new JsonLinesReaderFactory(fullSchema, required, pushed)
+    case Some((groups, funcs)) =>
+      new JsonLinesAggReaderFactory(fullSchema, pushed, groups, funcs)
+  }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -196,32 +268,13 @@ final class JsonLinesReaderFactory(fullSchema: StructType, required: StructType,
       fullSchema, required, pushed)
 }
 
-final class JsonLinesReader(file: String, fullSchema: StructType,
-                            required: StructType, pushed: Array[Filter])
-    extends PartitionReader[InternalRow] {
-  private val mapper = new ObjectMapper()
-  private val lines = scala.io.Source.fromFile(file, "UTF-8")
-  private val it = lines.getLines()
-  private var current: InternalRow = _
-
-  override def next(): Boolean = {
-    while (it.hasNext) {
-      val line = it.next().trim
-      if (line.nonEmpty) {
-        val parsed = parse(line)
-        if (pushed.forall(FilterEval.eval(_, parsed))) {
-          current = project(parsed)
-          return true
-        }
-      }
-    }
-    false
-  }
-
+/** Shared line parsing for the row and aggregate readers. */
+private[v2] object LineParse {
   /** Parse one JSON line into (field → typed value) per the declared
     * schema; unparseable / missing / mistyped fields → null
     * (PERMISSIVE-mode semantics, the F5 policy). */
-  private def parse(line: String): Map[String, Any] =
+  def parse(mapper: ObjectMapper, fullSchema: StructType,
+            line: String): Map[String, Any] =
     try {
       val m = mapper.readValue(line, classOf[util.Map[String, Object]]).asScala
       fullSchema.fields.map { f =>
@@ -239,17 +292,131 @@ final class JsonLinesReader(file: String, fullSchema: StructType,
     case _ => null
   }
 
-  private def project(row: Map[String, Any]): InternalRow =
-    new GenericInternalRow(required.fields.map { f =>
-      row(f.name) match {
-        case null => null
-        case s: String => UTF8String.fromString(s)
-        case other => other
+  /** JVM value → Catalyst internal value (strings become UTF8String). */
+  def toInternal(v: Any): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case other => other
+  }
+}
+
+final class JsonLinesReader(file: String, fullSchema: StructType,
+                            required: StructType, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val lines = scala.io.Source.fromFile(file, "UTF-8")
+  private val it = lines.getLines()
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (it.hasNext) {
+      val line = it.next().trim
+      if (line.nonEmpty) {
+        val parsed = LineParse.parse(mapper, fullSchema, line)
+        if (pushed.forall(FilterEval.eval(_, parsed))) {
+          current = project(parsed)
+          return true
+        }
       }
-    }.asInstanceOf[Array[Any]])
+    }
+    false
+  }
+
+  private def project(row: Map[String, Any]): InternalRow =
+    new GenericInternalRow(
+      required.fields.map(f => LineParse.toInternal(row(f.name)))
+        .asInstanceOf[Array[Any]])
 
   override def get(): InternalRow = current
   override def close(): Unit = lines.close()
+}
+
+final class JsonLinesAggReaderFactory(fullSchema: StructType,
+                                      pushed: Array[Filter],
+                                      groups: Seq[String], funcs: Seq[AggSpec])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new JsonLinesAggReader(partition.asInstanceOf[JsonLinesPartition].file,
+      fullSchema, pushed, groups, funcs)
+}
+
+/** Per-file partial aggregation: one pass over the file's matching
+  * lines, one in-memory state per group (a crawl batch file's group
+  * cardinality is bounded by its row count, itself bounded by the
+  * producer's batch size). Emits group values then agg partials, by
+  * position; Spark's final merge completes the distributed agg. A
+  * file with no rows still emits its zero-count row for the global
+  * (no-group) shape — SQL count over empty input is 0, not absent. */
+final class JsonLinesAggReader(file: String, fullSchema: StructType,
+                               pushed: Array[Filter],
+                               groups: Seq[String], funcs: Seq[AggSpec])
+    extends PartitionReader[InternalRow] {
+
+  private def cmpVals(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long)       => java.lang.Long.compare(x, y)
+    case (x: Int, y: Int)         => java.lang.Integer.compare(x, y)
+    case (x: Double, y: Double)   => java.lang.Double.compare(x, y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case (x: String, y: String)   => x.compareTo(y)
+    case _                        => 0
+  }
+
+  private val rows: Iterator[InternalRow] = {
+    val mapper = new ObjectMapper()
+    val lines = scala.io.Source.fromFile(file, "UTF-8")
+    try {
+      val states = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Array[Any]]
+      def stateOf(key: Seq[Any]): Array[Any] =
+        states.getOrElseUpdate(key, Array.fill[Any](funcs.length)(null))
+      if (groups.isEmpty) stateOf(Nil) // global agg: emit even if empty
+      lines.getLines().foreach { raw =>
+        val line = raw.trim
+        if (line.nonEmpty) {
+          val parsed = LineParse.parse(mapper, fullSchema, line)
+          if (pushed.forall(FilterEval.eval(_, parsed))) {
+            val st = stateOf(groups.map(parsed))
+            funcs.zipWithIndex.foreach { case (f, i) =>
+              f match {
+                case CountStarSpec =>
+                  st(i) = st(i) match { case null => 1L; case n: Long => n + 1L }
+                case CountColSpec(c) =>
+                  val inc = if (parsed(c) == null) 0L else 1L
+                  st(i) = st(i) match { case null => inc; case n: Long => n + inc }
+                case MinSpec(c, _) => (parsed(c), st(i)) match {
+                  case (null, _) => ()
+                  case (v, null) => st(i) = v
+                  case (v, cur) => if (cmpVals(v, cur) < 0) st(i) = v
+                }
+                case MaxSpec(c, _) => (parsed(c), st(i)) match {
+                  case (null, _) => ()
+                  case (v, null) => st(i) = v
+                  case (v, cur) => if (cmpVals(v, cur) > 0) st(i) = v
+                }
+              }
+            }
+          }
+        }
+      }
+      states.iterator.map { case (key, st) =>
+        val aggVals = funcs.zip(st).map {
+          // empty-group count partial is 0, never null
+          case (CountStarSpec | _: CountColSpec, null) => 0L
+          case (_, v) => v
+        }
+        new GenericInternalRow(
+          (key.map(LineParse.toInternal) ++ aggVals.map(LineParse.toInternal))
+            .toArray[Any]): InternalRow
+      }.toVector.iterator
+    } finally lines.close()
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    if (!rows.hasNext) return false
+    current = rows.next()
+    true
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 /** Client-side evaluation of the pushed filter subset. */

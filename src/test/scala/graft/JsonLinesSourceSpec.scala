@@ -57,6 +57,46 @@ class JsonLinesSourceSpec extends SparkSpec {
     assert(read.filter(col("latitude") > 0.0).count() == 4) // row c has null latitude
   }
 
+  // ------------------------------------------------------ aggregate pushdown
+
+  test("count/min/max push into the scan as per-file partials; Spark merges") {
+    val q = read.groupBy(col("page"))
+      .agg(count(lit(1)).as("n"), count(col("place_id")).as("n_ids"),
+        min(col("latitude")).as("lo"), max(col("latitude")).as("hi"))
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains("PushedAggregates: [count(*), count(place_id), min(latitude), max(latitude)]")
+      && desc.contains("PushedGroupBy: [page]"), desc)
+    val rows = q.collect().map(r => (Option(r.get(0)), r.getLong(1),
+      r.getLong(2), Option(r.get(3)), Option(r.get(4)))).toSet
+    assert(rows == Set(
+      (Some(1L), 3L, 2L, Some(35.1), Some(37.5)), // incl. null-place_id row
+      (Some(2L), 2L, 2L, Some(33.3), Some(36.0)),
+      (None, 1L, 0L, None, None)))                // the corrupt line's group
+  }
+
+  test("global aggregate (no group-by) pushes and counts empty groups as zero") {
+    val q = read.agg(count(lit(1)).as("n"), min(col("page")).as("lo"))
+    assert(q.queryExecution.executedPlan.toString.contains("PushedAggregates: [count(*), min(page)]"))
+    val r = q.collect().head
+    assert(r.getLong(0) == 6 && r.getLong(1) == 1L)
+  }
+
+  test("aggregate does NOT push past a residual filter; result still correct") {
+    val q = read.filter(col("latitude") > 34.0).groupBy(col("page"))
+      .agg(count(lit(1)).as("n"))
+    assert(!q.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "filters are reported residual, so an aggregate above one must not push")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("unsupported aggregates (avg, distinct) fall back to a plain scan") {
+    val q = read.groupBy(col("page")).agg(avg(col("latitude")).as("a"),
+      countDistinct(col("place_id")).as("nd"))
+    assert(!q.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(q.count() == 3)
+  }
+
   // ------------------------------------------------------------ write path
 
   private def readFrom(d: String) = spark.read

@@ -21,6 +21,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_returnflag"), "scan must not read unused columns")
   }
 
+  test("q116: count/min/max aggregate is pushed into the jsonl scan") {
+    val p = graft.queries.ExtQueries.jsonlAggFrame(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedAggregates: [count(*), min(doc_id), max(doc_id)]"), p)
+    assert(p.contains("PushedGroupBy: [lang]"), p)
+  }
+
   test("q03: small dim side is broadcast (no shuffle of lineitem)") {
     val p = plan("q03_broadcast_join")
     assert(p.contains("BroadcastHashJoin"), p)
