@@ -476,26 +476,73 @@ object Similarity {
               nCentroids: Int = 16, nProbe: Int = 2,
               centroids: Option[DataFrame] = None,
               maxInlineDoubles: Long = MAX_INLINE_DOUBLES): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cent = centroids.getOrElse(initCentroids(candidates, nCentroids))
     // ONE action on the centroid plan (initCentroids is a full-corpus
     // orderBy+limit — see kmeansAssign): the collected model decides
     // inline-vs-join and feeds both paths.
     val quant = collectQuantizer(cent)
     val modelDoubles = quant.foldLeft(0L)((a, c) => a + c._2.length)
-    val (cCells, qCells) =
-      if (modelDoubles > maxInlineDoubles) {
+    val cCells =
+      if (modelDoubles > maxInlineDoubles)
         // Broadcast-join fallback for quantizers past the inline
         // ceiling (see MAX_INLINE_DOUBLES): candidate cells from
-        // assignByJoin (identical argmax semantics), query probe
-        // cells from the same k-fold equi-join ranked per query —
-        // the window runs over |Q|·k rows only.
-        val cids = quant.map(_._1)
-        val c = assignByJoin(
-            candidates.select(col("vec_id"), col("embedding")), quant)
+        // assignByJoin (identical argmax semantics).
+        assignByJoin(candidates.select(col("vec_id"), col("embedding")), quant)
           .select(col("vec_id").as("nid"), col("cid").as("cell"),
             col("embedding").as("nv"))
           .withColumn("nn", norm(col("nv")))
+      else
+        // Cell assignment is the inlined-model expression
+        // (nearestCellExpr): the candidate side streams map-only
+        // through ONE codegen'd scan — at 100 TB the only shuffle
+        // left in this query is the final top-k.
+        candidates.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+          .withColumn("nn", norm(col("nv")))
+          .withColumn("cell", nearestCellExpr(col("nv"), col("nn"), quant))
+    searchCells(queries, cCells, quant, k, nProbe, maxInlineDoubles)
+  }
+
+  /** IVF search over a PERSISTED assignment store — the nightly
+    * artifact lifecycle the band store already has (q97/q102/q108),
+    * applied to the IVF regime q98 says wins on clustered corpora:
+    * train once ([[kmeansCentroids]], on the corpus or a sample),
+    * persist the centroids and the [[kmeansAssign]] output
+    * (vec_id, cid, embedding), then assign ONLY each nightly delta
+    * with the FROZEN quantizer — assignment depends on nothing but
+    * the row and the model, so store ∪ kmeansAssign(Δ, cent) ≡
+    * kmeansAssign(corpus ∪ Δ, cent) exactly (q117 gate-verifies the
+    * identity against the from-first-principles oracle; AnalyticsSpec
+    * proves it across two deltas and that search from the store
+    * matches the recompute). Queries here touch the store only —
+    * no per-session retrain, no corpus re-assignment; at 100 TB
+    * persist the store bucketed by cid so each probe reads its cells'
+    * buckets. Recall under a frozen quantizer drifts as the corpus
+    * grows away from the training distribution — re-audit with q98's
+    * harness (AnalyticsSpec pins a floor) and retrain when it decays. */
+  def ivfTopKFromStore(queries: DataFrame, store: DataFrame,
+                       centroids: DataFrame, k: Int, nProbe: Int = 2,
+                       maxInlineDoubles: Long = MAX_INLINE_DOUBLES): DataFrame = {
+    val quant = collectQuantizer(centroids)
+    val cCells = store
+      .select(col("vec_id").as("nid"), col("cid").as("cell"),
+        col("embedding").as("nv"))
+      .withColumn("nn", norm(col("nv")))
+    searchCells(queries, cCells, quant, k, nProbe, maxInlineDoubles)
+  }
+
+  /** Shared IVF probe + rank: query probe cells (inlined multi-probe
+    * expression, or the broadcast-join ranking past the inline
+    * ceiling — the window runs over |Q|·k rows only), then the
+    * cell equi-join and per-query top-k. */
+  private def searchCells(queries: DataFrame, cCells: DataFrame,
+                          quant: Array[(Long, Array[Double], Double)],
+                          k: Int, nProbe: Int,
+                          maxInlineDoubles: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val modelDoubles = quant.foldLeft(0L)((a, c) => a + c._2.length)
+    val qCells =
+      if (modelDoubles > maxInlineDoubles) {
+        val cids = quant.map(_._1)
         val qExp = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
           .withColumn("qn", norm(col("qv")))
           .withColumn("cid", explode(array(cids.map(lit).toIndexedSeq: _*)))
@@ -504,23 +551,13 @@ object Similarity {
           dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
         val pw = Window.partitionBy(col("qid"))
           .orderBy(coalesce(qSim, lit(-2.0)).desc, col("cid"))
-        val q = qExp.withColumn("rr", row_number().over(pw))
+        qExp.withColumn("rr", row_number().over(pw))
           .filter(col("rr") <= nProbe)
           .select(col("qid"), col("qv"), col("qn"), col("cid").as("cell"))
-        (c, q)
-      } else {
-        // Cell assignment is the inlined-model expression
-        // (nearestCellExpr): the candidate side streams map-only
-        // through ONE codegen'd scan — at 100 TB the only shuffle
-        // left in this query is the final top-k.
-        val c = candidates.select(col("vec_id").as("nid"), col("embedding").as("nv"))
-          .withColumn("nn", norm(col("nv")))
-          .withColumn("cell", nearestCellExpr(col("nv"), col("nn"), quant))
-        val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      } else
+        queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
           .withColumn("qn", norm(col("qv")))
           .withColumn("cell", explode(cellsExpr(col("qv"), col("qn"), quant, nProbe)))
-        (c, q)
-      }
     val sims = cCells.join(broadcast(qCells), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),

@@ -507,6 +507,55 @@ object SimilarityQueries {
           sha2(col("payload"), 256).as("content_sha"),
           substring(sha2(col("payload"), 256), 1, 16).as("content_key"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q117
+    // The persisted-IVF nightly lifecycle (the band store's O(Δ)
+    // contract applied to the ANN regime): train the quantizer ONCE on
+    // the already-ingested corpus (80%, q97/q102 split), persist the
+    // centroids and the corpus cell assignments, then assign ONLY the
+    // nightly delta with the FROZEN quantizer — no retrain, no corpus
+    // re-assignment. Assignment depends on nothing but the row and
+    // the model, so store ∪ assign(Δ) ≡ assign(corpus ∪ Δ) exactly;
+    // the oracle recomputes that full assignment from first
+    // principles (q81's training chain on the ingested subset, one
+    // Lloyd round, then the argmax over ALL vectors) and the gate
+    // hash-checks the incrementally-built store against it.
+    Q("q117_ivf_incremental",
+      s"""$normCtes,
+         |ni AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+         |cent0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM ni ORDER BY vec_id LIMIT 16),
+         |asg0 AS (SELECT vec_id, cid, v FROM (
+         |    SELECT ni.vec_id, cent0.cid, ni.v,
+         |      row_number() OVER (PARTITION BY ni.vec_id
+         |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
+         |    FROM ni, cent0) WHERE rr = 1),
+         |dims AS (SELECT cid, i - 1 AS pos, v[i] AS x
+         |         FROM (SELECT cid, v, unnest(generate_series(1, len(v))) AS i FROM asg0)),
+         |cm AS (SELECT cid, pos,
+         |         CAST(sum(CAST(round(x, 6) AS DECIMAL(21,10))) AS DOUBLE) / count(*) AS m
+         |       FROM dims GROUP BY cid, pos),
+         |tc AS (SELECT cid, list(m ORDER BY pos) AS cv FROM cm GROUP BY cid),
+         |tcn AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM tc),
+         |asg AS (SELECT vec_id, cid FROM (
+         |    SELECT n.vec_id, tcn.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
+         |    FROM n, tcn) WHERE rr = 1)
+         |SELECT vec_id, cid AS cell FROM asg ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val ingested = e.filter(col("vec_id") % 5 =!= 0)
+      val delta = e.filter(col("vec_id") % 5 === 0)
+      // the persisted artifacts: trained centroids + the ingested
+      // corpus's assignments, materialized once (localCheckpoint =
+      // the query's analog of reading the nightly artifact from disk)
+      val cent = Similarity.kmeansCentroids(ingested, 16, 1)
+        .localCheckpoint(true)
+      val store = Similarity.kmeansAssign(ingested, cent)
+        .localCheckpoint(true)
+      store.unionByName(Similarity.kmeansAssign(delta, cent))
+        .select(col("vec_id"), col("cid").as("cell"))
+        .orderBy("vec_id")
     }
   )
 }

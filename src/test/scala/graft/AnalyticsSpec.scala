@@ -283,6 +283,46 @@ class AnalyticsSpec extends SparkSpec {
     assert(pairSet(Similarity.pairsFromBucketStore(store1, a.unionByName(b), th)) == full1)
   }
 
+  test("persisted IVF artifact: 2-delta incremental assignment ≡ frozen full recompute; search from store matches") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val a = e.filter($"vec_id" % 3 === 0)
+    val b = e.filter($"vec_id" % 3 === 1)
+    val c = e.filter($"vec_id" % 3 === 2)
+    def asgSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // night 0: train on the initial ingest, persist centroids + store
+    val cent = Similarity.kmeansCentroids(a, 8, 1).localCheckpoint(true)
+    val store0 = Similarity.kmeansAssign(a, cent).localCheckpoint(true)
+    // nights 1–2: each delta assigned with the FROZEN quantizer only
+    val store1 = store0.unionByName(Similarity.kmeansAssign(b, cent))
+      .localCheckpoint(true)
+    val store2 = store1.unionByName(Similarity.kmeansAssign(c, cent))
+    assert(asgSet(store1) == asgSet(Similarity.kmeansAssign(a.unionByName(b), cent)),
+      "night-1 store must equal the frozen-quantizer full recompute")
+    assert(asgSet(store2) == asgSet(Similarity.kmeansAssign(e, cent)),
+      "night-2 store must equal the frozen-quantizer full recompute")
+    // search over the persisted store ≡ the recompute path with the
+    // same frozen centroids (ranks and sims included)
+    val q = e.filter($"vec_id" < 10)
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "rnk", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val fromStore = topSet(Similarity.ivfTopKFromStore(q, store2, cent, 10, 2))
+    val recompute = topSet(Similarity.ivfTopK(q, e, 10, 8, 2, Some(cent)))
+    assert(fromStore == recompute,
+      "store-backed IVF search must match the recompute spelling exactly")
+    // recall-drift audit under the frozen night-0 quantizer: the
+    // corpus grew 3x past the training set; recall over the grown
+    // corpus must still beat the scanned fraction (the q98 bar) —
+    // when it decays toward the fraction, retrain.
+    val exact = Similarity.bruteForceTopK(q, e, 10).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = fromStore.map(t => (t._1, t._2))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 2.0 / 8.0, s"frozen-quantizer recall drifted to $recall")
+  }
+
   test("incremental identities hold on seeded random corpora (text + vectors)") {
     val rnd = new scala.util.Random(3)
     val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
