@@ -113,16 +113,49 @@ object DedupStream {
   def streamingNearDupCandidates(docs: Dataset[Doc],
                                  maxBucketIds: Int = Int.MaxValue): Dataset[CandidatePair] = {
     import docs.sparkSession.implicits._
-    docs.flatMap(d => bandRowsOf(d.doc_id, d.text))
+    streamingNearDupCandidatesOps(
+      docs.map(d => DocOp(d.doc_id, d.text, drop = false)), maxBucketIds)
+  }
+
+  /** An incremental dedup event: a document arrival (`drop = false`)
+    * or a compaction drop (`drop = true`) — the streaming analog of
+    * [[graft.analytics.DedupOps.compactBandStore]]'s non-keeper list.
+    * A drop event carries the document's TEXT so its band rows route
+    * it to exactly the buckets holding it (the compactor reads
+    * non-keeper docs from the corpus store, so the text is at hand —
+    * q103/q108's nightly flow). */
+  final case class DocOp(doc_id: Long, text: String, drop: Boolean)
+  final case class BandOpRow(k: Int, bv: String, doc_id: Long, drop: Boolean)
+
+  /** [[streamingNearDupCandidates]] with in-stream state compaction:
+    * drop events evict their ids from bucket state, so future
+    * arrivals pair against keepers only — sound for the same reason
+    * compactBandStore is (a new near-dup of a dropped doc is near-dup
+    * to the dropped doc's keeper by cluster transitivity). Within a
+    * mixed batch, drops apply FIRST and a same-batch (drop, re-add)
+    * of one id resolves to dropped — in practice a compaction batch
+    * runs between ingest batches, exactly like the nightly GC.
+    * Buckets whose last member is evicted REMOVE their state row
+    * (observable as a shrinking numRowsTotal in the query progress);
+    * a saturated bucket keeps its row even when emptied — the latch
+    * is boilerplate signal and must survive compaction. */
+  def streamingNearDupCandidatesOps(ops: Dataset[DocOp],
+                                    maxBucketIds: Int = Int.MaxValue): Dataset[CandidatePair] = {
+    import ops.sparkSession.implicits._
+    ops.flatMap(o => bandRowsOf(o.doc_id, o.text)
+        .map(r => BandOpRow(r.k, r.bv, r.doc_id, o.drop)))
       .groupByKey(r => (r.k, r.bv))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: (Int, String), rows: Iterator[BandRow], state: GroupState[BucketState]) => {
+        (_: (Int, String), rows: Iterator[BandOpRow], state: GroupState[BucketState]) => {
           val prev = state.getOption.getOrElse(BucketState(Nil, saturated = false))
-          val stored = prev.ids
+          val rs = rows.toSeq
+          val dropped = rs.iterator.filter(_.drop).map(_.doc_id).toSet
+          val stored = prev.ids.filterNot(dropped)
           val storedSet = stored.toSet // O(1) membership for hot buckets
           // deterministic emission order within a batch
-          val fresh = rows.map(_.doc_id).toSeq.distinct
-            .filterNot(storedSet.contains).sorted
+          val fresh = rs.iterator.filterNot(_.drop).map(_.doc_id).toSeq.distinct
+            .filterNot(id => storedSet.contains(id) || dropped.contains(id))
+            .sorted
           val out = scala.collection.mutable.ListBuffer.empty[CandidatePair]
           var known = stored
           var n = stored.size
@@ -137,7 +170,8 @@ object DedupStream {
               n += 1
             }
           }
-          state.update(BucketState(known, saturated))
+          if (known.isEmpty && !saturated) state.remove()
+          else state.update(BucketState(known, saturated))
           out.iterator
         })
   }

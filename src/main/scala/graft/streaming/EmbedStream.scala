@@ -31,8 +31,11 @@ import graft.analytics.Similarity
 object EmbedStream {
 
   final case class Vec(vec_id: Long, embedding: Array[Float])
+  /** An incremental event: a vector arrival or a compaction drop —
+    * the vector twin of [[DedupStream.DocOp]]. */
+  final case class VecOp(vec_id: Long, embedding: Array[Float], drop: Boolean)
   final case class ProbeRow(probe: Long, vec_id: Long, own: Boolean,
-                            embedding: Array[Float])
+                            embedding: Array[Float], drop: Boolean = false)
   final case class Member(id: Long, emb: Array[Float])
   /** Near-dup pair with the EXACT verified similarity — bit-equal to
     * the batch verify column (AnalyticsSpec/StreamingSpec pin it). */
@@ -118,23 +121,42 @@ object EmbedStream {
                             nPlanes: Int = 6, probeRadius: Int = 1,
                             maxBucketIds: Int = Int.MaxValue): Dataset[VerifiedPair] = {
     import vecs.sparkSession.implicits._
+    streamingNearDupPairsOps(
+      vecs.map(v => VecOp(v.vec_id, v.embedding, drop = false)),
+      threshold, nPlanes, probeRadius, maxBucketIds)
+  }
+
+  /** [[streamingNearDupPairs]] with in-stream state compaction — the
+    * vector side of [[DedupStream.streamingNearDupCandidatesOps]]:
+    * a drop event evicts its id from its OWN bucket's members (a
+    * vector is only ever stored there; probe visits leave no state),
+    * so future arrivals pair against keepers only. Within a mixed
+    * batch drops apply first; a bucket emptied by eviction removes
+    * its state row unless the saturation latch must survive. */
+  def streamingNearDupPairsOps(ops: Dataset[VecOp], threshold: Double,
+                               nPlanes: Int = 6, probeRadius: Int = 1,
+                               maxBucketIds: Int = Int.MaxValue): Dataset[VerifiedPair] = {
+    import ops.sparkSession.implicits._
     val planes = Similarity.planeWeights(nPlanes, 64)
     val masks = Similarity.probeMasks(nPlanes, probeRadius)
-    vecs.flatMap { v =>
+    ops.flatMap { v =>
       // null embedding: drop the row, exactly like the batch path
       // (VecDot → null sim → filtered) and the text twin's null-text
       // guard — a poison row must not kill the long-running query
       if (v.embedding == null) Nil
       else {
         val b = bucketOf(v.embedding, planes)
-        masks.map(m => ProbeRow(b ^ m, v.vec_id, m == 0L, v.embedding))
+        if (v.drop) Seq(ProbeRow(b, v.vec_id, own = true, v.embedding, drop = true))
+        else masks.map(m => ProbeRow(b ^ m, v.vec_id, m == 0L, v.embedding))
       }
     }
       .groupByKey(_.probe)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: Long, rows: Iterator[ProbeRow], state: GroupState[VecBucketState]) => {
           val prev = state.getOption.getOrElse(VecBucketState(Nil, saturated = false))
-          var members = prev.members
+          val rs = rows.toSeq
+          val droppedIds = rs.iterator.filter(_.drop).map(_.vec_id).toSet
+          var members = prev.members.filterNot(m => droppedIds.contains(m.id))
           val knownIds = members.iterator.map(_.id).toSet
           var n = members.size
           var saturated = prev.saturated
@@ -145,11 +167,11 @@ object EmbedStream {
           // in sorted-id order so same-batch pairs form exactly once
           // (the larger id pairs in the group where the smaller is
           // stored first)
-          val arrivals = rows.toSeq.groupBy(_.vec_id).toSeq
-            .map { case (id, rs) => (id, rs.exists(_.own), rs.head.embedding) }
+          val arrivals = rs.filterNot(_.drop).groupBy(_.vec_id).toSeq
+            .map { case (id, vs) => (id, vs.exists(_.own), vs.head.embedding) }
             .sortBy(_._1)
           arrivals.foreach { case (id, own, emb) =>
-            if (!knownIds.contains(id)) {
+            if (!knownIds.contains(id) && !droppedIds.contains(id)) {
               // latch on ANY arrival at the cap (own or probe visitor):
               // the text twin latches every arrival, and a probe-only
               // visitor pairing against an at-cap bucket would drift
@@ -170,7 +192,8 @@ object EmbedStream {
               }
             }
           }
-          state.update(VecBucketState(members, saturated))
+          if (members.isEmpty && !saturated) state.remove()
+          else state.update(VecBucketState(members, saturated))
           out.iterator
         })
   }

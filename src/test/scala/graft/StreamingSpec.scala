@@ -276,6 +276,98 @@ class StreamingSpec extends SparkSpec {
       Set((1L, 3L, 1.0)))
   }
 
+  test("streaming state compaction: drops evict non-keepers, arrivals pair with keepers only, state rows shrink") {
+    import graft.streaming.DedupStream
+    import graft.analytics.DedupOps
+    // deterministic fixture (sha-based bands are stable): docs 1,2
+    // identical; doc 3 a one-word mutation (jaccard 0.7778, shares
+    // bands 1,3 with the base but OWNS bands 0,2 — dropping it must
+    // empty those bucket rows); doc 4 unrelated
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val mut = "alpha beta gamma delta epsilon zeta eta theta iota omega"
+    val other = "completely different unrelated text body appears here today"
+    val night1 = Seq((1L, base, false), (2L, base, false),
+      (3L, mut, false), (4L, other, false)).toDF("doc_id", "text", "drop")
+    val dir = tmp("graft-compact-stream")
+    val q = DedupStream.streamingNearDupCandidatesOps(
+        spark.readStream.schema(night1.schema).parquet(dir)
+          .as[DedupStream.DocOp]).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("compact_t")
+      .option("checkpointLocation", tmp("graft-compact-ckpt"))
+      .start()
+    night1.write.mode("overwrite").parquet(dir)
+    q.processAllAvailable()
+    def pairs() = spark.table("compact_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def stateRows() = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    val p1 = pairs()
+    assert(p1 == Set((1L, 2L), (1L, 3L), (2L, 3L)), p1.toString)
+    val rows1 = stateRows()
+    // the compaction batch: the cluster's non-keepers (2, 3) are
+    // dropped — the streaming analog of compactBandStore's anti-join
+    Seq((2L, base, true), (3L, mut, true)).toDF("doc_id", "text", "drop")
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    assert(pairs() == p1, "a compaction batch must emit no candidates")
+    val rows2 = stateRows()
+    assert(rows2 < rows1,
+      s"evicting doc 3 must remove its solely-owned bucket rows ($rows1 -> $rows2)")
+    // night 2: a new member of the same cluster arrives — it must meet
+    // the KEEPER only (transitivity makes that sound, q108's argument)
+    Seq((6L, base, false)).toDF("doc_id", "text", "drop")
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable(); q.stop()
+    val delta = pairs().diff(p1)
+    assert(delta == Set((1L, 6L)), s"arrival must pair with keeper only: $delta")
+    // candidate parity with the batch nightly: probing the COMPACTED
+    // band store with doc 6's band rows yields the same candidate set
+    val docsBatch = Seq((1L, base), (2L, base), (3L, mut), (4L, other))
+      .toDF("doc_id", "text")
+    val compacted = DedupOps.compactBandStore(
+      DedupOps.minhashBandStore(docsBatch),
+      DedupOps.nearDupComponents(DedupOps.minhashLshPairs(docsBatch, 0.6)))
+    val probe = DedupStream.bandRowsOf(6L, base).toDF()
+    val batchCands = probe.select($"k", $"bv")
+      .join(compacted, Seq("k", "bv"))
+      .select($"doc_id").distinct()
+      .collect().map(r => (r.getLong(0), 6L)).toSet
+    assert(batchCands == delta,
+      s"stream-after-compaction must match the compacted batch store: $batchCands vs $delta")
+  }
+
+  test("streaming embedding compaction: eviction empties bucket state and stops pairing") {
+    import graft.streaming.EmbedStream
+    val e = Array.fill(64)(0.5f)
+    val ops1 = Seq((1L, e, false), (2L, e, false)).toDF("vec_id", "embedding", "drop")
+    val dir = tmp("graft-embcompact")
+    val q = EmbedStream.streamingNearDupPairsOps(
+        spark.readStream.schema(ops1.schema).parquet(dir)
+          .as[EmbedStream.VecOp], 0.9).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("compact_v")
+      .option("checkpointLocation", tmp("graft-embcompact-ckpt"))
+      .start()
+    ops1.write.mode("overwrite").parquet(dir)
+    q.processAllAvailable()
+    def vpairs() = spark.table("compact_v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def stateRows() = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(vpairs() == Set((1L, 2L, 1.0)))
+    val rows1 = stateRows()
+    assert(rows1 >= 1)
+    // evict the whole retired bucket (both members): its state row
+    // must disappear, and a later identical arrival finds nobody
+    Seq((1L, e, true), (2L, e, true)).toDF("vec_id", "embedding", "drop")
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    assert(stateRows() < rows1,
+      s"emptied bucket must remove its state row (${stateRows()} vs $rows1)")
+    Seq((3L, e, false)).toDF("vec_id", "embedding", "drop")
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable(); q.stop()
+    assert(vpairs() == Set((1L, 2L, 1.0)),
+      "an arrival after full eviction must find no partner")
+  }
+
   test("ST1 streaming hourly rollup over file source matches batch result") {
     val events = Tables.events(spark, sf("sf0.001"))
     // batch twin
