@@ -109,6 +109,69 @@ object DedupOps {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** Jaccard with a HASH-ORDER MEMBER CAP on the inverted index: each
+    * shingle's posting list keeps only the `memberCap` members with
+    * the lowest sha-256(s|doc_id) — a deterministic pseudorandom
+    * M-subset per shingle — and candidates from the capped index are
+    * verified with EXACT Jaccard over the FULL shingle sets (the q31
+    * candidate-driven verify join), so every emitted pair carries its
+    * true similarity; recall is the only trade.
+    *
+    * Why this exists next to [[jaccardPairsCapped]]: the df cap is an
+    * ABSOLUTE threshold, and the 10x replication run (SCALING.md)
+    * measured its recall collapsing 1.0 → 0.0 once corpus growth
+    * multiplied every shingle's df past the fixed cap — and because
+    * capped-Jaccard counts intersections only over kept shingles, the
+    * pairs it does keep lose similarity mass too. The member cap is
+    * scale-free: fan-out is bounded by Σ min(df, M)² ≤ M²·|shingles|,
+    * linear in corpus size for fixed M, and the exact verify
+    * decouples similarity values from the cap. Offline DuckDB
+    * simulation on the 10x clique corpus (before any Scala): member
+    * cap M=40 recall 0.996 at 45 M candidate fan-out vs the fixed df
+    * cap's 0.0 and exact's 223 M (SCALE10_r07.json corpus).
+    *
+    * The hash order matters twice. Keeping the LOWEST doc_ids (the
+    * band-store cap's choice, right for a saturation report) would
+    * bias candidate coverage against high-id documents corpus-WIDE;
+    * per-shingle hash order gives every doc an independent chance on
+    * each shared shingle, so a true pair is missed only if EVERY
+    * shared shingle's random M-subset excludes it. And the rank
+    * filter compiles to WindowGroupLimit (Spark 4 pushes rn ≤ M into
+    * a map-side per-key top-M before the exchange), so a boilerplate
+    * shingle costs M rows per input partition in the shuffle, never
+    * its df.
+    *
+    * `minCooccur` prunes candidates BEFORE the verify join: a pair
+    * must share at least that many KEPT shingles. True pairs at
+    * threshold 0.6 share most of their shingles, so the kept
+    * M-subsets overlap many times; random collisions share one. The
+    * verify join dominates end-to-end cost (measured sf0.1: 7.2 s
+    * full vs 1.55 s through candidates at M=40, mc=1 — 1.13 M
+    * candidates each exploding against full shingle sets), so this
+    * is THE runtime knob. Measured grid (DuckDB sim on the real
+    * corpora; recall vs exact): sf0.1 — mc=1/2/3 all recall 1.0,
+    * candidates 1.13 M/112 k/10 k; 10x clique corpus (SCALE10_r07)
+    * at M=40 — mc=1: 0.9963 @ 19.5 M cands, mc=2: 0.9823 @ 591 k,
+    * mc=3: 0.9548 @ 231 k. Default mc=1 is the conservative
+    * maximum-recall setting; q118 ships (40, 2). */
+  def jaccardPairsMemberCapped(sh: DataFrame, threshold: Double,
+                               memberCap: Int, minCooccur: Int = 1): DataFrame = {
+    val kept = sh
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+          .orderBy(sha2(concat_ws("|", col("s"), col("doc_id").cast("string")), 256),
+            col("doc_id"))))
+      .filter(col("rk") <= memberCap)
+      .select(col("doc_id"), col("s"))
+    val cands = kept.select(col("doc_id").as("d1"), col("s"))
+      .join(kept.select(col("doc_id").as("d2"), col("s")), Seq("s"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("cc"))
+      .filter(col("cc") >= minCooccur)
+      .select(col("d1"), col("d2"))
+    verifyJaccard(cands, sh, shingleSizes(sh), threshold)
+  }
+
   /** Exact Jaccard pairs via AllPairs prefix filtering (Bayardo et
     * al., WWW'07; Chaudhuri et al. SSJoin): under a global canonical
     * shingle order (document frequency asc, then value — rarest

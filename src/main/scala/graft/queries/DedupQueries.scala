@@ -155,6 +155,41 @@ object DedupQueries {
       DedupOps.jaccardPairsCapped(shingleSetOf(s, d), 0.6, 20).orderBy("d1", "d2")
     },
 
+    // ---------------------------------------------------------------- q118
+    // Member-capped exact Jaccard — the boilerplate-robust exact
+    // spelling that closes the cliff the 10x run measured for q79's
+    // fixed df cap (SCALING.md): each shingle's posting list keeps its
+    // 40 lowest-sha(s|doc_id) members, candidates must share >= 2 kept
+    // shingles (the measured verify-join cost knob — see the
+    // jaccardPairsMemberCapped scaladoc grid), and the verify join
+    // computes EXACT Jaccard over full shingle sets. The oracle
+    // mirrors cap and co-occurrence floor bit-for-bit (same sha-256
+    // member order both engines), so parity is exact equality, not a
+    // subset check.
+    Q("q118_neardup_jaccard_membercap",
+      s"""$SHINGLES,
+         |rk AS (SELECT doc_id, s, row_number() OVER (
+         |         PARTITION BY s
+         |         ORDER BY sha256(s || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |       FROM sh),
+         |kept AS (SELECT doc_id, s FROM rk WHERE rn <= 40),
+         |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2 HAVING count(*) >= 2),
+         |cm AS (SELECT cd.d1, cd.d2, count(*) AS c
+         |       FROM cand cd JOIN sh x ON x.doc_id = cd.d1
+         |                    JOIN sh y ON y.doc_id = cd.d2 AND y.s = x.s
+         |       GROUP BY cd.d1, cd.d2),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |jac AS (SELECT d1, d2,
+         |    round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 4) AS jaccard
+         |  FROM cm JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2)
+         |SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.6
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      DedupOps.jaccardPairsMemberCapped(shingleSetOf(s, d), 0.6, 40, minCooccur = 2)
+        .orderBy("d1", "d2")
+    },
+
     // ---------------------------------------------------------------- q30
     // MinHash signatures: 16 universal hashes over one sha base hash.
     Q("q30_minhash_signatures",
@@ -549,7 +584,8 @@ object DedupQueries {
     "q30_minhash_signatures", "q31_minhash_lsh_pairs",
     "q97_incremental_dedup", "q58_neardup_components",
     "q106_components_lss", "q103_dedup_compaction",
-    "q108_band_compaction", "q114_lsh_capped")
+    "q108_band_compaction", "q114_lsh_capped",
+    "q118_neardup_jaccard_membercap")
 
   /** Drop this session's dedup-family caches and free their storage
     * memory. The WeakHashMap entries cannot be collected on their own

@@ -214,6 +214,48 @@ class AnalyticsSpec extends SparkSpec {
     assert(uncapped == exact)
   }
 
+  test("member-capped Jaccard: sound subset with EXACT values; ≡ exact when cap covers all") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val sh = TextAnalysis.shingleSet(docs, 3)
+    val exact = DedupOps.jaccardPairs(sh, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exactByPair = exact.map(t => (t._1, t._2) -> t._3).toMap
+    val capped = DedupOps.jaccardPairsMemberCapped(sh, 0.6, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    capped.foreach { case (d1, d2, j) =>
+      assert(exactByPair.get((d1, d2)).contains(j),
+        s"($d1,$d2) must carry its exact similarity, got $j vs ${exactByPair.get((d1, d2))}")
+    }
+    val uncapped = DedupOps.jaccardPairsMemberCapped(sh, 0.6, Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(uncapped == exact.toSet, "a non-binding cap must reproduce exact output")
+    val cooccur2 = DedupOps.jaccardPairsMemberCapped(sh, 0.6, 3, minCooccur = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cooccur2.subsetOf(capped.toSet),
+      "raising the co-occurrence floor must only drop candidates, with values unchanged")
+  }
+
+  test("member cap survives the replicated-boilerplate regime where the df cap collapses") {
+    // 12 copies of one doc + 12 of another: every shingle's df is 12,
+    // so a fixed df cap of 10 drops ALL shingles (the 10x cliff,
+    // SCALING.md) while the member cap of 10 still pairs within each
+    // clique — with exact similarity 1.0 on the surviving pairs.
+    val docs = (0 until 12).flatMap(i => Seq(
+      (i.toLong, "alpha beta gamma delta epsilon zeta"),
+      (100L + i, "eta theta iota kappa lambda mu"))).toDF("doc_id", "text")
+    val sh = TextAnalysis.shingleSet(docs, 3)
+    assert(DedupOps.jaccardPairsCapped(sh, 0.6, 10).count() == 0L,
+      "fixed df cap must exhibit the measured cliff on this corpus")
+    // mc=2 (the q118 shipping config): identical copies share every
+    // kept shingle, so the co-occurrence floor never drops them
+    val member = DedupOps.jaccardPairsMemberCapped(sh, 0.6, 10, minCooccur = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(member.nonEmpty, "member cap must keep pairing inside cliques")
+    assert(member.forall(_._3 == 1.0), "identical copies must verify at exactly 1.0")
+    // no cross-clique inventions: the two cliques share no shingle
+    assert(member.forall { case (d1, d2, _) => (d1 < 100L) == (d2 < 100L) })
+  }
+
   test("IVF ANN recall beats its scanned fraction") {
     val e = Tables.embeddings(spark, sf("sf0.001"))
     val q = e.filter($"vec_id" < 10)
