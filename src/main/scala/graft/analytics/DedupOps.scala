@@ -420,11 +420,11 @@ object DedupOps {
     val ranked = rankedBandStore(
       bandRows(withBands(minhashSignatures(shingleFrame))))
       .localCheckpoint(true)
-    val kept = ranked.filter(col("rn") <= maxBucketIds)
-    val cappedCands = kept.select(col("k"), col("bv"), col("doc_id").as("d1"))
-      .join(kept.select(col("k"), col("bv"), col("doc_id").as("d2")), Seq("k", "bv"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
+    // same candidate semantics as the production path: bandCandidates
+    // over the pre-capped store (capping here re-uses the shared
+    // checkpointed ranking instead of bandCandidates' own capBandStore)
+    val cappedCands = bandCandidates(
+      ranked.filter(col("rn") <= maxBucketIds).drop("rn"))
     // pairs involving a diverted member: probe the FULL buckets with
     // the overflow rows only; least/greatest canonicalizes because a
     // diverted id can sit on either side of its partners

@@ -173,13 +173,21 @@ final class JsonLinesScan(fullSchema: StructType, required: StructType,
 object JsonLinesScan {
   /** Stable file listing: a directory's visible data files sorted by
     * absolute path (crawl batch files are append-only and
-    * lexically increasing, so the order is the arrival order). */
+    * lexically increasing, so the order is the arrival order). A path
+    * that does not exist yet lists as EMPTY, not as a single file:
+    * the streaming read polls this every trigger, and the normal
+    * crawl startup order creates the consumer before the producer's
+    * first batch directory. `listFiles()` may also return null on a
+    * racing IO/permission error — same empty-listing treatment, the
+    * next trigger retries. */
   def listFiles(path: String): Array[String] = {
     val f = new java.io.File(path)
     if (f.isDirectory)
-      f.listFiles().filter(x => x.isFile && !x.getName.startsWith(".")
-        && !x.getName.startsWith("_")).map(_.getAbsolutePath).sorted
-    else Array(path)
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(x => x.isFile && !x.getName.startsWith(".")
+          && !x.getName.startsWith("_")).map(_.getAbsolutePath).sorted
+    else if (f.isFile) Array(path)
+    else Array.empty
   }
 }
 
@@ -356,7 +364,14 @@ final class JsonLinesAggReader(file: String, fullSchema: StructType,
     case (x: Int, y: Int)         => java.lang.Integer.compare(x, y)
     case (x: Double, y: Double)   => java.lang.Double.compare(x, y)
     case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
-    case (x: String, y: String)   => x.compareTo(y)
+    // UTF-8 binary order (Spark's UTF8String order), NOT
+    // String.compareTo: UTF-16 code-unit order disagrees above the
+    // BMP (a surrogate pair sorts below U+E000 in UTF-16 but above
+    // it in UTF-8 bytes), and a wrong per-file partial min/max
+    // cannot be repaired by the final merge.
+    case (x: String, y: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
     case _                        => 0
   }
 

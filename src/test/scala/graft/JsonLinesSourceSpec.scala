@@ -81,6 +81,27 @@ class JsonLinesSourceSpec extends SparkSpec {
     assert(r.getLong(0) == 6 && r.getLong(1) == 1L)
   }
 
+  test("pushed string min/max uses UTF-8 binary order, matching Spark's UTF8String") {
+    // U+1F604 (surrogate pair, UTF-8 F0 9F 98 84) vs U+E000 (UTF-8
+    // EE 80 80): UTF-16 code-unit order puts the emoji FIRST
+    // (0xD83D < 0xE000) while Spark's UTF8String binary order puts it
+    // LAST — a per-file partial computed in UTF-16 order silently
+    // disagrees with the same query run without pushdown.
+    val d = Files.createTempDirectory("graft-jsonl-utf8").toString
+    val priv = "\uE000"
+    val emoji = new String(Character.toChars(0x1F604))
+    Files.writeString(Paths.get(d, "p1.jsonl"),
+      s"""{"place_id":"1","name":"$priv","page":1}\n{"place_id":"2","name":"$emoji","page":1}\n""")
+    val rd = spark.read.format("graft.sources.v2.JsonLinesSource")
+      .schema(schema).load(d)
+    val q = rd.agg(min(col("name")).as("lo"), max(col("name")).as("hi"))
+    assert(q.queryExecution.executedPlan.toString
+      .contains("PushedAggregates: [min(name), max(name)]"))
+    val r = q.collect().head
+    assert(r.getString(0) == priv && r.getString(1) == emoji,
+      "min/max must match Spark's own UTF-8 binary string order")
+  }
+
   test("aggregate does NOT push past a residual filter; result still correct") {
     val q = read.filter(col("latitude") > 34.0).groupBy(col("page"))
       .agg(count(lit(1)).as("n"))
