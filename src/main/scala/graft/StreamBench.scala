@@ -117,18 +117,17 @@ object StreamBench {
     import spark.implicits._
 
     // Stream the events parquet with the batch reader's schema; ts
-    // arrives as nanos LongType (nanosAsLong) — truncate to micros
-    // exactly like Tables.events so watermarks see real timestamps.
+    // arrives as nanos LongType (nanosAsLong) or TIMESTAMP_NTZ
+    // depending on the corpus vintage — normalize exactly like
+    // Tables.events so watermarks see real timestamps. Idempotent
+    // (matches the INPUT's ts type), so composing it (the cold path
+    // pre-fixes, keyedEvents fixes its raw steady stream) never
+    // double-converts.
     val path = s"$sfDir/events.parquet"
     val streamDir = linkDir("graft-sbench-in", path)
     val schema = spark.read.parquet(path).schema
-    // idempotent: checks the INPUT's ts type, so composing it (the
-    // cold path pre-fixes, keyedEvents fixes its raw steady stream)
-    // never double-converts
     def fixTs(raw: DataFrame): DataFrame =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      graft.sources.Tables.normalizeEventTs(raw)
     def eventStream(): DataFrame =
       fixTs(spark.readStream.schema(schema).parquet(streamDir))
     def keyedEvents(raw: DataFrame) = fixTs(raw).select(

@@ -642,4 +642,52 @@ object Similarity {
     sims.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with a trained coarse
+    * quantizer, compare vectors only WITHIN their cell, and mark as a
+    * duplicate every vector with a lower-id cellmate at rounded
+    * cosine ≥ tau — the lowest id of each semantic group survives.
+    * Deterministic (lowest-id keeper, rounded sims, cid-argmax
+    * assignment), so the whole decision is oracle-expressible.
+    *
+    * The pruning rule is the pairwise spelling (dup ⇔ ∃ lower-id
+    * cellmate at ≥ tau), not the paper's sequential keep-aware sweep:
+    * it is order-free, engine-portable, and never keeps MORE near-
+    * duplicates than the sweep (any vector the sweep prunes has some
+    * lower-id cellmate at ≥ tau). Cross-cell near-dups are invisible
+    * by design — that is SemDeDup's accepted approximation; q98-style
+    * audits say when the quantizer is too coarse for the corpus.
+    *
+    * Scale shape: assignment is the map-side inlined-quantizer pass
+    * (no shuffle); the within-cell pair space is Σ cellSize² — the
+    * SemDeDup contract is that k grows with n so cells stay bounded
+    * (the paper runs k = 11k cells on 1.1 B embeddings). Both join
+    * sides shuffle narrow (cid, id, vec) rows once, pairs reduce
+    * map-side into a per-vector max before the groupBy exchange, and
+    * the assignment is checkpointed once for its three consumers
+    * (the ≥3-branch rule, BASELINE.md r5). A corpus whose cells
+    * outgrow memory gets the q114 treatment (deterministic member
+    * cap + saturated-cell side report) before this join.
+    *
+    * Returns (vec_id, cell, best_sim, kept): best_sim = max rounded
+    * cosine to any lower-id cellmate (null ⇔ none), kept ⇔ best_sim
+    * is null or < tau. */
+  def semanticDedup(vecs: DataFrame, cent: DataFrame, tau: Double): DataFrame = {
+    val asg = kmeansAssign(vecs, cent)
+      .withColumn("nrm", norm(col("embedding")))
+      .localCheckpoint(true)
+    val a = asg.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+    val b = asg.select(col("cid").as("bcid"), col("vec_id").as("bid"),
+      col("embedding").as("bv"), col("nrm").as("bn"))
+    val best = a.join(b, col("cid") === col("bcid") && col("bid") < col("vec_id"))
+      .groupBy(col("vec_id"))
+      .agg(max(graft.ops.Exact.duckRound(
+        dot(col("embedding"), col("bv")) / (col("nrm") * col("bn")), 6))
+        .as("best_sim"))
+    asg.select(col("vec_id"), col("cid"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").as("cell"), col("best_sim"),
+        (col("best_sim").isNull || col("best_sim") < tau).as("kept"))
+  }
 }

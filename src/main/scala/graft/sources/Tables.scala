@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Corpus table loaders (TESTDATA.md). Single place that knows the
   * on-disk layout so queries stay layout-agnostic. Reads are plain
@@ -37,17 +37,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Sessions set spark.sql.legacy.parquet.nanosAsLong
-    * so the column arrives as LongType nanos; normalize to a micros
-    * TimestampType by truncation — the same ns→us conversion DuckDB
-    * applies (verified: floor, not round). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = apply(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  /** events.parquet has shipped two physical spellings of `ts`:
+    * TIMESTAMP(NANOS) — which Spark's parquet reader rejects, so
+    * sessions set spark.sql.legacy.parquet.nanosAsLong and the column
+    * arrives as LongType nanos, truncated here to micros (the same
+    * ns→us conversion DuckDB applies; verified: floor, not round) —
+    * and plain micros with isAdjustedToUTC=false, which Spark reads
+    * as TIMESTAMP_NTZ. Sessions pin spark.sql.session.timeZone=UTC,
+    * so the NTZ→TIMESTAMP cast relabels the same micros value that
+    * DuckDB's naive read sees; every downstream unix_micros /
+    * date_format(…, UTC) then agrees across engines. Idempotent:
+    * matches on the INPUT's type, already-TimestampType passes
+    * through. */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(apply(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
