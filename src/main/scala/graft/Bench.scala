@@ -102,6 +102,9 @@ object Bench {
         graft.queries.DedupQueries.releaseCaches(spark)
         System.gc() // lets ContextCleaner reclaim family checkpoint RDDs
       }
+      // operator-internal persists (semanticDedup's assignment) are
+      // single-query artifacts — free them as soon as the query ends
+      graft.analytics.Similarity.releaseRetained(spark)
       (q.name, runs.minBy(_._1))
     }
     // Short qNN keys keep the whole line under the driver's 2000-char

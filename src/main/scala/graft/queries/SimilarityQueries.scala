@@ -556,6 +556,51 @@ object SimilarityQueries {
       store.unionByName(Similarity.kmeansAssign(delta, cent))
         .select(col("vec_id"), col("cid").as("cell"))
         .orderBy("vec_id")
+    },
+
+    // ---------------------------------------------------------------- q119
+    // SemDeDup (Abbas et al. 2023) semantic deduplication: q81's
+    // trained quantizer clusters the corpus, vectors are compared only
+    // WITHIN their cell, and a vector is pruned iff some LOWER-id
+    // cellmate sits at rounded cosine ≥ tau. Every step is the
+    // engine's pinned-boundary arithmetic (decimal-exact cell means,
+    // round(…,6) cosines, +0.0 normalization, lowest-id keeper), so
+    // the full keep/prune decision — not just a summary — is
+    // hash-checked against DuckDB. tau=0.3 sits inside this corpus's
+    // top-neighbor cosine band (0.31–0.41, BASELINE.md) so the gate
+    // exercises both kept and pruned rows.
+    Q("q119_semantic_dedup",
+      s"""$normCtes,
+         |cent0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT 16),
+         |asg0 AS (SELECT vec_id, cid, v FROM (
+         |    SELECT n.vec_id, cent0.cid, n.v,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
+         |    FROM n, cent0) WHERE rr = 1),
+         |dims AS (SELECT cid, i - 1 AS pos, v[i] AS x
+         |         FROM (SELECT cid, v, unnest(generate_series(1, len(v))) AS i FROM asg0)),
+         |cm AS (SELECT cid, pos,
+         |         CAST(sum(CAST(round(x, 6) AS DECIMAL(21,10))) AS DOUBLE) / count(*) AS m
+         |       FROM dims GROUP BY cid, pos),
+         |tc AS (SELECT cid, list(m ORDER BY pos) AS cv FROM cm GROUP BY cid),
+         |tcn AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM tc),
+         |asg AS (SELECT vec_id, cid, v, nrm FROM (
+         |    SELECT n.vec_id, tcn.cid, n.v, n.nrm,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
+         |    FROM n, tcn) WHERE rr = 1),
+         |best AS (SELECT a.vec_id,
+         |           max(CASE WHEN a.nrm * b.nrm <> 0 THEN
+         |             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0 END) AS best_sim
+         |         FROM asg a JOIN asg b ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |         GROUP BY a.vec_id)
+         |SELECT a.vec_id, a.cid AS cell, best_sim,
+         |  (best_sim IS NULL OR best_sim < 0.3) AS kept
+         |FROM asg a LEFT JOIN best USING (vec_id)
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.semanticDedup(e, Similarity.kmeansCentroids(e, 16, 1), 0.3)
+        .orderBy("vec_id")
     }
   )
 }

@@ -561,4 +561,82 @@ class AnalyticsSpec extends SparkSpec {
     val groups = DedupOps.exactGroups(docs)
     assert(groups.agg(sum($"n_docs")).collect().head.getLong(0) == docs.count())
   }
+
+  // the exact Scala twin of DuckRound (scale by 10^6, half away from
+  // zero, unscale) — the spec's brute-force oracle rounds the same way
+  private def duck6(x: Double): Double = {
+    val s = x * 1e6
+    (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)) / 1e6
+  }
+
+  test("semanticDedup: kept-set matches the brute-force within-cell oracle; tau boundary drops") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val cent = Similarity.kmeansCentroids(e, 8, 1).localCheckpoint(true)
+    // brute force from the independently-tested assignment: per
+    // vector, max rounded cosine over all LOWER-id cellmates
+    val asg = Similarity.kmeansAssign(e, cent).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).toArray.map(_.toDouble)))
+    def d(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val expected: Map[Long, Option[Double]] = asg.map { case (id, cid, v) =>
+      val mates = asg.filter(o => o._2 == cid && o._1 < id)
+      val sims = mates.flatMap { case (_, _, w) =>
+        val den = math.sqrt(d(v, v)) * math.sqrt(d(w, w))
+        if (den == 0.0) None else Some(duck6(d(v, w) / den) + 0.0)
+      }
+      id -> (if (sims.isEmpty) None else Some(sims.max))
+    }.toMap
+    val tau = 0.30
+    val got = Similarity.semanticDedup(e, cent, tau).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3)))
+    assert(got.length == asg.length, "one output row per vector")
+    got.foreach { case (id, bs, kept) =>
+      assert(bs == expected(id), s"best_sim mismatch for $id: $bs vs ${expected(id)}")
+      assert(kept == bs.forall(_ < tau), s"kept rule broken for $id")
+    }
+    assert(got.exists(!_._3), "fixture must prune something or the test is vacuous")
+    assert(got.exists(_._3), "fixture must keep something")
+    // tau boundary: rerun with tau equal to an observed best_sim — the
+    // boundary row sits at sim == tau, and kept requires strictly < tau
+    val t0 = expected.values.flatten.max
+    val atBoundary = Similarity.semanticDedup(e, cent, t0).collect()
+      .filter(r => !r.isNullAt(2) && r.getDouble(2) == t0)
+    assert(atBoundary.nonEmpty && atBoundary.forall(!_.getBoolean(3)),
+      "a row whose best_sim equals tau must be dropped (kept ⇔ best_sim < tau)")
+  }
+
+  test("semanticDedup zero-norm cellmates: null best_sim (no ANSI divide-by-zero), -0.0 normalized") {
+    // k=2 so assignment runs the real greatest-over-cellKeys path:
+    // zero-norm vectors get null sims → -2.0 → lowest cid (cell 0),
+    // and the guard (not ANSI DIVIDE_BY_ZERO) is what makes that
+    // reachable at all. ids 1,2 are zero vectors; id 3's lower-id
+    // mates are all zero-norm → best_sim null, kept; id 4 sees id 3
+    // at a tiny NEGATIVE cosine that rounds to -0.0 → emitted as +0.0
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(1.0f, 1.0e-7f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, -1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cent = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0), 1.0),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0), 1.0)).toDF("cid", "cv", "cn")
+    val out = Similarity.semanticDedup(vecs, cent, 0.5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getBoolean(3)))).toMap
+    // cells: 1,2 zero-norm → -2.0 ties → cell 0; 3 → cell 0 (cos≈1);
+    // 4 → cell 0 (cos 0 beats cell 1's -1)
+    assert(out.values.forall(_._1 == 0L), s"all four land in cell 0: $out")
+    assert((out(1L)._2, out(1L)._3) == ((None, true)), "no lower-id mate at all")
+    assert((out(2L)._2, out(2L)._3) == ((None, true)), "only a zero-norm mate → null, not a crash")
+    assert((out(3L)._2, out(3L)._3) == ((None, true)), "both lower-id mates are zero-norm")
+    val (_, bs4, kept4) = out(4L)
+    assert(bs4.contains(0.0) &&
+      java.lang.Double.doubleToRawLongBits(bs4.get) == 0L,
+      s"cos(3,4) rounds to -0.0 and must be normalized to +0.0, got bits of $bs4")
+    assert(kept4, "0.0 < 0.5 → kept")
+  }
 }
