@@ -125,6 +125,97 @@ object SketchQueries {
         .orderBy(col("scope"))
     },
 
+    // ---------------------------------------------------------------- q120
+    // Mergeable QUANTILE sketch rollup — q113's re-aggregation
+    // contract for percentiles: the sketch is a fixed-width histogram
+    // (bin = floor(value / 8.0); W = 8 is a power of two, so the
+    // division is an exponent shift — bit-exact on every IEEE engine,
+    // no transcendental binning), stored as plain (scope, bin, cnt)
+    // rows. Per-type sketches materialize ONCE (localCheckpoint —
+    // the tiny many-branch intermediate rule); the ALL rollup is a
+    // groupBy(bin) sum over those sketch ROWS — the events table is
+    // not rescanned. The binned quantile est_q = upper edge of the
+    // first bin whose cumulative count reaches rank ceil(q*n) is
+    // fully deterministic, so unlike q38 the ESTIMATE ITSELF is
+    // hash-checked, not just bound-checked. The discrete order stat
+    // x_(rank) rides along (verification-only rescan, like q113's
+    // exact side) and pins the histogram invariant 0 < est − x ≤ W:
+    // x lives in [bW, (b+1)W) ⇒ the booleans are deterministically
+    // TRUE — a broken merge, cum, or rank breaks est50/est90/est99
+    // hashes AND flips a boolean.
+    Q("q120_quantile_sketch_rollup",
+      """WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |vs AS (SELECT event_type AS scope, value FROM v
+        |       UNION ALL SELECT 'ALL', value FROM v),
+        |b AS (SELECT scope, CAST(floor(value / 8.0) AS BIGINT) AS bin FROM vs),
+        |sk AS (SELECT scope, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |cum AS (SELECT scope, bin,
+        |         sum(cnt) OVER (PARTITION BY scope ORDER BY bin) AS cum,
+        |         sum(cnt) OVER (PARTITION BY scope) AS n FROM sk),
+        |est AS (SELECT scope, CAST(max(n) AS BIGINT) AS n,
+        |         min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT) THEN (bin + 1) * 8.0 END) AS est50,
+        |         min(CASE WHEN cum >= CAST(ceil(0.9 * n) AS BIGINT) THEN (bin + 1) * 8.0 END) AS est90,
+        |         min(CASE WHEN cum >= CAST(ceil(0.99 * n) AS BIGINT) THEN (bin + 1) * 8.0 END) AS est99
+        |       FROM cum GROUP BY scope),
+        |rk AS (SELECT scope, value,
+        |        row_number() OVER (PARTITION BY scope ORDER BY value) AS rn,
+        |        count(*) OVER (PARTITION BY scope) AS n FROM vs),
+        |ex AS (SELECT scope,
+        |        max(CASE WHEN rn <= CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS x50,
+        |        max(CASE WHEN rn <= CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS x90,
+        |        max(CASE WHEN rn <= CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS x99
+        |      FROM rk GROUP BY scope)
+        |SELECT e.scope, n, est50, est90, est99, x50, x90, x99,
+        |  TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
+        |FROM est e JOIN ex ON e.scope = ex.scope
+        |ORDER BY e.scope""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val W = 8.0
+      val v = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+      // the persisted per-type sketch artifact (tiny: scopes x bins)
+      val sk = v
+        .groupBy(col("event_type"),
+          floor(col("value") / W).cast("long").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      // rollup = merge of sketch ROWS only; no second events scan
+      val skAll = sk.groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+        .select(lit("ALL").as("scope"), col("bin"), col("cnt"))
+      val skS = sk.select(col("event_type").as("scope"), col("bin"), col("cnt"))
+        .unionByName(skAll)
+      val cum = skS
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("scope")).orderBy(col("bin"))))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("scope"))))
+      def est(q: Double) = min(when(
+        col("cum") >= ceil(lit(q) * col("n")),
+        (col("bin") + 1).cast("double") * W))
+      val ests = cum.groupBy(col("scope")).agg(
+        max(col("n")).cast("long").as("n"),
+        est(0.5).as("est50"), est(0.9).as("est90"), est(0.99).as("est99"))
+      // verification-only rescan: the discrete order stat at the same
+      // rank, per scope (one shuffle; both windows share the sort)
+      val vs = v.select(col("event_type").as("scope"), col("value"))
+        .unionByName(v.select(lit("ALL").as("scope"), col("value")))
+      val rk = vs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("scope")).orderBy(col("value"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("scope"))))
+      def xq(q: Double) = max(when(
+        col("rn") <= ceil(lit(q) * col("n")), col("value")))
+      val exact = rk.groupBy(col("scope")).agg(
+        xq(0.5).as("x50"), xq(0.9).as("x90"), xq(0.99).as("x99"))
+      ests.join(exact, Seq("scope"))
+        .select(col("scope"), col("n"),
+          col("est50"), col("est90"), col("est99"),
+          col("x50"), col("x90"), col("x99"),
+          (col("est50") > col("x50") && col("est50") - col("x50") <= W).as("ok50"),
+          (col("est90") > col("x90") && col("est90") - col("x90") <= W).as("ok90"),
+          (col("est99") > col("x99") && col("est99") - col("x99") <= W).as("ok99"))
+        .orderBy(col("scope"))
+    },
+
     // ---------------------------------------------------------------- q67
     // Count-Min-Sketch-prefiltered heavy hitters (custom typed
     // Aggregator — functions/CmsAgg). The sketch prunes candidates

@@ -64,4 +64,34 @@ class SketchSpec extends SparkSpec {
   private object Exacts {
     def medianIsh(c: org.apache.spark.sql.Column) = avg(c)
   }
+
+  test("q120 histogram sketch: merge of per-type sketch rows ≡ rescan; est within one bin above the order stat") {
+    val W = 8.0
+    val events = Tables.events(spark, sf("sf0.01")).filter($"value".isNotNull)
+    val binned = events.select($"event_type",
+      floor($"value" / W).cast("long").as("bin"))
+    // per-type sketch rows, then the MERGE (sum of cnt by bin) …
+    val merged = binned.groupBy($"event_type", $"bin")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"bin").agg(sum($"cnt").as("cnt"))
+    // … must equal the sketch built by a full rescan
+    val rescan = binned.groupBy($"bin").agg(count(lit(1)).cast("long").as("cnt"))
+    assert(merged.join(rescan, Seq("bin"))
+      .filter(merged("cnt") =!= rescan("cnt")).isEmpty,
+      "histogram merge must be lossless")
+    assert(merged.count() == rescan.count())
+    // the q120 output invariant on real data: 0 < est − x_(rank) ≤ W
+    val out = graft.SparkEntry.queries("q120_quantile_sketch_rollup")(
+      spark, sf("sf0.01")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      Seq(("est50", "x50"), ("est90", "x90"), ("est99", "x99")).foreach {
+        case (e, x) =>
+          val d = r.getAs[Double](e) - r.getAs[Double](x)
+          assert(d > 0 && d <= W, s"$e violates the bin bound: d=$d row=$r")
+      }
+      Seq("ok50", "ok90", "ok99").foreach(c =>
+        assert(r.getAs[Boolean](c), s"$c must be TRUE"))
+    }
+  }
 }
