@@ -229,6 +229,23 @@ object ExtQueries {
         |  min(doc_id) AS first_id, max(doc_id) AS last_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       jsonlAggFrame(s, d).orderBy("lang")
+    },
+
+    // ---------------------------------------------------------------- q121
+    // Storage-side ORDER BY … LIMIT over the DSv2 jsonl source: the
+    // scan keeps an n-bounded heap PER FILE under the pushed sort
+    // keys (SupportsPushDownTopN; declared partial, so Spark's global
+    // TakeOrdered merges the per-file candidates) — only n rows per
+    // storage object ever travel, the "head of the manifest" query a
+    // 100 TB listing wants. Two keys exercise the comparator: lang
+    // DESC (UTF-8 binary string order) with unique doc_id ASC as the
+    // deterministic tiebreak. PlanSpec asserts PushedTopN appears in
+    // this exact plan; the gate hash-checks the rows against the
+    // parquet oracle.
+    Q("q121_jsonl_topn_pushdown",
+      """SELECT doc_id, lang FROM documents
+        |ORDER BY lang DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      jsonlTopNFrame(s, d)
     }
   )
 
@@ -256,6 +273,33 @@ object ExtQueries {
       live.put(tag, p)
       p
     }
+  }
+
+  /** q121's frame — shared with PlanSpec, which asserts the scan
+    * carries the pushed top-N. */
+  def jsonlTopNFrame(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val root = Scratch.fresh("graft-q121")
+    val src = s"$root/src"
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType)))
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .write.format("graft.sources.v2.JsonLinesSource").mode("append").save(src)
+    s.read.format("graft.sources.v2.JsonLinesSource").schema(schema).load(src)
+      .orderBy(col("lang").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** A jsonl copy of documents(doc_id, lang) for spec-level pushdown
+    * probes — its own scratch tag, so spec calls cannot delete the
+    * tree under q121's still-live frame. */
+  def jsonlTopNSrcDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val root = Scratch.fresh("graft-q121spec")
+    val src = s"$root/src"
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .write.format("graft.sources.v2.JsonLinesSource").mode("append").save(src)
+    src
   }
 
   /** q116's frame without the ORDER BY — shared with PlanSpec, which

@@ -72,16 +72,60 @@ private[v2] final case class CountColSpec(col: String) extends AggSpec { val res
 private[v2] final case class MinSpec(col: String, resultType: DataType) extends AggSpec
 private[v2] final case class MaxSpec(col: String, resultType: DataType) extends AggSpec
 
+/** One pushed ORDER BY key: top-level column, direction, null order. */
+private[v2] final case class SortKey(col: String, descending: Boolean,
+                                     nullsFirst: Boolean)
+
+/** Shared value comparison for the per-file partial agg and top-N
+  * readers. UTF-8 binary order for strings (Spark's UTF8String
+  * order), NOT String.compareTo: UTF-16 code-unit order disagrees
+  * above the BMP, and a wrong per-file partial cannot be repaired by
+  * the final merge/sort. */
+private[v2] object RowOrder {
+  def cmpVals(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long)       => java.lang.Long.compare(x, y)
+    case (x: Int, y: Int)         => java.lang.Integer.compare(x, y)
+    case (x: Double, y: Double)   => java.lang.Double.compare(x, y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case (x: String, y: String) =>
+      UTF8String.fromString(x).compareTo(UTF8String.fromString(y))
+    case _                        => 0
+  }
+
+  /** Row ordering under the pushed keys — the first N rows of the
+    * query's ORDER BY are exactly the N minima of this ordering. */
+  def keyOrdering(keys: Seq[SortKey]): Ordering[Map[String, Any]] =
+    (r1: Map[String, Any], r2: Map[String, Any]) => {
+      var i = 0
+      var c = 0
+      while (c == 0 && i < keys.length) {
+        val k = keys(i)
+        val (a, b) = (r1(k.col), r2(k.col))
+        c = (a, b) match {
+          case (null, null) => 0
+          case (null, _)    => if (k.nullsFirst) -1 else 1
+          case (_, null)    => if (k.nullsFirst) 1 else -1
+          case _            => if (k.descending) -cmpVals(a, b) else cmpVals(a, b)
+        }
+        i += 1
+      }
+      c
+    }
+}
+
 final class JsonLinesScanBuilder(fullSchema: StructType, path: String)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
-  import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
+  import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, SortDirection, NullOrdering}
   import org.apache.spark.sql.connector.expressions.aggregate._
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggPushed: Option[(Seq[String], Seq[AggSpec])] = None
+  private var limitPushed: Option[Int] = None
+  private var topNPushed: Option[(Seq[SortKey], Int)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -119,13 +163,55 @@ final class JsonLinesScanBuilder(fullSchema: StructType, path: String)
     } else false
   }
 
+  /** LIMIT n with nothing between it and the scan: each file reader
+    * stops after its first n matching rows. PARTIAL by construction
+    * (n per file, not globally), so Spark keeps the global limit —
+    * pushdown is an optimization, never a correctness dependency,
+    * same stance as the residual filters. */
+  override def pushLimit(limit: Int): Boolean = {
+    limitPushed = Some(limit)
+    true
+  }
+
+  /** ORDER BY … LIMIT n: each file reader keeps an n-bounded heap
+    * under the pushed keys and ships only its per-file top n — the
+    * storage side answers "SELECT … ORDER BY k LIMIT n" per object,
+    * Spark merges the per-file candidates with its global
+    * TakeOrdered. Accepted only when EVERY key is a plain top-level
+    * column of an atomic type; anything else declines and Spark
+    * plans the full sort. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        limit: Int): Boolean = {
+    val keys = orders.toSeq.map { so =>
+      fieldOf(so.expression()).collect {
+        // exactly the types RowOrder.cmpVals orders — anything else
+        // must decline rather than sort wrong
+        case f if Seq(LongType, IntegerType, DoubleType, BooleanType,
+            StringType).contains(f.dataType) =>
+          SortKey(f.name,
+            so.direction() == SortDirection.DESCENDING,
+            so.nullOrdering() == NullOrdering.NULLS_FIRST)
+      }
+    }
+    if (keys.nonEmpty && keys.forall(_.isDefined)) {
+      topNPushed = Some((keys.flatten, limit))
+      true
+    } else false
+  }
+
+  /** Both the plain limit and the top-N are per-file partials. */
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan =
-    new JsonLinesScan(fullSchema, required, pushed, path, aggPushed)
+    new JsonLinesScan(fullSchema, required, pushed, path, aggPushed,
+      limitPushed, topNPushed)
 }
 
 final class JsonLinesScan(fullSchema: StructType, required: StructType,
                           pushed: Array[Filter], path: String,
-                          agg: Option[(Seq[String], Seq[AggSpec])] = None)
+                          agg: Option[(Seq[String], Seq[AggSpec])] = None,
+                          limit: Option[Int] = None,
+                          topN: Option[(Seq[SortKey], Int)] = None)
     extends Scan with Batch {
 
   /** When an aggregate is pushed, the scan's output IS the per-file
@@ -152,17 +238,27 @@ final class JsonLinesScan(fullSchema: StructType, required: StructType,
       s", PushedAggregates: [${funcs.map(aggName).mkString(", ")}]" +
         s", PushedGroupBy: [${groups.mkString(", ")}]"
     }.getOrElse("")
+    val limitDesc = limit.map(n => s", PushedLimit: $n").getOrElse("")
+    val topNDesc = topN.map { case (keys, n) =>
+      val ks = keys.map(k => s"${k.col} " +
+        (if (k.descending) "DESC" else "ASC") + " " +
+        (if (k.nullsFirst) "NULLS FIRST" else "NULLS LAST")).mkString(", ")
+      s", PushedTopN: ORDER BY [$ks] LIMIT $n"
+    }.getOrElse("")
     s"graft-jsonl PushedFilters: [${pushed.mkString(", ")}]$aggDesc" +
-      s", ReadSchema: ${readSchema().catalogString}"
+      s"$limitDesc$topNDesc, ReadSchema: ${readSchema().catalogString}"
   }
 
   override def planInputPartitions(): Array[InputPartition] =
     JsonLinesScan.listFiles(path).map(JsonLinesPartition(_): InputPartition)
 
-  override def createReaderFactory(): PartitionReaderFactory = agg match {
-    case None => new JsonLinesReaderFactory(fullSchema, required, pushed)
-    case Some((groups, funcs)) =>
+  override def createReaderFactory(): PartitionReaderFactory = (agg, topN) match {
+    case (Some((groups, funcs)), _) =>
       new JsonLinesAggReaderFactory(fullSchema, pushed, groups, funcs)
+    case (None, Some((keys, n))) =>
+      new JsonLinesTopNReaderFactory(fullSchema, required, pushed, keys, n)
+    case (None, None) =>
+      new JsonLinesReaderFactory(fullSchema, required, pushed, limit)
   }
 
   override def toMicroBatchStream(checkpointLocation: String)
@@ -269,11 +365,12 @@ final class JsonLinesMicroBatchStream(fullSchema: StructType,
 final case class JsonLinesPartition(file: String) extends InputPartition
 
 final class JsonLinesReaderFactory(fullSchema: StructType, required: StructType,
-                                   pushed: Array[Filter])
+                                   pushed: Array[Filter],
+                                   limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new JsonLinesReader(partition.asInstanceOf[JsonLinesPartition].file,
-      fullSchema, required, pushed)
+      fullSchema, required, pushed, limit)
 }
 
 /** Shared line parsing for the row and aggregate readers. */
@@ -308,20 +405,27 @@ private[v2] object LineParse {
 }
 
 final class JsonLinesReader(file: String, fullSchema: StructType,
-                            required: StructType, pushed: Array[Filter])
+                            required: StructType, pushed: Array[Filter],
+                            limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   private val lines = scala.io.Source.fromFile(file, "UTF-8")
   private val it = lines.getLines()
   private var current: InternalRow = _
+  private var emitted = 0
 
   override def next(): Boolean = {
+    // pushed per-file LIMIT: stop consuming the file once this
+    // partition has produced its n matching rows (Spark's retained
+    // global limit finishes the job)
+    if (limit.exists(emitted >= _)) return false
     while (it.hasNext) {
       val line = it.next().trim
       if (line.nonEmpty) {
         val parsed = LineParse.parse(mapper, fullSchema, line)
         if (pushed.forall(FilterEval.eval(_, parsed))) {
           current = project(parsed)
+          emitted += 1
           return true
         }
       }
@@ -336,6 +440,60 @@ final class JsonLinesReader(file: String, fullSchema: StructType,
 
   override def get(): InternalRow = current
   override def close(): Unit = lines.close()
+}
+
+final class JsonLinesTopNReaderFactory(fullSchema: StructType,
+                                       required: StructType,
+                                       pushed: Array[Filter],
+                                       keys: Seq[SortKey], n: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new JsonLinesTopNReader(partition.asInstanceOf[JsonLinesPartition].file,
+      fullSchema, required, pushed, keys, n)
+}
+
+/** Per-file top-N under the pushed ORDER BY keys: one pass over the
+  * file's matching lines through an n-bounded max-heap (the heap's
+  * max is the WORST retained row — a new row replaces it when it
+  * orders strictly lower), so memory is O(n) however large the file.
+  * Emission order is arbitrary: the push is declared partial and
+  * Spark's global TakeOrdered re-sorts the per-file candidates. */
+final class JsonLinesTopNReader(file: String, fullSchema: StructType,
+                                required: StructType, pushed: Array[Filter],
+                                keys: Seq[SortKey], n: Int)
+    extends PartitionReader[InternalRow] {
+
+  private val rows: Iterator[InternalRow] = {
+    val mapper = new ObjectMapper()
+    val lines = scala.io.Source.fromFile(file, "UTF-8")
+    try {
+      val ord = RowOrder.keyOrdering(keys)
+      // PriorityQueue dequeues the Ordering's MAX — exactly the row
+      // to evict when a better (lower-ordered) candidate arrives
+      val heap = scala.collection.mutable.PriorityQueue.empty[Map[String, Any]](ord)
+      lines.getLines().foreach { raw =>
+        val line = raw.trim
+        if (line.nonEmpty) {
+          val parsed = LineParse.parse(mapper, fullSchema, line)
+          if (pushed.forall(FilterEval.eval(_, parsed))) {
+            if (heap.size < n) heap.enqueue(parsed)
+            else if (ord.compare(parsed, heap.head) < 0) {
+              heap.dequeue(); heap.enqueue(parsed)
+            }
+          }
+        }
+      }
+      heap.iterator.map(row => new GenericInternalRow(
+        required.fields.map(f => LineParse.toInternal(row(f.name)))
+          .asInstanceOf[Array[Any]]): InternalRow).toArray.iterator
+    } finally lines.close()
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 final class JsonLinesAggReaderFactory(fullSchema: StructType,
@@ -359,21 +517,7 @@ final class JsonLinesAggReader(file: String, fullSchema: StructType,
                                groups: Seq[String], funcs: Seq[AggSpec])
     extends PartitionReader[InternalRow] {
 
-  private def cmpVals(a: Any, b: Any): Int = (a, b) match {
-    case (x: Long, y: Long)       => java.lang.Long.compare(x, y)
-    case (x: Int, y: Int)         => java.lang.Integer.compare(x, y)
-    case (x: Double, y: Double)   => java.lang.Double.compare(x, y)
-    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
-    // UTF-8 binary order (Spark's UTF8String order), NOT
-    // String.compareTo: UTF-16 code-unit order disagrees above the
-    // BMP (a surrogate pair sorts below U+E000 in UTF-16 but above
-    // it in UTF-8 bytes), and a wrong per-file partial min/max
-    // cannot be repaired by the final merge.
-    case (x: String, y: String) =>
-      org.apache.spark.unsafe.types.UTF8String.fromString(x)
-        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
-    case _                        => 0
-  }
+  private def cmpVals(a: Any, b: Any): Int = RowOrder.cmpVals(a, b)
 
   private val rows: Iterator[InternalRow] = {
     val mapper = new ObjectMapper()

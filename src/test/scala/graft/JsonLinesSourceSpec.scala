@@ -233,6 +233,40 @@ class JsonLinesSourceSpec extends SparkSpec {
     assert(spark.table("mbp").collect().map(_.getString(0)).toSeq == Seq("2"))
   }
 
+  // ------------------------------------------------------ limit / top-N pushdown
+
+  test("pushed limit caps rows per FILE; pushed top-N matches the full sort (eviction exercised)") {
+    // limit 1 over 2 files: each reader emits at most 1 row, the
+    // global limit then takes 1 — the scan never materializes all 6
+    val limited = read.limit(1)
+    assert(limited.queryExecution.executedPlan.toString.contains("PushedLimit: 1"))
+    assert(limited.count() == 1)
+    // row-level proof of the per-file cap: a limit-2 reader stops
+    // after 2 of p1's 4 rows
+    val reader = new graft.sources.v2.JsonLinesReader(
+      new java.io.File(dir, "p1.jsonl").getPath, schema, schema,
+      Array.empty, Some(2))
+    var n = 0
+    while (reader.next()) n += 1
+    reader.close()
+    assert(n == 2, s"limit-2 reader must stop after 2 of p1's 4 rows, got $n")
+    // top-N with n=3 < matching rows forces heap eviction; the result
+    // multiset must equal the full sort's first 3 on every key shape
+    // (multiset compare — ties between the two null-latitude rows make
+    // the ORDER within the top-3 legitimately engine-chosen)
+    for ((cols, key) <- Seq(
+        (Seq(col("latitude").asc), "lat asc (nulls first, tie)"),
+        (Seq(col("latitude").desc, col("place_id").asc), "lat desc, id asc"),
+        (Seq(col("name").desc), "name desc (UTF-8)"))) {
+      val pushed = read.orderBy(cols: _*).limit(3)
+      assert(pushed.queryExecution.executedPlan.toString.contains("PushedTopN"),
+        s"$key: ${pushed.queryExecution.executedPlan}")
+      val expect = read.orderBy(cols: _*).collect().take(3)
+        .map(_.toString).sorted.toSeq
+      assert(pushed.collect().map(_.toString).sorted.toSeq == expect, key)
+    }
+  }
+
   test("append accumulates; overwrite truncates; no temp files remain") {
     val out = Files.createTempDirectory("graft-jsonl-a").toString
     sample.write.format("graft.sources.v2.JsonLinesSource").mode("append").save(out)

@@ -28,6 +28,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedGroupBy: [lang]"), p)
   }
 
+  test("q121: ORDER BY + LIMIT is pushed into the jsonl scan as a per-file top-N") {
+    val p = graft.queries.ExtQueries.jsonlTopNFrame(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains(
+      "PushedTopN: ORDER BY [lang DESC NULLS LAST, doc_id ASC NULLS FIRST] LIMIT 20"), p)
+    // partial push: Spark must still plan the global TakeOrdered merge
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("plain LIMIT is pushed into the jsonl scan; a filter in between blocks it") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType)))
+    val src = graft.queries.ExtQueries.jsonlTopNSrcDir(spark, sf("sf0.001"))
+    val limited = spark.read.format("graft.sources.v2.JsonLinesSource")
+      .schema(schema).load(src).limit(7)
+    assert(limited.queryExecution.executedPlan.toString.contains("PushedLimit: 7"),
+      limited.queryExecution.executedPlan.toString)
+    assert(limited.count() == 7)
+    // residual-reported filters sit between limit and scan → no push
+    val filtered = spark.read.format("graft.sources.v2.JsonLinesSource")
+      .schema(schema).load(src)
+      .filter(org.apache.spark.sql.functions.col("doc_id") > 10).limit(7)
+    assert(!filtered.queryExecution.executedPlan.toString.contains("PushedLimit"),
+      filtered.queryExecution.executedPlan.toString)
+    assert(filtered.count() == 7)
+  }
+
   test("q03: small dim side is broadcast (no shuffle of lineitem)") {
     val p = plan("q03_broadcast_join")
     assert(p.contains("BroadcastHashJoin"), p)
