@@ -745,4 +745,79 @@ object Similarity {
       .select(col("vec_id"), col("cid").as("cell"), col("best_sim"),
         (col("best_sim").isNull || col("best_sim") < tau).as("kept"))
   }
+
+  /** [[semanticDedup]] with a HASH-ORDER MEMBER CAP on the comparison
+    * side — the q114/q118 boilerplate treatment in vector space, and
+    * the spelling semanticDedup's own scale note prescribes for cells
+    * that outgrow memory. Each cell contributes only its `memberCap`
+    * members with the lowest sha-256(cid|vec_id) as COMPARISON
+    * CANDIDATES (a deterministic pseudorandom M-subset per cell, the
+    * q118 rationale: hash order gives every vector an independent
+    * chance per cell instead of biasing against high ids); every
+    * vector still receives a verdict, judged against the capped
+    * subset's lower-id members. Pair space drops from Σ cellSize² to
+    * ≤ M·n — linear in the corpus for fixed M.
+    *
+    * Semantics trade, exactly: removing comparisons can only LOWER a
+    * vector's best_sim, so kept(capped) ⊇ kept(uncapped) — the cap
+    * never prunes a vector the full computation would keep
+    * (AnalyticsSpec proves both the superset and the M ≥ max-cell
+    * identity). The rank filter compiles to WindowGroupLimit (per-key
+    * top-M before the exchange), so a boilerplate mega-cell costs M
+    * rows per input partition in the shuffle, never its size.
+    * [[semanticCellSaturation]] prices what the cap diverted.
+    *
+    * RECALL CAVEAT — this cap is a memory FUSE, not the scale path
+    * (measured, SCALING.md round-8 10× run): unlike q118, where a
+    * true pair gets an independent M-subset chance per SHARED
+    * SHINGLE, a cell pair here has exactly ONE chance — its cell —
+    * so near-dup recall degrades toward M/cellSize once the cap
+    * binds hard (10× corpus, 1,250-member cells, M=50: kept balloons
+    * 704 → 11,171 because most mutated copies never see their source
+    * in the capped subset). A firing saturation report therefore
+    * means RETRAIN WITH LARGER k — SemDeDup's own k-grows-with-n
+    * contract, measured to restore both recall and cost (k=160 at
+    * 10×: kept 690, pair stage back to ~M·n shape) — while the cap
+    * guarantees the nightly job survives the night the corpus
+    * explodes. */
+  def semanticDedupCapped(vecs: DataFrame, cent: DataFrame, tau: Double,
+                          memberCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asg = retain(kmeansAssign(vecs, cent)
+      .withColumn("nrm", norm(col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val capped = asg
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cid"))
+          .orderBy(sha2(concat_ws("|", col("cid").cast("string"),
+            col("vec_id").cast("string")), 256), col("vec_id"))))
+      .filter(col("rk") <= memberCap)
+    val a = asg.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+    val b = capped.select(col("cid").as("bcid"), col("vec_id").as("bid"),
+      col("embedding").as("bv"), col("nrm").as("bn"))
+    val den = col("nrm") * col("bn")
+    val best = a.join(b, col("cid") === col("bcid") && col("bid") < col("vec_id"))
+      .groupBy(col("vec_id"))
+      .agg(max(when(den =!= lit(0.0),
+        graft.ops.Exact.duckRound(
+          dot(col("embedding"), col("bv")) / den, 6) + lit(0.0)))
+        .as("best_sim"))
+    asg.select(col("vec_id"), col("cid"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").as("cell"), col("best_sim"),
+        (col("best_sim").isNull || col("best_sim") < tau).as("kept"))
+  }
+
+  /** Side report of the cells [[semanticDedupCapped]] saturated:
+    * (cell, n_members, n_dropped) for every cell past `memberCap` —
+    * a hot cell here is the quantizer telling you its k is too small
+    * for the corpus (the SemDeDup k-grows-with-n contract), or that
+    * one embedding basin is boilerplate. */
+  def semanticCellSaturation(vecs: DataFrame, cent: DataFrame,
+                             memberCap: Int): DataFrame =
+    kmeansAssign(vecs, cent)
+      .groupBy(col("cid").as("cell"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > memberCap)
+      .withColumn("n_dropped", col("n_members") - memberCap)
 }

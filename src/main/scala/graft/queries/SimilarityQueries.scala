@@ -601,6 +601,57 @@ object SimilarityQueries {
       val e = Tables.embeddings(s, d)
       Similarity.semanticDedup(e, Similarity.kmeansCentroids(e, 16, 1), 0.3)
         .orderBy("vec_id")
+    },
+
+    // ---------------------------------------------------------------- q122
+    // Member-capped semantic dedup — the q118 boilerplate treatment in
+    // vector space, and the spelling q119's scale note prescribes for
+    // cells that outgrow memory: each cell contributes only its 50
+    // lowest-sha(cid|vec_id) members as comparison candidates (pair
+    // space ≤ M·n, linear for fixed M), every vector still judged.
+    // The oracle mirrors the cap bit-for-bit (same sha-256 member
+    // order both engines), so parity is exact equality; at sf0.1 the
+    // ~125-member cells make the cap BIND (kept 669 uncapped → more
+    // capped), so the gate exercises the trade, not a no-op.
+    Q("q122_semantic_dedup_capped",
+      s"""$normCtes,
+         |cent0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT 16),
+         |asg0 AS (SELECT vec_id, cid, v FROM (
+         |    SELECT n.vec_id, cent0.cid, n.v,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
+         |    FROM n, cent0) WHERE rr = 1),
+         |dims AS (SELECT cid, i - 1 AS pos, v[i] AS x
+         |         FROM (SELECT cid, v, unnest(generate_series(1, len(v))) AS i FROM asg0)),
+         |cm AS (SELECT cid, pos,
+         |         CAST(sum(CAST(round(x, 6) AS DECIMAL(21,10))) AS DOUBLE) / count(*) AS m
+         |       FROM dims GROUP BY cid, pos),
+         |tc AS (SELECT cid, list(m ORDER BY pos) AS cv FROM cm GROUP BY cid),
+         |tcn AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM tc),
+         |asg AS (SELECT vec_id, cid, v, nrm FROM (
+         |    SELECT n.vec_id, tcn.cid, n.v, n.nrm,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
+         |    FROM n, tcn) WHERE rr = 1),
+         |capped AS (SELECT vec_id, cid, v, nrm FROM (
+         |    SELECT vec_id, cid, v, nrm, row_number() OVER (
+         |      PARTITION BY cid
+         |      ORDER BY sha256(CAST(cid AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR)),
+         |        vec_id) AS rk
+         |    FROM asg) WHERE rk <= 50),
+         |best AS (SELECT a.vec_id,
+         |           max(CASE WHEN a.nrm * b.nrm <> 0 THEN
+         |             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0 END) AS best_sim
+         |         FROM asg a JOIN capped b ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |         GROUP BY a.vec_id)
+         |SELECT a.vec_id, a.cid AS cell, best_sim,
+         |  (best_sim IS NULL OR best_sim < 0.3) AS kept
+         |FROM asg a LEFT JOIN best ON a.vec_id = best.vec_id
+         |ORDER BY a.vec_id""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.semanticDedupCapped(e, Similarity.kmeansCentroids(e, 16, 1),
+          0.3, 50)
+        .orderBy("vec_id")
     }
   )
 }

@@ -607,6 +607,43 @@ class AnalyticsSpec extends SparkSpec {
       "a row whose best_sim equals tau must be dropped (kept ⇔ best_sim < tau)")
   }
 
+  test("semanticDedupCapped: M ≥ max cell ≡ uncapped; binding cap only ever keeps MORE; saturation priced") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val cent = Similarity.kmeansCentroids(e, 8, 1).localCheckpoint(true)
+    val tau = 0.30
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val full = rows(Similarity.semanticDedup(e, cent, tau))
+    // a cap no cell reaches is the identity
+    val loose = rows(Similarity.semanticDedupCapped(e, cent, tau, 1000000))
+    assert(loose == full, "non-binding cap must be exactly semanticDedup")
+    // a binding cap: best_sim can only drop, kept can only grow
+    val capped = rows(Similarity.semanticDedupCapped(e, cent, tau, 5))
+    val fullBy = full.map(t => t._1 -> t).toMap
+    capped.foreach { case (id, cell, bs, kept) =>
+      val (_, fCell, fBs, fKept) = fullBy(id)
+      assert(cell == fCell, "the cap must not move assignments")
+      assert((bs, fBs) match {
+        case (None, _) => true
+        case (Some(c), Some(f)) => c <= f
+        case (Some(_), None) => false
+      }, s"capped best_sim must be ≤ uncapped for $id: $bs vs $fBs")
+      if (fKept) assert(kept, s"cap must never prune a vector the full run keeps ($id)")
+    }
+    assert(capped.count(_._4) > full.count(_._4),
+      "cap=5 must bind on this fixture (more kept than uncapped)")
+    // the report prices exactly the diverted rows
+    val sat = Similarity.semanticCellSaturation(e, cent, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cellSizes = full.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sat.nonEmpty && sat.forall { case (cell, n, dropped) =>
+      cellSizes(cell) == n && dropped == n - 5
+    }, sat.mkString(", "))
+    assert(sat.map(_._1).toSet == cellSizes.filter(_._2 > 5).keySet)
+  }
+
   test("semanticDedup zero-norm cellmates: null best_sim (no ANSI divide-by-zero), -0.0 normalized") {
     // k=2 so assignment runs the real greatest-over-cellKeys path:
     // zero-norm vectors get null sims → -2.0 → lowest cid (cell 0),
