@@ -384,6 +384,42 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming quantile-histogram sketch: bin-count state merges across batches ≡ batch histogram") {
+    // q120's mergeable sketch IS streaming-shaped: the (bin, cnt) rows
+    // are the aggregation state, and each micro-batch's arrivals merge by
+    // vector add — same contract, no rescan of prior batches. Two
+    // drops into ONE running query (state lives per query).
+    val W = 8.0
+    val events = Tables.events(spark, sf("sf0.001")).filter(col("value").isNotNull)
+    val a = events.filter(col("event_id") % 2 === 0)
+    val b = events.filter(col("event_id") % 2 =!= 0)
+    val dir = tmp("graft-sketch-in")
+    a.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+      .filter(col("value").isNotNull)
+    val q = stream
+      .groupBy(floor(col("value") / W).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sketch_out").start()
+    q.processAllAvailable() // night 1: sketch of a
+    val night1 = spark.table("sketch_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    b.write.mode("append").parquet(dir)
+    q.processAllAvailable() // night 2: b's arrivals merge into the state
+    val got = spark.table("sketch_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    q.stop()
+    def batchSketch(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(floor(col("value") / W).cast("long").as("bin"))
+        .agg(count(lit(1)).cast("long").as("cnt")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(night1 == batchSketch(a), "night-1 state ≡ batch sketch of a")
+    assert(got == batchSketch(events),
+      "merged streaming state ≡ the full-corpus batch histogram")
+    assert(night1 != got, "night 2 must actually have merged new rows")
+  }
+
   test("sliding windows: streaming rollup matches the q21 batch grid") {
     val events = Tables.events(spark, sf("sf0.001"))
     val dir = tmp("graft-slide-in")
