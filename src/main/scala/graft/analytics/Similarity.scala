@@ -808,6 +808,47 @@ object Similarity {
         (col("best_sim").isNull || col("best_sim") < tau).as("kept"))
   }
 
+  /** Semantic DECONTAMINATION — q68's n-gram benchmark-overlap check
+    * in embedding space: flag every TRAIN vector whose cell holds an
+    * EVAL vector at rounded cosine ≥ tau (the "remove training docs
+    * semantically close to the benchmark" pass a training-data
+    * pipeline runs before packing shards). Both corpora are assigned
+    * with the SAME frozen quantizer, so the comparison space is
+    * within-cell like [[semanticDedup]] — cross-cell contamination is
+    * invisible by design (the SemDeDup approximation; widen k-probe
+    * or lower tau when the q98-style audit says the quantizer is too
+    * coarse for the eval set).
+    *
+    * Scale shape: an eval/benchmark set is model-sized next to a
+    * training corpus, so the eval side BROADCASTS and the train side
+    * streams MAP-ONLY — no shuffle anywhere: assignment is the
+    * inlined-quantizer expression, the cell equi-join is a broadcast
+    * hash join, and the per-train max folds in the partial aggregate.
+    * Returns (vec_id, cell, best_eval_sim, contaminated):
+    * best_eval_sim = max rounded cosine to ANY eval cellmate (null ⇔
+    * none, or only zero-norm ones — the divide guard), contaminated ⇔
+    * best_eval_sim ≥ tau. */
+  def semanticContamination(train: DataFrame, eval: DataFrame,
+                            cent: DataFrame, tau: Double): DataFrame = {
+    val t = kmeansAssign(train, cent)
+      .withColumn("nrm", norm(col("embedding")))
+    val e = kmeansAssign(eval, cent)
+      .select(col("cid").as("ecid"), col("embedding").as("ev"))
+      .withColumn("en", norm(col("ev")))
+    val den = col("nrm") * col("en")
+    val best = t.join(broadcast(e), col("cid") === col("ecid"))
+      .groupBy(col("vec_id"))
+      .agg(max(when(den =!= lit(0.0),
+        graft.ops.Exact.duckRound(
+          dot(col("embedding"), col("ev")) / den, 6) + lit(0.0)))
+        .as("best_eval_sim"))
+    t.select(col("vec_id"), col("cid"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").as("cell"), col("best_eval_sim"),
+        (col("best_eval_sim").isNotNull && col("best_eval_sim") >= tau)
+          .as("contaminated"))
+  }
+
   /** Side report of the cells [[semanticDedupCapped]] saturated:
     * (cell, n_members, n_dropped) for every cell past `memberCap` —
     * a hot cell here is the quantizer telling you its k is too small

@@ -652,6 +652,63 @@ object SimilarityQueries {
       Similarity.semanticDedupCapped(e, Similarity.kmeansCentroids(e, 16, 1),
           0.3, 50)
         .orderBy("vec_id")
+    },
+
+    // ---------------------------------------------------------------- q123
+    // Semantic decontamination — q68's benchmark-overlap pass in
+    // embedding space: the corpus splits 80/20 into train/eval
+    // (q117's split), the quantizer trains on TRAIN only, both sides
+    // assign with it frozen, and every train vector is flagged when
+    // some eval vector shares its cell at rounded cosine ≥ tau. The
+    // eval side broadcasts (benchmark ≪ corpus), so the whole query
+    // is map-only — zero shuffles on the train side. tau=0.3 sits in
+    // the corpus's top-neighbor band so the gate exercises both
+    // flagged and clean rows; the full flag decision is hash-checked.
+    Q("q123_semantic_decontamination",
+      s"""$normCtes,
+         |ni AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+         |ne AS (SELECT * FROM n WHERE vec_id % 5 = 0),
+         |cent0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM ni ORDER BY vec_id LIMIT 16),
+         |asg0 AS (SELECT vec_id, cid, v FROM (
+         |    SELECT ni.vec_id, cent0.cid, ni.v,
+         |      row_number() OVER (PARTITION BY ni.vec_id
+         |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
+         |    FROM ni, cent0) WHERE rr = 1),
+         |dims AS (SELECT cid, i - 1 AS pos, v[i] AS x
+         |         FROM (SELECT cid, v, unnest(generate_series(1, len(v))) AS i FROM asg0)),
+         |cm AS (SELECT cid, pos,
+         |         CAST(sum(CAST(round(x, 6) AS DECIMAL(21,10))) AS DOUBLE) / count(*) AS m
+         |       FROM dims GROUP BY cid, pos),
+         |tc AS (SELECT cid, list(m ORDER BY pos) AS cv FROM cm GROUP BY cid),
+         |tcn AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM tc),
+         |asgt AS (SELECT vec_id, cid, v, nrm FROM (
+         |    SELECT ni.vec_id, tcn.cid, ni.v, ni.nrm,
+         |      row_number() OVER (PARTITION BY ni.vec_id
+         |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
+         |    FROM ni, tcn) WHERE rr = 1),
+         |asge AS (SELECT vec_id, cid, v, nrm FROM (
+         |    SELECT ne.vec_id, tcn.cid, ne.v, ne.nrm,
+         |      row_number() OVER (PARTITION BY ne.vec_id
+         |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
+         |    FROM ne, tcn) WHERE rr = 1),
+         |best AS (SELECT t.vec_id,
+         |           max(CASE WHEN t.nrm * e.nrm <> 0 THEN
+         |             round(list_dot_product(t.v, e.v) / (t.nrm * e.nrm), 6) + 0.0 END) AS best_eval_sim
+         |         FROM asgt t JOIN asge e ON t.cid = e.cid
+         |         GROUP BY t.vec_id)
+         |SELECT t.vec_id, t.cid AS cell, best_eval_sim,
+         |  (best_eval_sim IS NOT NULL AND best_eval_sim >= 0.3) AS contaminated
+         |FROM asgt t LEFT JOIN best ON t.vec_id = best.vec_id
+         |ORDER BY t.vec_id""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val train = e.filter(col("vec_id") % 5 =!= 0)
+      val eval = e.filter(col("vec_id") % 5 === 0)
+      // checkpoint the 16-row model: semanticContamination assigns
+      // BOTH corpora, and each assignment collects the quantizer —
+      // without this the training chain would execute twice (q117)
+      val cent = Similarity.kmeansCentroids(train, 16, 1).localCheckpoint(true)
+      Similarity.semanticContamination(train, eval, cent, 0.3)
+        .orderBy("vec_id")
     }
   )
 }

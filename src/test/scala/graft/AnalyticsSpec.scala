@@ -644,6 +644,43 @@ class AnalyticsSpec extends SparkSpec {
     assert(sat.map(_._1).toSet == cellSizes.filter(_._2 > 5).keySet)
   }
 
+  test("semanticContamination: flags match the brute-force within-cell oracle; eval side broadcasts") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val train = e.filter($"vec_id" % 5 =!= 0)
+    val ev = e.filter($"vec_id" % 5 === 0)
+    val cent = Similarity.kmeansCentroids(train, 8, 1).localCheckpoint(true)
+    val tau = 0.30
+    val out = Similarity.semanticContamination(train, ev, cent, tau)
+    // map-only claim: the eval side broadcasts, no shuffle of train
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3)))
+    // brute force from the independently-tested assignment
+    def asgOf(df: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansAssign(df, cent).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Float](2).toArray.map(_.toDouble)))
+    def d(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val evByCell = asgOf(ev).groupBy(_._2)
+    val expected = asgOf(train).map { case (id, cid, v) =>
+      val sims = evByCell.getOrElse(cid, Array.empty).flatMap { case (_, _, w) =>
+        val den = math.sqrt(d(v, v)) * math.sqrt(d(w, w))
+        if (den == 0.0) None else Some(duck6(d(v, w) / den) + 0.0)
+      }
+      id -> (if (sims.isEmpty) None else Some(sims.max))
+    }.toMap
+    assert(got.length == expected.size)
+    got.foreach { case (id, _, bs, flag) =>
+      assert(bs == expected(id), s"best_eval_sim mismatch for $id")
+      assert(flag == bs.exists(_ >= tau), s"flag rule broken for $id")
+    }
+    assert(got.exists(_._4) && got.exists(!_._4),
+      "fixture must produce both flagged and clean rows")
+  }
+
   test("semanticDedup zero-norm cellmates: null best_sim (no ANSI divide-by-zero), -0.0 normalized") {
     // k=2 so assignment runs the real greatest-over-cellKeys path:
     // zero-norm vectors get null sims → -2.0 → lowest cid (cell 0),
