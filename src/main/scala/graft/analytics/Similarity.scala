@@ -125,11 +125,15 @@ object Similarity {
       col("v1"), guard)
     val b = n.select(col("vec_id").as("v2"), col("embedding").as("bv"), col("nrm").as("bn"))
       .withColumn("_blk", pmod(col("v2"), lit(blocks)).cast("int"))
+    // zero-norm guard (round 8): ANSI Spark throws on double x/0;
+    // a null cosine simply fails the threshold filter, matching the
+    // DuckDB oracle's CASE-guarded spelling on such rows
+    val den = col("an") * col("bn")
     b.join(broadcast(a), Seq("_blk"))
       .filter(col("v1") < col("v2"))
       .select(col("v1"), col("v2"),
-        graft.ops.Exact.duckRound(
-          dot(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("sim"))
+        when(den =!= lit(0.0), graft.ops.Exact.duckRound(
+          dot(col("av"), col("bv")) / den, 6)).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -847,6 +851,30 @@ object Similarity {
       .select(col("vec_id"), col("cid").as("cell"), col("best_eval_sim"),
         (col("best_eval_sim").isNotNull && col("best_eval_sim") >= tau)
           .as("contaminated"))
+  }
+
+  /** Audit of SemDeDup's within-cell approximation — the q98 pattern
+    * for the semantic-dedup regime: per vector, the WITHIN-CELL best
+    * lower-id cosine ([[semanticDedup]]'s decision input) next to the
+    * TRUE best over ALL lower-id vectors (the guarded exact all-pairs
+    * baseline), with `missed` flagging vectors a full near-dup pass
+    * would prune but the cell approximation keeps (true_best ≥ tau,
+    * cell_best < tau or absent). A high missed count says the
+    * quantizer is too coarse for the corpus at this tau — grow k or
+    * widen probes. Deliberately quadratic through
+    * [[cosineNearDupPairs]]'s guard: run it on a sample at corpus
+    * scale, exactly like the q98 recall audit. */
+  def semanticDedupAudit(vecs: DataFrame, cent: DataFrame, tau: Double,
+                         maxVectors: Long = 100000L): DataFrame = {
+    val cellBest = semanticDedup(vecs, cent, tau)
+      .select(col("vec_id"), col("cell"), col("best_sim").as("cell_best"))
+    val trueBest = cosineNearDupPairs(vecs, -1.0, maxVectors)
+      .groupBy(col("v2").as("vec_id"))
+      .agg(max(col("sim") + lit(0.0)).as("true_best"))
+    cellBest.join(trueBest, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("cell_best"), col("true_best"),
+        (col("true_best").isNotNull && col("true_best") >= tau &&
+          (col("cell_best").isNull || col("cell_best") < tau)).as("missed"))
   }
 
   /** Side report of the cells [[semanticDedupCapped]] saturated:

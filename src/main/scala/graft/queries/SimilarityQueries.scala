@@ -709,6 +709,58 @@ object SimilarityQueries {
       val cent = Similarity.kmeansCentroids(train, 16, 1).localCheckpoint(true)
       Similarity.semanticContamination(train, eval, cent, 0.3)
         .orderBy("vec_id")
+    },
+
+    // ---------------------------------------------------------------- q124
+    // SemDeDup approximation audit — the q98 pattern for the semantic
+    // family: per vector, q119's within-cell best lower-id cosine
+    // next to the TRUE best over all lower-id vectors (exact all-pairs
+    // — the deliberate guarded baseline, sample-sized at corpus
+    // scale), and `missed` = a full near-dup pass would prune it but
+    // the cell approximation keeps it. User-runnable telemetry for
+    // the k-vs-tau knob: a rising missed count means grow k or widen
+    // probes. Every column is hash-checked, so the audit itself is
+    // engine-portable, not just its summary.
+    Q("q124_semantic_dedup_audit",
+      s"""$normCtes,
+         |cent0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT 16),
+         |asg0 AS (SELECT vec_id, cid, v FROM (
+         |    SELECT n.vec_id, cent0.cid, n.v,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
+         |    FROM n, cent0) WHERE rr = 1),
+         |dims AS (SELECT cid, i - 1 AS pos, v[i] AS x
+         |         FROM (SELECT cid, v, unnest(generate_series(1, len(v))) AS i FROM asg0)),
+         |cm AS (SELECT cid, pos,
+         |         CAST(sum(CAST(round(x, 6) AS DECIMAL(21,10))) AS DOUBLE) / count(*) AS m
+         |       FROM dims GROUP BY cid, pos),
+         |tc AS (SELECT cid, list(m ORDER BY pos) AS cv FROM cm GROUP BY cid),
+         |tcn AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM tc),
+         |asg AS (SELECT vec_id, cid, v, nrm FROM (
+         |    SELECT n.vec_id, tcn.cid, n.v, n.nrm,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
+         |    FROM n, tcn) WHERE rr = 1),
+         |best AS (SELECT a.vec_id,
+         |           max(CASE WHEN a.nrm * b.nrm <> 0 THEN
+         |             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0 END) AS cell_best
+         |         FROM asg a JOIN asg b ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |         GROUP BY a.vec_id),
+         |tb AS (SELECT a.vec_id,
+         |         max(CASE WHEN a.nrm * b.nrm <> 0 THEN
+         |           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0 END) AS true_best
+         |       FROM n a JOIN n b ON b.vec_id < a.vec_id
+         |       GROUP BY a.vec_id)
+         |SELECT a.vec_id, a.cid AS cell, cell_best, true_best,
+         |  (true_best IS NOT NULL AND true_best >= 0.3
+         |    AND (cell_best IS NULL OR cell_best < 0.3)) AS missed
+         |FROM asg a LEFT JOIN best ON a.vec_id = best.vec_id
+         |             LEFT JOIN tb ON a.vec_id = tb.vec_id
+         |ORDER BY a.vec_id""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.semanticDedupAudit(e, Similarity.kmeansCentroids(e, 16, 1),
+          0.3)
+        .orderBy("vec_id")
     }
   )
 }

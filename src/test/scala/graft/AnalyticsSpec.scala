@@ -644,6 +644,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(sat.map(_._1).toSet == cellSizes.filter(_._2 > 5).keySet)
   }
 
+  test("semanticDedupAudit: cell_best ≤ true_best, missed ⊆ kept, non-vacuous") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val cent = Similarity.kmeansCentroids(e, 8, 1).localCheckpoint(true)
+    val tau = 0.30
+    val audit = Similarity.semanticDedupAudit(e, cent, tau).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getBoolean(4)))
+    val kept = Similarity.semanticDedup(e, cent, tau).collect()
+      .filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    audit.foreach { case (id, cb, tb, missed) =>
+      // cell pairs ⊆ all pairs ⇒ the within-cell max can never exceed
+      // the global max; equal-id sets make both None together only
+      // when id is the global minimum
+      (cb, tb) match {
+        case (Some(c), Some(t)) => assert(c <= t, s"$id: cell $c > true $t")
+        case (Some(_), None) => fail(s"$id has a cell mate but no global mate")
+        case _ => ()
+      }
+      if (missed) assert(kept.contains(id),
+        s"$id flagged missed must be a vector semanticDedup keeps")
+      assert(missed == (tb.exists(_ >= tau) && !cb.exists(_ >= tau)), s"flag rule $id")
+    }
+    assert(audit.exists(_._4), "audit must flag something on this fixture")
+    assert(audit.exists(a => !a._4), "audit must clear something")
+  }
+
   test("semanticContamination: flags match the brute-force within-cell oracle; eval side broadcasts") {
     val e = Tables.embeddings(spark, sf("sf0.001"))
     val train = e.filter($"vec_id" % 5 =!= 0)
