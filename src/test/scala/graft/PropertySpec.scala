@@ -146,6 +146,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q120 histogram binning: Spark floor(x/8) matches Scala IEEE on random doubles incl. negatives; rank invariant holds") {
+    // the corpus never exercises negative values or exact bin edges —
+    // random doubles do. Division by a power of two is an exponent
+    // shift, so Spark's floor(x/8.0) must agree bit-for-bit with the
+    // driver-side computation for ANY double, and the q120 estimate
+    // invariant (bin upper edge strictly above the rank-r order stat,
+    // by at most one bin width) must hold on arbitrary data.
+    val W = 8.0
+    (1 to 6).foreach { _ =>
+      val xs = List.fill(rnd.nextInt(200) + 20)(
+        (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(5)))
+      val got = xs.toDF("value")
+        .select(floor(col("value") / W).cast("long").as("bin")).collect()
+        .map(_.getLong(0)).toList
+      val want = xs.map(x => math.floor(x / W).toLong)
+      assert(got == want, "engine binning must equal IEEE floor(x/W)")
+      // estimate invariant at every q on this batch
+      val sorted = xs.sorted
+      val n = xs.length
+      Seq(0.5, 0.9, 0.99).foreach { q =>
+        val r = math.ceil(q * n).toLong.toInt
+        val xr = sorted(r - 1)
+        val binCounts = xs.groupBy(x => math.floor(x / W).toLong).view
+          .mapValues(_.size).toMap
+        val bins = binCounts.keys.toList.sorted
+        val cum = bins.scanLeft(0L)((a, b) => a + binCounts(b)).tail
+        val bIdx = cum.indexWhere(_ >= r)
+        val est = (bins(bIdx) + 1) * W
+        assert(est > xr && est - xr <= W,
+          s"q=$q n=$n: est=$est xr=$xr violates the (0, W] bound")
+      }
+    }
+  }
+
   test("probeMasks: combination construction equals the Hamming-ball definition") {
     // the combination spelling exists so wide signatures never sweep
     // 2^nPlanes on the driver; it must stay set-equal (and sorted)
