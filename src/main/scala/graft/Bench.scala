@@ -75,7 +75,11 @@ object Bench {
     }
     // Warmup filled the family caches against warmupDir — drop them so
     // the measured pass starts from the state a real run starts from.
+    // Operator-internal retained persists (the semantic family) too:
+    // with the warmupDir==sfDir fallback a stale warmup cache would
+    // otherwise make run 1 of those queries read warm.
     graft.queries.DedupQueries.releaseCaches(spark)
+    graft.analytics.Similarity.releaseRetained(spark)
     // The last query (in run order) that reads the dedup-family session
     // caches: right after it, the caches are released and a GC nudges
     // the ContextCleaner to free the family's localCheckpoint RDDs.
@@ -96,15 +100,18 @@ object Bench {
         }
         val sec = (System.nanoTime() - t0) / 1e9
         val cpu = if (c0 < 0) -1.0 else (cpuNanos - c0) / 1e9
+        // operator-internal persists (the semantic family's assignment)
+        // must release PER RUN, not per query: run 2 builds an
+        // identical analyzed plan and CacheManager plan-matching would
+        // otherwise serve it run 1's InMemoryRelation, turning the
+        // best-of-N into a warm-cache number no real first run sees
+        graft.analytics.Similarity.releaseRetained(spark)
         (sec, (gcMillis - g0) / 1e3, cpu)
       }
       if (i == lastCacheUser) {
         graft.queries.DedupQueries.releaseCaches(spark)
         System.gc() // lets ContextCleaner reclaim family checkpoint RDDs
       }
-      // operator-internal persists (semanticDedup's assignment) are
-      // single-query artifacts — free them as soon as the query ends
-      graft.analytics.Similarity.releaseRetained(spark)
       (q.name, runs.minBy(_._1))
     }
     // Short qNN keys keep the whole line under the driver's 2000-char

@@ -407,12 +407,19 @@ object Similarity {
     * `maxInlineDoubles` (see MAX_INLINE_DOUBLES) the broadcast-join
     * fallback takes over with identical output. */
   def kmeansAssign(vecs: DataFrame, cent: DataFrame,
-                   maxInlineDoubles: Long = MAX_INLINE_DOUBLES): DataFrame = {
+                   maxInlineDoubles: Long = MAX_INLINE_DOUBLES): DataFrame =
     // ONE action on the centroid plan: the model rows decide
     // inline-vs-join AND feed whichever path runs (re-probing the
     // plan with a count/min(size) aggregate would execute a possibly
     // full-corpus centroid derivation twice per call)
-    val quant = collectQuantizer(cent)
+    assignWithQuant(vecs, collectQuantizer(cent), maxInlineDoubles)
+
+  /** Assignment from an ALREADY-COLLECTED quantizer — the path for
+    * operators that assign several corpora with one model
+    * (semanticContamination): collect once, assign many. */
+  private def assignWithQuant(vecs: DataFrame,
+                              quant: Array[(Long, Array[Double], Double)],
+                              maxInlineDoubles: Long): DataFrame = {
     val modelDoubles = quant.foldLeft(0L)((a, c) => a + c._2.length)
     if (modelDoubles > maxInlineDoubles) assignByJoin(vecs, quant)
     else
@@ -658,15 +665,20 @@ object Similarity {
 
   /** Frames persisted INSIDE an operator call (semanticDedup's
     * cell assignment) — registered so a suite harness can free them
-    * once the consuming query finishes (Bench/Verify call
-    * [[releaseRetained]] per query; a lone caller can too, or just
-    * let session stop reclaim them). Weakly keyed by session like
-    * DedupQueries.shingleCache, same value→key caveat: entries only
-    * die via explicit release or session stop. persist (lazy,
+    * once the consuming work finishes (Bench releases PER RUN — a
+    * best-of-N repeat builds an identical analyzed plan, and
+    * CacheManager plan-matching would otherwise hand run 2 the
+    * run-1 InMemoryRelation, turning the best-of into a warm-cache
+    * number; Verify releases per query; a lone caller can too, or
+    * just let session stop reclaim them). Weakly keyed by session
+    * like DedupQueries.shingleCache, same value→key caveat: entries
+    * only die via explicit release or session stop. persist (lazy,
     * MEMORY_AND_DISK) beat eager localCheckpoint(true) for the
-    * embedding-wide assignment — q119 best-of-2 at sf0.1: 1.70 s vs
-    * 2.22 s (the checkpoint copies every partition up front;
-    * the cache fills during the first consumer's scan). */
+    * embedding-wide assignment — q119 best-of-2 at sf0.1: 2.22 s
+    * checkpointed vs 1.70 s persisted, re-confirmed 1.69 s under the
+    * per-run cold-release protocol (the win is within-run laziness
+    * across the 3 consumers — the checkpoint copies every partition
+    * up front — not cross-run cache reuse). */
   private val retainedFrames = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.ListBuffer[DataFrame]]())
@@ -729,11 +741,26 @@ object Similarity {
     * negative cosine that rounds to -0.0 is emitted as 0.0 on both
     * engines. */
   def semanticDedup(vecs: DataFrame, cent: DataFrame, tau: Double): DataFrame = {
-    val asg = retain(kmeansAssign(vecs, cent)
+    val asg = retainedAssignment(vecs, cent)
+    semanticVerdict(asg, asg, tau)
+  }
+
+  /** The persisted (vec_id, cid, embedding, nrm) assignment every
+    * semantic operator starts from — retained for per-query release. */
+  private def retainedAssignment(vecs: DataFrame, cent: DataFrame): DataFrame =
+    retain(kmeansAssign(vecs, cent)
       .withColumn("nrm", norm(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Shared verdict body of [[semanticDedup]]/[[semanticDedupCapped]]:
+    * per `asg` vector, the max zero-norm-guarded `+ 0.0`-normalized
+    * rounded cosine over `candidates`' LOWER-id cellmates, then the
+    * kept rule. ONE copy of the parity-critical guard/rounding
+    * spelling — the capped twin differs only in its candidate side. */
+  private def semanticVerdict(asg: DataFrame, candidates: DataFrame,
+                              tau: Double): DataFrame = {
     val a = asg.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
-    val b = asg.select(col("cid").as("bcid"), col("vec_id").as("bid"),
+    val b = candidates.select(col("cid").as("bcid"), col("vec_id").as("bid"),
       col("embedding").as("bv"), col("nrm").as("bn"))
     // zero-norm guard: ANSI Spark THROWS on double x/0 while DuckDB
     // returns NULL — null the cosine explicitly so both engines agree
@@ -787,29 +814,15 @@ object Similarity {
   def semanticDedupCapped(vecs: DataFrame, cent: DataFrame, tau: Double,
                           memberCap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val asg = retain(kmeansAssign(vecs, cent)
-      .withColumn("nrm", norm(col("embedding")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val asg = retainedAssignment(vecs, cent)
     val capped = asg
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("cid"))
           .orderBy(sha2(concat_ws("|", col("cid").cast("string"),
             col("vec_id").cast("string")), 256), col("vec_id"))))
       .filter(col("rk") <= memberCap)
-    val a = asg.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
-    val b = capped.select(col("cid").as("bcid"), col("vec_id").as("bid"),
-      col("embedding").as("bv"), col("nrm").as("bn"))
-    val den = col("nrm") * col("bn")
-    val best = a.join(b, col("cid") === col("bcid") && col("bid") < col("vec_id"))
-      .groupBy(col("vec_id"))
-      .agg(max(when(den =!= lit(0.0),
-        graft.ops.Exact.duckRound(
-          dot(col("embedding"), col("bv")) / den, 6) + lit(0.0)))
-        .as("best_sim"))
-    asg.select(col("vec_id"), col("cid"))
-      .join(best, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cid").as("cell"), col("best_sim"),
-        (col("best_sim").isNull || col("best_sim") < tau).as("kept"))
+      .drop("rk")
+    semanticVerdict(asg, capped, tau)
   }
 
   /** Semantic DECONTAMINATION — q68's n-gram benchmark-overlap check
@@ -825,29 +838,35 @@ object Similarity {
     *
     * Scale shape: an eval/benchmark set is model-sized next to a
     * training corpus, so the eval side BROADCASTS and the train side
-    * streams MAP-ONLY — no shuffle anywhere: assignment is the
-    * inlined-quantizer expression, the cell equi-join is a broadcast
-    * hash join, and the per-train max folds in the partial aggregate.
+    * is scanned ONCE: assignment is the inlined-quantizer expression
+    * (the quantizer is collected once for both corpora), the cell
+    * equi-join is a map-side broadcast hash join, the per-vector max
+    * reduces in the partial aggregate, and the plan's single
+    * exchange is that final (vec_id, cid) groupBy — nothing
+    * corpus-sized shuffles except the one verdict-row aggregation.
     * Returns (vec_id, cell, best_eval_sim, contaminated):
     * best_eval_sim = max rounded cosine to ANY eval cellmate (null ⇔
     * none, or only zero-norm ones — the divide guard), contaminated ⇔
     * best_eval_sim ≥ tau. */
   def semanticContamination(train: DataFrame, eval: DataFrame,
                             cent: DataFrame, tau: Double): DataFrame = {
-    val t = kmeansAssign(train, cent)
+    // ONE execution of the centroid plan for both assignments
+    val quant = collectQuantizer(cent)
+    val t = assignWithQuant(train, quant, MAX_INLINE_DOUBLES)
       .withColumn("nrm", norm(col("embedding")))
-    val e = kmeansAssign(eval, cent)
+    val e = assignWithQuant(eval, quant, MAX_INLINE_DOUBLES)
       .select(col("cid").as("ecid"), col("embedding").as("ev"))
       .withColumn("en", norm(col("ev")))
     val den = col("nrm") * col("en")
-    val best = t.join(broadcast(e), col("cid") === col("ecid"))
-      .groupBy(col("vec_id"))
+    // LEFT broadcast join: vectors with no eval cellmate keep their
+    // row with a null max; (vec_id, cid) is functional, so grouping
+    // on both leaves ONE exchange and ONE train scan in the plan
+    t.join(broadcast(e), col("cid") === col("ecid"), "left")
+      .groupBy(col("vec_id"), col("cid"))
       .agg(max(when(den =!= lit(0.0),
         graft.ops.Exact.duckRound(
           dot(col("embedding"), col("ev")) / den, 6) + lit(0.0)))
         .as("best_eval_sim"))
-    t.select(col("vec_id"), col("cid"))
-      .join(best, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid").as("cell"), col("best_eval_sim"),
         (col("best_eval_sim").isNotNull && col("best_eval_sim") >= tau)
           .as("contaminated"))

@@ -703,10 +703,7 @@ object SimilarityQueries {
       val e = Tables.embeddings(s, d)
       val train = e.filter(col("vec_id") % 5 =!= 0)
       val eval = e.filter(col("vec_id") % 5 === 0)
-      // checkpoint the 16-row model: semanticContamination assigns
-      // BOTH corpora, and each assignment collects the quantizer —
-      // without this the training chain would execute twice (q117)
-      val cent = Similarity.kmeansCentroids(train, 16, 1).localCheckpoint(true)
+      val cent = Similarity.kmeansCentroids(train, 16, 1)
       Similarity.semanticContamination(train, eval, cent, 0.3)
         .orderBy("vec_id")
     },
