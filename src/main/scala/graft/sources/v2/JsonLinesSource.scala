@@ -212,7 +212,28 @@ final class JsonLinesScan(fullSchema: StructType, required: StructType,
                           agg: Option[(Seq[String], Seq[AggSpec])] = None,
                           limit: Option[Int] = None,
                           topN: Option[(Seq[SortKey], Int)] = None)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  /** Join-driven runtime row filtering (the DSv2 face of dynamic
+    * partition pruning): when this scan probes a broadcast join,
+    * Spark evaluates the build side first and hands the scan the
+    * observed join-key values as IN/=-shaped predicates — rows that
+    * cannot join are dropped at the line reader, before row
+    * construction, exactly like the statically pushed filters (and
+    * like them they are re-applied by Spark above, so a predicate we
+    * fail to translate costs nothing but the skipped pruning). Only
+    * the plain row-reader path can receive these: the DPP planner
+    * rule matches nothing but Project/Filter between join and scan,
+    * so a pushed aggregate or top-N (whose semantics pre-join row
+    * drops WOULD change) structurally cannot co-occur. */
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    fullSchema.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    runtimeFilters = predicates.flatMap(RuntimePredicate.toSourceFilter)
 
   /** When an aggregate is pushed, the scan's output IS the per-file
     * partial aggregation rows: group columns then agg columns, by
@@ -258,7 +279,10 @@ final class JsonLinesScan(fullSchema: StructType, required: StructType,
     case (None, Some((keys, n))) =>
       new JsonLinesTopNReaderFactory(fullSchema, required, pushed, keys, n)
     case (None, None) =>
-      new JsonLinesReaderFactory(fullSchema, required, pushed, limit)
+      // runtimeFilters is set (if ever) before Spark asks for the
+      // reader factory — the DPP subquery completes first
+      new JsonLinesReaderFactory(fullSchema, required,
+        pushed ++ runtimeFilters, limit)
   }
 
   override def toMicroBatchStream(checkpointLocation: String)
@@ -578,11 +602,58 @@ final class JsonLinesAggReader(file: String, fullSchema: StructType,
   override def close(): Unit = ()
 }
 
+/** Translation of the V2 `Predicate`s Spark hands to
+  * SupportsRuntimeV2Filtering into the source's `Filter` algebra.
+  * Runtime filters arrive as IN (broadcast join-key value sets) or
+  * `=`; anything else is dropped — Spark re-applies every predicate
+  * above the scan, so an untranslated shape only skips the pruning. */
+private[v2] object RuntimePredicate {
+  import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  def toSourceFilter(p: Predicate): Option[Filter] = p.name() match {
+    case "IN" => p.children() match {
+      case arr if arr.length >= 2 => (fieldOf(arr.head), litsOf(arr.tail)) match {
+        case (Some(col), Some(vs)) => Some(In(col, vs))
+        case _ => None
+      }
+      case _ => None
+    }
+    case "=" => p.children() match {
+      case Array(f, l) => (fieldOf(f), litsOf(Array(l))) match {
+        case (Some(col), Some(Array(v))) => Some(EqualTo(col, v))
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+      case _ => None
+    }
+
+  private def litsOf(es: Array[org.apache.spark.sql.connector.expressions.Expression]): Option[Array[Any]] = {
+    val vs = es.map {
+      case l: Literal[_] => l.value match {
+        // Catalyst internal string → the JVM string LineParse rows hold
+        case s: UTF8String => s.toString
+        case other => other
+      }
+      case _ => null
+    }
+    if (vs.contains(null)) None else Some(vs)
+  }
+}
+
 /** Client-side evaluation of the pushed filter subset. */
 object FilterEval {
   def supported(f: Filter): Boolean = f match {
     case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
-         _: LessThan | _: LessThanOrEqual | _: IsNotNull | _: IsNull => true
+         _: LessThan | _: LessThanOrEqual | _: IsNotNull | _: IsNull |
+         _: In => true
     case And(l, r) => supported(l) && supported(r)
     case Or(l, r) => supported(l) && supported(r)
     case Not(c) => supported(c)
@@ -590,6 +661,7 @@ object FilterEval {
   }
 
   def eval(f: Filter, row: Map[String, Any]): Boolean = f match {
+    case In(a, vs)                => vs.exists(v => cmp(row.get(a).flatMap(Option(_)), v).contains(0))
     case EqualTo(a, v)            => cmp(row.get(a).flatMap(Option(_)), v).contains(0)
     case GreaterThan(a, v)        => cmp(row.get(a).flatMap(Option(_)), v).exists(_ > 0)
     case GreaterThanOrEqual(a, v) => cmp(row.get(a).flatMap(Option(_)), v).exists(_ >= 0)
