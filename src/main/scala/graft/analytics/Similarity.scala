@@ -283,6 +283,15 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
 
+  /** The collected (cid, centroid, norm) model rows, public — the
+    * FROZEN quantizer a long-running consumer (streaming semantic
+    * dedup, SemanticStream) captures once at startup; the stream's
+    * scalar assignment replicates nearestCellExpr bit-for-bit against
+    * exactly these tuples. One action on the centroid plan, like
+    * every other consumer. */
+  def frozenQuantizer(cent: DataFrame): Array[(Long, Array[Double], Double)] =
+    collectQuantizer(cent)
+
   /** A collected quantizer rebuilt as a local (cid, cv, cn) frame —
     * the broadcast side of assignByJoin. A centroid plan can be a
     * full-corpus pass (initCentroids is orderBy+limit over the whole
@@ -746,7 +755,17 @@ object Similarity {
   }
 
   /** The persisted (vec_id, cid, embedding, nrm) assignment every
-    * semantic operator starts from — retained for per-query release. */
+    * semantic operator starts from — retained for per-query release.
+    *
+    * CALLER CONTRACT (any long-lived session using the semantic
+    * operators — semanticDedup / semanticDedupCapped /
+    * semanticDecontaminate / semanticDedupAudit): each call persists
+    * this assignment MEMORY_AND_DISK and the entry lives until
+    * [[releaseRetained]] or session stop — the WeakHashMap cannot
+    * collect it because the retained frame strongly references its
+    * session key. Call `releaseRetained(spark)` after consuming each
+    * operator's result, as Bench (per run), Verify (per query), and
+    * the shared test harness (per suite) do. */
   private def retainedAssignment(vecs: DataFrame, cent: DataFrame): DataFrame =
     retain(kmeansAssign(vecs, cent)
       .withColumn("nrm", norm(col("embedding")))

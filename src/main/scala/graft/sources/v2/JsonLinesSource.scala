@@ -270,8 +270,32 @@ final class JsonLinesScan(fullSchema: StructType, required: StructType,
       s"$limitDesc$topNDesc, ReadSchema: ${readSchema().catalogString}"
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    JsonLinesScan.listFiles(path).map(JsonLinesPartition(_): InputPartition)
+  /** Runtime filters travel INSIDE the partitions, not the reader
+    * factory: Spark 4 forces `createReaderFactory()` at planning time
+    * (BatchScanExec.readerFactory is a lazy val touched by
+    * `supportsColumnar` before the DPP subquery runs), while after
+    * `filter()` it re-invokes only `planInputPartitions()` (inside
+    * `filteredPartitions`). Capturing `runtimeFilters` in the factory
+    * would therefore always see the empty pre-DPP array; embedding
+    * them per-partition rides the one hook that IS re-evaluated.
+    * Only the plain row reader receives them — a pushed aggregate or
+    * top-N partial would change meaning under pre-join row drops (and
+    * the DPP planner rule never offers filters to those shapes). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rf = if (agg.isEmpty && topN.isEmpty) runtimeFilters
+             else Array.empty[Filter]
+    JsonLinesScan.listFiles(path)
+      .map(JsonLinesPartition(_, rf): InputPartition)
+  }
+
+  /** Reader-level observability: rows actually emitted by the line
+    * readers, so reader-side pruning (static pushdown + runtime
+    * filters) is measurable from the executed plan's SQL metrics —
+    * at 100 TB the difference between "filter applied at the line
+    * reader" and "filter re-applied above the scan" is the scan's
+    * entire output volume, and this metric is the proof. */
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new RowsEmittedMetric)
 
   override def createReaderFactory(): PartitionReaderFactory = (agg, topN) match {
     case (Some((groups, funcs)), _) =>
@@ -279,10 +303,7 @@ final class JsonLinesScan(fullSchema: StructType, required: StructType,
     case (None, Some((keys, n))) =>
       new JsonLinesTopNReaderFactory(fullSchema, required, pushed, keys, n)
     case (None, None) =>
-      // runtimeFilters is set (if ever) before Spark asks for the
-      // reader factory — the DPP subquery completes first
-      new JsonLinesReaderFactory(fullSchema, required,
-        pushed ++ runtimeFilters, limit)
+      new JsonLinesReaderFactory(fullSchema, required, pushed, limit)
   }
 
   override def toMicroBatchStream(checkpointLocation: String)
@@ -386,15 +407,35 @@ final class JsonLinesMicroBatchStream(fullSchema: StructType,
   override def stop(): Unit = ()
 }
 
-final case class JsonLinesPartition(file: String) extends InputPartition
+/** `runtime` carries the join-driven DPP filters for THIS planning of
+  * the scan (see [[JsonLinesScan.planInputPartitions]]) — the batch
+  * path may embed them; the micro-batch path never does. */
+final case class JsonLinesPartition(file: String,
+                                    runtime: Array[Filter] = Array.empty)
+    extends InputPartition
+
+/** Sum-over-tasks metric for rows the line readers emit. */
+final class RowsEmittedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = RowsEmittedMetric.NAME
+  override def description(): String = "rows emitted by jsonl readers"
+}
+object RowsEmittedMetric { val NAME = "graftRowsEmitted" }
+
+private[v2] final case class RowsEmittedTaskMetric(value: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = RowsEmittedMetric.NAME
+}
 
 final class JsonLinesReaderFactory(fullSchema: StructType, required: StructType,
                                    pushed: Array[Filter],
                                    limit: Option[Int] = None)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new JsonLinesReader(partition.asInstanceOf[JsonLinesPartition].file,
-      fullSchema, required, pushed, limit)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[JsonLinesPartition]
+    new JsonLinesReader(p.file, fullSchema, required,
+      pushed ++ p.runtime, limit)
+  }
 }
 
 /** Shared line parsing for the row and aggregate readers. */
@@ -464,6 +505,8 @@ final class JsonLinesReader(file: String, fullSchema: StructType,
 
   override def get(): InternalRow = current
   override def close(): Unit = lines.close()
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(RowsEmittedTaskMetric(emitted))
 }
 
 final class JsonLinesTopNReaderFactory(fullSchema: StructType,
@@ -661,7 +704,9 @@ object FilterEval {
   }
 
   def eval(f: Filter, row: Map[String, Any]): Boolean = f match {
-    case In(a, vs)                => vs.exists(v => cmp(row.get(a).flatMap(Option(_)), v).contains(0))
+    // null list values skipped explicitly: SQL `x IN (null)` is never
+    // TRUE, and cmp's null/mismatch handling must not resurrect it
+    case In(a, vs)                => vs.exists(v => v != null && cmp(row.get(a).flatMap(Option(_)), v).contains(0))
     case EqualTo(a, v)            => cmp(row.get(a).flatMap(Option(_)), v).contains(0)
     case GreaterThan(a, v)        => cmp(row.get(a).flatMap(Option(_)), v).exists(_ > 0)
     case GreaterThanOrEqual(a, v) => cmp(row.get(a).flatMap(Option(_)), v).exists(_ >= 0)
@@ -676,13 +721,20 @@ object FilterEval {
   }
 
   /** None when the row value is null (SQL three-valued logic ⇒ filter
-    * comparisons against null are not satisfied). */
-  private def cmp(rowVal: Option[Any], filterVal: Any): Option[Int] = rowVal.map {
-    case x: Long => java.lang.Long.compare(x, filterVal.asInstanceOf[Number].longValue())
-    case x: Int => java.lang.Integer.compare(x, filterVal.asInstanceOf[Number].intValue())
-    case x: Double => java.lang.Double.compare(x, filterVal.asInstanceOf[Number].doubleValue())
-    case x: Boolean => java.lang.Boolean.compare(x, filterVal.asInstanceOf[Boolean])
-    case x: String => x.compareTo(String.valueOf(filterVal))
-    case _ => Int.MaxValue
-  }
+    * comparisons against null are not satisfied) AND on any
+    * null/type-mismatched filter value: an unknown shape must decline
+    * (row kept only by Spark's re-applied copy), never silently
+    * match — the agg/top-N readers' partials cannot be repaired if a
+    * wrong pre-aggregation row drop sneaks in. */
+  private def cmp(rowVal: Option[Any], filterVal: Any): Option[Int] =
+    rowVal.flatMap { x =>
+      (x, filterVal) match {
+        case (x: Long, v: Number)     => Some(java.lang.Long.compare(x, v.longValue()))
+        case (x: Int, v: Number)      => Some(java.lang.Integer.compare(x, v.intValue()))
+        case (x: Double, v: Number)   => Some(java.lang.Double.compare(x, v.doubleValue()))
+        case (x: Boolean, v: Boolean) => Some(java.lang.Boolean.compare(x, v))
+        case (x: String, v: String)   => Some(x.compareTo(v))
+        case _                        => None
+      }
+    }
 }
