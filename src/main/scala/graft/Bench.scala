@@ -89,7 +89,21 @@ object Bench {
     // share the JVM, so later passes measure steady-state rather than
     // JIT ramp; best-of damps the ±20-30% launch-to-launch variance.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
+    // Fixed-work host-speed probes between every CAL_EVERY queries
+    // (and at the suite's edges): a contended window self-flags in
+    // the artifact — see Calibrate's scaladoc for why per-query cpu
+    // alone can't (the q118 memory-stall blind spot). ~0.2 s/probe,
+    // untimed (runs between measured queries). 0 disables.
+    val calEvery = sys.env.getOrElse("SPARK_GRAFT_CAL", "8").toInt
+    Calibrate.threads = cpus.toInt
+    if (calEvery > 0) Calibrate.warmup()
+    val windows = scala.collection.mutable.ArrayBuffer.empty[Calibrate.Window]
+    def maybeProbe(i: Int, force: Boolean = false): Unit =
+      if (calEvery > 0 && (force || i % calEvery == 0))
+        windows += Calibrate.probe(i)
     val results = selected.zipWithIndex.map { case (q, i) =>
+      maybeProbe(i)
+      val load0 = Calibrate.loadAvg()
       val runs = (1 to repeat).map { _ =>
         val g0 = gcMillis
         val c0 = cpuNanos
@@ -112,36 +126,56 @@ object Bench {
         graft.queries.DedupQueries.releaseCaches(spark)
         System.gc() // lets ContextCleaner reclaim family checkpoint RDDs
       }
-      (q.name, runs.minBy(_._1))
+      (q.name, runs.minBy(_._1), math.max(load0, Calibrate.loadAvg()))
     }
+    maybeProbe(selected.length, force = true)
     // Short qNN keys keep the whole line under the driver's 2000-char
     // stdout tail buffer (the full names overflowed it in round 2 and
     // the driver recorded parsed=null); the registry names are the
     // same prefixes, so the mapping is unambiguous. Per-query GC rides
     // in the detail FILE, not the stdout line — 105 more keys would
     // blow the tail buffer.
-    val qs = results.map { case (k, (sec, _, _)) => "\"" + k.split('_').head + f"\":$sec%.3f" }
+    val qs = results.map { case (k, (sec, _, _), _) => "\"" + k.split('_').head + f"\":$sec%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val gcTotal = results.map(_._2._2).sum
     val cpuTotal = results.map(_._2._3).filter(_ >= 0).sum
+    // Calibration summary: best window = the run's quiet reference;
+    // max_infl = worst window's inflation vs it across both probes.
+    // Fixed work ⇒ absolute alu/mem compare directly across hosts and
+    // artifacts; max_infl ≈ 1 certifies an uncontended run, a spike
+    // localizes the stolen window to its query range.
+    val calSummary = if (windows.nonEmpty) {
+      val aluMin = windows.map(_.alu).min
+      val memMin = windows.map(_.mem).min
+      val maxInfl = windows.map(w => math.max(w.alu / aluMin, w.mem / memMin)).max
+      Some((aluMin, memMin, maxInfl))
+    } else None
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "bench_detail.json")
     try {
       // cpu beside gc makes a contended window self-diagnosing: an
       // inflated sec with cpu at its baseline = the host stole the
       // cores (the r5/r6 driver-artifact shape); cpu inflated with
-      // sec = the plan actually did more work.
-      val detail = results.map { case (k, (sec, gc, cpu)) =>
-        f""""$k":{"sec":$sec%.3f,"gc":$gc%.3f,"cpu":$cpu%.3f}"""
+      // sec = the plan actually did more work. `ld` (1-min system
+      // load) + the `cal` windows catch what cpu can't: memory-bound
+      // queries whose stall cycles bill as cpu (the r8 q118 shape).
+      val detail = results.map { case (k, (sec, gc, cpu), ld) =>
+        f""""$k":{"sec":$sec%.3f,"gc":$gc%.3f,"cpu":$cpu%.3f,"ld":$ld%.1f}"""
       }.mkString("{", ",", "}")
+      val cal = windows.map(w =>
+        f"""{"at":${w.nextQueryIdx},"alu":${w.alu}%.3f,"mem":${w.mem}%.3f,"ld":${w.load}%.1f}""")
+        .mkString("[", ",", "]")
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(
-        f"""{"sf":"$sfDir","total_sec":$total%.3f,"gc_sec":$gcTotal%.3f,"cpu_sec":$cpuTotal%.3f,"queries":$detail}""")
+        f"""{"sf":"$sfDir","total_sec":$total%.3f,"gc_sec":$gcTotal%.3f,"cpu_sec":$cpuTotal%.3f,"cal":$cal,"queries":$detail}""")
       finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","gc_sec":$gcTotal%.3f,"queries":$qs,"sf":"$sfDir"}""")
+    val calOut = calSummary.map { case (a, m, r) =>
+      f""","cal":{"alu":$a%.3f,"mem":$m%.3f,"max_infl":$r%.2f}"""
+    }.getOrElse("")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","gc_sec":$gcTotal%.3f$calOut,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

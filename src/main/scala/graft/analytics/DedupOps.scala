@@ -156,6 +156,20 @@ object DedupOps {
     * maximum-recall setting; q118 ships (40, 2). */
   def jaccardPairsMemberCapped(sh: DataFrame, threshold: Double,
                                memberCap: Int, minCooccur: Int = 1): DataFrame = {
+    // Shared-subtree cost, measured (round 9): the self-join's two
+    // branches repeat this window subtree, and on the COLD path AQE
+    // ReusedExchange dedups it (PlanSpec pins that executed-plan
+    // property — the path a 100 TB scan takes). Above a PERSISTED
+    // shingle input (the gate/bench cache) the per-instance
+    // TableCacheQueryStages break the canonical match and the window
+    // exchange genuinely runs twice — both materialization rewrites
+    // measured WORSE than paying it: collect_list + double-explode
+    // pairs ~4.8 s (ObjectHashAggregate object buffers for 591k
+    // shingle lists) and localCheckpoint(true) on `kept` ~3.9 s
+    // (at sf0.1 the cap doesn't bind, so `kept` IS the corpus and
+    // the checkpoint writes all of it) vs 2.8–3.5 s as-is, same-day
+    // windows. A cap-bound corpus (10×) shifts that calculus, but
+    // there the cold path + reuse is the realistic one.
     val kept = sh
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("s"))

@@ -203,4 +203,27 @@ class PlanSpec extends SparkSpec {
       }
     assert(offenders.isEmpty, s"unbounded-join plans: ${offenders.mkString(", ")}")
   }
+
+  test("q118: the member-cap window exchange is REUSED across the self-join (cold executed plan)") {
+    // BASELINE.md's cost model assumes the shuffle feeding the
+    // member-cap Window is paid once. On the cold path — the one a
+    // 100 TB scan takes — AQE materializes that as a ReusedExchange
+    // at runtime; this pins the EXECUTED plan so a future change
+    // that breaks canonical-plan matching (and silently doubles
+    // q118's most expensive stage) fails here. Known, documented
+    // exception (DedupOps.jaccardPairsMemberCapped scaladoc): above
+    // a PERSISTED shingle input, per-instance TableCacheQueryStages
+    // break the match and the exchange runs twice — both
+    // materialization rewrites measured worse (round 9), so the
+    // cached gate path accepts the recompute deliberately.
+    graft.queries.DedupQueries.releaseCaches(spark)
+    val sh = graft.analytics.TextAnalysis.shingleSet(
+      graft.sources.Tables.documents(spark, sf("sf0.001")), 3)
+    val cold = graft.analytics.DedupOps.jaccardPairsMemberCapped(sh, 0.6, 40, 2)
+    cold.collect() // AQE finalizes stage reuse only at execution
+    val coldPlan = cold.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head // final adaptive plan only
+    assert(coldPlan.contains("ReusedExchange"),
+      s"member-cap window exchange must be reused on the cold path:\n$coldPlan")
+  }
 }
