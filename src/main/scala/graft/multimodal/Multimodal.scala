@@ -332,4 +332,136 @@ object Multimodal {
         .map { case (frame, i) => FrameFeatures(r.media_id, i, decoder(frame)) }
     }
   }
+
+  /** Near-dup image corpus: documents partition into `nGroups` pixel
+    * classes (group = id % nGroups decides dimensions and the pixel
+    * pattern); alternating document "generations" within a group add
+    * +2 to every 24-bit pixel AFTER the pattern mix — a whole-image
+    * brightness nudge that leaves the perceptual hash within a few
+    * bits of the base class (re-encoded screenshots / re-saved
+    * thumbnails, the dominant image-dup mode in scraped corpora).
+    * The per-pixel pattern is a Knuth multiplicative mix
+    * ((x + 16y + 1024g)·2654435761 mod 2^24): pseudorandom per cell,
+    * so distinct groups land ~32 aHash bits apart — a plain gradient
+    * (ImageCodec's x·31+y·17 function) thresholds to near-identical
+    * half-plane bit patterns for EVERY seed and the whole corpus
+    * collapses into one near-dup class (measured before this mix was
+    * chosen). Every pixel stays closed-form, so a DuckDB oracle
+    * recomputes the hash pipeline without decoding a byte. */
+  def syntheticPngClasses(df: DataFrame, idCol: String = "doc_id",
+                          nGroups: Int = 41): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      imageIOInMemory()
+      it.map { id =>
+        val g = id % nGroups
+        val v = (id / nGroups) % 2
+        val w = (8 + g % 9).toInt
+        val h = (8 + g % 5).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val pv = ((x + 16L * y + 1024L * g) * 2654435761L % 16777216L
+              + v * 2L) % 16777216L
+            img.setRGB(x, y, pv.toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val p = bos.toByteArray
+        MediaRow(id, "image", p, MediaMeta(w, h, 0, 0L, nBytes = p.length.toLong))
+      }
+    }
+  }
+
+  /** 64-bit average-hash (aHash) perceptual signature through a REAL
+    * decode: full ImageIO pixel decode, 8×8 nearest-neighbor
+    * downsample in INTEGER arithmetic (sx = (cx·w)//8 — the q109
+    * engine-portable spelling), integer grayscale (r+g+b)//3, mean
+    * threshold with a FLOOR-divided mean — every step integer-exact
+    * so an oracle reproduces the bits from the closed-form pixels.
+    * Packed as two 32-bit words (hi = cells 32–63) because a signed
+    * 64-bit top bit is a cross-engine trap. Undecodable payloads drop
+    * (F5 per-row isolation). */
+  def perceptualHashes(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      imageIOInMemory()
+      rows.flatMap { r =>
+        val img = try {
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
+        } catch { case _: Throwable => None }
+        img.map { m =>
+          val gray = new Array[Int](64)
+          var sum = 0
+          var cy = 0
+          while (cy < 8) {
+            val sy = cy * m.getHeight / 8
+            var cx = 0
+            while (cx < 8) {
+              val p = m.getRGB(cx * m.getWidth / 8, sy) & 0xffffff
+              val gval = ((p >> 16 & 255) + (p >> 8 & 255) + (p & 255)) / 3
+              gray(cy * 8 + cx) = gval
+              sum += gval
+              cx += 1
+            }
+            cy += 1
+          }
+          val mu = sum / 64
+          var lo = 0L
+          var hi = 0L
+          var j = 0
+          while (j < 64) {
+            if (gray(j) >= mu) {
+              if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+            }
+            j += 1
+          }
+          (r.media_id, hi, lo)
+        }
+      }
+    }.toDF("media_id", "ph_hi", "ph_lo")
+  }
+
+  /** Perceptual-hash near-dup pairs with Hamming distance ≤ `maxDist`
+    * — the image face of the SimHash band machinery
+    * (DedupOps.simhashPairs): 8 bands of 8 bits over the 64-bit
+    * signature, candidates = pairs sharing any (band-index, band
+    * value) bucket, Hamming verify on the full signature. Pigeonhole
+    * makes this EXACT for maxDist ≤ 7 (8 bands, ≤7 flipped bits ⇒
+    * one band survives intact), so output equals the all-pairs
+    * spelling while the join touches n/256 of each band space —
+    * never a cross join.
+    *
+    * Scale: per-(k, band) bucket load is the class-collision rate,
+    * not corpus size; a pathological single-class corpus degrades to
+    * its clique output — which IS the answer, not a blow-up. The
+    * Hamming filter runs BEFORE the dedup shuffle (the simhashPairs
+    * lesson: it drops ~99.9% of banded candidates, so distinct
+    * shuffles thousands of rows, not millions). */
+  def phashNearDupPairs(sigs: DataFrame, maxDist: Int = 6): DataFrame = {
+    require(maxDist <= 7, s"8x8 banding is exact only to distance 7, got $maxDist")
+    val banded = sigs.select(col("media_id"), col("ph_hi"), col("ph_lo"),
+        explode(array((0 until 8).map(lit): _*)).as("k"))
+      .withColumn("band",
+        expr("shiftright(IF(k < 4, ph_lo, ph_hi), (k % 4) * 8)")
+          .bitwiseAND(lit(255L)))
+    val l = banded.select(col("k"), col("band"), col("media_id").as("d1"),
+      col("ph_hi").as("hi1"), col("ph_lo").as("lo1"))
+    val r = banded.select(col("k"), col("band"), col("media_id").as("d2"),
+      col("ph_hi").as("hi2"), col("ph_lo").as("lo2"))
+    l.join(r, Seq("k", "band")).filter(col("d1") < col("d2"))
+      .withColumn("hamming",
+        (bit_count(expr("hi1 ^ hi2")) + bit_count(expr("lo1 ^ lo2"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .distinct()
+  }
 }

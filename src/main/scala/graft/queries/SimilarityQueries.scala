@@ -758,6 +758,59 @@ object SimilarityQueries {
       Similarity.semanticDedupAudit(e, Similarity.kmeansCentroids(e, 16, 1),
           0.3)
         .orderBy("vec_id")
+    },
+
+    // ---------------------------------------------------------------- q125
+    // Perceptual-hash image near-dup — the dedup family extended to
+    // the media columns the engine already decodes: synthetic PNG
+    // classes (41 groups, alternating generations perturb the base
+    // 24-bit pixels by +2 AFTER the pattern mix — a whole-image
+    // brightness nudge), REAL ImageIO pixel decode → integer 8×8
+    // aHash packed as two 32-bit words, SimHash-style 8×8-bit banding
+    // for Hamming candidates (exact to distance 7 by pigeonhole),
+    // full-signature Hamming verify. The oracle recomputes every step
+    // from the closed-form pixel mix
+    // ((x + 16y + 1024g)·2654435761 mod 2^24, + 2v) — downsample map,
+    // floor-div grayscale, floor-div mean, bit packing, and the SAME
+    // banding (so its join is bounded like the engine's) — a decoder,
+    // rounding, or band-slicing bug breaks the hash on the exact bit
+    // it corrupts.
+    Q("q125_image_phash_neardup",
+      """WITH p AS (SELECT doc_id, doc_id % 41 AS g, (doc_id // 41) % 2 AS v FROM documents),
+        |d AS (SELECT doc_id, g, v, 8 + g % 9 AS w, 8 + g % 5 AS h FROM p),
+        |cxs AS (SELECT doc_id, g, v, w, h, unnest(generate_series(0, 7)) AS cx FROM d),
+        |cell AS (SELECT doc_id, g, v, w, h, cx, unnest(generate_series(0, 7)) AS cy FROM cxs),
+        |px AS (SELECT doc_id, cy * 8 + cx AS j,
+        |         ((((cx * w) // 8 + 16 * ((cy * h) // 8) + 1024 * g) * 2654435761) % 16777216
+        |           + v * 2) % 16777216 AS pv
+        |       FROM cell),
+        |gr AS (SELECT doc_id, j,
+        |         (((pv // 65536) % 256) + ((pv // 256) % 256) + (pv % 256)) // 3 AS gy
+        |       FROM px),
+        |mu AS (SELECT doc_id, CAST(sum(gy) // 64 AS BIGINT) AS m FROM gr GROUP BY doc_id),
+        |bits AS (SELECT gr.doc_id, j, CASE WHEN gy >= m THEN 1 ELSE 0 END AS b
+        |         FROM gr JOIN mu ON mu.doc_id = gr.doc_id),
+        |sig AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN j >= 32 THEN b * (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        |          CAST(sum(CASE WHEN j < 32 THEN b * (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS lo
+        |        FROM bits GROUP BY doc_id),
+        |bd AS (SELECT doc_id, hi, lo, k,
+        |         CASE WHEN k < 4 THEN (lo >> (k * 8)) & 255
+        |              ELSE (hi >> ((k - 4) * 8)) & 255 END AS band
+        |       FROM sig, (SELECT unnest(generate_series(0, 7)) AS k)),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM bd a JOIN bd b ON a.k = b.k AND a.band = b.band
+        |                            AND a.doc_id < b.doc_id),
+        |pr AS (SELECT d1, d2,
+        |         CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) AS BIGINT) AS hamming
+        |       FROM cand JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2)
+        |SELECT d1, d2, hamming FROM pr WHERE hamming <= 6
+        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      import graft.multimodal.Multimodal
+      Multimodal.phashNearDupPairs(
+          Multimodal.perceptualHashes(
+            Multimodal.syntheticPngClasses(Tables.documents(s, d))), 6)
+        .orderBy("d1", "d2")
     }
   )
 }

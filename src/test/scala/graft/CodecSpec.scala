@@ -197,4 +197,61 @@ class CodecSpec extends SparkSpec {
       assert(r.getBoolean(6), s"CRC failed for $id")
     }
   }
+
+  test("perceptualHashes: closed-form bits for a known image; identical payloads hash equal") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    // two copies of seed-100 + the +2 brightness variant + junk
+    val media = Seq(
+      (0L, ImageCodec.encodePng(12, 10, 100L)),
+      (1L, ImageCodec.encodePng(12, 10, 100L)),
+      (2L, ImageCodec.encodePng(12, 10, 102L)),
+      (3L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+      .as[(Long, Array[Byte])].map { case (id, p) =>
+        Multimodal.MediaRow(id, "image", p,
+          Multimodal.MediaMeta(0, 0, 0, 0L, p.length.toLong))
+      }
+    val sigs = Multimodal.perceptualHashes(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!sigs.contains(3L), "undecodable payloads must drop (F5)")
+    assert(sigs(0L) == sigs(1L), "identical payloads must hash identically")
+    // closed-form recompute of the aHash for (12, 10, seed 100)
+    val gray = for (cy <- 0 until 8; cx <- 0 until 8) yield {
+      val pv = (((cx * 12) / 8) * 31 + ((cy * 10) / 8) * 17 + 100) % (1 << 24)
+      ((pv >> 16 & 255) + (pv >> 8 & 255) + (pv & 255)) / 3
+    }
+    val mu = gray.sum / 64
+    var (hi, lo) = (0L, 0L)
+    gray.zipWithIndex.foreach { case (gv, j) =>
+      if (gv >= mu) { if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32) }
+    }
+    assert(sigs(0L) == ((hi, lo)),
+      s"real-decode hash must equal the closed form: got ${sigs(0L)}, want ($hi,$lo)")
+    // the +2 seed variant stays within banding reach (< 8 bits)
+    val (h2, l2) = sigs(2L)
+    val dist = java.lang.Long.bitCount(h2 ^ hi) + java.lang.Long.bitCount(l2 ^ lo)
+    assert(dist <= 7, s"brightness nudge must stay a near-dup, hamming=$dist")
+  }
+
+  test("phashNearDupPairs: banded pairs EQUAL brute-force all-pairs (pigeonhole exactness)") {
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables.documents(spark, sf("sf0.001"))
+    val sigs = Multimodal.perceptualHashes(Multimodal.syntheticPngClasses(docs))
+    val banded = Multimodal.phashNearDupPairs(sigs, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val l = sigs.select(col("media_id").as("d1"), col("ph_hi").as("hi1"), col("ph_lo").as("lo1"))
+    val r = sigs.select(col("media_id").as("d2"), col("ph_hi").as("hi2"), col("ph_lo").as("lo2"))
+    val brute = l.crossJoin(r).filter(col("d1") < col("d2"))
+      .withColumn("hamming",
+        (bit_count(expr("hi1 ^ hi2")) + bit_count(expr("lo1 ^ lo2"))).cast("long"))
+      .filter(col("hamming") <= 6)
+      .select("d1", "d2", "hamming") // joined frame interleaves hi/lo columns
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(banded == brute, s"banding must be exact: ${banded.size} vs ${brute.size}")
+    assert(banded.nonEmpty, "corpus must contain near-dup image pairs")
+    // group structure: near-dups only within a pixel class
+    assert(banded.forall { case (d1, d2, _) => d1 % 41 == d2 % 41 },
+      "hamming<=6 pairs must stay within their pixel class on this corpus")
+  }
 }
