@@ -182,6 +182,21 @@ object StreamBench {
     val (embSec, embOut) = timeRun(
       graft.streaming.EmbedStream.streamingNearDupPairs(vecStream, 0.45).toDF())
 
+    // 3c. streaming semantic dedup (SemanticStream): frozen-quantizer
+    // cell assignment + within-cell prune events — q119's SemDeDup as
+    // a continuous stream; the quantizer trains in batch once (the
+    // q117 frozen-model contract) and vecs/s is the semantic-ingest
+    // figure under per-cell state.
+    val semQuant = graft.analytics.Similarity.frozenQuantizer(
+      graft.analytics.Similarity.kmeansCentroids(
+        spark.read.parquet(embPath), 16, 1))
+    val semStream = spark.readStream.schema(embSchema).parquet(embDir)
+      .select(col("vec_id"), col("embedding"))
+      .as[graft.streaming.SemanticStream.Vec]
+    val (semSec, semOut) = timeRun(
+      graft.streaming.SemanticStream
+        .streamingSemanticPrunes(semStream, semQuant, 0.3).toDF())
+
     // 4–6. steady-state drops (see steadyDrops): RocksDB dedup, text
     // near-dup, embedding near-dup — the sustained nightly-ingest
     // figures next to the cold AvailableNow numbers above.
@@ -200,6 +215,10 @@ object StreamBench {
       graft.streaming.EmbedStream.streamingNearDupPairs(
         raw.as[graft.streaming.EmbedStream.Vec], 0.45).toDF()
     }
+    val semTimes = steadyDrops(srcVecs, "vec_id", nDrops, "semss") { raw =>
+      graft.streaming.SemanticStream.streamingSemanticPrunes(
+        raw.as[graft.streaming.SemanticStream.Vec], semQuant, 0.3).toDF()
+    }
 
     val sf = new java.io.File(sfDir).getName
     println(
@@ -208,8 +227,10 @@ object StreamBench {
       f""""interval_join":${joinIn / joinSec}%.0f,"join_sec":$joinSec%.2f,"join_out":$joinOut,""" +
       f""""neardup_docs_per_sec":${nDocs / ndSec}%.0f,"neardup_sec":$ndSec%.2f,"neardup_pairs":$ndOut,""" +
       f""""emb_vecs_per_sec":${nVecs / embSec}%.0f,"emb_sec":$embSec%.2f,"emb_pairs":$embOut,""" +
+      f""""sem_vecs_per_sec":${nVecs / semSec}%.0f,"sem_sec":$semSec%.2f,"sem_prunes":$semOut,""" +
       f""""ss_batches":$nDrops,"ss_cold":$coldRate%.0f,"ss_steady":${steadyRate(ssTimes)}%.0f,""" +
-      f""""nd_steady":${steadyRate(ndTimes)}%.0f,"emb_steady":${steadyRate(embTimes)}%.0f}""")
+      f""""nd_steady":${steadyRate(ndTimes)}%.0f,"emb_steady":${steadyRate(embTimes)}%.0f,""" +
+      f""""sem_steady":${steadyRate(semTimes)}%.0f}""")
     spark.stop()
   }
 }

@@ -16,6 +16,8 @@ object StreamingSpec {
     new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.DedupStream.CandidatePair]()
   val collectedVecPairs =
     new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.EmbedStream.VerifiedPair]()
+  val collectedPrunes =
+    new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.SemanticStream.PruneEvent]()
 }
 
 class StreamingSpec extends SparkSpec {
@@ -223,6 +225,129 @@ class StreamingSpec extends SparkSpec {
     val got = all.map(p => (p.v1, p.v2, p.sim)).toSet
     assert(got == want)
     assert(all.size == got.size, "duplicate emissions on a clean run")
+  }
+
+  test("streaming semantic cell assignment is bit-equal to the batch kmeansAssign") {
+    import graft.streaming.SemanticStream
+    import graft.analytics.Similarity
+    val vecs = Tables.embeddings(spark, sf("sf0.001"))
+    val cent = Similarity.kmeansCentroids(vecs, 16, 1)
+    val quant = Similarity.frozenQuantizer(cent)
+    val streamed = vecs.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().map { case (id, e) => (id, SemanticStream.cellOf(e, quant)) }.toSet
+    val batch = Similarity.kmeansAssign(vecs, cent)
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming semantic dedup: keepers equal batch SemDeDup across nights + restart") {
+    import graft.streaming.SemanticStream
+    import graft.analytics.Similarity
+    val tau = 0.3
+    val vecs = Tables.embeddings(spark, sf("sf0.001"))
+      .select($"vec_id", $"embedding")
+    val cent = Similarity.kmeansCentroids(vecs, 16, 1)
+    val quant = Similarity.frozenQuantizer(cent)
+    // %5 split interleaves ids, so LOWER-id vectors arrive in nights 2
+    // and 3 AFTER higher-id cellmates — the retroactive-prune path
+    // (monotonicity) and the checkpoint restart are both on the line
+    val night1 = vecs.filter($"vec_id" % 5 =!= 1 && $"vec_id" % 5 =!= 2)
+    val night2 = vecs.filter($"vec_id" % 5 === 2)
+    val night3 = vecs.filter($"vec_id" % 5 === 1)
+    def idsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val (n2Ids, n3Ids) = (idsOf(night2), idsOf(night3))
+    val dir = tmp("graft-semstream")
+    val ckpt = tmp("graft-semstream-ckpt")
+    night1.write.mode("overwrite").parquet(dir)
+    StreamingSpec.collectedPrunes.clear()
+    def start() = {
+      val stream = spark.readStream.schema(night1.schema).parquet(dir)
+        .as[SemanticStream.Vec]
+      SemanticStream.streamingSemanticPrunes(stream, quant, tau).toDF()
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.as[SemanticStream.PruneEvent].collect()
+            .foreach(StreamingSpec.collectedPrunes.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    def eventsNow() = {
+      import scala.jdk.CollectionConverters._
+      StreamingSpec.collectedPrunes.asScala.toSeq
+    }
+    val q = start()
+    q.processAllAvailable() // night 1
+    val after1 = eventsNow()
+    night2.write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val all12 = eventsNow()
+    // O(delta): every night-2 event is caused by a night-2 arrival —
+    // either the arrival is pruned or it retro-prunes a stored member
+    val delta2 = all12.diff(after1)
+    assert(delta2.forall(e => n2Ids(e.vec_id) || n2Ids(e.pruned_by)),
+      "a night-2 event touched no night-2 vector: state rescan, not O(delta)")
+    // restart from the checkpoint: cell state (members + pruned flags)
+    // must recover — night-3 lower ids retro-prune night-1/2 members
+    night3.write.mode("append").parquet(dir)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val all = eventsNow()
+    assert(all.map(_.vec_id).distinct.size == all.size,
+      "a vector was pruned twice: pruned flags lost (restart or batch bug)")
+    // every witness is a genuinely lower-id cellmate at >= tau
+    all.foreach { e =>
+      assert(e.pruned_by < e.vec_id && e.sim >= tau, e.toString)
+    }
+    // the retro path must be non-vacuous on this fixture: some event's
+    // pruner arrived in a LATER night than its victim
+    val nightOf = (id: Long) => if (n3Ids(id)) 3 else if (n2Ids(id)) 2 else 1
+    assert(all.exists(e => nightOf(e.pruned_by) > nightOf(e.vec_id)),
+      "no retroactive prune exercised — fixture vacuous for the monotone path")
+    // final keepers == batch SemDeDup over the union of all nights
+    val prunedStream = all.map(_.vec_id).toSet
+    val batchVerdict = Similarity.semanticDedup(vecs, cent, tau)
+    val prunedBatch = batchVerdict.filter(!$"kept").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    Similarity.releaseRetained(spark)
+    assert(prunedStream == prunedBatch,
+      s"stream pruned ${prunedStream.size}, batch ${prunedBatch.size}")
+    assert(prunedStream.nonEmpty, "fixture prunes nothing — vacuous")
+  }
+
+  test("streaming semantic dedup cap: saturated cells stop pairing and growing") {
+    import graft.streaming.SemanticStream
+    // identical embeddings collapse into one cell of a 1-centroid
+    // quantizer; cap=2 latches on the third arrival
+    val e = Array.fill(64)(0.5f)
+    val quant = Array((0L, Array.fill(64)(0.5), math.sqrt(16.0)))
+    val docs = Seq.tabulate(4)(i => (i + 1L, e)).toDF("vec_id", "embedding")
+    val dir = tmp("graft-semcap")
+    docs.write.mode("overwrite").parquet(dir)
+    StreamingSpec.collectedPrunes.clear()
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+      .as[SemanticStream.Vec]
+    val q = SemanticStream.streamingSemanticPrunes(stream, quant, 0.9, maxCellIds = 2)
+      .toDF()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.as[SemanticStream.PruneEvent].collect()
+          .foreach(StreamingSpec.collectedPrunes.add)
+      }
+      .option("checkpointLocation", tmp("graft-semcap-ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val events = StreamingSpec.collectedPrunes.asScala.toSeq
+    // ids 1,2 stored (2 pruned by 1 at sim 1.0); 3 latches the cap; 4 blocked
+    assert(events.map(e => (e.vec_id, e.pruned_by, e.sim)).toSet ==
+      Set((2L, 1L, 1.0)),
+      s"cap must stop pairing at saturation: $events")
   }
 
   test("streaming embedding near-dup cap: saturated buckets stop pairing and growing") {
