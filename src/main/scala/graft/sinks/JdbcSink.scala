@@ -27,4 +27,20 @@ object JdbcSink {
   def write(incoming: DataFrame, existing: DataFrame, keys: Seq[String])
            (writer: DataFrame => Unit): Unit =
     writer(upsertBatch(incoming, existing, keys))
+
+  /** The `createTableColumnTypes` pin for the upsert's KEY columns —
+    * `"name VARCHAR(64), address VARCHAR(128)"` style. Dialect
+    * rationale (the dialect-matrix spec pins the underlying
+    * mappings): Spark's default string mapping is a large-object
+    * type on BOTH databases the reference pipeline touches — Derby
+    * gets CLOB, which cannot be compared against literals (the
+    * anti-join's pushed key filters fail outright, JdbcSpec), and
+    * MySQL (the reference RDS, review-crawler/restaurant_save.py:15-23)
+    * gets TEXT, which cannot carry a PRIMARY KEY or plain index
+    * without a prefix length — so the existence probe the sink
+    * replaces would degrade to full scans. VARCHAR(n) is the one
+    * spelling both dialects index and compare; apply this to every
+    * upsert key on table creation. */
+  def keyColumnTypePins(keys: Seq[(String, Int)]): String =
+    keys.map { case (c, n) => s"$c VARCHAR($n)" }.mkString(", ")
 }

@@ -23,7 +23,8 @@ class JdbcSpec extends SparkSpec {
     // cannot compare against literals (pushed filters would fail) —
     // pin the key columns to VARCHAR like a real DDL would
     existing.write.mode("overwrite")
-      .option("createTableColumnTypes", "name VARCHAR(64), address VARCHAR(128)")
+      .option("createTableColumnTypes",
+        JdbcSink.keyColumnTypePins(Seq("name" -> 64, "address" -> 128)))
       .jdbc(url, "restaurants", props)
 
     val incoming = Seq(
@@ -58,5 +59,44 @@ class JdbcSpec extends SparkSpec {
     // JDBCScan advertises the pushed predicate in the executed plan
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters") || p.contains("Filter"), p)
+  }
+
+  test("dialect matrix: MySQL vs Derby type mapping pins the upsert-key VARCHAR rule") {
+    // The reference RDS is MySQL (review-crawler/restaurant_save.py:
+    // 15-23) but the live round-trip above runs on Derby — this matrix
+    // pins what Spark's MYSQL dialect would generate for the same
+    // schema, so the sink's portability claims are asserted, not
+    // assumed. The load-bearing row: BOTH dialects map StringType to
+    // a large-object type (MySQL LONGTEXT, Derby CLOB) that cannot
+    // serve as an upsert key (LONGTEXT takes no PRIMARY KEY / index
+    // without a prefix length; CLOB cannot even equal-compare), which
+    // is exactly why JdbcSink.keyColumnTypePins exists and why the
+    // live test must pin VARCHAR — on MySQL the same pin string is
+    // valid DDL with identical semantics.
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types._
+    val mysql = JdbcDialects.get("jdbc:mysql://host/db")
+    val derby = JdbcDialects.get(url)
+    // a wrong URL silently falls back to the no-op dialect — guard
+    assert(mysql.getClass.getSimpleName == "MySQLDialect", mysql.getClass.getName)
+    assert(derby.getClass.getSimpleName == "DerbyDialect", derby.getClass.getName)
+    def m(d: org.apache.spark.sql.jdbc.JdbcDialect, t: DataType): Option[String] =
+      d.getJDBCType(t).map(_.databaseTypeDefinition)
+    // string columns: large-object types on both → keys MUST be pinned
+    assert(m(mysql, StringType).contains("LONGTEXT"))
+    assert(m(derby, StringType).contains("CLOB"))
+    // the non-key restaurant columns ride the dialect defaults safely:
+    // MySQL overrides them explicitly, Derby inherits the common types
+    assert(m(mysql, DoubleType).contains("DOUBLE PRECISION"))
+    assert(m(mysql, LongType).contains("BIGINT"))
+    assert(m(mysql, TimestampType).contains("TIMESTAMP"))
+    assert(m(mysql, BooleanType).contains("BIT(1)"))
+    assert(m(derby, BooleanType).contains("BOOLEAN"))
+    assert(m(derby, DoubleType).isEmpty && m(derby, LongType).isEmpty,
+      "Derby must inherit common numeric mappings — a new override here invalidates the matrix")
+    // the pin helper produces the exact DDL fragment the live test
+    // (and a MySQL deployment) hands to createTableColumnTypes
+    assert(JdbcSink.keyColumnTypePins(Seq("name" -> 64, "address" -> 128)) ==
+      "name VARCHAR(64), address VARCHAR(128)")
   }
 }

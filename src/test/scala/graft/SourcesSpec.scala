@@ -64,6 +64,34 @@ class SourcesSpec extends SparkSpec {
       "expected parquet reads through FakeObjectStoreFS")
   }
 
+  test("object-store attach path: fs.s3a.impl wiring round-trips a WRITE + READ on s3a://") {
+    // The production attach recipe is exactly two moves: hadoop-aws on
+    // the classpath and `fs.s3a.impl` (+ credentials) in the Hadoop
+    // conf — no engine code changes. This test performs the SECOND
+    // move against the real config key with a local stand-in
+    // FileSystem, and proves BOTH directions (K1-style sink write and
+    // S1-style read) resolve through it: the write creates objects
+    // via FakeS3AFS.create, the read streams them via open, and the
+    // round-tripped rows are byte-identical. A typo'd impl key or a
+    // silent fallback to file: fails the counters.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.impl", classOf[FakeS3AFS].getName)
+    conf.set("fs.s3a.impl.disable.cache", "true")
+    FakeS3AFS.opens.set(0)
+    FakeS3AFS.creates.set(0)
+    val dest = "s3a://" + java.nio.file.Files
+      .createTempDirectory("graft-s3a-rt").toString + "/nation"
+    val src = graft.sources.Tables.nation(spark, sf("sf0.001"))
+    src.write.mode("overwrite").parquet(dest)
+    assert(FakeS3AFS.creates.get() > 0,
+      "parquet write did not flow through the s3a-registered FileSystem")
+    val back = spark.read.parquet(dest)
+    assert(back.count() == src.count() && back.count() > 0)
+    assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+    assert(FakeS3AFS.opens.get() > 0,
+      "parquet read did not flow through the s3a-registered FileSystem")
+  }
+
   test("A6/U4: dict-of-lists JSON normalizes to rows (explode map values)") {
     import org.apache.spark.sql.types._
     val json = """{"공덕역 식당": [{"placeId":"1","name":"a"},{"placeId":"2","name":"b"}],
