@@ -808,14 +808,67 @@ object DedupOps {
     * class. */
   def spanDupProfileCapped(docs: DataFrame, k: Int, dfCap: Long): DataFrame = {
     val occ = spanOccurrences(docs, k)
-    val g = occ.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
-      .groupBy(col("h"))
-      .agg(sum(col("c")).as("n_occ"), count(lit(1)).as("n_docs"))
-    val cls = g.select(col("h"),
+    val cls = spanDictionary(occ).select(col("h"),
         when(col("n_docs") > dfCap, lit(2))
           .when(col("n_occ") >= 2, lit(1))
           .otherwise(lit(0)).as("cl"))
       .filter(col("cl") =!= 0)
+    classifiedSpanProfile(docs, occ, cls, k)
+  }
+
+  /** spanDupProfileCapped with the boilerplate threshold RELATIVE to
+    * corpus size — the scale-free spelling the round-9 10× run showed
+    * the absolute cap needs: replicating every document 10× pushed
+    * every genuinely-duplicated span's distinct-doc frequency past
+    * q107's fixed dfCap (1,697,788 of 1,713,998 dup occurrences
+    * reclassified as boilerplate, SCALING.md), so the dup SIGNAL
+    * collapsed exactly when duplication exploded. Here the cap is
+    * `max(ceil(dfFrac · |docs|), minCap)`: under N× corpus
+    * replication both a span's df and the threshold grow N×, so the
+    * boilerplate/near-dup classification is replication-invariant —
+    * the q118-vs-q79 relative-beats-absolute lesson applied to
+    * spans. dfFrac is "a span in more than this fraction of the
+    * corpus is template text" (licenses, headers) — the Lee et al.
+    * boilerplate intuition stated scale-free; minCap keeps tiny
+    * corpora from capping ordinary 3-doc dups.
+    *
+    * The corpus count enters the PLAN as a 1-row broadcast attached
+    * to the span dictionary on a non-foldable constant key (the
+    * Guards.gate spelling — a literal key would constant-fold into a
+    * BroadcastNestedLoopJoin): no driver-side count action, one
+    * query execution. Same output shape and the same
+    * n_dup + n_capped = uncapped-n_dup identity as the absolute
+    * spelling (AnalyticsSpec proves both). */
+  def spanDupProfileRelCapped(docs: DataFrame, k: Int, dfFrac: Double,
+                              minCap: Long = 2): DataFrame = {
+    val occ = spanOccurrences(docs, k)
+    val capRow = docs.agg(count(lit(1)).as("n_corpus"))
+      .select(
+        (pmod(col("n_corpus"), lit(1L)) + lit(1L)).cast("int").as("_g"),
+        greatest(ceil(lit(dfFrac) * col("n_corpus")).cast("long"),
+          lit(minCap)).as("df_cap"))
+    val cls = spanDictionary(occ)
+      .withColumn("_g", (pmod(col("n_docs"), lit(1L)) + lit(1L)).cast("int"))
+      .join(broadcast(capRow), Seq("_g"))
+      .select(col("h"),
+        when(col("n_docs") > col("df_cap"), lit(2))
+          .when(col("n_occ") >= 2, lit(1))
+          .otherwise(lit(0)).as("cl"))
+      .filter(col("cl") =!= 0)
+    classifiedSpanProfile(docs, occ, cls, k)
+  }
+
+  /** Two-stage (h, doc)→h span dictionary — no Expand (q40 lesson). */
+  private def spanDictionary(occ: DataFrame): DataFrame =
+    occ.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("h"))
+      .agg(sum(col("c")).as("n_occ"), count(lit(1)).as("n_docs"))
+
+  /** Shared tail of the capped profiles: one h-join of occurrences
+    * against the classified dictionary (class-0 spans never join),
+    * per-doc counts of each class, profile columns. */
+  private def classifiedSpanProfile(docs: DataFrame, occ: DataFrame,
+                                    cls: DataFrame, k: Int): DataFrame = {
     val perDoc = occ.join(cls, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(when(col("cl") === 1, lit(1))).as("n_dup"),

@@ -438,6 +438,42 @@ object DedupQueries {
       DedupOps.spanDupProfileCapped(Tables.documents(s, d), 8, 2).orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- q126
+    // q107's boilerplate cap made RELATIVE to corpus size (cap =
+    // max(ceil(0.1% · |docs|), 2)) — the scale-free spelling the
+    // round-9 10× run demanded: under N× replication both a span's
+    // df and the threshold grow N×, so the boilerplate/near-dup
+    // classification is replication-invariant (SCALING.md round-9:
+    // the absolute cap reclassified 99% of dup occurrences as
+    // boilerplate at 10×). The corpus count enters the plan as a
+    // 1-row broadcast on a non-foldable key (no BNLJ, no driver
+    // count action); the oracle recomputes the same threshold with a
+    // scalar subquery.
+    Q("q126_span_dup_relcapped",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |idx AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i FROM w),
+         |sp AS (SELECT doc_id, substr(sha256(array_to_string(ws[i:i+7], ' ')), 1, 16) AS h FROM idx),
+         |cap AS (SELECT greatest(CAST(ceil(0.001 * count(*)) AS BIGINT), 2) AS df_cap FROM documents),
+         |pd AS (SELECT h, doc_id, count(*) AS c FROM sp GROUP BY h, doc_id),
+         |g AS (SELECT h, sum(c) AS n_occ, count(*) AS n_docs FROM pd GROUP BY h),
+         |cls AS (SELECT h, CASE WHEN n_docs > (SELECT df_cap FROM cap) THEN 2
+         |                       WHEN n_occ >= 2 THEN 1 ELSE 0 END AS cl
+         |        FROM g),
+         |dd AS (SELECT doc_id,
+         |         count(CASE WHEN cl = 1 THEN 1 END) AS nd,
+         |         count(CASE WHEN cl = 2 THEN 1 END) AS nc
+         |       FROM sp JOIN cls USING (h) WHERE cl <> 0 GROUP BY doc_id),
+         |base AS (SELECT doc_id, greatest(len(string_split(text, ' ')) - 7, 0) AS ns FROM documents)
+         |SELECT doc_id, CAST(ns AS BIGINT) AS n_spans,
+         |  CAST(coalesce(nd, 0) AS BIGINT) AS n_dup,
+         |  CAST(coalesce(nc, 0) AS BIGINT) AS n_capped,
+         |  round(CAST(coalesce(nd, 0) AS DOUBLE) / ns, 4) AS dup_frac
+         |FROM base LEFT JOIN dd USING (doc_id)
+         |WHERE ns > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      DedupOps.spanDupProfileRelCapped(Tables.documents(s, d), 8, 0.001)
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- q114
     // q31's LSH pairs under a hot-bucket cap (2 members per (k, bv)
     // bucket, lowest ids kept) — the batch twin of the streaming

@@ -492,6 +492,63 @@ class AnalyticsSpec extends SparkSpec {
     assert(cp.exists(_._3 > 0), "no span capped at dfCap=2 — vacuous fixture")
   }
 
+  test("relative span cap: classification is replication-invariant where the absolute cap collapses") {
+    // base corpus: docs 1–2 share "x y z" (a genuine near-dup span);
+    // doc 4 is unique. Replicate 5×: the absolute cap (2 docs)
+    // reclassifies the shared span as boilerplate, the relative cap
+    // (50% of corpus, minCap 2) classifies it identically at both
+    // scales — the SCALING.md round-9 cliff in miniature.
+    val base = Seq(
+      (1L, "a b x y z c"),
+      (2L, "x y z q r"),
+      (4L, "m n o u v")
+    ).toDF("doc_id", "text")
+    val reps = (0 until 5).flatMap(r => Seq(
+      (1L + 10 * r, "a b x y z c"),
+      (2L + 10 * r, "x y z q r"),
+      (4L + 10 * r, "m n o u v"))).toDF("doc_id", "text")
+    def fracs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "dup_frac").collect()
+        .map(r => (r.getLong(0) % 10, r.getDouble(1))).toSet
+    // at 1x the relative cap (ceil(0.5·3)=2) IS the absolute cap 2:
+    // identical classification
+    val rel1 = fracs(DedupOps.spanDupProfileRelCapped(base, 3, 0.5))
+    val abs1 = fracs(DedupOps.spanDupProfileCapped(base, 3, 2))
+    assert(rel1 == abs1, s"caps must coincide at 1x: $rel1 vs $abs1")
+    // at 5x, replication genuinely duplicates every doc's text — the
+    // relative cap (ceil(0.5·15)=8 > df 5–10 for the copy spans...
+    // except "x y z" at df 10, correctly classed boilerplate-like)
+    // REPORTS the duplication: every replicated doc reads dup_frac 1.0
+    val rel5raw = DedupOps.spanDupProfileRelCapped(reps, 3, 0.5)
+      .select("doc_id", "n_spans", "n_dup", "n_capped").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rel5raw.forall { case (_, ns, nd, nc) => nd + nc == ns },
+      s"every span is duplicated at 5x and must be dup-or-capped: ${rel5raw.toSeq}")
+    assert(rel5raw.exists { case (_, ns, nd, _) => nd == ns },
+      "copies within the relative cap must stay DUP SIGNAL, not boilerplate")
+    // the absolute 1x cap at 5x: every duplicated span's df (5–10)
+    // crosses 2, the whole signal reclassifies to boilerplate — the
+    // measured SCALING.md cliff in miniature
+    val abs5 = fracs(DedupOps.spanDupProfileCapped(reps, 3, 2))
+    assert(abs5.forall(_._2 == 0.0),
+      s"absolute cap should collapse the dup signal at 5x: $abs5")
+    // identity also holds for the relative spelling, vs the uncapped
+    // profile on the real corpus
+    val corpus = Tables.documents(spark, sf("sf0.001"))
+    val un = DedupOps.spanDupProfile(corpus, 8).select("doc_id", "n_dup").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rc = DedupOps.spanDupProfileRelCapped(corpus, 8, 0.001)
+      .select("doc_id", "n_dup", "n_capped").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rc.nonEmpty && rc.forall { case (id, nd, nc) => un(id) == nd + nc })
+    // plan shape: the 1-row cap frame must attach by broadcast HASH
+    // join (a foldable key would constant-fold into the banned BNLJ)
+    val plan = DedupOps.spanDupProfileRelCapped(corpus, 8, 0.001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(800))
+  }
+
   test("band-store compaction removes exactly the non-keeper rows") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val store = DedupOps.minhashBandStore(docs)
