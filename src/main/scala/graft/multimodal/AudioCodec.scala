@@ -108,13 +108,28 @@ object AudioCodec {
     * ImageCodec.encodePng via ImageIO. Samples are a fixed sawtooth
     * of the id (content never reaches the metadata oracle; determinism
     * keeps re-runs byte-identical). */
-  def encodeWav(channels: Int, sampleRateHz: Int, nSamples: Int, seed: Long): Array[Byte] = {
+  def encodeWav(channels: Int, sampleRateHz: Int, nSamples: Int, seed: Long): Array[Byte] =
+    encodeWavSamples(channels, sampleRateHz,
+      Array.tabulate(nSamples * channels)(i =>
+        (((seed + i * 2654435761L) % 4096) - 2048).toShort))
+
+  /** Encode GIVEN int16 samples (interleaved if multi-channel) through
+    * the JDK's own WAV writer — the general API under the sawtooth
+    * generator above. Callers that need a DIFFERENT closed-form
+    * signal (the fingerprint corpus needs a well-mixed one: the
+    * sawtooth's low-12-bit stride makes every frame an arithmetic
+    * progression and fingerprints correlate across seeds) synthesize
+    * their own samples and still get real RIFF bytes for the
+    * decoder. */
+  def encodeWavSamples(channels: Int, sampleRateHz: Int,
+                       samples: Array[Short]): Array[Byte] = {
     import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
     val bits = 16
-    val pcm = new Array[Byte](nSamples * channels * (bits / 8))
+    val nSamples = samples.length / channels
+    val pcm = new Array[Byte](samples.length * (bits / 8))
     var i = 0
-    while (i < nSamples * channels) {
-      val v = (((seed + i * 2654435761L) % 4096) - 2048).toShort
+    while (i < samples.length) {
+      val v = samples(i)
       pcm(2 * i) = (v & 0xff).toByte          // little-endian per frame
       pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1

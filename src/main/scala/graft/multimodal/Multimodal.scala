@@ -446,6 +446,112 @@ object Multimodal {
     * Hamming filter runs BEFORE the dedup shuffle (the simhashPairs
     * lesson: it drops ~99.9% of banded candidates, so distinct
     * shuffles thousands of rows, not millions). */
+  /** Near-dup audio corpus — the WAV face of [[syntheticPngClasses]]:
+    * documents partition into `nGroups` PCM classes (group decides
+    * the sawtooth seed); alternating generations TRUNCATE the
+    * recording by 8 samples (a re-trimmed clip, the dominant audio-dup
+    * mode in scraped corpora) rather than perturbing values — the
+    * encoder mixes the seed per sample, so any seed nudge would
+    * scramble the whole signal. Mono, so PCM index i is the closed
+    * form directly (the Murmur-style mix in the body) — a DuckDB
+    * oracle recomputes the fingerprint pipeline without parsing a
+    * byte. */
+  def syntheticWavClasses(df: DataFrame, idCol: String = "doc_id",
+                          nGroups: Int = 251): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val g = id % nGroups
+        val v = (id / nGroups) % 2
+        val n = (128 - v * 8).toInt
+        // well-mixed closed form (two multiply + xor-shift rounds, a
+        // Murmur-style finalizer in 32-bit modular arithmetic): any
+        // LINEAR function of the sample index — the standard sawtooth,
+        // or single-multiply middle bits — keeps per-frame energies on
+        // an arithmetic progression and fingerprints correlate ACROSS
+        // groups (measured: 1.2M cross-group pairs at sf0.1); the
+        // xor-shift rounds break linearity and restore the
+        // ~binomial(32, 1/2) cross-group Hamming profile the banding
+        // math assumes. Every step is nonneg integer arithmetic, so a
+        // DuckDB oracle reproduces it with *, //, %, xor()
+        val seed = g * 1009L + 7L
+        val samples = Array.tabulate(n) { i =>
+          var x = (seed + i) * 2654435761L % 4294967296L
+          x = x ^ (x / 65536L)
+          // clamp to 2^28 before the second multiply: 2^32 × the
+          // constant overflows signed 64-bit (and DuckDB BIGINT
+          // arithmetic is checked, so the oracle would ERROR, not wrap)
+          x = x % 268435456L * 2246822519L % 4294967296L
+          x = x ^ (x / 8192L)
+          (x % 4096L - 2048L).toShort
+        }
+        val p = AudioCodec.encodeWavSamples(1, 8000, samples)
+        MediaRow(id, "audio", p,
+          MediaMeta(0, 0, 8000, n.toLong * 1000L / 8000L, p.length.toLong))
+      }
+    }
+  }
+
+  /** 32-bit acoustic fingerprint through a REAL decode: the WAV's
+    * int16 PCM (AudioCodec's RIFF walk), 32 frames of 4 samples over
+    * the first 128 samples, per-frame energy Σ|s| in INTEGER
+    * arithmetic (missing samples past a truncated recording
+    * contribute zero), bit = energy ≥ a FIXED reference level (4096 =
+    * 4 samples × the int16 sawtooth's expected |amplitude| 1024).
+    * Fixed, not the aHash mean threshold ([[perceptualHashes]]):
+    * against the dominant audio-dup mode — end truncation — a mean
+    * threshold couples EVERY bit to the tail (dropping two frames
+    * shifts μ ~6%, flipping ~5 boundary bits on this signal family),
+    * while a fixed level confines the difference to the truncated
+    * frames themselves. Integer-exact end to end, so an oracle
+    * reproduces every bit from the closed-form samples. One 32-bit
+    * word. Undecodable / non-PCM payloads drop (F5). */
+  def audioFingerprints(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        AudioCodec.pcmSamples16(r.payload).map { pcm =>
+          var fp = 0L
+          var j = 0
+          while (j < 32) {
+            var acc = 0L
+            var i = 4 * j
+            val end = math.min(4 * j + 4, math.min(pcm.length, 128))
+            while (i < end) { acc += math.abs(pcm(i).toLong); i += 1 }
+            if (acc >= 4096L) fp |= 1L << j
+            j += 1
+          }
+          (r.media_id, fp)
+        }
+      }
+    }.toDF("media_id", "fp")
+  }
+
+  /** Acoustic near-dup pairs with Hamming distance ≤ `maxDist` over
+    * the 32-bit fingerprint — the [[phashNearDupPairs]] machinery one
+    * word narrower: 4 bands × 8 bits, candidates share a (band,
+    * value) bucket, full-fingerprint Hamming verify. EXACT for
+    * maxDist ≤ 3 by pigeonhole; same pre-shuffle Hamming filter, no
+    * cross join, same clique-degradation bound. */
+  def audioNearDupPairs(fps: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, s"4x8 banding is exact only to distance 3, got $maxDist")
+    val banded = fps.select(col("media_id"), col("fp"),
+        explode(array((0 until 4).map(lit): _*)).as("k"))
+      .withColumn("band",
+        expr("shiftright(fp, k * 8)").bitwiseAND(lit(255L)))
+    val l = banded.select(col("k"), col("band"), col("media_id").as("d1"),
+      col("fp").as("fp1"))
+    val r = banded.select(col("k"), col("band"), col("media_id").as("d2"),
+      col("fp").as("fp2"))
+    l.join(r, Seq("k", "band")).filter(col("d1") < col("d2"))
+      .withColumn("hamming", bit_count(expr("fp1 ^ fp2")).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .distinct()
+  }
+
   def phashNearDupPairs(sigs: DataFrame, maxDist: Int = 6): DataFrame = {
     require(maxDist <= 7, s"8x8 banding is exact only to distance 7, got $maxDist")
     val banded = sigs.select(col("media_id"), col("ph_hi"), col("ph_lo"),

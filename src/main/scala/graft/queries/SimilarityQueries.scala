@@ -811,6 +811,53 @@ object SimilarityQueries {
           Multimodal.perceptualHashes(
             Multimodal.syntheticPngClasses(Tables.documents(s, d))), 6)
         .orderBy("d1", "d2")
+    },
+
+    // ---------------------------------------------------------------- q127
+    // Acoustic-fingerprint audio near-dup — q125's recipe on the time
+    // axis, completing media-dedup coverage (text/span/embedding/
+    // semantic/image/audio): synthetic WAV classes (251 groups;
+    // alternating generations TRUNCATE by 8 samples — a re-trimmed
+    // clip), REAL RIFF-walk PCM decode → 32 frame energies (4 samples
+    // each) → fixed-level threshold bits → one 32-bit fingerprint,
+    // 4×8 banding (exact to Hamming 3 by pigeonhole), full-word
+    // verify. The PCM is a Murmur-style two-round integer hash of
+    // (seed + i) in 32-bit modular arithmetic (any LINEAR sample
+    // function — sawtooth or single multiply — correlates
+    // fingerprints across groups; the Multimodal.syntheticWavClasses
+    // scaladoc has the measurements); the oracle recomputes every bit
+    // from it with the same banding, so a chunk-walk, endianness,
+    // frame-boundary, or threshold bug breaks the hash on the exact
+    // bit it corrupts.
+    Q("q127_audio_fingerprint_neardup",
+      """WITH p AS (SELECT doc_id, doc_id % 251 AS g, (doc_id // 251) % 2 AS v FROM documents),
+        |d AS (SELECT doc_id, g * 1009 + 7 AS seed, 128 - v * 8 AS n FROM p),
+        |fr AS (SELECT doc_id, seed, n, unnest(generate_series(0, 31)) AS j FROM d),
+        |sm AS (SELECT doc_id, seed, n, j, unnest(generate_series(4 * j, 4 * j + 3)) AS i FROM fr),
+        |x0 AS (SELECT doc_id, n, j, i, (seed + i) * 2654435761 % 4294967296 AS x FROM sm),
+        |x1 AS (SELECT doc_id, n, j, i, xor(x, x // 65536) AS x FROM x0),
+        |x2 AS (SELECT doc_id, n, j, i, x % 268435456 * 2246822519 % 4294967296 AS x FROM x1),
+        |x3 AS (SELECT doc_id, n, j, i, xor(x, x // 8192) AS x FROM x2),
+        |e AS (SELECT doc_id, j,
+        |        sum(CASE WHEN i < n THEN abs((x % 4096) - 2048) ELSE 0 END) AS en
+        |      FROM x3 GROUP BY doc_id, j),
+        |fp AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN en >= 4096 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS fp
+        |       FROM e GROUP BY doc_id),
+        |bd AS (SELECT doc_id, fp, k, (fp >> (k * 8)) & 255 AS band
+        |       FROM fp, (SELECT unnest(generate_series(0, 3)) AS k)),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM bd a JOIN bd b ON a.k = b.k AND a.band = b.band
+        |                            AND a.doc_id < b.doc_id),
+        |pr AS (SELECT d1, d2, CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS hamming
+        |       FROM cand JOIN fp x ON x.doc_id = d1 JOIN fp y ON y.doc_id = d2)
+        |SELECT d1, d2, hamming FROM pr WHERE hamming <= 3
+        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      import graft.multimodal.Multimodal
+      Multimodal.audioNearDupPairs(
+          Multimodal.audioFingerprints(
+            Multimodal.syntheticWavClasses(Tables.documents(s, d))), 3)
+        .orderBy("d1", "d2")
     }
   )
 }

@@ -234,6 +234,63 @@ class CodecSpec extends SparkSpec {
     assert(dist <= 7, s"brightness nudge must stay a near-dup, hamming=$dist")
   }
 
+  test("audioFingerprints: closed-form bits through the real encoder+decoder; truncation stays near") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(5L, 5L + 251L, 9L).toDF("doc_id") // group 5 (v0+v1) + group 9
+    val media = Multimodal.syntheticWavClasses(docs)
+    val fps = Multimodal.audioFingerprints(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // closed-form recompute for doc 5 (g=5, v=0, n=128)
+    def sample(seed: Long, i: Long): Long = {
+      var x = (seed + i) * 2654435761L % 4294967296L
+      x = x ^ (x / 65536L)
+      x = x % 268435456L * 2246822519L % 4294967296L
+      x = x ^ (x / 8192L)
+      x % 4096L - 2048L
+    }
+    def fpOf(g: Long, n: Int): Long = {
+      val seed = g * 1009L + 7L
+      var fp = 0L
+      for (j <- 0 until 32) {
+        val e = (4 * j until math.min(4 * j + 4, n))
+          .map(i => math.abs(sample(seed, i))).sum
+        if (e >= 4096L) fp |= 1L << j
+      }
+      fp
+    }
+    assert(fps(5L) == fpOf(5L, 128),
+      "real decode must reproduce the closed-form fingerprint")
+    assert(fps(5L + 251L) == fpOf(5L, 120))
+    // the truncated generation differs only in the zeroed tail frames
+    val d = java.lang.Long.bitCount(fps(5L) ^ fps(5L + 251L))
+    assert(d <= 3, s"end truncation must stay within banding reach, hamming=$d")
+    assert(java.lang.Long.bitCount(fps(5L) ^ fps(9L)) > 3,
+      "distinct groups must not read as near-dups")
+    // junk payloads drop (F5)
+    val junk = Seq(Multimodal.MediaRow(99L, "audio", Array[Byte](1, 2, 3),
+      Multimodal.MediaMeta(0, 0, 0, 0L, 3L))).toDS()
+    assert(Multimodal.audioFingerprints(junk).count() == 0)
+  }
+
+  test("audioNearDupPairs: banded pairs EQUAL brute-force all-pairs (pigeonhole exactness)") {
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables.documents(spark, sf("sf0.001"))
+    val fps = Multimodal.audioFingerprints(Multimodal.syntheticWavClasses(docs))
+    val banded = Multimodal.audioNearDupPairs(fps, 3)
+      .select("d1", "d2", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val l = fps.select(col("media_id").as("d1"), col("fp").as("fp1"))
+    val r = fps.select(col("media_id").as("d2"), col("fp").as("fp2"))
+    val brute = l.crossJoin(r).filter(col("d1") < col("d2"))
+      .withColumn("hamming", bit_count(expr("fp1 ^ fp2")).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("d1", "d2", "hamming") // joined frame interleaves fp columns
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(banded == brute, s"banding must be exact: ${banded.size} vs ${brute.size}")
+    assert(banded.nonEmpty, "corpus must contain near-dup audio pairs")
+  }
+
   test("phashNearDupPairs: banded pairs EQUAL brute-force all-pairs (pigeonhole exactness)") {
     import org.apache.spark.sql.functions._
     val docs = sources.Tables.documents(spark, sf("sf0.001"))
