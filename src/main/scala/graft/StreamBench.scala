@@ -197,6 +197,25 @@ object StreamBench {
       graft.streaming.SemanticStream
         .streamingSemanticPrunes(semStream, semQuant, 0.3).toDF())
 
+    // 3d. streaming image near-dup (HammingStream over perceptual
+    // hashes): the generic banded-Hamming state machine — sigs/s is
+    // the signature-ingest figure (decode happens upstream in the
+    // same stream; its per-image cost is the q109/q125 batch story).
+    val imgSigs = graft.multimodal.Multimodal.perceptualHashes(
+      graft.multimodal.Multimodal.syntheticPngClasses(
+        spark.read.parquet(docsPath)))
+      .selectExpr("media_id", "CAST(0 AS LONG) AS hi",
+        "ph_lo | shiftleft(ph_hi, 32) AS lo")
+    val sigDir = tmpDir("graft-sbench-sig")
+    imgSigs.write.mode("overwrite").parquet(sigDir)
+    val sigSchema = spark.read.parquet(sigDir).schema
+    val nSigs = spark.read.parquet(sigDir).count()
+    val sigStream = spark.readStream.schema(sigSchema).parquet(sigDir)
+      .as[graft.streaming.HammingStream.Sig]
+    val (hamSec, hamOut) = timeRun(
+      graft.streaming.HammingStream
+        .streamingNearDupPairs(sigStream, 8, 8, 6).toDF())
+
     // 4–6. steady-state drops (see steadyDrops): RocksDB dedup, text
     // near-dup, embedding near-dup — the sustained nightly-ingest
     // figures next to the cold AvailableNow numbers above.
@@ -228,6 +247,7 @@ object StreamBench {
       f""""neardup_docs_per_sec":${nDocs / ndSec}%.0f,"neardup_sec":$ndSec%.2f,"neardup_pairs":$ndOut,""" +
       f""""emb_vecs_per_sec":${nVecs / embSec}%.0f,"emb_sec":$embSec%.2f,"emb_pairs":$embOut,""" +
       f""""sem_vecs_per_sec":${nVecs / semSec}%.0f,"sem_sec":$semSec%.2f,"sem_prunes":$semOut,""" +
+      f""""ham_sigs_per_sec":${nSigs / hamSec}%.0f,"ham_sec":$hamSec%.2f,"ham_pairs":$hamOut,""" +
       f""""ss_batches":$nDrops,"ss_cold":$coldRate%.0f,"ss_steady":${steadyRate(ssTimes)}%.0f,""" +
       f""""nd_steady":${steadyRate(ndTimes)}%.0f,"emb_steady":${steadyRate(embTimes)}%.0f,""" +
       f""""sem_steady":${steadyRate(semTimes)}%.0f}""")

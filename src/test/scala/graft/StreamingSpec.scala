@@ -319,6 +319,111 @@ class StreamingSpec extends SparkSpec {
     assert(prunedStream.nonEmpty, "fixture prunes nothing — vacuous")
   }
 
+  test("streaming Hamming dedup: image pHash pairs equal batch banding across nights + restart") {
+    import graft.streaming.HammingStream
+    import graft.multimodal.Multimodal
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val sigs = Multimodal.perceptualHashes(Multimodal.syntheticPngClasses(docs))
+    // pack the two 32-bit words into the stream's 128-bit container:
+    // xor/bit_count are split-invariant, so Hamming values are
+    // bit-equal to the batch two-word spelling
+    val packed = sigs.selectExpr("media_id", "CAST(0 AS LONG) AS hi",
+      "ph_lo | shiftleft(ph_hi, 32) AS lo")
+    val dir = tmp("graft-hamstream")
+    val ckpt = tmp("graft-hamstream-ckpt")
+    val night1 = packed.filter($"media_id" % 3 =!= 0)
+    val night2 = packed.filter($"media_id" % 3 === 0)
+    val n2Ids = night2.select("media_id").collect().map(_.getLong(0)).toSet
+    night1.write.mode("overwrite").parquet(dir)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    def start() = {
+      val stream = spark.readStream.schema(packed.schema).parquet(dir)
+        .as[HammingStream.Sig]
+      HammingStream.streamingNearDupPairs(stream, 8, 8, 6).toDF()
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r =>
+            got.add((r.getLong(0), r.getLong(1), r.getLong(2)))): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val q = start()
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val after1 = got.asScala.toSeq
+    // restart from the checkpoint for night 2: bucket state recovers
+    night2.write.mode("append").parquet(dir)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val all = got.asScala.toSeq
+    val delta2 = all.diff(after1)
+    assert(delta2.forall(p => n2Ids(p._1) || n2Ids(p._2)),
+      "restart re-emitted stored-stored pairs: O(delta)/state lost")
+    assert(delta2.exists(p => !n2Ids(p._1) || !n2Ids(p._2)),
+      "no night-2 x night-1 pair: bucket state did not recover")
+    // exactly-once on a clean run (the first-shared-band rule replaces
+    // the batch distinct())
+    assert(all.size == all.toSet.size, "duplicate pair emissions")
+    val want = Multimodal.phashNearDupPairs(sigs, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(all.toSet == want, s"stream ${all.size} vs batch ${want.size}")
+    assert(want.nonEmpty)
+  }
+
+  test("streaming Hamming dedup: audio fingerprint twin (4x8) and saturation cap") {
+    import graft.streaming.HammingStream
+    import graft.multimodal.Multimodal
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val fps = Multimodal.audioFingerprints(Multimodal.syntheticWavClasses(docs))
+    val packed = fps.selectExpr("media_id", "CAST(0 AS LONG) AS hi", "fp AS lo")
+    val dir = tmp("graft-hamstream-au")
+    packed.write.mode("overwrite").parquet(dir)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val stream = spark.readStream.schema(packed.schema).parquet(dir)
+      .as[HammingStream.Sig]
+    val q = HammingStream.streamingNearDupPairs(stream, 4, 8, 3).toDF()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r =>
+          got.add((r.getLong(0), r.getLong(1), r.getLong(2)))): Unit
+      }
+      .option("checkpointLocation", tmp("graft-hamstream-au-ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val all = got.asScala.toSeq
+    assert(all.size == all.toSet.size, "duplicate pair emissions")
+    val want = Multimodal.audioNearDupPairs(fps, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(all.toSet == want && want.nonEmpty)
+
+    // saturation cap: four identical signatures collapse into the
+    // same buckets; cap=2 latches on the third arrival, so only the
+    // first pair ever emits
+    val capDir = tmp("graft-hamstream-cap")
+    Seq((1L, 0L, 5L), (2L, 0L, 5L), (3L, 0L, 5L), (4L, 0L, 5L))
+      .toDF("media_id", "hi", "lo").write.mode("overwrite").parquet(capDir)
+    val got2 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val q2 = HammingStream.streamingNearDupPairs(
+        spark.readStream.schema(packed.schema).parquet(capDir)
+          .as[HammingStream.Sig], 4, 8, 3, maxBucketIds = 2).toDF()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r =>
+          got2.add((r.getLong(0), r.getLong(1), r.getLong(2)))): Unit
+      }
+      .option("checkpointLocation", tmp("graft-hamstream-cap-ckpt"))
+      .start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got2.asScala.toSet == Set((1L, 2L, 0L)),
+      s"cap must stop pairing at saturation: ${got2.asScala.toSeq}")
+  }
+
   test("streaming semantic dedup cap: saturated cells stop pairing and growing") {
     import graft.streaming.SemanticStream
     // identical embeddings collapse into one cell of a 1-centroid
