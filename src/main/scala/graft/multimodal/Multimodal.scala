@@ -552,6 +552,111 @@ object Multimodal {
       .distinct()
   }
 
+  /** Near-dup video corpus — [[syntheticPngClasses]] on the time axis:
+    * documents partition into `nGroups` clip classes (group decides
+    * the frame seed and the frame count 6 + g%3); alternating
+    * generations add +2 mod 256 to every frame byte — a whole-clip
+    * brightness nudge (a re-encoded upload, the dominant video-dup
+    * mode in scraped corpora). Frames are raw 8×8 grayscale (64
+    * bytes) inside a REAL ISO-BMFF container ([[VideoCodec
+    * .encodeMp4Frames]]): the container walk, largesize escape and
+    * mvhd version split all stay on the decode path. Frame byte j of
+    * frame f is the same Murmur-style two-round mix as
+    * [[syntheticWavClasses]] over (seed + j + 64f) — a single
+    * multiplicative round collapses here because gray = x mod 256
+    * only sees the LOW byte (2654435761 mod 256 = 177 and the group
+    * stride 4096 mod 256 = 0, so every group would emit identical
+    * frames); the xor-shift rounds push group entropy into the low
+    * byte. Closed form end to end, so a DuckDB oracle recomputes
+    * every signature bit without parsing a byte. */
+  def syntheticMp4Classes(df: DataFrame, idCol: String = "doc_id",
+                          nGroups: Int = 61): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val g = id % nGroups
+        val v = (id / nGroups) % 2
+        val nf = (6 + g % 3).toInt
+        val seed = g * 1013L + 11L
+        val frames = Array.tabulate(nf) { f =>
+          Array.tabulate(64) { j =>
+            var x = (seed + j + 64L * f) * 2654435761L % 4294967296L
+            x = x ^ (x / 65536L)
+            x = x % 268435456L * 2246822519L % 4294967296L
+            x = x ^ (x / 8192L)
+            ((x % 256L + 2L * v) % 256L).toByte
+          }
+        }
+        val p = VideoCodec.encodeMp4Frames(1000, g, frames)
+        MediaRow(id, "video", p,
+          MediaMeta(8, 8, 0, nf.toLong, p.length.toLong))
+      }
+    }
+  }
+
+  /** 128-bit temporal video signature through a REAL container decode:
+    * [[VideoCodec.mdatPayload]] walks the boxes to the sample data,
+    * frames are 64-byte 8×8 grayscale, and 4 frames sampled evenly
+    * across the clip (f = s·nFrames/4 — trims and frame-rate drops
+    * move which frames are compared, so the sample grid is defined by
+    * POSITION, not index) each contribute 32 bits: bit t = frame byte
+    * 2t ≥ a FIXED 128 level (the audioFingerprints lesson — a mean
+    * threshold couples every bit to global brightness, a fixed level
+    * confines a +2 nudge to the cells it actually crosses; measured
+    * here: gen-pair Hamming ≤ 6 of 128, cross-group ≥ 44). Four
+    * 32-bit words w0–w3, never a signed top bit (the q125 packing
+    * trap). Non-BMFF / frameless payloads drop (F5). Integer-exact
+    * end to end — the oracle reproduces every bit. */
+  def videoSignatures(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        VideoCodec.mdatPayload(r.payload).filter(_.length >= 64).map { md =>
+          val nf = md.length / 64
+          val ws = Array.tabulate(4) { s =>
+            val f = s * nf / 4
+            var w = 0L
+            var t = 0
+            while (t < 32) {
+              if ((md(f * 64 + 2 * t) & 0xff) >= 128) w |= 1L << t
+              t += 1
+            }
+            w
+          }
+          (r.media_id, ws(0), ws(1), ws(2), ws(3))
+        }
+      }
+    }.toDF("media_id", "w0", "w1", "w2", "w3")
+  }
+
+  /** Temporal-signature video near-dup pairs with Hamming distance ≤
+    * `maxDist` over the 128-bit signature — the [[phashNearDupPairs]]
+    * machinery two words wider: 16 bands × 8 bits, candidates share a
+    * (band, value) bucket, full-signature verify. EXACT for maxDist ≤
+    * 15 by pigeonhole; same pre-shuffle Hamming filter, no cross
+    * join, same clique-degradation bound as the image/audio faces. */
+  def videoNearDupPairs(sigs: DataFrame, maxDist: Int = 10): DataFrame = {
+    require(maxDist <= 15, s"16x8 banding is exact only to distance 15, got $maxDist")
+    val banded = sigs.select(col("media_id"), col("w0"), col("w1"), col("w2"), col("w3"),
+        explode(array((0 until 16).map(lit): _*)).as("k"))
+      .withColumn("band",
+        expr("shiftright(element_at(array(w0, w1, w2, w3), CAST(k div 4 AS INT) + 1), (k % 4) * 8)")
+          .bitwiseAND(lit(255L)))
+    val l = banded.select(col("k"), col("band"), col("media_id").as("d1"),
+      col("w0").as("a0"), col("w1").as("a1"), col("w2").as("a2"), col("w3").as("a3"))
+    val r = banded.select(col("k"), col("band"), col("media_id").as("d2"),
+      col("w0").as("b0"), col("w1").as("b1"), col("w2").as("b2"), col("w3").as("b3"))
+    l.join(r, Seq("k", "band")).filter(col("d1") < col("d2"))
+      .withColumn("hamming",
+        (bit_count(expr("a0 ^ b0")) + bit_count(expr("a1 ^ b1")) +
+          bit_count(expr("a2 ^ b2")) + bit_count(expr("a3 ^ b3"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .distinct()
+  }
+
   def phashNearDupPairs(sigs: DataFrame, maxDist: Int = 6): DataFrame = {
     require(maxDist <= 7, s"8x8 banding is exact only to distance 7, got $maxDist")
     val banded = sigs.select(col("media_id"), col("ph_hi"), col("ph_lo"),

@@ -100,6 +100,23 @@ object VideoCodec {
   private def box(typ: String, payload: Array[Byte]): Array[Byte] =
     be32b(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
 
+  /** Raw payload of the first top-level `mdat` box — the sample-data
+    * container (ISO 14496-12 §8.1.1). None for non-BMFF bytes or a
+    * missing/overflowing mdat; never a throw (per-row isolation, same
+    * contract as [[decodeMp4]]). The slice is the box payload verbatim
+    * — frame layout inside it is the caller's codec contract, which is
+    * exactly the ISO split: the container names the bytes, a codec
+    * interprets them. */
+  def mdatPayload(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b.length < 16 || tag(b, 4) != "ftyp") return None
+    var res: Option[Array[Byte]] = None
+    walk(b, 0L, b.length.toLong) { (typ, po, pe) =>
+      if (typ == "mdat" && res.isEmpty && pe <= b.length)
+        res = Some(b.slice(po.toInt, pe.toInt))
+    }
+    res
+  }
+
   /** Encode a minimal deterministic MP4: ftyp(isom) + a free box +
     * moov(free + mvhd) — mvhd alternates version 0/1 by seed parity so
     * the parser's both field layouts stay exercised. Layout constants
@@ -120,4 +137,14 @@ object VideoCodec {
     val moov = box("moov", box("free", Array.fill(3)(0.toByte)) ++ mvhd)
     ftyp ++ pad ++ moov
   }
+
+  /** [[encodeMp4]] plus an `mdat` box carrying `frames` concatenated —
+    * the sample-bearing variant for the video near-dup path.
+    * durationTicks is pinned to the frame count so the container
+    * metadata and the payload agree (decodeMp4 cross-checks one
+    * against the other in CodecSpec). */
+  def encodeMp4Frames(timescale: Int, seed: Long,
+                      frames: Array[Array[Byte]]): Array[Byte] =
+    encodeMp4(timescale, frames.length.toLong, seed) ++
+      box("mdat", frames.flatten.toArray)
 }

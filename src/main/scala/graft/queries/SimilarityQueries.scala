@@ -858,6 +858,63 @@ object SimilarityQueries {
           Multimodal.audioFingerprints(
             Multimodal.syntheticWavClasses(Tables.documents(s, d))), 3)
         .orderBy("d1", "d2")
+    },
+
+    // ---------------------------------------------------------------- q128
+    // Temporal-signature video near-dup — the third media face,
+    // completing the image (q125) / audio (q127) / video matrix:
+    // synthetic MP4 classes (61 groups; frames are raw 8×8 grayscale
+    // inside a REAL ISO-BMFF container; alternating generations add
+    // +2 mod 256 per frame byte — a re-encoded upload), REAL box-walk
+    // decode → 4 frames sampled evenly BY POSITION (s·nf//4, so the
+    // grid survives trims/rate drops) → 32 fixed-level threshold bits
+    // per frame → a 128-bit signature as four 32-bit words, 16×8
+    // banding (exact to Hamming 15 by pigeonhole; threshold 10 sits
+    // between the measured gen-pair ≤6 and cross-group ≥44), 4-word
+    // verify. Frame bytes are the Murmur-style two-round mix (a
+    // single multiplicative round collapses every group to identical
+    // frames here: gray = x mod 256 sees only the low byte, and the
+    // group stride kills it — Multimodal.syntheticMp4Classes scaladoc
+    // has the arithmetic); the oracle recomputes every signature bit
+    // from the mix with the same banding, so a box-walk, frame-
+    // boundary, sample-position, or packing bug breaks the hash on
+    // the exact bit it corrupts.
+    Q("q128_video_temporal_neardup",
+      """WITH p AS (SELECT doc_id, doc_id % 61 AS g, (doc_id // 61) % 2 AS v FROM documents),
+        |d AS (SELECT doc_id, g * 1013 + 11 AS seed, v, 6 + g % 3 AS nf FROM p),
+        |fs AS (SELECT doc_id, seed, v, nf, unnest(generate_series(0, 3)) AS s FROM d),
+        |ft AS (SELECT doc_id, seed, v, s, (s * nf) // 4 AS f FROM fs),
+        |bt AS (SELECT doc_id, seed, v, s, f, unnest(generate_series(0, 31)) AS t FROM ft),
+        |x0 AS (SELECT doc_id, s, t, v, (seed + 2 * t + 64 * f) * 2654435761 % 4294967296 AS x FROM bt),
+        |x1 AS (SELECT doc_id, s, t, v, xor(x, x // 65536) AS x FROM x0),
+        |x2 AS (SELECT doc_id, s, t, v, x % 268435456 * 2246822519 % 4294967296 AS x FROM x1),
+        |x3 AS (SELECT doc_id, s, t, v, xor(x, x // 8192) AS x FROM x2),
+        |gy AS (SELECT doc_id, s, t, (x % 256 + 2 * v) % 256 AS gray FROM x3),
+        |wd AS (SELECT doc_id, s,
+        |         CAST(sum(CASE WHEN gray >= 128 THEN CAST(1 AS BIGINT) << t ELSE 0 END) AS BIGINT) AS w
+        |       FROM gy GROUP BY doc_id, s),
+        |sig AS (SELECT doc_id,
+        |          max(CASE WHEN s = 0 THEN w END) AS w0, max(CASE WHEN s = 1 THEN w END) AS w1,
+        |          max(CASE WHEN s = 2 THEN w END) AS w2, max(CASE WHEN s = 3 THEN w END) AS w3
+        |        FROM wd GROUP BY doc_id),
+        |bd AS (SELECT doc_id, w0, w1, w2, w3, k,
+        |         ((CASE k // 4 WHEN 0 THEN w0 WHEN 1 THEN w1 WHEN 2 THEN w2 ELSE w3 END)
+        |           >> ((k % 4) * 8)) & 255 AS band
+        |       FROM sig, (SELECT unnest(generate_series(0, 15)) AS k)),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM bd a JOIN bd b ON a.k = b.k AND a.band = b.band
+        |                            AND a.doc_id < b.doc_id),
+        |pr AS (SELECT d1, d2,
+        |         CAST(bit_count(xor(x.w0, y.w0)) + bit_count(xor(x.w1, y.w1))
+        |            + bit_count(xor(x.w2, y.w2)) + bit_count(xor(x.w3, y.w3)) AS BIGINT) AS hamming
+        |       FROM cand JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2)
+        |SELECT d1, d2, hamming FROM pr WHERE hamming <= 10
+        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      import graft.multimodal.Multimodal
+      Multimodal.videoNearDupPairs(
+          Multimodal.videoSignatures(
+            Multimodal.syntheticMp4Classes(Tables.documents(s, d))), 10)
+        .orderBy("d1", "d2")
     }
   )
 }

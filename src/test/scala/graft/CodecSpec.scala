@@ -311,4 +311,80 @@ class CodecSpec extends SparkSpec {
     assert(banded.forall { case (d1, d2, _) => d1 % 41 == d2 % 41 },
       "hamming<=6 pairs must stay within their pixel class on this corpus")
   }
+
+  test("mdat round-trip: frames encode into a real container and slice back out") {
+    val frames = Array.tabulate(5)(f => Array.tabulate(64)(j => (f * 64 + j).toByte))
+    val b = VideoCodec.encodeMp4Frames(1000, 7L, frames)
+    // container metadata still parses and agrees with the payload
+    val m = VideoCodec.decodeMp4(b).get
+    assert(m.durationTicks == 5L && m.sizeOk, "durationTicks must pin the frame count")
+    val md = VideoCodec.mdatPayload(b).get
+    assert(md.length == 320 && md.sameElements(Array.concat(frames: _*)),
+      "mdat payload must round-trip byte-exact")
+    // totality: junk and mdat-less files return None, never throw
+    assert(VideoCodec.mdatPayload(Array[Byte](1, 2, 3)).isEmpty)
+    assert(VideoCodec.mdatPayload(VideoCodec.encodeMp4(1000, 5L, 7L)).isEmpty)
+  }
+
+  test("videoSignatures: closed-form bits through the real container; brightness nudge stays near") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(5L, 5L + 61L, 9L).toDF("doc_id") // group 5 (v0+v1) + group 9
+    val sigs = Multimodal.videoSignatures(Multimodal.syntheticMp4Classes(docs))
+      .collect().map(r => r.getLong(0) ->
+        Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // closed-form recompute for doc 5 (g=5, v=0): nf=8, seed=5*1013+11
+    def mix(u: Long): Long = {
+      var x = u * 2654435761L % 4294967296L
+      x = x ^ (x / 65536L)
+      x = x % 268435456L * 2246822519L % 4294967296L
+      x ^ (x / 8192L)
+    }
+    def sigOf(g: Long, v: Long): Array[Long] = {
+      val nf = 6 + g % 3
+      val seed = g * 1013L + 11L
+      Array.tabulate(4) { s =>
+        val f = s * nf / 4
+        (0 until 32).foldLeft(0L) { (w, t) =>
+          if ((mix(seed + 2 * t + 64 * f) % 256 + 2 * v) % 256 >= 128) w | (1L << t) else w
+        }
+      }
+    }
+    assert(sigs(5L).sameElements(sigOf(5L, 0L)),
+      "real decode must reproduce the closed-form signature")
+    assert(sigs(5L + 61L).sameElements(sigOf(5L, 1L)))
+    def ham(a: Array[Long], b: Array[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    assert(ham(sigs(5L), sigs(5L + 61L)) <= 10,
+      "the +2 brightness generation must stay within banding reach")
+    assert(ham(sigs(5L), sigs(9L)) > 15,
+      "distinct clip classes must not read as near-dups")
+    // junk payloads drop (F5)
+    val junk = Seq(Multimodal.MediaRow(99L, "video", Array[Byte](1, 2, 3),
+      Multimodal.MediaMeta(0, 0, 0, 0L, 3L))).toDS()
+    assert(Multimodal.videoSignatures(junk).count() == 0)
+  }
+
+  test("videoNearDupPairs: banded pairs EQUAL brute-force all-pairs (pigeonhole exactness)") {
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables.documents(spark, sf("sf0.001"))
+    val sigs = Multimodal.videoSignatures(Multimodal.syntheticMp4Classes(docs))
+    val banded = Multimodal.videoNearDupPairs(sigs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val l = sigs.select(col("media_id").as("d1"), col("w0").as("a0"),
+      col("w1").as("a1"), col("w2").as("a2"), col("w3").as("a3"))
+    val r = sigs.select(col("media_id").as("d2"), col("w0").as("b0"),
+      col("w1").as("b1"), col("w2").as("b2"), col("w3").as("b3"))
+    val brute = l.crossJoin(r).filter(col("d1") < col("d2"))
+      .withColumn("hamming",
+        (bit_count(expr("a0 ^ b0")) + bit_count(expr("a1 ^ b1")) +
+          bit_count(expr("a2 ^ b2")) + bit_count(expr("a3 ^ b3"))).cast("long"))
+      .filter(col("hamming") <= 10)
+      .select("d1", "d2", "hamming")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(banded == brute, s"banding must be exact: ${banded.size} vs ${brute.size}")
+    assert(banded.nonEmpty, "corpus must contain near-dup video pairs")
+    assert(banded.forall { case (d1, d2, _) => d1 % 61 == d2 % 61 },
+      "hamming<=10 pairs must stay within their clip class on this corpus")
+  }
 }

@@ -424,6 +424,40 @@ class StreamingSpec extends SparkSpec {
       s"cap must stop pairing at saturation: ${got2.asScala.toSeq}")
   }
 
+  test("streaming Hamming dedup: video temporal twin (16x8) fills the full 128-bit container") {
+    import graft.streaming.HammingStream
+    import graft.multimodal.Multimodal
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val sigs = Multimodal.videoSignatures(Multimodal.syntheticMp4Classes(docs))
+    // four 32-bit words pack the container FULL — the first twin whose
+    // hi word is nonzero, so bandOf's off >= 64 branch and the hi-side
+    // xor both run for real (w3 can set hi's sign bit; >>> handles it)
+    val packed = sigs.selectExpr("media_id",
+      "w2 | shiftleft(w3, 32) AS hi", "w0 | shiftleft(w1, 32) AS lo")
+    val dir = tmp("graft-hamstream-vid")
+    packed.write.mode("overwrite").parquet(dir)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val stream = spark.readStream.schema(packed.schema).parquet(dir)
+      .as[HammingStream.Sig]
+    val q = HammingStream.streamingNearDupPairs(stream, 16, 8, 10).toDF()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r =>
+          got.add((r.getLong(0), r.getLong(1), r.getLong(2)))): Unit
+      }
+      .option("checkpointLocation", tmp("graft-hamstream-vid-ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val all = got.asScala.toSeq
+    assert(all.size == all.toSet.size, "duplicate pair emissions")
+    val want = Multimodal.videoNearDupPairs(sigs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(all.toSet == want, s"stream ${all.size} vs batch ${want.size}")
+    assert(want.nonEmpty)
+  }
+
   test("streaming semantic dedup cap: saturated cells stop pairing and growing") {
     import graft.streaming.SemanticStream
     // identical embeddings collapse into one cell of a 1-centroid
