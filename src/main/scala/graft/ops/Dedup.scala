@@ -77,4 +77,32 @@ object Dedup {
     definitelyNew.unionByName(
       candidates.join(existingKeys.select(key).distinct(), Seq(key), "left_anti"))
   }
+
+  /** The semi-join dual of [[bloomAntiJoinKeys]] — keep rows whose key
+    * IS in the set, at the scale where the exact set no longer
+    * broadcasts. The Bloom's no-false-negative contract flips roles
+    * here: a row FAILING the probe definitely has no match and drops
+    * map-side — which for a needle-in-haystack probe (benchmark
+    * decontamination: hit rates well under 1%) is ~the whole input —
+    * and only survivors (true hits + fpp·|probe| false positives)
+    * reach the exact semi-join that resolves every false positive.
+    * Row-identical to `probe SEMI JOIN keys`; the shuffle shrinks
+    * from |probe| to ~|hits| + fpp·|probe|. Same codegen'd Catalyst
+    * `BloomFilterMightContain` probe as the anti spelling, no UDF.
+    * Unlike the anti split, `probe` is evaluated ONCE (single branch)
+    * so no determinism caveat applies. */
+  def bloomSemiJoinKeys(probe: DataFrame, keys: DataFrame, key: String,
+                        expectedKeys: Long, fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bloom = keys.select(xxhash64(col(key).cast("string")).as("k"))
+      .na.drop().stat.bloomFilter("k", expectedKeys, fpp)
+    val out = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(out)
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(out.toByteArray, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(xxhash64(col(key).cast("string")))))
+    probe.filter(mightContain)
+      .join(keys.select(key).distinct(), Seq(key), "left_semi")
+  }
 }

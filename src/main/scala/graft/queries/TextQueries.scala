@@ -176,6 +176,50 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- q129
+    // Bloom-pruned decontamination — q68's scale path. q68 broadcasts
+    // the exact benchmark shingle set, which stops working when the
+    // union of held-out benchmarks reaches 10^8-10^9 n-grams
+    // (gigabytes exact vs ~1.1 B/key in a 3% Bloom). Here the Bloom
+    // broadcasts and prunes the corpus shingles MAP-SIDE (no false
+    // negatives, so a failing probe is definitely clean — at the <1%
+    // hit rates of real decontamination that drops ~the whole
+    // corpus before any shuffle), and only survivors reach the exact
+    // semi-join that resolves the fpp% false positives
+    // (Dedup.bloomSemiJoinKeys; the probe is the codegen'd Catalyst
+    // BloomFilterMightContain, not a UDF). Output is row-identical to
+    // the exact spelling — the oracle recomputes it exactly and the
+    // Bloom is invisible — and extends q68's hit list to the decision
+    // surface: every clean doc with its hit count and a
+    // contaminated flag (n_hits >= 3), zero-hit docs included.
+    Q("q129_decontamination_bloom",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 3, 0))) AS i FROM w),
+        |sh4 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS s FROM idx),
+        |bench AS (SELECT DISTINCT s FROM sh4 WHERE doc_id % 50 = 0),
+        |hits AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |         FROM (SELECT * FROM sh4 WHERE doc_id % 50 <> 0) c JOIN bench USING (s)
+        |         GROUP BY c.doc_id)
+        |SELECT d.doc_id, COALESCE(n_hits, 0) AS n_hits,
+        |  COALESCE(n_hits, 0) >= 3 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+        |LEFT JOIN hits USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sh4 = shingleSet(docs, 4)
+      val bench = sh4.filter(col("doc_id") % 50 === 0).select(col("s")).distinct()
+      val hits = graft.ops.Dedup.bloomSemiJoinKeys(
+          sh4.filter(col("doc_id") % 50 =!= 0), bench, "s",
+          expectedKeys = 1L << 18)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      docs.filter(col("doc_id") % 50 =!= 0).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) >= 3).as("contaminated"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- q59
     // Deterministic hash sampling: a reproducible ~10% corpus sample
     // via sha-256(doc_id) mod 100 < 10. This is how a training

@@ -55,6 +55,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("decontamination-at-scale: bloom semi-join is row-identical to the exact semi-join") {
+    (1 to 5).foreach { _ =>
+      val f = randBatch(rnd.nextInt(80) + 20)
+      val e = randBatch(rnd.nextInt(40))
+      val probe = f.toDF("place_id", "v")
+      val keys = e.map(_._1).toDF("place_id")
+      val exact = probe.join(keys.distinct(), Seq("place_id"), "left_semi")
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      // tiny expectedKeys forces a saturated, high-fpp filter once e
+      // outgrows it — the exact join must still resolve every false
+      // positive (the no-false-negative contract is what's load-bearing)
+      val bloomed = Dedup.bloomSemiJoinKeys(probe, keys, "place_id",
+          expectedKeys = math.max(e.size.toLong / 2, 1L), fpp = 0.2)
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(bloomed == exact)
+    }
+  }
+
   test("O4: surrogate key is deterministic and collision-free on distinct inputs") {
     (1 to 5).foreach { _ =>
       val xs = List.fill(20)(rnd.alphanumeric.take(12).mkString).distinct
