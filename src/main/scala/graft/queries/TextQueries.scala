@@ -220,6 +220,35 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- q130
+    // Source-mixture rebalancing (ops.Mixture) — the data-mixing pass
+    // between curation and tokenization, here over the corpus's
+    // naturally skewed language axis (en dominates ~3.4:1): every
+    // language is downsampled to ≈ the smallest language's count,
+    // DETERMINISTICALLY (keep ⇔ sha-bucket·c_lang < n_min·4096 — the
+    // q59 stable-sample contract extended per-group; rand()/
+    // TABLESAMPLE would make the mixture partitioning-dependent).
+    // Plan shape: one tiny count agg, the |langs|-row rate table
+    // broadcast back map-side, target attached by the non-foldable-
+    // key 1-row broadcast (q126 pattern — a literal join key would
+    // constant-fold into the banned BNLJ). Pure integer acceptance
+    // arithmetic: no ratio for the engines to round differently.
+    Q("q130_mixture_rebalance",
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY lang),
+        |m AS (SELECT min(c) AS nmin FROM c),
+        |b AS (SELECT doc_id, lang,
+        |    CAST(strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 256
+        |  + CAST(strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT) * 16
+        |  + CAST(strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)), 3, 1)) - 1 AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket
+        |FROM b JOIN c USING (lang) CROSS JOIN m
+        |WHERE bucket * c < nmin * 4096
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.Mixture.balancedSample(Tables.documents(s, d), "lang", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- q59
     // Deterministic hash sampling: a reproducible ~10% corpus sample
     // via sha-256(doc_id) mod 100 < 10. This is how a training
