@@ -42,6 +42,23 @@ object Bench {
       case _ => -1L
     }
 
+  /** Bench-only spellings with no DuckDB-oracled gate entry: the
+    * production variants whose POINT is to not enumerate the answer a
+    * gate query must hash (capped fuses with the reconciliation arm
+    * off). Named x_* so SPARK_GRAFT_ONLY selects them explicitly and
+    * a plain full-suite run (which matches every name) stays the
+    * gate-backed 131; they exist so SCALING.md's isolated 10× runs go
+    * through the same timing/calibration/detail machinery as
+    * everything else instead of ad-hoc harnesses. */
+  private val extraProbes: Seq[graft.queries.Q] = Seq(
+    graft.queries.Q.noOracle("x_phash_fuse") { (s, d) =>
+      import graft.multimodal.Multimodal
+      Multimodal.phashNearDupPairsCapped(
+        Multimodal.perceptualHashes(
+          Multimodal.syntheticPngClasses(graft.sources.Tables.documents(s, d))),
+        6, 2, includeOverflow = false)
+    })
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -57,7 +74,8 @@ object Bench {
     // Optional comma-separated substring filter for quick iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val selected = SparkEntry.allQueries.filter(q =>
-      only.forall(_.exists(q.name.contains)))
+      only.forall(_.exists(q.name.contains))) ++
+      extraProbes.filter(q => only.exists(_.exists(q.name.contains)))
     // Untimed warmup at the smallest sf: JIT + whole-stage-codegen
     // compilation for the exact plan shapes being measured. Derived
     // from the measured dir (sibling sf0.001, else the dir itself) so

@@ -657,6 +657,80 @@ object Multimodal {
       .distinct()
   }
 
+  /** [[phashNearDupPairs]] under a hot-bucket member cap — the batch
+    * face of [[graft.streaming.HammingStream]]'s maxBucketIds latch,
+    * and the media-family answer to the measured 10× cliff: pair
+    * ENUMERATION over replicated corpora is output-bound (SCALING.md
+    * round-9 media run: pairs ×101, wall ×31 — the banded join is
+    * fine, the answer itself is quadratic), so the 100 TB spelling
+    * caps each (band-index, band-value) bucket at `maxBucketIds`
+    * members (lowest ids kept — the q114 ranking, which the oracle
+    * reproduces with the same window) and the candidate join runs on
+    * the capped store: ≤ C(M,2) candidate pairs per bucket, bounded
+    * regardless of clique structure. A near-dup pair has nBands
+    * independent chances to co-survive a cap — but within a mass-dup
+    * clique all signatures share ALL bands, so survival collapses to
+    * one chance and output degrades toward C(M,2) per clique: the
+    * q122 one-chance regime, i.e. a memory FUSE, not a recall
+    * guarantee (the q118 many-chances math does not apply — see the
+    * CLAUDE.md rule this measured).
+    *
+    * `includeOverflow = true` adds the q114 reconciliation: pairs a
+    * diverted (rn > M) member forms with its full bucket, labeled
+    * 'overflow' (capped-path priority on overlap) — then
+    * capped ∪ overflow ≡ the uncapped operator row for row, which is
+    * what q131 hash-checks. Production at scale runs `false`: the
+    * whole point is not to enumerate the clique. */
+  def phashNearDupPairsCapped(sigs: DataFrame, maxDist: Int = 6,
+                              maxBucketIds: Int = 2,
+                              includeOverflow: Boolean = true): DataFrame = {
+    require(maxDist <= 7, s"8x8 banding is exact only to distance 7, got $maxDist")
+    import org.apache.spark.sql.expressions.Window
+    val banded = sigs.select(col("media_id"), col("ph_hi"), col("ph_lo"),
+        explode(array((0 until 8).map(lit): _*)).as("k"))
+      .withColumn("band",
+        expr("shiftright(IF(k < 4, ph_lo, ph_hi), (k % 4) * 8)")
+          .bitwiseAND(lit(255L)))
+    // rn <= M filters plan two-phase WindowGroupLimit (q118): map-side
+    // partial keeps <= M rows per (k, band) per partition BEFORE the
+    // exchange, so a saturated bucket never ships its clique
+    val ranked = banded.withColumn("rn",
+      row_number().over(Window.partitionBy(col("k"), col("band"))
+        .orderBy(col("media_id"))))
+    val store = if (includeOverflow) ranked.localCheckpoint(true) else ranked
+    val kept = store.filter(col("rn") <= maxBucketIds)
+    def sides(df: DataFrame, a: String, b: String) = (
+      df.select(col("k"), col("band"), col("media_id").as(a),
+        col("ph_hi").as(s"hi_$a"), col("ph_lo").as(s"lo_$a")),
+      df.select(col("k"), col("band"), col("media_id").as(b),
+        col("ph_hi").as(s"hi_$b"), col("ph_lo").as(s"lo_$b")))
+    val (kl, kr) = sides(kept, "d1", "d2")
+    val capped = kl.join(kr, Seq("k", "band")).filter(col("d1") < col("d2"))
+      .withColumn("hamming",
+        (bit_count(expr("hi_d1 ^ hi_d2")) + bit_count(expr("lo_d1 ^ lo_d2"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("d1"), col("d2"), col("hamming")).distinct()
+    if (!includeOverflow) capped.withColumn("via", lit("capped"))
+    else {
+      // diverted members probe their FULL buckets; least/greatest
+      // canonicalizes because a diverted id sits on either side
+      val over = store.filter(col("rn") > maxBucketIds)
+        .select(col("k"), col("band"), col("media_id").as("da"),
+          col("ph_hi").as("ha"), col("ph_lo").as("la"))
+        .join(store.select(col("k"), col("band"), col("media_id").as("db"),
+          col("ph_hi").as("hb"), col("ph_lo").as("lb")), Seq("k", "band"))
+        .filter(col("da") =!= col("db"))
+        .withColumn("hamming",
+          (bit_count(expr("ha ^ hb")) + bit_count(expr("la ^ lb"))).cast("long"))
+        .filter(col("hamming") <= maxDist)
+        .select(least(col("da"), col("db")).as("d1"),
+          greatest(col("da"), col("db")).as("d2"), col("hamming")).distinct()
+      capped.withColumn("via", lit("capped"))
+        .unionByName(over.join(capped.select("d1", "d2"), Seq("d1", "d2"), "left_anti")
+          .withColumn("via", lit("overflow")))
+    }
+  }
+
   def phashNearDupPairs(sigs: DataFrame, maxDist: Int = 6): DataFrame = {
     require(maxDist <= 7, s"8x8 banding is exact only to distance 7, got $maxDist")
     val banded = sigs.select(col("media_id"), col("ph_hi"), col("ph_lo"),

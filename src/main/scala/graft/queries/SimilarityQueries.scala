@@ -23,6 +23,33 @@ object SimilarityQueries {
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)""".stripMargin
 
+  /** q125's closed-form aHash pipeline (synthetic pixels → grayscale →
+    * mean threshold → two 32-bit words → 8×8-bit banding), shared by
+    * the uncapped (q125) and member-capped (q131) oracles. */
+  private val phashCtes =
+    """WITH p AS (SELECT doc_id, doc_id % 41 AS g, (doc_id // 41) % 2 AS v FROM documents),
+      |d AS (SELECT doc_id, g, v, 8 + g % 9 AS w, 8 + g % 5 AS h FROM p),
+      |cxs AS (SELECT doc_id, g, v, w, h, unnest(generate_series(0, 7)) AS cx FROM d),
+      |cell AS (SELECT doc_id, g, v, w, h, cx, unnest(generate_series(0, 7)) AS cy FROM cxs),
+      |px AS (SELECT doc_id, cy * 8 + cx AS j,
+      |         ((((cx * w) // 8 + 16 * ((cy * h) // 8) + 1024 * g) * 2654435761) % 16777216
+      |           + v * 2) % 16777216 AS pv
+      |       FROM cell),
+      |gr AS (SELECT doc_id, j,
+      |         (((pv // 65536) % 256) + ((pv // 256) % 256) + (pv % 256)) // 3 AS gy
+      |       FROM px),
+      |mu AS (SELECT doc_id, CAST(sum(gy) // 64 AS BIGINT) AS m FROM gr GROUP BY doc_id),
+      |bits AS (SELECT gr.doc_id, j, CASE WHEN gy >= m THEN 1 ELSE 0 END AS b
+      |         FROM gr JOIN mu ON mu.doc_id = gr.doc_id),
+      |sig AS (SELECT doc_id,
+      |          CAST(sum(CASE WHEN j >= 32 THEN b * (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS BIGINT) AS hi,
+      |          CAST(sum(CASE WHEN j < 32 THEN b * (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS lo
+      |        FROM bits GROUP BY doc_id),
+      |bd AS (SELECT doc_id, hi, lo, k,
+      |         CASE WHEN k < 4 THEN (lo >> (k * 8)) & 255
+      |              ELSE (hi >> ((k - 4) * 8)) & 255 END AS band
+      |       FROM sig, (SELECT unnest(generate_series(0, 7)) AS k))""".stripMargin
+
   /** ±1 hyperplanes inlined as SQL list literals (computed once in
     * Scala from sha-256 parity — both engines consume the same
     * constants, so there is nothing hash-related to keep in sync). */
@@ -776,28 +803,7 @@ object SimilarityQueries {
     // rounding, or band-slicing bug breaks the hash on the exact bit
     // it corrupts.
     Q("q125_image_phash_neardup",
-      """WITH p AS (SELECT doc_id, doc_id % 41 AS g, (doc_id // 41) % 2 AS v FROM documents),
-        |d AS (SELECT doc_id, g, v, 8 + g % 9 AS w, 8 + g % 5 AS h FROM p),
-        |cxs AS (SELECT doc_id, g, v, w, h, unnest(generate_series(0, 7)) AS cx FROM d),
-        |cell AS (SELECT doc_id, g, v, w, h, cx, unnest(generate_series(0, 7)) AS cy FROM cxs),
-        |px AS (SELECT doc_id, cy * 8 + cx AS j,
-        |         ((((cx * w) // 8 + 16 * ((cy * h) // 8) + 1024 * g) * 2654435761) % 16777216
-        |           + v * 2) % 16777216 AS pv
-        |       FROM cell),
-        |gr AS (SELECT doc_id, j,
-        |         (((pv // 65536) % 256) + ((pv // 256) % 256) + (pv % 256)) // 3 AS gy
-        |       FROM px),
-        |mu AS (SELECT doc_id, CAST(sum(gy) // 64 AS BIGINT) AS m FROM gr GROUP BY doc_id),
-        |bits AS (SELECT gr.doc_id, j, CASE WHEN gy >= m THEN 1 ELSE 0 END AS b
-        |         FROM gr JOIN mu ON mu.doc_id = gr.doc_id),
-        |sig AS (SELECT doc_id,
-        |          CAST(sum(CASE WHEN j >= 32 THEN b * (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS BIGINT) AS hi,
-        |          CAST(sum(CASE WHEN j < 32 THEN b * (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS lo
-        |        FROM bits GROUP BY doc_id),
-        |bd AS (SELECT doc_id, hi, lo, k,
-        |         CASE WHEN k < 4 THEN (lo >> (k * 8)) & 255
-        |              ELSE (hi >> ((k - 4) * 8)) & 255 END AS band
-        |       FROM sig, (SELECT unnest(generate_series(0, 7)) AS k)),
+      s"""$phashCtes,
         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         |         FROM bd a JOIN bd b ON a.k = b.k AND a.band = b.band
         |                            AND a.doc_id < b.doc_id),
@@ -914,6 +920,53 @@ object SimilarityQueries {
       Multimodal.videoNearDupPairs(
           Multimodal.videoSignatures(
             Multimodal.syntheticMp4Classes(Tables.documents(s, d))), 10)
+        .orderBy("d1", "d2")
+    },
+
+    // ---------------------------------------------------------------- q131
+    // Member-capped pHash near-dup — the media-family fuse the
+    // round-9 10× run demands (pairs ×101, wall ×31: enumeration over
+    // mass-dup corpora is OUTPUT-bound, so at 100 TB the bucket must
+    // stop shipping its clique). q114's reconciliation on the image
+    // face: each (band, value) bucket keeps its 2 lowest ids, the
+    // candidate join runs on the capped store (≤ C(2,2+) pairs per
+    // bucket, two-phase WindowGroupLimit keeps partial buckets
+    // map-side), diverted members probe their full buckets for the
+    // 'overflow' label — and capped ∪ overflow ≡ the uncapped q125
+    // row for row, which this query hash-checks including the label
+    // (capped-path priority on overlap). Production at scale runs
+    // includeOverflow = false; within a clique every band is shared,
+    // so survival collapses to ONE chance and the cap is a memory
+    // fuse, not a recall guarantee (the q122 one-chance regime).
+    Q("q131_image_phash_membercap",
+      s"""$phashCtes,
+        |rk AS (SELECT doc_id, hi, lo, k, band,
+        |         row_number() OVER (PARTITION BY k, band ORDER BY doc_id) AS rn FROM bd),
+        |cpd AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |        FROM rk a JOIN rk b ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
+        |        WHERE a.rn <= 2 AND b.rn <= 2),
+        |cp AS (SELECT d1, d2,
+        |         CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) AS BIGINT) AS hamming
+        |       FROM cpd JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2),
+        |cpf AS (SELECT * FROM cp WHERE hamming <= 6),
+        |ovd AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS d1, greatest(a.doc_id, b.doc_id) AS d2
+        |        FROM rk a JOIN rk b ON a.k = b.k AND a.band = b.band AND a.doc_id <> b.doc_id
+        |        WHERE a.rn > 2),
+        |ov AS (SELECT d1, d2,
+        |         CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) AS BIGINT) AS hamming
+        |       FROM ovd JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2),
+        |ovf AS (SELECT ov.d1, ov.d2, ov.hamming FROM ov WHERE hamming <= 6
+        |        AND NOT EXISTS (SELECT 1 FROM cpf c WHERE c.d1 = ov.d1 AND c.d2 = ov.d2))
+        |SELECT * FROM (
+        |  SELECT d1, d2, hamming, 'capped' AS via FROM cpf
+        |  UNION ALL
+        |  SELECT d1, d2, hamming, 'overflow' AS via FROM ovf)
+        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      import graft.multimodal.Multimodal
+      Multimodal.phashNearDupPairsCapped(
+          Multimodal.perceptualHashes(
+            Multimodal.syntheticPngClasses(Tables.documents(s, d))),
+          6, 2, includeOverflow = true)
         .orderBy("d1", "d2")
     }
   )

@@ -312,6 +312,28 @@ class CodecSpec extends SparkSpec {
       "hamming<=6 pairs must stay within their pixel class on this corpus")
   }
 
+  test("phashNearDupPairsCapped: capped ∪ overflow ≡ uncapped; capped-only is the bounded subset") {
+    import org.apache.spark.sql.functions.col
+    val docs = sources.Tables.documents(spark, sf("sf0.001"))
+    val sigs = Multimodal.perceptualHashes(Multimodal.syntheticPngClasses(docs))
+    val uncapped = Multimodal.phashNearDupPairs(sigs, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val labeled = Multimodal.phashNearDupPairsCapped(sigs, 6, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(labeled.map(t => (t._1, t._2, t._3)).toSet == uncapped,
+      "capped ∪ overflow must reproduce the uncapped pair set exactly")
+    assert(labeled.map(t => (t._1, t._2)).distinct.length == labeled.length,
+      "labels must partition the pairs (capped-path priority)")
+    assert(labeled.exists(_._4 == "overflow"),
+      "fixture has buckets past the cap — an all-capped result is vacuous")
+    // the production fuse: capped-only equals exactly the 'capped' rows
+    val fuse = Multimodal.phashNearDupPairsCapped(sigs, 6, 2, includeOverflow = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fuse == labeled.filter(_._4 == "capped").map(t => (t._1, t._2, t._3)).toSet)
+    assert(fuse.size < uncapped.size,
+      "the cap must actually shrink output on this clique-heavy corpus")
+  }
+
   test("mdat round-trip: frames encode into a real container and slice back out") {
     val frames = Array.tabulate(5)(f => Array.tabulate(64)(j => (f * 64 + j).toByte))
     val b = VideoCodec.encodeMp4Frames(1000, 7L, frames)
