@@ -233,6 +233,55 @@ object TextQueries {
     // key 1-row broadcast (q126 pattern — a literal join key would
     // constant-fold into the banned BNLJ). Pure integer acceptance
     // arithmetic: no ratio for the engines to round differently.
+    // ---------------------------------------------------------------- q132
+    // Hard quality-rule battery — the C4/Gopher-style FILTER face of
+    // quality, complementing q26's soft score: per-document boolean
+    // verdicts for word-count bounds, mean-word-length bounds,
+    // digit-char ratio, and stopword presence (Rae et al. 2021 §A1.1,
+    // Raffel et al. 2020 §2.2 rule families), plus the conjunctive
+    // keep. Every ratio rule is INTEGER CROSS-MULTIPLIED
+    // (3·nt ≤ wc, 10·dg ≤ nc …) — no double division for the engines
+    // to round differently, the q80/q81 portability lesson applied to
+    // predicates. Inputs come from the native codegen'd TextStats
+    // expression (one pass over the string for nt/nc/dg/stopwords —
+    // no HOF, no Expand); word chars = replace(text,' ','') length on
+    // both sides. Bounds are set where this corpus actually splits
+    // (117/500 keep at sf0.01); r_digit passes everywhere here (the
+    // synthetic text is digit-light) and earns its column as the
+    // battery's completeness, not its discrimination.
+    Q("q132_quality_rules",
+      s"""WITH f AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         |  CAST(length(text) AS BIGINT) AS nc,
+         |  CAST(${charCountSql("[0-9]")} AS BIGINT) AS dg,
+         |  CAST(${hitsSql(EN_MARKERS)} AS BIGINT) AS st,
+         |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS wc
+         |FROM documents)
+         |SELECT doc_id, nt AS n_tokens,
+         |  nt BETWEEN 30 AND 10000 AS r_wordcount,
+         |  (3 * nt <= wc AND 2 * wc <= 9 * nt) AS r_meanlen,
+         |  10 * dg <= nc AS r_digit,
+         |  st >= 2 AS r_stopword,
+         |  (nt BETWEEN 30 AND 10000 AND 3 * nt <= wc AND 2 * wc <= 9 * nt
+         |    AND 10 * dg <= nc AND st >= 2) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val st = graft.functions.TextStats.text_stats(col("text"))
+      val nt = st.getField("nt").cast("long")
+      val nc = st.getField("nc").cast("long")
+      val dg = st.getField("dg").cast("long")
+      val en = st.getField("en").cast("long")
+      val wc = length(expr("replace(text, ' ', '')")).cast("long")
+      val rWord = nt >= 30 && nt <= 10000
+      val rMean = lit(3) * nt <= wc && lit(2) * wc <= lit(9) * nt
+      val rDigit = lit(10) * dg <= nc
+      val rStop = en >= 2
+      Tables.documents(s, d).select(col("doc_id"),
+          nt.as("n_tokens"), rWord.as("r_wordcount"), rMean.as("r_meanlen"),
+          rDigit.as("r_digit"), rStop.as("r_stopword"),
+          (rWord && rMean && rDigit && rStop).as("keep"))
+        .orderBy("doc_id")
+    },
+
     Q("q130_mixture_rebalance",
       """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY lang),
         |m AS (SELECT min(c) AS nmin FROM c),

@@ -226,4 +226,22 @@ class PlanSpec extends SparkSpec {
     assert(coldPlan.contains("ReusedExchange"),
       s"member-cap window exchange must be reused on the cold path:\n$coldPlan")
   }
+
+  test("q131 fuse: bucket cap plans two-phase WindowGroupLimit (partial before the exchange)") {
+    // The fuse's scale claim is that a saturated bucket never ships
+    // its clique: row_number <= M must plan WindowGroupLimit in
+    // Partial mode BELOW the (k, band) exchange, so each map task
+    // forwards at most M rows per bucket. A Spark upgrade or filter
+    // rewrite that degrades this to a plain Window + Filter would
+    // silently reintroduce the clique shuffle this operator exists
+    // to avoid.
+    val sigs = graft.multimodal.Multimodal.perceptualHashes(
+      graft.multimodal.Multimodal.syntheticPngClasses(
+        graft.sources.Tables.documents(spark, sf("sf0.001"))))
+    val p = graft.multimodal.Multimodal
+      .phashNearDupPairsCapped(sigs, 6, 2, includeOverflow = false)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), s"map-side partial limit missing:\n$p")
+  }
 }
