@@ -733,20 +733,62 @@ object Multimodal {
 
   def phashNearDupPairs(sigs: DataFrame, maxDist: Int = 6): DataFrame = {
     require(maxDist <= 7, s"8x8 banding is exact only to distance 7, got $maxDist")
-    val banded = sigs.select(col("media_id"), col("ph_hi"), col("ph_lo"),
+    phashPairsFromStore(phashBandRows(sigs), maxDist)
+  }
+
+  /** Banded signature rows (k, band, media_id, ph_hi, ph_lo) — the
+    * persisted-artifact face of the image near-dup index, the media
+    * sibling of `DedupOps.minhashBandStore`: a nightly job writes
+    * these (bucketed by (k, band) at scale) and incremental
+    * ingestion probes them instead of re-banding the corpus. */
+  def phashBandRows(sigs: DataFrame): DataFrame =
+    sigs.select(col("media_id"), col("ph_hi"), col("ph_lo"),
         explode(array((0 until 8).map(lit): _*)).as("k"))
       .withColumn("band",
         expr("shiftright(IF(k < 4, ph_lo, ph_hi), (k % 4) * 8)")
           .bitwiseAND(lit(255L)))
-    val l = banded.select(col("k"), col("band"), col("media_id").as("d1"),
+
+  /** Near-dup pairs read from an already-materialized band store —
+    * signatures are NOT recomputed. phashNearDupPairs ≡ this over
+    * phashBandRows. */
+  def phashPairsFromStore(store: DataFrame, maxDist: Int = 6): DataFrame = {
+    val l = store.select(col("k"), col("band"), col("media_id").as("d1"),
       col("ph_hi").as("hi1"), col("ph_lo").as("lo1"))
-    val r = banded.select(col("k"), col("band"), col("media_id").as("d2"),
+    val r = store.select(col("k"), col("band"), col("media_id").as("d2"),
       col("ph_hi").as("hi2"), col("ph_lo").as("lo2"))
     l.join(r, Seq("k", "band")).filter(col("d1") < col("d2"))
       .withColumn("hamming",
         (bit_count(expr("hi1 ^ hi2")) + bit_count(expr("lo1 ^ lo2"))).cast("long"))
       .filter(col("hamming") <= maxDist)
       .select(col("d1"), col("d2"), col("hamming"))
+      .distinct()
+  }
+
+  /** O(Δ) incremental arrival against a persisted band store — the
+    * q97/q102 contract on the image face: only the DELTA's signatures
+    * band (the store is read, not recomputed), every emitted pair has
+    * a delta member, and storePairs ∪ incremental ≡ the full batch
+    * recompute (q133 hash-checks that identity against the SAME
+    * oracle as q125). The delta probes store ∪ delta, so delta×delta
+    * pairs surface too; least/greatest canonicalizes because a delta
+    * id sits on either side of a stored partner. Per-arrival cost is
+    * the probed buckets' membership — the streaming twin
+    * ([[graft.streaming.HammingStream]]) holds the same state
+    * sharded by (band, value). */
+  def incrementalPhashPairs(store: DataFrame, deltaSigs: DataFrame,
+                            maxDist: Int = 6): DataFrame = {
+    val db = phashBandRows(deltaSigs)
+    val l = db.select(col("k"), col("band"), col("media_id").as("da"),
+      col("ph_hi").as("ha"), col("ph_lo").as("la"))
+    val r = store.unionByName(db)
+      .select(col("k"), col("band"), col("media_id").as("db"),
+        col("ph_hi").as("hb"), col("ph_lo").as("lb"))
+    l.join(r, Seq("k", "band")).filter(col("da") =!= col("db"))
+      .withColumn("hamming",
+        (bit_count(expr("ha ^ hb")) + bit_count(expr("la ^ lb"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col("hamming"))
       .distinct()
   }
 }

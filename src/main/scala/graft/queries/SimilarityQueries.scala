@@ -50,6 +50,19 @@ object SimilarityQueries {
       |              ELSE (hi >> ((k - 4) * 8)) & 255 END AS band
       |       FROM sig, (SELECT unnest(generate_series(0, 7)) AS k))""".stripMargin
 
+  /** The full uncapped pair list over [[phashCtes]] — q125's oracle,
+    * and (incremental ≡ full being the property under test) q133's. */
+  private lazy val phashPairsSql =
+    s"""$phashCtes,
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |         FROM bd a JOIN bd b ON a.k = b.k AND a.band = b.band
+      |                            AND a.doc_id < b.doc_id),
+      |pr AS (SELECT d1, d2,
+      |         CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) AS BIGINT) AS hamming
+      |       FROM cand JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2)
+      |SELECT d1, d2, hamming FROM pr WHERE hamming <= 6
+      |ORDER BY d1, d2""".stripMargin
+
   /** ±1 hyperplanes inlined as SQL list literals (computed once in
     * Scala from sha-256 parity — both engines consume the same
     * constants, so there is nothing hash-related to keep in sync). */
@@ -802,16 +815,7 @@ object SimilarityQueries {
     // banding (so its join is bounded like the engine's) — a decoder,
     // rounding, or band-slicing bug breaks the hash on the exact bit
     // it corrupts.
-    Q("q125_image_phash_neardup",
-      s"""$phashCtes,
-        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |         FROM bd a JOIN bd b ON a.k = b.k AND a.band = b.band
-        |                            AND a.doc_id < b.doc_id),
-        |pr AS (SELECT d1, d2,
-        |         CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) AS BIGINT) AS hamming
-        |       FROM cand JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2)
-        |SELECT d1, d2, hamming FROM pr WHERE hamming <= 6
-        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+    Q("q125_image_phash_neardup", phashPairsSql) { (s, d) =>
       import graft.multimodal.Multimodal
       Multimodal.phashNearDupPairs(
           Multimodal.perceptualHashes(
@@ -967,6 +971,32 @@ object SimilarityQueries {
           Multimodal.perceptualHashes(
             Multimodal.syntheticPngClasses(Tables.documents(s, d))),
           6, 2, includeOverflow = true)
+        .orderBy("d1", "d2")
+    },
+
+    // ---------------------------------------------------------------- q133
+    // Incremental image near-dup — the q97/q102 O(Δ) contract on the
+    // media face, completing the batch (q125) / capped (q131) /
+    // streaming (HammingStream) / incremental matrix: the corpus
+    // splits into an ingested store (2/3) and tonight's delta (1/3);
+    // the store's banded rows are the persisted nightly artifact
+    // (localCheckpoint = the query's read-from-disk analog,
+    // signatures banded exactly once), stored pairs read FROM the
+    // store, and the delta's signatures alone band and probe
+    // store ∪ delta. Union ≡ the full q125 recompute, hash-checked
+    // against the SAME oracle — a probe that misses a bucket, drops
+    // a delta×delta pair, or double-emits a stored pair breaks the
+    // row hash.
+    Q("q133_phash_incremental", phashPairsSql) { (s, d) =>
+      import graft.multimodal.Multimodal
+      val sigs = Multimodal.perceptualHashes(
+        Multimodal.syntheticPngClasses(Tables.documents(s, d)))
+      val store = Multimodal.phashBandRows(
+          sigs.filter(col("media_id") % 3 =!= 0))
+        .localCheckpoint(true)
+      val delta = sigs.filter(col("media_id") % 3 === 0)
+      Multimodal.phashPairsFromStore(store, 6)
+        .unionByName(Multimodal.incrementalPhashPairs(store, delta, 6))
         .orderBy("d1", "d2")
     }
   )

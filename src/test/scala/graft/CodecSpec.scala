@@ -334,6 +334,30 @@ class CodecSpec extends SparkSpec {
       "the cap must actually shrink output on this clique-heavy corpus")
   }
 
+  test("incrementalPhashPairs: O(delta) probe — every pair touches the delta, union equals batch") {
+    import org.apache.spark.sql.functions.col
+    val docs = sources.Tables.documents(spark, sf("sf0.001"))
+    val sigs = Multimodal.perceptualHashes(Multimodal.syntheticPngClasses(docs))
+    val store = Multimodal.phashBandRows(sigs.filter(col("media_id") % 3 =!= 0))
+      .localCheckpoint(true)
+    val deltaSigs = sigs.filter(col("media_id") % 3 === 0)
+    val deltaIds = deltaSigs.select("media_id").collect().map(_.getLong(0)).toSet
+    val incr = Multimodal.incrementalPhashPairs(store, deltaSigs, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(incr.nonEmpty && incr.forall(p => deltaIds(p._1) || deltaIds(p._2)),
+      "incremental output must be delta-driven only")
+    assert(incr.exists(p => !deltaIds(p._1) || !deltaIds(p._2)),
+      "no delta x stored pair found — the store probe is vacuous on this fixture")
+    val stored = Multimodal.phashPairsFromStore(store, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(stored.forall(p => !deltaIds(p._1) && !deltaIds(p._2)),
+      "store pairs must not leak delta members (the union would double-count)")
+    val batch = Multimodal.phashNearDupPairs(sigs, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert((stored ++ incr).toSet == batch && stored.length + incr.length == batch.size,
+      "store ∪ incremental must equal the batch recompute with no overlap")
+  }
+
   test("mdat round-trip: frames encode into a real container and slice back out") {
     val frames = Array.tabulate(5)(f => Array.tabulate(64)(j => (f * 64 + j).toByte))
     val b = VideoCodec.encodeMp4Frames(1000, 7L, frames)
