@@ -927,4 +927,236 @@ object Similarity {
       .agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") > memberCap)
       .withColumn("n_dropped", col("n_members") - memberCap)
+
+  // ------------------------------------------------------------------
+  // Product quantization (PQ) — the MEMORY scale path of the ANN
+  // family. IVF (ivfTopK) prunes which vectors a query touches; PQ
+  // shrinks what each touch costs: a 64-float vector (256 B) encodes
+  // to nSub 4-bit sub-codes packed in ONE BIGINT (4 B at the default
+  // 8×16 layout — 64× less scan traffic), and search runs entirely
+  // over codes via asymmetric distance computation (ADC): the query
+  // precomputes an nSub×k table of sub-distances once, every
+  // candidate costs nSub table lookups, and full vectors are read
+  // only to re-rank the survivors (pqRerankTopK). At 100 TB this is
+  // the difference between scanning the embedding column and scanning
+  // a BIGINT column. Jégou et al., "Product Quantization for Nearest
+  // Neighbor Search", IEEE TPAMI 2011.
+  // ------------------------------------------------------------------
+
+  /** PQ codebook: `nSub` subspaces × (up to) `k` centroids, each
+    * centroid the m-th dim/nSub-wide slice of one of the `k`
+    * lowest-id vectors — the same deterministic id-picked init as
+    * [[initCentroids]], so the oracle can rebuild the identical book
+    * in SQL. Returned collected to the driver as (m, j, components)
+    * rows: a MODEL (nSub·k·subDim = dim·k doubles — the 8×16 default
+    * over 64 dims is 1024 doubles, far under [[MAX_INLINE_DOUBLES]]),
+    * same collect-and-inline pattern as the IVF quantizer. */
+  def pqCodebooks(vecs: DataFrame, nSub: Int, k: Int): Array[(Int, Int, Array[Double])] = {
+    val base = vecs.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(base.nonEmpty, "pqCodebooks: empty corpus")
+    val dim = base.head.length
+    require(dim % nSub == 0, s"pqCodebooks: dim $dim not divisible by $nSub subspaces")
+    require(base.length <= 16, "pqCodebooks: k > 16 no longer fits a 4-bit sub-code")
+    require(dim.toLong * base.length <= MAX_INLINE_DOUBLES,
+      s"pqCodebooks: ${dim.toLong * base.length} doubles exceeds the inline ceiling")
+    val sd = dim / nSub
+    for { m <- (0 until nSub).toArray; j <- base.indices.toArray }
+      yield (m, j, base(j).slice(m * sd, (m + 1) * sd))
+  }
+
+  /** One Lloyd round per subspace from the id-picked init — the PQ
+    * twin of [[kmeansCentroids]], trained with the same exact-decimal
+    * mean rule (components rounded to 6 decimals, summed in
+    * DECIMAL(21,10), divided by the count in double), so the trained
+    * book is partition-order-independent, run-reproducible, and
+    * rebuildable in the SQL oracle. Sub-cells that capture no vector
+    * drop out (k shrinks per subspace; j labels are preserved, codes
+    * stay 4-bit). Why exactly ONE round: measured on the real sf0.1
+    * parquet (numpy replica, the SCALING.md probe-design protocol) —
+    * id-picked books give ADC recall@10 0.20 / re-rank@100 0.65; one
+    * Lloyd round lifts that to 0.25 / 0.73; five and ten rounds land
+    * BACK at 0.24–0.27 / 0.62–0.66. On this near-isotropic corpus the
+    * quantizer stops learning after one round, so one is what the
+    * engine trains. At 100 TB the training pass runs on a sample;
+    * encode stays a map-only scan either way. */
+  def pqTrainCodebooks(vecs: DataFrame, nSub: Int, k: Int): Array[(Int, Int, Array[Double])] = {
+    val books0 = pqCodebooks(vecs, nSub, k)
+    val sd = books0.head._3.length
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // the assignment pass is the broadcast-join argmax spelling
+    // (assignByJoin's shape): the book rides as a tiny broadcast frame
+    // and distances are VecDot terms — NOT per-centroid inlined
+    // literal chains, whose generated code (nSub·k copies of the
+    // element arithmetic) cost ~51 s of janino compile per run at
+    // sf0.1 before this rewrite
+    val bookDf = books0.toSeq.map { case (m, j, c) => (m, j, c.toSeq) }.toDF("m", "j", "cv")
+    val subRows = withPqSubCols(vecs, nSub, sd)
+      .select(col("vec_id"), explode(array((0 until nSub).map(m =>
+        struct(lit(m).as("m"), col(s"_s$m").as("s"))).toIndexedSeq: _*)).as("t"))
+      .select(col("vec_id"), col("t.m").as("m"), col("t.s").as("s"))
+    val d = graft.ops.Exact.duckRound(
+      dot(col("s"), col("s")) - lit(2.0) * dot(col("s"), col("cv"))
+        + dot(col("cv"), col("cv")), 6)
+    val key = struct(((-d) + lit(0.0)).as("ds"), (-col("j")).as("nj"))
+    val asg = subRows.join(broadcast(bookDf), Seq("m"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(max(key).as("bk"), first(col("s")).as("s"))
+      .select(col("m"), (-col("bk.nj")).as("cj"), col("s"))
+    val means = asg.select(col("m"), col("cj"), posexplode(col("s")))
+      .groupBy(col("m"), col("cj"), col("pos"))
+      .agg((sum(graft.ops.Exact.duckRound(col("col"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(21, 10)))
+        .cast("double") / count(lit(1))).as("c"))
+      .collect() // a MODEL: ≤ nSub·k·subDim rows — the kmeansCellSums collect pattern
+    means.groupBy(r => (r.getAs[Int]("m"), r.getAs[Int]("cj")))
+      .toArray
+      .map { case ((m, j), rows) =>
+        (m, j, rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("c")))
+      }
+      .sortBy(t => (t._1, t._2))
+  }
+
+  /** Per-subspace slice columns `_s0.._s{nSub-1}` plus their
+    * self-dots `_ssq{m}`, projected ONCE over two selects. Every
+    * consumer then references ATTRIBUTES: the array<float>→double
+    * cast and each slice build evaluate once per row instead of once
+    * per centroid term, and downstream trees stay small enough that
+    * codegen compile time doesn't dominate (the inline-everything
+    * spelling cost ~51 s/run at sf0.1). Two selects on purpose — the
+    * aliases are non-cheap and multiply-referenced, so
+    * CollapseProject leaves both projections standing. The arrays
+    * come from chained GetArrayItem, NOT `slice()` (a CodegenFallback
+    * HOF that would drop the corpus-side subtree to interpreted —
+    * the engine-wide HOF rule); VecDot over them is bit-identical to
+    * list_dot_product over the oracle's list slices. */
+  private def withPqSubCols(df: DataFrame, nSub: Int, sd: Int): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val subs = (0 until nSub).map { m =>
+      array((0 until sd).map(i => v.getItem(m * sd + i)).toIndexedSeq: _*).as(s"_s$m")
+    }
+    val withS = df.select((col("vec_id") +: subs).toIndexedSeq: _*)
+    val ssqs = (0 until nSub).map(m => dot(col(s"_s$m"), col(s"_s$m")).as(s"_ssq$m"))
+    withS.select((col("vec_id") +: (0 until nSub).map(m => col(s"_s$m")) ++: ssqs).toIndexedSeq: _*)
+  }
+
+  /** Rounded squared L2 distance between a slice attribute and an
+    * inlined centroid: round(s·s − 2·s·c + c·c, 6), every fold
+    * left-to-right — exactly the oracle's list_dot_product spelling,
+    * so assignments and ADC sums are engine-identical. */
+  private def pqDistCol(s: Column, ssq: Column, c: Array[Double]): Column = {
+    val csq = c.foldLeft(0.0)((a, x) => a + x * x)
+    graft.ops.Exact.duckRound(
+      ssq - lit(2.0) * dot(s, typedLit(c.toSeq)) + lit(csq), 6)
+  }
+
+  /** The m-th 4-bit sub-code: argmin_j by (rounded d asc, j asc) via
+    * the [[nearestCellExpr]] greatest-struct pattern (keys negated;
+    * `+ 0.0` collapses the −0.0 a d≈0 round can produce, since raw
+    * struct compares — unlike sorts — distinguish signed zeros). */
+  private def pqSubCode(s: Column, ssq: Column,
+                        cbm: Array[(Int, Array[Double])]): Column =
+    if (cbm.length == 1) lit(cbm.head._1) // a subspace CAN collapse; keep its label
+    else -greatest(cbm.map { case (j, c) =>
+      struct(((-pqDistCol(s, ssq, c)) + lit(0.0)).as("s"), lit(-j).as("nj"))
+    }.toIndexedSeq: _*).getField("nj")
+
+  /** The persistable PQ code store: (vec_id, code), all nSub
+    * sub-codes packed into one BIGINT (Σ code_m · 2^(4m)) in one
+    * codegen'd map-side projection — the 100 TB encode pass is a
+    * map-only scan (PqSpec pins zero exchanges). Re-encoding is never
+    * needed until the codebook changes; deltas append O(Δ). */
+  def pqEncode(vecs: DataFrame, books: Array[(Int, Int, Array[Double])]): DataFrame = {
+    val sd = books.head._3.length
+    val nSub = books.map(_._1).max + 1
+    val bySub = books.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._2, r._3))).toMap
+    val packed = (0 until nSub).map { m =>
+      pqSubCode(col(s"_s$m"), col(s"_ssq$m"), bySub(m)).cast("long") * lit(1L << (4 * m))
+    }.reduceLeft(_ + _)
+    withPqSubCols(vecs, nSub, sd).select(col("vec_id"), packed.as("code"))
+  }
+
+  /** ADC approximate top-k: queries broadcast with their precomputed
+    * nSub×k distance table (an array column built once per query
+    * row), then stream the CODE store — per candidate the approximate
+    * distance is nSub element_at lookups summed as DECIMAL(21,10)
+    * (each term is a 6-rounded double, so the decimal sum is exact
+    * and engine-portable — the q80/q81 rule). The scan side never
+    * touches a vector. Rank = row_number over (approx asc, nid asc);
+    * the broadcast nested loop is the same documented bounded shape
+    * as bruteForceTopK, but over 8-byte codes instead of 256-byte
+    * vectors. */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+             books: Array[(Int, Int, Array[Double])]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = pqAdcScores(queries, candidates, books)
+    val w = Window.partitionBy(col("qid")).orderBy(col("approx").asc, col("nid").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("rnk"), col("approx"))
+  }
+
+  /** (qid, nid, approx) for every query × candidate — the shared ADC
+    * scan of [[pqTopK]] and [[pqRerankTopK]]. */
+  private def pqAdcScores(queries: DataFrame, candidates: DataFrame,
+                          books: Array[(Int, Int, Array[Double])]): DataFrame = {
+    val sd = books.head._3.length
+    val nSub = books.map(_._1).max + 1
+    val kCents = books.map(_._2).max + 1
+    // dtable[m*kCents + j] = d(query sub m, centroid (m, j)) — laid out
+    // DENSE over j ∈ [0, kCents) so the nibble arithmetic stays valid
+    // when training dropped an empty sub-cell (its slot is a dead 0.0:
+    // no code ever references a dropped j)
+    val byKey = books.map(b => (b._1, b._2) -> b._3).toMap
+    val dtable = array(
+      (for { m <- 0 until nSub; j <- 0 until kCents } yield byKey.get((m, j)) match {
+        case Some(c) => pqDistCol(col(s"_s$m"), col(s"_ssq$m"), c)
+        case None    => lit(0.0)
+      }).toIndexedSeq: _*)
+    val q = withPqSubCols(queries, nSub, sd)
+      .select(col("vec_id").as("qid"), dtable.as("dt"))
+    val enc = pqEncode(candidates, books)
+      .select(col("vec_id").as("nid"), col("code"))
+    val approx = (0 until nSub).map { m =>
+      val j = shiftright(col("code"), 4 * m).bitwiseAND(lit(15L))
+      element_at(col("dt"), (lit(m * kCents) + j + lit(1)).cast("int"))
+        .cast("decimal(21,10)")
+    }.reduceLeft(_ + _)
+    enc.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), approx.cast("double").as("approx"))
+  }
+
+  /** The production two-stage retrieve: ADC narrows to `rerankK`
+    * candidates per query (code-only scan), full vectors are fetched
+    * for THOSE rows alone by equi-join, and the final top-k is the
+    * exact rounded cosine — ADC's approximation decides only who gets
+    * re-ranked, never the returned order. */
+  def pqRerankTopK(queries: DataFrame, candidates: DataFrame, k: Int, rerankK: Int,
+                   books: Array[(Int, Int, Array[Double])]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wA = Window.partitionBy(col("qid")).orderBy(col("approx").asc, col("nid").asc)
+    val shortlist = pqAdcScores(queries, candidates, books)
+      .withColumn("ra", row_number().over(wA))
+      .filter(col("ra") <= rerankK)
+      .select("qid", "nid")
+    val nv = candidates.select(col("vec_id").as("nid"),
+      col("embedding").cast("array<double>").as("nv"))
+      .withColumn("nn", norm(col("nv")))
+    val qv = queries.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val den = col("qn") * col("nn")
+    val sim = when(den =!= lit(0.0),
+      graft.ops.Exact.duckRound(dot(col("qv"), col("nv")) / den, 6))
+    val wE = Window.partitionBy(col("qid")).orderBy(col("sim").desc_nulls_last, col("nid").asc)
+    shortlist.join(nv, Seq("nid")).join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("nid"), sim.as("sim"))
+      .withColumn("rnk", row_number().over(wE).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("rnk"), col("sim"))
+  }
 }

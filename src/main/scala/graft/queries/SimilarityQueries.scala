@@ -23,6 +23,59 @@ object SimilarityQueries {
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)""".stripMargin
 
+  private val PQ_SUB = 8       // subspaces: 64 dims → 8×8, codes fit 4 bits × 8 = one BIGINT
+  private val PQ_RERANK = 100  // ADC shortlist width feeding the exact re-rank (measured: 0.73 recall@10 at 100 on sf0.1; 0.45 at 30)
+
+  /** Shared PQ CTE chain — the SQL twin of Similarity.pqTrainCodebooks
+    * + pqEncode: id-picked init books (16 lowest-id vectors sliced
+    * into 8 subspaces), init assignment, ONE Lloyd round per subspace
+    * with q80's exact-decimal means (round 6 → DECIMAL(21,10) sum /
+    * count in double), then distances + argmin sub-codes against the
+    * TRAINED book. d = s·s − 2·s·c + c·c with list_dot_product folds
+    * — bit-identical to the engine's GetArrayItem chains. */
+  private val pqCtes =
+    s"""$normCtes,
+       |ms AS (SELECT unnest(generate_series(0, ${PQ_SUB - 1})) AS m),
+       |pbase AS (SELECT v, CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS j
+       |          FROM (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT 16)),
+       |cb0 AS (SELECT m, j, v[m * 8 + 1 : m * 8 + 8] AS cv FROM pbase, ms),
+       |psub AS (SELECT vec_id, m, v[m * 8 + 1 : m * 8 + 8] AS s FROM n, ms),
+       |pd0 AS (SELECT vec_id, psub.m AS m, j,
+       |         round(list_dot_product(s, s) - 2 * list_dot_product(s, cv)
+       |               + list_dot_product(cv, cv), 6) AS d
+       |       FROM psub JOIN cb0 ON psub.m = cb0.m),
+       |pcode0 AS (SELECT vec_id, m, j AS cj FROM (
+       |    SELECT vec_id, m, j,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, j ASC) AS rr
+       |    FROM pd0) WHERE rr = 1),
+       |pcomp AS (SELECT vec_id, m, i - 1 AS pos, s[i] AS x
+       |          FROM (SELECT vec_id, m, s, unnest(generate_series(1, 8)) AS i FROM psub)),
+       |pm AS (SELECT pc.m AS m, pc.cj AS j, pos,
+       |         CAST(sum(CAST(round(x, 6) AS DECIMAL(21,10))) AS DOUBLE) / count(*) AS c
+       |       FROM pcomp JOIN pcode0 pc ON pc.vec_id = pcomp.vec_id AND pc.m = pcomp.m
+       |       GROUP BY 1, 2, 3),
+       |cb AS (SELECT m, j, list(c ORDER BY pos) AS cv FROM pm GROUP BY m, j),
+       |pd AS (SELECT vec_id, psub.m AS m, j,
+       |         round(list_dot_product(s, s) - 2 * list_dot_product(s, cv)
+       |               + list_dot_product(cv, cv), 6) AS d
+       |       FROM psub JOIN cb ON psub.m = cb.m),
+       |pcode AS (SELECT vec_id, m, j AS cj FROM (
+       |    SELECT vec_id, m, j,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, j ASC) AS rr
+       |    FROM pd) WHERE rr = 1)""".stripMargin
+
+  /** ADC scores over [[pqCtes]]: for queries (vec_id < N_QUERIES),
+    * approx(q, n) = Σ_m d(q's subvector m, centroid the candidate's
+    * sub-code m names) — the query-side distance rows double as the
+    * distance TABLE, keyed by the candidate's code; terms sum as
+    * exact DECIMAL (the q80/q81 rounded-then-decimal rule). */
+  private val pqAdcCte =
+    s"""adc AS (SELECT pd.vec_id AS qid, pcode.vec_id AS nid,
+       |          CAST(sum(CAST(d AS DECIMAL(21,10))) AS DOUBLE) AS approx
+       |        FROM pcode JOIN pd ON pd.m = pcode.m AND pd.j = pcode.cj
+       |        WHERE pd.vec_id < $N_QUERIES AND pcode.vec_id <> pd.vec_id
+       |        GROUP BY 1, 2)""".stripMargin
+
   /** q125's closed-form aHash pipeline (synthetic pixels → grayscale →
     * mean threshold → two 32-bit words → 8×8-bit banding), shared by
     * the uncapped (q125) and member-capped (q131) oracles. */
@@ -998,6 +1051,81 @@ object SimilarityQueries {
       Multimodal.phashPairsFromStore(store, 6)
         .unionByName(Multimodal.incrementalPhashPairs(store, delta, 6))
         .orderBy("d1", "d2")
+    },
+
+    // ---------------------------------------------------------------- q134
+    // Product-quantization code store: every vector encoded to 8
+    // 4-bit sub-codes packed in ONE BIGINT (256 B of floats → 4 B of
+    // code — the memory face of ANN scale, next to IVF's compute
+    // face). Codebook = ONE Lloyd round per subspace from the
+    // id-picked init (q80's exact-decimal means — the whole training
+    // is rebuilt identically in SQL); sub-code = argmin by rounded
+    // squared L2 (d = s·s − 2·s·c + c·c, every fold left-to-right,
+    // ties → lowest j). The encode is one codegen'd map-side
+    // expression — at 100 TB it is a map-only scan, and this gate
+    // hash-verifies every nibble of it.
+    Q("q134_pq_codes",
+      s"""$pqCtes
+         |SELECT vec_id,
+         |  CAST(sum(cj * (CAST(1 AS BIGINT) << (4 * m))) AS BIGINT) AS code
+         |FROM pcode GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.pqEncode(e, Similarity.pqTrainCodebooks(e, PQ_SUB, 16))
+        .orderBy("vec_id")
+    },
+
+    // ---------------------------------------------------------------- q135
+    // PQ ADC top-k: the query precomputes its 8×16 sub-distance
+    // table; every candidate then costs 8 nibble lookups summed as
+    // DECIMAL(21,10) (terms are 6-rounded doubles — exact, portable).
+    // The scan side touches ONLY the BIGINT code column: approximate
+    // search over a 64×-compressed corpus, the degraded-gracefully
+    // sibling of q34's exact scan (same bounded broadcast shape, 4-
+    // byte rows instead of 256-byte vectors).
+    Q("q135_ann_pq_adc",
+      s"""$pqCtes,
+         |$pqAdcCte,
+         |r AS (SELECT qid, nid, approx,
+         |        CAST(row_number() OVER (PARTITION BY qid
+         |          ORDER BY approx ASC, nid ASC) AS BIGINT) AS rnk
+         |      FROM adc)
+         |SELECT qid, nid, rnk, approx FROM r WHERE rnk <= $TOP_K
+         |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.pqTopK(e.filter(col("vec_id") < N_QUERIES), e, TOP_K,
+          Similarity.pqTrainCodebooks(e, PQ_SUB, 16))
+        .orderBy("qid", "rnk")
+    },
+
+    // ---------------------------------------------------------------- q136
+    // PQ two-stage retrieve — the production shape: ADC narrows each
+    // query to 30 candidates over codes alone, full vectors are
+    // fetched for THOSE rows only (equi-join, never a second scan),
+    // and the returned top-10 is the exact rounded cosine. ADC's
+    // approximation decides who gets re-ranked; it never decides the
+    // returned order.
+    Q("q136_ann_pq_rerank",
+      s"""$pqCtes,
+         |$pqAdcCte,
+         |short AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY approx ASC, nid ASC) AS ra
+         |    FROM adc) WHERE ra <= $PQ_RERANK),
+         |ex AS (SELECT s.qid, s.nid,
+         |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim
+         |       FROM short s JOIN n q ON q.vec_id = s.qid
+         |                    JOIN n c ON c.vec_id = s.nid),
+         |r AS (SELECT qid, nid, sim,
+         |        CAST(row_number() OVER (PARTITION BY qid
+         |          ORDER BY sim DESC, nid ASC) AS BIGINT) AS rnk
+         |      FROM ex)
+         |SELECT qid, nid, rnk, sim FROM r WHERE rnk <= $TOP_K
+         |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.pqRerankTopK(e.filter(col("vec_id") < N_QUERIES), e,
+          TOP_K, PQ_RERANK, Similarity.pqTrainCodebooks(e, PQ_SUB, 16))
+        .orderBy("qid", "rnk")
     }
   )
 }

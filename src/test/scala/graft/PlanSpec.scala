@@ -189,9 +189,11 @@ class PlanSpec extends SparkSpec {
     // exempt)
     //  q98: recall audit — composes q34's exact scan and q81's trained
     //       IVF, so it inherits exactly their bounded shapes
+    //  q135/q136: PQ ADC — q34's bounded broadcast shape over 8-byte
+    //       codes instead of vectors (the point of the operator)
     val allowed = Set("q34_cosine_topk", "q45_ann_ivf_topk",
       "q80_kmeans_train", "q81_ann_ivf_trained", "q46_embedding_neardup",
-      "q98_ann_recall")
+      "q98_ann_recall", "q135_ann_pq_adc", "q136_ann_pq_rerank")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>
