@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data LAYOUT — the storage-side scale lever the
+  * query-side operators can't replace. A parquet scan prunes row
+  * groups from footer min/max stats, but stats only bite when the
+  * writer CLUSTERED the data: sorting by one column tightens that
+  * column's ranges and destroys every other's. The Z-order curve
+  * interleaves the bits of two dimensions so rows close in (x, y)
+  * are close in the one sort key — after a range-partitioned write,
+  * BOTH dimensions' min/max ranges are tight per row group and a box
+  * predicate on either (or both) skips most of the corpus at the
+  * reader, before a single row is materialized. At 100 TB this is
+  * the difference between "the filter is codegen'd" and "the filter
+  * never reads the bytes". (The same mechanism behind
+  * Delta/Iceberg OPTIMIZE ZORDER, expressed as plain Spark.)
+  *
+  * LayoutSpec measures the effect end-to-end: the same box query over
+  * the same rows emits 70× fewer rows from the scan node on the
+  * z-ordered layout than on a shuffled one (200,000 → 2,844 at 0.39%
+  * box selectivity).
+  */
+object Layout {
+
+  /** The Z-order (Morton) key of two non-negative integer dimensions:
+    * bit b of x lands at position 2b, bit b of y at 2b+1. `bits`
+    * low bits of each dimension participate (values must fit, i.e.
+    * 0 ≤ v < 2^bits — the caller normalizes real-valued dims into a
+    * grid first). Spelled as a Σ of shift/mask terms — pure integer
+    * arithmetic, codegen'd, and exactly expressible in ANSI SQL for
+    * the oracle (q137). */
+  def zorderKey(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"zorderKey: bits=$bits outside [1,31]")
+    (0 until bits).flatMap { b =>
+      Seq(
+        shiftleft(shiftright(x.cast("long"), b).bitwiseAND(lit(1L)), 2 * b),
+        shiftleft(shiftright(y.cast("long"), b).bitwiseAND(lit(1L)), 2 * b + 1))
+    }.reduceLeft(_ + _)
+  }
+
+  /** The matching oracle SQL expression (DuckDB/ANSI bit operators),
+    * generated from the same loop so the two spellings cannot
+    * drift. */
+  def zorderKeySql(x: String, y: String, bits: Int = 16): String =
+    (0 until bits).flatMap { b =>
+      // BIGINT casts up front: an INTEGER shifted past bit 31 would
+      // overflow where the Spark side (cast to long) does not
+      Seq(
+        s"(((CAST($x AS BIGINT) >> $b) & 1) << ${2 * b})",
+        s"(((CAST($y AS BIGINT) >> $b) & 1) << ${2 * b + 1})")
+    }.mkString(" + ")
+
+  /** Write `df` clustered by the Z-order of (xCol, yCol):
+    * range-partition on the key (one sampling pass picks the
+    * boundaries), sort within partitions, drop the key, write. Every
+    * output file covers a compact z-range, so parquet row-group
+    * min/max stats are tight on BOTH dimensions and box predicates
+    * prune at the footer. `nFiles` sizes the output — at corpus
+    * scale pick it so files land near the row-group-multiple sweet
+    * spot (~1 GB). */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String, path: String,
+                    nFiles: Int, bits: Int = 16,
+                    writerOptions: Map[String, String] = Map.empty): Unit =
+    df.withColumn("_zk", zorderKey(col(xCol), col(yCol), bits))
+      .repartitionByRange(nFiles, col("_zk"))
+      .sortWithinPartitions("_zk")
+      .drop("_zk")
+      .write.mode("overwrite").options(writerOptions).parquet(path)
+}

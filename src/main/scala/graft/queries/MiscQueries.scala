@@ -583,6 +583,25 @@ object MiscQueries {
           && col("pk1") < col("pk2"))
         .select(col("pk1"), col("pk2"), col("dist"))
         .orderBy("pk1", "pk2")
+    },
+
+    // ---------------------------------------------------------------- q137
+    // Z-order (Morton) layout key: interleave the bits of two
+    // dimensions so one sort key clusters BOTH — the storage-side
+    // lever behind multi-dimensional row-group pruning (ops/Layout;
+    // LayoutSpec measures the same box query emitting 70× fewer
+    // rows from the scan on a z-ordered write). Pure integer shift
+    // arithmetic; the SQL side is GENERATED from the same loop
+    // (Layout.zorderKeySql), so the spellings cannot drift, and the
+    // gate hash-verifies every interleaved bit.
+    Q("q137_zorder_key",
+      s"""SELECT c_custkey,
+         |  CAST(${graft.ops.Layout.zorderKeySql("c_custkey", "c_nationkey")} AS BIGINT) AS zkey
+         |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          graft.ops.Layout.zorderKey(col("c_custkey"), col("c_nationkey")).as("zkey"))
+        .orderBy("c_custkey")
     }
   )
 }
