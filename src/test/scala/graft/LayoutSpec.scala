@@ -68,4 +68,33 @@ class LayoutSpec extends SparkSpec {
     assert(zRows < shuffledRows / 5,
       s"z-order pruned too little: $zRows vs shuffled $shuffledRows")
   }
+
+  test("bloom-filtered write prunes absent-key point lookups at the footer") {
+    val n = 200000
+    // high-cardinality UNSORTED key: every row group's min/max spans
+    // ~the whole domain, so stats alone can never prune a point lookup
+    val base = spark.range(n.toLong).select(
+      col("id"),
+      (hash(col("id"), lit(3)).cast("long").bitwiseAND(lit(0x7fffffffL))).as("k"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    val small = Map("parquet.block.size" -> (64 * 1024).toString)
+    base.repartition(4).write.mode("overwrite").options(small).parquet(s"$dir/plain")
+    base.repartition(4).write.mode("overwrite")
+      .options(small ++ Map(
+        "parquet.bloom.filter.enabled#k" -> "true",
+        "parquet.bloom.filter.expected.ndv#k" -> n.toString))
+      .parquet(s"$dir/bloom")
+
+    // a probe value inside the min/max envelope but absent from the data
+    val probe = 1234567L
+    assert(spark.read.parquet(s"$dir/plain").filter(col("k") === probe).count() == 0)
+
+    val plainRows = scanRows(spark.read.parquet(s"$dir/plain").filter(col("k") === probe))
+    val bloomRows = scanRows(spark.read.parquet(s"$dir/bloom").filter(col("k") === probe))
+    // without blooms, min/max can't prune (a few groups drop to parquet's
+    // dictionary-page filtering — ~11% measured — but the bulk is read)
+    assert(plainRows > n * 0.8, s"plain layout unexpectedly pruned: $plainRows")
+    // with blooms every row group answers 'definitely absent' at the footer
+    assert(bloomRows == 0, s"bloom filters did not prune: $bloomRows rows read")
+  }
 }
