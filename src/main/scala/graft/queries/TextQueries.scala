@@ -697,6 +697,87 @@ object TextQueries {
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "split")
+    },
+
+    // ---------------------------------------------------------------- q138
+    // BPE merge TRAINING — q85 counts the first iteration's
+    // candidates; this runs the actual loop: 3 rounds of (count
+    // adjacent sub-token pairs over the word-frequency dictionary →
+    // take the top pair under a (count desc, pair asc) total order →
+    // merge it corpus-wide). The engine side is a driver LOOP over
+    // model-sized aggregates (each round's top pair is one collected
+    // row — the MLlib-fit pattern, not a data loop); the oracle
+    // unrolls the same 3 rounds as CTE blocks. The merge rule is
+    // non-overlapping left-to-right replace of the spaced pair — the
+    // deterministic rule BOTH engines implement natively (replace /
+    // regexp LITERAL), which is the point: reproducible vocabulary
+    // training, not HuggingFace emulation. Costs scale with the
+    // DICTIONARY (distinct words), never the corpus: the corpus pass
+    // is one word-count groupBy; every round works on dictionary
+    // rows.
+    Q("q138_bpe_train",
+      """WITH w AS (SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY 1),
+        |s0 AS (SELECT word, freq, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seg FROM w),
+        |p1 AS (SELECT ts[i] || ' ' || ts[i+1] AS pair, sum(freq) AS cnt FROM (
+        |    SELECT freq, ts, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
+        |    FROM (SELECT freq, string_split(seg, ' ') AS ts FROM s0)) GROUP BY 1),
+        |t1 AS (SELECT pair, cnt FROM (
+        |    SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rn FROM p1)
+        |  WHERE rn = 1),
+        |s1 AS (SELECT word, freq, trim(replace(' ' || seg || ' ',
+        |         ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' ')) AS seg
+        |       FROM s0, t1),
+        |p2 AS (SELECT ts[i] || ' ' || ts[i+1] AS pair, sum(freq) AS cnt FROM (
+        |    SELECT freq, ts, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
+        |    FROM (SELECT freq, string_split(seg, ' ') AS ts FROM s1)) GROUP BY 1),
+        |t2 AS (SELECT pair, cnt FROM (
+        |    SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rn FROM p2)
+        |  WHERE rn = 1),
+        |s2 AS (SELECT word, freq, trim(replace(' ' || seg || ' ',
+        |         ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' ')) AS seg
+        |       FROM s1, t2),
+        |p3 AS (SELECT ts[i] || ' ' || ts[i+1] AS pair, sum(freq) AS cnt FROM (
+        |    SELECT freq, ts, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
+        |    FROM (SELECT freq, string_split(seg, ' ') AS ts FROM s2)) GROUP BY 1),
+        |t3 AS (SELECT pair, cnt FROM (
+        |    SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rn FROM p3)
+        |  WHERE rn = 1)
+        |SELECT CAST(r AS BIGINT) AS rank, pair, replace(pair, ' ', '') AS merged,
+        |  CAST(cnt AS BIGINT) AS cnt
+        |FROM (SELECT 1 AS r, pair, cnt FROM t1
+        |      UNION ALL SELECT 2, pair, cnt FROM t2
+        |      UNION ALL SELECT 3, pair, cnt FROM t3)
+        |ORDER BY rank""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      var segs = words
+        .withColumn("seg", trim(regexp_replace(col("word"), "(.)", "$1 ")))
+        .localCheckpoint(true) // dictionary-sized; 3 rounds re-read it
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      for (r <- 1 to 3) {
+        val top = segs
+          .select(col("freq"), split(col("seg"), " ").as("ts"))
+          .filter(size(col("ts")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(ts) - 1), i -> concat(ts[i-1], ' ', ts[i]))")).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair").asc)
+          .limit(1).collect()(0) // the round's MODEL: one (pair, cnt) row
+        val (pair, cnt) = (top.getAs[String]("pair"), top.getAs[Long]("cnt"))
+        val merged = pair.replace(" ", "")
+        merges += ((r.toLong, pair, merged, cnt))
+        segs = segs.withColumn("seg", trim(regexp_replace(
+          concat(lit(" "), col("seg"), lit(" ")),
+          lit(java.util.regex.Pattern.quote(s" $pair ")),
+          lit(java.util.regex.Matcher.quoteReplacement(s" $merged ")))))
+          .localCheckpoint(true)
+      }
+      merges.result().toDF("rank", "pair", "merged", "cnt").orderBy("rank")
     }
   )
 }
