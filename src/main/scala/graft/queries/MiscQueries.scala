@@ -602,6 +602,64 @@ object MiscQueries {
         .select(col("c_custkey"),
           graft.ops.Layout.zorderKey(col("c_custkey"), col("c_nationkey")).as("zkey"))
         .orderBy("c_custkey")
+    },
+
+    // ---------------------------------------------------------------- q139
+    // PageRank over the supplier↔customer co-purchase graph — the
+    // iterative-graph workload (the Pregel shape: per iteration ONE
+    // shuffle of edge contributions into their destination, ranks a
+    // node-sized frame the join side broadcasts). 5 unrolled
+    // iterations; engine-portability comes from the q80 rule applied
+    // per superstep: each contribution r/outdeg is duckRound'ed to 9
+    // decimals, summed as exact DECIMAL(27,12) (a 9-rounded double
+    // casts exactly at scale 12 on both engines — its 12-decimal
+    // expansion ends in 000, so the cast never sits on a boundary),
+    // and the damping arithmetic is plain IEEE. Ranks localCheckpoint
+    // per round: lineage stays flat, and the node-sized frame is the
+    // only thing carried between supersteps.
+    Q("q139_pagerank",
+      """WITH e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |                           'c' || CAST(o_custkey AS VARCHAR) AS dst
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |ee AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+        |deg AS (SELECT src, count(*) AS od FROM ee GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS node FROM ee),
+        |r0 AS (SELECT node, 1.0 / (SELECT count(*) FROM nodes) AS r FROM nodes),
+        |r1 AS (SELECT n.node, 0.15 + 0.85 * CAST(coalesce(sum(
+        |         CAST(round(p.r / deg.od, 9) AS DECIMAL(27,12))), 0) AS DOUBLE) AS r
+        |       FROM nodes n LEFT JOIN ee ON ee.dst = n.node
+        |         LEFT JOIN r0 p ON p.node = ee.src LEFT JOIN deg ON deg.src = ee.src
+        |       GROUP BY n.node),
+        |r2 AS (SELECT n.node, 0.15 + 0.85 * CAST(coalesce(sum(
+        |         CAST(round(p.r / deg.od, 9) AS DECIMAL(27,12))), 0) AS DOUBLE) AS r
+        |       FROM nodes n LEFT JOIN ee ON ee.dst = n.node
+        |         LEFT JOIN r1 p ON p.node = ee.src LEFT JOIN deg ON deg.src = ee.src
+        |       GROUP BY n.node),
+        |r3 AS (SELECT n.node, 0.15 + 0.85 * CAST(coalesce(sum(
+        |         CAST(round(p.r / deg.od, 9) AS DECIMAL(27,12))), 0) AS DOUBLE) AS r
+        |       FROM nodes n LEFT JOIN ee ON ee.dst = n.node
+        |         LEFT JOIN r2 p ON p.node = ee.src LEFT JOIN deg ON deg.src = ee.src
+        |       GROUP BY n.node),
+        |r4 AS (SELECT n.node, 0.15 + 0.85 * CAST(coalesce(sum(
+        |         CAST(round(p.r / deg.od, 9) AS DECIMAL(27,12))), 0) AS DOUBLE) AS r
+        |       FROM nodes n LEFT JOIN ee ON ee.dst = n.node
+        |         LEFT JOIN r3 p ON p.node = ee.src LEFT JOIN deg ON deg.src = ee.src
+        |       GROUP BY n.node),
+        |r5 AS (SELECT n.node, 0.15 + 0.85 * CAST(coalesce(sum(
+        |         CAST(round(p.r / deg.od, 9) AS DECIMAL(27,12))), 0) AS DOUBLE) AS r
+        |       FROM nodes n LEFT JOIN ee ON ee.dst = n.node
+        |         LEFT JOIN r4 p ON p.node = ee.src LEFT JOIN deg ON deg.src = ee.src
+        |       GROUP BY n.node)
+        |SELECT node, round(r, 9) AS rank FROM r5 ORDER BY node""".stripMargin) { (s, d) =>
+      graft.ops.Graph.pageRank(
+          Tables.lineitem(s, d)
+            .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+            .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+              concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
+            .distinct(),
+          iters = 5)
+        .select(col("node"), Exact.duckRound(col("r"), 9).as("rank"))
+        .orderBy("node")
     }
   )
 }
