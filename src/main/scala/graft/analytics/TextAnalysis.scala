@@ -123,4 +123,46 @@ object TextAnalysis {
     graft.ops.Exact.duckRound(lit(0.3) * lengthTerm + lit(0.2) * digitTerm +
           lit(0.3) * stopTerm + lit(0.2) * meanLenTerm, 6)
   }
+
+  /** BPE merge training over a word-frequency dictionary `(word,
+    * freq)`: `rounds` iterations of count-adjacent-pairs → take the
+    * top pair under a (count desc, pair asc) total order → merge it
+    * across the dictionary. Returns the merge table (rank, pair,
+    * merged, count) and the post-training segmentation frame
+    * `(word, freq, seg)` — q138 gates the former, q140 re-tokenizes
+    * the corpus through the latter.
+    *
+    * The driver loop collects ONE model row per round (the MLlib-fit
+    * pattern, not a data loop); all heavy lifting is
+    * dictionary-sized and localCheckpoint'd between rounds. The
+    * merge rule is non-overlapping left-to-right replace of the
+    * spaced pair — the rule both Spark's and the oracle's native
+    * `replace` implement, so training is reproducible and
+    * SQL-unrollable (deliberately NOT HuggingFace-BPE emulation).
+    * Costs scale with the dictionary, never the corpus. */
+  def bpeTrain(words: DataFrame, rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+    var segs = words
+      .withColumn("seg", trim(regexp_replace(col("word"), "(.)", "$1 ")))
+      .localCheckpoint(true) // dictionary-sized; every round re-reads it
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = segs
+        .select(col("freq"), split(col("seg"), " ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(ts) - 1), i -> concat(ts[i-1], ' ', ts[i]))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()(0) // the round's MODEL: one (pair, cnt) row
+      val (pair, cnt) = (top.getAs[String]("pair"), top.getAs[Long]("cnt"))
+      val merged = pair.replace(" ", "")
+      merges += ((r.toLong, pair, merged, cnt))
+      segs = segs.withColumn("seg", trim(regexp_replace(
+        concat(lit(" "), col("seg"), lit(" ")),
+        lit(java.util.regex.Pattern.quote(s" $pair ")),
+        lit(java.util.regex.Matcher.quoteReplacement(s" $merged ")))))
+        .localCheckpoint(true)
+    }
+    (merges.result(), segs)
+  }
 }

@@ -15,6 +15,47 @@ object TextQueries {
   private def vocabSql(vocab: Seq[String]): String =
     vocab.mkString("['", "', '", "']")
 
+  /** Shared BPE-training CTE chain (q138 trains, q140 applies): word
+    * dictionary -> char segmentation -> 3 unrolled rounds of
+    * pair-count / top-1 / merge. Ends at t3 (round-3 winner) and s2
+    * (segmentation before it); consumers add their own tail. */
+  private val bpeCtes =
+    """WITH w AS (SELECT word, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE word <> '' GROUP BY 1),
+      |s0 AS (SELECT word, freq, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seg FROM w),
+      |p1 AS (SELECT ts[i] || ' ' || ts[i+1] AS pair, sum(freq) AS cnt FROM (
+      |    SELECT freq, ts, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
+      |    FROM (SELECT freq, string_split(seg, ' ') AS ts FROM s0)) GROUP BY 1),
+      |t1 AS (SELECT pair, cnt FROM (
+      |    SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rn FROM p1)
+      |  WHERE rn = 1),
+      |s1 AS (SELECT word, freq, trim(replace(' ' || seg || ' ',
+      |         ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' ')) AS seg
+      |       FROM s0, t1),
+      |p2 AS (SELECT ts[i] || ' ' || ts[i+1] AS pair, sum(freq) AS cnt FROM (
+      |    SELECT freq, ts, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
+      |    FROM (SELECT freq, string_split(seg, ' ') AS ts FROM s1)) GROUP BY 1),
+      |t2 AS (SELECT pair, cnt FROM (
+      |    SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rn FROM p2)
+      |  WHERE rn = 1),
+      |s2 AS (SELECT word, freq, trim(replace(' ' || seg || ' ',
+      |         ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' ')) AS seg
+      |       FROM s1, t2),
+      |p3 AS (SELECT ts[i] || ' ' || ts[i+1] AS pair, sum(freq) AS cnt FROM (
+      |    SELECT freq, ts, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
+      |    FROM (SELECT freq, string_split(seg, ' ') AS ts FROM s2)) GROUP BY 1),
+      |t3 AS (SELECT pair, cnt FROM (
+      |    SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rn FROM p3)
+      |  WHERE rn = 1)""".stripMargin
+
+  /** The corpus word-frequency dictionary both BPE queries train on. */
+  private def bpeWords(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
   /** DuckDB mirror of TextAnalysis.vocabHits. */
   private def hitsSql(vocab: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), w -> list_contains(${vocabSql(vocab)}, w)))"
@@ -716,68 +757,47 @@ object TextQueries {
     // is one word-count groupBy; every round works on dictionary
     // rows.
     Q("q138_bpe_train",
-      """WITH w AS (SELECT word, count(*) AS freq FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |  WHERE word <> '' GROUP BY 1),
-        |s0 AS (SELECT word, freq, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seg FROM w),
-        |p1 AS (SELECT ts[i] || ' ' || ts[i+1] AS pair, sum(freq) AS cnt FROM (
-        |    SELECT freq, ts, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
-        |    FROM (SELECT freq, string_split(seg, ' ') AS ts FROM s0)) GROUP BY 1),
-        |t1 AS (SELECT pair, cnt FROM (
-        |    SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rn FROM p1)
-        |  WHERE rn = 1),
-        |s1 AS (SELECT word, freq, trim(replace(' ' || seg || ' ',
-        |         ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' ')) AS seg
-        |       FROM s0, t1),
-        |p2 AS (SELECT ts[i] || ' ' || ts[i+1] AS pair, sum(freq) AS cnt FROM (
-        |    SELECT freq, ts, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
-        |    FROM (SELECT freq, string_split(seg, ' ') AS ts FROM s1)) GROUP BY 1),
-        |t2 AS (SELECT pair, cnt FROM (
-        |    SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rn FROM p2)
-        |  WHERE rn = 1),
-        |s2 AS (SELECT word, freq, trim(replace(' ' || seg || ' ',
-        |         ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' ')) AS seg
-        |       FROM s1, t2),
-        |p3 AS (SELECT ts[i] || ' ' || ts[i+1] AS pair, sum(freq) AS cnt FROM (
-        |    SELECT freq, ts, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
-        |    FROM (SELECT freq, string_split(seg, ' ') AS ts FROM s2)) GROUP BY 1),
-        |t3 AS (SELECT pair, cnt FROM (
-        |    SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rn FROM p3)
-        |  WHERE rn = 1)
-        |SELECT CAST(r AS BIGINT) AS rank, pair, replace(pair, ' ', '') AS merged,
-        |  CAST(cnt AS BIGINT) AS cnt
-        |FROM (SELECT 1 AS r, pair, cnt FROM t1
-        |      UNION ALL SELECT 2, pair, cnt FROM t2
-        |      UNION ALL SELECT 3, pair, cnt FROM t3)
-        |ORDER BY rank""".stripMargin) { (s, d) =>
+      s"""$bpeCtes
+         |SELECT CAST(r AS BIGINT) AS rank, pair, replace(pair, ' ', '') AS merged,
+         |  CAST(cnt AS BIGINT) AS cnt
+         |FROM (SELECT 1 AS r, pair, cnt FROM t1
+         |      UNION ALL SELECT 2, pair, cnt FROM t2
+         |      UNION ALL SELECT 3, pair, cnt FROM t3)
+         |ORDER BY rank""".stripMargin) { (s, d) =>
       import s.implicits._
-      val words = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("word"))
+      TextAnalysis.bpeTrain(bpeWords(s, d), 3)._1
+        .toDF("rank", "pair", "merged", "cnt").orderBy("rank")
+    },
+
+    // ---------------------------------------------------------------- q140
+    // BPE APPLY — the train->segment composition: the 3-round merge
+    // table from q138's loop segments the word dictionary, and the
+    // corpus re-tokenizes through a broadcast dictionary join (the
+    // q65 expensive-metric-over-the-dictionary pattern: segmentation
+    // is computed once per WORD, never per occurrence). Per document:
+    // word count and post-merge sub-token count -- the before/after a
+    // tokenization budget is planned with.
+    Q("q140_bpe_apply",
+      s"""$bpeCtes,
+         |s3 AS (SELECT word, freq, trim(replace(' ' || seg || ' ',
+         |         ' ' || t3.pair || ' ', ' ' || replace(t3.pair, ' ', '') || ' ')) AS seg
+         |       FROM s2, t3),
+         |dw AS (SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE word <> '')
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(len(string_split(s3.seg, ' '))) AS BIGINT) AS n_subtokens
+         |FROM dw JOIN s3 ON dw.word = s3.word
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val dict = TextAnalysis.bpeTrain(bpeWords(s, d), 3)._2
+        .select(col("word"), size(split(col("seg"), " ")).cast("long").as("n_sub"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
-        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      var segs = words
-        .withColumn("seg", trim(regexp_replace(col("word"), "(.)", "$1 ")))
-        .localCheckpoint(true) // dictionary-sized; 3 rounds re-read it
-      val merges = Seq.newBuilder[(Long, String, String, Long)]
-      for (r <- 1 to 3) {
-        val top = segs
-          .select(col("freq"), split(col("seg"), " ").as("ts"))
-          .filter(size(col("ts")) >= 2)
-          .select(col("freq"), explode(expr(
-            "transform(sequence(1, size(ts) - 1), i -> concat(ts[i-1], ' ', ts[i]))")).as("pair"))
-          .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("pair").asc)
-          .limit(1).collect()(0) // the round's MODEL: one (pair, cnt) row
-        val (pair, cnt) = (top.getAs[String]("pair"), top.getAs[Long]("cnt"))
-        val merged = pair.replace(" ", "")
-        merges += ((r.toLong, pair, merged, cnt))
-        segs = segs.withColumn("seg", trim(regexp_replace(
-          concat(lit(" "), col("seg"), lit(" ")),
-          lit(java.util.regex.Pattern.quote(s" $pair ")),
-          lit(java.util.regex.Matcher.quoteReplacement(s" $merged ")))))
-          .localCheckpoint(true)
-      }
-      merges.result().toDF("rank", "pair", "merged", "cnt").orderBy("rank")
+        .join(broadcast(dict), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subtokens"))
+        .orderBy("doc_id")
     }
   )
 }
