@@ -660,6 +660,63 @@ object MiscQueries {
           iters = 5)
         .select(col("node"), Exact.duckRound(col("r"), 9).as("rank"))
         .orderBy("node")
+    },
+
+    // ---------------------------------------------------------------- q141
+    // Join-key skew audit — the operational "before you shuffle,
+    // audit the key" report the skew playbook (ops/Skew, AQE, salting)
+    // starts from: per-key row counts reduced to a keys-sized frame
+    // (the corpus is touched by ONE partial-agged groupBy), then
+    // exact order statistics (p50/p99 by rank selection over the
+    // count distribution), the max/mean skew ratio in integer
+    // arithmetic (×1000, floor division — no doubles to round), and
+    // the top-5 hot keys under a (count desc, key asc) total order.
+    // One relation: (metric, key, cnt), key=0 for scalar stats.
+    Q("q141_join_skew_audit",
+      """WITH c AS (SELECT l_suppkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total,
+        |             CAST(max(cnt) AS BIGINT) AS mx FROM c),
+        |r AS (SELECT k, cnt, row_number() OVER (ORDER BY cnt ASC, k ASC) AS rn FROM c),
+        |p AS (SELECT
+        |    (SELECT CAST(cnt AS BIGINT) FROM r, s WHERE rn = (s.n_keys + 1) // 2) AS p50,
+        |    (SELECT CAST(cnt AS BIGINT) FROM r, s
+        |     WHERE rn = s.n_keys - (s.n_keys - 1) // 100) AS p99),
+        |top AS (SELECT 'top_' || CAST(row_number() OVER (ORDER BY cnt DESC, k ASC) AS VARCHAR) AS metric,
+        |               CAST(k AS BIGINT) AS key, CAST(cnt AS BIGINT) AS cnt
+        |        FROM c ORDER BY cnt DESC, k ASC LIMIT 5)
+        |SELECT metric, key, cnt FROM (
+        |  SELECT 'n_keys' AS metric, 0 AS key, n_keys AS cnt FROM s
+        |  UNION ALL SELECT 'total_rows', 0, total FROM s
+        |  UNION ALL SELECT 'max_cnt', 0, mx FROM s
+        |  UNION ALL SELECT 'p50_cnt', 0, p50 FROM p
+        |  UNION ALL SELECT 'p99_cnt', 0, p99 FROM p
+        |  UNION ALL SELECT 'skew_x1000', 0, (1000 * s.mx * s.n_keys) // s.total FROM s
+        |  UNION ALL SELECT metric, key, cnt FROM top)
+        |ORDER BY metric""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey").as("k")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // keys-sized; consumed by stats + ranks + top-5
+      val st = counts.agg(
+          count(lit(1)).as("n_keys"), sum(col("cnt")).as("total"), max(col("cnt")).as("mx"))
+        .collect()(0)
+      val (nKeys, total, mx) = (st.getLong(0), st.getLong(1), st.getLong(2))
+      val ranked = counts.withColumn("rn",
+        row_number().over(Window.orderBy(col("cnt").asc, col("k").asc)))
+      val p50 = ranked.filter(col("rn") === (nKeys + 1) / 2).select("cnt").as[Long].collect()(0)
+      val p99 = ranked.filter(col("rn") === nKeys - (nKeys - 1) / 100)
+        .select("cnt").as[Long].collect()(0)
+      val top5 = counts.orderBy(col("cnt").desc, col("k").asc).limit(5)
+        .withColumn("metric", concat(lit("top_"),
+          row_number().over(Window.orderBy(col("cnt").desc, col("k").asc)).cast("string")))
+        .select(col("metric"), col("k").cast("long").as("key"), col("cnt"))
+      val stats = Seq(
+        ("n_keys", 0L, nKeys), ("total_rows", 0L, total), ("max_cnt", 0L, mx),
+        ("p50_cnt", 0L, p50), ("p99_cnt", 0L, p99),
+        ("skew_x1000", 0L, 1000L * mx * nKeys / total))
+        .toDF("metric", "key", "cnt")
+      stats.unionByName(top5).orderBy("metric")
     }
   )
 }
