@@ -513,6 +513,58 @@ object DedupQueries {
          |ORDER BY p.d1, p.d2""".stripMargin) { (s, d) =>
       DedupOps.minhashLshPairsCapped(Tables.documents(s, d), 0.6, 2,
         Some(shingleSetOf(s, d))).orderBy("d1", "d2")
+    },
+
+    // ---------------------------------------------------------------- q142
+    // SimHash-vs-Jaccard audit — the q98 knob-validator for the TEXT
+    // near-dup family: score the banded SimHash detector (what q33
+    // ships) against exact Jaccard ≥ 0.6 ground truth (q29), sweeping
+    // the Hamming radius 0..4. Per radius: predicted pairs, true
+    // hits, precision/recall in integer basis points (floor — no
+    // doubles to round). Radius 3-4 rows also expose the BANDING
+    // deficit: a pair ≥ 3 bits apart can miss every 8-bit band, so
+    // widening the accept radius stops buying recall — the audit a
+    // user runs before trusting a radius, priced at one scan of each
+    // method's pair list.
+    Q("q142_simhash_audit",
+      s"""$SHINGLES,
+         |${simhashSigCte.stripPrefix("WITH ")},
+         |bb AS (SELECT doc_id, sig, k,
+         |         (sig >> (k * ${SIMHASH_BITS / SIMHASH_BANDS})) & ${(1 << (SIMHASH_BITS / SIMHASH_BANDS)) - 1} AS band
+         |       FROM (SELECT doc_id, sig, unnest([0, 1, 2, 3]) AS k FROM sig)),
+         |sc AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+         |         CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hm
+         |       FROM bb x JOIN bb y ON x.k = y.k AND x.band = y.band AND x.doc_id < y.doc_id),
+         |${jaccardCtes(0.6)},
+         |rad AS (SELECT unnest(generate_series(0, 4)) AS radius),
+         |m AS (SELECT radius,
+         |        (SELECT count(*) FROM sc WHERE hm <= radius) AS n_pred,
+         |        (SELECT count(*) FROM sc JOIN pairs p ON p.d1 = sc.d1 AND p.d2 = sc.d2
+         |         WHERE hm <= radius) AS n_hit,
+         |        (SELECT count(*) FROM pairs) AS n_truth
+         |      FROM rad)
+         |SELECT CAST(radius AS BIGINT) AS radius, CAST(n_pred AS BIGINT) AS n_pred,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(CASE WHEN n_pred = 0 THEN 0 ELSE (10000 * n_hit) // n_pred END AS BIGINT) AS precision_bp,
+         |  CAST(CASE WHEN n_truth = 0 THEN 0 ELSE (10000 * n_hit) // n_truth END AS BIGINT) AS recall_bp
+         |FROM m ORDER BY radius""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val sims = DedupOps.simhashPairs(Tables.documents(s, d), 4)
+      val truth = DedupOps.jaccardPairs(shingleSetOf(s, d), 0.6).select("d1", "d2")
+      val st = sims.join(truth.withColumn("isT", lit(1)), Seq("d1", "d2"), "left")
+        .agg(count(lit(1)).as("_n"), // anchor agg; radius sweep below
+          (0 to 4).flatMap(h => Seq(
+            sum(when(col("hamming") <= h, 1L).otherwise(0L)).as(s"p$h"),
+            sum(when(col("hamming") <= h && col("isT").isNotNull, 1L).otherwise(0L)).as(s"h$h"))): _*)
+        .collect()(0) // model-sized: one row of sweep counters
+      val nTruth = truth.count()
+      (0 to 4).map { h =>
+        val (p, hit) = (st.getAs[Long](s"p$h"), st.getAs[Long](s"h$h"))
+        (h.toLong, p, hit,
+          if (p == 0) 0L else 10000L * hit / p,
+          if (nTruth == 0) 0L else 10000L * hit / nTruth)
+      }.toDF("radius", "n_pred", "n_hit", "precision_bp", "recall_bp")
+        .orderBy("radius")
     }
   )
 
@@ -621,7 +673,7 @@ object DedupQueries {
     "q97_incremental_dedup", "q58_neardup_components",
     "q106_components_lss", "q103_dedup_compaction",
     "q108_band_compaction", "q114_lsh_capped",
-    "q118_neardup_jaccard_membercap")
+    "q118_neardup_jaccard_membercap", "q142_simhash_audit")
 
   /** Drop this session's dedup-family caches and free their storage
     * memory. The WeakHashMap entries cannot be collected on their own
