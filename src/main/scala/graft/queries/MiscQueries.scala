@@ -717,6 +717,108 @@ object MiscQueries {
         ("skew_x1000", 0L, 1000L * mx * nKeys / total))
         .toDF("metric", "key", "cnt")
       stats.unionByName(top5).orderBy("metric")
+    },
+
+    // ---------------------------------------------------------------- q143
+    // Data-contract audit — the dbt-test/great-expectations face: one
+    // conditional-aggregation scan for the row-level rules (nulls,
+    // ranges, profile thresholds), plus the three rules that need a
+    // second relation: primary-key duplicates (two-stage groupBy, no
+    // Expand), referential orphans (ONE anti-join), and the
+    // cross-table ordering invariant (ship before order date). Every
+    // count is a BIGINT — nothing to round — and zero-violation
+    // integrity rows are as hash-verified as the firing profile rows.
+    Q("q143_contract_audit",
+      """WITH agg AS (SELECT
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
+        |    CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_qty,
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS discount_range,
+        |    CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT) AS qty_over_45,
+        |    CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price
+        |  FROM lineitem),
+        |dup AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)),
+        |orph AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
+        |         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)),
+        |early AS (SELECT CAST(count(*) AS BIGINT) AS n
+        |          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |          WHERE l_shipdate < o_orderdate)
+        |SELECT check_name, n_violations FROM (
+        |  SELECT 'null_orderkey' AS check_name, null_orderkey AS n_violations FROM agg
+        |  UNION ALL SELECT 'nonpositive_qty', nonpositive_qty FROM agg
+        |  UNION ALL SELECT 'discount_range', discount_range FROM agg
+        |  UNION ALL SELECT 'qty_over_45', qty_over_45 FROM agg
+        |  UNION ALL SELECT 'nonpositive_price', nonpositive_price FROM agg
+        |  UNION ALL SELECT 'dup_pk', n FROM dup
+        |  UNION ALL SELECT 'orphan_lineitems', n FROM orph
+        |  UNION ALL SELECT 'ship_before_order', n FROM early)
+        |ORDER BY check_name""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+      val row = li.agg(
+        cnt(col("l_orderkey").isNull).as("null_orderkey"),
+        cnt(col("l_quantity") <= 0).as("nonpositive_qty"),
+        cnt(col("l_discount") < 0 || col("l_discount") > 0.1).as("discount_range"),
+        cnt(col("l_quantity") > 45).as("qty_over_45"),
+        cnt(col("l_extendedprice") <= 0).as("nonpositive_price")).collect()(0)
+      val dup = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+      val orph = li.join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+      val early = li.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") < col("o_orderdate")).count()
+      Seq(
+        ("null_orderkey", row.getLong(0)), ("nonpositive_qty", row.getLong(1)),
+        ("discount_range", row.getLong(2)), ("qty_over_45", row.getLong(3)),
+        ("nonpositive_price", row.getLong(4)), ("dup_pk", dup),
+        ("orphan_lineitems", orph), ("ship_before_order", early))
+        .toDF("check_name", "n_violations").orderBy("check_name")
+    },
+
+    // ---------------------------------------------------------------- q144
+    // CDC changelog apply — MERGE INTO semantics next to q08's
+    // append-only upsert: a deterministic changelog derived from
+    // orders (op by orderkey mod 13: D / U / I-with-new-key, seq =
+    // the unique orderkey) folds into the customer snapshot via
+    // ops/Cdc.applyChangelog: latest-change-per-key by partial-agged
+    // max-struct (NO window sort), one full-outer equi-join, D wins,
+    // U-to-missing inserts (idempotent over compacted-log replay).
+    // Payload columns pass through untouched (doubles never
+    // recomputed), so the merged snapshot hash-matches exactly.
+    Q("q144_cdc_apply",
+      """WITH ch AS (SELECT
+        |    CASE WHEN o_orderkey % 13 = 0 THEN 'D'
+        |         WHEN o_orderkey % 13 < 7 THEN 'U' ELSE 'I' END AS op0,
+        |    o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders),
+        |cg AS (SELECT CASE WHEN op0 = 'I' THEN o_custkey + 1000000 ELSE o_custkey END AS k,
+        |              o_orderkey AS seq, op0 AS op, o_totalprice AS bal,
+        |              o_orderpriority AS seg FROM ch),
+        |lt AS (SELECT k, op, bal, seg FROM (
+        |    SELECT k, op, bal, seg, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |    FROM cg) WHERE rn = 1),
+        |sn AS (SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg FROM customer)
+        |SELECT k,
+        |  CASE WHEN lt.op IS NULL THEN sn.bal ELSE lt.bal END AS bal,
+        |  CASE WHEN lt.op IS NULL THEN sn.seg ELSE lt.seg END AS seg
+        |FROM sn FULL OUTER JOIN lt USING (k)
+        |WHERE coalesce(lt.op, '') <> 'D'
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val op0 = when(col("o_orderkey") % 13 === 0, lit("D"))
+        .when(col("o_orderkey") % 13 < 7, lit("U")).otherwise(lit("I"))
+      val changes = Tables.orders(s, d)
+        .select(op0.as("op0"), col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .select(
+          when(col("op0") === "I", col("o_custkey") + 1000000).otherwise(col("o_custkey")).as("k"),
+          col("o_orderkey").as("seq"), col("op0").as("op"),
+          col("o_totalprice").as("bal"), col("o_orderpriority").as("seg"))
+      val snapshot = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+          col("c_mktsegment").as("seg"))
+      graft.ops.Cdc.applyChangelog(snapshot, changes, "k", "seq", "op",
+          Seq("bal", "seg"))
+        .orderBy("k")
     }
   )
 }
