@@ -1126,6 +1126,58 @@ object SimilarityQueries {
       Similarity.pqRerankTopK(e.filter(col("vec_id") < N_QUERIES), e,
           TOP_K, PQ_RERANK, Similarity.pqTrainCodebooks(e, PQ_SUB, 16))
         .orderBy("qid", "rnk")
+    },
+
+    // ---------------------------------------------------------------- q145
+    // PQ recall audit — the q98 gate for the PQ regime: per query,
+    // how many of the exact top-10 the two-stage PQ retrieve (q136)
+    // returns, as hash-verified rows rather than an offline numpy
+    // figure. At sf0.1 defaults (8×16 book, one Lloyd round,
+    // re-rank@100) mean recall ≈ 0.73 — the number a user checks
+    // against their corpus before trading the vector scan for the
+    // 64×-compressed code scan. Sample-sized at corpus scale, like
+    // every audit in this engine.
+    Q("q145_pq_recall",
+      s"""$pqCtes,
+         |$pqAdcCte,
+         |short AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY approx ASC, nid ASC) AS ra
+         |    FROM adc) WHERE ra <= $PQ_RERANK),
+         |ex AS (SELECT s.qid, s.nid,
+         |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim
+         |       FROM short s JOIN n q ON q.vec_id = s.qid
+         |                    JOIN n c ON c.vec_id = s.nid),
+         |rr AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, nid ASC) AS rnk FROM ex) WHERE rnk <= $TOP_K),
+         |xq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $N_QUERIES),
+         |xs AS (SELECT qid, n.vec_id AS nid,
+         |         round(list_dot_product(qv, v) / (qn * nrm), 6) AS sim
+         |       FROM xq, n WHERE n.vec_id <> qid),
+         |xr AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, nid) AS rnk FROM xs) WHERE rnk <= $TOP_K),
+         |h AS (SELECT xr.qid, count(rr.nid) AS n_hit
+         |      FROM xr LEFT JOIN rr ON rr.qid = xr.qid AND rr.nid = xr.nid
+         |      GROUP BY 1)
+         |SELECT qid, CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST((10000 * n_hit) // $TOP_K AS BIGINT) AS recall_bp
+         |FROM h ORDER BY qid""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < N_QUERIES)
+      val exact = Similarity.bruteForceTopK(q, e, TOP_K).select(col("qid"), col("nid"))
+      val approx = Similarity.pqRerankTopK(q, e, TOP_K, PQ_RERANK,
+          Similarity.pqTrainCodebooks(e, PQ_SUB, 16))
+        .select(col("qid").as("aqid"), col("nid").as("anid"))
+      exact.join(approx,
+          col("qid") === col("aqid") && col("nid") === col("anid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("anid")).as("n_hit"))
+        .select(col("qid"), col("n_hit"),
+          (lit(10000L) * col("n_hit") / lit(TOP_K.toLong)).cast("long").as("recall_bp"))
+        .orderBy("qid")
     }
   )
 }
