@@ -606,6 +606,31 @@ object DedupOps {
       (col("node") === col("label")).as("is_keeper"))
   }
 
+  /** Canonical-document election: which copy SURVIVES dedup. The
+    * min-id keeper nearDupComponents emits is arbitrary; a curation
+    * pipeline keeps the best member of each cluster under an explicit
+    * policy — here max quality, doc_id tiebreak (q26's score in
+    * q147's gate; any (doc_id, quality) frame works). Election is the
+    * two-stage-argmax idiom (q40): ONE max(struct(quality, -doc_id))
+    * partial agg per cluster, map-side combined — no window over the
+    * corpus. Output: per clustered doc (doc_id, component, quality,
+    * keeper_id, is_keeper).
+    *
+    * @param labels  (doc_id, component) cluster labels
+    *                (nearDupComponents / componentsLargeSmallStar output)
+    * @param quality (doc_id, quality) — the policy score; rounded
+    *                doubles compare exactly across engines */
+  def canonicalKeepers(labels: DataFrame, quality: DataFrame): DataFrame = {
+    val m = labels.select(col("doc_id"), col("component"))
+      .join(quality, Seq("doc_id"))
+    val keep = m.groupBy(col("component"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("component"), (-col("b.nid")).cast("long").as("keeper_id"))
+    m.join(keep, Seq("component"))
+      .select(col("doc_id"), col("component"), col("quality"),
+        col("keeper_id"), (col("doc_id") === col("keeper_id")).as("is_keeper"))
+  }
+
   /** Connected components by alternating large-star / small-star
     * rounds (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14) — converges in O(log n) rounds regardless of

@@ -320,6 +320,38 @@ object DedupQueries {
               / col("n_docs").cast("double"), 4).as("kept_frac"))
     },
 
+    // ---------------------------------------------------------------- q147
+    // Canonical-document selection: which copy SURVIVES dedup. q58's
+    // min-id keeper is arbitrary; a curation pipeline keeps the
+    // best-quality member of each near-dup cluster (q26's score,
+    // doc_id tiebreak). Per clustered document: its cluster, its
+    // quality, the cluster's elected keeper, and the keep/drop bit
+    // the compaction pass acts on. Election is the q40 idiom — one
+    // max(struct(quality, -doc_id)) partial agg per cluster, map-side
+    // combined, no window over the corpus; quality scores join in
+    // from the (column-pruned) documents scan. Cluster labels come
+    // from the cached component artifact (componentsOf) like
+    // q103's report.
+    Q("q147_canonical_keeper",
+      s"""$componentsCtes,
+         |${TextQueries.qualityCteSql},
+         |k AS (SELECT component, doc_id AS keeper_id FROM (
+         |    SELECT c.component, c.doc_id,
+         |      row_number() OVER (PARTITION BY c.component
+         |        ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+         |    FROM comp c JOIN qual q ON q.doc_id = c.doc_id) WHERE rn = 1)
+         |SELECT c.doc_id, c.component, q.quality, k.keeper_id,
+         |  c.doc_id = k.keeper_id AS is_keeper
+         |FROM comp c JOIN qual q ON q.doc_id = c.doc_id
+         |            JOIN k ON k.component = c.component
+         |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      DedupOps.canonicalKeepers(
+          componentsOf(s, d),
+          Tables.documents(s, d).select(col("doc_id"),
+            graft.analytics.TextAnalysis.qualityScore(col("text")).as("quality")))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- q32
     // SimHash signatures (16-bit, token-frequency bit votes).
     Q("q32_simhash_signatures",
@@ -673,7 +705,8 @@ object DedupQueries {
     "q97_incremental_dedup", "q58_neardup_components",
     "q106_components_lss", "q103_dedup_compaction",
     "q108_band_compaction", "q114_lsh_capped",
-    "q118_neardup_jaccard_membercap", "q142_simhash_audit")
+    "q118_neardup_jaccard_membercap", "q142_simhash_audit",
+    "q147_canonical_keeper")
 
   /** Drop this session's dedup-family caches and free their storage
     * memory. The WeakHashMap entries cannot be collected on their own

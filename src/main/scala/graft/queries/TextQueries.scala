@@ -56,6 +56,32 @@ object TextQueries {
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
+  /** The q26 quality score as a standalone CTE `qual(doc_id, quality)`
+    * over `documents` — the single spelling q26 verifies and q147's
+    * canonical-keeper policy reuses (one definition, so the two
+    * oracles cannot drift). Mirrors TextAnalysis.qualityScore. */
+  private[queries] lazy val qualityCteSql: String =
+    s"""qual AS (SELECT doc_id,
+       |  round(0.3 * least(1.0, nt / 100.0)
+       |      + 0.2 * (1.0 - dg / greatest(nc, 1.0))
+       |      + 0.3 * least(1.0, st / greatest(nt, 1.0) * 5.0)
+       |      + 0.2 * least(1.0, nc / greatest(nt, 1.0) / 8.0), 6) AS quality
+       |  FROM (SELECT doc_id,
+       |    CAST(length(text) AS DOUBLE) AS nc,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+       |    CAST(${charCountSql("[0-9]")} AS DOUBLE) AS dg,
+       |    CAST(${hitsSql(EN_MARKERS)} AS DOUBLE) AS st
+       |  FROM documents))""".stripMargin
+
+  /** The fixed retrieval workload q146 scores: (query_id, term) —
+    * three 3-term keyword queries over the corpus vocabulary.
+    * Declared before `queries` (object init order: the SQL strings
+    * below read it eagerly). */
+  private val BM25_QUERIES: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "join", 1L -> "hash",
+    2L -> "customer", 2L -> "order", 2L -> "query",
+    3L -> "vector", 3L -> "stream", 3L -> "scan")
+
   /** DuckDB mirror of TextAnalysis.vocabHits. */
   private def hitsSql(vocab: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), w -> list_contains(${vocabSql(vocab)}, w)))"
@@ -111,19 +137,8 @@ object TextQueries {
     // ---------------------------------------------------------------- q26
     // Quality scoring: rational-arithmetic surface heuristics.
     Q("q26_quality_score",
-      s"""WITH f AS (
-         |  SELECT doc_id,
-         |    CAST(length(text) AS DOUBLE) AS nc,
-         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
-         |    CAST(${charCountSql("[0-9]")} AS DOUBLE) AS dg,
-         |    CAST(${hitsSql(EN_MARKERS)} AS DOUBLE) AS st
-         |  FROM documents)
-         |SELECT doc_id,
-         |  round(0.3 * least(1.0, nt / 100.0)
-         |      + 0.2 * (1.0 - dg / greatest(nc, 1.0))
-         |      + 0.3 * least(1.0, st / greatest(nt, 1.0) * 5.0)
-         |      + 0.2 * least(1.0, nc / greatest(nt, 1.0) / 8.0), 6) AS quality
-         |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      s"""WITH $qualityCteSql
+         |SELECT doc_id, quality FROM qual ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
@@ -798,6 +813,62 @@ object TextQueries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subtokens"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q146
+    // BM25 top-k retrieval — the inverted-index face of corpus
+    // curation (find the docs a keyword set describes: targeted
+    // inspection, seeded filtering, contamination triage). Shape is
+    // the real posting-list scan: the exploded token stream is
+    // filtered to the query vocabulary BEFORE the tf groupBy, so the
+    // only shuffle is O(matching postings), never O(corpus tokens);
+    // document length rides along in the posting row (no corpus-sized
+    // dl join); df and the query grid are broadcast. At 100 TB the
+    // postings frame is exactly what a persisted inverted index
+    // (band-store pattern, DedupOps.bandStore) would serve — same
+    // downstream plan.
+    //
+    // Scoring is BM25 (k1=1.2, b=0.75) with the RATIONAL idf
+    // (N-df+0.5)/(df+0.5) — the log damping is omitted because ln is
+    // not engine-portable (no-transcendentals rule, COVERAGE.md §C);
+    // per-term ranking is order-equivalent, cross-term weighting
+    // differs only in idf spread, and this corpus's 31-word
+    // near-uniform vocabulary has almost none. Every arithmetic step
+    // is a fixed IEEE expression tree (identical on both engines);
+    // per-term contributions are duckRound(6)ed then decimal-summed
+    // (the q80/q81 pattern), and ranks compare the exact DECIMAL.
+    Q("q146_bm25_topk", {
+      val vals = BM25_QUERIES.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      val termList = BM25_QUERIES.map(_._2).distinct.mkString("['", "', '", "']")
+      s"""WITH st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) AS avgdl FROM documents),
+         |p AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, unnest(ws) AS term
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+         |  WHERE list_contains($termList, term) GROUP BY 1, 2, 3),
+         |f AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+         |qt AS (SELECT * FROM (VALUES $vals) AS t(query_id, term)),
+         |c AS (SELECT qt.query_id, p.doc_id,
+         |        CAST(round(((st.n - CAST(f.df AS DOUBLE) + 0.5)
+         |                     / (CAST(f.df AS DOUBLE) + 0.5))
+         |            * (CAST(tf AS DOUBLE) * 2.2)
+         |            / (CAST(tf AS DOUBLE)
+         |               + 1.2 * (0.25 + 0.75 * (dl / st.avgdl))), 6)
+         |          AS DECIMAL(21,10)) AS c
+         |      FROM p JOIN f USING (term) JOIN qt USING (term) CROSS JOIN st),
+         |sc AS (SELECT query_id, doc_id, sum(c) AS sc FROM c GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, sc,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY sc DESC, doc_id) AS rnk FROM sc)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
+         |  doc_id, CAST(sc AS DOUBLE) AS score
+         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      graft.analytics.Retrieval.bm25TopK(Tables.documents(s, d),
+          BM25_QUERIES.toDF("query_id", "term"), 10)
+        .orderBy("query_id", "rnk")
     }
   )
 }

@@ -191,9 +191,12 @@ class PlanSpec extends SparkSpec {
     //       IVF, so it inherits exactly their bounded shapes
     //  q135/q136: PQ ADC — q34's bounded broadcast shape over 8-byte
     //       codes instead of vectors (the point of the operator)
+    //  q145: PQ recall audit — composes q34's exact arm (the truth
+    //       side) with q136's retrieve, so it inherits q34's shape
     val allowed = Set("q34_cosine_topk", "q45_ann_ivf_topk",
       "q80_kmeans_train", "q81_ann_ivf_trained", "q46_embedding_neardup",
-      "q98_ann_recall", "q135_ann_pq_adc", "q136_ann_pq_rerank")
+      "q98_ann_recall", "q135_ann_pq_adc", "q136_ann_pq_rerank",
+      "q145_pq_recall")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>
