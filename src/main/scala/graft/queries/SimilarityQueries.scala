@@ -19,6 +19,11 @@ object SimilarityQueries {
   private val N_PLANES = 6
   private val DIM = 64
 
+  // q148 hybrid search: seed docs, per-arm depth, fused output depth
+  private val N_SEEDS = 3
+  private val K_ARM = 20
+  private val K_OUT = 10
+
   private val normCtes =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)""".stripMargin
@@ -1178,6 +1183,97 @@ object SimilarityQueries {
         .select(col("qid"), col("n_hit"),
           (lit(10000L) * col("n_hit") / lit(TOP_K.toLong)).cast("long").as("recall_bp"))
         .orderBy("qid")
+    },
+
+    // ---------------------------------------------------------------- q148
+    // Hybrid related-document search: reciprocal-rank fusion of a
+    // DENSE arm (exact cosine over the embedding prefix, q34's
+    // machinery) and a SPARSE arm (BM25 where the query is the seed
+    // document's own token set, q146's operator) — the modern
+    // retrieval stack's fusion step, and the realistic
+    // partially-embedded-corpus case: at sf0.1 only 2000 of 5000
+    // docs carry embeddings, so each arm covers what it can and RRF
+    // combines whatever ranks exist (missing arm contributes 0).
+    // rrf = 1/(60+r_dense) + 1/(60+r_sparse) — rational, fixed
+    // two-term expression (no ordered aggregation), engine-exact;
+    // fused rank breaks ties on doc_id. Arms are top-$K_ARM; the
+    // seed doc itself is dropped after ranking (same spelling both
+    // sides). Scale: dense arm is the map-only broadcast scan, sparse
+    // arm shuffles only query-vocabulary postings, fusion is a
+    // full-outer join of two 3×$K_ARM-row frames.
+    Q("q148_hybrid_rrf",
+      s"""$normCtes,
+         |dq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+         |       WHERE vec_id < $N_SEEDS),
+         |ds AS (SELECT query_id, n.vec_id AS doc_id,
+         |         round(list_dot_product(qv, v) / (qn * nrm), 6) AS sim
+         |       FROM dq, n WHERE n.vec_id <> query_id),
+         |dr AS (SELECT query_id, doc_id, rd FROM (
+         |    SELECT query_id, doc_id,
+         |      CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, doc_id) AS BIGINT) AS rd
+         |    FROM ds) WHERE rd <= $K_ARM),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS nn,
+         |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) AS avgdl FROM documents),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |    FROM documents WHERE doc_id < $N_SEEDS) WHERE term <> ''),
+         |p AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, unnest(ws) AS term
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+         |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+         |f AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+         |c AS (SELECT qt.query_id, p.doc_id,
+         |        CAST(round(((st.nn - CAST(f.df AS DOUBLE) + 0.5)
+         |                     / (CAST(f.df AS DOUBLE) + 0.5))
+         |            * (CAST(tf AS DOUBLE) * 2.2)
+         |            / (CAST(tf AS DOUBLE)
+         |               + 1.2 * (0.25 + 0.75 * (dl / st.avgdl))), 6)
+         |          AS DECIMAL(21,10)) AS c
+         |      FROM p JOIN f USING (term) JOIN qt USING (term) CROSS JOIN st),
+         |sc AS (SELECT query_id, doc_id, sum(c) AS sc FROM c GROUP BY 1, 2),
+         |sr AS (SELECT query_id, doc_id, rs FROM (
+         |    SELECT query_id, doc_id,
+         |      CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sc DESC, doc_id) AS BIGINT) AS rs
+         |    FROM sc) WHERE rs <= $K_ARM AND doc_id <> query_id),
+         |fu AS (SELECT coalesce(d.query_id, s.query_id) AS query_id,
+         |         coalesce(d.doc_id, s.doc_id) AS doc_id,
+         |         coalesce(1.0 / (60.0 + CAST(d.rd AS DOUBLE)), 0.0)
+         |           + coalesce(1.0 / (60.0 + CAST(s.rs AS DOUBLE)), 0.0) AS rrf
+         |       FROM dr d FULL OUTER JOIN sr s
+         |         ON d.query_id = s.query_id AND d.doc_id = s.doc_id),
+         |r AS (SELECT query_id, doc_id, rrf,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk FROM fu)
+         |SELECT query_id, rnk, doc_id, round(rrf, 6) AS rrf
+         |FROM r WHERE rnk <= $K_OUT ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val e = Tables.embeddings(s, d)
+      val dense = Similarity.bruteForceTopK(e.filter(col("vec_id") < N_SEEDS), e, K_ARM)
+        .select(col("qid").as("query_id"), col("nid").as("doc_id"),
+          col("rnk").as("rd"))
+      val seedTerms = docs.filter(col("doc_id") < N_SEEDS)
+        .select(col("doc_id").as("query_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "").distinct()
+      val sparse = graft.analytics.Retrieval.bm25TopK(docs, seedTerms, K_ARM)
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"), col("rnk").as("rs"))
+      val rrf =
+        coalesce(lit(1.0) / (lit(60.0) + col("rd").cast("double")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("rs").cast("double")), lit(0.0))
+      dense.join(sparse, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"), rrf.as("rrf"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("rrf").desc, col("doc_id"))))
+        .filter(col("rnk") <= K_OUT)
+        .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+          col("doc_id"), graft.ops.Exact.duckRound(col("rrf"), 6).as("rrf"))
+        .orderBy("query_id", "rnk")
     }
   )
 }
