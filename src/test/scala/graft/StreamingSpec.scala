@@ -18,6 +18,8 @@ object StreamingSpec {
     new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.EmbedStream.VerifiedPair]()
   val collectedPrunes =
     new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.SemanticStream.PruneEvent]()
+  val collectedCdc =
+    new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.CdcStream.ChangeEvent]()
 }
 
 class StreamingSpec extends SparkSpec {
@@ -317,6 +319,69 @@ class StreamingSpec extends SparkSpec {
     assert(prunedStream == prunedBatch,
       s"stream pruned ${prunedStream.size}, batch ${prunedBatch.size}")
     assert(prunedStream.nonEmpty, "fixture prunes nothing — vacuous")
+  }
+
+  test("streaming CDC apply: folded events equal batch applyChangelog across nights + restart") {
+    import graft.streaming.CdcStream
+    import graft.streaming.CdcStream.{Change, ChangeEvent}
+    import graft.ops.Cdc
+    val snapshot = (0L to 9L).map(k => (k, s"snap$k"))
+    val night1 = Seq(
+      Change(3L, 10L, "U", "v1"),
+      Change(3L, 12L, "U", "v2"),   // same-batch collapse: ONE event, "v2"
+      Change(5L, 11L, "D", ""),
+      Change(20L, 13L, "I", "new20"))
+    val night2 = Seq(
+      Change(3L, 11L, "U", "late"), // below stored seq 12 → absorbed, no event
+      Change(20L, 14L, "D", ""),    // delete after insert
+      Change(5L, 15L, "I", "re5"),  // re-insert after delete
+      Change(7L, 16L, "U", "v7"))
+    val dir = tmp("graft-cdc-in"); val ckpt = tmp("graft-cdc-ck")
+    val prime = snapshot.map { case (k, p) => CdcStream.snapshotChange(k, p) }
+    StreamingSpec.collectedCdc.clear()
+    (prime ++ night1).toDS().write.mode("overwrite").parquet(dir)
+    def start() = {
+      val st = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[Change].schema)
+        .parquet(dir).as[Change]
+      CdcStream.currentEvents(st).toDF()
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.as[ChangeEvent].collect().foreach(StreamingSpec.collectedCdc.add)
+        }
+        .option("checkpointLocation", ckpt).start()
+    }
+    val q = start(); q.processAllAvailable(); q.stop()
+    import scala.jdk.CollectionConverters._
+    val after1 = StreamingSpec.collectedCdc.asScala.toSeq
+    assert(after1.count(_.key == 3L) == 1 &&
+      after1.find(_.key == 3L).get.payload == "v2",
+      "same-batch changes must collapse to the single batch-max event")
+    assert(after1.find(_.key == 5L).get.op == "D",
+      "snapshot prime + same-batch delete must net to a delete event")
+    // restart from checkpoint, then night 2 PLUS a full replay of
+    // night 1 (at-least-once source): replays must emit nothing
+    val q2 = start()
+    (night2 ++ night1).toDS().write.mode("append").parquet(dir)
+    q2.processAllAvailable(); q2.stop()
+    val all = StreamingSpec.collectedCdc.asScala.toSeq
+    val delta = all.diff(after1)
+    assert(!delta.exists(_.key == 3L),
+      "late/replayed change re-emitted: state lost across restart")
+    // fold the emitted events per key → current serving table
+    val current = all.groupBy(_.key)
+      .map { case (k, es) => k -> es.maxBy(_.seq) }
+      .collect { case (k, e) if e.op != "D" => k -> e.payload }
+    // batch twin over snapshot + ALL changes (duplicates included —
+    // the batch operator is replay-idempotent too)
+    val batch = Cdc.applyChangelog(
+        snapshot.toDF("key", "payload"),
+        (night1 ++ night2 ++ night1).toDS().toDF(),
+        "key", "seq", "op", Seq("payload"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(current == batch, s"stream $current vs batch $batch")
+    assert(batch(5L) == "re5" && batch(7L) == "v7" && !batch.contains(20L),
+      "fixture did not exercise delete/re-insert/late paths")
   }
 
   test("streaming Hamming dedup: image pHash pairs equal batch banding across nights + restart") {
