@@ -40,23 +40,45 @@ object Retrieval {
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
 
-  /** BM25 scores per (query_id, doc_id) over a (query_id, term) query
-    * grid. Only documents matching at least one query term appear.
-    * `sc` is the exact DECIMAL(21,10) score (rank on it); cast to
-    * double for display. */
-  def bm25Scores(docs: DataFrame, queryTerms: DataFrame,
-                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // model-sized scalars (N, avgdl), collected once and inlined —
-    // the MLlib-fit pattern; sums are exact integers so the double
-    // division is the same IEEE op an oracle engine runs
+  /** The FULL inverted index: postings for every term — the nightly
+    * persisted artifact (bucket/partition by term on a real store so
+    * a query's posting lists are a pruned read). Postings of disjoint
+    * doc sets union losslessly: tf/dl are per-doc, df and corpus
+    * stats recompute from the merged frame — so index maintenance is
+    * O(Δ): build the delta's index, append (q149). */
+  def buildIndex(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("double").as("dl"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Mergeable corpus stats for BM25's globals: (doc count, token
+    * count). Disjoint corpora merge by component-wise sum;
+    * avgdl = tokens/docs at query time. */
+  def corpusTokenStats(docs: DataFrame): (Long, Long) = {
     val st = docs.agg(
-      sum(size(split(col("text"), " ")).cast("long")).as("s"),
-      count(lit(1)).as("n")).first()
-    val nDocs = st.getLong(1)
-    val avgdl = st.getLong(0).toDouble / nDocs.toDouble
+      count(lit(1)).as("n"),
+      sum(size(split(col("text"), " ")).cast("long")).as("s")).first()
+    (st.getLong(0), st.getLong(1))
+  }
+
+  /** BM25 scores from a prebuilt (or just-built) posting frame.
+    * `index` may hold the full vocabulary (the persisted-index path —
+    * filtered here to the query vocabulary, a pruned read on a
+    * term-partitioned store) or be pre-filtered (the direct-scan
+    * path); nDocs/avgdl are the corpus globals (model-sized, inlined
+    * — their sums are exact integers so the double division is the
+    * same IEEE op an oracle engine runs). `sc` is the exact
+    * DECIMAL(21,10) score (rank on it); cast to double for display. */
+  def bm25ScoresFromIndex(index: DataFrame, nDocs: Long, avgdl: Double,
+                          queryTerms: DataFrame,
+                          k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = queryTerms.select("term").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
-    val post = postings(docs, terms)
+    val post = index.filter(col("term").isin(terms: _*))
     val dft = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))
@@ -72,16 +94,39 @@ object Retrieval {
       .agg(sum(col("c")).as("sc"))
   }
 
-  /** Top-k retrieval: (query_id, rnk, doc_id, score) — rank over the
-    * exact decimal score, doc_id tiebreak. The per-query window is
-    * top-k-limited (WindowGroupLimit: partial before the exchange). */
-  def bm25TopK(docs: DataFrame, queryTerms: DataFrame, k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    bm25Scores(docs, queryTerms, k1, b)
+  /** BM25 scores per (query_id, doc_id) over a (query_id, term) query
+    * grid, straight off the corpus: posting lists are built for the
+    * query vocabulary only (the pre-groupBy filter in [[postings]] —
+    * the shuffle is O(matching postings)). */
+  def bm25Scores(docs: DataFrame, queryTerms: DataFrame,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (nDocs, nTokens) = corpusTokenStats(docs)
+    val terms = queryTerms.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    bm25ScoresFromIndex(postings(docs, terms), nDocs,
+      nTokens.toDouble / nDocs.toDouble, queryTerms, k1, b)
+  }
+
+  private def rankTopK(scores: DataFrame, k: Int): DataFrame =
+    scores
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("sc").desc, col("doc_id"))))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk").cast("long").as("rnk"),
         col("doc_id"), col("sc").cast("double").as("score"))
+
+  /** Top-k retrieval: (query_id, rnk, doc_id, score) — rank over the
+    * exact decimal score, doc_id tiebreak. The per-query window is
+    * top-k-limited (WindowGroupLimit: partial before the exchange). */
+  def bm25TopK(docs: DataFrame, queryTerms: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    rankTopK(bm25Scores(docs, queryTerms, k1, b), k)
+
+  /** [[bm25TopK]] off a prebuilt index + merged stats (q149's
+    * incremental-maintenance path). */
+  def bm25TopKFromIndex(index: DataFrame, nDocs: Long, avgdl: Double,
+                        queryTerms: DataFrame, k: Int,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    rankTopK(bm25ScoresFromIndex(index, nDocs, avgdl, queryTerms, k1, b), k)
 }

@@ -837,7 +837,47 @@ object TextQueries {
     // is a fixed IEEE expression tree (identical on both engines);
     // per-term contributions are duckRound(6)ed then decimal-summed
     // (the q80/q81 pattern), and ranks compare the exact DECIMAL.
-    Q("q146_bm25_topk", {
+    Q("q146_bm25_topk", bm25Sql) { (s, d) =>
+      import s.implicits._
+      graft.analytics.Retrieval.bm25TopK(Tables.documents(s, d),
+          BM25_QUERIES.toDF("query_id", "term"), 10)
+        .orderBy("query_id", "rnk")
+    },
+
+    // ---------------------------------------------------------------- q149
+    // Incremental inverted-index maintenance — q97's nightly contract
+    // for retrieval: the corpus splits 80/20 into an already-indexed
+    // batch and a delta; the stored index (materialized once —
+    // localCheckpoint stands in for the term-partitioned store read)
+    // merges with the delta's index by plain union, corpus stats
+    // merge by component sums, and BM25 runs off the MERGED frame.
+    // The oracle is q146's full-corpus recompute — incremental ≡ full
+    // is the property under test, hash-checked row for row. This is
+    // why the posting schema is (term, doc_id, dl, tf): postings of
+    // disjoint doc sets union losslessly and df/avgdl recompute from
+    // the merged frame, so index maintenance is O(Δ) with no
+    // read-modify-write of stored posting lists.
+    Q("q149_bm25_incremental", bm25Sql) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val ingested = docs.filter(col("doc_id") % 5 =!= 0)
+      val delta = docs.filter(col("doc_id") % 5 === 0)
+      val storedIndex = graft.analytics.Retrieval.buildIndex(ingested)
+        .localCheckpoint(true)
+      val (n1, t1) = graft.analytics.Retrieval.corpusTokenStats(ingested)
+      val (n2, t2) = graft.analytics.Retrieval.corpusTokenStats(delta)
+      val merged = storedIndex.unionByName(
+        graft.analytics.Retrieval.buildIndex(delta))
+      graft.analytics.Retrieval.bm25TopKFromIndex(merged, n1 + n2,
+          (t1 + t2).toDouble / (n1 + n2).toDouble,
+          BM25_QUERIES.toDF("query_id", "term"), 10)
+        .orderBy("query_id", "rnk")
+    }
+  )
+
+  /** q146's oracle (also q149's: incremental index ≡ full recompute
+    * is that query's property under test). */
+  private lazy val bm25Sql: String = {
       val vals = BM25_QUERIES.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
       val termList = BM25_QUERIES.map(_._2).distinct.mkString("['", "', '", "']")
       s"""WITH st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
@@ -864,11 +904,5 @@ object TextQueries {
          |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
          |  doc_id, CAST(sc AS DOUBLE) AS score
          |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
-    }) { (s, d) =>
-      import s.implicits._
-      graft.analytics.Retrieval.bm25TopK(Tables.documents(s, d),
-          BM25_QUERIES.toDF("query_id", "term"), 10)
-        .orderBy("query_id", "rnk")
-    }
-  )
+  }
 }

@@ -62,6 +62,22 @@ class RetrievalSpec extends SparkSpec {
     assert(!got.exists(_._2 == 3L))
   }
 
+  test("incremental index: union of split indexes + merged stats ≡ direct corpus scoring") {
+    val q = Seq((1L, "a"), (1L, "c"), (2L, "b")).toDF("query_id", "term")
+    val left = corpus.filter(col("doc_id") < 2)
+    val right = corpus.filter(col("doc_id") >= 2)
+    val (n1, t1) = Retrieval.corpusTokenStats(left)
+    val (n2, t2) = Retrieval.corpusTokenStats(right)
+    val merged = Retrieval.buildIndex(left).unionByName(Retrieval.buildIndex(right))
+    val viaIndex = Retrieval.bm25TopKFromIndex(merged, n1 + n2,
+        (t1 + t2).toDouble / (n1 + n2).toDouble, q, 10)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val direct = Retrieval.bm25TopK(corpus, q, 10)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaIndex === direct)
+    assert(viaIndex.nonEmpty)
+  }
+
   test("canonicalKeepers: max quality wins, doc_id breaks ties") {
     val labels = Seq(
       (10L, 10L), (11L, 10L), (12L, 10L), // cluster 10
