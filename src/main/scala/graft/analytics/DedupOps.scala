@@ -283,6 +283,25 @@ object DedupOps {
     withH.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** GROUP-level MinHash: one K-component signature per group — the
+    * min-merge of all member shingle hashes. Because min is
+    * associative/commutative, a group's signature is the merge of its
+    * docs' signatures (and of its partitions' partial minima): the
+    * map-side combine collapses each partition to one row per group
+    * before the exchange, so corpus-level dataset similarity
+    * (source-vs-source overlap, crawl-vs-crawl drift) costs one
+    * groupBy over hashed shingles and shuffles only |groups|×K
+    * values. Component-match fraction between two group signatures
+    * estimates the Jaccard of their shingle VOCABULARIES (q150 audits
+    * it against the exact value). Input: (grp, s) membership rows. */
+  def groupMinhash(gs: DataFrame, grpCol: String = "source"): DataFrame = {
+    val withH = gs.withColumn("h", baseHash(col("s")))
+    val aggs = (0 until MINHASH_K).map { i =>
+      min((lit(MINHASH_A(i)) * col("h") + lit(MINHASH_B(i))) % MINHASH_PRIME).as(f"m$i%02d")
+    }
+    withH.groupBy(col(grpCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** LSH band values: separator-joined band minhashes (separator
     * prevents numeric-concat collisions like 12|345 vs 123|45). */
   def withBands(sig: DataFrame): DataFrame = {

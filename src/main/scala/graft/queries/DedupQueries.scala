@@ -352,6 +352,72 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- q150
+    // Source-level corpus similarity: one MinHash signature PER
+    // SOURCE (the min-merge of its docs' shingle hashes — mergeable,
+    // so at 100 TB each partition contributes a partial min and the
+    // shuffle is |sources|×K values), match-fraction estimate per
+    // source pair, audited against the EXACT vocabulary Jaccard
+    // (inverted-index self-join on the shingle, the q29 shape —
+    // bounded by sources² per shingle). The before-you-mix
+    // diagnostic: how much do two crawls/sources overlap, answered
+    // from sketch state that never rescans the corpora.
+    Q("q150_source_similarity",
+      s"""$hashedShingles,
+         |src AS (SELECT doc_id, source FROM documents),
+         |gss AS (SELECT DISTINCT source, s FROM sh JOIN src USING (doc_id)),
+         |gsz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM gss GROUP BY 1),
+         |gin AS (SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS c
+         |        FROM gss a JOIN gss b ON a.s = b.s AND a.source < b.source
+         |        GROUP BY 1, 2),
+         |gh AS (SELECT source, h FROM shh JOIN src USING (doc_id)),
+         |gsig AS (SELECT source,
+         |    $sigCols
+         |  FROM gh GROUP BY source),
+         |mm AS (SELECT a.source AS s1, b.source AS s2,
+         |         ${(0 until DedupOps.MINHASH_K).map(i =>
+               s"CASE WHEN a.m${"%02d".format(i)} = b.m${"%02d".format(i)} THEN 1 ELSE 0 END")
+               .mkString(" + ")} AS n_match
+         |       FROM gsig a JOIN gsig b ON a.source < b.source)
+         |SELECT gin.s1, gin.s2, CAST(coalesce(mm.n_match, 0) AS BIGINT) AS n_match,
+         |  CAST(coalesce(mm.n_match, 0) AS DOUBLE) / ${DedupOps.MINHASH_K}.0 AS est,
+         |  round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 4) AS jaccard
+         |FROM gin JOIN gsz x ON x.source = gin.s1
+         |         JOIN gsz y ON y.source = gin.s2
+         |         LEFT JOIN mm ON mm.s1 = gin.s1 AND mm.s2 = gin.s2
+         |ORDER BY gin.s1, gin.s2""".stripMargin) { (s, d) =>
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val memb = shingleSetOf(s, d).join(src, Seq("doc_id"))
+        .select(col("source"), col("s"))
+      val gss = memb.distinct()
+      val gsz = gss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val gin = gss.as("a")
+        .join(gss.as("b"),
+          col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("c"))
+      val sig = DedupOps.groupMinhash(memb)
+      val rows = sig.select(col("source"), posexplode(array(
+        (0 until DedupOps.MINHASH_K).map(i => col(f"m$i%02d")): _*)).as(Seq("i", "m")))
+      val matches = rows.as("x")
+        .join(rows.as("y"),
+          col("x.i") === col("y.i") && col("x.m") === col("y.m") &&
+            col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("s1"), col("y.source").as("s2"))
+        .agg(count(lit(1)).as("nm"))
+      gin
+        .join(gsz.select(col("source").as("s1"), col("n").as("n1")), Seq("s1"))
+        .join(gsz.select(col("source").as("s2"), col("n").as("n2")), Seq("s2"))
+        .join(matches, Seq("s1", "s2"), "left")
+        .select(col("s1"), col("s2"),
+          coalesce(col("nm"), lit(0L)).cast("long").as("n_match"),
+          (coalesce(col("nm"), lit(0L)).cast("double")
+            / lit(DedupOps.MINHASH_K.toDouble)).as("est"),
+          graft.ops.Exact.duckRound(col("c").cast("double")
+            / (col("n1") + col("n2") - col("c")).cast("double"), 4).as("jaccard"))
+        .orderBy("s1", "s2")
+    },
+
     // ---------------------------------------------------------------- q32
     // SimHash signatures (16-bit, token-frequency bit votes).
     Q("q32_simhash_signatures",
@@ -706,7 +772,7 @@ object DedupQueries {
     "q106_components_lss", "q103_dedup_compaction",
     "q108_band_compaction", "q114_lsh_capped",
     "q118_neardup_jaccard_membercap", "q142_simhash_audit",
-    "q147_canonical_keeper")
+    "q147_canonical_keeper", "q150_source_similarity")
 
   /** Drop this session's dedup-family caches and free their storage
     * memory. The WeakHashMap entries cannot be collected on their own
