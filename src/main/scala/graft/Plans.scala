@@ -70,7 +70,22 @@ object Plans {
     // projection over the pre-projected slice columns) and the ADC
     // scan (code store vs broadcast distance tables — q34's bounded
     // broadcast shape over 8-byte codes)
-    "q134_pq_codes", "q135_ann_pq_adc", "q136_ann_pq_rerank")
+    "q134_pq_codes", "q135_ann_pq_adc", "q136_ann_pq_rerank",
+    // z-order clustered layout (range-partition + in-partition sort,
+    // no global sort at the writer) and the CDC merge (max-struct
+    // partial agg, ONE full-outer equi-join, no window)
+    "q137_zorder_key", "q144_cdc_apply",
+    // retrieval evidence: BM25's pre-groupBy vocabulary filter
+    // (shuffle = matching postings), broadcast df/query grid,
+    // decimal-sum scores, WindowGroupLimit top-k; the incremental
+    // index (union of stored + delta postings, same downstream plan);
+    // the hybrid fusion (two top-k arms, full-outer on narrow ids);
+    // and the group-MinHash source matrix (partial-min merge,
+    // |sources|×K shuffle)
+    "q146_bm25_topk", "q148_hybrid_rrf", "q149_bm25_incremental",
+    "q150_source_similarity",
+    // canonical keeper: the max-struct election over cluster labels
+    "q147_canonical_keeper")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

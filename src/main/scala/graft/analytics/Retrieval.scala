@@ -78,6 +78,14 @@ object Retrieval {
                           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = queryTerms.select("term").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
+    // `post` has two consumers (df + contributions), so the posting
+    // subtree evaluates twice — a second corpus scan on the direct
+    // path. MEASURED dead end (same boot, quiet probes): a
+    // localCheckpoint(true) here costs MORE than it saves on both
+    // paths — q146 1.40→1.9 s (the eager materialization job beats
+    // the cheap re-scan), q149 ~2.45 s unchanged (its store is
+    // already materialized; re-filtering it is free). The 2-consumer
+    // rule from BASELINE.md r5 holds: persist pays at ≥3 branches.
     val post = index.filter(col("term").isin(terms: _*))
     val dft = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
