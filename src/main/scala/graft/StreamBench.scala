@@ -216,6 +216,26 @@ object StreamBench {
       graft.streaming.HammingStream
         .streamingNearDupPairs(sigStream, 8, 8, 6).toDF())
 
+    // 3e. streaming CDC apply (CdcStream): a changelog derived from
+    // the events table (key = user, seq = event id, 5% deletes) folds
+    // into per-key serving state — every change is a keyed state
+    // read+write like dedup_tws, but with single-row state and the
+    // latest-wins compare on the hot path; changes/s is the
+    // serving-table maintenance figure.
+    val cdcChanges = spark.read.parquet(path).select(
+      col("user_id").cast("long").as("key"),
+      col("event_id").cast("long").as("seq"),
+      when(col("event_id") % 20 === 0, lit("D")).otherwise(lit("U")).as("op"),
+      col("event_type").cast("string").as("payload"))
+    val cdcDir = tmpDir("graft-sbench-cdc")
+    cdcChanges.write.mode("overwrite").parquet(cdcDir)
+    val cdcSchema = spark.read.parquet(cdcDir).schema
+    val nChanges = spark.read.parquet(cdcDir).count()
+    val cdcStream = spark.readStream.schema(cdcSchema).parquet(cdcDir)
+      .as[graft.streaming.CdcStream.Change]
+    val (cdcSec, cdcOut) = timeRun(
+      graft.streaming.CdcStream.currentEvents(cdcStream).toDF())
+
     // 4–6. steady-state drops (see steadyDrops): RocksDB dedup, text
     // near-dup, embedding near-dup — the sustained nightly-ingest
     // figures next to the cold AvailableNow numbers above.
@@ -238,6 +258,10 @@ object StreamBench {
       graft.streaming.SemanticStream.streamingSemanticPrunes(
         raw.as[graft.streaming.SemanticStream.Vec], semQuant, 0.3).toDF()
     }
+    val cdcTimes = steadyDrops(cdcChanges, "seq", nDrops, "cdcss") { raw =>
+      graft.streaming.CdcStream.currentEvents(
+        raw.as[graft.streaming.CdcStream.Change]).toDF()
+    }
 
     val sf = new java.io.File(sfDir).getName
     println(
@@ -248,9 +272,10 @@ object StreamBench {
       f""""emb_vecs_per_sec":${nVecs / embSec}%.0f,"emb_sec":$embSec%.2f,"emb_pairs":$embOut,""" +
       f""""sem_vecs_per_sec":${nVecs / semSec}%.0f,"sem_sec":$semSec%.2f,"sem_prunes":$semOut,""" +
       f""""ham_sigs_per_sec":${nSigs / hamSec}%.0f,"ham_sec":$hamSec%.2f,"ham_pairs":$hamOut,""" +
+      f""""cdc_changes_per_sec":${nChanges / cdcSec}%.0f,"cdc_sec":$cdcSec%.2f,"cdc_out":$cdcOut,""" +
       f""""ss_batches":$nDrops,"ss_cold":$coldRate%.0f,"ss_steady":${steadyRate(ssTimes)}%.0f,""" +
       f""""nd_steady":${steadyRate(ndTimes)}%.0f,"emb_steady":${steadyRate(embTimes)}%.0f,""" +
-      f""""sem_steady":${steadyRate(semTimes)}%.0f}""")
+      f""""sem_steady":${steadyRate(semTimes)}%.0f,"cdc_steady":${steadyRate(cdcTimes)}%.0f}""")
     spark.stop()
   }
 }
