@@ -211,6 +211,81 @@ class PropertySpec extends SparkSpec {
     assert(graft.analytics.Similarity.probeMasks(62, 1).length == 63)
   }
 
+  test("BM25 scoring equals an independent scalar reimplementation on random corpora") {
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    def duckRound6(x: Double) = {
+      val s = x * 1e6
+      (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)) / 1e6
+    }
+    (1 to 5).foreach { _ =>
+      val nDocs = rnd.nextInt(20) + 5
+      val docs = (0 until nDocs).map { i =>
+        (i.toLong,
+          List.fill(rnd.nextInt(12) + 1)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val qts = Seq((1L, "a"), (1L, "b"), (2L, "c"), (2L, "f"))
+      val got = graft.analytics.Retrieval
+        .bm25Scores(docs.toDF("doc_id", "text"), qts.toDF("query_id", "term"))
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDecimal(2).doubleValue)).toMap
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val n = nDocs.toDouble
+      val avgdl = toks.values.map(_.size).sum.toDouble / n
+      val exp = (for {
+        (qid, term) <- qts
+        (id, ts) <- toks.toSeq
+        tf = ts.count(_ == term)
+        if tf > 0
+      } yield {
+        val df = toks.values.count(_.contains(term)).toDouble
+        val idf = (n - df + 0.5) / (df + 0.5)
+        ((qid, id), duckRound6(idf * (tf.toDouble * 2.2) /
+          (tf.toDouble + 1.2 * (0.25 + 0.75 * (ts.size.toDouble / avgdl)))))
+      }).groupBy(_._1).map { case (k, vs) =>
+        // exact decimal sum of the 6-dp contributions — the operator's
+        // DECIMAL(21,10) path, replayed in BigDecimal
+        k -> vs.map(v => BigDecimal.valueOf(v._2)).sum.toDouble
+      }
+      assert(got.keySet == exp.keySet)
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - exp(k)) < 1e-12, s"$k: $v vs ${exp(k)}")
+      }
+    }
+  }
+
+  test("CDC apply: replay-idempotent and segment-composable on random changelogs") {
+    import graft.ops.Cdc
+    import graft.streaming.CdcStream.Change
+    val tupOrd = Ordering.Tuple3(Ordering.Long, Ordering.String, Ordering.String)
+    def applyB(s: Seq[(Long, String)], cs: Seq[Change]): Map[Long, String] =
+      Cdc.applyChangelog(s.toDF("key", "payload"), cs.toDS().toDF(),
+          "key", "seq", "op", Seq("payload"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1 to 5).foreach { _ =>
+      val snap = (0L until (rnd.nextInt(10) + 5).toLong)
+        .filter(_ => rnd.nextBoolean()).map(k => (k, s"s$k"))
+      def seg(seqBase: Long) = List.fill(rnd.nextInt(20) + 1) {
+        Change(rnd.nextInt(12).toLong, seqBase + rnd.nextInt(1000),
+          rnd.nextInt(5) match { case 0 => "D"; case 1 => "I"; case _ => "U" },
+          rnd.alphanumeric.take(5).mkString)
+      }
+      val c1 = seg(0); val c2 = seg(10000) // c2 strictly after c1 (log order)
+      val once = applyB(snap, c1)
+      assert(applyB(snap, c1 ++ c1) == once, "replay changed the result")
+      // applying log segments in order == applying their union
+      val composed = applyB(once.toSeq, c2)
+      val direct = applyB(snap, c1 ++ c2)
+      assert(composed == direct, "segment composition broke")
+      // independent scalar reference: max (seq, op, payload) per key
+      val primed = snap.map { case (k, p) => Change(k, Long.MinValue, "I", p) }
+      val ref = (primed ++ c1 ++ c2).groupBy(_.key).flatMap { case (k, cs) =>
+        val last = cs.maxBy(c => (c.seq, c.op, c.payload))(tupOrd)
+        if (last.op == "D") None else Some(k -> last.payload)
+      }.toMap
+      assert(direct == ref, s"batch $direct vs reference $ref")
+    }
+  }
+
   test("duckRound matches half-away-from-zero on the scaled double") {
     val cases = List.fill(60)((rnd.nextDouble() * 4 - 2, rnd.nextInt(7))) ++
       List((0.6146874999999999, 6), (-0.6146874999999999, 6), (2.5e-6, 6), (0.125, 2))
