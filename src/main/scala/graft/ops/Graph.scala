@@ -66,4 +66,43 @@ object Graph {
     }
     ranks
   }
+
+  /** Exact triangle counting by DEGREE-ORIENTED wedge closing (the
+    * MapReduce-classic Suri–Vassilvitskii shape): orient every
+    * undirected edge from its smaller endpoint under the (degree, id)
+    * total order, enumerate wedges only at a triangle's minimum
+    * vertex, and close them with one equi-join back on the oriented
+    * edge set. Orientation is the whole scale story: out-degree is
+    * bounded by O(√m) regardless of hub degree, so the wedge join is
+    * O(m^1.5) — on a hub-heavy graph the naive per-node wedge count
+    * Σdeg² explodes exactly where this stays flat. Each triangle
+    * closes exactly once (its two non-minimum members form ONE
+    * oriented pair), so no post-hoc dedup.
+    *
+    * Input: canonical undirected edges (u, v), u < v, distinct.
+    * Output: (node, n_tri) — per-node triangle participation (each
+    * triangle credits all three corners). */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("n"))
+      .unionByName(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val e = edges
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("o"))
+      .select(col("o.s").as("s"), col("o.t").as("t"))
+      .localCheckpoint(true) // consumed by the wedge self-join (×2) + close
+    val wedges = e.as("e1")
+      .join(e.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") =!= col("e2.t"))
+      .select(col("e1.s").as("x"), col("e1.t").as("y"), col("e2.t").as("z"))
+    val tri = wedges.join(
+      e.select(col("s").as("y"), col("t").as("z")), Seq("y", "z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
 }

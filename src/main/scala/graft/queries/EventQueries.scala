@@ -94,6 +94,51 @@ object EventQueries {
           countDistinct(when(col("d") === col("d0") + expr("INTERVAL 1 DAY"), col("user_id"))).as("d1"),
           countDistinct(when(col("d") === col("d0") + expr("INTERVAL 7 DAY"), col("user_id"))).as("d7"))
         .orderBy("cohort")
+    },
+
+    // ---------------------------------------------------------------- q152
+    // Rate-anomaly detection — the monitoring face of the event
+    // pipeline: per event type, hourly counts vs the type's own
+    // month-long distribution; flag hours above mean + 3σ and report
+    // the z-score. Every statistic is exact-component (integer sums
+    // through DECIMAL — Exact.dstddev/davg; sqrt is the one allowed
+    // IEEE-exact transcendental), so the flag boundary and the
+    // rounded z agree across engines. Corpus is touched ONCE (the
+    // hourly partial-agg groupBy); the per-type stats frame is 5 rows
+    // and broadcasts back onto the hourly frame — at 100 TB this is
+    // the classic two-stage rollup whose second stage is free.
+    Q("q152_rate_anomaly",
+      """WITH h AS (SELECT event_type,
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type,
+        |    CAST(sum(CAST(cnt AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
+        |    sqrt((CAST(sum(CAST(cnt AS DECIMAL(18,2)) * CAST(cnt AS DECIMAL(18,2))) AS DOUBLE)
+        |          - CAST(sum(CAST(cnt AS DECIMAL(18,2))) AS DOUBLE)
+        |            * CAST(sum(CAST(cnt AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+        |         / (count(*) - 1)) AS sd
+        |  FROM h GROUP BY 1)
+        |SELECT h.event_type, h.hour, h.cnt,
+        |  round(CASE WHEN sd <> 0
+        |    THEN (CAST(cnt AS DOUBLE) - mean) / sd END, 4) AS z
+        |FROM h JOIN st ON st.event_type = h.event_type
+        |WHERE CAST(cnt AS DOUBLE) > mean + 3.0 * sd
+        |ORDER BY h.event_type, h.hour""".stripMargin) { (s, d) =>
+      val h = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      val st = h.groupBy(col("event_type")).agg(
+        graft.ops.Exact.davg(col("cnt").cast("double")).as("mean"),
+        graft.ops.Exact.dstddev(col("cnt").cast("double")).as("sd"))
+      h.join(broadcast(st), Seq("event_type"))
+        .filter(col("cnt").cast("double") > col("mean") + lit(3.0) * col("sd"))
+        .select(col("event_type"), col("hour"), col("cnt"),
+          graft.ops.Exact.duckRound(
+            when(col("sd") =!= 0,
+              (col("cnt").cast("double") - col("mean")) / col("sd")), 4).as("z"))
+        .orderBy("event_type", "hour")
     }
   )
 }

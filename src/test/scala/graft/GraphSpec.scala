@@ -40,4 +40,38 @@ class GraphSpec extends SparkSpec {
     val b = ranksOf(edges, 5, parts = 7)
     assert(a == b, "ranks changed under re-partitioning")
   }
+
+  private def triOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    graft.ops.Graph.triangleCounts(edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangleCounts: closed forms — K4, path, star") {
+    // K4: C(3,2)=3 triangles per node, 4 triangles total (sum 12)
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    assert(triOf(k4) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // path and star: triangle-free → empty output
+    assert(triOf(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty)
+    assert(triOf((1L to 6L).map(i => (0L, i))).isEmpty)
+  }
+
+  test("triangleCounts equals the naive x<y<z enumeration on a random hub-heavy graph") {
+    val rnd = new scala.util.Random(7)
+    // hub-heavy: node 0 connects widely (the Σdeg² blowup case the
+    // degree orientation exists for) plus random chords
+    val edges = ((1L to 25L).map(i => (0L, i)) ++
+      List.fill(120)((rnd.nextInt(26).toLong, rnd.nextInt(26).toLong)))
+      .filter { case (u, v) => u != v }
+      .map { case (u, v) => (math.min(u, v), math.max(u, v)) }
+      .distinct
+    val es = edges.toSet
+    val naive = (for {
+      (x, y) <- edges; (y2, z) <- edges
+      if y2 == y && es.contains((x, z))
+    } yield Seq(x, y, z)).flatten
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(triOf(edges) == naive)
+    assert(naive.nonEmpty, "fixture has no triangles — vacuous")
+  }
 }
