@@ -85,7 +85,10 @@ object Plans {
     "q146_bm25_topk", "q148_hybrid_rrf", "q149_bm25_incremental",
     "q150_source_similarity",
     // canonical keeper: the max-struct election over cluster labels
-    "q147_canonical_keeper")
+    "q147_canonical_keeper",
+    // degree-oriented triangle wedge-close (equi-joins only) and the
+    // broadcast two-stage anomaly rollup
+    "q151_triangles", "q152_rate_anomaly")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

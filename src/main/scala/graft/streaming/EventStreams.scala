@@ -44,6 +44,28 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming rate-anomaly flags — q152's monitoring rule on a live
+    * stream under the frozen-model contract (the SemanticStream /
+    * q117 pattern): per-type (mean, sd) come from a batch pass over
+    * history and join the windowed counts as a static broadcast side,
+    * so each hour's verdict costs one in-window count plus a 5-row
+    * join — no historical rescan in the stream. Same exact-component
+    * arithmetic and flag boundary as the batch q152 (StreamingSpec
+    * pins set-equality of the flags under shared stats). */
+  def rateAnomalyFlags(events: DataFrame, stats: DataFrame,
+                       nSigma: Double = 3.0): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(stats), Seq("event_type"))
+      .filter(col("cnt").cast("double") > col("mean") + lit(nSigma) * col("sd"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("cnt"),
+        Exact.duckRound(when(col("sd") =!= 0,
+          (col("cnt").cast("double") - col("mean")) / col("sd")), 4).as("z"))
+
   /** Sliding 1h/30m window twin of q21. */
   def slidingRollup(events: DataFrame): DataFrame =
     events

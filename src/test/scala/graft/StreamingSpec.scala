@@ -713,6 +713,31 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming rate anomaly: flags equal the batch rule under frozen stats") {
+    import graft.ops.Exact
+    val ev = Tables.events(spark, sf("sf0.01"))
+    val h = ev.groupBy($"event_type",
+        date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    // frozen stats: one batch pass over history, shared by both sides
+    val stats = h.groupBy($"event_type").agg(
+      Exact.davg($"cnt".cast("double")).as("mean"),
+      Exact.dstddev($"cnt".cast("double")).as("sd"))
+    val want = h.join(stats, Seq("event_type"))
+      .filter($"cnt".cast("double") > $"mean" + lit(3.0) * $"sd")
+      .select($"hour", $"event_type", $"cnt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val dir = tmp("graft-anom-in")
+    ev.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+    EventStreams.runToMemory(
+      EventStreams.rateAnomalyFlags(stream, stats), "anom_out", "complete")
+    val got = spark.table("anom_out").select("hour", "event_type", "cnt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want, s"stream ${got.size} flags vs batch ${want.size}")
+    assert(want.nonEmpty, "fixture flags nothing — vacuous")
+  }
+
   test("streaming quantile-histogram sketch: bin-count state merges across batches ≡ batch histogram") {
     // q120's mergeable sketch IS streaming-shaped: the (bin, cnt) rows
     // are the aggregation state, and each micro-batch's arrivals merge by
