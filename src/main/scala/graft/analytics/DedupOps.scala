@@ -275,13 +275,9 @@ object DedupOps {
     * allocates a K-array per shingle — 2x SLOWER at sf0.1 than this
     * codegen'd explode+groupBy whose shuffle is already tiny. Partial
     * aggregation was the real map-side combine all along. */
-  def minhashSignatures(sh: DataFrame): DataFrame = {
-    val withH = sh.withColumn("h", baseHash(col("s")))
-    val aggs = (0 until MINHASH_K).map { i =>
-      min((lit(MINHASH_A(i)) * col("h") + lit(MINHASH_B(i))) % MINHASH_PRIME).as(f"m$i%02d")
-    }
-    withH.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
+  def minhashSignatures(sh: DataFrame): DataFrame =
+    groupMinhash(sh, "doc_id") // ONE signature formula — the per-doc
+    // and per-group (q150) spellings cannot drift from sigCols' SQL
 
   /** GROUP-level MinHash: one K-component signature per group — the
     * min-merge of all member shingle hashes. Because min is

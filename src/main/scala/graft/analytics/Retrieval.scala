@@ -65,28 +65,27 @@ object Retrieval {
     (st.getLong(0), st.getLong(1))
   }
 
-  /** BM25 scores from a prebuilt (or just-built) posting frame.
-    * `index` may hold the full vocabulary (the persisted-index path —
-    * filtered here to the query vocabulary, a pruned read on a
-    * term-partitioned store) or be pre-filtered (the direct-scan
-    * path); nDocs/avgdl are the corpus globals (model-sized, inlined
-    * — their sums are exact integers so the double division is the
-    * same IEEE op an oracle engine runs). `sc` is the exact
-    * DECIMAL(21,10) score (rank on it); cast to double for display. */
-  def bm25ScoresFromIndex(index: DataFrame, nDocs: Long, avgdl: Double,
-                          queryTerms: DataFrame,
-                          k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val terms = queryTerms.select("term").distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    // `post` has two consumers (df + contributions), so the posting
-    // subtree evaluates twice — a second corpus scan on the direct
-    // path. MEASURED dead end (same boot, quiet probes): a
-    // localCheckpoint(true) here costs MORE than it saves on both
-    // paths — q146 1.40→1.9 s (the eager materialization job beats
-    // the cheap re-scan), q149 ~2.45 s unchanged (its store is
-    // already materialized; re-filtering it is free). The 2-consumer
-    // rule from BASELINE.md r5 holds: persist pays at ≥3 branches.
-    val post = index.filter(col("term").isin(terms: _*))
+  /** The query vocabulary, collected once on the driver (the grid is
+    * query-sized by definition). Empty terms are dropped — the
+    * tokenizer can produce them (double spaces) and [[buildIndex]]
+    * never stores them, so admitting "" on the direct path would
+    * break the q149 index ≡ direct property for exactly that term. */
+  private def collectTerms(queryTerms: DataFrame): Seq[String] =
+    queryTerms.select("term").distinct()
+      .collect().map(_.getString(0)).filter(_.nonEmpty).toSeq.sorted
+
+  /** Scoring core over an ALREADY-vocabulary-filtered posting frame.
+    * `post` has two consumers (df + contributions), so the posting
+    * subtree evaluates twice — a second corpus scan on the direct
+    * path. MEASURED dead end (same boot, quiet probes): a
+    * localCheckpoint(true) here costs MORE than it saves on both
+    * paths — q146 1.40→1.9 s (the eager materialization job beats
+    * the cheap re-scan), q149 ~2.45 s unchanged (its store is
+    * already materialized; re-filtering it is free). The 2-consumer
+    * rule from BASELINE.md r5 holds: persist pays at ≥3 branches. */
+  private def scoresCore(post: DataFrame, nDocs: Long, avgdl: Double,
+                         queryTerms: DataFrame,
+                         k1: Double, b: Double): DataFrame = {
     val dft = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))
@@ -102,20 +101,38 @@ object Retrieval {
       .agg(sum(col("c")).as("sc"))
   }
 
+  /** BM25 scores from a prebuilt full-vocabulary posting frame (the
+    * persisted-index path — filtered here to the query vocabulary, a
+    * pruned read on a term-partitioned store); nDocs/avgdl are the
+    * corpus globals (model-sized, inlined — their sums are exact
+    * integers so the double division is the same IEEE op an oracle
+    * engine runs). `sc` is the exact DECIMAL(21,10) score (rank on
+    * it); cast to double for display. */
+  def bm25ScoresFromIndex(index: DataFrame, nDocs: Long, avgdl: Double,
+                          queryTerms: DataFrame,
+                          k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = collectTerms(queryTerms)
+    scoresCore(index.filter(col("term").isin(terms: _*)),
+      nDocs, avgdl, queryTerms, k1, b)
+  }
+
   /** BM25 scores per (query_id, doc_id) over a (query_id, term) query
     * grid, straight off the corpus: posting lists are built for the
     * query vocabulary only (the pre-groupBy filter in [[postings]] —
-    * the shuffle is O(matching postings)). */
+    * the shuffle is O(matching postings), and no redundant re-filter
+    * or second vocabulary collect happens downstream). */
   def bm25Scores(docs: DataFrame, queryTerms: DataFrame,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val (nDocs, nTokens) = corpusTokenStats(docs)
-    val terms = queryTerms.select("term").distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    bm25ScoresFromIndex(postings(docs, terms), nDocs,
-      nTokens.toDouble / nDocs.toDouble, queryTerms, k1, b)
+    scoresCore(postings(docs, collectTerms(queryTerms)),
+      nDocs, nTokens.toDouble / nDocs.toDouble, queryTerms, k1, b)
   }
 
-  private def rankTopK(scores: DataFrame, k: Int): DataFrame =
+  /** Rank a (query_id, doc_id, sc) score frame to top-k per query —
+    * exposed so callers can filter scores before ranking (q148 drops
+    * each seed from its own candidate set here, keeping both fusion
+    * arms' rank spaces self-free and symmetric). */
+  def rankTopK(scores: DataFrame, k: Int): DataFrame =
     scores
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id"))

@@ -387,6 +387,12 @@ object DedupQueries {
          |         LEFT JOIN mm ON mm.s1 = gin.s1 AND mm.s2 = gin.s2
          |ORDER BY gin.s1, gin.s2""".stripMargin) { (s, d) =>
       val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      // memb feeds 4 branches (gsz, both gin sides, groupMinhash) —
+      // the >=3-branch persist rule was A/B'd here and measured a
+      // WASH (1.75-1.89 s plain vs 1.63-2.04 s localCheckpoint'd,
+      // same boot): the expensive shared input is the shingle frame,
+      // which is ALREADY session-cached, so each branch only repays
+      // a broadcast join + projection
       val memb = shingleSetOf(s, d).join(src, Seq("doc_id"))
         .select(col("source"), col("s"))
       val gss = memb.distinct()

@@ -1196,11 +1196,13 @@ object SimilarityQueries {
     // combines whatever ranks exist (missing arm contributes 0).
     // rrf = 1/(60+r_dense) + 1/(60+r_sparse) — rational, fixed
     // two-term expression (no ordered aggregation), engine-exact;
-    // fused rank breaks ties on doc_id. Arms are top-$K_ARM; the
-    // seed doc itself is dropped after ranking (same spelling both
-    // sides). Scale: dense arm is the map-only broadcast scan, sparse
-    // arm shuffles only query-vocabulary postings, fusion is a
-    // full-outer join of two 3×$K_ARM-row frames.
+    // fused rank breaks ties on doc_id. Arms are top-K_ARM and BOTH
+    // rank over self-free candidate sets (the dense arm's join
+    // excludes qid=nid; the sparse arm filters the seed BEFORE
+    // ranking) — so a doc both arms rank first fuses at the full
+    // 2/(60+1). Scale: dense arm is the map-only broadcast scan,
+    // sparse arm shuffles only query-vocabulary postings, fusion is
+    // a full-outer join of two 3×K_ARM-row frames.
     Q("q148_hybrid_rrf",
       s"""$normCtes,
          |dq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
@@ -1237,7 +1239,7 @@ object SimilarityQueries {
          |    SELECT query_id, doc_id,
          |      CAST(row_number() OVER (PARTITION BY query_id
          |        ORDER BY sc DESC, doc_id) AS BIGINT) AS rs
-         |    FROM sc) WHERE rs <= $K_ARM AND doc_id <> query_id),
+         |    FROM sc WHERE doc_id <> query_id) WHERE rs <= $K_ARM),
          |fu AS (SELECT coalesce(d.query_id, s.query_id) AS query_id,
          |         coalesce(d.doc_id, s.doc_id) AS doc_id,
          |         coalesce(1.0 / (60.0 + CAST(d.rd AS DOUBLE)), 0.0)
@@ -1259,8 +1261,9 @@ object SimilarityQueries {
         .select(col("doc_id").as("query_id"),
           explode(split(col("text"), " ")).as("term"))
         .filter(col("term") =!= "").distinct()
-      val sparse = graft.analytics.Retrieval.bm25TopK(docs, seedTerms, K_ARM)
-        .filter(col("doc_id") =!= col("query_id"))
+      val sparse = graft.analytics.Retrieval.rankTopK(
+          graft.analytics.Retrieval.bm25Scores(docs, seedTerms)
+            .filter(col("doc_id") =!= col("query_id")), K_ARM)
         .select(col("query_id"), col("doc_id"), col("rnk").as("rs"))
       val rrf =
         coalesce(lit(1.0) / (lit(60.0) + col("rd").cast("double")), lit(0.0)) +

@@ -52,27 +52,64 @@ object CdcStream {
   def snapshotChange(key: Long, payload: String): Change =
     Change(key, Long.MinValue, "I", payload)
 
-  private val ord: Ordering[(Long, String, String)] =
-    Ordering.Tuple3(Ordering.Long, Ordering.String, Ordering.String)
+  /** UTF-8 unsigned-byte string compare — the order Spark's
+    * max(struct(...)) applies to StringType (UTF8String binary),
+    * which the batch twin's latest-change election uses. Scala's
+    * Ordering.String is UTF-16 code-unit order and DISAGREES for
+    * supplementary-plane vs private-use characters, so using it here
+    * would let duplicate-seq ties resolve differently stream vs
+    * batch. */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** The batch operator's lexicographic (seq, op, payload) order. */
+  private val changeOrd: Ordering[Change] = new Ordering[Change] {
+    def compare(a: Change, b: Change): Int = {
+      val s = java.lang.Long.compare(a.seq, b.seq)
+      if (s != 0) return s
+      val o = utf8Cmp(a.op, b.op)
+      if (o != 0) o else utf8Cmp(a.payload, b.payload)
+    }
+  }
 
   /** Fold a changelog stream into per-key current-value change
-    * events (Append mode; see object scaladoc for the contract). */
+    * events (Append mode; see object scaladoc for the contract).
+    * An incoming change that advances the stored (seq, op, payload)
+    * tuple WITHOUT changing the served value — a higher seq carrying
+    * the identical upsert, or a delete for a key already absent —
+    * updates the state (the seq watermark must advance so stale
+    * pre-dated changes stay absorbed) but emits NOTHING: consumers
+    * may treat every event as a real mutation. */
   def currentEvents(changes: Dataset[Change]): Dataset[ChangeEvent] = {
     import changes.sparkSession.implicits._
     changes.groupByKey(_.key)
       .flatMapGroupsWithState[KeyState, ChangeEvent](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key, it, state) =>
-          val incoming = it.maxBy(c => (c.seq, c.op, c.payload))(ord)
+          val incoming = it.max(changeOrd)
           val stored = state.getOption
           val beats = stored.forall(s =>
-            ord.gt((incoming.seq, incoming.op, incoming.payload),
-                   (s.seq, s.op, s.payload)))
+            changeOrd.gt(incoming, Change(key, s.seq, s.op, s.payload)))
           if (!beats) Iterator.empty
           else {
+            val prevEff = stored.filter(_.op != "D").map(_.payload)
+            val newEff = Some(incoming.payload).filter(_ => incoming.op != "D")
             state.update(KeyState(incoming.seq, incoming.op, incoming.payload))
-            val eff = if (incoming.op == "D") "D" else "U"
-            Iterator.single(ChangeEvent(key, incoming.seq, eff, incoming.payload))
+            if (prevEff == newEff) Iterator.empty
+            else {
+              val eff = if (incoming.op == "D") "D" else "U"
+              Iterator.single(ChangeEvent(key, incoming.seq, eff, incoming.payload))
+            }
           }
       }
   }

@@ -357,8 +357,11 @@ class StreamingSpec extends SparkSpec {
     assert(after1.count(_.key == 3L) == 1 &&
       after1.find(_.key == 3L).get.payload == "v2",
       "same-batch changes must collapse to the single batch-max event")
-    assert(after1.find(_.key == 5L).get.op == "D",
-      "snapshot prime + same-batch delete must net to a delete event")
+    // key 5: prime + same-batch delete net to "was absent, still
+    // absent" — a no-op, so NOTHING is emitted (state still records
+    // the delete's seq, proven by the night-2 re-insert below)
+    assert(!after1.exists(_.key == 5L),
+      "absent→absent must not emit")
     // restart from checkpoint, then night 2 PLUS a full replay of
     // night 1 (at-least-once source): replays must emit nothing
     val q2 = start()
@@ -368,9 +371,12 @@ class StreamingSpec extends SparkSpec {
     val delta = all.diff(after1)
     assert(!delta.exists(_.key == 3L),
       "late/replayed change re-emitted: state lost across restart")
-    // fold the emitted events per key → current serving table
+    // fold the emitted events per key → current serving table; the
+    // fold uses the operator's full (seq, op, payload) order so a
+    // duplicate-seq fixture would resolve like the contract, not by
+    // encounter order
     val current = all.groupBy(_.key)
-      .map { case (k, es) => k -> es.maxBy(_.seq) }
+      .map { case (k, es) => k -> es.maxBy(e => (e.seq, e.op, e.payload)) }
       .collect { case (k, e) if e.op != "D" => k -> e.payload }
     // batch twin over snapshot + ALL changes (duplicates included —
     // the batch operator is replay-idempotent too)
