@@ -49,20 +49,35 @@ object Calibrate {
   private val MEM_LONGS = 1 << 21 // 16 MiB per thread
   private val MEM_PASSES = 8      // 128 MiB traffic per thread per probe
 
-  // thread-private arrays allocated once; deterministic fill so the
-  // summed value is a fixed constant (DCE guard compares against it)
-  private lazy val memArrays: Array[Array[Long]] =
-    Array.tabulate(threads) { t =>
-      val a = new Array[Long](MEM_LONGS)
-      var i = 0
-      var x = 0x9E3779B97F4A7C15L + t
-      while (i < MEM_LONGS) {
-        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
-        a(i) = x
-        i += 1
+  // thread-private arrays, deterministic fill so the summed value is
+  // a fixed constant (DCE guard compares against it). NOT a lazy val
+  // sized from `threads`: that froze the array count at first probe,
+  // and raising `threads` afterwards made later probes index past the
+  // end — the thread died on AIOOBE, join() still returned, and the
+  // mem probe under-reported (certifying a contended window as
+  // quiet). Cached per thread count instead; `threads` changes at
+  // most once per process (Bench sets it before warmup).
+  @volatile private var memCache: (Int, Array[Array[Long]]) = (0, Array.empty)
+  private def memArrays: Array[Array[Long]] = {
+    val n = threads
+    val cached = memCache
+    if (cached._1 == n) cached._2
+    else {
+      val fresh = Array.tabulate(n) { t =>
+        val a = new Array[Long](MEM_LONGS)
+        var i = 0
+        var x = 0x9E3779B97F4A7C15L + t
+        while (i < MEM_LONGS) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          a(i) = x
+          i += 1
+        }
+        a
       }
-      a
+      memCache = (n, fresh)
+      fresh
     }
+  }
 
   private def inParallel(work: Int => Long): Double = {
     val results = new Array[Long](threads)

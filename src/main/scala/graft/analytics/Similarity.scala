@@ -961,6 +961,9 @@ object Similarity {
     val dim = base.head.length
     require(dim % nSub == 0, s"pqCodebooks: dim $dim not divisible by $nSub subspaces")
     require(base.length <= 16, "pqCodebooks: k > 16 no longer fits a 4-bit sub-code")
+    require(nSub <= 16,
+      s"pqCodebooks: $nSub subspaces x 4-bit sub-codes overflow one packed BIGINT " +
+        "(pqEncode's 1L << (4*m) wraps at m=16 and would silently corrupt codes)")
     require(dim.toLong * base.length <= MAX_INLINE_DOUBLES,
       s"pqCodebooks: ${dim.toLong * base.length} doubles exceeds the inline ceiling")
     val sd = dim / nSub
@@ -1073,6 +1076,9 @@ object Similarity {
   def pqEncode(vecs: DataFrame, books: Array[(Int, Int, Array[Double])]): DataFrame = {
     val sd = books.head._3.length
     val nSub = books.map(_._1).max + 1
+    require(nSub <= 16,
+      s"pqEncode: $nSub subspaces overflow one packed BIGINT — 1L << (4*m) wraps at " +
+        "m=16 and sub-codes would silently overwrite low nibbles")
     val bySub = books.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._2, r._3))).toMap
     val packed = (0 until nSub).map { m =>
       pqSubCode(col(s"_s$m"), col(s"_ssq$m"), bySub(m)).cast("long") * lit(1L << (4 * m))

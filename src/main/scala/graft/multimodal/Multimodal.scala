@@ -430,22 +430,6 @@ object Multimodal {
     }.toDF("media_id", "ph_hi", "ph_lo")
   }
 
-  /** Perceptual-hash near-dup pairs with Hamming distance ≤ `maxDist`
-    * — the image face of the SimHash band machinery
-    * (DedupOps.simhashPairs): 8 bands of 8 bits over the 64-bit
-    * signature, candidates = pairs sharing any (band-index, band
-    * value) bucket, Hamming verify on the full signature. Pigeonhole
-    * makes this EXACT for maxDist ≤ 7 (8 bands, ≤7 flipped bits ⇒
-    * one band survives intact), so output equals the all-pairs
-    * spelling while the join touches n/256 of each band space —
-    * never a cross join.
-    *
-    * Scale: per-(k, band) bucket load is the class-collision rate,
-    * not corpus size; a pathological single-class corpus degrades to
-    * its clique output — which IS the answer, not a blow-up. The
-    * Hamming filter runs BEFORE the dedup shuffle (the simhashPairs
-    * lesson: it drops ~99.9% of banded candidates, so distinct
-    * shuffles thousands of rows, not millions). */
   /** Near-dup audio corpus — the WAV face of [[syntheticPngClasses]]:
     * documents partition into `nGroups` PCM classes (group decides
     * the sawtooth seed); alternating generations TRUNCATE the
@@ -731,6 +715,22 @@ object Multimodal {
     }
   }
 
+  /** Perceptual-hash near-dup pairs with Hamming distance ≤ `maxDist`
+    * — the image face of the SimHash band machinery
+    * (DedupOps.simhashPairs): 8 bands of 8 bits over the 64-bit
+    * signature, candidates = pairs sharing any (band-index, band
+    * value) bucket, Hamming verify on the full signature. Pigeonhole
+    * makes this EXACT for maxDist ≤ 7 (8 bands, ≤7 flipped bits ⇒
+    * one band survives intact), so output equals the all-pairs
+    * spelling while the join touches n/256 of each band space —
+    * never a cross join.
+    *
+    * Scale: per-(k, band) bucket load is the class-collision rate,
+    * not corpus size; a pathological single-class corpus degrades to
+    * its clique output — which IS the answer, not a blow-up. The
+    * Hamming filter runs BEFORE the dedup shuffle (the simhashPairs
+    * lesson: it drops ~99.9% of banded candidates, so distinct
+    * shuffles thousands of rows, not millions). */
   def phashNearDupPairs(sigs: DataFrame, maxDist: Int = 6): DataFrame = {
     require(maxDist <= 7, s"8x8 banding is exact only to distance 7, got $maxDist")
     phashPairsFromStore(phashBandRows(sigs), maxDist)

@@ -13,10 +13,14 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Graph {
 
-  /** PageRank over DIRECTED edges (src, dst), symmetrized by the
-    * caller if an undirected walk is wanted — q139 feeds both
-    * directions of the co-purchase graph. Damping 0.85, `iters`
-    * supersteps, rank init 1/N.
+  /** PageRank over edges (src, dst). The walk is UNDIRECTED: both
+    * directions are generated INTERNALLY (the `ee` union below), so
+    * feed each edge exactly once — a caller that pre-symmetrizes
+    * doubles the checkpointed edge frame and every superstep's
+    * shuffle (ranks stay correct only because uniform duplication
+    * cancels in r/od). q139 feeds the single s→c direction of the
+    * co-purchase graph. Damping 0.85, `iters` supersteps, rank init
+    * 1/N.
     *
     * Engine-portable by the q80 rule applied per superstep: each
     * contribution r/outdeg is duckRound'ed to 9 decimals and summed

@@ -1104,7 +1104,9 @@ object SimilarityQueries {
 
     // ---------------------------------------------------------------- q136
     // PQ two-stage retrieve — the production shape: ADC narrows each
-    // query to 30 candidates over codes alone, full vectors are
+    // query to PQ_RERANK (=100; the measured 0.73-recall width — 30
+    // was measured at 0.45, see the constant's note) candidates over
+    // codes alone, full vectors are
     // fetched for THOSE rows only (equi-join, never a second scan),
     // and the returned top-10 is the exact rounded cosine. ADC's
     // approximation decides who gets re-ranked; it never decides the

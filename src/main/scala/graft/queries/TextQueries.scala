@@ -276,19 +276,6 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // ---------------------------------------------------------------- q130
-    // Source-mixture rebalancing (ops.Mixture) — the data-mixing pass
-    // between curation and tokenization, here over the corpus's
-    // naturally skewed language axis (en dominates ~3.4:1): every
-    // language is downsampled to ≈ the smallest language's count,
-    // DETERMINISTICALLY (keep ⇔ sha-bucket·c_lang < n_min·4096 — the
-    // q59 stable-sample contract extended per-group; rand()/
-    // TABLESAMPLE would make the mixture partitioning-dependent).
-    // Plan shape: one tiny count agg, the |langs|-row rate table
-    // broadcast back map-side, target attached by the non-foldable-
-    // key 1-row broadcast (q126 pattern — a literal join key would
-    // constant-fold into the banned BNLJ). Pure integer acceptance
-    // arithmetic: no ratio for the engines to round differently.
     // ---------------------------------------------------------------- q132
     // Hard quality-rule battery — the C4/Gopher-style FILTER face of
     // quality, complementing q26's soft score: per-document boolean
@@ -338,6 +325,19 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- q130
+    // Source-mixture rebalancing (ops.Mixture) — the data-mixing pass
+    // between curation and tokenization, here over the corpus's
+    // naturally skewed language axis (en dominates ~3.4:1): every
+    // language is downsampled to ≈ the smallest language's count,
+    // DETERMINISTICALLY (keep ⇔ sha-bucket·c_lang < n_min·4096 — the
+    // q59 stable-sample contract extended per-group; rand()/
+    // TABLESAMPLE would make the mixture partitioning-dependent).
+    // Plan shape: one tiny count agg, the |langs|-row rate table
+    // broadcast back map-side, target attached by the non-foldable-
+    // key 1-row broadcast (q126 pattern — a literal join key would
+    // constant-fold into the banned BNLJ). Pure integer acceptance
+    // arithmetic: no ratio for the engines to round differently.
     Q("q130_mixture_rebalance",
       """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY lang),
         |m AS (SELECT min(c) AS nmin FROM c),
