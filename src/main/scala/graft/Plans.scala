@@ -88,7 +88,10 @@ object Plans {
     "q147_canonical_keeper",
     // degree-oriented triangle wedge-close (equi-joins only) and the
     // broadcast two-stage anomaly rollup
-    "q151_triangles", "q152_rate_anomaly")
+    "q151_triangles", "q152_rate_anomaly",
+    // IVF-PQ: the composed index plans PURE equi-joins (the cell
+    // survivor grid replaces flat-PQ's all-pairs broadcast BNLJ)
+    "q153_ann_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -74,6 +74,31 @@ object SimilarityQueries {
     * sub-code m names) — the query-side distance rows double as the
     * distance TABLE, keyed by the candidate's code; terms sum as
     * exact DECIMAL (the q80/q81 rounded-then-decimal rule). */
+  /** q81's trained-quantizer CTE chain (cent0 → asg): one Lloyd
+    * round with exact-decimal means, then per-vector assignment
+    * ranks over ALL trained cells. Requires `n` (normCtes). One
+    * spelling shared by q81 (trained IVF) and q153 (IVF-PQ), so the
+    * two oracles cannot drift. */
+  private lazy val trainedAsgCtes =
+    """cent0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT 16),
+      |asg0 AS (SELECT vec_id, cid, v FROM (
+      |    SELECT n.vec_id, cent0.cid, n.v,
+      |      row_number() OVER (PARTITION BY n.vec_id
+      |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
+      |    FROM n, cent0) WHERE rr = 1),
+      |dims AS (SELECT cid, i - 1 AS pos, v[i] AS x
+      |         FROM (SELECT cid, v, unnest(generate_series(1, len(v))) AS i FROM asg0)),
+      |cm AS (SELECT cid, pos,
+      |         CAST(sum(CAST(round(x, 6) AS DECIMAL(21,10))) AS DOUBLE) / count(*) AS m
+      |       FROM dims GROUP BY cid, pos),
+      |tc AS (SELECT cid, list(m ORDER BY pos) AS cv FROM cm GROUP BY cid),
+      |tcn AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM tc),
+      |asg AS (SELECT vec_id, cid, rr FROM (
+      |    SELECT n.vec_id, tcn.cid,
+      |      row_number() OVER (PARTITION BY n.vec_id
+      |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
+      |    FROM n, tcn))""".stripMargin
+
   private val pqAdcCte =
     s"""adc AS (SELECT pd.vec_id AS qid, pcode.vec_id AS nid,
        |          CAST(sum(CAST(d AS DECIMAL(21,10))) AS DOUBLE) AS approx
@@ -344,24 +369,7 @@ object SimilarityQueries {
     // cells per query.
     Q("q81_ann_ivf_trained",
       s"""$normCtes,
-         |cent0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT 16),
-         |asg0 AS (SELECT vec_id, cid, v FROM (
-         |    SELECT n.vec_id, cent0.cid, n.v,
-         |      row_number() OVER (PARTITION BY n.vec_id
-         |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
-         |    FROM n, cent0) WHERE rr = 1),
-         |dims AS (SELECT cid, i - 1 AS pos, v[i] AS x
-         |         FROM (SELECT cid, v, unnest(generate_series(1, len(v))) AS i FROM asg0)),
-         |cm AS (SELECT cid, pos,
-         |         CAST(sum(CAST(round(x, 6) AS DECIMAL(21,10))) AS DOUBLE) / count(*) AS m
-         |       FROM dims GROUP BY cid, pos),
-         |tc AS (SELECT cid, list(m ORDER BY pos) AS cv FROM cm GROUP BY cid),
-         |tcn AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM tc),
-         |asg AS (SELECT vec_id, cid, rr FROM (
-         |    SELECT n.vec_id, tcn.cid,
-         |      row_number() OVER (PARTITION BY n.vec_id
-         |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
-         |    FROM n, tcn)),
+         |$trainedAsgCtes,
          |nb AS (SELECT n.vec_id AS nid, v AS nv, nrm AS nn, a.cid AS cell
          |       FROM n JOIN asg a ON n.vec_id = a.vec_id AND a.rr <= 1),
          |qb AS (SELECT n.vec_id AS qid, v AS qv, nrm AS qn, a.cid AS cell
@@ -1279,6 +1287,55 @@ object SimilarityQueries {
         .select(col("query_id"), col("rnk").cast("long").as("rnk"),
           col("doc_id"), graft.ops.Exact.duckRound(col("rrf"), 6).as("rrf"))
         .orderBy("query_id", "rnk")
+    },
+
+    // ---------------------------------------------------------------- q153
+    // IVF-PQ two-stage retrieve — the two ANN scale levers COMPOSED
+    // (Jégou et al. 2011 IVFADC; FAISS IndexIVFPQ): the trained
+    // coarse quantizer (q81's, one shared CTE spelling) prunes WHICH
+    // codes a query touches (2 of 16 cells), PQ (q134's code store)
+    // prunes what each touch COSTS (8 B codes + broadcast distance
+    // tables), and the exact re-rank (q136's) restores precise order
+    // over the shortlist alone. At 100 TB corpus growth prices
+    // ~nProbe/nCells of an 8 B/row scan — the multiplied contract of
+    // its two parents. Cell pruning only REMOVES pairs flat-PQ ADC
+    // would have scored, so the shortlist is the cell-restricted
+    // argmin — the oracle rebuilds coarse training, sub-codebook
+    // training, encoding, probe sets, the restricted ADC, and the
+    // exact re-rank from first principles.
+    Q("q153_ann_ivfpq",
+      s"""$pqCtes,
+         |$trainedAsgCtes,
+         |ncell AS (SELECT vec_id AS nid, cid AS cell FROM asg WHERE rr <= 1),
+         |qcell AS (SELECT vec_id AS qid, cid AS cell FROM asg
+         |          WHERE rr <= 2 AND vec_id < $N_QUERIES),
+         |adcc AS (SELECT pd.vec_id AS qid, pcode.vec_id AS nid,
+         |           CAST(sum(CAST(d AS DECIMAL(21,10))) AS DOUBLE) AS approx
+         |         FROM pcode JOIN pd ON pd.m = pcode.m AND pd.j = pcode.cj
+         |              JOIN ncell ON ncell.nid = pcode.vec_id
+         |              JOIN qcell ON qcell.qid = pd.vec_id
+         |                        AND qcell.cell = ncell.cell
+         |         WHERE pd.vec_id < $N_QUERIES AND pcode.vec_id <> pd.vec_id
+         |         GROUP BY 1, 2),
+         |short AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY approx ASC, nid ASC) AS ra
+         |    FROM adcc) WHERE ra <= $PQ_RERANK),
+         |ex AS (SELECT s.qid, s.nid,
+         |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim
+         |       FROM short s JOIN n q ON q.vec_id = s.qid
+         |                    JOIN n c ON c.vec_id = s.nid),
+         |r AS (SELECT qid, nid, sim,
+         |        CAST(row_number() OVER (PARTITION BY qid
+         |          ORDER BY sim DESC, nid ASC) AS BIGINT) AS rnk FROM ex)
+         |SELECT qid, nid, rnk, sim FROM r WHERE rnk <= $TOP_K
+         |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfPqRerankTopK(e.filter(col("vec_id") < N_QUERIES), e,
+          TOP_K, PQ_RERANK, Similarity.pqTrainCodebooks(e, PQ_SUB, 16),
+          Similarity.kmeansCentroids(e, 16, 1), nProbe = 2)
+        .orderBy("qid", "rnk")
     }
   )
 }
