@@ -81,12 +81,21 @@ object Calibrate {
 
   private def inParallel(work: Int => Long): Double = {
     val results = new Array[Long](threads)
+    // a probe worker that DIES (OOM, a sizing regression) must fail
+    // the probe loudly: join() returns normally for a dead thread and
+    // the short wall time would certify a contended window as quiet —
+    // the exact silent failure the memCache fix closed one door on
+    @volatile var died: Throwable = null
     val ts = (0 until threads).map { t =>
-      new Thread(() => results(t) = work(t))
+      new Thread(() =>
+        try results(t) = work(t)
+        catch { case e: Throwable => died = e })
     }
     val t0 = System.nanoTime()
     ts.foreach(_.start())
     ts.foreach(_.join())
+    if (died != null)
+      throw new IllegalStateException("calibration worker died", died)
     val sec = (System.nanoTime() - t0) / 1e9
     if (results.sum == 42L) println("[cal] impossible") // defeat DCE
     sec

@@ -578,8 +578,13 @@ object Similarity {
         .withColumn("qn", norm(col("qv")))
         .withColumn("cid", explode(array(cids.map(lit).toIndexedSeq: _*)))
         .join(broadcast(localCentroids(queries.sparkSession, quant)), Seq("cid"))
-      val qSim = graft.ops.Exact.duckRound(
-        dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+      // zero-norm guard (the cellKeys/ANSI÷0 rule): a null sim falls
+      // to the same -2.0 the inline path maps it to — the two
+      // assignment paths stay output-identical on all-zero vectors
+      // instead of this one throwing DIVIDE_BY_ZERO
+      val qDen = col("qn") * col("cn")
+      val qSim = when(qDen =!= lit(0.0), graft.ops.Exact.duckRound(
+        dot(col("qv"), col("cv")) / qDen, 6))
       val pw = Window.partitionBy(col("qid"))
         .orderBy(coalesce(qSim, lit(-2.0)).desc, col("cid"))
       qExp.withColumn("rr", row_number().over(pw))
@@ -597,11 +602,14 @@ object Similarity {
                           maxInlineDoubles: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qCells = probeCells(queries, quant, nProbe, maxInlineDoubles)
+    val den = col("qn") * col("nn")
     val sims = cCells.join(broadcast(qCells), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        graft.ops.Exact.duckRound(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+        // zero-norm → null sim (ANSI÷0 parity; DuckDB divides to NULL)
+        when(den =!= lit(0.0),
+          graft.ops.Exact.duckRound(dot(col("qv"), col("nv")) / den, 6)).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc_nulls_last, col("nid"))
     sims.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
@@ -1183,16 +1191,23 @@ object Similarity {
     * for THOSE rows alone by equi-join, and the final top-k is the
     * exact rounded cosine — ADC's approximation decides only who gets
     * re-ranked, never the returned order. */
-  def pqRerankTopK(queries: DataFrame, candidates: DataFrame, k: Int, rerankK: Int,
-                   books: Array[(Int, Int, Array[Double])]): DataFrame = {
+  /** Top-`rerankK` (qid, nid) per query by ADC distance — ONE
+    * spelling of the shortlist tie-break (approx ASC, nid ASC; the
+    * order both oracles mirror), shared by the flat and IVF-pruned
+    * retrieves. */
+  private def adcShortlist(scores: DataFrame, rerankK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wA = Window.partitionBy(col("qid")).orderBy(col("approx").asc, col("nid").asc)
-    val shortlist = pqAdcScores(queries, candidates, books)
-      .withColumn("ra", row_number().over(wA))
+    scores.withColumn("ra", row_number().over(wA))
       .filter(col("ra") <= rerankK)
       .select("qid", "nid")
-    exactRerank(shortlist, queries, candidates, k)
   }
+
+  def pqRerankTopK(queries: DataFrame, candidates: DataFrame, k: Int, rerankK: Int,
+                   books: Array[(Int, Int, Array[Double])]): DataFrame =
+    exactRerank(
+      adcShortlist(pqAdcScores(queries, candidates, books), rerankK),
+      queries, candidates, k)
 
   /** IVF-PQ two-stage retrieve — the two scale levers COMPOSED, the
     * production index architecture (Jégou et al., "Product
@@ -1229,7 +1244,6 @@ object Similarity {
                       rerankK: Int, books: Array[(Int, Int, Array[Double])],
                       centroids: DataFrame, nProbe: Int = 2,
                       maxInlineDoubles: Long = MAX_INLINE_DOUBLES): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val quant = collectQuantizer(centroids)
     val nCell = assignWithQuant(candidates, quant, maxInlineDoubles)
       .select(col("vec_id").as("nid"), col("cid").as("cell"))
@@ -1238,11 +1252,8 @@ object Similarity {
     val pairs = nCell.join(broadcast(qCell), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"))
-    val wA = Window.partitionBy(col("qid")).orderBy(col("approx").asc, col("nid").asc)
-    val shortlist = pqAdcScores(queries, candidates, books, Some(pairs))
-      .withColumn("ra", row_number().over(wA))
-      .filter(col("ra") <= rerankK)
-      .select("qid", "nid")
-    exactRerank(shortlist, queries, candidates, k)
+    exactRerank(
+      adcShortlist(pqAdcScores(queries, candidates, books, Some(pairs)), rerankK),
+      queries, candidates, k)
   }
 }
