@@ -145,23 +145,35 @@ object TextAnalysis {
       .withColumn("seg", trim(regexp_replace(col("word"), "(.)", "$1 ")))
       .localCheckpoint(true) // dictionary-sized; every round re-reads it
     val merges = Seq.newBuilder[(Long, String, String, Long)]
-    for (r <- 1 to rounds) {
-      val top = segs
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // the round's MODEL: one (pair, cnt) row; None when no word has
+      // two adjacent tokens left (all-single-token dictionary or
+      // rounds > available merges) — stop early with the merges found
+      // so far, mirroring the SQL twin's empty-join no-op rather than
+      // crashing on an empty collect
+      val topOpt = segs
         .select(col("freq"), split(col("seg"), " ").as("ts"))
         .filter(size(col("ts")) >= 2)
         .select(col("freq"), explode(expr(
           "transform(sequence(1, size(ts) - 1), i -> concat(ts[i-1], ' ', ts[i]))")).as("pair"))
         .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc)
-        .limit(1).collect()(0) // the round's MODEL: one (pair, cnt) row
-      val (pair, cnt) = (top.getAs[String]("pair"), top.getAs[Long]("cnt"))
-      val merged = pair.replace(" ", "")
-      merges += ((r.toLong, pair, merged, cnt))
-      segs = segs.withColumn("seg", trim(regexp_replace(
-        concat(lit(" "), col("seg"), lit(" ")),
-        lit(java.util.regex.Pattern.quote(s" $pair ")),
-        lit(java.util.regex.Matcher.quoteReplacement(s" $merged ")))))
-        .localCheckpoint(true)
+        .limit(1).collect().headOption
+      if (topOpt.isEmpty) exhausted = true
+      else {
+        val top = topOpt.get
+        val (pair, cnt) = (top.getAs[String]("pair"), top.getAs[Long]("cnt"))
+        val merged = pair.replace(" ", "")
+        merges += ((r.toLong, pair, merged, cnt))
+        segs = segs.withColumn("seg", trim(regexp_replace(
+          concat(lit(" "), col("seg"), lit(" ")),
+          lit(java.util.regex.Pattern.quote(s" $pair ")),
+          lit(java.util.regex.Matcher.quoteReplacement(s" $merged ")))))
+          .localCheckpoint(true)
+        r += 1
+      }
     }
     (merges.result(), segs)
   }

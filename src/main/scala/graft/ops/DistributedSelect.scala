@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,29 +13,38 @@ import org.apache.spark.sql.functions._
   *   0. per-group (min, max, count) — one partial-agg shuffle;
   *   1. per-(group, bin) counts over `nBins` equal-width value bins —
   *      partial-agg shuffle of ≤ |groups|·nBins rows; a window over
-  *      that TINY frame finds each group's target bin (where the
-  *      cumulative count crosses the median rank) and the residual
+  *      that TINY frame finds each rank's target bin (where the
+  *      cumulative count crosses the target rank) and the residual
   *      local rank within it;
-  *   2. rows of the target bin only — expected n/nBins per group —
-  *      are ranked by (value, tiebreak) and the residual rank picked.
+  *   2. rows of the target bins only — expected n/nBins per group —
+  *      are ranked by (value, tiebreak) per (group, bin) and the
+  *      residual rank picked.
   *
   * Every shuffle is bounded by |groups|·nBins or the residual bin
-  * population; no group's full row set is ever sorted in one task.
-  * Equal values always share a bin, so the (value, tiebreak) order
-  * within the target bin agrees with the global order — the selected
-  * element is exactly the window formulation's rn = (n+1) div 2 row
-  * (DistributedSelectSpec proves equality; q87 proves it against the
-  * DuckDB oracle). Degenerate case: a single value dominating a group
-  * concentrates its bin (all-equal groups degrade to the plain sort)
-  * — one recursion level on the bin would bound that too; not needed
-  * at current skew.
+  * population; no group's full row set is ever sorted in one task —
+  * in particular there is NO partition-less Window anywhere (q141's
+  * PlanSpec assert). Equal values always share a bin, so the
+  * (value, tiebreak) order within the target bin agrees with the
+  * global order — the selected element is exactly the window
+  * formulation's rn = rank row (DistributedSelectSpec proves
+  * equality; q87 proves it against the DuckDB oracle). Degenerate
+  * case: a single value dominating a group concentrates its bin
+  * (all-equal groups degrade to the plain sort) — one recursion
+  * level on the bin would bound that too; not needed at current
+  * skew.
   */
 object DistributedSelect {
 
-  /** Exact median per group: the element at rank (n+1) div 2 under
-    * (value asc, tiebreak asc). Output: (groupCol, median). */
-  def groupMedian(df: DataFrame, groupCol: String, valueCol: String,
-                  tieCol: String, nBins: Int = 1024): DataFrame = {
+  /** Exact element at arbitrary ranks per group — several named
+    * ranks served by ONE histogram pass (q141 takes p50 and p99
+    * together). Each entry maps the group's row count `n` to a
+    * 1-based target rank under (value asc, tiebreak asc); ranks
+    * must land in [1, n]. Output: (groupCol, rank_name, value) —
+    * value as double (the binning domain). */
+  def groupRankSelect(df: DataFrame, groupCol: String, valueCol: String,
+                      tieCol: String, ranks: Seq[(String, Column => Column)],
+                      nBins: Int = 1024): DataFrame = {
+    require(ranks.nonEmpty, "groupRankSelect: at least one rank")
     val base = df.select(col(groupCol).as("g"),
       col(valueCol).cast("double").as("v"), col(tieCol).as("t"))
     // Non-finite-safe: range stats cover FINITE values only (a NaN or
@@ -61,18 +70,34 @@ object DistributedSelect {
           .otherwise(
             least(floor((col("v") - col("lo")) / (col("hi") - col("lo")) * nBins),
               lit(nBins - 1))).cast("int"))
+    // one (g, rname, rank) row per requested rank — |groups|·|ranks|
+    val rankRows = stats.select(col("g"), explode(array(ranks.map {
+      case (nm, f) => struct(lit(nm).as("rname"), f(col("n")).cast("long").as("rank"))
+    }: _*)).as("r")).select(col("g"), col("r.rname").as("rname"), col("r.rank").as("rank"))
     val wBin = Window.partitionBy(col("g")).orderBy(col("bin"))
-    val target = binned.groupBy(col("g"), col("bin")).agg(count(lit(1)).as("bc"))
+    val targets = binned.groupBy(col("g"), col("bin")).agg(count(lit(1)).as("bc"))
       .withColumn("cum", sum(col("bc")).over(wBin))
-      .join(broadcast(stats.select(col("g"), expr("(n + 1) div 2").as("rank"))), Seq("g"))
+      .join(broadcast(rankRows), Seq("g"))
       .filter(col("cum") >= col("rank") && col("cum") - col("bc") < col("rank"))
-      .select(col("g"), col("bin").as("tbin"),
-        (col("rank") - (col("cum") - col("bc"))).as("lrank"))
-    val wVal = Window.partitionBy(col("g")).orderBy(col("v"), col("t"))
-    binned.join(broadcast(target), Seq("g"))
-      .filter(col("bin") === col("tbin"))
+      .select(col("g"), col("rname"), col("bin"),
+        (col("rank") - (col("cum") - col("bc"))).cast("int").as("rn"))
+    // rank residual rows once per DISTINCT target bin, then pick each
+    // rank's row — ranking after the semi-join (not after the targets
+    // join) so two ranks landing in one bin can't duplicate rows
+    // under the row_number
+    val targetBins = targets.select(col("g"), col("bin")).distinct()
+    val wVal = Window.partitionBy(col("g"), col("bin")).orderBy(col("v"), col("t"))
+    binned.join(broadcast(targetBins), Seq("g", "bin"), "left_semi")
       .withColumn("rn", row_number().over(wVal))
-      .filter(col("rn") === col("lrank"))
-      .select(col("g").as(groupCol), col("v").as("median"))
+      .join(broadcast(targets), Seq("g", "bin", "rn"))
+      .select(col("g").as(groupCol), col("rname").as("rank_name"), col("v").as("value"))
   }
+
+  /** Exact median per group: the element at rank (n+1) div 2 under
+    * (value asc, tiebreak asc). Output: (groupCol, median). */
+  def groupMedian(df: DataFrame, groupCol: String, valueCol: String,
+                  tieCol: String, nBins: Int = 1024): DataFrame =
+    groupRankSelect(df, groupCol, valueCol, tieCol,
+      Seq("median" -> (n => shiftright(n + lit(1L), 1))), nBins)
+      .select(col(groupCol), col("value").as("median"))
 }

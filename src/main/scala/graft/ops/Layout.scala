@@ -52,6 +52,22 @@ object Layout {
         s"(((CAST($y AS BIGINT) >> $b) & 1) << ${2 * b + 1})")
     }.mkString(" + ")
 
+  /** Raises a runtime error for any row whose dimension value falls
+    * outside the z-grid domain [0, 2^bits): out-of-grid values would
+    * otherwise alias silently onto the low `bits` bits and quietly
+    * degrade the clustering contract (tight min/max per file). The
+    * check is one codegen'd comparison per row — negligible against
+    * the write it guards. */
+  private def inGridOrError(v: Column, name: String, bits: Int): Column = {
+    val limit = 1L << bits
+    when(v.cast("long") < 0L || v.cast("long") >= limit,
+      raise_error(concat(
+        lit(s"writeZOrdered: $name value "), v.cast("string"),
+        lit(s" outside z-grid domain [0, $limit) at bits=$bits — " +
+          "normalize the dimension into the grid or raise `bits`"))))
+      .otherwise(v)
+  }
+
   /** Write `df` clustered by the Z-order of (xCol, yCol):
     * range-partition on the key (one sampling pass picks the
     * boundaries), sort within partitions, drop the key, write. Every
@@ -59,11 +75,14 @@ object Layout {
     * min/max stats are tight on BOTH dimensions and box predicates
     * prune at the footer. `nFiles` sizes the output — at corpus
     * scale pick it so files land near the row-group-multiple sweet
-    * spot (~1 GB). */
+    * spot (~1 GB). Rows outside the [0, 2^bits) grid fail the write
+    * loudly (see `inGridOrError`) rather than aliasing. */
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String, path: String,
                     nFiles: Int, bits: Int = 16,
                     writerOptions: Map[String, String] = Map.empty): Unit =
-    df.withColumn("_zk", zorderKey(col(xCol), col(yCol), bits))
+    df.withColumn("_zk", zorderKey(
+        inGridOrError(col(xCol), xCol, bits),
+        inGridOrError(col(yCol), yCol, bits), bits))
       .repartitionByRange(nFiles, col("_zk"))
       .sortWithinPartitions("_zk")
       .drop("_zk")

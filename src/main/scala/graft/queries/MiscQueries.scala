@@ -732,7 +732,6 @@ object MiscQueries {
         |  UNION ALL SELECT 'skew_x1000', 0, (1000 * s.mx * s.n_keys) // s.total FROM s
         |  UNION ALL SELECT metric, key, cnt FROM top)
         |ORDER BY metric""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       import s.implicits._
       val counts = Tables.lineitem(s, d)
         .groupBy(col("l_suppkey").as("k")).agg(count(lit(1)).as("cnt"))
@@ -741,21 +740,35 @@ object MiscQueries {
           count(lit(1)).as("n_keys"), sum(col("cnt")).as("total"), max(col("cnt")).as("mx"))
         .collect()(0)
       val (nKeys, total, mx) = (st.getLong(0), st.getLong(1), st.getLong(2))
-      val ranked = counts.withColumn("rn",
-        row_number().over(Window.orderBy(col("cnt").asc, col("k").asc)))
-      val p50 = ranked.filter(col("rn") === (nKeys + 1) / 2).select("cnt").as[Long].collect()(0)
-      val p99 = ranked.filter(col("rn") === nKeys - (nKeys - 1) / 100)
-        .select("cnt").as[Long].collect()(0)
+      // exact p50/p99 by histogram rank-selection (ops/DistributedSelect,
+      // q87's machinery): the audit runs ON pathological corpora, so it
+      // can't own a one-task global sort — the old partition-less
+      // row_number window over the counts frame was exactly the cliff
+      // this query exists to flag (PlanSpec asserts no partition-less
+      // Window survives in the plan). Both ranks ride one histogram
+      // pass; ranks are model values from the already-collected n_keys.
+      // pmod(k, 1): a NON-FOLDABLE zero — a lit(0) group key would
+      // constant-fold out of the cumsum window's partitionSpec and
+      // re-trigger the "No Partition Defined" WindowExec warning the
+      // audit just got rid of (the window input is nBins-bounded
+      // either way; this keeps the partitioning explicit)
+      val sel = graft.ops.DistributedSelect.groupRankSelect(
+          counts.withColumn("_g", pmod(col("k"), lit(1L))), "_g", "cnt", "k",
+          Seq("p50_cnt" -> (_ => lit((nKeys + 1) / 2)),
+            "p99_cnt" -> (_ => lit(nKeys - (nKeys - 1) / 100))))
+        .collect().map(r => r.getAs[String]("rank_name") ->
+          r.getAs[Double]("value").toLong).toMap
+      // top-5 hot keys: TakeOrderedAndProject to 5 rows, labels stamped
+      // driver-side (model-sized) — no window at all
       val top5 = counts.orderBy(col("cnt").desc, col("k").asc).limit(5)
-        .withColumn("metric", concat(lit("top_"),
-          row_number().over(Window.orderBy(col("cnt").desc, col("k").asc)).cast("string")))
-        .select(col("metric"), col("k").cast("long").as("key"), col("cnt"))
-      val stats = Seq(
+        .collect().toSeq.zipWithIndex.map { case (r, i) =>
+          (s"top_${i + 1}", r.getAs[Long]("k"), r.getAs[Long]("cnt"))
+        }
+      val rows = Seq(
         ("n_keys", 0L, nKeys), ("total_rows", 0L, total), ("max_cnt", 0L, mx),
-        ("p50_cnt", 0L, p50), ("p99_cnt", 0L, p99),
-        ("skew_x1000", 0L, 1000L * mx * nKeys / total))
-        .toDF("metric", "key", "cnt")
-      stats.unionByName(top5).orderBy("metric")
+        ("p50_cnt", 0L, sel("p50_cnt")), ("p99_cnt", 0L, sel("p99_cnt")),
+        ("skew_x1000", 0L, 1000L * mx * nKeys / total)) ++ top5
+      rows.toDF("metric", "key", "cnt").orderBy("metric")
     },
 
     // ---------------------------------------------------------------- q143

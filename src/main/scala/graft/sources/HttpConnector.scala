@@ -46,7 +46,14 @@ object HttpConnector {
         Option(conn.getErrorStream).foreach(_.close())
         Left(s"HTTP $code")
       }
-    } catch { case e: Exception => Left(e.toString) }
+    } catch {
+      // A Spark task kill interrupts the blocking read; converting
+      // that into a Left would swallow cancellation (and lose the
+      // interrupt flag) — restore the flag and let it propagate.
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt(); throw e
+      case e: Exception => Left(e.toString)
+    }
 
   /** Split a JSON array payload into its elements' compact JSON
     * renderings — the raw-string rows a caller then parses with

@@ -60,6 +60,13 @@ object CdcStream {
     * would let duplicate-seq ties resolve differently stream vs
     * batch. */
   private def utf8Cmp(a: String, b: String): Int = {
+    // Null guard matching Spark's struct field comparison (null
+    // orders below any string): the batch twin's max(struct(...))
+    // election tolerates null op/payload, so the stream must too —
+    // a raw getBytes here would NPE and break the stream≡batch
+    // contract on null-payload changes.
+    if (a == null || b == null)
+      return java.lang.Boolean.compare(a != null, b != null)
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0

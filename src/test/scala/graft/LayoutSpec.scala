@@ -69,6 +69,24 @@ class LayoutSpec extends SparkSpec {
       s"z-order pruned too little: $zRows vs shuffled $shuffledRows")
   }
 
+  test("writeZOrdered fails loudly on out-of-grid dimension values") {
+    import spark.implicits._
+    // 70000 >= 2^16: would silently alias onto the low 16 bits and
+    // destroy the clustering contract — must error, not degrade
+    val dir = java.nio.file.Files.createTempDirectory("graft-zdom").toString
+    val bad = Seq((0L, 5L, 7L), (1L, 70000L, 3L)).toDF("id", "x", "y")
+    val e = intercept[Exception] {
+      Layout.writeZOrdered(bad, "x", "y", s"$dir/out", nFiles = 1)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.toString +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("z-grid domain")), e.toString)
+    // in-grid rows still write (the guard is per-row, not per-frame)
+    Layout.writeZOrdered(bad.filter(col("x") < 1024), "x", "y",
+      s"$dir/ok", nFiles = 1)
+    assert(spark.read.parquet(s"$dir/ok").count() == 1)
+  }
+
   test("bloom-filtered write prunes absent-key point lookups at the footer") {
     val n = 200000
     // high-cardinality UNSORTED key: every row group's min/max spans

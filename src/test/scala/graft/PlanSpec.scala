@@ -116,6 +116,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q141 machinery: rank selection plans no partition-less Window") {
+    // the skew audit runs ON pathological corpora — its own p50/p99
+    // probes must not carry a one-task global sort. Every Window in
+    // the histogram-narrowing plan partitions on (group[, bin]);
+    // assert at the logical level (stable under AQE re-planning).
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val counts = graft.sources.Tables.lineitem(spark, sf("sf0.001"))
+      .groupBy(col("l_suppkey").as("k")).agg(count(lit(1)).as("cnt"))
+      .withColumn("_g", lit(0))
+    val df = graft.ops.DistributedSelect.groupRankSelect(
+      counts, "_g", "cnt", "k",
+      Seq("p50" -> (_ => lit(50L)), "p99" -> (_ => lit(99L))))
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected the narrowing Windows in the plan")
+    // The DATA-sized window (row_number over residual rows) must
+    // partition — here on the histogram bin (the constant _g folds
+    // away). The bin-cumsum window is allowed to fold to
+    // partition-less: its input is the per-bin Aggregate, ≤ nBins+4
+    // rows by construction, never the corpus.
+    val rowNumWins = wins.filter(_.windowExpressions.exists(
+      _.toString.contains("row_number")))
+    assert(rowNumWins.nonEmpty, df.queryExecution.optimizedPlan.toString)
+    assert(rowNumWins.forall(_.partitionSpec.nonEmpty),
+      df.queryExecution.optimizedPlan.toString)
+    val unpartitioned = wins.filterNot(rowNumWins.contains)
+      .filter(_.partitionSpec.isEmpty)
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    assert(unpartitioned.forall(_.child.collectFirst {
+      case a: Aggregate if a.groupingExpressions.exists(_.toString.contains("bin")) => a
+    }.nonEmpty), df.queryExecution.optimizedPlan.toString)
+  }
+
   test("q68: benchmark grams broadcast; corpus grams never cross-join") {
     val p = plan("q68_decontamination")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -286,6 +286,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bpeTrain stops early when merges are exhausted instead of crashing") {
+    import graft.analytics.TextAnalysis
+    // only one mergeable pair exists ("a b"); rounds 2..10 find no
+    // adjacent pair anywhere — training must return the merges found
+    // so far (the SQL twin's empty-join no-op), not throw on an
+    // empty top-pair collect
+    val words = Seq(("ab", 3L), ("a", 2L)).toDF("word", "freq")
+    val (merges, segs) = TextAnalysis.bpeTrain(words, rounds = 10)
+    assert(merges.map(_._2) == Seq("a b"), merges.toString)
+    val got = segs.select("word", "seg").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("ab" -> "ab", "a" -> "a"), got.toString)
+  }
+
   test("duckRound matches half-away-from-zero on the scaled double") {
     val cases = List.fill(60)((rnd.nextDouble() * 4 - 2, rnd.nextInt(7))) ++
       List((0.6146874999999999, 6), (-0.6146874999999999, 6), (2.5e-6, 6), (0.125, 2))

@@ -390,6 +390,45 @@ class StreamingSpec extends SparkSpec {
       "fixture did not exercise delete/re-insert/late paths")
   }
 
+  test("streaming CDC tolerates null payloads like the batch twin") {
+    import graft.streaming.CdcStream
+    import graft.streaming.CdcStream.{Change, ChangeEvent}
+    import graft.ops.Cdc
+    // the batch twin's max(struct(...)) election orders null fields
+    // smallest and never crashes; the stream's changeOrd must match —
+    // a raw getBytes NPE here breaks the stream≡batch contract
+    val snapshot = Seq((5L, "s5"))
+    val changes = Seq(
+      Change(1L, 10L, "U", null),                              // null-payload upsert
+      Change(2L, 10L, "U", null), Change(2L, 10L, "U", "x"),   // same-seq tie: "x" beats null
+      Change(3L, 10L, "D", null))                              // delete of an absent key
+    val dir = tmp("graft-cdcnull-in"); val ckpt = tmp("graft-cdcnull-ck")
+    StreamingSpec.collectedCdc.clear()
+    val prime = snapshot.map { case (k, p) => CdcStream.snapshotChange(k, p) }
+    (prime ++ changes).toDS().write.mode("overwrite").parquet(dir)
+    val st = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Change].schema)
+      .parquet(dir).as[Change]
+    val q = CdcStream.currentEvents(st).toDF()
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.as[ChangeEvent].collect().foreach(StreamingSpec.collectedCdc.add)
+      }
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable(); q.stop()
+    import scala.jdk.CollectionConverters._
+    val events = StreamingSpec.collectedCdc.asScala.toSeq
+    assert(events.groupBy(_.key).forall(_._2.size == 1), events.toString)
+    val current = events.collect { case e if e.op != "D" => e.key -> e.payload }.toMap
+    val batch = Cdc.applyChangelog(
+        snapshot.toDF("key", "payload"), changes.toDS().toDF(),
+        "key", "seq", "op", Seq("payload"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(current == batch, s"stream $current vs batch $batch")
+    assert(current.get(1L).contains(null) && current(2L) == "x" &&
+      !current.contains(3L) && current(5L) == "s5", current.toString)
+  }
+
   test("streaming Hamming dedup: image pHash pairs equal batch banding across nights + restart") {
     import graft.streaming.HammingStream
     import graft.multimodal.Multimodal
