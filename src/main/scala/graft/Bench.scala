@@ -57,6 +57,12 @@ object Bench {
         Multimodal.perceptualHashes(
           Multimodal.syntheticPngClasses(graft.sources.Tables.documents(s, d))),
         6, 2, includeOverflow = false)
+    },
+    // store-served IVF-PQ retrieve (q154's serve path priced alone):
+    // the per-dir store memo builds on the first repeat; best-of-N
+    // keeps the store-hit run — the nightly-serve figure
+    graft.queries.Q.noOracle("x_ivfpq_serve") { (s, d) =>
+      graft.queries.SimilarityQueries.ivfPqServeFrame(s, d)
     })
 
   def main(args: Array[String]): Unit = {
@@ -153,7 +159,12 @@ object Bench {
     // same prefixes, so the mapping is unambiguous. Per-query GC rides
     // in the detail FILE, not the stdout line — 105 more keys would
     // blow the tail buffer.
-    val qs = results.map { case (k, (sec, _, _), _) => "\"" + k.split('_').head + f"\":$sec%.3f" }
+    // x_* probes keep two segments ("x_ivfpq", "x_phash") — a bare
+    // "x" would collide when several probes are selected together
+    val qs = results.map { case (k, (sec, _, _), _) =>
+      val short = if (k.startsWith("x_")) k.split('_').take(2).mkString("_")
+        else k.split('_').head
+      "\"" + short + f"\":$sec%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val gcTotal = results.map(_._2._2).sum

@@ -1132,7 +1132,19 @@ object Similarity {
     * its cell-survivor list, never the full query grid). */
   private def pqAdcScores(queries: DataFrame, candidates: DataFrame,
                           books: Array[(Int, Int, Array[Double])],
-                          pairs: Option[DataFrame] = None): DataFrame = {
+                          pairs: Option[DataFrame] = None): DataFrame =
+    pqAdcScoresFromCodes(queries,
+      pqEncode(candidates, books).select(col("vec_id").as("nid"), col("code")),
+      books, pairs)
+
+  /** ADC scores against an ALREADY-ENCODED code frame (nid, code) —
+    * the store-served path ([[ivfPqRerankTopKFromStore]]): the
+    * nightly artifact is read, never re-encoded. [[pqAdcScores]]
+    * wraps this behind a fresh [[pqEncode]] for the train-in-query
+    * retrieves. */
+  private def pqAdcScoresFromCodes(queries: DataFrame, codes: DataFrame,
+                                   books: Array[(Int, Int, Array[Double])],
+                                   pairs: Option[DataFrame] = None): DataFrame = {
     val sd = books.head._3.length
     val nSub = books.map(_._1).max + 1
     val kCents = books.map(_._2).max + 1
@@ -1148,8 +1160,7 @@ object Similarity {
       }).toIndexedSeq: _*)
     val q = withPqSubCols(queries, nSub, sd)
       .select(col("vec_id").as("qid"), dtable.as("dt"))
-    val enc = pqEncode(candidates, books)
-      .select(col("vec_id").as("nid"), col("code"))
+    val enc = codes
     val approx = (0 until nSub).map { m =>
       val j = shiftright(col("code"), 4 * m).bitwiseAND(lit(15L))
       element_at(col("dt"), (lit(m * kCents) + j + lit(1)).cast("int"))
@@ -1255,5 +1266,55 @@ object Similarity {
     exactRerank(
       adcShortlist(pqAdcScores(queries, candidates, books, Some(pairs)), rerankK),
       queries, candidates, k)
+  }
+
+  /** IVF-PQ retrieve served from PERSISTED stores — the composed
+    * index's nightly lifecycle, closing the one family that still
+    * retrained per run. Both parents already own the O(Δ) contract
+    * (coarse: [[ivfTopKFromStore]]/q117; codes: [[pqEncode]]'s
+    * append-only store/q134); this composes them:
+    *
+    *  - `coarseStore` (vec_id, cid, embedding) = persisted
+    *    [[kmeansAssign]] output ∪ frozen-model assignments of each
+    *    nightly delta — assignment is a pure row×model function, so
+    *    the incrementally-built store is row-identical to a full
+    *    re-assignment (the q117 identity);
+    *  - `codeStore` (vec_id, code) = persisted [[pqEncode]] output ∪
+    *    frozen-book encodings of each delta — same purity argument;
+    *  - a query session touches ONLY the stores and the two frozen
+    *    models: probe cells via the collected quantizer, equi-join
+    *    the coarse store for cell survivors, ADC over the code store
+    *    (never re-encoding a single row), exact re-rank fetching the
+    *    shortlist's vectors from the coarse store itself.
+    *
+    * q154 gate-verifies store-served ≡ the full from-first-principles
+    * recompute at both scales; AnalyticsSpec proves the identity
+    * across two successive deltas and a recall floor. At 100 TB
+    * persist the coarse store bucketed by cid (probes read their
+    * cells' buckets) and the code store by vec_id range; the nightly
+    * cost is O(Δ) map-only assignment + encode, and query cost is the
+    * q153 contract: ~nProbe/nCells of an 8 B/row code scan plus
+    * rerankK vector fetches per query. Recall under frozen models
+    * drifts as the corpus grows away from the training distribution —
+    * re-audit with the q98/q145 harnesses and retrain when it decays
+    * (then rebuild both stores: the models are the stores' schema). */
+  def ivfPqRerankTopKFromStore(queries: DataFrame, coarseStore: DataFrame,
+                               codeStore: DataFrame, centroids: DataFrame,
+                               books: Array[(Int, Int, Array[Double])],
+                               k: Int, rerankK: Int, nProbe: Int = 2,
+                               maxInlineDoubles: Long = MAX_INLINE_DOUBLES): DataFrame = {
+    val quant = collectQuantizer(centroids)
+    val qCell = probeCells(queries, quant, nProbe, maxInlineDoubles)
+      .select(col("qid"), col("cell"))
+    val pairs = coarseStore
+      .select(col("vec_id").as("nid"), col("cid").as("cell"))
+      .join(broadcast(qCell), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+    exactRerank(
+      adcShortlist(pqAdcScoresFromCodes(queries,
+        codeStore.select(col("vec_id").as("nid"), col("code")),
+        books, Some(pairs)), rerankK),
+      queries, coarseStore.select(col("vec_id"), col("embedding")), k)
   }
 }

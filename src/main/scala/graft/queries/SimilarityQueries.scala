@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.analytics.Similarity
@@ -24,6 +25,36 @@ object SimilarityQueries {
   private val K_ARM = 20
   private val K_OUT = 10
 
+  /** Prebuilt IVF-PQ stores, memoized per sf dir — the bench-only
+    * serve-path fixture behind `x_ivfpq_serve` (Bench.extraProbes):
+    * the gate query q154 necessarily pays training + store BUILD to
+    * prove the identity; this memo is what lets the probe price the
+    * nightly SERVE alone (first repeat builds, best-of-N keeps the
+    * store-hit run — the dedup-family cache pattern). Models train on
+    * the full corpus here: the production store covers everything. */
+  private val storeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (DataFrame, Array[(Int, Int, Array[Double])], DataFrame, DataFrame)]
+  def ivfPqStores(s: SparkSession, d: String):
+      (DataFrame, Array[(Int, Int, Array[Double])], DataFrame, DataFrame) =
+    storeMemo.computeIfAbsent(d, _ => {
+      val e = Tables.embeddings(s, d)
+      val cent = Similarity.kmeansCentroids(e, 16, 1).localCheckpoint(true)
+      val books = Similarity.pqTrainCodebooks(e, PQ_SUB, 16)
+      val coarse = Similarity.kmeansAssign(e, cent).localCheckpoint(true)
+      val codes = Similarity.pqEncode(e, books).localCheckpoint(true)
+      (cent, books, coarse, codes)
+    })
+
+  /** The store-served retrieve over [[ivfPqStores]] — the probe body. */
+  def ivfPqServeFrame(s: SparkSession, d: String): DataFrame = {
+    val (cent, books, coarse, codes) = ivfPqStores(s, d)
+    Similarity.ivfPqRerankTopKFromStore(
+        Tables.embeddings(s, d).filter(col("vec_id") < N_QUERIES),
+        coarse, codes, cent, books, TOP_K, PQ_RERANK, nProbe = 2)
+      .orderBy("qid", "rnk")
+  }
+
   private val normCtes =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)""".stripMargin
@@ -32,29 +63,35 @@ object SimilarityQueries {
   private val PQ_RERANK = 100  // ADC shortlist width feeding the exact re-rank (measured: 0.73 recall@10 at 100 on sf0.1; 0.45 at 30)
 
   /** Shared PQ CTE chain — the SQL twin of Similarity.pqTrainCodebooks
-    * + pqEncode: id-picked init books (16 lowest-id vectors sliced
-    * into 8 subspaces), init assignment, ONE Lloyd round per subspace
-    * with q80's exact-decimal means (round 6 → DECIMAL(21,10) sum /
-    * count in double), then distances + argmin sub-codes against the
-    * TRAINED book. d = s·s − 2·s·c + c·c with list_dot_product folds
-    * — bit-identical to the engine's GetArrayItem chains. */
-  private val pqCtes =
-    s"""$normCtes,
-       |ms AS (SELECT unnest(generate_series(0, ${PQ_SUB - 1})) AS m),
+    * + pqEncode: id-picked init books (16 lowest-id vectors of the
+    * TRAINING relation sliced into 8 subspaces), init assignment, ONE
+    * Lloyd round per subspace with q80's exact-decimal means (round 6
+    * → DECIMAL(21,10) sum / count in double), then distances + argmin
+    * sub-codes for ALL vectors against the TRAINED book. d = s·s −
+    * 2·s·c + c·c with list_dot_product folds — bit-identical to the
+    * engine's GetArrayItem chains. `train` parameterizes the training
+    * base (q154 trains on the ingested 80% and encodes everything);
+    * with train = "n" the emitted text is the original shared
+    * spelling, so q134–q136/q145/q153 cannot drift. */
+  private def pqChain(train: String): String = {
+    val tsub = if (train == "n") "psub" else "psubt"
+    val tsubCte = if (train == "n") ""
+      else s"\n|$tsub AS (SELECT vec_id, m, v[m * 8 + 1 : m * 8 + 8] AS s FROM $train, ms),"
+    s"""ms AS (SELECT unnest(generate_series(0, ${PQ_SUB - 1})) AS m),
        |pbase AS (SELECT v, CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS j
-       |          FROM (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT 16)),
+       |          FROM (SELECT vec_id, v FROM $train ORDER BY vec_id LIMIT 16)),
        |cb0 AS (SELECT m, j, v[m * 8 + 1 : m * 8 + 8] AS cv FROM pbase, ms),
-       |psub AS (SELECT vec_id, m, v[m * 8 + 1 : m * 8 + 8] AS s FROM n, ms),
-       |pd0 AS (SELECT vec_id, psub.m AS m, j,
+       |psub AS (SELECT vec_id, m, v[m * 8 + 1 : m * 8 + 8] AS s FROM n, ms),$tsubCte
+       |pd0 AS (SELECT vec_id, $tsub.m AS m, j,
        |         round(list_dot_product(s, s) - 2 * list_dot_product(s, cv)
        |               + list_dot_product(cv, cv), 6) AS d
-       |       FROM psub JOIN cb0 ON psub.m = cb0.m),
+       |       FROM $tsub JOIN cb0 ON $tsub.m = cb0.m),
        |pcode0 AS (SELECT vec_id, m, j AS cj FROM (
        |    SELECT vec_id, m, j,
        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, j ASC) AS rr
        |    FROM pd0) WHERE rr = 1),
        |pcomp AS (SELECT vec_id, m, i - 1 AS pos, s[i] AS x
-       |          FROM (SELECT vec_id, m, s, unnest(generate_series(1, 8)) AS i FROM psub)),
+       |          FROM (SELECT vec_id, m, s, unnest(generate_series(1, 8)) AS i FROM $tsub)),
        |pm AS (SELECT pc.m AS m, pc.cj AS j, pos,
        |         CAST(sum(CAST(round(x, 6) AS DECIMAL(21,10))) AS DOUBLE) / count(*) AS c
        |       FROM pcomp JOIN pcode0 pc ON pc.vec_id = pcomp.vec_id AND pc.m = pcomp.m
@@ -68,6 +105,9 @@ object SimilarityQueries {
        |    SELECT vec_id, m, j,
        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, j ASC) AS rr
        |    FROM pd) WHERE rr = 1)""".stripMargin
+  }
+
+  private lazy val pqCtes = s"$normCtes,\n${pqChain("n")}"
 
   /** ADC scores over [[pqCtes]]: for queries (vec_id < N_QUERIES),
     * approx(q, n) = Σ_m d(q's subvector m, centroid the candidate's
@@ -79,13 +119,13 @@ object SimilarityQueries {
     * ranks over ALL trained cells. Requires `n` (normCtes). One
     * spelling shared by q81 (trained IVF) and q153 (IVF-PQ), so the
     * two oracles cannot drift. */
-  private lazy val trainedAsgCtes =
-    """cent0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT 16),
+  private def trainedAsgChain(train: String): String =
+    s"""cent0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM $train ORDER BY vec_id LIMIT 16),
       |asg0 AS (SELECT vec_id, cid, v FROM (
-      |    SELECT n.vec_id, cent0.cid, n.v,
-      |      row_number() OVER (PARTITION BY n.vec_id
+      |    SELECT $train.vec_id, cent0.cid, $train.v,
+      |      row_number() OVER (PARTITION BY $train.vec_id
       |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
-      |    FROM n, cent0) WHERE rr = 1),
+      |    FROM $train, cent0) WHERE rr = 1),
       |dims AS (SELECT cid, i - 1 AS pos, v[i] AS x
       |         FROM (SELECT cid, v, unnest(generate_series(1, len(v))) AS i FROM asg0)),
       |cm AS (SELECT cid, pos,
@@ -98,6 +138,8 @@ object SimilarityQueries {
       |      row_number() OVER (PARTITION BY n.vec_id
       |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
       |    FROM n, tcn))""".stripMargin
+
+  private lazy val trainedAsgCtes = trainedAsgChain("n")
 
   private val pqAdcCte =
     s"""adc AS (SELECT pd.vec_id AS qid, pcode.vec_id AS nid,
@@ -1335,6 +1377,71 @@ object SimilarityQueries {
       Similarity.ivfPqRerankTopK(e.filter(col("vec_id") < N_QUERIES), e,
           TOP_K, PQ_RERANK, Similarity.pqTrainCodebooks(e, PQ_SUB, 16),
           Similarity.kmeansCentroids(e, 16, 1), nProbe = 2)
+        .orderBy("qid", "rnk")
+    },
+
+    // ---------------------------------------------------------------- q154
+    // IVF-PQ STORE lifecycle — the composed index without the per-run
+    // retrain q153 pays: both models train ONCE on the already-
+    // ingested corpus (80%, q117's split), the coarse-assignment and
+    // code stores persist, the nightly delta is assigned + encoded
+    // with the FROZEN models (pure row×model functions → O(Δ)
+    // map-only passes), and the retrieve is served from the stores —
+    // no training, no corpus re-assignment, no re-encoding in the
+    // query path. Because assignment and encoding are deterministic
+    // per row under a frozen model, store-served ≡ the full
+    // from-first-principles recompute with the same models — which is
+    // exactly what the oracle rebuilds (training CTEs over the
+    // ingested subset, assignment/encoding over everything, then the
+    // q153 retrieve tail).
+    Q("q154_ann_ivfpq_store",
+      s"""$normCtes,
+         |ni AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+         |${pqChain("ni")},
+         |${trainedAsgChain("ni")},
+         |ncell AS (SELECT vec_id AS nid, cid AS cell FROM asg WHERE rr <= 1),
+         |qcell AS (SELECT vec_id AS qid, cid AS cell FROM asg
+         |          WHERE rr <= 2 AND vec_id < $N_QUERIES),
+         |adcc AS (SELECT pd.vec_id AS qid, pcode.vec_id AS nid,
+         |           CAST(sum(CAST(d AS DECIMAL(21,10))) AS DOUBLE) AS approx
+         |         FROM pcode JOIN pd ON pd.m = pcode.m AND pd.j = pcode.cj
+         |              JOIN ncell ON ncell.nid = pcode.vec_id
+         |              JOIN qcell ON qcell.qid = pd.vec_id
+         |                        AND qcell.cell = ncell.cell
+         |         WHERE pd.vec_id < $N_QUERIES AND pcode.vec_id <> pd.vec_id
+         |         GROUP BY 1, 2),
+         |short AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY approx ASC, nid ASC) AS ra
+         |    FROM adcc) WHERE ra <= $PQ_RERANK),
+         |ex AS (SELECT s.qid, s.nid,
+         |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim
+         |       FROM short s JOIN n q ON q.vec_id = s.qid
+         |                    JOIN n c ON c.vec_id = s.nid),
+         |r AS (SELECT qid, nid, sim,
+         |        CAST(row_number() OVER (PARTITION BY qid
+         |          ORDER BY sim DESC, nid ASC) AS BIGINT) AS rnk FROM ex)
+         |SELECT qid, nid, rnk, sim FROM r WHERE rnk <= $TOP_K
+         |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val ingested = e.filter(col("vec_id") % 5 =!= 0)
+      val delta = e.filter(col("vec_id") % 5 === 0)
+      // the persisted artifacts (localCheckpoint = the query's analog
+      // of reading the nightly store from disk): frozen models +
+      // ingested-corpus stores, then O(Δ) delta append with the SAME
+      // models — never a retrain, never a re-encode of old rows
+      val cent = Similarity.kmeansCentroids(ingested, 16, 1)
+        .localCheckpoint(true)
+      val books = Similarity.pqTrainCodebooks(ingested, PQ_SUB, 16)
+      val coarseStore = Similarity.kmeansAssign(ingested, cent)
+        .localCheckpoint(true)
+        .unionByName(Similarity.kmeansAssign(delta, cent))
+      val codeStore = Similarity.pqEncode(ingested, books)
+        .localCheckpoint(true)
+        .unionByName(Similarity.pqEncode(delta, books))
+      Similarity.ivfPqRerankTopKFromStore(e.filter(col("vec_id") < N_QUERIES),
+          coarseStore, codeStore, cent, books, TOP_K, PQ_RERANK, nProbe = 2)
         .orderBy("qid", "rnk")
     }
   )

@@ -365,6 +365,52 @@ class AnalyticsSpec extends SparkSpec {
     assert(recall > 2.0 / 8.0, s"frozen-quantizer recall drifted to $recall")
   }
 
+  test("persisted IVF-PQ stores: 2-delta incremental build ≡ frozen full recompute; store-served retrieve matches") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val a = e.filter($"vec_id" % 3 === 0)
+    val b = e.filter($"vec_id" % 3 === 1)
+    val c = e.filter($"vec_id" % 3 === 2)
+    // night 0: BOTH models train on the initial ingest and freeze;
+    // both stores persist
+    val cent = Similarity.kmeansCentroids(a, 8, 1).localCheckpoint(true)
+    val books = Similarity.pqTrainCodebooks(a, 8, 16)
+    val coarse0 = Similarity.kmeansAssign(a, cent).localCheckpoint(true)
+    val codes0 = Similarity.pqEncode(a, books).localCheckpoint(true)
+    // nights 1–2: deltas assigned + encoded with the frozen models only
+    val coarse1 = coarse0.unionByName(Similarity.kmeansAssign(b, cent))
+      .localCheckpoint(true)
+    val coarse2 = coarse1.unionByName(Similarity.kmeansAssign(c, cent))
+    val codes1 = codes0.unionByName(Similarity.pqEncode(b, books))
+      .localCheckpoint(true)
+    val codes2 = codes1.unionByName(Similarity.pqEncode(c, books))
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "code").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(codeSet(codes1) == codeSet(Similarity.pqEncode(a.unionByName(b), books)),
+      "night-1 code store must equal the frozen-book full re-encode")
+    assert(codeSet(codes2) == codeSet(Similarity.pqEncode(e, books)),
+      "night-2 code store must equal the frozen-book full re-encode")
+    // the composed retrieve served from the stores ≡ the train-frozen
+    // recompute spelling (ranks and sims included)
+    val q = e.filter($"vec_id" < 10)
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "rnk", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val served = topSet(Similarity.ivfPqRerankTopKFromStore(
+      q, coarse2, codes2, cent, books, 10, 50, 2))
+    val recompute = topSet(Similarity.ivfPqRerankTopK(
+      q, e, 10, 50, books, cent, 2))
+    assert(served == recompute,
+      "store-served IVF-PQ retrieve must match the recompute spelling exactly")
+    // recall-drift audit: corpus grew 3x past both training sets;
+    // recall must still beat the scanned fraction (the q98 bar)
+    val exact = Similarity.bruteForceTopK(q, e, 10).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = served.map(t => (t._1, t._2))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 2.0 / 8.0, s"frozen-model IVF-PQ recall drifted to $recall")
+  }
+
   test("incremental identities hold on seeded random corpora (text + vectors)") {
     val rnd = new scala.util.Random(3)
     val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
