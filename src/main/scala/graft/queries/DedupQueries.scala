@@ -95,7 +95,7 @@ object DedupQueries {
 
   /** Recursive-closure component CTE chain over the LSH pair list —
     * q58's oracle prefix, shared by q103's compaction report. */
-  private lazy val componentsCtes: String =
+  private[queries] lazy val componentsCtes: String =
     s"""${hashedShingles.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |sig AS (SELECT doc_id,
        |    $sigCols
@@ -761,7 +761,7 @@ object DedupQueries {
       c
     }
 
-  private def componentsOf(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[queries] def componentsOf(s: org.apache.spark.sql.SparkSession, d: String) =
     componentsCache.synchronized {
       Option(componentsCache.get(s)) match {
         case Some((dir, df)) if dir == d => df
@@ -778,7 +778,8 @@ object DedupQueries {
     "q106_components_lss", "q103_dedup_compaction",
     "q108_band_compaction", "q114_lsh_capped",
     "q118_neardup_jaccard_membercap", "q142_simhash_audit",
-    "q147_canonical_keeper", "q150_source_similarity")
+    "q147_canonical_keeper", "q150_source_similarity",
+    "q155_curation_capstone")
 
   /** Drop this session's dedup-family caches and free their storage
     * memory. The WeakHashMap entries cannot be collected on their own

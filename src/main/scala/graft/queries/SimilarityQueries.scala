@@ -141,6 +141,42 @@ object SimilarityQueries {
 
   private lazy val trainedAsgCtes = trainedAsgChain("n")
 
+  /** q119's full SemDeDup CTE chain (norm base → trained quantizer →
+    * within-cell best lower-id cosine), every CTE name prefixed by
+    * `p` so the chain composes into oracles that already use the
+    * unprefixed names (q155's capstone runs it as `sd_*` alongside
+    * the near-dup component chain, whose `e`/`cm` would collide).
+    * Ends at `${p}best`; consumers write their own kept tail
+    * (kept ⇔ best_sim IS NULL OR best_sim < 0.3). With p = "" this
+    * IS q119's spelling — one definition, the oracles cannot
+    * drift. */
+  private[queries] def semanticKeptChain(p: String): String =
+    s"""${p}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${p}n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ${p}e),
+       |${p}cent0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM ${p}n ORDER BY vec_id LIMIT 16),
+       |${p}asg0 AS (SELECT vec_id, cid, v FROM (
+       |    SELECT ${p}n.vec_id, ${p}cent0.cid, ${p}n.v,
+       |      row_number() OVER (PARTITION BY ${p}n.vec_id
+       |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
+       |    FROM ${p}n, ${p}cent0) WHERE rr = 1),
+       |${p}dims AS (SELECT cid, i - 1 AS pos, v[i] AS x
+       |         FROM (SELECT cid, v, unnest(generate_series(1, len(v))) AS i FROM ${p}asg0)),
+       |${p}cm AS (SELECT cid, pos,
+       |         CAST(sum(CAST(round(x, 6) AS DECIMAL(21,10))) AS DOUBLE) / count(*) AS m
+       |       FROM ${p}dims GROUP BY cid, pos),
+       |${p}tc AS (SELECT cid, list(m ORDER BY pos) AS cv FROM ${p}cm GROUP BY cid),
+       |${p}tcn AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM ${p}tc),
+       |${p}asg AS (SELECT vec_id, cid, v, nrm FROM (
+       |    SELECT ${p}n.vec_id, ${p}tcn.cid, ${p}n.v, ${p}n.nrm,
+       |      row_number() OVER (PARTITION BY ${p}n.vec_id
+       |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
+       |    FROM ${p}n, ${p}tcn) WHERE rr = 1),
+       |${p}best AS (SELECT a.vec_id,
+       |           max(CASE WHEN a.nrm * b.nrm <> 0 THEN
+       |             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0 END) AS best_sim
+       |         FROM ${p}asg a JOIN ${p}asg b ON a.cid = b.cid AND b.vec_id < a.vec_id
+       |         GROUP BY a.vec_id)""".stripMargin
+
   private val pqAdcCte =
     s"""adc AS (SELECT pd.vec_id AS qid, pcode.vec_id AS nid,
        |          CAST(sum(CAST(d AS DECIMAL(21,10))) AS DOUBLE) AS approx
@@ -718,30 +754,7 @@ object SimilarityQueries {
     // top-neighbor cosine band (0.31–0.41, BASELINE.md) so the gate
     // exercises both kept and pruned rows.
     Q("q119_semantic_dedup",
-      s"""$normCtes,
-         |cent0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT 16),
-         |asg0 AS (SELECT vec_id, cid, v FROM (
-         |    SELECT n.vec_id, cent0.cid, n.v,
-         |      row_number() OVER (PARTITION BY n.vec_id
-         |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
-         |    FROM n, cent0) WHERE rr = 1),
-         |dims AS (SELECT cid, i - 1 AS pos, v[i] AS x
-         |         FROM (SELECT cid, v, unnest(generate_series(1, len(v))) AS i FROM asg0)),
-         |cm AS (SELECT cid, pos,
-         |         CAST(sum(CAST(round(x, 6) AS DECIMAL(21,10))) AS DOUBLE) / count(*) AS m
-         |       FROM dims GROUP BY cid, pos),
-         |tc AS (SELECT cid, list(m ORDER BY pos) AS cv FROM cm GROUP BY cid),
-         |tcn AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM tc),
-         |asg AS (SELECT vec_id, cid, v, nrm FROM (
-         |    SELECT n.vec_id, tcn.cid, n.v, n.nrm,
-         |      row_number() OVER (PARTITION BY n.vec_id
-         |        ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cid) AS rr
-         |    FROM n, tcn) WHERE rr = 1),
-         |best AS (SELECT a.vec_id,
-         |           max(CASE WHEN a.nrm * b.nrm <> 0 THEN
-         |             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0 END) AS best_sim
-         |         FROM asg a JOIN asg b ON a.cid = b.cid AND b.vec_id < a.vec_id
-         |         GROUP BY a.vec_id)
+      s"""WITH ${semanticKeptChain("")}
          |SELECT a.vec_id, a.cid AS cell, best_sim,
          |  (best_sim IS NULL OR best_sim < 0.3) AS kept
          |FROM asg a LEFT JOIN best USING (vec_id)

@@ -613,6 +613,147 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- q155
+    // The CURATION CAPSTONE — the one query a training-data team runs
+    // nightly, composing the engine's whole modern pipeline in the
+    // order production curation stacks it (each stage is its own
+    // verified gate; this composes them and hash-verifies the final
+    // ARTIFACT, so a disagreement anywhere upstream flips membership
+    // and fails the shard shas):
+    //   1. hard quality battery (q132's conjunctive keep),
+    //   2. near-dup canonical keepers (q147: LSH components, best
+    //      quality wins; non-keepers drop, singletons pass),
+    //   3. SemDeDup semantic pruning (q119 verdict by vec_id=doc_id;
+    //      docs without an embedding pass — partial coverage is the
+    //      production norm),
+    //   4. benchmark decontamination (q129's >= 3 shared-4-gram rule
+    //      via the Bloom-prefiltered exact semi-join; bench docs
+    //      themselves leave the corpus),
+    //   5. language-mixture rebalance over the SURVIVORS (q130's
+    //      deterministic sha-bucket acceptance — rates computed on
+    //      what survived, not the raw corpus),
+    //   6. token-budget shard packing + release manifest (q60/q105:
+    //      distributed prefix sum, per-shard sha over the ordered id
+    //      list).
+    // Plan shape at 100 TB: every stage is a verified-scalable
+    // citizen (map-side battery, banded LSH join, inlined-quantizer
+    // cells, Bloom + equi-join, broadcast rate table, two-pass
+    // cumsum) — composing them adds joins on doc_id, never a new
+    // all-pairs or global sort.
+    Q("q155_curation_capstone",
+      s"""${DedupQueries.componentsCtes},
+         |$qualityCteSql,
+         |k AS (SELECT component, doc_id AS keeper_id FROM (
+         |    SELECT c.component, c.doc_id,
+         |      row_number() OVER (PARTITION BY c.component
+         |        ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+         |    FROM comp c JOIN qual q ON q.doc_id = c.doc_id) WHERE rn = 1),
+         |${SimilarityQueries.semanticKeptChain("sd_")},
+         |f AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         |  CAST(length(text) AS BIGINT) AS nc,
+         |  CAST(${charCountSql("[0-9]")} AS BIGINT) AS dg,
+         |  CAST(${hitsSql(EN_MARKERS)} AS BIGINT) AS st,
+         |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS wc
+         |FROM documents),
+         |qb AS (SELECT doc_id FROM f
+         |  WHERE nt BETWEEN 30 AND 10000 AND 3 * nt <= wc AND 2 * wc <= 9 * nt
+         |    AND 10 * dg <= nc AND st >= 2),
+         |idx4 AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 3, 0))) AS i FROM w),
+         |sh4 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS s FROM idx4),
+         |bench AS (SELECT DISTINCT s FROM sh4 WHERE doc_id % 50 = 0),
+         |contam AS (SELECT c.doc_id FROM (SELECT * FROM sh4 WHERE doc_id % 50 <> 0) c
+         |           JOIN bench USING (s) GROUP BY c.doc_id HAVING count(*) >= 3),
+         |sv AS (SELECT d.doc_id, d.lang
+         |       FROM documents d
+         |       JOIN qb ON qb.doc_id = d.doc_id
+         |       LEFT JOIN comp cp ON cp.doc_id = d.doc_id
+         |       LEFT JOIN k ON k.component = cp.component
+         |       LEFT JOIN sd_asg sa ON sa.vec_id = d.doc_id
+         |       LEFT JOIN sd_best sb ON sb.vec_id = d.doc_id
+         |       WHERE (cp.doc_id IS NULL OR d.doc_id = k.keeper_id)
+         |         AND (sa.vec_id IS NULL OR sb.best_sim IS NULL OR sb.best_sim < 0.3)
+         |         AND d.doc_id % 50 <> 0
+         |         AND NOT EXISTS (SELECT 1 FROM contam ct WHERE ct.doc_id = d.doc_id)),
+         |mc AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM sv GROUP BY lang),
+         |mn AS (SELECT min(c) AS nmin FROM mc),
+         |mb AS (SELECT doc_id, lang,
+         |    CAST(strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 256
+         |  + CAST(strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT) * 16
+         |  + CAST(strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)), 3, 1)) - 1 AS BIGINT) AS bucket
+         |  FROM sv),
+         |bal AS (SELECT doc_id FROM mb JOIN mc USING (lang) CROSS JOIN mn
+         |        WHERE bucket * c < nmin * 4096),
+         |pk AS (SELECT f.doc_id, nt AS n_tokens FROM f JOIN bal ON bal.doc_id = f.doc_id),
+         |ps AS (SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard
+         |       FROM (SELECT doc_id, n_tokens,
+         |               sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |             FROM pk))
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |  sha256(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS content_sha
+         |FROM ps GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // 1. quality battery (q132's integer-cross-multiplied rules)
+      val stc = graft.functions.TextStats.text_stats(col("text"))
+      val nt = stc.getField("nt").cast("long")
+      val ncc = stc.getField("nc").cast("long")
+      val dg = stc.getField("dg").cast("long")
+      val en = stc.getField("en").cast("long")
+      val wc = length(expr("replace(text, ' ', '')")).cast("long")
+      val qb = docs.select(col("doc_id"), nt.as("nt"), ncc.as("nc"),
+          dg.as("dg"), en.as("st"), wc.as("wc"))
+        .filter(col("nt") >= 30 && col("nt") <= 10000 &&
+          lit(3) * col("nt") <= col("wc") && lit(2) * col("wc") <= lit(9) * col("nt") &&
+          lit(10) * col("dg") <= col("nc") && col("st") >= 2)
+        .select("doc_id")
+      // 2. near-dup canonical keepers (q147's session-cached components)
+      val quality = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val dropNear = graft.analytics.DedupOps.canonicalKeepers(
+          DedupQueries.componentsOf(s, d), quality)
+        .filter(!col("is_keeper")).select("doc_id")
+      // 3. semantic pruning (q119's verdict; missing embedding = kept)
+      val emb = Tables.embeddings(s, d)
+      val dropSem = graft.analytics.Similarity.semanticDedup(
+          emb, graft.analytics.Similarity.kmeansCentroids(emb, 16, 1), 0.3)
+        .filter(!col("kept")).select(col("vec_id").as("doc_id"))
+      // 4. decontamination (q129's Bloom-prefiltered exact rule)
+      val sh4 = shingleSet(docs, 4)
+      val bench = sh4.filter(col("doc_id") % 50 === 0).select(col("s")).distinct()
+      val contam = graft.ops.Dedup.bloomSemiJoinKeys(
+          sh4.filter(col("doc_id") % 50 =!= 0), bench, "s",
+          expectedKeys = 1L << 18)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        .filter(col("n_hits") >= 3).select("doc_id")
+      val sv = docs.select(col("doc_id"), col("lang"))
+        .join(qb, Seq("doc_id"))
+        .join(dropNear, Seq("doc_id"), "left_anti")
+        .join(dropSem, Seq("doc_id"), "left_anti")
+        .filter(col("doc_id") % 50 =!= 0)
+        .join(contam, Seq("doc_id"), "left_anti")
+      // 5. mixture rebalance over the survivors
+      val bal = graft.ops.Mixture.balancedSample(sv, "lang", "doc_id")
+        .select("doc_id")
+      // 6. packing + manifest (q60's two-pass cumsum, q105's shas)
+      val base = docs.join(bal, Seq("doc_id"))
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.ops.PrefixSum.withRunningSum(base, "doc_id", "n_tokens", "cum")
+        .select(col("doc_id"), col("n_tokens"),
+          expr("(cum - n_tokens) div 2000").as("shard"))
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          sha2(array_join(expr(
+            "transform(array_sort(collect_list(doc_id)), x -> cast(x AS string))"),
+            ","), 256).as("content_sha"))
+        .orderBy("shard")
+    },
+
     // ---------------------------------------------------------------- q83
     // PII redaction: emails and phone numbers scrubbed map-side with
     // codegen'd regexp_replace, plus per-document match counts (the
