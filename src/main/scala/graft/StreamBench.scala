@@ -216,6 +216,16 @@ object StreamBench {
       graft.streaming.HammingStream
         .streamingNearDupPairs(sigStream, 8, 8, 6).toDF())
 
+    // 3f. streaming inverted-index maintenance (IndexStream): every
+    // token flows into its term's posting-list state — docs/s is the
+    // retrieval-index ingest figure (the O(Δ) twin of the q149 batch
+    // append, with replay suppression the batch path lacks).
+    val idxStream = spark.readStream.schema(docsSchema).parquet(docsDir)
+      .select(col("doc_id"), col("text"))
+      .as[graft.streaming.IndexStream.Doc]
+    val (idxSec, idxOut) = timeRun(
+      graft.streaming.IndexStream.streamingIndex(idxStream).toDF())
+
     // 3e. streaming CDC apply (CdcStream): a changelog derived from
     // the events table (key = user, seq = event id, 5% deletes) folds
     // into per-key serving state — every change is a keyed state
@@ -262,6 +272,10 @@ object StreamBench {
       graft.streaming.CdcStream.currentEvents(
         raw.as[graft.streaming.CdcStream.Change]).toDF()
     }
+    val idxTimes = steadyDrops(srcDocs, "doc_id", nDrops, "idxss") { raw =>
+      graft.streaming.IndexStream.streamingIndex(
+        raw.as[graft.streaming.IndexStream.Doc]).toDF()
+    }
 
     val sf = new java.io.File(sfDir).getName
     println(
@@ -273,9 +287,11 @@ object StreamBench {
       f""""sem_vecs_per_sec":${nVecs / semSec}%.0f,"sem_sec":$semSec%.2f,"sem_prunes":$semOut,""" +
       f""""ham_sigs_per_sec":${nSigs / hamSec}%.0f,"ham_sec":$hamSec%.2f,"ham_pairs":$hamOut,""" +
       f""""cdc_changes_per_sec":${nChanges / cdcSec}%.0f,"cdc_sec":$cdcSec%.2f,"cdc_out":$cdcOut,""" +
+      f""""idx_docs_per_sec":${nDocs / idxSec}%.0f,"idx_sec":$idxSec%.2f,"idx_postings":$idxOut,""" +
       f""""ss_batches":$nDrops,"ss_cold":$coldRate%.0f,"ss_steady":${steadyRate(ssTimes)}%.0f,""" +
       f""""nd_steady":${steadyRate(ndTimes)}%.0f,"emb_steady":${steadyRate(embTimes)}%.0f,""" +
-      f""""sem_steady":${steadyRate(semTimes)}%.0f,"cdc_steady":${steadyRate(cdcTimes)}%.0f}""")
+      f""""sem_steady":${steadyRate(semTimes)}%.0f,"cdc_steady":${steadyRate(cdcTimes)}%.0f,""" +
+      f""""idx_steady":${steadyRate(idxTimes)}%.0f}""")
     spark.stop()
   }
 }

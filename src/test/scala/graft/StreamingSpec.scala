@@ -20,6 +20,8 @@ object StreamingSpec {
     new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.SemanticStream.PruneEvent]()
   val collectedCdc =
     new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.CdcStream.ChangeEvent]()
+  val collectedPostings =
+    new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.IndexStream.PostingEvent]()
 }
 
 class StreamingSpec extends SparkSpec {
@@ -388,6 +390,71 @@ class StreamingSpec extends SparkSpec {
     assert(current == batch, s"stream $current vs batch $batch")
     assert(batch(5L) == "re5" && batch(7L) == "v7" && !batch.contains(20L),
       "fixture did not exercise delete/re-insert/late paths")
+  }
+
+  test("streaming inverted index: state-built postings equal batch buildIndex across nights + restart; BM25 serves from the accumulated index") {
+    import graft.streaming.IndexStream
+    import graft.streaming.IndexStream.{Doc, PostingEvent}
+    import graft.analytics.Retrieval
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select($"doc_id", $"text").as[Doc].collect().toSeq
+    val night1 = docs.filter(_.doc_id % 3 != 2)
+    val night2 = docs.filter(_.doc_id % 3 == 2)
+    val dir = tmp("graft-idx-in"); val ckpt = tmp("graft-idx-ck")
+    StreamingSpec.collectedPostings.clear()
+    night1.toDS().write.mode("overwrite").parquet(dir)
+    def start() = {
+      val st = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[Doc].schema)
+        .parquet(dir).as[Doc]
+      IndexStream.streamingIndex(st).toDF()
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.as[PostingEvent].collect().foreach(StreamingSpec.collectedPostings.add)
+        }
+        .option("checkpointLocation", ckpt).start()
+    }
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    import scala.jdk.CollectionConverters._
+    val after1 = StreamingSpec.collectedPostings.asScala.toSeq
+    // restart from checkpoint; night 2 arrives PLUS a full replay of
+    // night 1 (at-least-once source) — replays must emit nothing
+    val q2 = start()
+    (night2 ++ night1).toDS().write.mode("append").parquet(dir)
+    q2.processAllAvailable(); q2.stop()
+    val events = StreamingSpec.collectedPostings.asScala.toSeq
+    val streamed = events.map(e => (e.term, e.doc_id, e.dl, e.tf)).toSet
+    assert(events.size == streamed.size,
+      "replayed documents re-emitted postings: per-term state lost across restart")
+    // the accumulated events ARE the batch index over the union
+    val union = docs.toDS().toDF()
+    val batchIdx = Retrieval.buildIndex(union).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(streamed == batchIdx,
+      s"stream index ${streamed.size} rows vs batch ${batchIdx.size}")
+    // "arrivals update df": each term's highest emitted df equals the
+    // term's final df in the batch index, and night-1 emissions carry
+    // the smaller night-1 df (the state genuinely grew)
+    val finalDf = batchIdx.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val maxDf = events.groupBy(_.term).view.mapValues(_.map(_.df).max).toMap
+    assert(maxDf == finalDf.filter { case (t, _) => maxDf.contains(t) } && maxDf.keySet == finalDf.keySet)
+    val df1 = Retrieval.buildIndex(night1.toDS().toDF()).collect()
+      .map(r => r.getString(0)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val maxDf1 = after1.groupBy(_.term).view.mapValues(_.map(_.df).max).toMap
+    assert(maxDf1 == df1, "night-1 df emissions must reflect only night-1 state")
+    // BM25 served from the accumulated event sink == batch retrieve
+    // over the union corpus (rank-exact, scores included)
+    val grid = Seq((1L, "scan"), (1L, "window"), (2L, "join"), (2L, "merge"))
+      .toDF("query_id", "term")
+    val idxDf = events.map(e => (e.term, e.doc_id, e.dl, e.tf))
+      .toDF("term", "doc_id", "dl", "tf")
+    val (n, tok) = Retrieval.corpusTokenStats(union)
+    val served = Retrieval.bm25TopKFromIndex(idxDf, n, tok.toDouble / n, grid, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val direct = Retrieval.bm25TopK(union, grid, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(served == direct && served.nonEmpty,
+      "BM25 from the stream-maintained index must match the direct retrieve")
   }
 
   test("streaming CDC tolerates null payloads like the batch twin") {
