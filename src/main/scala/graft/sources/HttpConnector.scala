@@ -84,6 +84,26 @@ object HttpConnector {
       }
   }
 
+  /** Page-number → extracted HTML rows, for `PagedSource.fetch`: GETs
+    * `{base}?page=N` like [[pagedJsonFetcher]] but parses an HTML
+    * payload with [[HtmlExtract]] — `rowSelector` picks the row
+    * elements (the reference's `li.UEzoS`,
+    * restaurant-crawler.py:313), `fields` their per-row values
+    * (`:168-178`), emitted as JSON object strings so the downstream
+    * `from_json` typing is identical to the JSON-API path. Non-2xx
+    * pages throw (Spark task retry) unless the caller opted into
+    * PagedSource's `tolerateFailures`. */
+  def pagedHtmlFetcher(base: String, rowSelector: String,
+                       fields: Seq[HtmlExtract.Field],
+                       timeoutMs: Int = 10000): Int => Seq[String] = {
+    val sep = if (base.contains("?")) "&" else "?"
+    (page: Int) =>
+      get(s"$base${sep}page=$page", timeoutMs) match {
+        case Right(body) => HtmlExtract.jsonRows(body, rowSelector, fields)
+        case Left(err)   => throw new java.io.IOException(s"page $page: $err")
+      }
+  }
+
   /** Nominatim-shaped geocoder for `Enrich.rateLimited`: GET
     * `{base}/search?q=…&format=json&limit=1`, take the top hit's
     * (lat, lon). Nominatim serializes coordinates as JSON *strings*

@@ -58,6 +58,23 @@ class LiveHttpSpec extends SparkSpec {
           s"""[{"page":$page,"name":"식당-$page-갑"},{"page":$page,"name":"식당-$page-을"}]""")
     })
 
+    // Rendered-HTML listing: fixture pages in the reference's DOM row
+    // shape (li.UEzoS / span.TYaxT / span.KCMnt / a.place_bluelink).
+    server.createContext("/rest", handler { ex =>
+      val page = param(ex, "page").getOrElse("0")
+      val res = getClass.getResourceAsStream(s"/fixtures/restaurants_page$page.html")
+      if (res == null) respond(ex, 404, """{"err":"no such page"}""")
+      else {
+        val body = try scala.io.Source.fromInputStream(res, "UTF-8").mkString
+          finally res.close()
+        val bytes = body.getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        val out = ex.getResponseBody
+        try out.write(bytes) finally out.close()
+      }
+    })
+
     // Nominatim shape: lat/lon as STRINGS, top-1 array; unknown → [].
     server.createContext("/geo/search", handler { ex =>
       val q = param(ex, "q").getOrElse("")
@@ -119,6 +136,36 @@ class LiveHttpSpec extends SparkSpec {
     val strict = PagedSource.fetch(spark, 4, HttpConnector.pagedJsonFetcher(url))
     val e = intercept[org.apache.spark.SparkException] { strict.count() }
     assert(e.getMessage.contains("page 3") || e.getCause != null)
+  }
+
+  test("pagedHtmlFetcher: fixture DOM pages over a real socket fan into typed restaurant rows") {
+    import spark.implicits._
+    // the reference's extraction contract (restaurant-crawler.py:313,
+    // :168-178): rows by li.UEzoS, name/category by span class, the
+    // place id regexed out of the bluelink href
+    val fields = Seq(
+      graft.sources.HtmlExtract.Field("name", "span.TYaxT", default = "이름 없음"),
+      graft.sources.HtmlExtract.Field("category", "span.KCMnt"),
+      graft.sources.HtmlExtract.Field("place_id", "a.place_bluelink",
+        attr = Some("href"), pattern = Some("/place/(\\d+)")))
+    val raw = PagedSource.fetch(spark, 2,
+      HttpConnector.pagedHtmlFetcher(s"$base/rest", "li.UEzoS", fields))
+    val schema = StructType(Seq(StructField("name", StringType),
+      StructField("category", StringType), StructField("place_id", StringType)))
+    val rows = raw.toDF("raw")
+      .select(from_json(col("raw"), schema).as("r"))
+      .select(col("r.name"), col("r.category"), col("r.place_id"))
+      .as[(String, String, String)].collect().toSet
+    assert(rows == Set(
+      ("김밥천국 강남점", "분식", "1129849271"),
+      ("평양냉면 & 만두", "", "37417907"),
+      ("순대국밥", "한식", "20030042"),
+      ("할머니 손칼국수", "국수", "555"),
+      ("비밀의 정원", "카페", "")))
+    // a missing page is a fetch failure, not silent emptiness
+    val bad = PagedSource.fetch(spark, 3,
+      HttpConnector.pagedHtmlFetcher(s"$base/rest", "li.UEzoS", fields))
+    intercept[org.apache.spark.SparkException] { bad.count() }
   }
 
   test("nominatimClient via rateLimited: parsed coordinates, per-row misses, spaced calls") {
