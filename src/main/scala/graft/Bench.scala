@@ -125,12 +125,23 @@ object Bench {
     def maybeProbe(i: Int, force: Boolean = false): Unit =
       if (calEvery > 0 && (force || i % calEvery == 0))
         windows += Calibrate.probe(i)
+    // Whole-stage-codegen compilation attribution (the r9 q153 driver
+    // outlier lesson: a first run's janino cost was invisible in the
+    // artifact). Count deltas are EXACT; millis ride the metric
+    // histogram's reservoir (exact until ~1028 lifetime compilations,
+    // a windowed estimate beyond) — enough to attribute a run1≫run2
+    // spread to compilation vs contention.
+    def cgStat: (Long, Double) = {
+      val h = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME
+      (h.getCount, h.getSnapshot.getMean * h.getCount)
+    }
     val results = selected.zipWithIndex.map { case (q, i) =>
       maybeProbe(i)
       val load0 = Calibrate.loadAvg()
       val runs = (1 to repeat).map { _ =>
         val g0 = gcMillis
         val c0 = cpuNanos
+        val (cgc0, cgms0) = cgStat
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -138,19 +149,20 @@ object Bench {
         }
         val sec = (System.nanoTime() - t0) / 1e9
         val cpu = if (c0 < 0) -1.0 else (cpuNanos - c0) / 1e9
+        val (cgc1, cgms1) = cgStat
         // operator-internal persists (the semantic family's assignment)
         // must release PER RUN, not per query: run 2 builds an
         // identical analyzed plan and CacheManager plan-matching would
         // otherwise serve it run 1's InMemoryRelation, turning the
         // best-of-N into a warm-cache number no real first run sees
         graft.analytics.Similarity.releaseRetained(spark)
-        (sec, (gcMillis - g0) / 1e3, cpu)
+        (sec, (gcMillis - g0) / 1e3, cpu, cgc1 - cgc0, math.max(0.0, cgms1 - cgms0))
       }
       if (i == lastCacheUser) {
         graft.queries.DedupQueries.releaseCaches(spark)
         System.gc() // lets ContextCleaner reclaim family checkpoint RDDs
       }
-      (q.name, runs.minBy(_._1), math.max(load0, Calibrate.loadAvg()))
+      (q.name, runs, math.max(load0, Calibrate.loadAvg()))
     }
     maybeProbe(selected.length, force = true)
     // Short qNN keys keep the whole line under the driver's 2000-char
@@ -159,16 +171,19 @@ object Bench {
     // same prefixes, so the mapping is unambiguous. Per-query GC rides
     // in the detail FILE, not the stdout line — 105 more keys would
     // blow the tail buffer.
+    // best-of-N per query: the steady figure the totals and stdout
+    // line report; the full run spread rides in the detail file
+    val bests = results.map { case (k, runs, ld) => (k, runs.minBy(_._1), ld) }
     // x_* probes keep two segments ("x_ivfpq", "x_phash") — a bare
     // "x" would collide when several probes are selected together
-    val qs = results.map { case (k, (sec, _, _), _) =>
+    val qs = bests.map { case (k, best, _) =>
       val short = if (k.startsWith("x_")) k.split('_').take(2).mkString("_")
         else k.split('_').head
-      "\"" + short + f"\":$sec%.3f" }
+      "\"" + short + f"\":${best._1}%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
-    val gcTotal = results.map(_._2._2).sum
-    val cpuTotal = results.map(_._2._3).filter(_ >= 0).sum
+    val total = bests.map(_._2._1).sum
+    val gcTotal = bests.map(_._2._2).sum
+    val cpuTotal = bests.map(_._2._3).filter(_ >= 0).sum
     // Calibration summary: best window = the run's quiet reference;
     // max_infl = worst window's inflation vs it across both probes.
     // Fixed work ⇒ absolute alu/mem compare directly across hosts and
@@ -188,8 +203,17 @@ object Bench {
       // sec = the plan actually did more work. `ld` (1-min system
       // load) + the `cal` windows catch what cpu can't: memory-bound
       // queries whose stall cycles bill as cpu (the r8 q118 shape).
-      val detail = results.map { case (k, (sec, gc, cpu), ld) =>
-        f""""$k":{"sec":$sec%.3f,"gc":$gc%.3f,"cpu":$cpu%.3f,"ld":$ld%.1f}"""
+      // runs/cg/cgms attribute a run1≫run2 spread in place: a fat
+      // run 1 with matching cgms = first-run codegen (the r9 q153
+      // driver outlier shape); a fat run with cg ≈ 0 = contention or
+      // genuine work (see cpu/ld). sec/gc/cpu stay the best run's.
+      val detail = results.map { case (k, runs, ld) =>
+        val (sec, gc, cpu, _, _) = runs.minBy(_._1)
+        val rs = runs.map(r => f"${r._1}%.3f").mkString("[", ",", "]")
+        val cg = runs.map(_._4).mkString("[", ",", "]")
+        val cgms = runs.map(r => f"${r._5}%.0f").mkString("[", ",", "]")
+        f""""$k":{"sec":$sec%.3f,"gc":$gc%.3f,"cpu":$cpu%.3f,"ld":$ld%.1f,""" +
+          f""""runs":$rs,"cg":$cg,"cgms":$cgms}"""
       }.mkString("{", ",", "}")
       val cal = windows.map(w =>
         f"""{"at":${w.nextQueryIdx},"alu":${w.alu}%.3f,"mem":${w.mem}%.3f,"ld":${w.load}%.1f}""")
