@@ -3,6 +3,16 @@ ThisBuild / version := "0.1.0"
 name := "wellmeetdatapipelinespark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
+// OPTIONAL object-store profile: drop hadoop-aws + aws-java-sdk-bundle
+// (versions matching the Hadoop line in /opt/spark/jars) into lib-aws/
+// and the real S3AFileSystem joins the classpath — SourcesSpec's
+// "object-store profile" test then auto-promotes from canceled to
+// executed and asserts the s3a scheme resolves to the REAL class with
+// no fs.s3a.impl override (the attach-path contract stays pinned by
+// the stand-in FS test either way). The dir is absent in the
+// zero-egress build; nothing changes without it.
+Compile / unmanagedJars ++= (file("lib-aws") * "*.jar").classpath
+Test / unmanagedJars ++= (file("lib-aws") * "*.jar").classpath
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(

@@ -92,6 +92,26 @@ class SourcesSpec extends SparkSpec {
       "parquet read did not flow through the s3a-registered FileSystem")
   }
 
+  test("object-store profile: real hadoop-aws jar wires s3a scheme resolution when present (lib-aws/)") {
+    // The first attach move — the REAL jar on the classpath — is an
+    // optional profile in this zero-egress build (build.sbt lib-aws/).
+    // When a user drops hadoop-aws there, this test auto-promotes
+    // from canceled to executed: the s3a scheme must resolve to the
+    // genuine S3AFileSystem via Hadoop's service discovery, with NO
+    // fs.s3a.impl override (the override path is the stand-in test
+    // above). Without the jar it cancels with the recipe.
+    val real = try Some(Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem"))
+      catch { case _: ClassNotFoundException => None }
+    assume(real.nonEmpty,
+      "hadoop-aws not on classpath — drop hadoop-aws + aws-java-sdk-bundle " +
+        "into lib-aws/ to promote this test (see build.sbt)")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.unset("fs.s3a.impl")
+    val resolved = org.apache.hadoop.fs.FileSystem.getFileSystemClass("s3a", conf)
+    assert(resolved == real.get,
+      s"s3a resolved to ${resolved.getName}, expected the real S3AFileSystem")
+  }
+
   test("A6/U4: dict-of-lists JSON normalizes to rows (explode map values)") {
     import org.apache.spark.sql.types._
     val json = """{"공덕역 식당": [{"placeId":"1","name":"a"},{"placeId":"2","name":"b"}],
