@@ -91,7 +91,33 @@ object Plans {
     "q151_triangles", "q152_rate_anomaly",
     // IVF-PQ: the composed index plans PURE equi-joins (the cell
     // survivor grid replaces flat-PQ's all-pairs broadcast BNLJ)
-    "q153_ann_ivfpq")
+    "q153_ann_ivfpq",
+    // round-10 evidence: the store-served IVF-PQ retrieve (frozen
+    // models collected once; coarse store + code store equi-joined,
+    // ADC off stored codes, re-rank fetches shortlist vectors from
+    // the store — no training, no re-encode in the serve plan) and
+    // the six-stage curation capstone (every stage's scale spelling
+    // composed: session-cached components, broadcast Bloom, two-pass
+    // prefix-sum packing — one pipeline, no cartesian anywhere)
+    "q154_ann_ivfpq_store", "q155_curation_capstone")
+
+  /** Context lines emitted under a query's heading — for plans whose
+    * interesting structure is NOT visible in the final explain (e.g. a
+    * materialization boundary hides the upstream stages). */
+  val notes: Map[String, String] = Map(
+    "q60_token_packing" -> ("The plan starts at a `Scan ExistingRDD`: the two-pass " +
+      "distributed prefix sum (PrefixSum.scala) materializes per-partition totals, then " +
+      "mapPartitionsWithIndex adds the broadcast offsets — the upstream scan/filter plan " +
+      "ran as pass 1 and is the q24 token-count shape."),
+    "q155_curation_capstone" -> ("Only the final packing/manifest stage is visible below " +
+      "the `Scan ExistingRDD` prefix-sum boundary (q60's shape). The five upstream stages " +
+      "run inside the materialized frame and each has its own evidence section: quality " +
+      "battery (q132-shape conditional aggs), near-dup canonical keepers (q31/q147: banded " +
+      "LSH equi-joins + max-struct election over session-cached components), SemDeDup " +
+      "pruning (q119: inlined-quantizer map-side assignment), Bloom decontamination " +
+      "(q129: broadcast Bloom probe, no join), mixture rebalance (q130: integer-exact " +
+      "acceptance, one groupBy). No cartesian/BNLJ anywhere in the composition — " +
+      "PlanSpec's engine-wide assert covers every stage."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -112,7 +138,9 @@ object Plans {
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-      sb ++= s"\n## $name\n\n```\n$plan```\n"
+      sb ++= s"\n## $name\n\n"
+      notes.get(name).foreach(n => sb ++= s"$n\n\n")
+      sb ++= s"```\n$plan```\n"
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${headline.size} queries)")
