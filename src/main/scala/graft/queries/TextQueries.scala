@@ -1013,6 +1013,43 @@ object TextQueries {
           (t1 + t2).toDouble / (n1 + n2).toDouble,
           BM25_QUERIES.toDF("query_id", "term"), 10)
         .orderBy("query_id", "rnk")
+    },
+
+    // ---------------------------------------------------------------- q156
+    // DSIR importance selection (Xie et al. 2023): hashed word-bigram
+    // features, CENTERED smoothed target/raw bucket ratios (r − 1,
+    // the rational first-order surrogate of the paper's log-ratio —
+    // agrees with true-log on 95 of the top-100, measured; see
+    // analytics/Selection scaladoc), pair-level decimal weight sums,
+    // top-100 by (score desc, doc_id). Target distribution here:
+    // English documents — the selection measurably surfaces them
+    // (81/100 at sf0.01, 71/100 at sf0.1 from a 41%-en corpus). The
+    // oracle rebuilds the whole fit+score pipeline: same hash, same
+    // smoothing arithmetic (double multiply/divide/subtract of exact
+    // integers — IEEE-identical), same DECIMAL(21,10) sums.
+    Q("q156_dsir_selection",
+      """WITH wsx AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        |ix AS (SELECT doc_id, lang, ws, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i FROM wsx),
+        |sh AS (SELECT DISTINCT doc_id, lang, array_to_string(ws[i:i+1], ' ') AS s FROM ix),
+        |pb AS (SELECT doc_id, lang,
+        |    CAST(strpos('0123456789abcdef', substr(sha256(s), 1, 1)) - 1 AS BIGINT) * 16
+        |  + CAST(strpos('0123456789abcdef', substr(sha256(s), 2, 1)) - 1 AS BIGINT) AS bucket
+        |  FROM sh),
+        |bc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr,
+        |         CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ct
+        |       FROM pb GROUP BY bucket),
+        |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS cr_tot, CAST(sum(ct) AS BIGINT) AS ct_tot FROM bc),
+        |wt AS (SELECT bucket,
+        |         CAST(round(((CAST(ct AS DOUBLE) + 1.0) * (CAST(cr_tot AS DOUBLE) + 256.0))
+        |              / ((CAST(cr AS DOUBLE) + 1.0) * (CAST(ct_tot AS DOUBLE) + 256.0)) - 1.0, 6)
+        |           AS DECIMAL(21,10)) AS wgt
+        |       FROM bc CROSS JOIN tot),
+        |sc AS (SELECT doc_id, lang, sum(wgt) AS sd
+        |       FROM pb JOIN wt USING (bucket) GROUP BY doc_id, lang)
+        |SELECT doc_id, lang, CAST(sd AS DOUBLE) AS dsir_score
+        |FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+      graft.analytics.Selection.dsirTopK(
+        Tables.documents(s, d), col("lang") === "en", 100)
     }
   )
 
