@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Source-mixture rebalancing — the data-mixing pass a training
@@ -47,5 +47,61 @@ object Mixture {
       .join(broadcast(rates), Seq(srcCol))
       .filter(col("bucket") * col("_c") < col("_nmin") * lit(4096L))
       .select(col(idCol), col(srcCol), col("bucket"))
+  }
+
+  /** Nested scaling-law subsample manifests — the ablation datasets a
+    * scaling study needs (S_1/64 ⊂ S_1/16 ⊂ S_1/4 ⊂ S_full), one
+    * manifest row per threshold. A doc's sha bucket (0..4095, the
+    * q130 nibbles) fixes the SMALLEST threshold tier containing it;
+    * every coarser tier contains it by arithmetic (bucket < t₁ < t₂),
+    * so nesting is structural — stable under re-runs, re-sharding
+    * and partitioning, and two corpus halves' manifests MERGE into
+    * the whole's (every column is sum/min/max-mergeable).
+    *
+    * Scale shape: stage 1 groups by tier (≤|thresholds| rows after
+    * map-side partial agg — the only shuffle); stage 2 explodes each
+    * tier row into the literal list of thresholds it contributes to
+    * (an equi-explode over ≤|thresholds| rows — NOT an inequality
+    * join against a threshold frame, which would constant-fold into
+    * the BNLJ the engine-wide PlanSpec bans) and re-sums. The id
+    * checksum is the sum of each id's sha hex chars 4–9 —
+    * order-independent and partial-aggregable, where a q155-style
+    * sorted-id-list sha would collect corpus-sized fraction members
+    * (the scale bug this spelling exists to avoid; q155's lists are
+    * per-SHARD and budget-bounded).
+    *
+    * A threshold whose tiers are all empty emits no row (explode of
+    * nothing), matching the oracle's empty group. */
+  def nestedSubsamples(docs: DataFrame,
+                       thresholds: Seq[Long] = Seq(64L, 256L, 1024L, 4096L),
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted &&
+      thresholds.last == 4096L,
+      "thresholds must ascend and end at the full bucket space (4096)")
+    val sha = sha2(col(idCol).cast("string"), 256)
+    val bucket = conv(substring(sha, 1, 3), 16, 10).cast("long")
+    val idVal = conv(substring(sha, 4, 6), 16, 10).cast("long")
+    val nTok = size(split(col(textCol), " ")).cast("long")
+    val tier = thresholds.init.zipWithIndex.reverse
+      .foldLeft(lit(thresholds.size - 1): Column) {
+        case (acc, (t, i)) => when(bucket < t, lit(i)).otherwise(acc)
+      }
+    val perTier = docs
+      .select(tier.as("tier"), nTok.as("nt"), idVal.as("iv"), col(idCol).as("id"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+        sum("iv").as("id_sum"), min("id").as("min_id"), max("id").as("max_id"))
+    val contributesTo = thresholds.indices.reverse
+      .foldLeft(typedLit(Seq.empty[Long]): Column) {
+        case (acc, i) => when(col("tier") === i, typedLit(thresholds.drop(i))).otherwise(acc)
+      }
+    perTier
+      .select(explode(contributesTo).as("threshold"), col("n_docs"),
+        col("n_tokens"), col("id_sum"), col("min_id"), col("max_id"))
+      .groupBy("threshold")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("id_sum").as("id_sum"), min("min_id").as("min_id"),
+        max("max_id").as("max_id"))
+      .orderBy("threshold")
   }
 }

@@ -15,6 +15,16 @@ object TextQueries {
   private def vocabSql(vocab: Seq[String]): String =
     vocab.mkString("['", "', '", "']")
 
+  /** DuckDB spelling of "integer value of sha-256 hex chars
+    * [start, start+len)" — the portable hash-bucket idiom (DuckDB 1.0
+    * has no conv()). */
+  private def hexValSql(arg: String, start: Int, len: Int): String =
+    (0 until len).map { k =>
+      val mult = math.pow(16, len - 1 - k).toLong
+      s"CAST(strpos('0123456789abcdef', substr(sha256($arg), ${start + k}, 1)) - 1 AS BIGINT)" +
+        (if (mult > 1) s" * $mult" else "")
+    }.mkString("\n    + ")
+
   /** Shared BPE-training CTE chain (q138 trains, q140 applies): word
     * dictionary -> char segmentation -> 3 unrolled rounds of
     * pair-count / top-1 / merge. Ends at t3 (round-3 winner) and s2
@@ -1050,6 +1060,41 @@ object TextQueries {
         |FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
       graft.analytics.Selection.dsirTopK(
         Tables.documents(s, d), col("lang") === "en", 100)
+    },
+
+    // ---------------------------------------------------------------- q157
+    // Nested scaling-law subsample manifests: S_1/64 ⊂ S_1/16 ⊂
+    // S_1/4 ⊂ S_full by sha-bucket arithmetic (bucket < t nests
+    // structurally), one MERGEABLE manifest row per threshold
+    // (count / token sum / order-independent id checksum / id range
+    // — no corpus-sized id list anywhere; see Mixture scaladoc).
+    // The ablation-dataset contract for a scaling study: rerun- and
+    // reshard-stable membership, and two corpus halves' manifests
+    // merge into the whole's.
+    Q("q157_scaling_subsamples",
+      s"""WITH h AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         |    ${hexValSql("CAST(doc_id AS VARCHAR)", 1, 3)} AS bucket,
+         |    ${hexValSql("CAST(doc_id AS VARCHAR)", 4, 6)} AS iv
+         |  FROM documents),
+         |t AS (SELECT doc_id, nt, iv,
+         |    CASE WHEN bucket < 64 THEN 0 WHEN bucket < 256 THEN 1
+         |         WHEN bucket < 1024 THEN 2 ELSE 3 END AS tier
+         |  FROM h),
+         |g AS (SELECT tier, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(nt) AS BIGINT) AS n_tokens, CAST(sum(iv) AS BIGINT) AS id_sum,
+         |    min(doc_id) AS min_id, max(doc_id) AS max_id
+         |  FROM t GROUP BY tier),
+         |x AS (SELECT g.*, unnest(CASE tier
+         |    WHEN 0 THEN [64, 256, 1024, 4096] WHEN 1 THEN [256, 1024, 4096]
+         |    WHEN 2 THEN [1024, 4096] ELSE [4096] END) AS threshold FROM g)
+         |SELECT CAST(threshold AS BIGINT) AS threshold,
+         |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(id_sum) AS BIGINT) AS id_sum,
+         |  min(min_id) AS min_id, max(max_id) AS max_id
+         |FROM x GROUP BY threshold ORDER BY threshold""".stripMargin) { (s, d) =>
+      graft.ops.Mixture.nestedSubsamples(Tables.documents(s, d))
     }
   )
 

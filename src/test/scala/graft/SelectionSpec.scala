@@ -45,6 +45,35 @@ class SelectionSpec extends SparkSpec {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("nestedSubsamples: manifests nest, and halves merge into the whole") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Mixture.nestedSubsamples(df).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+    val whole = manifest(docs)
+    // monotone nesting: counts/tokens non-decreasing in threshold
+    val thr = whole.keys.toSeq.sorted
+    thr.sliding(2).foreach { case Seq(a, b) =>
+      assert(whole(a)._1 <= whole(b)._1 && whole(a)._2 <= whole(b)._2)
+    }
+    assert(whole(4096L)._1 == docs.count())
+    // merge: disjoint halves' manifests combine into the whole's
+    val h1 = manifest(docs.filter(col("doc_id") % 2 === 0))
+    val h2 = manifest(docs.filter(col("doc_id") % 2 =!= 0))
+    thr.foreach { t =>
+      val (a, b) = (h1.get(t), h2.get(t))
+      def f(g: Option[(Long, Long, Long, Long, Long)], i: Int, z: Long) =
+        g.map(v => i match { case 0 => v._1; case 1 => v._2; case 2 => v._3
+          case 3 => v._4; case 4 => v._5 }).getOrElse(z)
+      assert(f(a, 0, 0L) + f(b, 0, 0L) == whole(t)._1)
+      assert(f(a, 1, 0L) + f(b, 1, 0L) == whole(t)._2)
+      assert(f(a, 2, 0L) + f(b, 2, 0L) == whole(t)._3)
+      assert(math.min(f(a, 3, Long.MaxValue), f(b, 3, Long.MaxValue)) == whole(t)._4)
+      assert(math.max(f(a, 4, Long.MinValue), f(b, 4, Long.MinValue)) == whole(t)._5)
+    }
+  }
+
   test("selection shifts the mixture toward the target language") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     val corpusEn = docs.filter(col("lang") === "en").count().toDouble /
