@@ -925,4 +925,41 @@ object DedupOps {
           coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_spans").cast("double"),
           4).as("dup_frac"))
   }
+
+  /** Contamination span profile (q158): for every (corpus doc, bench
+    * doc) pair sharing k-grams, the longest contiguous run of matched
+    * corpus positions — span_tokens = run + k−1 means every k-window
+    * inside that corpus span appears somewhere in the bench doc (the
+    * n-gram-collision window of decontamination reports) — plus total
+    * matched positions and run count.
+    *
+    * Shape at scale: corpus-side positional k-grams (native
+    * SpanExplode, map-only) are Bloom-pruned MAP-SIDE against the
+    * union of benchmark grams before the equi-join attaches bench ids
+    * ([[graft.ops.Dedup.bloomProbe]]; the inner join resolves false
+    * positives exactly) — at real <1% hit rates the join input is
+    * ~the hit set, not the corpus. Runs via i − row_number under a
+    * (doc, bench) PARTITIONED window: per-pair rows are bounded by
+    * document length, never a global sort. */
+  def contaminationSpans(docs: DataFrame, isBench: Column, k: Int = 4,
+                         expectedBenchGrams: Long = 1L << 18): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = docs.select(col("doc_id"), isBench.as("is_bench"),
+      graft.functions.SpanExplode.span_explode(col("text"), k).as(Seq("i", "s")))
+    val cg = sp.filter(!col("is_bench"))
+    val bg = sp.filter(col("is_bench"))
+      .select(col("doc_id").as("bench_id"), col("s")).distinct()
+    val m = graft.ops.Dedup
+      .bloomProbe(cg, bg.select("s"), "s", expectedBenchGrams)
+      .join(bg, Seq("s"))
+      .select(col("doc_id"), col("bench_id"), col("i").cast("long").as("i"))
+      .distinct()
+    val w = Window.partitionBy("doc_id", "bench_id").orderBy("i")
+    m.withColumn("grp", col("i") - row_number().over(w))
+      .groupBy("doc_id", "bench_id", "grp")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy("doc_id", "bench_id")
+      .agg((max("run_len") + (k - 1)).as("span_tokens"),
+        sum("run_len").as("n_matches"), count(lit(1)).as("n_runs"))
+  }
 }

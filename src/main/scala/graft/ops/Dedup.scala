@@ -91,8 +91,15 @@ object Dedup {
     * `BloomFilterMightContain` probe as the anti spelling, no UDF.
     * Unlike the anti split, `probe` is evaluated ONCE (single branch)
     * so no determinism caveat applies. */
-  def bloomSemiJoinKeys(probe: DataFrame, keys: DataFrame, key: String,
-                        expectedKeys: Long, fpp: Double = 0.03): DataFrame = {
+  /** The map-side Bloom prune alone: keep probe rows whose `key`
+    * MIGHT be in `keys` (codegen'd BloomFilterMightContain — no UDF,
+    * no shuffle). False positives pass — resolve them with whatever
+    * exact equi-join follows; false negatives are impossible, so a
+    * dropped row is definitely clean. Split out of
+    * [[bloomSemiJoinKeys]] for consumers whose follow-up join needs
+    * more than semi semantics (q158 attaches the benchmark doc id). */
+  def bloomProbe(probe: DataFrame, keys: DataFrame, key: String,
+                 expectedKeys: Long, fpp: Double = 0.03): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val bloom = keys.select(xxhash64(col(key).cast("string")).as("k"))
@@ -103,6 +110,10 @@ object Dedup {
       Literal(out.toByteArray, org.apache.spark.sql.types.BinaryType),
       ColumnBridge.expression(xxhash64(col(key).cast("string")))))
     probe.filter(mightContain)
-      .join(keys.select(key).distinct(), Seq(key), "left_semi")
   }
+
+  def bloomSemiJoinKeys(probe: DataFrame, keys: DataFrame, key: String,
+                        expectedKeys: Long, fpp: Double = 0.03): DataFrame =
+    bloomProbe(probe, keys, key, expectedKeys, fpp)
+      .join(keys.select(key).distinct(), Seq(key), "left_semi")
 }

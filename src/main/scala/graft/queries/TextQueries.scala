@@ -1095,6 +1095,45 @@ object TextQueries {
          |  min(min_id) AS min_id, max(max_id) AS max_id
          |FROM x GROUP BY threshold ORDER BY threshold""".stripMargin) { (s, d) =>
       graft.ops.Mixture.nestedSubsamples(Tables.documents(s, d))
+    },
+
+    // ---------------------------------------------------------------- q158
+    // Contamination SPAN profile — the evidence a team reviews before
+    // q129's verdict drops a document: for every (corpus doc,
+    // benchmark doc) sharing 4-grams, the LONGEST CONTIGUOUS run of
+    // matched corpus positions (span_tokens = run + 3: every
+    // 4-window inside the span appears in that benchmark doc — the
+    // n-gram-collision window decontamination reports use), plus
+    // total matched positions and run count. Positions come from the
+    // native SpanExplode generator (q100's machinery — positional,
+    // multiset); the benchmark side is the per-bench-doc DISTINCT
+    // gram set; the corpus stream is Bloom-pruned MAP-SIDE against
+    // the union of benchmark grams before the equi-join attaches
+    // bench ids (Dedup.bloomProbe — at real <1% hit rates the join
+    // input is ~the hit set, not the corpus; the inner equi-join
+    // resolves the Bloom's false positives exactly). Runs via the
+    // i − row_number trick under a (doc, bench) PARTITIONED window —
+    // per-pair row counts are doc-length-bounded, no global sort.
+    Q("q158_contamination_spans",
+      """WITH wsx AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |ix AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 3, 0))) AS i FROM wsx),
+        |cg AS (SELECT doc_id, i, array_to_string(ws[i:i+3], ' ') AS s FROM ix WHERE doc_id % 50 <> 0),
+        |bg AS (SELECT DISTINCT doc_id AS bench_id, array_to_string(ws[i:i+3], ' ') AS s
+        |       FROM ix WHERE doc_id % 50 = 0),
+        |m AS (SELECT DISTINCT cg.doc_id, bg.bench_id, cg.i FROM cg JOIN bg USING (s)),
+        |r AS (SELECT doc_id, bench_id, i,
+        |        i - row_number() OVER (PARTITION BY doc_id, bench_id ORDER BY i) AS grp
+        |      FROM m),
+        |g AS (SELECT doc_id, bench_id, grp, CAST(count(*) AS BIGINT) AS run_len
+        |      FROM r GROUP BY doc_id, bench_id, grp)
+        |SELECT doc_id, bench_id, max(run_len) + 3 AS span_tokens,
+        |  CAST(sum(run_len) AS BIGINT) AS n_matches,
+        |  CAST(count(*) AS BIGINT) AS n_runs
+        |FROM g GROUP BY doc_id, bench_id
+        |ORDER BY doc_id, bench_id""".stripMargin) { (s, d) =>
+      graft.analytics.DedupOps
+        .contaminationSpans(Tables.documents(s, d), col("doc_id") % 50 === 0)
+        .orderBy("doc_id", "bench_id")
     }
   )
 

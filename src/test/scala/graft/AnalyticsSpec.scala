@@ -844,4 +844,23 @@ class AnalyticsSpec extends SparkSpec {
       s"cos(3,4) rounds to -0.0 and must be normalized to +0.0, got bits of $bs4")
     assert(kept4, "0.0 < 0.5 → kept")
   }
+
+  test("contaminationSpans: closed-form run lengths, splits, and span arithmetic") {
+    // bench doc 100: tokens a..j; doc 1 embeds a..h contiguously
+    // (5 consecutive matched 4-gram positions → span 8); doc 2 has
+    // two isolated 4-token matches (two runs of 1 → span 4)
+    val docs = Seq(
+      (1L, "x y z a b c d e f g h q r s t"),
+      (2L, "a b c d m n p q g h i j"),
+      (3L, "u v w x y z u v w x"),
+      (100L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val out = DedupOps.contaminationSpans(docs, col("doc_id") >= 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == Set((1L, 100L), (2L, 100L)), s"got ${out.keySet}")
+    assert(out((1L, 100L)) == ((8L, 5L, 1L)),
+      s"contiguous a..h: span 8, 5 matches, 1 run — got ${out((1L, 100L))}")
+    assert(out((2L, 100L)) == ((4L, 2L, 2L)),
+      s"two isolated matches: span 4, 2 matches, 2 runs — got ${out((2L, 100L))}")
+  }
 }
