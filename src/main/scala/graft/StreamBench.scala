@@ -226,6 +226,23 @@ object StreamBench {
     val (idxSec, idxOut) = timeRun(
       graft.streaming.IndexStream.streamingIndex(idxStream).toDF())
 
+    // 3g. streaming curation (CurationStream): quality battery →
+    // benchmark decontamination → fingerprint-keyed exact dedup —
+    // the capstone's incremental face; docs/s is the curated-ingest
+    // figure (state = one long per unique fingerprint).
+    val curBench = graft.streaming.CurationStream.benchGrams(
+      spark.read.parquet(docsPath).filter(col("doc_id") % 50 === 0))
+    val curInput = spark.read.parquet(docsPath)
+      .filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val curDir = tmpDir("graft-sbench-cur")
+    curInput.write.mode("overwrite").parquet(curDir)
+    val nCur = curInput.count()
+    val curStream = spark.readStream.schema(curInput.schema).parquet(curDir)
+      .as[graft.streaming.CurationStream.Doc]
+    val (curSec, curOut) = timeRun(
+      graft.streaming.CurationStream.curatedStream(curStream, curBench).toDF())
+
     // 3e. streaming CDC apply (CdcStream): a changelog derived from
     // the events table (key = user, seq = event id, 5% deletes) folds
     // into per-key serving state — every change is a keyed state
@@ -276,6 +293,10 @@ object StreamBench {
       graft.streaming.IndexStream.streamingIndex(
         raw.as[graft.streaming.IndexStream.Doc]).toDF()
     }
+    val curTimes = steadyDrops(curInput, "doc_id", nDrops, "curss") { raw =>
+      graft.streaming.CurationStream.curatedStream(
+        raw.as[graft.streaming.CurationStream.Doc], curBench).toDF()
+    }
 
     val sf = new java.io.File(sfDir).getName
     println(
@@ -288,10 +309,11 @@ object StreamBench {
       f""""ham_sigs_per_sec":${nSigs / hamSec}%.0f,"ham_sec":$hamSec%.2f,"ham_pairs":$hamOut,""" +
       f""""cdc_changes_per_sec":${nChanges / cdcSec}%.0f,"cdc_sec":$cdcSec%.2f,"cdc_out":$cdcOut,""" +
       f""""idx_docs_per_sec":${nDocs / idxSec}%.0f,"idx_sec":$idxSec%.2f,"idx_postings":$idxOut,""" +
+      f""""cur_docs_per_sec":${nCur / curSec}%.0f,"cur_sec":$curSec%.2f,"cur_out":$curOut,""" +
       f""""ss_batches":$nDrops,"ss_cold":$coldRate%.0f,"ss_steady":${steadyRate(ssTimes)}%.0f,""" +
       f""""nd_steady":${steadyRate(ndTimes)}%.0f,"emb_steady":${steadyRate(embTimes)}%.0f,""" +
       f""""sem_steady":${steadyRate(semTimes)}%.0f,"cdc_steady":${steadyRate(cdcTimes)}%.0f,""" +
-      f""""idx_steady":${steadyRate(idxTimes)}%.0f}""")
+      f""""idx_steady":${steadyRate(idxTimes)}%.0f,"cur_steady":${steadyRate(curTimes)}%.0f}""")
     spark.stop()
   }
 }

@@ -22,6 +22,8 @@ object StreamingSpec {
     new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.CdcStream.ChangeEvent]()
   val collectedPostings =
     new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.IndexStream.PostingEvent]()
+  val collectedCurated =
+    new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.CurationStream.CuratedDoc]()
 }
 
 class StreamingSpec extends SparkSpec {
@@ -1187,5 +1189,79 @@ class StreamingSpec extends SparkSpec {
     Seq(("k1", "a"), ("k1", "c"), ("k1", "c")).toDF("key", "id")
       .write.mode("overwrite").json(s"$dir/f2")
     assert(runOnce().map(_.id) == Seq("c"))
+  }
+
+  test("streaming curation ≡ batch quality→decon→exact-dedup across drops, restart, and replay") {
+    import graft.streaming.CurationStream
+    import graft.analytics.TextAnalysis
+    val all = Tables.documents(spark, sf("sf0.01"))
+    val corpus = all.filter($"doc_id" % 50 =!= 0)
+    val benchDocs = all.filter($"doc_id" % 50 === 0)
+    val bench = CurationStream.benchGrams(benchDocs)
+
+    // batch twin: q132 battery ∘ q129 ≥3-gram rule ∘ min-id keeper
+    val st = graft.functions.TextStats.text_stats(col("text"))
+    val nt = st.getField("nt").cast("long")
+    val nc = st.getField("nc").cast("long")
+    val dg = st.getField("dg").cast("long")
+    val en = st.getField("en").cast("long")
+    val wc = length(expr("replace(text, ' ', '')")).cast("long")
+    val keep = nt >= 30 && nt <= 10000 &&
+      lit(3) * nt <= wc && lit(2) * wc <= lit(9) * nt &&
+      lit(10) * dg <= nc && en >= 2
+    val gated = corpus.filter(keep)
+    val benchSet = TextAnalysis.shingleSet(benchDocs, 4).select("s").distinct()
+    val hits = TextAnalysis.shingleSet(gated, 4)
+      .join(benchSet, Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    val expected = gated.join(hits, Seq("doc_id"), "left")
+      .filter(coalesce($"n_hits", lit(0L)) < 3)
+      .select(TextAnalysis.fingerprint($"text").as("fp"), $"doc_id")
+      .groupBy("fp").agg(min("doc_id").as("keeper"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture must exercise the pipeline")
+
+    val input = corpus.select($"doc_id", $"lang", $"text")
+    val drop1 = input.filter($"doc_id" <= 250).orderBy("doc_id")
+    val drop2 = input.filter($"doc_id" > 250).orderBy("doc_id")
+    val dir = tmp("graft-curation-stream")
+    val ckpt = tmp("graft-curation-ckpt")
+    StreamingSpec.collectedCurated.clear()
+    def start() = {
+      val stream = spark.readStream.schema(input.schema).parquet(dir)
+        .as[CurationStream.Doc]
+      CurationStream.curatedStream(stream, bench).toDF()
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.as[CurationStream.CuratedDoc].collect()
+            .foreach(StreamingSpec.collectedCurated.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    def curatedNow() = {
+      import scala.jdk.CollectionConverters._
+      StreamingSpec.collectedCurated.asScala.toSeq
+    }
+    drop1.write.mode("overwrite").parquet(dir)
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    val afterDrop1 = curatedNow().size
+    // restart from the checkpoint: fingerprint state must survive
+    drop2.write.mode("append").parquet(dir)
+    // replay drop1 in the same batch dir — at-least-once tolerance
+    drop1.write.mode("append").parquet(dir)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val events = curatedNow()
+    assert(events.size > afterDrop1, "second night must add docs")
+    assert(events.map(_.fp).distinct.size == events.size,
+      "a fingerprint emits exactly once across drops and replays")
+    val got = events.map(e => (e.fp, e.doc_id)).toSet
+    assert(got == expected,
+      s"stream ≡ batch: ${got.size} vs ${expected.size} keepers; " +
+        s"diff ${(got diff expected).take(3)} / ${(expected diff got).take(3)}")
   }
 }
