@@ -926,6 +926,65 @@ object DedupOps {
           4).as("dup_frac"))
   }
 
+  /** Span-dedup REWRITE — the actual output of exact substring dedup
+    * (Lee et al. 2022 §4.1: when a k-token span repeats corpus-wide,
+    * keep ONE occurrence and delete the rest), where q100/q101
+    * profile and q103 drops whole documents. The canonical occurrence
+    * of a duplicated span is its minimum (doc_id, pos) — one
+    * `min(struct)` partial agg on the 8-byte span key, no window, no
+    * global sort (the q40/q144 idiom). Every NON-canonical occurrence
+    * of a duplicated span marks its k positions removed; a document's
+    * kept tokens rebuild in position order. Within-doc repeats dedup
+    * too (the second occurrence is non-canonical by pos order) — the
+    * paper's semantics.
+    *
+    * Output: per doc, original token count, removed count, and the
+    * sha-256 of the rewritten text (the artifact a release manifests;
+    * emitting megabytes of rewritten text from the gate query would
+    * verify the same bytes slower). A fully-deleted doc keeps the
+    * empty-string sha.
+    *
+    * Scale shape: occurrences and the duplicated-span dictionary are
+    * q100's frames (two partial-agged shuffles on the uniform 8-byte
+    * key). The removal set explodes k rows per non-canonical
+    * duplicated occurrence — OUTPUT-bound, like all removal work. The
+    * rebuild is the only token-level shuffle (inherent: the operator
+    * rewrites the corpus) and its per-doc state is doc-length
+    * bounded; collect_list + array_sort run per document, never
+    * corpus-wide. Boilerplate skew: a corpus-wide boilerplate span
+    * shuffles its occurrences to one h partition — AQE skew split
+    * handles moderate cases; adversarial corpora apply the q79 df-cap
+    * first (a span above the cap is removal-candidate-by-definition;
+    * cap survivors rewrite exactly). */
+  def spanDedupRewrite(docs: DataFrame, k: Int = 8): DataFrame = {
+    val occ = spanOccurrences(docs, k)
+    val dup = occ.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("pos"))).as("canon"))
+      .filter(col("c") >= 2)
+      .select(col("h"), col("canon.doc_id").as("cd"), col("canon.pos").as("cp"))
+    val removed = occ.join(dup, Seq("h"))
+      .filter(!(col("doc_id") === col("cd") && col("pos") === col("cp")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("w"))
+    val rebuilt = toks.join(removed, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        sha2(array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("w")))),
+            x => x.getField("w")), " "), 256).as("sha"))
+    docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("sha"), sha2(lit(""), 256)).as("rewritten_sha"))
+  }
+
   /** Contamination span profile (q158): for every (corpus doc, bench
     * doc) pair sharing k-grams, the longest contiguous run of matched
     * corpus positions — span_tokens = run + k−1 means every k-window

@@ -669,6 +669,43 @@ object DedupQueries {
           if (nTruth == 0) 0L else 10000L * hit / nTruth)
       }.toDF("radius", "n_pred", "n_hit", "precision_bp", "recall_bp")
         .orderBy("radius")
+    },
+
+    // ---------------------------------------------------------------- q159
+    // Span-dedup REWRITE — the actual Lee et al. output next to the
+    // q100/q101 profiles: every duplicated 8-token span keeps its
+    // canonical (min doc_id, pos) occurrence, every other occurrence's
+    // positions delete, documents rebuild from the kept tokens. The
+    // gate hashes per-doc (n_tokens, n_removed, sha of the rewritten
+    // text), so a single token kept or dropped differently anywhere
+    // fails the row. Canonical election is one min(struct) partial
+    // agg (no window); the oracle's row_number spelling is the same
+    // total order.
+    Q("q159_span_dedup_rewrite",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |idx AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i FROM w),
+         |occ AS (SELECT doc_id, i AS pos, substr(sha256(array_to_string(ws[i:i+7], ' ')), 1, 16) AS h FROM idx),
+         |r AS (SELECT doc_id, pos,
+         |        row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         |        count(*) OVER (PARTITION BY h) AS c
+         |      FROM occ),
+         |rem0 AS (SELECT doc_id, pos FROM r WHERE c >= 2 AND rn > 1),
+         |remp AS (SELECT DISTINCT doc_id, pos + unnest(generate_series(0, 7)) AS p FROM rem0),
+         |tok AS (SELECT doc_id, i AS p, ws[i] AS wd
+         |        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w)),
+         |kept AS (SELECT t.doc_id, t.p, t.wd FROM tok t
+         |         LEFT JOIN remp r ON t.doc_id = r.doc_id AND t.p = r.p
+         |         WHERE r.doc_id IS NULL),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |          sha256(string_agg(wd, ' ' ORDER BY p)) AS sha
+         |        FROM kept GROUP BY doc_id),
+         |base AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
+         |SELECT b.doc_id, b.n_tokens,
+         |  b.n_tokens - COALESCE(n_kept, 0) AS n_removed,
+         |  COALESCE(sha, sha256('')) AS rewritten_sha
+         |FROM base b LEFT JOIN agg USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      DedupOps.spanDedupRewrite(Tables.documents(s, d), 8).orderBy("doc_id")
     }
   )
 

@@ -845,6 +845,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(kept4, "0.0 < 0.5 → kept")
   }
 
+  test("spanDedupRewrite: canonical keeps, copies delete, within-doc repeats dedup") {
+    def sha(s: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    val uspan = (1 to 8).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"p1 p2 $span q1 q2"),  // canonical occurrence
+      (2L, s"r1 r2 r3 $span t1"),  // cross-doc copy → deleted
+      (3L, s"$uspan $uspan"),      // within-doc repeat → 2nd deleted
+      (4L, s"$span $span")         // BOTH non-canonical (canon in doc 1) → empty
+    ).toDF("doc_id", "text")
+    val out = DedupOps.spanDedupRewrite(docs, 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((12L, 0L, sha(s"p1 p2 $span q1 q2"))),
+      s"canonical doc untouched — got ${out(1L)}")
+    assert(out(2L) == ((12L, 8L, sha("r1 r2 r3 t1"))),
+      s"copy's span deleted — got ${out(2L)}")
+    assert(out(3L) == ((16L, 8L, sha(uspan))),
+      s"within-doc second occurrence deleted — got ${out(3L)}")
+    assert(out(4L) == ((16L, 16L, sha(""))),
+      s"every occurrence non-canonical → fully deleted — got ${out(4L)}")
+  }
+
   test("contaminationSpans: closed-form run lengths, splits, and span arithmetic") {
     // bench doc 100: tokens a..j; doc 1 embeds a..h contiguously
     // (5 consecutive matched 4-gram positions → span 8); doc 2 has
