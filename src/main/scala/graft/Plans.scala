@@ -99,7 +99,13 @@ object Plans {
     // the six-stage curation capstone (every stage's scale spelling
     // composed: session-cached components, broadcast Bloom, two-pass
     // prefix-sum packing — one pipeline, no cartesian anywhere)
-    "q154_ann_ivfpq_store", "q155_curation_capstone")
+    "q154_ann_ivfpq_store", "q155_curation_capstone",
+    // the DSIR broadcast-weight score pass (TakeOrdered top-k, no
+    // window), the Bloom-probed contamination span join, and the
+    // span-dedup rewrite's window-free canonical election — each
+    // pinned programmatically in PlanSpec, dumped here for reading
+    "q156_dsir_selection", "q158_contamination_spans",
+    "q159_span_dedup_rewrite")
 
   /** Context lines emitted under a query's heading — for plans whose
     * interesting structure is NOT visible in the final explain (e.g. a

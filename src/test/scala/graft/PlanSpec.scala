@@ -283,4 +283,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
     assert(p.contains("Partial"), s"map-side partial limit missing:\n$p")
   }
+
+  test("q156: DSIR score pass is broadcast-joined and top-k is TakeOrdered, no window") {
+    val p = plan("q156_dsir_selection")
+    assert(p.contains("BroadcastHashJoin"), s"weight table must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 must not global-sort:\n$p")
+    assert(!p.contains("Window"), s"no window anywhere in DSIR:\n$p")
+  }
+
+  test("q157: subsample manifests never plan a join (tier explode, not threshold join)") {
+    val p = plan("q157_scaling_subsamples")
+    assert(!p.contains("Join"), s"threshold fan-out must be an equi-explode:\n$p")
+    assert(p.contains("Generate"), p)
+  }
+
+  test("q158: corpus grams are Bloom-pruned map-side before the bench join") {
+    val p = plan("q158_contamination_spans")
+    assert(p.contains("might_contain("), s"map-side Bloom probe missing:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q159: canonical-span election is a partial agg, not a window") {
+    val p = plan("q159_span_dedup_rewrite")
+    // the only acceptable window-free election: min(struct) partial agg
+    assert(!p.contains("Window ["), s"canonical election must not sort per span:\n$p")
+    assert(p.contains("partial_min"), s"map-side canonical partials missing:\n$p")
+  }
 }
