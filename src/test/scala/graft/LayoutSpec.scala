@@ -115,4 +115,56 @@ class LayoutSpec extends SparkSpec {
     // with blooms every row group answers 'definitely absent' at the footer
     assert(bloomRows == 0, s"bloom filters did not prune: $bloomRows rows read")
   }
+
+  test("hive-partitioned write: a static partition filter prunes whole directories at the scan") {
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.01"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-hivepart").toString
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val enCount = docs.filter(col("lang") === "en").count()
+    val pruned = spark.read.parquet(dir).filter(col("lang") === "en")
+      .select("doc_id")
+    assert(scanRows(pruned) == enCount,
+      "only the lang=en directory's rows may leave the scan")
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("lang"), p)
+    // the predicate is answered by directory listing, not data filters
+    assert(!p.contains("PushedFilters: [IsNotNull(lang)"), p)
+  }
+
+  test("dynamic partition pruning: a filtered dim prunes the partitioned fact scan at runtime") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.01"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    // dim written to parquet: DPP requires a scannable filtered side
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    Seq(("en", "keep"), ("de", "drop"), ("fr", "drop"), ("es", "drop"), ("zh", "drop"))
+      .toDF("lang", "tag").write.mode("overwrite").parquet(dimDir)
+    val fact = spark.read.parquet(dir)
+    val dim = spark.read.parquet(dimDir).filter(col("tag") === "keep")
+    val joined = fact.join(dim, Seq("lang")).select("doc_id")
+    val enCount = docs.filter(col("lang") === "en").count()
+    assert(joined.count() == enCount)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"),
+      s"fact scan must carry a runtime partition filter:\n$p")
+    // the fact scan reads only the partition the dim's survivors name
+    joined.collect()
+    // AQE buries scans inside QueryStageExec leaves — recurse through
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case s: FileSourceScanExec => Seq(s)
+      case q: QueryStageExec => scans(q.plan)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case other => other.children.flatMap(scans)
+    }
+    val factScan = scans(joined.queryExecution.executedPlan).filter { s =>
+      s.metadata.get("Location").exists(_.contains("graft-dpp")) &&
+        !s.metadata.get("Location").exists(_.contains("dpp-dim"))
+    }
+    assert(factScan.nonEmpty)
+    assert(factScan.map(_.metrics("numOutputRows").value).sum == enCount,
+      "runtime pruning must skip every non-en partition")
+  }
 }
