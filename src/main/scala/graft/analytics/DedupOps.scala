@@ -29,6 +29,44 @@ object DedupOps {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
 
+  /** Release keeper-churn delta — the audit between two corpus
+    * states (last night's release vs tonight's): per exact-dedup
+    * fingerprint group, is the canonical keeper STABLE, REKEYED (the
+    * group survives but a different copy became canonical — its
+    * provenance/attribution changes even though content didn't),
+    * ADDED (new content), or REMOVED (content left the corpus)?
+    * Per-language counts of each — the four numbers a release diff
+    * report leads with. Rekeyed is the subtle one a naive diff
+    * misses: downstream artifacts keyed by keeper doc_id (shard
+    * manifests, dedup stores) invalidate for rekeyed groups even
+    * though the text is unchanged.
+    *
+    * Shape: two keeper elections (min(struct(doc_id, lang)) partial
+    * aggs on the 32-byte fp — no window, the q40 idiom), one
+    * full-outer equi-join on fp (the q144 CDC shape), one conditional
+    * agg. Everything partial-aggregates map-side; the join is the
+    * only real exchange and its key is uniform sha-256. */
+  def releaseKeeperDelta(last: DataFrame, now: DataFrame): DataFrame = {
+    def keepers(docs: DataFrame) = docs
+      .select(col("doc_id"), col("lang"), fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("lang"))).as("k"))
+      .select(col("fp"), col("k.doc_id").as("id"), col("k.lang").as("klang"))
+    val l = keepers(last).select(col("fp"), col("id").as("lid"), col("klang").as("llang"))
+    val n = keepers(now).select(col("fp"), col("id").as("nid"), col("klang").as("nlang"))
+    val status = when(col("lid").isNotNull && col("nid").isNotNull && col("lid") === col("nid"), "stable")
+      .when(col("lid").isNotNull && col("nid").isNotNull, "rekeyed")
+      .when(col("nid").isNotNull, "added")
+      .otherwise("removed")
+    l.join(n, Seq("fp"), "full_outer")
+      .select(coalesce(col("nlang"), col("llang")).as("lang"), status.as("st"))
+      .groupBy("lang")
+      .agg(count(when(col("st") === "stable", 1)).as("n_stable"),
+        count(when(col("st") === "rekeyed", 1)).as("n_rekeyed"),
+        count(when(col("st") === "added", 1)).as("n_added"),
+        count(when(col("st") === "removed", 1)).as("n_removed"))
+  }
+
   /** Distinct-shingle sizes per doc. */
   def shingleSizes(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

@@ -706,6 +706,44 @@ object DedupQueries {
          |FROM base b LEFT JOIN agg USING (doc_id)
          |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
       DedupOps.spanDedupRewrite(Tables.documents(s, d), 8).orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q160
+    // Release keeper-churn delta: between last night's corpus state
+    // (doc_id % 5 <> 0) and tonight's (doc_id % 7 <> 0 — docs arrive
+    // AND leave, the retention-policy reality), per exact-dedup group:
+    // keeper stable / REKEYED (content survives, a different copy is
+    // canonical — invalidates keeper-keyed artifacts a naive diff
+    // misses) / added / removed, counted per language. Two min-struct
+    // elections, one full-outer join on the sha fp (q144's CDC
+    // shape), one conditional agg.
+    Q("q160_release_delta",
+      """WITH lf AS (SELECT doc_id, lang,
+        |    sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |nf AS (SELECT doc_id, lang,
+        |    sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |lk AS (SELECT fp, min(doc_id) AS lid FROM lf GROUP BY fp),
+        |lkl AS (SELECT lk.fp, lid, lang AS llang FROM lk JOIN lf ON lf.doc_id = lk.lid AND lf.fp = lk.fp),
+        |nk AS (SELECT fp, min(doc_id) AS nid FROM nf GROUP BY fp),
+        |nkl AS (SELECT nk.fp, nid, lang AS nlang FROM nk JOIN nf ON nf.doc_id = nk.nid AND nf.fp = nk.fp),
+        |j AS (SELECT COALESCE(nlang, llang) AS lang,
+        |        CASE WHEN lid IS NOT NULL AND nid IS NOT NULL AND lid = nid THEN 'stable'
+        |             WHEN lid IS NOT NULL AND nid IS NOT NULL THEN 'rekeyed'
+        |             WHEN nid IS NOT NULL THEN 'added' ELSE 'removed' END AS st
+        |      FROM lkl FULL OUTER JOIN nkl USING (fp))
+        |SELECT lang,
+        |  CAST(count(*) FILTER (WHERE st = 'stable') AS BIGINT) AS n_stable,
+        |  CAST(count(*) FILTER (WHERE st = 'rekeyed') AS BIGINT) AS n_rekeyed,
+        |  CAST(count(*) FILTER (WHERE st = 'added') AS BIGINT) AS n_added,
+        |  CAST(count(*) FILTER (WHERE st = 'removed') AS BIGINT) AS n_removed
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      DedupOps.releaseKeeperDelta(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 7 =!= 0))
+        .orderBy("lang")
     }
   )
 

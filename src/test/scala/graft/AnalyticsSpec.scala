@@ -845,6 +845,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(kept4, "0.0 < 0.5 → kept")
   }
 
+  test("releaseKeeperDelta: all four statuses, incl. the rekeyed case the corpus lacks") {
+    val last = Seq(
+      (10L, "en", "same text a"),   // stable group (keeper 10 both nights)
+      (11L, "en", "same text a"),
+      (20L, "de", "rekey text b"),  // keeper 20 leaves; 21 takes over → rekeyed
+      (21L, "de", "rekey text b"),
+      (30L, "fr", "gone text c")    // group disappears → removed
+    ).toDF("doc_id", "lang", "text")
+    val now = Seq(
+      (10L, "en", "same text a"),
+      (21L, "de", "rekey text b"),
+      (40L, "zh", "new text d")     // new group → added
+    ).toDF("doc_id", "lang", "text")
+    val out = DedupOps.releaseKeeperDelta(last, now).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out("en") == ((1L, 0L, 0L, 0L)), s"stable — got ${out.get("en")}")
+    assert(out("de") == ((0L, 1L, 0L, 0L)), s"rekeyed — got ${out.get("de")}")
+    assert(out("zh") == ((0L, 0L, 1L, 0L)), s"added — got ${out.get("zh")}")
+    assert(out("fr") == ((0L, 0L, 0L, 1L)), s"removed — got ${out.get("fr")}")
+  }
+
   test("spanDedupRewrite: canonical keeps, copies delete, within-doc repeats dedup") {
     def sha(s: String) = java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
