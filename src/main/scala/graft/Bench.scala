@@ -176,10 +176,15 @@ object Bench {
     val bests = results.map { case (k, runs, ld) => (k, runs.minBy(_._1), ld) }
     // x_* probes keep two segments ("x_ivfpq", "x_phash") — a bare
     // "x" would collide when several probes are selected together
+    // 2 decimals + basename sf: the one-line report must survive the
+    // driver's 2000-char stdout tail buffer — at 160 queries the
+    // 3-decimal spelling overflows it and the driver loses the line's
+    // head (r9's BENCH artifact has parsed:null for exactly this
+    // reason). Millisecond precision rides in the detail file.
     val qs = bests.map { case (k, best, _) =>
       val short = if (k.startsWith("x_")) k.split('_').take(2).mkString("_")
         else k.split('_').head
-      "\"" + short + f"\":${best._1}%.3f" }
+      "\"" + short + f"\":${best._1}%.2f" }
       .mkString("{", ",", "}")
     val total = bests.map(_._2._1).sum
     val gcTotal = bests.map(_._2._2).sum
@@ -228,7 +233,7 @@ object Bench {
     val calOut = calSummary.map { case (a, m, r) =>
       f""","cal":{"alu":$a%.3f,"mem":$m%.3f,"max_infl":$r%.2f}"""
     }.getOrElse("")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","gc_sec":$gcTotal%.3f$calOut,"queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","gc_sec":$gcTotal%.3f$calOut,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}""")
     spark.stop()
   }
 }

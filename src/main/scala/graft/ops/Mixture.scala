@@ -68,7 +68,10 @@ object Mixture {
     * order-independent and partial-aggregable, where a q155-style
     * sorted-id-list sha would collect corpus-sized fraction members
     * (the scale bug this spelling exists to avoid; q155's lists are
-    * per-SHARD and budget-bounded).
+    * per-SHARD and budget-bounded). Checksum headroom: terms are
+    * < 2^24, so the BIGINT sum stays exact (no ANSI overflow) below
+    * ~5×10^11 documents per manifest — beyond any single release;
+    * shard the manifest before that point.
     *
     * A threshold whose tiers are all empty emits no row (explode of
     * nothing), matching the oracle's empty group. */
