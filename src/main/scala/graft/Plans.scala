@@ -105,7 +105,9 @@ object Plans {
     // span-dedup rewrite's window-free canonical election — each
     // pinned programmatically in PlanSpec, dumped here for reading
     "q156_dsir_selection", "q158_contamination_spans",
-    "q159_span_dedup_rewrite")
+    "q159_span_dedup_rewrite",
+    // the join-free manifest fan-out and the CDC-shaped release diff
+    "q157_scaling_subsamples", "q160_release_delta")
 
   /** Context lines emitted under a query's heading — for plans whose
     * interesting structure is NOT visible in the final explain (e.g. a
