@@ -177,4 +177,31 @@ object TextAnalysis {
     }
     (merges.result(), segs)
   }
+
+  /** The q132 hard quality-rule battery — THE single spelling of the
+    * C4/Gopher-style keep decision, shared by the q132 gate, the q155
+    * capstone's stage 1, and the streaming curation twin
+    * (CurationStream): batch/stream parity is structural, not
+    * copy-paste, and a bound change here changes every consumer at
+    * once. Every ratio rule is integer cross-multiplied (no double
+    * division for the engines to round differently — the q80/q81
+    * portability lesson); inputs come from ONE fused TextStats pass.
+    * Returns a struct (nt, r_wordcount, r_meanlen, r_digit,
+    * r_stopword, keep) — the optimizer collapses getField(struct)
+    * back to the underlying expressions. */
+  def qualityBattery(text: Column): Column = {
+    val st = graft.functions.TextStats.text_stats(text)
+    val nt = st.getField("nt").cast("long")
+    val nc = st.getField("nc").cast("long")
+    val dg = st.getField("dg").cast("long")
+    val en = st.getField("en").cast("long")
+    val wc = length(replace(text, lit(" "), lit(""))).cast("long")
+    val rWord = nt >= 30 && nt <= 10000
+    val rMean = lit(3) * nt <= wc && lit(2) * wc <= lit(9) * nt
+    val rDigit = lit(10) * dg <= nc
+    val rStop = en >= 2
+    struct(nt.as("nt"), rWord.as("r_wordcount"), rMean.as("r_meanlen"),
+      rDigit.as("r_digit"), rStop.as("r_stopword"),
+      (rWord && rMean && rDigit && rStop).as("keep"))
+  }
 }

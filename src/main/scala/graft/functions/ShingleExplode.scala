@@ -35,23 +35,7 @@ case class ShingleExplode(child: Expression, n: Int)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val t = child.eval(input).asInstanceOf[UTF8String]
     if (t == null) return Iterator.empty
-    val words = t.toString.split(" ", -1)
-    if (words.length < n) return Iterator.empty
-    val seen = new java.util.LinkedHashSet[String]((words.length - n + 1) * 2)
-    var i = 0
-    val sb = new java.lang.StringBuilder(64)
-    while (i <= words.length - n) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(words(i + j))
-        j += 1
-      }
-      seen.add(sb.toString)
-      i += 1
-    }
-    val it = seen.iterator()
+    val it = ShingleExplode.distinctShingles(t.toString, n).iterator()
     new Iterator[InternalRow] {
       override def hasNext: Boolean = it.hasNext
       override def next(): InternalRow =
@@ -73,4 +57,32 @@ case class ShingleExplode(child: Expression, n: Int)
 object ShingleExplode {
   def shingle_explode(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleExplode(ColumnBridge.expression(text), n))
+
+  /** The generator's tokenize → slide → dedupe loop as plain Scala —
+    * THE single spelling of "distinct word n-grams of a document",
+    * shared by [[ShingleExplode.eval]] and the executor-side streaming
+    * twins (CurationStream's decontamination probe, DedupStream's
+    * band rows) so batch/stream gram parity is structural, not
+    * copy-paste. First-occurrence order; < n tokens or null text
+    * yield the empty set. */
+  def distinctShingles(text: String, n: Int): java.util.LinkedHashSet[String] = {
+    if (text == null) return new java.util.LinkedHashSet[String](0)
+    val words = text.split(" ", -1)
+    if (words.length < n) return new java.util.LinkedHashSet[String](0)
+    val seen = new java.util.LinkedHashSet[String]((words.length - n + 1) * 2)
+    var i = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen
+  }
 }

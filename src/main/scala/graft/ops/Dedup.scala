@@ -78,19 +78,6 @@ object Dedup {
       candidates.join(existingKeys.select(key).distinct(), Seq(key), "left_anti"))
   }
 
-  /** The semi-join dual of [[bloomAntiJoinKeys]] — keep rows whose key
-    * IS in the set, at the scale where the exact set no longer
-    * broadcasts. The Bloom's no-false-negative contract flips roles
-    * here: a row FAILING the probe definitely has no match and drops
-    * map-side — which for a needle-in-haystack probe (benchmark
-    * decontamination: hit rates well under 1%) is ~the whole input —
-    * and only survivors (true hits + fpp·|probe| false positives)
-    * reach the exact semi-join that resolves every false positive.
-    * Row-identical to `probe SEMI JOIN keys`; the shuffle shrinks
-    * from |probe| to ~|hits| + fpp·|probe|. Same codegen'd Catalyst
-    * `BloomFilterMightContain` probe as the anti spelling, no UDF.
-    * Unlike the anti split, `probe` is evaluated ONCE (single branch)
-    * so no determinism caveat applies. */
   /** The map-side Bloom prune alone: keep probe rows whose `key`
     * MIGHT be in `keys` (codegen'd BloomFilterMightContain — no UDF,
     * no shuffle). False positives pass — resolve them with whatever
@@ -112,6 +99,19 @@ object Dedup {
     probe.filter(mightContain)
   }
 
+  /** The semi-join dual of [[bloomAntiJoinKeys]] — keep rows whose key
+    * IS in the set, at the scale where the exact set no longer
+    * broadcasts. The Bloom's no-false-negative contract flips roles
+    * here: a row FAILING the probe definitely has no match and drops
+    * map-side — which for a needle-in-haystack probe (benchmark
+    * decontamination: hit rates well under 1%) is ~the whole input —
+    * and only survivors (true hits + fpp·|probe| false positives)
+    * reach the exact semi-join that resolves every false positive.
+    * Row-identical to `probe SEMI JOIN keys`; the shuffle shrinks
+    * from |probe| to ~|hits| + fpp·|probe|. Same codegen'd Catalyst
+    * `BloomFilterMightContain` probe as the anti spelling, no UDF.
+    * Unlike the anti split, `probe` is evaluated ONCE (single branch)
+    * so no determinism caveat applies. */
   def bloomSemiJoinKeys(probe: DataFrame, keys: DataFrame, key: String,
                         expectedKeys: Long, fpp: Double = 0.03): DataFrame =
     bloomProbe(probe, keys, key, expectedKeys, fpp)

@@ -79,8 +79,9 @@ object Mixture {
                        thresholds: Seq[Long] = Seq(64L, 256L, 1024L, 4096L),
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(thresholds.nonEmpty && thresholds == thresholds.sorted &&
-      thresholds.last == 4096L,
-      "thresholds must ascend and end at the full bucket space (4096)")
+      thresholds.distinct == thresholds && thresholds.last == 4096L,
+      "thresholds must STRICTLY ascend and end at the full bucket space " +
+        "(4096) — a duplicate would double-count its manifest row")
     val sha = sha2(col(idCol).cast("string"), 256)
     val bucket = conv(substring(sha, 1, 3), 16, 10).cast("long")
     val idVal = conv(substring(sha, 4, 6), 16, 10).cast("long")

@@ -318,20 +318,14 @@ object TextQueries {
          |  (nt BETWEEN 30 AND 10000 AND 3 * nt <= wc AND 2 * wc <= 9 * nt
          |    AND 10 * dg <= nc AND st >= 2) AS keep
          |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val st = graft.functions.TextStats.text_stats(col("text"))
-      val nt = st.getField("nt").cast("long")
-      val nc = st.getField("nc").cast("long")
-      val dg = st.getField("dg").cast("long")
-      val en = st.getField("en").cast("long")
-      val wc = length(expr("replace(text, ' ', '')")).cast("long")
-      val rWord = nt >= 30 && nt <= 10000
-      val rMean = lit(3) * nt <= wc && lit(2) * wc <= lit(9) * nt
-      val rDigit = lit(10) * dg <= nc
-      val rStop = en >= 2
+      val b = TextAnalysis.qualityBattery(col("text"))
       Tables.documents(s, d).select(col("doc_id"),
-          nt.as("n_tokens"), rWord.as("r_wordcount"), rMean.as("r_meanlen"),
-          rDigit.as("r_digit"), rStop.as("r_stopword"),
-          (rWord && rMean && rDigit && rStop).as("keep"))
+          b.getField("nt").as("n_tokens"),
+          b.getField("r_wordcount").as("r_wordcount"),
+          b.getField("r_meanlen").as("r_meanlen"),
+          b.getField("r_digit").as("r_digit"),
+          b.getField("r_stopword").as("r_stopword"),
+          b.getField("keep").as("keep"))
         .orderBy("doc_id")
     },
 
@@ -705,18 +699,9 @@ object TextQueries {
          |  sha256(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS content_sha
          |FROM ps GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      // 1. quality battery (q132's integer-cross-multiplied rules)
-      val stc = graft.functions.TextStats.text_stats(col("text"))
-      val nt = stc.getField("nt").cast("long")
-      val ncc = stc.getField("nc").cast("long")
-      val dg = stc.getField("dg").cast("long")
-      val en = stc.getField("en").cast("long")
-      val wc = length(expr("replace(text, ' ', '')")).cast("long")
-      val qb = docs.select(col("doc_id"), nt.as("nt"), ncc.as("nc"),
-          dg.as("dg"), en.as("st"), wc.as("wc"))
-        .filter(col("nt") >= 30 && col("nt") <= 10000 &&
-          lit(3) * col("nt") <= col("wc") && lit(2) * col("wc") <= lit(9) * col("nt") &&
-          lit(10) * col("dg") <= col("nc") && col("st") >= 2)
+      // 1. quality battery (the shared q132 spelling)
+      val qb = docs
+        .filter(TextAnalysis.qualityBattery(col("text")).getField("keep"))
         .select("doc_id")
       // 2. near-dup canonical keepers (q147's session-cached components)
       val quality = docs.select(col("doc_id"),

@@ -59,29 +59,12 @@ object CurationStream {
                               n_tokens: Long)
   final case class FpState(keeper: Long, ver: Int = 1)
 
-  /** Distinct k-gram windows, bit-equal to the batch shingle set
-    * (ShingleExplode over split-keeping-empties; < k tokens → none;
-    * null text → none). */
+  /** Distinct k-gram windows — delegates to THE shared gram loop
+    * ([[graft.functions.ShingleExplode.distinctShingles]]), so
+    * bit-equality with the batch shingle set is structural. */
   private[streaming] def distinctGrams(text: String, k: Int = 4): Iterator[String] = {
-    if (text == null) return Iterator.empty
-    val words = text.split(" ", -1)
-    if (words.length < k) return Iterator.empty
-    val set = new java.util.LinkedHashSet[String]()
-    val sb = new java.lang.StringBuilder(64)
-    var i = 0
-    while (i <= words.length - k) {
-      sb.setLength(0)
-      var j = 0
-      while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(words(i + j))
-        j += 1
-      }
-      set.add(sb.toString)
-      i += 1
-    }
     import scala.jdk.CollectionConverters._
-    set.iterator().asScala
+    graft.functions.ShingleExplode.distinctShingles(text, k).iterator().asScala
   }
 
   /** The broadcast benchmark gram set, built batch-side once (the
@@ -98,19 +81,12 @@ object CurationStream {
   def curatedStream(docs: Dataset[Doc],
                     bench: Broadcast[Set[String]]): Dataset[CuratedDoc] = {
     import docs.sparkSession.implicits._
-    // stage 1: the q132 battery, batch spelling verbatim
-    val st = graft.functions.TextStats.text_stats(col("text"))
-    val nt = st.getField("nt").cast("long")
-    val nc = st.getField("nc").cast("long")
-    val dg = st.getField("dg").cast("long")
-    val en = st.getField("en").cast("long")
-    val wc = length(expr("replace(text, ' ', '')")).cast("long")
-    val keep = nt >= 30 && nt <= 10000 &&
-      lit(3) * nt <= wc && lit(2) * wc <= lit(9) * nt &&
-      lit(10) * dg <= nc && en >= 2
+    // stage 1: THE q132 battery spelling (shared helper — a bound
+    // change there changes this stream in the same commit)
+    val battery = graft.analytics.TextAnalysis.qualityBattery(col("text"))
     val gated = docs.toDF()
-      .withColumn("n_tokens", nt)
-      .filter(keep)
+      .withColumn("n_tokens", battery.getField("nt"))
+      .filter(battery.getField("keep"))
       .withColumn("fp", graft.analytics.TextAnalysis.fingerprint(col("text")))
       .select(col("fp"), col("doc_id"), col("lang"), col("n_tokens"), col("text"))
       .as[Gated]

@@ -57,22 +57,10 @@ object DedupStream {
     * exactly the batch behavior. */
   def bandRowsOf(docId: Long, text: String, n: Int = 3): Seq[BandRow] = {
     if (text == null) return Nil
-    val words = text.split(" ", -1)
-    if (words.length < n) return Nil
-    val shingles = new java.util.LinkedHashSet[String]()
-    var i = 0
-    val sb = new java.lang.StringBuilder(64)
-    while (i <= words.length - n) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(words(i + j))
-        j += 1
-      }
-      shingles.add(sb.toString)
-      i += 1
-    }
+    // the shared gram loop: bit-equality with the batch shingle set
+    // is structural (graft.functions.ShingleExplode.distinctShingles)
+    val shingles = graft.functions.ShingleExplode.distinctShingles(text, n)
+    if (shingles.isEmpty) return Nil
     val mins = Array.fill(DedupOps.MINHASH_K)(Long.MaxValue)
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val it = shingles.iterator()

@@ -1200,16 +1200,8 @@ class StreamingSpec extends SparkSpec {
     val bench = CurationStream.benchGrams(benchDocs)
 
     // batch twin: q132 battery ∘ q129 ≥3-gram rule ∘ min-id keeper
-    val st = graft.functions.TextStats.text_stats(col("text"))
-    val nt = st.getField("nt").cast("long")
-    val nc = st.getField("nc").cast("long")
-    val dg = st.getField("dg").cast("long")
-    val en = st.getField("en").cast("long")
-    val wc = length(expr("replace(text, ' ', '')")).cast("long")
-    val keep = nt >= 30 && nt <= 10000 &&
-      lit(3) * nt <= wc && lit(2) * wc <= lit(9) * nt &&
-      lit(10) * dg <= nc && en >= 2
-    val gated = corpus.filter(keep)
+    val gated = corpus.filter(
+      TextAnalysis.qualityBattery(col("text")).getField("keep"))
     val benchSet = TextAnalysis.shingleSet(benchDocs, 4).select("s").distinct()
     val hits = TextAnalysis.shingleSet(gated, 4)
       .join(benchSet, Seq("s"))
