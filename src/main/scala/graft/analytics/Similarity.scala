@@ -86,6 +86,45 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Hard-negative mining for contrastive training data (the DPR
+    * recipe, Karpukhin et al. 2020 §3.2: train retrieval/embedding
+    * models against the most CONFUSABLE non-positives, not random
+    * ones): for each anchor, the k most similar candidates that are
+    * NOT positives — from a DIFFERENT source (the weak-supervision
+    * positive notion) and below a near-dup ceiling (`maxSim`: a
+    * too-similar cross-source candidate is a disguised positive, the
+    * known false-negative trap of naive mining). Zero-norm vectors
+    * yield null sims (the ANSI-vs-DuckDB x/0 rule) and drop at the
+    * ceiling filter on both engines.
+    *
+    * Same broadcast-anchor exact-scan shape as [[bruteForceTopK]]
+    * (the bounded nested loop the PlanSpec allowlist documents); at
+    * corpus scale the candidate GENERATOR swaps for the ANN paths
+    * (lshTopK buckets / ivfPqRerankTopKFromStore shortlists with k
+    * widened to survive the filters) — the source/ceiling filter and
+    * rank tail are unchanged. Inputs carry (vec_id, embedding,
+    * source). */
+  def hardNegativesTopK(queries: DataFrame, candidates: DataFrame,
+                        k: Int, maxSim: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("source").as("q_source"))
+      .withColumn("qn", norm(col("qv")))
+    val c = candidates.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        col("source").as("n_source"))
+      .withColumn("nn", norm(col("nv")))
+    val den = col("qn") * col("nn")
+    val sim = when(den =!= lit(0.0),
+      graft.ops.Exact.duckRound(dot(col("qv"), col("nv")) / den, 6))
+    val sims = c.join(broadcast(q),
+        col("qid") =!= col("nid") && col("q_source") =!= col("n_source"))
+      .select(col("qid"), col("nid"), col("n_source"), sim.as("sim"))
+      .filter(col("sim") < maxSim)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    sims.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Embedding near-dup pairs: all (v1 < v2) with cosine ≥ threshold.
     * Exact by construction (this is the oracle-checkable baseline);
     * one side broadcasts, so the pair space streams through a

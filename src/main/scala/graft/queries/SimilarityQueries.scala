@@ -1456,6 +1456,38 @@ object SimilarityQueries {
       Similarity.ivfPqRerankTopKFromStore(e.filter(col("vec_id") < N_QUERIES),
           coarseStore, codeStore, cent, books, TOP_K, PQ_RERANK, nProbe = 2)
         .orderBy("qid", "rnk")
+    },
+
+    // ---------------------------------------------------------------- q161
+    // Hard-negative mining (Karpukhin et al. 2020 §3.2, the DPR
+    // recipe): per anchor, the 3 most-confusable candidates from a
+    // DIFFERENT source, below the 0.95 near-dup ceiling that keeps
+    // disguised positives out of the negative set. The exact scan is
+    // the gate-verifiable baseline; at corpus scale the candidate
+    // generator swaps for the ANN paths (widened k), the filter +
+    // rank tail is identical. Zero-norm sims are null on both
+    // engines (the ANSI x/0 rule) and drop at the ceiling filter.
+    Q("q161_hard_negatives",
+      s"""$normCtes,
+         |src AS (SELECT doc_id AS vec_id, source FROM documents),
+         |ns AS (SELECT n.vec_id, v, nrm, source FROM n JOIN src USING (vec_id)),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, source AS qs
+         |      FROM ns WHERE vec_id < $N_QUERIES),
+         |s AS (SELECT qid, ns.vec_id AS nid, ns.source AS n_source,
+         |        CASE WHEN (qn * nrm) <> 0
+         |          THEN round(list_dot_product(qv, v) / (qn * nrm), 6) END AS sim
+         |      FROM q, ns WHERE ns.vec_id <> qid AND ns.source <> qs),
+         |f AS (SELECT * FROM s WHERE sim < 0.95),
+         |r AS (SELECT qid, nid, n_source, sim,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+         |      FROM f)
+         |SELECT qid, nid, rnk, sim, n_source FROM r WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      val src = Tables.documents(s, d).select(col("doc_id").as("vec_id"), col("source"))
+      val e = Tables.embeddings(s, d).join(src, Seq("vec_id"))
+      Similarity.hardNegativesTopK(e.filter(col("vec_id") < N_QUERIES), e, 3, 0.95)
+        .select("qid", "nid", "rnk", "sim", "n_source")
+        .orderBy("qid", "rnk")
     }
   )
 }

@@ -845,6 +845,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(kept4, "0.0 < 0.5 → kept")
   }
 
+  test("hardNegativesTopK: same-source excluded, near-dup ceiling, zero-norm dropped, rank order") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0), "A"),   // anchor
+      (1L, Array(0.99, 0.01), "A"), // same source → excluded despite sim ≈ 1
+      (2L, Array(1.0, 0.0), "B"),   // cross-source exact dup → ceiling-excluded (sim 1.0)
+      (3L, Array(0.5, 0.5), "B"),   // sim ≈ 0.7071 → rank 1
+      (4L, Array(0.0, 1.0), "B"),   // sim 0 → rank 2
+      (5L, Array(0.0, 0.0), "C")    // zero norm → null sim → dropped
+    ).toDF("vec_id", "embedding", "source")
+    val out = Similarity.hardNegativesTopK(vecs.filter($"vec_id" === 0L), vecs, 3, 0.95)
+      .collect().map(r => (r.getLong(1), r.getLong(4), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(3L, 4L), s"got ${out.toSeq}")
+    assert(out.map(_._2).toSeq == Seq(1L, 2L), "ranks ascend")
+    assert(math.abs(out.head._3 - 0.707107) < 1e-9)
+  }
+
   test("releaseKeeperDelta: all four statuses, incl. the rekeyed case the corpus lacks") {
     val last = Seq(
       (10L, "en", "same text a"),   // stable group (keeper 10 both nights)

@@ -227,10 +227,12 @@ class PlanSpec extends SparkSpec {
     //  q145: PQ recall audit — composes q34's exact arm (the truth
     //       side) with q136's retrieve, so it inherits q34's shape
     //  q148: hybrid RRF — its dense arm is q34's exact scan
+    //  q161: hard-negative mining — q34's bounded anchor broadcast
+    //        with the source/ceiling filters riding the same loop
     val allowed = Set("q34_cosine_topk", "q45_ann_ivf_topk",
       "q80_kmeans_train", "q81_ann_ivf_trained", "q46_embedding_neardup",
       "q98_ann_recall", "q135_ann_pq_adc", "q136_ann_pq_rerank",
-      "q145_pq_recall", "q148_hybrid_rrf")
+      "q145_pq_recall", "q148_hybrid_rrf", "q161_hard_negatives")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>
