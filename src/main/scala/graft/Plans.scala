@@ -107,7 +107,9 @@ object Plans {
     "q156_dsir_selection", "q158_contamination_spans",
     "q159_span_dedup_rewrite",
     // the join-free manifest fan-out and the CDC-shaped release diff
-    "q157_scaling_subsamples", "q160_release_delta")
+    "q157_scaling_subsamples", "q160_release_delta",
+    // hard-negative mining: q34's bounded anchor broadcast + filters
+    "q161_hard_negatives")
 
   /** Context lines emitted under a query's heading — for plans whose
     * interesting structure is NOT visible in the final explain (e.g. a
