@@ -74,6 +74,18 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("dsirTopK is partition-layout independent (deterministic selection)") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    def sel(df: org.apache.spark.sql.DataFrame) =
+      Selection.dsirTopK(df, col("lang") === "en", 50).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val a = sel(docs)
+    val b = sel(docs.repartition(7, col("source")))
+    val c = sel(docs.repartition(3))
+    assert(a == b && a == c,
+      "scores and ranking must not depend on partitioning (decimal sums, fixed tiebreak)")
+  }
+
   test("selection shifts the mixture toward the target language") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     val corpusEn = docs.filter(col("lang") === "en").count().toDouble /

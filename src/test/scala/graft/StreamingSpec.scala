@@ -1255,5 +1255,34 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected,
       s"stream ≡ batch: ${got.size} vs ${expected.size} keepers; " +
         s"diff ${(got diff expected).take(3)} / ${(expected diff got).take(3)}")
+
+    // arrival-order contract: reversed drops elect DIFFERENT keepers
+    // (first-arrival-wins) but the SAME fingerprint set — membership
+    // is order-independent even when representatives are not
+    val dir2 = tmp("graft-curation-rev")
+    val ckpt2 = tmp("graft-curation-rev-ck")
+    StreamingSpec.collectedCurated.clear()
+    drop2.write.mode("overwrite").parquet(dir2) // high ids first
+    def startRev() = {
+      val stream = spark.readStream.schema(input.schema).parquet(dir2)
+        .as[CurationStream.Doc]
+      CurationStream.curatedStream(stream, bench).toDF()
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.as[CurationStream.CuratedDoc].collect()
+            .foreach(StreamingSpec.collectedCurated.add)
+        }
+        .option("checkpointLocation", ckpt2)
+        .start()
+    }
+    val q3 = startRev()
+    q3.processAllAvailable()
+    drop1.write.mode("append").parquet(dir2)
+    q3.processAllAvailable()
+    q3.stop()
+    val rev = curatedNow()
+    assert(rev.map(_.fp).toSet == expected.map(_._1),
+      "fingerprint membership is arrival-order independent")
+    assert(rev.map(_.fp).distinct.size == rev.size)
   }
 }
