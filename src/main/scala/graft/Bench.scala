@@ -230,8 +230,12 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
+    // Short cal/gc keys on the one-liner (full spellings live in
+    // bench_detail.json): "mi" = max_infl, "gc" = gc_sec. At 162
+    // queries the line is ~1,970 chars against the driver's
+    // 2000-char stdout tail — every key char counts.
     val calOut = calSummary.map { case (a, m, r) =>
-      f""","cal":{"alu":$a%.3f,"mem":$m%.3f,"max_infl":$r%.2f}"""
+      f""","cal":{"alu":$a%.3f,"mem":$m%.3f,"mi":$r%.2f}"""
     }.getOrElse("")
     // Field order is deliberate: the driver keeps the LAST 2000 chars
     // of stdout, so if the line ever outgrows the buffer again the
@@ -239,7 +243,7 @@ object Bench {
     // value/gc/cal summary and sf — the fields a judge needs to read
     // the run — survive at the tail. JSON key order is semantically
     // irrelevant to any parser.
-    println(f"""{"metric":"total","unit":"sec","queries":$qs,"value":$total%.3f,"gc_sec":$gcTotal%.3f$calOut,"sf":"${new java.io.File(sfDir).getName}"}""")
+    println(f"""{"metric":"total","unit":"sec","queries":$qs,"value":$total%.3f,"gc":$gcTotal%.3f$calOut,"sf":"${new java.io.File(sfDir).getName}"}""")
     spark.stop()
   }
 }

@@ -1119,6 +1119,55 @@ object TextQueries {
       graft.analytics.DedupOps
         .contaminationSpans(Tables.documents(s, d), col("doc_id") % 50 === 0)
         .orderBy("doc_id", "bench_id")
+    },
+
+    // ---------------------------------------------------------------- q162
+    // Checksum-validated PII detection — the step beyond q83's regex
+    // scrub: a 16-digit match is only a PAYMENT CARD if its Luhn
+    // checksum holds (ISO/IEC 7812), and that check is what cuts the
+    // ~90% of digit-run regex hits that are order numbers/ids — the
+    // false-positive problem real PII pipelines have. PII is
+    // synthesized deterministically (q83's convention: doc_id-derived
+    // 16-digit candidates; ~10% are Luhn-valid by arithmetic chance,
+    // so the validator demonstrably rejects the rest), validation is
+    // real: per-candidate digit sum with the doubled-digit 9-cast,
+    // UNROLLED into 16 codegen'd integer expressions on the Spark
+    // side (no HOF — the CodegenFallback rule), generate_series +
+    // group on the oracle side; integer arithmetic end to end.
+    Q("q162_luhn_card_audit",
+      """WITH srcx AS (SELECT doc_id,
+        |    text || ' card 4' || lpad(CAST(doc_id * doc_id % 1000000007 AS VARCHAR), 15, '0') AS t
+        |  FROM documents),
+        |cand AS (SELECT doc_id, unnest(regexp_extract_all(t, '[0-9]{16}')) AS c FROM srcx),
+        |dg AS (SELECT doc_id, c, i, CAST(substr(c, i, 1) AS BIGINT) AS d
+        |       FROM (SELECT doc_id, c, unnest(generate_series(1, 16)) AS i FROM cand)),
+        |lu AS (SELECT doc_id, c, CAST(sum(CASE WHEN i % 2 = 1
+        |         THEN CASE WHEN 2 * d > 9 THEN 2 * d - 9 ELSE 2 * d END
+        |         ELSE d END) AS BIGINT) AS s
+        |       FROM dg GROUP BY doc_id, c)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(count(*) FILTER (WHERE s % 10 = 0) AS BIGINT) AS n_valid,
+        |  CAST(min(s % 10) AS BIGINT) AS residue
+        |FROM lu GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val luhnSum = (1 to 16).map { i =>
+        val dd = substring(col("c"), i, 1).cast("long")
+        if (i % 2 == 1) {
+          val t2 = dd * 2
+          when(t2 > 9, t2 - 9).otherwise(t2)
+        } else dd
+      }.reduce(_ + _)
+      Tables.documents(s, d)
+        .select(col("doc_id"), concat(col("text"), lit(" card 4"),
+          lpad(((col("doc_id") * col("doc_id")) % 1000000007L).cast("string"),
+            15, "0")).as("t"))
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(t, '[0-9]{16}', 0)")).as("c"))
+        .select(col("doc_id"), luhnSum.as("s"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_candidates"),
+          count(when(col("s") % 10 === 0, 1)).as("n_valid"),
+          min(col("s") % 10).as("residue"))
+        .orderBy("doc_id")
     }
   )
 
