@@ -234,6 +234,114 @@ object SketchQueries {
       val threshold = words.count() / 100
       graft.functions.CmsAgg.heavyHitters(words, threshold)
         .orderBy("w")
+    },
+
+    // ---------------------------------------------------------------- q164
+    // KMV (bottom-k) distinct sketch with SET OPERATIONS — the
+    // capability HLL lacks: two HLL sketches union but cannot
+    // intersect, while per-source shingle-vocabulary KMV sketches
+    // (64 rows of state each) answer |A|, |B|, |A∪B| AND |A∩B| for
+    // all 190 source pairs without rescanning the corpus. q150
+    // answers source overlap as a Jaccard FRACTION from MinHash;
+    // this is the same question at absolute-cardinality level, from
+    // mergeable bottom-k state. The exact arm rides along (the
+    // q150/q142 audit pattern) so the gate hash-pins both the
+    // sketch DETERMINISM (sha-48-bit hashes, integer-division
+    // estimator — bit-equal on any engine) and the estimates'
+    // relationship to truth on this corpus (~1.3k shingles/source
+    // at sf0.01 — genuinely above K, the estimator path runs). All
+    // integer arithmetic: est = (K-1)·2^48 div kth_min, est_inter =
+    // (n_common · est_union) div |merged| (Beyer et al. SIGMOD'07).
+    // Corpus-side work is one distinct + one WindowGroupLimit-pruned
+    // rank per scope; pair-stage state is |sources|²·K rows.
+    Q("q164_kmv_set_ops",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |idx AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i FROM w),
+         |shs AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s FROM idx),
+         |src AS (SELECT doc_id, source FROM documents),
+         |memb AS (SELECT DISTINCT source, s FROM shs JOIN src USING (doc_id)),
+         |hs AS (SELECT DISTINCT source, $hash48Sql AS h
+         |       FROM (SELECT source, substr(sha256(s), 1, 12) AS hh FROM memb)),
+         |sk AS (SELECT source, h, rn FROM (
+         |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |    FROM hs) WHERE rn <= $KMV_K),
+         |se AS (SELECT source, CAST(count(*) AS BIGINT) AS ns,
+         |         max(CASE WHEN rn = $KMV_K THEN h END) AS kth
+         |       FROM sk GROUP BY source),
+         |sest AS (SELECT source,
+         |    CAST(CASE WHEN ns < $KMV_K THEN ns ELSE $KMV_NUM // kth END AS BIGINT) AS est
+         |  FROM se),
+         |prs AS (SELECT a.source AS s1, b.source AS s2
+         |        FROM (SELECT DISTINCT source FROM documents) a
+         |        JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source),
+         |mg AS (SELECT s1, s2, h, max(fa) AS fa, max(fb) AS fb FROM (
+         |    SELECT p.s1, p.s2, k.h, 1 AS fa, 0 AS fb FROM prs p JOIN sk k ON k.source = p.s1
+         |    UNION ALL
+         |    SELECT p.s1, p.s2, k.h, 0 AS fa, 1 AS fb FROM prs p JOIN sk k ON k.source = p.s2)
+         |  GROUP BY s1, s2, h),
+         |mtop AS (SELECT s1, s2, CAST(count(*) AS BIGINT) AS ns,
+         |           max(CASE WHEN rn = $KMV_K THEN h END) AS kth,
+         |           CAST(sum(fa * fb) AS BIGINT) AS n_common
+         |         FROM (SELECT s1, s2, h, fa, fb,
+         |                 row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS rn FROM mg)
+         |         WHERE rn <= $KMV_K GROUP BY s1, s2),
+         |uest AS (SELECT s1, s2, n_common, ns,
+         |    CAST(CASE WHEN ns < $KMV_K THEN ns ELSE $KMV_NUM // kth END AS BIGINT) AS est_union
+         |  FROM mtop),
+         |vsz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM memb GROUP BY source),
+         |vin AS (SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS c
+         |        FROM memb a JOIN memb b ON a.s = b.s AND a.source < b.source
+         |        GROUP BY 1, 2)
+         |SELECT u.s1, u.s2,
+         |  x.nv AS exact_a, y.nv AS exact_b,
+         |  CAST(x.nv + y.nv - coalesce(vin.c, 0) AS BIGINT) AS exact_union,
+         |  CAST(coalesce(vin.c, 0) AS BIGINT) AS exact_inter,
+         |  ea.est AS est_a, eb.est AS est_b, u.est_union,
+         |  CAST((u.n_common * u.est_union) // u.ns AS BIGINT) AS est_inter
+         |FROM uest u JOIN vsz x ON x.source = u.s1
+         |            JOIN vsz y ON y.source = u.s2
+         |            LEFT JOIN vin ON vin.s1 = u.s1 AND vin.s2 = u.s2
+         |            JOIN sest ea ON ea.source = u.s1
+         |            JOIN sest eb ON eb.source = u.s2
+         |ORDER BY u.s1, u.s2""".stripMargin) { (s, d) =>
+      import graft.analytics.Kmv
+      val docs = Tables.documents(s, d)
+      val memb = graft.analytics.TextAnalysis
+        .shingleSet(docs, 3, idCol = "source")
+        .distinct()
+      val sk = Kmv.sketch(memb, col("source"), col("s"))
+      val sest = Kmv.estimate(sk)
+      val pe = Kmv.pairEstimates(sk)
+      val vsz = memb.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+      val vin = memb.as("a")
+        .join(memb.as("b"),
+          col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("c"))
+      pe
+        .join(vsz.select(col("source").as("s1"), col("nv").as("exact_a")), Seq("s1"))
+        .join(vsz.select(col("source").as("s2"), col("nv").as("exact_b")), Seq("s2"))
+        .join(vin, Seq("s1", "s2"), "left")
+        .join(sest.select(col("scope").as("s1"), col("est").as("est_a")), Seq("s1"))
+        .join(sest.select(col("scope").as("s2"), col("est").as("est_b")), Seq("s2"))
+        .select(col("s1"), col("s2"), col("exact_a"), col("exact_b"),
+          (col("exact_a") + col("exact_b") - coalesce(col("c"), lit(0L)))
+            .cast("long").as("exact_union"),
+          coalesce(col("c"), lit(0L)).cast("long").as("exact_inter"),
+          col("est_a"), col("est_b"), col("est_union"), col("est_inter"))
+        .orderBy("s1", "s2")
     }
   )
+
+  /** DuckDB mirror of Kmv.hash48: 12 sha-256 hex nibbles → 48-bit
+    * BIGINT (no conv in DuckDB 1.0 — strpos decode per nibble). */
+  private def hash48Sql: String = {
+    val hex = "0123456789abcdef"
+    (0 until 12).map { i =>
+      val mult = 1L << (4 * (11 - i))
+      s"CAST(strpos('$hex', substr(hh, ${i + 1}, 1)) - 1 AS BIGINT) * $mult"
+    }.mkString(" + ")
+  }
+  private def KMV_K: Int = graft.analytics.Kmv.K
+  private def KMV_NUM: Long = graft.analytics.Kmv.EST_NUM
 }

@@ -1168,6 +1168,50 @@ object TextQueries {
           count(when(col("s") % 10 === 0, 1)).as("n_valid"),
           min(col("s") % 10).as("residue"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q163
+    // Corpus-frequency rarity profile — the integer-exact stand-in
+    // for CCNet's LM-perplexity filter (Wenzek et al. 2020 §4.3
+    // score docs by how UNUSUAL their vocabulary is against the
+    // corpus; a log-prob LM is transcendental, so not oracle-
+    // portable — the engine-portable spelling is document-frequency
+    // rarity, the same signal's counting face). Two corpus passes:
+    // token → df dictionary (two-stage distinct groupBy, no Expand),
+    // then a token-to-dictionary equi-join back (the q65 dictionary
+    // pattern — dictionary ≪ corpus, AQE broadcasts when it fits).
+    // "Rare" is scale-free and cross-multiplied: df·1000 ≤ N_docs OR
+    // df ≤ 2 (the absolute floor keeps the rule meaningful at gate
+    // scales where N/1000 < 1). rare_heavy flags docs where ≥10% of
+    // token occurrences are rare — the filter verdict.
+    Q("q163_rare_token_profile",
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+        |        FROM (SELECT DISTINCT doc_id, w FROM t) GROUP BY w),
+        |rr AS (SELECT w, df,
+        |         (df * 1000 <= (SELECT n FROM nd) OR df <= 2) AS is_rare
+        |       FROM dfq)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (WHERE is_rare) AS BIGINT) AS n_rare,
+        |  CAST(min(df) AS BIGINT) AS min_df,
+        |  10 * count(*) FILTER (WHERE is_rare) >= count(*) AS rare_heavy
+        |FROM t JOIN rr USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.count()
+      val t = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val dfq = t.select(col("doc_id"), col("w")).distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val rr = dfq.select(col("w"), col("df"),
+        (col("df") * 1000 <= lit(nDocs) || col("df") <= 2).as("is_rare"))
+      t.join(rr, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("is_rare"), 1)).as("n_rare"),
+          min(col("df")).as("min_df"),
+          (lit(10) * count(when(col("is_rare"), 1)) >= count(lit(1)))
+            .as("rare_heavy"))
+        .orderBy("doc_id")
     }
   )
 

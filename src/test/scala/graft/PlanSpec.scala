@@ -229,10 +229,15 @@ class PlanSpec extends SparkSpec {
     //  q148: hybrid RRF — its dense arm is q34's exact scan
     //  q161: hard-negative mining — q34's bounded anchor broadcast
     //        with the source/ceiling filters riding the same loop
+    //  q164: KMV pair stage — scope×scope pair enumeration over the
+    //        MODEL-SIZED scope list (|sources| rows broadcast; the
+    //        |scopes|² pairs are the operator's OUTPUT, so no join
+    //        strategy changes the complexity; corpus never enters)
     val allowed = Set("q34_cosine_topk", "q45_ann_ivf_topk",
       "q80_kmeans_train", "q81_ann_ivf_trained", "q46_embedding_neardup",
       "q98_ann_recall", "q135_ann_pq_adc", "q136_ann_pq_rerank",
-      "q145_pq_recall", "q148_hybrid_rrf", "q161_hard_negatives")
+      "q145_pq_recall", "q148_hybrid_rrf", "q161_hard_negatives",
+      "q164_kmv_set_ops")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>

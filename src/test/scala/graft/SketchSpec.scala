@@ -94,4 +94,53 @@ class SketchSpec extends SparkSpec {
         assert(r.getAs[Boolean](c), s"$c must be TRUE"))
     }
   }
+
+  test("KMV sketch is the bottom-K distinct hashes; estimate exact below K") {
+    import graft.analytics.Kmv
+    val elems = (1 to 500).map(i => ("big", s"elem$i")) ++
+      (1 to 40).map(i => ("small", s"other$i"))
+    val df = elems.toDF("scope", "e")
+    val sk = Kmv.sketch(df, $"scope", $"e")
+    // bottom-K: the sketch rows for 'big' are exactly the 64 smallest hashes
+    val expect = df.filter($"scope" === "big")
+      .select(Kmv.hash48($"e").as("h")).distinct()
+      .orderBy($"h").limit(Kmv.K).as[Long].collect().toSeq
+    val got = sk.filter($"scope" === "big").orderBy($"rn")
+      .select($"h").as[Long].collect().toSeq
+    assert(got == expect, "sketch must hold exactly the K smallest hashes")
+    val est = Kmv.estimate(sk).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(est("small") == 40L, "below K the sketch IS the set — estimate exact")
+    // deterministic sha hashes: the 'big' estimate is a fixed value;
+    // pin it to the 3-sigma band rather than the exact number so the
+    // assertion documents the GUARANTEE, not one hash outcome
+    assert(est("big") > 250 && est("big") < 1000,
+      s"500-element estimate ${est("big")} outside the rsd band")
+  }
+
+  test("KMV min-K merge == sketch of the union; pair set-op estimates") {
+    import graft.analytics.Kmv
+    val a = (1 to 1000).map(i => ("a", s"x$i"))
+    val b = (500 to 1500).map(i => ("b", s"x$i")) // 50% overlap with a
+    val c = (1 to 1000).map(i => ("c", s"y$i")) // disjoint from a
+    val u = (a ++ b).map { case (_, e) => ("u", e) } // a ∪ b as one scope
+    val sk = Kmv.sketch((a ++ b ++ c ++ u).toDF("scope", "e"), $"scope", $"e")
+    // mergeability: bottom-K of (K(a) ∪ K(b)) == K(a ∪ b) — the
+    // associativity the 100 TB partial-aggregation story leans on
+    val mergedAb = sk.filter($"scope".isin("a", "b"))
+      .select($"h").distinct().orderBy($"h").limit(Kmv.K).as[Long].collect().toSeq
+    val direct = sk.filter($"scope" === "u").orderBy($"rn")
+      .select($"h").as[Long].collect().toSeq
+    assert(mergedAb == direct, "min-K merge must equal the direct union sketch")
+    val pe = Kmv.pairEstimates(sk.filter($"scope".isin("a", "b", "c")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val (unionAb, interAb) = pe(("a", "b"))
+    val (unionAc, interAc) = pe(("a", "c"))
+    // a∪b holds 1500 distinct, a∩b holds 501; a∩c is empty
+    assert(unionAb > 750 && unionAb < 3000, s"est_union(a,b)=$unionAb")
+    assert(interAb > 150 && interAb < 1100, s"est_inter(a,b)=$interAb")
+    assert(interAc * 5 <= unionAc,
+      s"disjoint scopes must estimate a near-empty intersection, got $interAc")
+  }
 }
