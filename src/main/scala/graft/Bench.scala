@@ -184,7 +184,16 @@ object Bench {
     val qs = bests.map { case (k, best, _) =>
       val short = if (k.startsWith("x_")) k.split('_').take(2).mkString("_")
         else k.split('_').head
-      "\"" + short + f"\":${best._1}%.2f" }
+      // 2-decimal, trailing zero stripped ("0.60"→"0.6", "1.00"→
+      // "1.0" — still valid JSON numbers): ~1 char back on ~1 in 5
+      // queries against the driver's 2000-char stdout tail; full
+      // millisecond precision stays in bench_detail.json.
+      val v = f"${best._1}%.2f" match {
+        case s if s.endsWith("0") && !s.endsWith(".00") => s.dropRight(1)
+        case s if s.endsWith(".00") => s.dropRight(1)
+        case s => s
+      }
+      "\"" + short + "\":" + v }
       .mkString("{", ",", "}")
     val total = bests.map(_._2._1).sum
     val gcTotal = bests.map(_._2._2).sum
@@ -246,7 +255,10 @@ object Bench {
     // summary and sf — the fields a judge needs to read the run —
     // survive at the tail. JSON key order is semantically irrelevant
     // to any parser.
-    println(f"""{"queries":$qs,"value":$total%.3f,"gc":$gcTotal%.3f$calOut,"sf":"${new java.io.File(sfDir).getName}"}""")
+    // gc dropped from the one-liner (gc_sec lives in
+    // bench_detail.json, per-query gc in its rows) — 11 more chars
+    // for query entries.
+    println(f"""{"queries":$qs,"value":$total%.3f$calOut,"sf":"${new java.io.File(sfDir).getName}"}""")
     spark.stop()
   }
 }

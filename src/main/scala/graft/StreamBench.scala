@@ -136,10 +136,13 @@ object StreamBench {
       col("ts")).as[EventStreams.TimedKeyed]
     val totalRows = spark.read.parquet(path).count()
 
-    def timeRun(df: DataFrame): (Double, Long) = {
+    def timeRun(df: DataFrame,
+                mode: org.apache.spark.sql.streaming.OutputMode =
+                  org.apache.spark.sql.streaming.OutputMode.Append)
+        : (Double, Long) = {
       val out = new java.util.concurrent.atomic.AtomicLong
       val t0 = System.nanoTime()
-      EventStreams.runAvailableNow(df, tmpDir("graft-sbench-ck")) { (batch, _) =>
+      EventStreams.runAvailableNow(df, tmpDir("graft-sbench-ck"), mode) { (batch, _) =>
         out.addAndGet(batch.count()): Unit
       }
       ((System.nanoTime() - t0) / 1e9, out.get())
@@ -298,6 +301,20 @@ object StreamBench {
         raw.as[graft.streaming.CurationStream.Doc], curBench).toDF()
     }
 
+    // 7. KMV cardinality monitor: shingle arrivals per source into
+    // bottom-K state (K longs/scope forever — the sketch is the cap)
+    val kmvArr = spark.read.parquet(docsPath).select(
+      col("source").as("scope"),
+      graft.functions.ShingleExplode.shingle_explode(col("text"), 3).as("elem"))
+    val kmvDir = tmpDir("graft-sbench-kmv")
+    kmvArr.write.mode("overwrite").parquet(kmvDir)
+    val nArr = spark.read.parquet(kmvDir).count()
+    val kmvStream = spark.readStream.schema(kmvArr.schema).parquet(kmvDir)
+      .as[graft.streaming.KmvStream.Arrival]
+    val (kmvSec, kmvOut) = timeRun(
+      graft.streaming.KmvStream.sketches(kmvStream).toDF(),
+      org.apache.spark.sql.streaming.OutputMode.Update)
+
     val sf = new java.io.File(sfDir).getName
     println(
       f"""{"metric":"stream_bench","unit":"rows_per_sec","sf":"$sf",""" +
@@ -310,6 +327,7 @@ object StreamBench {
       f""""cdc_changes_per_sec":${nChanges / cdcSec}%.0f,"cdc_sec":$cdcSec%.2f,"cdc_out":$cdcOut,""" +
       f""""idx_docs_per_sec":${nDocs / idxSec}%.0f,"idx_sec":$idxSec%.2f,"idx_postings":$idxOut,""" +
       f""""cur_docs_per_sec":${nCur / curSec}%.0f,"cur_sec":$curSec%.2f,"cur_out":$curOut,""" +
+      f""""kmv_elems_per_sec":${nArr / kmvSec}%.0f,"kmv_sec":$kmvSec%.2f,"kmv_out":$kmvOut,""" +
       f""""ss_batches":$nDrops,"ss_cold":$coldRate%.0f,"ss_steady":${steadyRate(ssTimes)}%.0f,""" +
       f""""nd_steady":${steadyRate(ndTimes)}%.0f,"emb_steady":${steadyRate(embTimes)}%.0f,""" +
       f""""sem_steady":${steadyRate(semTimes)}%.0f,"cdc_steady":${steadyRate(cdcTimes)}%.0f,""" +

@@ -239,10 +239,11 @@ object EventStreams {
   /** Run any streaming frame to completion over currently-available
     * input (the batch-ish trigger the reference's per-upload Lambda
     * maps to), delivering each micro-batch to `sink`. */
-  def runAvailableNow(df: DataFrame, checkpointDir: String)
+  def runAvailableNow(df: DataFrame, checkpointDir: String,
+                      outputMode: OutputMode = OutputMode.Append)
                      (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val q = df.writeStream
-      .outputMode(OutputMode.Append)
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch(sink)

@@ -22,6 +22,8 @@ object StreamingSpec {
     new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.CdcStream.ChangeEvent]()
   val collectedPostings =
     new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.IndexStream.PostingEvent]()
+  val collectedKmv =
+    new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.KmvStream.Estimate]()
   val collectedCurated =
     new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.CurationStream.CuratedDoc]()
 }
@@ -1284,5 +1286,69 @@ class StreamingSpec extends SparkSpec {
     assert(rev.map(_.fp).toSet == expected.map(_._1),
       "fingerprint membership is arrival-order independent")
     assert(rev.map(_.fp).distinct.size == rev.size)
+  }
+
+  test("streaming KMV: bottom-K state merges across drops and a restart ≡ batch sketch") {
+    import graft.streaming.KmvStream
+    import graft.analytics.Kmv
+    // shingle elements (per-source trigram vocab ≫ K at sf0.001) so
+    // the parity covers the ESTIMATOR regime, not just sub-K exact
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val input = docs.select($"doc_id", $"source".as("scope"),
+      graft.functions.ShingleExplode.shingle_explode($"text", 3).as("elem"))
+    val d1 = input.filter($"doc_id" % 3 === 0).drop("doc_id")
+    val d2 = input.filter($"doc_id" % 3 === 1).drop("doc_id")
+    val d3 = input.filter($"doc_id" % 3 === 2).drop("doc_id")
+    val dir = tmp("graft-kmv-in")
+    val ckpt = tmp("graft-kmv-ck")
+    StreamingSpec.collectedKmv.clear()
+    def start() = {
+      val st = spark.readStream.schema(d1.schema).parquet(dir)
+        .as[KmvStream.Arrival]
+      KmvStream.sketches(st).toDF()
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.as[KmvStream.Estimate].collect()
+            .foreach(StreamingSpec.collectedKmv.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    def latest(): Map[String, KmvStream.Estimate] = {
+      import scala.jdk.CollectionConverters._
+      StreamingSpec.collectedKmv.asScala.toSeq.groupBy(_.scope)
+        .view.mapValues(_.maxBy(_.n_total)).toMap
+    }
+    def batchOf(df: org.apache.spark.sql.DataFrame): Map[String, (Seq[Long], Long)] = {
+      val sk = Kmv.sketch(df, col("scope"), col("elem"))
+      val est = Kmv.estimate(sk).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      sk.orderBy("scope", "rn").collect().toSeq.groupBy(_.getString(0))
+        .map { case (sc, rows) => sc -> (rows.map(_.getLong(1)).toSeq, est(sc)) }
+    }
+    def check(got: Map[String, KmvStream.Estimate],
+              exp: Map[String, (Seq[Long], Long)], label: String): Unit = {
+      assert(got.keySet == exp.keySet, s"$label: scope sets differ")
+      exp.foreach { case (sc, (hs, e)) =>
+        assert(got(sc).hs == hs, s"$label/$sc: state ≠ batch sketch rows")
+        assert(got(sc).est == e, s"$label/$sc: estimate ≠ batch estimate")
+      }
+    }
+    d1.write.mode("overwrite").parquet(dir)
+    val q1 = start()
+    q1.processAllAvailable()
+    check(latest(), batchOf(d1), "night 1")
+    d2.write.mode("append").parquet(dir)
+    q1.processAllAvailable() // night 2 merges into live state
+    q1.stop()
+    check(latest(), batchOf(d1.unionByName(d2)), "night 2")
+    // estimator regime must actually be exercised
+    assert(latest().values.exists(_.n_seen == Kmv.K.toLong),
+      "fixture must push at least one scope past K")
+    d3.write.mode("append").parquet(dir)
+    val q2 = start() // restart: bottom-K state survives the checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+    check(latest(), batchOf(input.drop("doc_id")), "after restart")
   }
 }
