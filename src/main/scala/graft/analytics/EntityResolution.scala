@@ -1,0 +1,76 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-record entity resolution — the ER pipeline behind q166
+  * and its incremental face q167, factored to ONE spelling so the
+  * batch query and the nightly-delta path cannot drift (the
+  * qualityBattery rule applied to ER).
+  *
+  * Record contract: part-shaped frames (p_partkey, p_brand, p_name,
+  * p_type, p_size) — the key, the blocking field, the fuzzy field
+  * and two corroborating fields. The FIELD WEIGHTS are the domain
+  * config a user edits; the pipeline shape (block → score →
+  * components → canonical) is the operator.
+  *
+  * Match rule (Fellegi–Sunter shape, integer-exact):
+  * 2·[levenshtein(name) ≤ 2] + 1·[type =] + 1·[|size Δ| ≤ 1] ≥ 4 —
+  * name similarity is NECESSARY but NOT SUFFICIENT (at sf0.1 the
+  * 220k in-block lev-pairs collapse to 2,135 corroborated matches).
+  *
+  * Scale shape: q65's dictionary-first metric — the Levenshtein
+  * runs over DISTINCT names × a ±2 length band (edit distance ≤ 2
+  * forces |len Δ| ≤ 2), never rows²; record pairs are recovered
+  * through equi-joins on (name, brand); the pair list entering
+  * connected components is match-output-sized.
+  */
+object EntityResolution {
+
+  /** Scored candidate match pairs between `probe` and `base`
+    * records: canonical (d1 < d2), distinct, self-pairs excluded.
+    * `matchPairs(p, p)` is the full batch pass; `matchPairs(Δ, all)`
+    * is the nightly delta probe — one-sided probing reaches every
+    * old–new AND new–new pair (the q102 incremental contract),
+    * so store ∪ deltaPairs ≡ the full recompute. */
+  def matchPairs(probe: DataFrame, base: DataFrame): DataFrame = {
+    val pn = probe.select(col("p_name")).distinct()
+    val bn = base.select(col("p_name")).distinct()
+    val left = pn.select(col("p_name").as("n1"))
+      .withColumn("_lb",
+        explode(array((-2 to 2).map(dl => length(col("n1")) + dl): _*)))
+    val right = bn.select(col("p_name").as("n2"), length(col("p_name")).as("_lb"))
+    val nd = left.join(broadcast(right), Seq("_lb")).drop("_lb")
+      .filter(levenshtein(col("n1"), col("n2")) <= 2)
+    val a = probe.select(col("p_partkey").as("ka"), col("p_brand").as("ba"),
+      col("p_name").as("n1"), col("p_type").as("ta"), col("p_size").as("sa"))
+    val b = base.select(col("p_partkey").as("kb"), col("p_brand").as("bb"),
+      col("p_name").as("n2b"), col("p_type").as("tb"), col("p_size").as("sb"))
+    a.join(broadcast(nd), Seq("n1"))
+      .join(b, col("n2") === col("n2b") && col("ba") === col("bb")
+        && col("ka") =!= col("kb"))
+      .filter(lit(2)
+        + when(col("ta") === col("tb"), 1).otherwise(0)
+        + when(abs(col("sa") - col("sb")) <= 1, 1).otherwise(0) >= 4)
+      .select(least(col("ka"), col("kb")).as("d1"),
+        greatest(col("ka"), col("kb")).as("d2"))
+      .distinct()
+  }
+
+  /** Entity labels for every record from a match-pair list:
+    * connected components (min-key entity), singletons self-labeled,
+    * canonical = the entity key itself, entity sizes attached.
+    * Output: (p_partkey, entity, is_canonical, n_members). */
+  def resolve(records: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = DedupOps.nearDupComponents(pairs)
+      .select(col("doc_id").as("p_partkey"), col("component"))
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("n"))
+    records.select(col("p_partkey"))
+      .join(comp, Seq("p_partkey"), "left")
+      .withColumn("entity", coalesce(col("component"), col("p_partkey")))
+      .join(sizes.withColumnRenamed("component", "entity"), Seq("entity"), "left")
+      .select(col("p_partkey"), col("entity"),
+        (col("entity") === col("p_partkey")).as("is_canonical"),
+        coalesce(col("n"), lit(1L)).cast("long").as("n_members"))
+  }
+}

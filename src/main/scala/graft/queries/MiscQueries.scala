@@ -909,35 +909,56 @@ object MiscQueries {
         |FROM part p LEFT JOIN comp c ON c.pk = p.p_partkey
         |LEFT JOIN m ON m.entity = coalesce(c.entity, p.p_partkey)
         |ORDER BY p.p_partkey""".stripMargin) { (s, d) =>
+      import graft.analytics.EntityResolution
       val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"),
         col("p_name"), col("p_type"), col("p_size"))
-      val names = p.select(col("p_name")).distinct()
-      val left = names.select(col("p_name").as("n1"))
-        .withColumn("_lb", explode(array((-2 to 2).map(dl => length(col("n1")) + dl): _*)))
-      val right = names.select(col("p_name").as("n2"), length(col("p_name")).as("_lb"))
-      val nd = left.join(broadcast(right), Seq("_lb")).drop("_lb")
-        .filter(levenshtein(col("n1"), col("n2")) <= 2)
-      val a = p.select(col("p_partkey").as("d1"), col("p_brand"),
-        col("p_name").as("n1"), col("p_type").as("t1"), col("p_size").as("s1"))
-      val b = p.select(col("p_partkey").as("d2"), col("p_brand").as("b2"),
-        col("p_name").as("n2b"), col("p_type").as("t2"), col("p_size").as("s2"))
-      val pairs = a.join(broadcast(nd), Seq("n1"))
-        .join(b, col("n2") === col("n2b") && col("p_brand") === col("b2")
-          && col("d1") < col("d2"))
-        .filter(lit(2)
-          + when(col("t1") === col("t2"), 1).otherwise(0)
-          + when(abs(col("s1") - col("s2")) <= 1, 1).otherwise(0) >= 4)
-        .select(col("d1"), col("d2"))
-      val comp = graft.analytics.DedupOps.nearDupComponents(pairs)
-        .select(col("doc_id").as("p_partkey"), col("component"))
-      val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("n"))
-      p.select(col("p_partkey"))
-        .join(comp, Seq("p_partkey"), "left")
-        .withColumn("entity", coalesce(col("component"), col("p_partkey")))
-        .join(sizes.withColumnRenamed("component", "entity"), Seq("entity"), "left")
-        .select(col("p_partkey"), col("entity"),
-          (col("entity") === col("p_partkey")).as("is_canonical"),
-          coalesce(col("n"), lit(1L)).cast("long").as("n_members"))
+      EntityResolution.resolve(p, EntityResolution.matchPairs(p, p))
+        .orderBy("p_partkey")
+    },
+
+    // ---------------------------------------------------------------- q167
+    // Incremental entity resolution — the O(Δ) nightly contract for
+    // the ER family (the q97/q102/q117 lifecycle applied to record
+    // matching): the persisted match-pair STORE covers the ingested
+    // base; a delta probes the full record set ONE-SIDED
+    // (old–new and new–new pairs both reachable — the q102
+    // symmetry argument on the blocking join), and store ∪
+    // deltaPairs feeds the same components/canonical election. The
+    // oracle is q166's FULL-RECOMPUTE SQL verbatim — the gate IS the
+    // identity proof: incremental-served labels ≡ from-first-
+    // principles resolution, both scales. Nightly cost: the delta's
+    // name dictionary × length band + the delta-side blocking join —
+    // never the base×base pair space.
+    Q("q167_incremental_er",
+      """WITH RECURSIVE sc AS (
+        |  SELECT a.p_partkey AS d1, b.p_partkey AS d2
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |    AND 2 + CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END
+        |          + CASE WHEN abs(a.p_size - b.p_size) <= 1 THEN 1 ELSE 0 END >= 4),
+        |e AS (SELECT d1 AS a, d2 AS b FROM sc UNION SELECT d2, d1 FROM sc),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |comp AS (SELECT a AS pk, least(a, min(b)) AS entity FROM reach GROUP BY a),
+        |m AS (SELECT entity, CAST(count(*) AS BIGINT) AS n FROM comp GROUP BY entity)
+        |SELECT p.p_partkey, coalesce(c.entity, p.p_partkey) AS entity,
+        |  coalesce(c.entity, p.p_partkey) = p.p_partkey AS is_canonical,
+        |  CAST(coalesce(m.n, 1) AS BIGINT) AS n_members
+        |FROM part p LEFT JOIN comp c ON c.pk = p.p_partkey
+        |LEFT JOIN m ON m.entity = coalesce(c.entity, p.p_partkey)
+        |ORDER BY p.p_partkey""".stripMargin) { (s, d) =>
+      import graft.analytics.EntityResolution
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"),
+        col("p_name"), col("p_type"), col("p_size"))
+      val base = p.filter(col("p_partkey") % 10 =!= 0)
+      val delta = p.filter(col("p_partkey") % 10 === 0)
+      val store = EntityResolution.matchPairs(base, base) // persisted nightly artifact
+      val deltaPairs = EntityResolution.matchPairs(delta, p)
+      EntityResolution.resolve(p,
+          store.unionByName(deltaPairs).distinct())
         .orderBy("p_partkey")
     }
   )

@@ -924,4 +924,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(out((2L, 100L)) == ((4L, 2L, 2L)),
       s"two isolated matches: span 4, 2 matches, 2 runs — got ${out((2L, 100L))}")
   }
+
+  test("incremental ER: store ∪ one-sided delta probes ≡ full recompute, two deltas") {
+    import graft.analytics.EntityResolution
+    val p = Tables.part(spark, sf("sf0.01"))
+      .select(col("p_partkey"), col("p_brand"), col("p_name"),
+        col("p_type"), col("p_size"))
+    val b0 = p.filter(col("p_partkey") % 3 === 0)
+    val d1 = p.filter(col("p_partkey") % 3 === 1)
+    val d2 = p.filter(col("p_partkey") % 3 === 2)
+    def sameSet(a: org.apache.spark.sql.DataFrame,
+                b: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      // count-first, one-way exceptAll (the q106 convergence pattern)
+      assert(a.count() == b.count(), s"$label: pair counts differ")
+      assert(a.exceptAll(b).isEmpty, s"$label: pair sets differ")
+    }
+    val s0 = EntityResolution.matchPairs(b0, b0)
+    val n1 = b0.unionByName(d1)
+    val s1 = s0.unionByName(EntityResolution.matchPairs(d1, n1)).distinct()
+    sameSet(s1, EntityResolution.matchPairs(n1, n1), "night 1")
+    val s2 = s1.unionByName(EntityResolution.matchPairs(d2, p)).distinct()
+    val full = EntityResolution.matchPairs(p, p)
+    sameSet(s2, full, "night 2")
+    assert(s2.count() > s0.count(),
+      "fixture must be non-vacuous: deltas contribute pairs")
+    // label identity end to end, not just pair identity
+    val inc = EntityResolution.resolve(p, s2)
+    val bat = EntityResolution.resolve(p, full)
+    assert(inc.exceptAll(bat).isEmpty && bat.exceptAll(inc).isEmpty,
+      "incremental labels ≡ batch labels")
+  }
 }
