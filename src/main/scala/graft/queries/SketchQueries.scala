@@ -330,6 +330,72 @@ object SketchQueries {
           coalesce(col("c"), lit(0L)).cast("long").as("exact_inter"),
           col("est_a"), col("est_b"), col("est_union"), col("est_inter"))
         .orderBy("s1", "s2")
+    },
+
+    // ---------------------------------------------------------------- q168
+    // ANALYZE-style column-statistics collection — the table-stats
+    // pass every warehouse runs before planning: per column, row
+    // count, null count, EXACT ndv and the KMV estimate next to it
+    // with a reported (not asserted) within-25% verdict — the
+    // q37/q98 audit convention: the gate hash-pins estimate AND
+    // truth, so a user sees exactly what the constant-memory path
+    // costs in accuracy before trusting it at 100 TB (where the
+    // exact arm is the thing you can no longer afford: per-column
+    // distincts over 10¹² rows vs 64 longs per column). One
+    // union-of-column-projections pass (each scan column-pruned),
+    // two-stage distinct for exact ndv (no Expand), Kmv.sketch over
+    // the same (column, value) rows. min/max are deliberately
+    // absent: parquet footers already carry them; ndv is the stat
+    // that needs a pass.
+    Q("q168_column_stats",
+      s"""WITH u AS (
+         |  SELECT 'l_orderkey' AS c, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+         |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+         |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+         |  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+         |  UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem),
+         |base AS (SELECT c, CAST(count(*) AS BIGINT) AS n_rows,
+         |           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+         |         FROM u GROUP BY c),
+         |dv AS (SELECT DISTINCT c, v FROM u WHERE v IS NOT NULL),
+         |ndx AS (SELECT c, CAST(count(*) AS BIGINT) AS ndv FROM dv GROUP BY c),
+         |hs AS (SELECT DISTINCT c, $hash48Sql AS h
+         |       FROM (SELECT c, substr(sha256(v), 1, 12) AS hh FROM dv)),
+         |sk AS (SELECT c, h, rn FROM (
+         |    SELECT c, h, row_number() OVER (PARTITION BY c ORDER BY h) AS rn
+         |    FROM hs) WHERE rn <= $KMV_K),
+         |se AS (SELECT c, CAST(count(*) AS BIGINT) AS ns,
+         |         max(CASE WHEN rn = $KMV_K THEN h END) AS kth
+         |       FROM sk GROUP BY c),
+         |sest AS (SELECT c,
+         |    CAST(CASE WHEN ns < $KMV_K THEN ns ELSE $KMV_NUM // kth END AS BIGINT) AS est
+         |  FROM se)
+         |SELECT b.c AS column_name, b.n_rows, b.n_null,
+         |  ndx.ndv AS ndv_exact, sest.est AS ndv_kmv,
+         |  abs(sest.est - ndx.ndv) * 4 <= ndx.ndv AS est_ok
+         |FROM base b JOIN ndx ON ndx.c = b.c JOIN sest ON sest.c = b.c
+         |ORDER BY column_name""".stripMargin) { (s, d) =>
+      import graft.analytics.Kmv
+      val li = Tables.lineitem(s, d)
+      def proj(name: String, c: org.apache.spark.sql.Column) =
+        li.select(lit(name).as("c"), c.cast("string").as("v"))
+      val u = proj("l_orderkey", col("l_orderkey"))
+        .unionByName(proj("l_partkey", col("l_partkey")))
+        .unionByName(proj("l_suppkey", col("l_suppkey")))
+        .unionByName(proj("l_returnflag", col("l_returnflag")))
+        .unionByName(proj("l_linestatus", col("l_linestatus")))
+      val base = u.groupBy(col("c"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"))
+      val dv = u.filter(col("v").isNotNull).distinct()
+      val ndx = dv.groupBy(col("c")).agg(count(lit(1)).as("ndv"))
+      val sest = Kmv.estimate(Kmv.sketch(dv, col("c"), col("v")))
+        .select(col("scope").as("c"), col("est"))
+      base.join(ndx, Seq("c")).join(sest, Seq("c"))
+        .select(col("c").as("column_name"), col("n_rows"), col("n_null"),
+          col("ndv").as("ndv_exact"), col("est").as("ndv_kmv"),
+          (abs(col("est") - col("ndv")) * 4 <= col("ndv")).as("est_ok"))
+        .orderBy("column_name")
     }
   )
 
