@@ -109,7 +109,19 @@ object Plans {
     // the join-free manifest fan-out and the CDC-shaped release diff
     "q157_scaling_subsamples", "q160_release_delta",
     // hard-negative mining: q34's bounded anchor broadcast + filters
-    "q161_hard_negatives")
+    "q161_hard_negatives",
+    // late round-10 evidence: the KMV sketch build (WindowGroupLimit
+    // partial top-K before the per-scope exchange; pair stage over
+    // |scopes|²·K rows with the allowlisted model-sized scope BNLJ),
+    // the rarity profile's dictionary equi-join, the drift audit's
+    // scan → 3-way projection union → bin-sized aggs, the ER
+    // pipeline (length-band dictionary broadcast, components over
+    // the match-output-sized pair list) + its O(Δ) twin, and the
+    // column-stats pass (column-pruned projection union, two-stage
+    // distinct, bottom-K rank)
+    "q163_rare_token_profile", "q164_kmv_set_ops",
+    "q165_filter_drift_audit", "q166_entity_resolution",
+    "q167_incremental_er", "q168_column_stats")
 
   /** Context lines emitted under a query's heading — for plans whose
     * interesting structure is NOT visible in the final explain (e.g. a
