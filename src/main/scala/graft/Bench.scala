@@ -182,12 +182,19 @@ object Bench {
     // head (r9's BENCH artifact has parsed:null for exactly this
     // reason). Millisecond precision rides in the detail file.
     val qs = bests.map { case (k, best, _) =>
+      // One-liner keys are the bare query NUMBER ("q163_…" → "163";
+      // x_* probes keep their two-segment name — they only appear in
+      // filtered runs): the q prefix cost 168 chars of the driver's
+      // 2000-char tail at 168 queries, the difference between a
+      // whole-line JSON parse and the r9 parsed:null truncation.
+      // bench_detail.json keys stay FULL query names — the mapping
+      // is NNN ↔ qNNN_*.
       val short = if (k.startsWith("x_")) k.split('_').take(2).mkString("_")
-        else k.split('_').head
+        else k.split('_').head.stripPrefix("q")
       // 2-decimal, trailing zero stripped ("0.60"→"0.6", "1.00"→
       // "1.0" — still valid JSON numbers): ~1 char back on ~1 in 5
-      // queries against the driver's 2000-char stdout tail; full
-      // millisecond precision stays in bench_detail.json.
+      // queries; full millisecond precision stays in
+      // bench_detail.json.
       val v = f"${best._1}%.2f" match {
         case s if s.endsWith("0") && !s.endsWith(".00") => s.dropRight(1)
         case s if s.endsWith(".00") => s.dropRight(1)

@@ -27,6 +27,26 @@ import org.apache.spark.sql.functions._
   */
 object EntityResolution {
 
+  /** Length-band-blocked Levenshtein dictionary pairs — q65's
+    * dictionary-first metric, the ONE spelling for every fuzzy
+    * consumer (q65, matchPairs): edit distance ≤ maxDist forces
+    * |len Δ| ≤ maxDist, so the probe dictionary explodes to its
+    * 2·maxDist+1 candidate lengths and equi-joins the base
+    * dictionary's exact length — O(|names| × names-per-length-band)
+    * metric evaluations, never |names|². Inputs are single-column
+    * name dictionaries; output (n1, n2, dist ≤ maxDist), both
+    * orders present when probe = base. */
+  def levBandPairs(probeNames: DataFrame, baseNames: DataFrame,
+                   maxDist: Int): DataFrame = {
+    val left = probeNames.toDF("n1")
+      .withColumn("_lb",
+        explode(array((-maxDist to maxDist).map(dl => length(col("n1")) + dl): _*)))
+    val right = baseNames.toDF("n2").withColumn("_lb", length(col("n2")))
+    left.join(broadcast(right), Seq("_lb")).drop("_lb")
+      .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Scored candidate match pairs between `probe` and `base`
     * records: canonical (d1 < d2), distinct, self-pairs excluded.
     * `matchPairs(p, p)` is the full batch pass; `matchPairs(Δ, all)`
@@ -34,14 +54,10 @@ object EntityResolution {
     * old–new AND new–new pair (the q102 incremental contract),
     * so store ∪ deltaPairs ≡ the full recompute. */
   def matchPairs(probe: DataFrame, base: DataFrame): DataFrame = {
-    val pn = probe.select(col("p_name")).distinct()
-    val bn = base.select(col("p_name")).distinct()
-    val left = pn.select(col("p_name").as("n1"))
-      .withColumn("_lb",
-        explode(array((-2 to 2).map(dl => length(col("n1")) + dl): _*)))
-    val right = bn.select(col("p_name").as("n2"), length(col("p_name")).as("_lb"))
-    val nd = left.join(broadcast(right), Seq("_lb")).drop("_lb")
-      .filter(levenshtein(col("n1"), col("n2")) <= 2)
+    val nd = levBandPairs(
+        probe.select(col("p_name")).distinct(),
+        base.select(col("p_name")).distinct(), 2)
+      .drop("dist")
     val a = probe.select(col("p_partkey").as("ka"), col("p_brand").as("ba"),
       col("p_name").as("n1"), col("p_type").as("ta"), col("p_size").as("sa"))
     val b = base.select(col("p_partkey").as("kb"), col("p_brand").as("bb"),

@@ -15,6 +15,33 @@ object MiscQueries {
   private val DEC = "DECIMAL(18,2)"
   private def dsum(c: String) = s"CAST(sum(CAST($c AS $DEC)) AS DOUBLE)"
 
+  /** Full-recompute ER oracle (scored pairs → recursive closure →
+    * canonical + sizes). q166 AND q167 read this ONE string — q167's
+    * gate is the identity proof "incremental ≡ full recompute", so
+    * the two oracles must be the same text by construction, not by
+    * discipline (the batteryCtes rule). */
+  private val erResolveSql: String =
+    """WITH RECURSIVE sc AS (
+      |  SELECT a.p_partkey AS d1, b.p_partkey AS d2
+      |  FROM part a JOIN part b
+      |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |  WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |    AND 2 + CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END
+      |          + CASE WHEN abs(a.p_size - b.p_size) <= 1 THEN 1 ELSE 0 END >= 4),
+      |e AS (SELECT d1 AS a, d2 AS b FROM sc UNION SELECT d2, d1 FROM sc),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+      |comp AS (SELECT a AS pk, least(a, min(b)) AS entity FROM reach GROUP BY a),
+      |m AS (SELECT entity, CAST(count(*) AS BIGINT) AS n FROM comp GROUP BY entity)
+      |SELECT p.p_partkey, coalesce(c.entity, p.p_partkey) AS entity,
+      |  coalesce(c.entity, p.p_partkey) = p.p_partkey AS is_canonical,
+      |  CAST(coalesce(m.n, 1) AS BIGINT) AS n_members
+      |FROM part p LEFT JOIN comp c ON c.pk = p.p_partkey
+      |LEFT JOIN m ON m.entity = coalesce(c.entity, p.p_partkey)
+      |ORDER BY p.p_partkey""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------- q47
@@ -570,12 +597,10 @@ object MiscQueries {
         |ORDER BY pk1, pk2""".stripMargin) { (s, d) =>
       val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
       val names = p.select(col("p_name")).distinct()
-      val left = names.select(col("p_name").as("n1"))
-        .withColumn("_lb", explode(array((-2 to 2).map(dl => length(col("n1")) + dl): _*)))
-      val right = names.select(col("p_name").as("n2"), length(col("p_name")).as("_lb"))
-      val nd = left.join(broadcast(right), Seq("_lb")).drop("_lb")
-        .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
-        .filter(col("dist") <= 2)
+      // the shared length-band dictionary metric — one spelling with
+      // the ER family (EntityResolution.levBandPairs scaladoc has
+      // the blocking argument)
+      val nd = graft.analytics.EntityResolution.levBandPairs(names, names, 2)
       val a = p.select(col("p_partkey").as("pk1"), col("p_brand"), col("p_name").as("n1"))
       val b = p.select(col("p_partkey").as("pk2"), col("p_brand").as("b2"), col("p_name").as("n2b"))
       a.join(broadcast(nd), Seq("n1"))
@@ -889,26 +914,7 @@ object MiscQueries {
     // metric (distinct names × length band, never rows²) and the
     // pair list entering CC is match-output-sized.
     Q("q166_entity_resolution",
-      """WITH RECURSIVE sc AS (
-        |  SELECT a.p_partkey AS d1, b.p_partkey AS d2
-        |  FROM part a JOIN part b
-        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-        |  WHERE levenshtein(a.p_name, b.p_name) <= 2
-        |    AND 2 + CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END
-        |          + CASE WHEN abs(a.p_size - b.p_size) <= 1 THEN 1 ELSE 0 END >= 4),
-        |e AS (SELECT d1 AS a, d2 AS b FROM sc UNION SELECT d2, d1 FROM sc),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM e
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
-        |comp AS (SELECT a AS pk, least(a, min(b)) AS entity FROM reach GROUP BY a),
-        |m AS (SELECT entity, CAST(count(*) AS BIGINT) AS n FROM comp GROUP BY entity)
-        |SELECT p.p_partkey, coalesce(c.entity, p.p_partkey) AS entity,
-        |  coalesce(c.entity, p.p_partkey) = p.p_partkey AS is_canonical,
-        |  CAST(coalesce(m.n, 1) AS BIGINT) AS n_members
-        |FROM part p LEFT JOIN comp c ON c.pk = p.p_partkey
-        |LEFT JOIN m ON m.entity = coalesce(c.entity, p.p_partkey)
-        |ORDER BY p.p_partkey""".stripMargin) { (s, d) =>
+      erResolveSql) { (s, d) =>
       import graft.analytics.EntityResolution
       val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"),
         col("p_name"), col("p_type"), col("p_size"))
@@ -930,26 +936,7 @@ object MiscQueries {
     // name dictionary × length band + the delta-side blocking join —
     // never the base×base pair space.
     Q("q167_incremental_er",
-      """WITH RECURSIVE sc AS (
-        |  SELECT a.p_partkey AS d1, b.p_partkey AS d2
-        |  FROM part a JOIN part b
-        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-        |  WHERE levenshtein(a.p_name, b.p_name) <= 2
-        |    AND 2 + CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END
-        |          + CASE WHEN abs(a.p_size - b.p_size) <= 1 THEN 1 ELSE 0 END >= 4),
-        |e AS (SELECT d1 AS a, d2 AS b FROM sc UNION SELECT d2, d1 FROM sc),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM e
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
-        |comp AS (SELECT a AS pk, least(a, min(b)) AS entity FROM reach GROUP BY a),
-        |m AS (SELECT entity, CAST(count(*) AS BIGINT) AS n FROM comp GROUP BY entity)
-        |SELECT p.p_partkey, coalesce(c.entity, p.p_partkey) AS entity,
-        |  coalesce(c.entity, p.p_partkey) = p.p_partkey AS is_canonical,
-        |  CAST(coalesce(m.n, 1) AS BIGINT) AS n_members
-        |FROM part p LEFT JOIN comp c ON c.pk = p.p_partkey
-        |LEFT JOIN m ON m.entity = coalesce(c.entity, p.p_partkey)
-        |ORDER BY p.p_partkey""".stripMargin) { (s, d) =>
+      erResolveSql) { (s, d) =>
       import graft.analytics.EntityResolution
       val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"),
         col("p_name"), col("p_type"), col("p_size"))

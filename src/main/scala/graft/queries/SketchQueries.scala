@@ -260,17 +260,7 @@ object SketchQueries {
          |shs AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s FROM idx),
          |src AS (SELECT doc_id, source FROM documents),
          |memb AS (SELECT DISTINCT source, s FROM shs JOIN src USING (doc_id)),
-         |hs AS (SELECT DISTINCT source, $hash48Sql AS h
-         |       FROM (SELECT source, substr(sha256(s), 1, 12) AS hh FROM memb)),
-         |sk AS (SELECT source, h, rn FROM (
-         |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
-         |    FROM hs) WHERE rn <= $KMV_K),
-         |se AS (SELECT source, CAST(count(*) AS BIGINT) AS ns,
-         |         max(CASE WHEN rn = $KMV_K THEN h END) AS kth
-         |       FROM sk GROUP BY source),
-         |sest AS (SELECT source,
-         |    CAST(CASE WHEN ns < $KMV_K THEN ns ELSE $KMV_NUM // kth END AS BIGINT) AS est
-         |  FROM se),
+         |${kmvCtes("source", "memb", "s")},
          |prs AS (SELECT a.source AS s1, b.source AS s2
          |        FROM (SELECT DISTINCT source FROM documents) a
          |        JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source),
@@ -306,6 +296,13 @@ object SketchQueries {
          |ORDER BY u.s1, u.s2""".stripMargin) { (s, d) =>
       import graft.analytics.Kmv
       val docs = Tables.documents(s, d)
+      // memb feeds 4 branches (sketch, vsz, both vin sides) — the
+      // ≥3-branch persist rule was A/B'd here (sf0.1, same boot,
+      // isolated best-of-2 ×2): plain 1.89/2.29 s vs eager
+      // localCheckpoint 2.74/1.94 s — a WASH, same verdict as
+      // q150's A/B and for the same reason: the shared input is a
+      // cheap map-side shingle explode + distinct, so each branch
+      // only repays a scan, not a shuffle. Keep the plain spelling.
       val memb = graft.analytics.TextAnalysis
         .shingleSet(docs, 3, idCol = "source")
         .distinct()
@@ -359,17 +356,7 @@ object SketchQueries {
          |         FROM u GROUP BY c),
          |dv AS (SELECT DISTINCT c, v FROM u WHERE v IS NOT NULL),
          |ndx AS (SELECT c, CAST(count(*) AS BIGINT) AS ndv FROM dv GROUP BY c),
-         |hs AS (SELECT DISTINCT c, $hash48Sql AS h
-         |       FROM (SELECT c, substr(sha256(v), 1, 12) AS hh FROM dv)),
-         |sk AS (SELECT c, h, rn FROM (
-         |    SELECT c, h, row_number() OVER (PARTITION BY c ORDER BY h) AS rn
-         |    FROM hs) WHERE rn <= $KMV_K),
-         |se AS (SELECT c, CAST(count(*) AS BIGINT) AS ns,
-         |         max(CASE WHEN rn = $KMV_K THEN h END) AS kth
-         |       FROM sk GROUP BY c),
-         |sest AS (SELECT c,
-         |    CAST(CASE WHEN ns < $KMV_K THEN ns ELSE $KMV_NUM // kth END AS BIGINT) AS est
-         |  FROM se)
+         |${kmvCtes("c", "dv", "v")}
          |SELECT b.c AS column_name, b.n_rows, b.n_null,
          |  ndx.ndv AS ndv_exact, sest.est AS ndv_kmv,
          |  abs(sest.est - ndx.ndv) * 4 <= ndx.ndv AS est_ok
@@ -410,4 +397,22 @@ object SketchQueries {
   }
   private def KMV_K: Int = graft.analytics.Kmv.K
   private def KMV_NUM: Long = graft.analytics.Kmv.EST_NUM
+
+  /** Shared KMV estimator CTE chain (DuckDB mirror of Kmv.sketch +
+    * Kmv.estimate) over a `srcCte` holding ($scope, $elem) rows:
+    * emits `hs` → `sk` (bottom-K rows) → `se` → `sest` (per-scope
+    * estimate). One spelling for every KMV consumer (q164, q168) —
+    * the batteryCtes rule applied to the sketch oracle. */
+  private def kmvCtes(scope: String, srcCte: String, elem: String): String =
+    s"""hs AS (SELECT DISTINCT $scope, $hash48Sql AS h
+       |       FROM (SELECT $scope, substr(sha256($elem), 1, 12) AS hh FROM $srcCte)),
+       |sk AS (SELECT $scope, h, rn FROM (
+       |    SELECT $scope, h, row_number() OVER (PARTITION BY $scope ORDER BY h) AS rn
+       |    FROM hs) WHERE rn <= $KMV_K),
+       |se AS (SELECT $scope, CAST(count(*) AS BIGINT) AS ns,
+       |         max(CASE WHEN rn = $KMV_K THEN h END) AS kth
+       |       FROM sk GROUP BY $scope),
+       |sest AS (SELECT $scope,
+       |    CAST(CASE WHEN ns < $KMV_K THEN ns ELSE $KMV_NUM // kth END AS BIGINT) AS est
+       |  FROM se)""".stripMargin
 }

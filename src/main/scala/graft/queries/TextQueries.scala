@@ -1140,18 +1140,25 @@ object TextQueries {
     // real: per-candidate digit sum with the doubled-digit 9-cast,
     // UNROLLED into 16 codegen'd integer expressions on the Spark
     // side (no HOF — the CodegenFallback rule), generate_series +
-    // group on the oracle side; integer arithmetic end to end.
+    // group on the oracle side; integer arithmetic end to end. The
+    // oracle keys candidates by OCCURRENCE (list position j), not
+    // value — a doc repeating the same 16-digit run must contribute
+    // each occurrence separately, as the Spark explode does (a
+    // value-keyed group would double the digit sum and undercount
+    // candidates).
     Q("q162_luhn_card_audit",
       """WITH srcx AS (SELECT doc_id,
         |    text || ' card 4' || lpad(CAST(doc_id * doc_id % 1000000007 AS VARCHAR), 15, '0') AS t
         |  FROM documents),
-        |cand AS (SELECT doc_id, unnest(regexp_extract_all(t, '[0-9]{16}')) AS c FROM srcx),
-        |dg AS (SELECT doc_id, c, i, CAST(substr(c, i, 1) AS BIGINT) AS d
-        |       FROM (SELECT doc_id, c, unnest(generate_series(1, 16)) AS i FROM cand)),
-        |lu AS (SELECT doc_id, c, CAST(sum(CASE WHEN i % 2 = 1
+        |cx AS (SELECT doc_id, regexp_extract_all(t, '[0-9]{16}') AS xs FROM srcx),
+        |cand AS (SELECT doc_id, j, xs[j] AS c
+        |         FROM (SELECT doc_id, xs, unnest(generate_series(1, len(xs))) AS j FROM cx)),
+        |dg AS (SELECT doc_id, j, i, CAST(substr(c, i, 1) AS BIGINT) AS d
+        |       FROM (SELECT doc_id, j, c, unnest(generate_series(1, 16)) AS i FROM cand)),
+        |lu AS (SELECT doc_id, j, CAST(sum(CASE WHEN i % 2 = 1
         |         THEN CASE WHEN 2 * d > 9 THEN 2 * d - 9 ELSE 2 * d END
         |         ELSE d END) AS BIGINT) AS s
-        |       FROM dg GROUP BY doc_id, c)
+        |       FROM dg GROUP BY doc_id, j)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates,
         |  CAST(count(*) FILTER (WHERE s % 10 = 0) AS BIGINT) AS n_valid,
         |  CAST(min(s % 10) AS BIGINT) AS residue
@@ -1227,12 +1234,16 @@ object TextQueries {
     // filter change the corpus MIXTURE (per-feature distribution of
     // kept vs all)? Two-sample chi-square per feature (source, lang,
     // token-length bucket) spelled engine-portably: per-bin
-    // (a·N_B − b·N_A)² / (N_A·N_B·(a+b)) on exact integer counts —
-    // the products stay ≤ 2^53 so the single double division is
-    // bit-identical on both engines (at ≳10⁸ rows/side, pre-divide
-    // the counts or widen to DECIMAL — scaladoc'd, not silently
-    // wrong) — then duckRound(6) → DECIMAL(21,10) sum (the q80/q81
-    // pattern). The VERDICT is an effect size, not a p-value:
+    // (a·N_B − b·N_A)² / (N_A·N_B·(a+b)) with ONLY the two products
+    // a·N_B / b·N_A computed in BIGINT (exact to N < 3·10⁹ per
+    // side); the square and the denominator run in DOUBLE — the
+    // diff is double-exact to |diff| < 2^53 (N ≈ 9·10⁷ per side)
+    // and every double op is the same IEEE op on both engines, so
+    // parity holds even past exactness. An all-BIGINT spelling
+    // would overflow at N ≈ 8·10⁴ (diff² and the N³ denominator
+    // both blow 2^63) — keep the square and denominator in double.
+    // Then duckRound(6) → DECIMAL(21,10) sum (the q80/q81 pattern).
+    // The VERDICT is an effect size, not a p-value:
     // φ² = χ²/N > 0.01 flags the feature (at 100 TB everything is
     // "statistically significant"; effect size is the rule that
     // stays meaningful), per-bin flag at φ²-share > 0.001 names the
@@ -1263,8 +1274,10 @@ object TextQueries {
          |          CAST(sum(n_kept) AS BIGINT) AS nb
          |        FROM bins GROUP BY 1),
          |ct AS (SELECT b.feature, b.bin, n_all, n_kept, na, nb,
-         |    round(CAST((n_all * nb - n_kept * na) * (n_all * nb - n_kept * na) AS DOUBLE)
-         |      / CAST(na * nb * (n_all + n_kept) AS DOUBLE), 6) AS contrib
+         |    round(CAST(n_all * nb - n_kept * na AS DOUBLE)
+         |        * CAST(n_all * nb - n_kept * na AS DOUBLE)
+         |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+         |         * CAST(n_all + n_kept AS DOUBLE)), 6) AS contrib
          |  FROM bins b JOIN tot t ON t.feature = b.feature)
          |SELECT feature, bin, n_all, n_kept, contrib,
          |  contrib * 1000 > CAST(na + nb AS DOUBLE) AS drift
@@ -1289,11 +1302,13 @@ object TextQueries {
         .agg(count(lit(1)).as("n_all"), count(when(col("kept"), 1)).as("n_kept"))
       val tot = bins.groupBy(col("feature"))
         .agg(sum(col("n_all")).as("na"), sum(col("n_kept")).as("nb"))
-      val diff = col("n_all") * col("nb") - col("n_kept") * col("na")
+      val diff = (col("n_all") * col("nb") - col("n_kept") * col("na"))
+        .cast("double")
       val ct = bins.join(tot, Seq("feature"))
         .withColumn("contrib", graft.ops.Exact.duckRound(
-          (diff * diff).cast("double")
-            / (col("na") * col("nb") * (col("n_all") + col("n_kept"))).cast("double"),
+          diff * diff
+            / (col("na").cast("double") * col("nb").cast("double")
+              * (col("n_all") + col("n_kept")).cast("double")),
           6))
       val binRows = ct.select(col("feature"), col("bin"), col("n_all"),
         col("n_kept"), col("contrib"),

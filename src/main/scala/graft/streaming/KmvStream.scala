@@ -52,7 +52,13 @@ object KmvStream {
     if (hs.size < K) hs.size.toLong
     else graft.analytics.Kmv.EST_NUM / hs.last
 
-  /** Per-scope bottom-K maintenance over an arrival stream. */
+  /** Per-scope bottom-K maintenance over an arrival stream. The
+    * merge is a BOUNDED FOLD over the arrival iterator — a K-capped
+    * sorted set, never a batch-sized list — so processing memory is
+    * O(K) per scope even when a backfill delivers a whole corpus in
+    * one micro-batch (the AvailableNow shape): an arrival past a
+    * full set's max is dropped in O(log K) without materializing
+    * anything. */
   def sketches(arrivals: Dataset[Arrival]): Dataset[Estimate] = {
     import arrivals.sparkSession.implicits._
     arrivals.groupByKey(_.scope)
@@ -61,9 +67,16 @@ object KmvStream {
         case (scope, it, state: GroupState[SketchState]) =>
           val prev = state.getOption
           var n = prev.map(_.nTotal).getOrElse(0L)
-          val fresh = it.map { a => n += 1; hash48(a.elem) }.toList
-          val merged = (prev.map(_.hs).getOrElse(Nil) ++ fresh)
-            .distinct.sorted.take(K)
+          val set = new java.util.TreeSet[java.lang.Long]()
+          prev.foreach(_.hs.foreach(h => set.add(h)))
+          it.foreach { a =>
+            n += 1
+            val h = hash48(a.elem)
+            if (set.size < K) set.add(h)
+            else if (h < set.last) { if (set.add(h)) set.pollLast() }
+          }
+          import scala.jdk.CollectionConverters._
+          val merged = set.iterator().asScala.map(_.longValue).toList
           state.update(SketchState(merged, n))
           Iterator.single(Estimate(scope, merged, n,
             merged.size.toLong, estimateOf(merged)))
