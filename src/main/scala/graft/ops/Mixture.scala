@@ -49,6 +49,52 @@ object Mixture {
       .select(col(idCol), col(srcCol), col("bucket"))
   }
 
+  /** Temperature-scaled mixture sampling (the mT5/UniMax recipe,
+    * Xue et al. 2021 §3.1 at T = 2): per-source sampling weight
+    * ∝ n_s^(1/T) = √n_s — flatter than proportional, steeper than
+    * balanced; the standard knob between "head sources drown the
+    * tail" and "tail sources repeat too often". Deterministic like
+    * [[balancedSample]]: per-source integer target t_s =
+    * ⌊N_target · r_s / R⌋ with r_s = duckRound(√n_s, 6) and
+    * R = Σ r_s summed as DECIMAL(21,10) (order-free — a plain
+    * double sum would be partition-order dependent), then the
+    * sha-bucket acceptance bucket·n_s < t_s·4096. √ is a
+    * correctly-rounded IEEE op on both engines and the remaining
+    * double multiply/divide/floor are identical IEEE ops on
+    * identical inputs, so t_s is bit-reproducible (the q80/q81
+    * portability argument extended to the one transcendental-free
+    * root). N_target = ⌊N_total / 2⌋ here: the half-corpus budget
+    * makes the temperature visible (proportional keeps half of
+    * every source; T = 2 keeps MORE than half of small sources,
+    * less of large ones).
+    *
+    * Same scale shape as balancedSample: one |sources|-row agg, the
+    * 1-row total attached by the non-foldable-key broadcast, rates
+    * broadcast back map-side. */
+  def temperatureSample(docs: DataFrame, srcCol: String = "source",
+                        idCol: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("_c"))
+      .withColumn("_r",
+        graft.ops.Exact.duckRound(sqrt(col("_c").cast("double")), 6))
+    val tot = counts.agg(
+        sum(col("_c")).as("_ntot"),
+        sum(col("_r").cast("decimal(21,10)")).cast("double").as("_rsum"))
+      .select((pmod(col("_ntot"), lit(1L)) + lit(1L)).cast("int").as("_g"),
+        col("_ntot"), col("_rsum"))
+    val rates = counts
+      .withColumn("_g", (pmod(col("_c"), lit(1L)) + lit(1L)).cast("int"))
+      .join(broadcast(tot), Seq("_g"))
+      .select(col(srcCol), col("_c"),
+        floor(expr("_ntot div 2").cast("double")
+          * col("_r") / col("_rsum")).cast("long").as("_t"))
+    val bucket = conv(substring(sha2(col(idCol).cast("string"), 256), 1, 3), 16, 10)
+      .cast("long")
+    docs.select(col(idCol), col(srcCol)).withColumn("bucket", bucket)
+      .join(broadcast(rates), Seq(srcCol))
+      .filter(col("bucket") * col("_c") < col("_t") * lit(4096L))
+      .select(col(idCol), col(srcCol), col("bucket"), col("_t").as("target"))
+  }
+
   /** Nested scaling-law subsample manifests — the ablation datasets a
     * scaling study needs (S_1/64 ⊂ S_1/16 ⊂ S_1/4 ⊂ S_full), one
     * manifest row per threshold. A doc's sha bucket (0..4095, the

@@ -246,6 +246,47 @@ object ExtQueries {
       """SELECT doc_id, lang FROM documents
         |ORDER BY lang DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
       jsonlTopNFrame(s, d)
+    },
+
+    // ---------------------------------------------------------------- q170
+    // CSV round-trip fidelity — the interchange-format face of the
+    // source/sink surface next to q115's jsonl round-trip: lineitem
+    // columns (long, int, DOUBLE, string, DATE) written as CSV with
+    // header, read back under an explicit schema, and the aggregate
+    // hash-compared against the oracle computed from the ORIGINAL
+    // parquet — any lossiness anywhere (double shortest-repr
+    // round-trip, date formatting, header/quoting) breaks the gate.
+    // Doubles survive because Spark writes the shortest decimal
+    // representation that parses back to the same bits; dates use
+    // the ISO default both ways. Aggregation is the decimal-exact
+    // dsum convention; dates exit as ISO strings (the q49 rule — no
+    // raw DATE column in gate output).
+    Q("q170_csv_roundtrip",
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+        |  strftime(min(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS min_ship,
+        |  strftime(max(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS max_ship
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types._
+      val root = Scratch.fresh("graft-q170").toString
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), to_date(col("l_shipdate")).as("ship"))
+        .write.option("header", "true").mode("overwrite").csv(root)
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+        StructField("l_quantity", DoubleType), StructField("l_returnflag", StringType),
+        StructField("ship", DateType)))
+      s.read.option("header", "true").schema(schema).csv(root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          graft.ops.Exact.dsum(col("l_quantity")).as("sum_qty"),
+          min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+          date_format(min(col("ship")), "yyyy-MM-dd").as("min_ship"),
+          date_format(max(col("ship")), "yyyy-MM-dd").as("max_ship"))
+        .orderBy("l_returnflag")
     }
   )
 

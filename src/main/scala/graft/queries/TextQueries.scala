@@ -374,6 +374,44 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- q169
+    // Temperature-scaled mixture sampling (mT5/UniMax, T = 2) — the
+    // knob BETWEEN q130's balanced mixture and proportional
+    // sampling, run on the same naturally-skewed language axis q130
+    // uses (en ≈ 3.4:1 — a uniform axis would hide the temperature;
+    // at T = 2 the en keep-rate lands below ½ and the tail
+    // languages above): per-group weight ∝ √n_s, integer targets
+    // t_s = ⌊(N/2)·r_s/R⌋ with r_s = duckRound(√n_s, 6) and R the
+    // order-free DECIMAL sum, then the q130 sha-bucket integer
+    // acceptance. √ is correctly-rounded IEEE on both engines and
+    // the remaining double ops run on identical inputs, so the
+    // whole target table is bit-reproducible — the one
+    // "transcendental" this engine allows is the one that isn't
+    // (ops/Mixture.temperatureSample scaladoc). Same plan shape as
+    // q130: |sources|-row agg, non-foldable-key 1-row broadcast,
+    // rates broadcast map-side, acceptance inside the scan.
+    Q("q169_temperature_mixture",
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS c,
+        |             round(sqrt(CAST(count(*) AS DOUBLE)), 6) AS r
+        |           FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS ntot,
+        |        CAST(sum(CAST(r AS DECIMAL(21,10))) AS DOUBLE) AS rsum FROM c),
+        |rt AS (SELECT lang, c,
+        |         CAST(floor(CAST(ntot // 2 AS DOUBLE) * r / rsum) AS BIGINT) AS tt
+        |       FROM c CROSS JOIN t),
+        |b AS (SELECT doc_id, lang,
+        |    CAST(strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 256
+        |  + CAST(strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT) * 16
+        |  + CAST(strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)), 3, 1)) - 1 AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket, tt AS target
+        |FROM b JOIN rt USING (lang)
+        |WHERE bucket * c < tt * 4096
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.Mixture.temperatureSample(Tables.documents(s, d), "lang", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- q59
     // Deterministic hash sampling: a reproducible ~10% corpus sample
     // via sha-256(doc_id) mod 100 < 10. This is how a training
@@ -395,6 +433,36 @@ object TextQueries {
         .select(col("doc_id"), bucket.as("bucket"))
         .filter(col("bucket") % 100 < 10)
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q171
+    // Exact k-per-group stable sample — the third deterministic
+    // sampling contract next to q59 (stable RATE) and q130/q169
+    // (stable MIXTURE): exactly min(k, |group|) docs per source,
+    // identical across reruns, re-shards and partitionings, ordered
+    // by each doc's sha-256 (the "random" order that is a pure
+    // function of the row — rand()/TABLESAMPLE are neither exact-k
+    // nor stable). The eval-set/debugging-panel op: "give me the
+    // same 25 docs per source every night". Plan: the rank filter
+    // directly above row_number is WindowGroupLimit — partial
+    // map-side top-k per group BEFORE the exchange, so the shuffle
+    // carries ≤ k rows per partition per group, never the corpus
+    // (the q153/Kmv.sketch pattern).
+    Q("q171_stable_group_sample",
+      """SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 25
+        |ORDER BY source, rn""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(sha2(col("doc_id").cast("string"), 256), col("doc_id"))))
+        .filter(col("rn") <= 25)
+        .select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"))
+        .orderBy("source", "rn")
     },
 
     // ---------------------------------------------------------------- q60
