@@ -287,6 +287,71 @@ object ExtQueries {
           date_format(min(col("ship")), "yyyy-MM-dd").as("min_ship"),
           date_format(max(col("ship")), "yyyy-MM-dd").as("max_ship"))
         .orderBy("l_returnflag")
+    },
+
+    // ---------------------------------------------------------------- q172
+    // ORC round-trip — q170's contract on the columnar warehouse
+    // format (type-preserving containers, so unlike CSV no schema
+    // is re-imposed on read: the round-trip must preserve types BY
+    // ITSELF, including the timestamp). Same gate shape: aggregate
+    // of the read-back compared against the original-parquet
+    // oracle.
+    Q("q172_orc_roundtrip",
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val root = Scratch.fresh("graft-q172").toString
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_returnflag"), col("l_shipdate"))
+        .write.mode("overwrite").orc(root)
+      s.read.orc(root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          graft.ops.Exact.dsum(col("l_quantity")).as("sum_qty"),
+          graft.ops.Exact.dsum(col("l_extendedprice")).as("sum_price"),
+          date_format(min(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("min_ship"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---------------------------------------------------------------- q173
+    // Parquet schema evolution — the append-only corpus reality: a
+    // night-2 writer adds a column (here `score`), and the reader
+    // must see ONE unified schema over both file generations with
+    // the missing column null-filled (`mergeSchema` — off by
+    // default in Spark; silently reading night-1's schema and
+    // DROPPING the new column is the failure mode this gate pins).
+    // Oracle replicates the two generations as projection unions
+    // with explicit NULLs.
+    Q("q173_schema_evolution",
+      """WITH u AS (
+        |  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS score
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS score
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(score) AS BIGINT) AS n_scored,
+        |  CAST(sum(score) AS BIGINT) AS sum_score
+        |FROM u GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val root = Scratch.fresh("graft-q173").toString
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$root/gen=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("score"))
+        .write.mode("overwrite").parquet(s"$root/gen=2")
+      s.read.option("mergeSchema", "true").parquet(s"$root/gen=1", s"$root/gen=2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          count(col("score")).as("n_scored"),
+          sum(col("score")).as("sum_score"))
+        .orderBy("lang")
     }
   )
 
