@@ -65,6 +65,21 @@ object Kmv {
       .filter(col("rn") <= K)
   }
 
+  /** Merge two sketch-row frames: bottom-K of the union per scope —
+    * min-K is associative, so merge(sketch(A), sketch(B)) ≡
+    * sketch(A ∪ B) EXACTLY (not approximately), which is what makes
+    * KMV stats incrementally maintainable: a nightly delta's sketch
+    * merges into the store without touching old data, and the
+    * merged estimate equals the full-recompute estimate bit for bit
+    * (q174's gate; SketchSpec pins the row-level identity). */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("scope"), col("h"))
+      .unionByName(b.select(col("scope"), col("h")))
+      .distinct()
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("scope")).orderBy(col("h"))))
+      .filter(col("rn") <= K)
+
   /** Distinct-cardinality estimate per scope from sketch rows:
     * (scope, n_seen, est). */
   def estimate(sk: DataFrame): DataFrame =

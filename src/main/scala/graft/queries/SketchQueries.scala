@@ -383,6 +383,64 @@ object SketchQueries {
           col("ndv").as("ndv_exact"), col("est").as("ndv_kmv"),
           (abs(col("est") - col("ndv")) * 4 <= col("ndv")).as("est_ok"))
         .orderBy("column_name")
+    },
+
+    // ---------------------------------------------------------------- q174
+    // Incremental column statistics — q168's O(Δ) nightly lifecycle
+    // (the q97/q102/q117/q167 contract applied to ANALYZE): the
+    // stats STORE holds per-column counts + KMV sketch rows for the
+    // ingested base; a delta computes its own stats in isolation
+    // and MERGES — counts add, sketches bottom-K-merge — without
+    // touching old data. The gate is the identity proof in its
+    // strongest form: min-K associativity makes the merged ndv
+    // estimate equal the full-recompute estimate BIT FOR BIT (not
+    // within a bound), so the oracle is simply q168's from-first-
+    // principles chain over the full table. This is why the stats
+    // are KMV-shaped at all: exact ndv is not mergeable without
+    // corpus-sized state, and a 100 TB nightly ANALYZE must be
+    // delta-priced.
+    Q("q174_incremental_column_stats",
+      s"""WITH u AS (
+         |  SELECT 'l_orderkey' AS c, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+         |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+         |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+         |  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+         |  UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem),
+         |base AS (SELECT c, CAST(count(*) AS BIGINT) AS n_rows,
+         |           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+         |         FROM u GROUP BY c),
+         |dv AS (SELECT DISTINCT c, v FROM u WHERE v IS NOT NULL),
+         |${kmvCtes("c", "dv", "v")}
+         |SELECT b.c AS column_name, b.n_rows, b.n_null, sest.est AS ndv_kmv
+         |FROM base b JOIN sest ON sest.c = b.c
+         |ORDER BY column_name""".stripMargin) { (s, d) =>
+      import graft.analytics.Kmv
+      val li = Tables.lineitem(s, d)
+      def statsOf(rows: org.apache.spark.sql.DataFrame) = {
+        def proj(name: String, c: org.apache.spark.sql.Column) =
+          rows.select(lit(name).as("c"), c.cast("string").as("v"))
+        val u = proj("l_orderkey", col("l_orderkey"))
+          .unionByName(proj("l_partkey", col("l_partkey")))
+          .unionByName(proj("l_suppkey", col("l_suppkey")))
+          .unionByName(proj("l_returnflag", col("l_returnflag")))
+          .unionByName(proj("l_linestatus", col("l_linestatus")))
+        val counts = u.groupBy(col("c"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"))
+        val sk = Kmv.sketch(u.filter(col("v").isNotNull), col("c"), col("v"))
+        (counts, sk)
+      }
+      // the persisted nightly store (base) + tonight's delta, merged
+      val (bc, bs) = statsOf(li.filter(col("l_orderkey") % 4 =!= 0))
+      val (dc, ds) = statsOf(li.filter(col("l_orderkey") % 4 === 0))
+      val mergedCounts = bc.unionByName(dc).groupBy(col("c"))
+        .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_null")).as("n_null"))
+      val mergedEst = Kmv.estimate(Kmv.merge(bs, ds))
+        .select(col("scope").as("c"), col("est"))
+      mergedCounts.join(mergedEst, Seq("c"))
+        .select(col("c").as("column_name"), col("n_rows"), col("n_null"),
+          col("est").as("ndv_kmv"))
+        .orderBy("column_name")
     }
   )
 

@@ -132,6 +132,13 @@ class SketchSpec extends SparkSpec {
     val direct = sk.filter($"scope" === "u").orderBy($"rn")
       .select($"h").as[Long].collect().toSeq
     assert(mergedAb == direct, "min-K merge must equal the direct union sketch")
+    // the operator spelling of the same identity (q174's contract):
+    // merge(sketch(a)|scope→u, sketch(b)|scope→u) row-equals sketch(u)
+    val opMerged = Kmv.merge(
+        sk.filter($"scope" === "a").withColumn("scope", lit("u")),
+        sk.filter($"scope" === "b").withColumn("scope", lit("u")))
+      .orderBy($"rn").select($"h").as[Long].collect().toSeq
+    assert(opMerged == direct, "Kmv.merge must equal the direct union sketch")
     val pe = Kmv.pairEstimates(sk.filter($"scope".isin("a", "b", "c")))
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3))).toMap
