@@ -301,6 +301,42 @@ object StreamBench {
         raw.as[graft.streaming.CurationStream.Doc], curBench).toDF()
     }
 
+    // 7b. streaming ER: part records probe brand buckets with the
+    // q166 score; pairs emit as later members arrive
+    val erRecs = spark.read.parquet(s"$sfDir/part.parquet")
+      .select(col("p_partkey"), col("p_brand"), col("p_name"),
+        col("p_type"), col("p_size"))
+    val erDir = tmpDir("graft-sbench-er")
+    erRecs.write.mode("overwrite").parquet(erDir)
+    val nRecs = erRecs.count()
+    val erStream = spark.readStream.schema(erRecs.schema).parquet(erDir)
+      .as[graft.streaming.ErStream.Rec]
+    val (erSec, erOut) = timeRun(
+      graft.streaming.ErStream.matchPairs(erStream).toDF())
+
+    // 7c. quota admission + drift monitor over the documents stream
+    val qdocs = spark.read.parquet(docsPath).select(col("source"), col("doc_id"))
+    val qTargets = qdocs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> (r.getLong(1) / 2)).toMap
+    val qDir = tmpDir("graft-sbench-quota")
+    qdocs.write.mode("overwrite").parquet(qDir)
+    val nQ = qdocs.count()
+    val quotaStream = spark.readStream.schema(qdocs.schema).parquet(qDir)
+      .as[graft.streaming.QuotaStream.Arrival]
+    val (quoSec, quoOut) = timeRun(
+      graft.streaming.QuotaStream.admitted(quotaStream, qTargets).toDF())
+    val drDir = tmpDir("graft-sbench-drift")
+    spark.read.parquet(docsPath).select(col("lang").as("bin"))
+      .write.mode("overwrite").parquet(drDir)
+    val drStream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bin",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(drDir).as[graft.streaming.DriftStream.Arrival]
+    val (drSec, drOut) = timeRun(
+      graft.streaming.DriftStream.runningCounts(drStream),
+      org.apache.spark.sql.streaming.OutputMode.Update)
+
     // 7. KMV cardinality monitor: shingle arrivals per source into
     // bottom-K state (K longs/scope forever — the sketch is the cap)
     val kmvArr = spark.read.parquet(docsPath).select(
@@ -328,6 +364,9 @@ object StreamBench {
       f""""idx_docs_per_sec":${nDocs / idxSec}%.0f,"idx_sec":$idxSec%.2f,"idx_postings":$idxOut,""" +
       f""""cur_docs_per_sec":${nCur / curSec}%.0f,"cur_sec":$curSec%.2f,"cur_out":$curOut,""" +
       f""""kmv_elems_per_sec":${nArr / kmvSec}%.0f,"kmv_sec":$kmvSec%.2f,"kmv_out":$kmvOut,""" +
+      f""""er_recs_per_sec":${nRecs / erSec}%.0f,"er_sec":$erSec%.2f,"er_pairs":$erOut,""" +
+      f""""quo_docs_per_sec":${nQ / quoSec}%.0f,"quo_sec":$quoSec%.2f,"quo_out":$quoOut,""" +
+      f""""drift_sec":$drSec%.2f,"drift_bins":$drOut,""" +
       f""""ss_batches":$nDrops,"ss_cold":$coldRate%.0f,"ss_steady":${steadyRate(ssTimes)}%.0f,""" +
       f""""nd_steady":${steadyRate(ndTimes)}%.0f,"emb_steady":${steadyRate(embTimes)}%.0f,""" +
       f""""sem_steady":${steadyRate(semTimes)}%.0f,"cdc_steady":${steadyRate(cdcTimes)}%.0f,""" +

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming entity resolution — the ER family's continuous twin
+  * (q166 batch, q167 incremental, this the per-arrival face):
+  * records stream in, each arrival probes its BLOCKING bucket's
+  * stored members with the same multi-field score the batch
+  * operator uses, and a match pair emits the moment the second
+  * member arrives — the "is this incoming record a duplicate of
+  * something we already have" question answered at ingest time.
+  *
+  * One spelling of the MATCH RULE with the batch side: [[score]]
+  * reproduces `EntityResolution.matchPairs`' predicate exactly
+  * (Levenshtein ≤ 2 · weight 2, type equality · 1, |size Δ| ≤ 1 ·
+  * 1, match ⇔ ≥ 4); [[lev]] is the standard unit-cost edit
+  * distance, codepoint-identical to Spark's `levenshtein` on this
+  * data. The parity spec pins set equality of the emitted pairs
+  * against `matchPairs(all, all)` across drops and a restart.
+  *
+  * Exactly-once per pair on clean runs: an arrival pairs against
+  * the CURRENT members, then stores itself — each unordered pair
+  * emits in the batch where its later member arrives (in-batch
+  * arrivals are processed in key order, so same-batch pairs emit
+  * once too). Replayed micro-batches can re-emit pairs whose stored
+  * side predates the replay boundary — at-least-once, absorbed by
+  * an idempotent sink (the family contract).
+  *
+  * Scale: state shards by blocking key (brand); an arrival costs
+  * one bucket scan. `maxMembers` is the saturation latch of the
+  * other twins — a bucket past the cap is a mass-duplicate signal
+  * that stops pairing AND growing.
+  *
+  * CHECKPOINT COMPATIBILITY: [[ErStream.BucketState]] is the
+  * persisted schema; bump `ver` and migrate on change. */
+object ErStream {
+
+  final case class Rec(p_partkey: Long, p_brand: String, p_name: String,
+                       p_type: String, p_size: Int)
+  final case class BucketState(members: List[Rec], saturated: Boolean,
+                               ver: Int = 1)
+  final case class MatchPair(d1: Long, d2: Long)
+
+  /** Unit-cost Levenshtein (two-row DP) — same semantics as Spark's
+    * `levenshtein` for BMP strings. */
+  def lev(a: String, b: String): Int = {
+    if (a == b) return 0
+    val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
+    var prev = Array.tabulate(s.length + 1)(identity)
+    var cur = new Array[Int](s.length + 1)
+    var j = 1
+    while (j <= t.length) {
+      cur(0) = j
+      var i = 1
+      while (i <= s.length) {
+        val cost = if (s.charAt(i - 1) == t.charAt(j - 1)) 0 else 1
+        cur(i) = math.min(math.min(cur(i - 1) + 1, prev(i) + 1), prev(i - 1) + cost)
+        i += 1
+      }
+      val tmp = prev; prev = cur; cur = tmp
+      j += 1
+    }
+    prev(s.length)
+  }
+
+  /** The batch match rule, record-pair form: ≥ 4 ⇔ match. The
+    * length-band check short-circuits the DP exactly the way
+    * `levBandPairs`' blocking does. */
+  def isMatch(x: Rec, y: Rec): Boolean =
+    math.abs(x.p_name.length - y.p_name.length) <= 2 &&
+      lev(x.p_name, y.p_name) <= 2 && {
+        2 + (if (x.p_type == y.p_type) 1 else 0) +
+          (if (math.abs(x.p_size - y.p_size) <= 1) 1 else 0) >= 4
+      }
+
+  /** Verified match pairs over a record stream, canonical d1 < d2. */
+  def matchPairs(recs: Dataset[Rec], maxMembers: Int = 10000): Dataset[MatchPair] = {
+    import recs.sparkSession.implicits._
+    recs.groupByKey(_.p_brand)
+      .flatMapGroupsWithState[BucketState, MatchPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[BucketState]) =>
+          var st = state.getOption.getOrElse(BucketState(Nil, saturated = false))
+          val out = scala.collection.mutable.ListBuffer.empty[MatchPair]
+          it.toSeq.sortBy(_.p_partkey).foreach { r =>
+            if (!st.saturated) {
+              st.members.foreach { m =>
+                if (m.p_partkey != r.p_partkey && isMatch(m, r))
+                  out += MatchPair(math.min(m.p_partkey, r.p_partkey),
+                    math.max(m.p_partkey, r.p_partkey))
+              }
+              st =
+                if (st.members.size + 1 > maxMembers) st.copy(saturated = true)
+                else st.copy(members = r :: st.members)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

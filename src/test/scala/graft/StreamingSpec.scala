@@ -24,6 +24,12 @@ object StreamingSpec {
     new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.IndexStream.PostingEvent]()
   val collectedKmv =
     new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.KmvStream.Estimate]()
+  val collectedQuota =
+    new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.QuotaStream.Admitted]()
+  val collectedDrift =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  val collectedErPairs =
+    new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.ErStream.MatchPair]()
   val collectedCurated =
     new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.CurationStream.CuratedDoc]()
 }
@@ -1350,5 +1356,172 @@ class StreamingSpec extends SparkSpec {
     q2.processAllAvailable()
     q2.stop()
     check(latest(), batchOf(input.drop("doc_id")), "after restart")
+  }
+
+  test("streaming quotas: per-source admission stops at target, survives restart") {
+    import graft.streaming.QuotaStream
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select($"source", $"doc_id")
+    val targets = docs.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> (r.getLong(1) / 2 + 1)).toMap // ~half each
+    val arrivalsPerSrc = docs.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val d1 = docs.filter($"doc_id" % 2 === 0)
+    val d2 = docs.filter($"doc_id" % 2 === 1)
+    val dir = tmp("graft-quota-in")
+    val ckpt = tmp("graft-quota-ck")
+    StreamingSpec.collectedQuota.clear()
+    def start() = {
+      val st = spark.readStream.schema(d1.schema).parquet(dir)
+        .as[QuotaStream.Arrival]
+      QuotaStream.admitted(st, targets).toDF()
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.as[QuotaStream.Admitted].collect()
+            .foreach(StreamingSpec.collectedQuota.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    def got(): Seq[QuotaStream.Admitted] = {
+      import scala.jdk.CollectionConverters._
+      StreamingSpec.collectedQuota.asScala.toSeq
+    }
+    d1.write.mode("overwrite").parquet(dir)
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    val night1 = got()
+    val d1Counts = d1.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    night1.groupBy(_.source).foreach { case (src, rows) =>
+      assert(rows.size.toLong == math.min(targets(src), d1Counts(src)),
+        s"$src night 1: admitted ${rows.size}")
+    }
+    // restart from the checkpoint: counters must RESUME, not reset —
+    // a reset would re-admit target docs from drop 2 alone
+    d2.write.mode("append").parquet(dir)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val all = got()
+    val bySrc = all.groupBy(_.source)
+    assert(bySrc.keySet == targets.keySet)
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.size.toLong == math.min(targets(src), arrivalsPerSrc(src)),
+        s"$src final: admitted ${rows.size} vs target ${targets(src)}")
+      // seq is the per-source admission index: 1..n exactly once
+      assert(rows.map(_.seq).sorted == (1L to rows.size.toLong),
+        s"$src: admission sequence broken")
+      // admitted docs are a subset of the source's arrivals
+      assert(rows.map(_.doc_id).distinct.size == rows.size)
+    }
+    assert(all.size > night1.size, "night 2 must admit under remaining quota")
+  }
+
+  test("streaming drift monitor: running chi-square vs reference, drift clears as the mixture completes") {
+    import graft.streaming.DriftStream
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select($"lang".as("bin"), $"doc_id")
+    val full = docs.groupBy($"bin").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nTot = full.values.sum.toDouble
+    val reference = full.map { case (b, c) => b -> c / nTot }
+    val d1 = docs.filter($"bin" === "en") // biased first night: en only
+    val d2 = docs.filter($"bin" =!= "en")
+    val dir = tmp("graft-drift-in")
+    val ckpt = tmp("graft-drift-ck")
+    StreamingSpec.collectedDrift.clear()
+    def start() = {
+      val st = spark.readStream.schema(d1.schema).parquet(dir)
+        .select($"bin").as[DriftStream.Arrival]
+      DriftStream.runningCounts(st)
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => // cumulative counts: latest wins
+            StreamingSpec.collectedDrift.put(r.getString(0), r.getLong(1)))
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    def verdict() = {
+      import scala.jdk.CollectionConverters._
+      DriftStream.verdictOf(StreamingSpec.collectedDrift.asScala.toMap, reference)
+    }
+    d1.write.mode("overwrite").parquet(dir)
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    val v1 = verdict()
+    assert(v1.drift, s"all-en night must flag against the mixed reference: $v1")
+    assert(v1.n_total == full("en"))
+    // batch-twin parity: same statistic from a batch groupBy (the
+    // one-spelling contract)
+    val batchV1 = DriftStream.verdictOf(
+      d1.groupBy($"bin").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap, reference)
+    assert(v1 == batchV1, "stream verdict ≡ batch verdict on the same arrivals")
+    // restart: agg state resumes; the completed mixture clears the alarm
+    d2.write.mode("append").parquet(dir)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val v2 = verdict()
+    assert(v2.n_total == full.values.sum)
+    assert(v2.chi2 < 1e-6 && !v2.drift,
+      s"the full corpus matches its own mixture: $v2")
+  }
+
+  test("streaming ER: emitted match pairs ≡ batch matchPairs across drops + restart") {
+    import graft.streaming.ErStream
+    val p = Tables.part(spark, sf("sf0.01"))
+      .select($"p_partkey", $"p_brand", $"p_name", $"p_type", $"p_size")
+    val expected = graft.analytics.EntityResolution.matchPairs(p, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture must contain corroborated matches")
+    val d1 = p.filter($"p_partkey" % 3 === 0)
+    val d2 = p.filter($"p_partkey" % 3 === 1)
+    val d3 = p.filter($"p_partkey" % 3 === 2)
+    val dir = tmp("graft-er-in")
+    val ckpt = tmp("graft-er-ck")
+    StreamingSpec.collectedErPairs.clear()
+    def start() = {
+      val st = spark.readStream.schema(p.schema).parquet(dir)
+        .as[ErStream.Rec]
+      ErStream.matchPairs(st).toDF()
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.as[ErStream.MatchPair].collect()
+            .foreach(StreamingSpec.collectedErPairs.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    def got(): Seq[(Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      StreamingSpec.collectedErPairs.asScala.toSeq.map(mp => (mp.d1, mp.d2))
+    }
+    d1.write.mode("overwrite").parquet(dir)
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    val night1 = got()
+    assert(night1.toSet.subsetOf(expected), "stream pairs must be true matches")
+    // restart: bucket members survive the checkpoint — drop-2
+    // arrivals must pair against drop-1 records
+    d2.write.mode("append").parquet(dir)
+    val q2 = start()
+    q2.processAllAvailable()
+    d3.write.mode("append").parquet(dir) // third drop into the live query
+    q2.processAllAvailable()
+    q2.stop()
+    val all = got()
+    assert(all.size == all.distinct.size,
+      "each pair emits exactly once on a clean run")
+    assert(all.toSet == expected,
+      s"stream ≡ batch: ${all.size} vs ${expected.size}; " +
+        s"missing ${(expected -- all.toSet).take(3)}, " +
+        s"extra ${(all.toSet -- expected).take(3)}")
+    assert(all.size > night1.size, "later drops must add cross-drop pairs")
   }
 }
