@@ -177,6 +177,73 @@ object OlapQueries {
           first(col("o_orderkey")).over(w).as("first_order"),
           count(lit(1)).over(Window.partitionBy(col("o_custkey"))).as("n_orders"))
         .orderBy("o_custkey", "rn")
+    },
+
+    // ---------------------------------------------------------------- q175
+    // Equi-frequency discretization — the feature-engineering
+    // ASSIGNMENT operator next to q69's percentile VALUES: per-group
+    // quartile boundaries (duckRound(6) — the q69 parity spelling),
+    // broadcast back, every row binned 0..3 by comparison against
+    // the rounded boundaries (raw value vs rounded cut: both engines
+    // compare the same doubles). The ML-prep quantile-bucketizer a
+    // training pipeline runs before crossing/hashing features; plan
+    // is one |groups|-row agg + a broadcast join riding the scan.
+    Q("q175_quantile_binning",
+      """WITH b AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.25), 6) AS p25,
+        |    round(quantile_cont(value, 0.5), 6) AS p50,
+        |    round(quantile_cont(value, 0.75), 6) AS p75
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        |SELECT event_id, e.event_type, round(value, 6) AS v,
+        |  CAST(CASE WHEN value <= p25 THEN 0 WHEN value <= p50 THEN 1
+        |       WHEN value <= p75 THEN 2 ELSE 3 END AS BIGINT) AS bin
+        |FROM events e JOIN b USING (event_type)
+        |WHERE value IS NOT NULL
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      val b = ev.groupBy(col("event_type")).agg(
+        Exact.duckRound(expr("percentile(value, 0.25)"), 6).as("p25"),
+        Exact.duckRound(expr("percentile(value, 0.5)"), 6).as("p50"),
+        Exact.duckRound(expr("percentile(value, 0.75)"), 6).as("p75"))
+      ev.join(broadcast(b), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          Exact.duckRound(col("value"), 6).as("v"),
+          when(col("value") <= col("p25"), 0L)
+            .when(col("value") <= col("p50"), 1L)
+            .when(col("value") <= col("p75"), 2L)
+            .otherwise(3L).as("bin"))
+        .orderBy("event_id")
+    },
+
+    // ---------------------------------------------------------------- q176
+    // Per-group z-score standardization — the other half of ML
+    // feature prep: group mean and sample stddev via the q13
+    // exact-decimal component spelling (sums as DECIMAL, one sqrt —
+    // the portable root), broadcast back, every row standardized
+    // and duckRounded. Same plan shape as q175.
+    Q("q176_group_zscore",
+      s"""WITH m AS (SELECT o_orderpriority,
+         |    count(*) AS n,
+         |    ${dsum("o_totalprice")} / CAST(count(*) AS DOUBLE) AS mu,
+         |    CASE WHEN count(*) > 1 THEN sqrt(
+         |      (CAST(sum(CAST(o_totalprice AS $DEC) * CAST(o_totalprice AS $DEC)) AS DOUBLE)
+         |       - ${dsum("o_totalprice")} * ${dsum("o_totalprice")} / CAST(count(*) AS DOUBLE))
+         |      / (count(*) - 1)) END AS sd
+         |  FROM orders GROUP BY o_orderpriority)
+         |SELECT o_orderkey, o.o_orderpriority,
+         |  round(CASE WHEN sd > 0 THEN (o_totalprice - mu) / sd END, 6) AS z
+         |FROM orders o JOIN m USING (o_orderpriority)
+         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val m = o.groupBy(col("o_orderpriority")).agg(
+        Exact.davg(col("o_totalprice")).as("mu"),
+        Exact.dstddev(col("o_totalprice")).as("sd"))
+      o.join(broadcast(m), Seq("o_orderpriority"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          Exact.duckRound(
+            when(col("sd") > 0, (col("o_totalprice") - col("mu")) / col("sd")),
+            6).as("z"))
+        .orderBy("o_orderkey")
     }
   )
 }

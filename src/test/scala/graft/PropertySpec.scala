@@ -300,6 +300,35 @@ class PropertySpec extends SparkSpec {
     assert(got == Map("ab" -> "ab", "a" -> "a"), got.toString)
   }
 
+  test("late-round ops are partition-count independent (the determinism contract)") {
+    // every deterministic sampling/sketch operator must return the
+    // SAME rows regardless of input partitioning — the property that
+    // separates them from rand()/TABLESAMPLE. Run each on the
+    // natural frame and on a 7-way repartition; row sets must match.
+    import graft.analytics.Kmv
+    import graft.ops.Mixture
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val shards = docs.repartition(7)
+    assert(
+      rowsOf(Mixture.temperatureSample(docs, "lang", "doc_id")) ==
+        rowsOf(Mixture.temperatureSample(shards, "lang", "doc_id")),
+      "temperatureSample must not depend on partitioning")
+    val memb = docs.select($"source", $"doc_id".cast("string").as("e"))
+    assert(
+      rowsOf(Kmv.sketch(memb, $"source", $"e")) ==
+        rowsOf(Kmv.sketch(memb.repartition(7), $"source", $"e")),
+      "Kmv.sketch must not depend on partitioning")
+    val er = graft.sources.Tables.part(spark, sf("sf0.01"))
+      .select($"p_partkey", $"p_brand", $"p_name", $"p_type", $"p_size")
+    assert(
+      rowsOf(graft.analytics.EntityResolution.matchPairs(er, er)) ==
+        rowsOf(graft.analytics.EntityResolution.matchPairs(
+          er.repartition(7), er.repartition(5))),
+      "matchPairs must not depend on partitioning")
+  }
+
   test("duckRound matches half-away-from-zero on the scaled double") {
     val cases = List.fill(60)((rnd.nextDouble() * 4 - 2, rnd.nextInt(7))) ++
       List((0.6146874999999999, 6), (-0.6146874999999999, 6), (2.5e-6, 6), (0.125, 2))
