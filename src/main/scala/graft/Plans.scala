@@ -121,7 +121,12 @@ object Plans {
     // distinct, bottom-K rank)
     "q163_rare_token_profile", "q164_kmv_set_ops",
     "q165_filter_drift_audit", "q166_entity_resolution",
-    "q167_incremental_er", "q168_column_stats")
+    "q167_incremental_er", "q168_column_stats",
+    // session-end evidence: the temperature mixture's broadcast
+    // rate table, the mergeable-stats lifecycle, and the two
+    // feature-prep broadcast-cut assignments
+    "q169_temperature_mixture", "q174_incremental_column_stats",
+    "q175_quantile_binning", "q176_group_zscore")
 
   /** Context lines emitted under a query's heading — for plans whose
     * interesting structure is NOT visible in the final explain (e.g. a
