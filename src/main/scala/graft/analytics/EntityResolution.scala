@@ -27,6 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object EntityResolution {
 
+  /** The match rule's constants — ONE definition consumed by the
+    * batch side (matchPairs below) AND the streaming twin
+    * (ErStream.isMatch), so editing a weight cannot drift the two
+    * (the qualityBattery rule applied to ER). */
+  val MAX_NAME_DIST = 2
+  val W_NAME = 2
+  val W_TYPE = 1
+  val W_SIZE = 1
+  val SIZE_BAND = 1
+  val MATCH_THRESHOLD = 4
+
   /** Length-band-blocked Levenshtein dictionary pairs — q65's
     * dictionary-first metric, the ONE spelling for every fuzzy
     * consumer (q65, matchPairs): edit distance ≤ maxDist forces
@@ -56,7 +67,7 @@ object EntityResolution {
   def matchPairs(probe: DataFrame, base: DataFrame): DataFrame = {
     val nd = levBandPairs(
         probe.select(col("p_name")).distinct(),
-        base.select(col("p_name")).distinct(), 2)
+        base.select(col("p_name")).distinct(), MAX_NAME_DIST)
       .drop("dist")
     val a = probe.select(col("p_partkey").as("ka"), col("p_brand").as("ba"),
       col("p_name").as("n1"), col("p_type").as("ta"), col("p_size").as("sa"))
@@ -65,9 +76,10 @@ object EntityResolution {
     a.join(broadcast(nd), Seq("n1"))
       .join(b, col("n2") === col("n2b") && col("ba") === col("bb")
         && col("ka") =!= col("kb"))
-      .filter(lit(2)
-        + when(col("ta") === col("tb"), 1).otherwise(0)
-        + when(abs(col("sa") - col("sb")) <= 1, 1).otherwise(0) >= 4)
+      .filter(lit(W_NAME)
+        + when(col("ta") === col("tb"), W_TYPE).otherwise(0)
+        + when(abs(col("sa") - col("sb")) <= SIZE_BAND, W_SIZE).otherwise(0)
+        >= MATCH_THRESHOLD)
       .select(least(col("ka"), col("kb")).as("d1"),
         greatest(col("ka"), col("kb")).as("d2"))
       .distinct()

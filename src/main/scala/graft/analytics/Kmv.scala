@@ -55,15 +55,22 @@ object Kmv {
   /** Estimator numerator (K-1)·2^48. */
   val EST_NUM: Long = (K - 1).toLong * (1L << 48)
 
-  /** Bottom-K sketch rows (scope, h, rn), rn ≤ K, from element
-    * strings. Input need not be distinct — the sketch dedups. */
-  def sketch(df: DataFrame, scope: Column, elem: Column): DataFrame = {
-    val rows = df.select(scope.as("scope"), hash48(elem).as("h")).distinct()
-    rows
+  /** The one bottom-K re-rank: distinct (scope, h) → ranked rows
+    * rn ≤ K. sketch and merge both ARE this block — sharing it
+    * makes the q174 merge ≡ sketch identity structural rather than
+    * maintained by hand. The rank filter directly above row_number
+    * is the WindowGroupLimit pattern (partial map-side top-K before
+    * the exchange). */
+  private def bottomK(rows: DataFrame): DataFrame =
+    rows.distinct()
       .withColumn("rn",
         row_number().over(Window.partitionBy(col("scope")).orderBy(col("h"))))
       .filter(col("rn") <= K)
-  }
+
+  /** Bottom-K sketch rows (scope, h, rn), rn ≤ K, from element
+    * strings. Input need not be distinct — the sketch dedups. */
+  def sketch(df: DataFrame, scope: Column, elem: Column): DataFrame =
+    bottomK(df.select(scope.as("scope"), hash48(elem).as("h")))
 
   /** Merge two sketch-row frames: bottom-K of the union per scope —
     * min-K is associative, so merge(sketch(A), sketch(B)) ≡
@@ -73,12 +80,8 @@ object Kmv {
     * merged estimate equals the full-recompute estimate bit for bit
     * (q174's gate; SketchSpec pins the row-level identity). */
   def merge(a: DataFrame, b: DataFrame): DataFrame =
-    a.select(col("scope"), col("h"))
-      .unionByName(b.select(col("scope"), col("h")))
-      .distinct()
-      .withColumn("rn",
-        row_number().over(Window.partitionBy(col("scope")).orderBy(col("h"))))
-      .filter(col("rn") <= K)
+    bottomK(a.select(col("scope"), col("h"))
+      .unionByName(b.select(col("scope"), col("h"))))
 
   /** Distinct-cardinality estimate per scope from sketch rows:
     * (scope, n_seen, est). */

@@ -29,23 +29,34 @@ import org.apache.spark.sql.functions._
   * constant-fold into the BNLJ the engine-wide PlanSpec bans). */
 object Mixture {
 
+  /** The samplers' shared spelling — ONE definition each for the
+    * 3-nibble sha bucket (0..4095), the non-foldable 1-row attach
+    * key (the q126 trick), and the integer acceptance predicate, so
+    * balancedSample / temperatureSample / nestedSubsamples cannot
+    * drift on the parts they share. */
+  private[ops] def shaBucket(idCol: String): Column =
+    conv(substring(sha2(col(idCol).cast("string"), 256), 1, 3), 16, 10)
+      .cast("long")
+  private def gKey(c: Column): Column =
+    (pmod(c, lit(1L)) + lit(1L)).cast("int")
+  private def accept(targetCol: String): Column =
+    col("bucket") * col("_c") < col(targetCol) * lit(4096L)
+
   /** Balanced downsample: ≈ min-source-count docs from every source.
     * Output keeps (idCol, srcCol, bucket) for auditability. */
   def balancedSample(docs: DataFrame, srcCol: String = "source",
                      idCol: String = "doc_id"): DataFrame = {
     val counts = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("_c"))
     val target = counts.agg(min(col("_c")).as("_nmin"))
-      .select((pmod(col("_nmin"), lit(1L)) + lit(1L)).cast("int").as("_g"),
-        col("_nmin"))
+      .select(gKey(col("_nmin")).as("_g"), col("_nmin"))
     val rates = counts
-      .withColumn("_g", (pmod(col("_c"), lit(1L)) + lit(1L)).cast("int"))
+      .withColumn("_g", gKey(col("_c")))
       .join(broadcast(target), Seq("_g"))
       .select(col(srcCol), col("_c"), col("_nmin"))
-    val bucket = conv(substring(sha2(col(idCol).cast("string"), 256), 1, 3), 16, 10)
-      .cast("long")
-    docs.select(col(idCol), col(srcCol)).withColumn("bucket", bucket)
+    docs.select(col(idCol), col(srcCol))
+      .withColumn("bucket", shaBucket(idCol))
       .join(broadcast(rates), Seq(srcCol))
-      .filter(col("bucket") * col("_c") < col("_nmin") * lit(4096L))
+      .filter(accept("_nmin"))
       .select(col(idCol), col(srcCol), col("bucket"))
   }
 
@@ -79,19 +90,17 @@ object Mixture {
     val tot = counts.agg(
         sum(col("_c")).as("_ntot"),
         sum(col("_r").cast("decimal(21,10)")).cast("double").as("_rsum"))
-      .select((pmod(col("_ntot"), lit(1L)) + lit(1L)).cast("int").as("_g"),
-        col("_ntot"), col("_rsum"))
+      .select(gKey(col("_ntot")).as("_g"), col("_ntot"), col("_rsum"))
     val rates = counts
-      .withColumn("_g", (pmod(col("_c"), lit(1L)) + lit(1L)).cast("int"))
+      .withColumn("_g", gKey(col("_c")))
       .join(broadcast(tot), Seq("_g"))
       .select(col(srcCol), col("_c"),
         floor(expr("_ntot div 2").cast("double")
           * col("_r") / col("_rsum")).cast("long").as("_t"))
-    val bucket = conv(substring(sha2(col(idCol).cast("string"), 256), 1, 3), 16, 10)
-      .cast("long")
-    docs.select(col(idCol), col(srcCol)).withColumn("bucket", bucket)
+    docs.select(col(idCol), col(srcCol))
+      .withColumn("bucket", shaBucket(idCol))
       .join(broadcast(rates), Seq(srcCol))
-      .filter(col("bucket") * col("_c") < col("_t") * lit(4096L))
+      .filter(accept("_t"))
       .select(col(idCol), col(srcCol), col("bucket"), col("_t").as("target"))
   }
 
@@ -129,7 +138,7 @@ object Mixture {
       "thresholds must STRICTLY ascend and end at the full bucket space " +
         "(4096) — a duplicate would double-count its manifest row")
     val sha = sha2(col(idCol).cast("string"), 256)
-    val bucket = conv(substring(sha, 1, 3), 16, 10).cast("long")
+    val bucket = shaBucket(idCol)
     val idVal = conv(substring(sha, 4, 6), 16, 10).cast("long")
     val nTok = size(split(col(textCol), " ")).cast("long")
     val tier = thresholds.init.zipWithIndex.reverse

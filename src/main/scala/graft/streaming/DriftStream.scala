@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
   * aggregation plus the verdict assembly over its |bins|-row
   * output ([[verdictOf]], shared with any batch twin — the
   * qualityBattery one-spelling rule). Bins absent from the
-  * reference are COUNTED (n_unknown) but excluded from χ²: a new
-  * bin is itself the drift signal, a p = 0 term would divide by
+  * reference are excluded from χ² (a p = 0 term would divide by
   * zero, and killing the query on unseen data is the wrong failure
-  * mode for a monitor. */
+  * mode for a monitor) but their MASS IS PART OF THE ALARM: the
+  * verdict also fires when unknown-bin arrivals exceed
+  * `unknownFrac` of all traffic — otherwise the strongest drift of
+  * all (the crawler moves to bins the reference has never seen)
+  * would read χ² ≈ 0 and never flag. */
 object DriftStream {
 
   final case class Arrival(bin: String)
@@ -45,16 +48,22 @@ object DriftStream {
   }
 
   /** Verdict from a (bin, cnt) count frame (the streaming agg's
-    * complete-mode table, or any batch groupBy). */
+    * complete-mode table, or any batch groupBy). Fires on EITHER
+    * signal: in-reference mixture shift (φ² = χ²/N > phi2Threshold)
+    * or unknown-bin mass above `unknownFrac` of all arrivals — the
+    * two ways an ingest mixture goes wrong. */
   def verdictOf(counts: Map[String, Long], reference: Map[String, Double],
-                phi2Threshold: Double = 0.01): Verdict = {
+                phi2Threshold: Double = 0.01,
+                unknownFrac: Double = 0.01): Verdict = {
     require(reference.nonEmpty && reference.values.forall(_ > 0.0),
       "reference proportions must be positive")
     val known = counts.view.filterKeys(reference.contains).toMap
     val nUnknown = counts.view.filterKeys(!reference.contains(_)).values.sum
     val n = known.values.sum
     val chi2 = chiSquare(known, reference)
-    Verdict(n, nUnknown, chi2, chi2 > phi2Threshold * n)
+    Verdict(n, nUnknown, chi2,
+      chi2 > phi2Threshold * n ||
+        nUnknown.toDouble > unknownFrac * (n + nUnknown))
   }
 
   /** The running bin-count aggregation over an arrival stream —

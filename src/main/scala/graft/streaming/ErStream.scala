@@ -42,37 +42,30 @@ object ErStream {
                                ver: Int = 1)
   final case class MatchPair(d1: Long, d2: Long)
 
-  /** Unit-cost Levenshtein (two-row DP) — same semantics as Spark's
-    * `levenshtein` for BMP strings. */
-  def lev(a: String, b: String): Int = {
-    if (a == b) return 0
-    val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
-    var prev = Array.tabulate(s.length + 1)(identity)
-    var cur = new Array[Int](s.length + 1)
-    var j = 1
-    while (j <= t.length) {
-      cur(0) = j
-      var i = 1
-      while (i <= s.length) {
-        val cost = if (s.charAt(i - 1) == t.charAt(j - 1)) 0 else 1
-        cur(i) = math.min(math.min(cur(i - 1) + 1, prev(i) + 1), prev(i - 1) + cost)
-        i += 1
-      }
-      val tmp = prev; prev = cur; cur = tmp
-      j += 1
-    }
-    prev(s.length)
-  }
+  /** Levenshtein via Spark's OWN implementation
+    * (`UTF8String.levenshteinDistance` — the engine behind the SQL
+    * `levenshtein` function), so the stream's metric is batch-
+    * identical BY CONSTRUCTION, codepoints and all (a hand-rolled
+    * UTF-16-char DP would diverge on supplementary-plane names —
+    * the CdcStream.utf8Cmp class of bug). */
+  def lev(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .levenshteinDistance(org.apache.spark.unsafe.types.UTF8String.fromString(b))
 
-  /** The batch match rule, record-pair form: ≥ 4 ⇔ match. The
-    * length-band check short-circuits the DP exactly the way
-    * `levBandPairs`' blocking does. */
-  def isMatch(x: Rec, y: Rec): Boolean =
-    math.abs(x.p_name.length - y.p_name.length) <= 2 &&
-      lev(x.p_name, y.p_name) <= 2 && {
-        2 + (if (x.p_type == y.p_type) 1 else 0) +
-          (if (math.abs(x.p_size - y.p_size) <= 1) 1 else 0) >= 4
+  /** The batch match rule, record-pair form — every constant read
+    * from [[graft.analytics.EntityResolution]] (one spelling; a
+    * weight edit there changes both sides). The length-band check
+    * short-circuits the DP exactly the way `levBandPairs`' blocking
+    * does. */
+  def isMatch(x: Rec, y: Rec): Boolean = {
+    import graft.analytics.EntityResolution._
+    math.abs(x.p_name.length - y.p_name.length) <= MAX_NAME_DIST &&
+      lev(x.p_name, y.p_name) <= MAX_NAME_DIST && {
+        W_NAME + (if (x.p_type == y.p_type) W_TYPE else 0) +
+          (if (math.abs(x.p_size - y.p_size) <= SIZE_BAND) W_SIZE else 0) >=
+          MATCH_THRESHOLD
       }
+  }
 
   /** Verified match pairs over a record stream, canonical d1 < d2. */
   def matchPairs(recs: Dataset[Rec], maxMembers: Int = 10000): Dataset[MatchPair] = {
@@ -91,7 +84,12 @@ object ErStream {
                     math.max(m.p_partkey, r.p_partkey))
               }
               st =
-                if (st.members.size + 1 > maxMembers) st.copy(saturated = true)
+                // a tripped bucket stops pairing AND growing — and
+                // drops its member list: the guard above never reads
+                // it again, so keeping 10k Recs in every checkpoint
+                // would be maximum-size dead state
+                if (st.members.size + 1 > maxMembers)
+                  BucketState(Nil, saturated = true)
                 else st.copy(members = r :: st.members)
             }
           }

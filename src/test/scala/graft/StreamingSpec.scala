@@ -1470,6 +1470,15 @@ class StreamingSpec extends SparkSpec {
     assert(v2.n_total == full.values.sum)
     assert(v2.chi2 < 1e-6 && !v2.drift,
       s"the full corpus matches its own mixture: $v2")
+    // unknown-mass alarm: a reference that never saw 'de' must still
+    // flag when de arrives in force — the known bins stay perfectly
+    // proportional (chi2 ~ 0), so only the unknown-fraction rule can
+    // catch the strongest drift of all
+    val refNoDe = (full - "de").map { case (b, c) =>
+      b -> c.toDouble / (nTot - full("de")) }
+    val v3 = DriftStream.verdictOf(full, refNoDe)
+    assert(v3.n_unknown == full("de") && v3.chi2 < 1e-6 && v3.drift,
+      s"unknown-bin mass must fire the alarm: $v3")
   }
 
   test("streaming ER: emitted match pairs ≡ batch matchPairs across drops + restart") {
