@@ -83,7 +83,13 @@ object Mixture {
     * 1-row total attached by the non-foldable-key broadcast, rates
     * broadcast back map-side. */
   def temperatureSample(docs: DataFrame, srcCol: String = "source",
-                        idCol: String = "doc_id"): DataFrame = {
+                        idCol: String = "doc_id"): DataFrame =
+    temperatureAccept(docs, temperatureTargets(docs, srcCol), srcCol, idCol)
+
+  /** The T = 2 target table alone: (srcCol, _c, _t) — exposed so the
+    * q177 bias audit reads the SAME targets the sampler enforces
+    * (and a group that keeps nothing still has its target row). */
+  def temperatureTargets(docs: DataFrame, srcCol: String = "source"): DataFrame = {
     val counts = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("_c"))
       .withColumn("_r",
         graft.ops.Exact.duckRound(sqrt(col("_c").cast("double")), 6))
@@ -91,18 +97,21 @@ object Mixture {
         sum(col("_c")).as("_ntot"),
         sum(col("_r").cast("decimal(21,10)")).cast("double").as("_rsum"))
       .select(gKey(col("_ntot")).as("_g"), col("_ntot"), col("_rsum"))
-    val rates = counts
+    counts
       .withColumn("_g", gKey(col("_c")))
       .join(broadcast(tot), Seq("_g"))
       .select(col(srcCol), col("_c"),
         floor(expr("_ntot div 2").cast("double")
           * col("_r") / col("_rsum")).cast("long").as("_t"))
+  }
+
+  private def temperatureAccept(docs: DataFrame, rates: DataFrame,
+                                srcCol: String, idCol: String): DataFrame =
     docs.select(col(idCol), col(srcCol))
       .withColumn("bucket", shaBucket(idCol))
       .join(broadcast(rates), Seq(srcCol))
       .filter(accept("_t"))
       .select(col(idCol), col(srcCol), col("bucket"), col("_t").as("target"))
-  }
 
   /** Nested scaling-law subsample manifests — the ablation datasets a
     * scaling study needs (S_1/64 ⊂ S_1/16 ⊂ S_1/4 ⊂ S_full), one

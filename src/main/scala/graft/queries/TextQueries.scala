@@ -412,6 +412,51 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- q177
+    // Mixture-sampling bias audit — the knob-validator the sampling
+    // family was missing (q98's pattern: ANN has its recall audit,
+    // SimHash its q142 sweep, SemDeDup its q124 — this row tells a
+    // user whether the hash-bucket acceptance actually delivers the
+    // per-group targets): per language, kept count vs q169's integer
+    // target with a 4σ binomial acceptance bound spelled in pure
+    // integers — Var[kept] ≤ t, so ok ⇔ (kept − t)² ≤ 16·t. The
+    // sha buckets are fixed, so the verdicts are deterministic and
+    // hash-pinned (an `ok=false` row would mean the bucket hash is
+    // biased — the failure this audit exists to catch).
+    Q("q177_mixture_audit",
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS c,
+        |             round(sqrt(CAST(count(*) AS DOUBLE)), 6) AS r
+        |           FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS ntot,
+        |        CAST(sum(CAST(r AS DECIMAL(21,10))) AS DOUBLE) AS rsum FROM c),
+        |rt AS (SELECT lang, c,
+        |         CAST(floor(CAST(ntot // 2 AS DOUBLE) * r / rsum) AS BIGINT) AS tt
+        |       FROM c CROSS JOIN t),
+        |b AS (SELECT doc_id, lang,
+        |    CAST(strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 256
+        |  + CAST(strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT) * 16
+        |  + CAST(strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)), 3, 1)) - 1 AS BIGINT) AS bucket
+        |  FROM documents),
+        |k AS (SELECT lang, CAST(count(*) AS BIGINT) AS kept
+        |      FROM b JOIN rt USING (lang) WHERE bucket * c < tt * 4096
+        |      GROUP BY lang)
+        |SELECT rt.lang, rt.c AS n_docs, rt.tt AS target,
+        |  CAST(coalesce(k.kept, 0) AS BIGINT) AS kept,
+        |  (coalesce(k.kept, 0) - tt) * (coalesce(k.kept, 0) - tt) <= 16 * tt AS ok
+        |FROM rt LEFT JOIN k USING (lang)
+        |ORDER BY rt.lang""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val targets = graft.ops.Mixture.temperatureTargets(docs, "lang")
+      val kept = graft.ops.Mixture.temperatureSample(docs, "lang", "doc_id")
+        .groupBy(col("lang")).agg(count(lit(1)).as("kept"))
+      val diff = coalesce(col("kept"), lit(0L)) - col("_t")
+      targets.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("_c").as("n_docs"), col("_t").as("target"),
+          coalesce(col("kept"), lit(0L)).cast("long").as("kept"),
+          (diff * diff <= lit(16L) * col("_t")).as("ok"))
+        .orderBy("lang")
+    },
+
     // ---------------------------------------------------------------- q59
     // Deterministic hash sampling: a reproducible ~10% corpus sample
     // via sha-256(doc_id) mod 100 < 10. This is how a training
