@@ -191,15 +191,14 @@ object Bench {
       // is NNN ↔ qNNN_*.
       val short = if (k.startsWith("x_")) k.split('_').take(2).mkString("_")
         else k.split('_').head.stripPrefix("q")
-      // 2-decimal, trailing zero stripped ("0.60"→"0.6", "1.00"→
-      // "1.0" — still valid JSON numbers): ~1 char back on ~1 in 5
-      // queries; full millisecond precision stays in
-      // bench_detail.json.
-      val v = f"${best._1}%.2f" match {
-        case s if s.endsWith("0") && !s.endsWith(".00") => s.dropRight(1)
-        case s if s.endsWith(".00") => s.dropRight(1)
-        case s => s
-      }
+      // Values are INTEGER CENTISECONDS (seconds × 100, rounded;
+      // decode as value/100 — the `"u":"cs"` marker on the line says
+      // so): "163":49 = 0.49 s. vs the previous 2-decimal seconds
+      // this buys 2–3 chars/query ≈ 25+ queries of tail-buffer
+      // headroom at the 185-query scale (the r2/r9 parsed:null
+      // overflow lesson). Millisecond precision stays in
+      // bench_detail.json, which is unchanged.
+      val v = math.round(best._1 * 100).toString
       "\"" + short + "\":" + v }
       .mkString("{", ",", "}")
     val total = bests.map(_._2._1).sum
@@ -265,7 +264,9 @@ object Bench {
     // gc dropped from the one-liner (gc_sec lives in
     // bench_detail.json, per-query gc in its rows) — 11 more chars
     // for query entries.
-    println(f"""{"queries":$qs,"value":$total%.3f$calOut,"sf":"${new java.io.File(sfDir).getName}"}""")
+    // "u":"cs" self-describes the per-query unit (integer
+    // centiseconds); "value" (the total) stays plain seconds.
+    println(f"""{"queries":$qs,"u":"cs","value":$total%.3f$calOut,"sf":"${new java.io.File(sfDir).getName}"}""")
     spark.stop()
   }
 }

@@ -13,6 +13,20 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Graph {
 
+  /** Node-count ceiling for the per-superstep `broadcast(rv)` hint in
+    * [[pageRank]]. The rank-value frame is node-sized (src BIGINT/
+    * string + a DECIMAL(27,12) ≈ 40–60 B/row → ~50 MB at this bound),
+    * and a FORCED hint overrides Spark's autoBroadcastJoinThreshold
+    * safety — at web-graph node counts the superstep would OOM the
+    * driver collecting the broadcast instead of degrading to a
+    * shuffle join. Same ceiling-with-fallback pattern as
+    * Similarity.MAX_INLINE_DOUBLES: below the bound the hint wins
+    * (map-side join, no edge shuffle for the lookup side); above it
+    * the join is left to the planner, which shuffles BOTH sides on
+    * src — the correct shape when ranks no longer fit an executor.
+    * GraphSpec asserts rank identity across the two plan shapes. */
+  val MAX_BROADCAST_NODES: Long = 1L << 20
+
   /** PageRank over edges (src, dst). The walk is UNDIRECTED: both
     * directions are generated INTERNALLY (the `ee` union below), so
     * feed each edge exactly once — a caller that pre-symmetrizes
@@ -34,7 +48,8 @@ object Graph {
     * front); ranks and degrees are node-sized — the join side a real
     * cluster would broadcast. Returns (node, r). */
   def pageRank(directedEdges: DataFrame, iters: Int, damping: Double = 0.85,
-               teleport: Double = 0.15): DataFrame = {
+               teleport: Double = 0.15,
+               maxBroadcastNodes: Long = MAX_BROADCAST_NODES): DataFrame = {
     // teleport is a PARAMETER, not computed as 1.0 - damping: in IEEE
     // 1.0 - 0.85 = 0.15000000000000002, which is NOT the double the
     // oracle's literal 0.15 parses to — both constants must be the
@@ -49,17 +64,24 @@ object Graph {
       .localCheckpoint(true) // node-sized
     val nodes = ee.select(col("src").as("node")).distinct().localCheckpoint(true)
     val n = nodes.count()
+    // broadcast is a HINT gated on n (MAX_BROADCAST_NODES): the rank
+    // frame grows linearly with the node count, and forcing it past
+    // executor/driver memory would OOM rather than degrade — above
+    // the bound the superstep join falls back to the planner's
+    // shuffle join (ranks no longer fit one executor anyway)
+    val bcastOk = n <= maxBroadcastNodes
     var ranks = nodes.withColumn("r", lit(1.0 / n))
     for (_ <- 1 to iters) {
       // fold rank/degree into ONE node-sized value frame first, so the
-      // superstep is a single broadcast join into the edge scan plus
-      // one partial-agged shuffle on dst — never an edge-wide
-      // multi-join chain
-      val rv = ranks.join(deg, col("node") === col("src"))
+      // superstep is a single (broadcast, when node-count-gated) join
+      // into the edge scan plus one partial-agged shuffle on dst —
+      // never an edge-wide multi-join chain
+      val rv0 = ranks.join(deg, col("node") === col("src"))
         .select(col("src"),
           Exact.duckRound(col("r") / col("od"), 9)
             .cast(DecimalType(27, 12)).as("cv"))
-      val contrib = ee.join(broadcast(rv), Seq("src"))
+      val rv = if (bcastOk) broadcast(rv0) else rv0
+      val contrib = ee.join(rv, Seq("src"))
         .groupBy(col("dst"))
         .agg(sum(col("cv")).cast("double").as("in_sum"))
       ranks = nodes

@@ -41,6 +41,20 @@ class GraphSpec extends SparkSpec {
     assert(a == b, "ranks changed under re-partitioning")
   }
 
+  test("ranks are identical with the broadcast hint gated off (shuffle-join fallback)") {
+    import spark.implicits._
+    val edges = ((1 to 40).map(i => (s"n$i", s"n${i + 1}")) ++
+      (1 to 40 by 7).map(i => (s"n$i", s"n${math.min(i + 13, 41)}"))).toDF("src", "dst")
+    val hinted = Graph.pageRank(edges, 4)
+      .as[(String, Double)].collect().toMap
+    // maxBroadcastNodes = 0 forces the over-the-ceiling path: the
+    // superstep join runs without the forced hint (planner's choice —
+    // the web-graph shape where ranks no longer fit one executor)
+    val fallback = Graph.pageRank(edges, 4, maxBroadcastNodes = 0L)
+      .as[(String, Double)].collect().toMap
+    assert(hinted == fallback, "gating the broadcast hint changed ranks")
+  }
+
   private def triOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
     graft.ops.Graph.triangleCounts(edges.toDF("u", "v"))
