@@ -598,6 +598,178 @@ object Similarity {
     searchCells(queries, cCells, quant, k, nProbe, maxInlineDoubles)
   }
 
+  /** The collected quantizer model, public — (cid, components, norm)
+    * rows sorted by cid. Registration-time hook for consumers that
+    * serve many queries from one frozen model (RewriteSimTopK's store
+    * registry): collect once at registration, plan many times with
+    * zero jobs at plan-construction time. */
+  def collectModel(cent: DataFrame): Array[(Long, Array[Double], Double)] =
+    collectQuantizer(cent)
+
+  /** Safety margin added to every cell bound in
+    * [[exactTopKFromStoreModel]]: candidate similarities are rounded
+    * half-away to 6 decimals (|round₆(x) − x| ≤ 5·10⁻⁷), and the
+    * bound itself is a short chain of IEEE ops (relative error
+    * ~10⁻¹⁵). 10⁻⁶ dominates both, so a pruned cell's members sit
+    * strictly below the threshold — pruning can only ever DROP rows
+    * that provably cannot reach the top-k. */
+  val BOUND_MARGIN: Double = 1e-6
+
+  /** Per-cell covering radius of an IVF assignment store:
+    * r(cid) = max over members x of ‖x̂ − ĉ‖ on the unit sphere,
+    * computed as √(max(0, 2 − 2·cos(x, c))) with the UNROUNDED
+    * cosine. A zero-norm member has no direction; it counts as the
+    * full diameter 2.0 so the bound stays a true upper bound.
+    * One aggregation job + a model-sized collect (≤ nCells rows) —
+    * the MLlib-fit pattern, run ONCE at store registration. */
+  def cellRadii(store: DataFrame, centroids: DataFrame): Map[Long, Double] = {
+    val quant = collectQuantizer(centroids)
+    val centLocal = localCentroids(store.sparkSession, quant)
+    val nn = norm(col("embedding"))
+    val den = nn * col("cn")
+    val cosT = when(den =!= lit(0.0), dot(col("embedding"), col("cv")) / den)
+    val dist = coalesce(
+      sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * cosT)), lit(2.0))
+    store.join(broadcast(centLocal), Seq("cid"))
+      .groupBy(col("cid")).agg(max(dist).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  /** EXACT cosine top-k served from a persisted IVF store, with
+    * triangle-inequality cell pruning — the plan [[graft.plans.RewriteSimTopK]]
+    * substitutes for the brute-force spelling. Output is PROVABLY
+    * identical to [[bruteForceTopK]] on nonzero-norm corpora (the
+    * brute spelling's own precondition — its unguarded divide throws
+    * under ANSI on a zero norm, where this path yields null sims
+    * ranked last), on ANY data distribution:
+    *
+    *  - pass 1 scans the `nProbe0` nearest cells per query and takes
+    *    the kth-best rounded cosine as threshold t(q) (−2.0 when
+    *    fewer than k candidates turn up — no pruning);
+    *  - pass 2 keeps cell j for query q iff
+    *    cos(q̂, ĉⱼ) + r(j) + [[BOUND_MARGIN]] ≥ t(q). Cauchy–Schwarz
+    *    gives cos(q̂, x̂) ≤ cos(q̂, ĉⱼ) + ‖x̂ − ĉⱼ‖ ≤ cos(q̂, ĉⱼ) + r(j)
+    *    for every member x, so every row of a pruned cell scores
+    *    strictly below t(q) while ≥ k rows score ≥ t(q) — pruned rows
+    *    can never enter the top-k under (sim DESC, nid ASC);
+    *  - the exact rounded-cosine rank then runs over surviving cells
+    *    only — a SUPERSET of the true top-k, ranked by the same total
+    *    order brute force uses, hence the identical result.
+    *
+    * How much pass 2 prunes is the corpus's business: on a clustered
+    * corpus most cells die at the bound (RewriteSimTopKSpec measures
+    * it on a planted-cluster corpus); on the near-isotropic gate
+    * embeddings radii approach the sphere diameter and the serve
+    * degrades gracefully toward a full scan — still exact, never
+    * wrong, which is exactly why the REWRITE may substitute it
+    * blindly where the approximate serves (q153/q154) remain explicit
+    * opt-ins carrying q98's recall audit. Scale shape: the store is
+    * the only corpus-sized frame, touched by two cell equi-joins with
+    * broadcast (query × cell) probe sides; thresholds are |Q| rows;
+    * at 100 TB bucket the store by cid so surviving cells read their
+    * buckets alone. */
+  def exactTopKFromStoreModel(queries: DataFrame, store: DataFrame,
+                              quant: Array[(Long, Array[Double], Double)],
+                              radii: Map[Long, Double],
+                              k: Int, nProbe0: Int = 2,
+                              maxInlineDoubles: Long = MAX_INLINE_DOUBLES): DataFrame =
+    rankCellCandidates(storeCells(store),
+      boundSurvivingPairs(queries, store, quant, radii, k, nProbe0,
+        maxInlineDoubles), k)
+
+  private def storeCells(store: DataFrame): DataFrame =
+    store.select(col("vec_id").as("nid"), col("cid").as("cell"),
+        col("embedding").as("nv"))
+      .withColumn("nn", norm(col("nv")))
+
+  /** The (qid, qv, qn, cell) pairs surviving the covering bound —
+    * [[exactTopKFromStoreModel]]'s pruning stage, test-visible so
+    * RewriteSimTopKSpec can assert the bound actually prunes on a
+    * clustered corpus (and prunes NOTHING it shouldn't anywhere). */
+  private[graft] def boundSurvivingPairs(queries: DataFrame, store: DataFrame,
+                                         quant: Array[(Long, Array[Double], Double)],
+                                         radii: Map[Long, Double],
+                                         k: Int, nProbe0: Int = 2,
+                                         maxInlineDoubles: Long = MAX_INLINE_DOUBLES): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"exactTopKFromStoreModel: k must be >= 1, got $k")
+    require(quant.nonEmpty, "exactTopKFromStoreModel: empty quantizer")
+    val cCells = storeCells(store)
+    // ---- pass 1: kth-best rounded cosine within each query's nProbe0
+    // nearest cells — the pruning threshold t(q)
+    val q1 = probeCells(queries, quant, math.min(nProbe0, quant.length),
+      maxInlineDoubles)
+    val den1 = col("qn") * col("nn")
+    val kth = cCells.join(broadcast(q1), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), when(den1 =!= lit(0.0),
+        graft.ops.Exact.duckRound(dot(col("qv"), col("nv")) / den1, 6)).as("sim"))
+      .withColumn("rt", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc_nulls_last)))
+      .filter(col("rt") === k)
+      // kth row with a null sim ⇒ fewer than k non-null candidates ⇒
+      // conservative no-prune threshold
+      .select(col("qid"), coalesce(col("sim"), lit(-2.0)).as("thr"))
+    // ---- pass 2: per-query surviving cells by the covering bound
+    val qAll = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val modelDoubles = quant.foldLeft(0L)((a, c) => a + c._2.length)
+    val withUb =
+      if (modelDoubles > maxInlineDoubles) {
+        // broadcast-join fallback past the inline ceiling (the
+        // MAX_INLINE_DOUBLES contract): explode cell ids, join the
+        // model-sized local frame, same bound arithmetic
+        val sess = queries.sparkSession
+        import sess.implicits._
+        val clDf = quant.toSeq
+          .map { case (cid, cv, cn) => (cid, cv.toSeq, cn, radii.getOrElse(cid, -2.0)) }
+          .toDF("cell", "cv", "cn", "r")
+        val d = col("qn") * col("cn")
+        qAll.withColumn("cell",
+            explode(array(quant.map(c => lit(c._1)).toIndexedSeq: _*)))
+          .join(broadcast(clDf), Seq("cell"))
+          .select(col("qid"), col("qv"), col("qn"), col("cell"),
+            when(d =!= lit(0.0),
+              dot(col("qv"), col("cv")) / d + col("r") + lit(BOUND_MARGIN)).as("ub"))
+      } else {
+        val cellUb = array(quant.map { case (cid, cv, cn) =>
+          val d = col("qn") * lit(cn)
+          val ub = when(d =!= lit(0.0),
+            dot(col("qv"), typedLit(cv.toSeq)) / d
+              + lit(radii.getOrElse(cid, -2.0)) + lit(BOUND_MARGIN))
+          struct(lit(cid).as("cell"), ub.as("ub"))
+        }.toIndexedSeq: _*)
+        qAll.select(col("qid"), col("qv"), col("qn"), explode(cellUb).as("cu"))
+          .select(col("qid"), col("qv"), col("qn"),
+            col("cu.cell").as("cell"), col("cu.ub").as("ub"))
+      }
+    // a zero-norm query has null bounds everywhere and yields no rows
+    // (the brute spelling THROWS on the same input — ANSI ÷0)
+    withUb.join(broadcast(kth), Seq("qid"), "left")
+      .filter(col("ub") >= coalesce(col("thr"), lit(-2.0)))
+      .select(col("qid"), col("qv"), col("qn"), col("cell"))
+  }
+
+  /** Cell equi-join + exact rounded-cosine per-query top-k — ONE
+    * spelling of the IVF rank tail, shared by [[searchCells]] and
+    * [[exactTopKFromStoreModel]] (qCells carries (qid, qv, qn, cell);
+    * a drifted copy would silently break the rewrite's brute-force
+    * identity). */
+  private def rankCellCandidates(cCells: DataFrame, qCells: DataFrame,
+                                 k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val den = col("qn") * col("nn")
+    val sims = cCells.join(broadcast(qCells), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        // zero-norm → null sim (ANSI÷0 parity; DuckDB divides to NULL)
+        when(den =!= lit(0.0),
+          graft.ops.Exact.duckRound(dot(col("qv"), col("nv")) / den, 6)).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc_nulls_last, col("nid"))
+    sims.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Shared IVF probe + rank: query probe cells (inlined multi-probe
     * expression, or the broadcast-join ranking past the inline
     * ceiling — the window runs over |Q|·k rows only), then the
@@ -638,20 +810,9 @@ object Similarity {
   private def searchCells(queries: DataFrame, cCells: DataFrame,
                           quant: Array[(Long, Array[Double], Double)],
                           k: Int, nProbe: Int,
-                          maxInlineDoubles: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val qCells = probeCells(queries, quant, nProbe, maxInlineDoubles)
-    val den = col("qn") * col("nn")
-    val sims = cCells.join(broadcast(qCells), Seq("cell"))
-      .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
-        // zero-norm → null sim (ANSI÷0 parity; DuckDB divides to NULL)
-        when(den =!= lit(0.0),
-          graft.ops.Exact.duckRound(dot(col("qv"), col("nv")) / den, 6)).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc_nulls_last, col("nid"))
-    sims.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-  }
+                          maxInlineDoubles: Long): DataFrame =
+    rankCellCandidates(cCells,
+      probeCells(queries, quant, nProbe, maxInlineDoubles), k)
 
   /** lshTopK default hash structure: 6 independent tables of 3 sign
     * planes each — all 18 planes one deterministic sha-parity family

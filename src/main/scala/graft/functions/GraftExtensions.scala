@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.shingleExplodeDescription)
     e.injectFunction(GraftExtensions.spanExplodeDescription)
     e.injectOptimizerRule(_ => RewriteVecDot)
+    e.injectOptimizerRule(_ => graft.plans.RewriteSimTopK)
     e.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
@@ -84,6 +85,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RewriteVecDot))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteVecDot
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteSimTopK))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteSimTopK
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteWindowTopK))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RewriteWindowTopK

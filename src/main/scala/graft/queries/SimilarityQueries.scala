@@ -1488,6 +1488,48 @@ object SimilarityQueries {
       Similarity.hardNegativesTopK(e.filter(col("vec_id") < N_QUERIES), e, 3, 0.95)
         .select("qid", "nid", "rnk", "sim", "n_source")
         .orderBy("qid", "rnk")
+    },
+
+    // ---------------------------------------------------------------- q178
+    // Similarity top-k REWRITE (SURVEY §4/§7.3's custom planner
+    // strategy): the Spark side runs the PLAIN brute-force spelling —
+    // the same declarative code as q34 — with an IVF store registered
+    // for the corpus, and RewriteSimTopK substitutes the store-served
+    // bound-pruned plan (triangle-inequality cell pruning: provably
+    // EXACT on any data, so the oracle is plain brute force — unlike
+    // the approximate serves q153/q154, which the planner never
+    // substitutes). The runner REQUIRES the rewrite fired (hitCount)
+    // and materializes under the registration, so the hashed rows are
+    // genuinely the substituted plan's output; RewriteSimTopKSpec
+    // holds the plan-swap assert, the decline cases, and the
+    // pruning-on-clustered-corpus measurement (on these near-isotropic
+    // embeddings the radii approach the sphere diameter and pruning is
+    // thin — the q98 recall-audit lesson — but exactness never
+    // depends on it).
+    Q("q178_simtopk_rewrite",
+      s"""$normCtes,
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $N_QUERIES),
+         |s AS (SELECT qid, n.vec_id AS nid,
+         |        round(list_dot_product(qv, v) / (qn * nrm), 6) AS sim
+         |      FROM q, n WHERE n.vec_id <> qid),
+         |r AS (SELECT qid, nid, sim,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+         |      FROM s)
+         |SELECT qid, nid, rnk, sim FROM r WHERE rnk <= $TOP_K
+         |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      graft.functions.GraftExtensions.install(s)
+      val e = Tables.embeddings(s, d)
+      val (cent, _, coarse, _) = ivfPqStores(s, d)
+      val h = graft.plans.RewriteSimTopK.register(e, coarse, cent, label = s"q178:$d")
+      try {
+        val out = Similarity.bruteForceTopK(e.filter(col("vec_id") < N_QUERIES), e, TOP_K)
+          .select("qid", "nid", "rnk", "sim")
+          .orderBy("qid", "rnk")
+          .localCheckpoint(true) // materialize WITH the store registered
+        require(h.hitCount > 0,
+          "q178: RewriteSimTopK did not fire — the gate would be hashing brute force")
+        out
+      } finally graft.plans.RewriteSimTopK.unregister(h)
     }
   )
 }
