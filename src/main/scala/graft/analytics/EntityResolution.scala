@@ -64,7 +64,16 @@ object EntityResolution {
     * is the nightly delta probe — one-sided probing reaches every
     * old–new AND new–new pair (the q102 incremental contract),
     * so store ∪ deltaPairs ≡ the full recompute. */
-  def matchPairs(probe: DataFrame, base: DataFrame): DataFrame = {
+  def matchPairs(probe: DataFrame, base: DataFrame): DataFrame =
+    scoredPairs(probe, base, requireBrand = true)
+
+  /** ONE spelling of the score-and-canonicalize pass, parameterized
+    * by whether the brand-equality BLOCK applies — matchPairs (the
+    * production path) and blockingRecallAudit's unblocked truth arm
+    * both read this body, so the audit can never drift from the rule
+    * it audits. */
+  private def scoredPairs(probe: DataFrame, base: DataFrame,
+                          requireBrand: Boolean): DataFrame = {
     val nd = levBandPairs(
         probe.select(col("p_name")).distinct(),
         base.select(col("p_name")).distinct(), MAX_NAME_DIST)
@@ -73,9 +82,9 @@ object EntityResolution {
       col("p_name").as("n1"), col("p_type").as("ta"), col("p_size").as("sa"))
     val b = base.select(col("p_partkey").as("kb"), col("p_brand").as("bb"),
       col("p_name").as("n2b"), col("p_type").as("tb"), col("p_size").as("sb"))
+    val recov = col("n2") === col("n2b") && col("ka") =!= col("kb")
     a.join(broadcast(nd), Seq("n1"))
-      .join(b, col("n2") === col("n2b") && col("ba") === col("bb")
-        && col("ka") =!= col("kb"))
+      .join(b, if (requireBrand) recov && col("ba") === col("bb") else recov)
       .filter(lit(W_NAME)
         + when(col("ta") === col("tb"), W_TYPE).otherwise(0)
         + when(abs(col("sa") - col("sb")) <= SIZE_BAND, W_SIZE).otherwise(0)
@@ -83,6 +92,40 @@ object EntityResolution {
       .select(least(col("ka"), col("kb")).as("d1"),
         greatest(col("ka"), col("kb")).as("d2"))
       .distinct()
+  }
+
+  /** Blocking-recall audit — the knob-validator the ER family owes
+    * its block (the q98/q124/q142/q177 convention: every
+    * approximation ships with the audit that measures it). The
+    * production pipeline treats brand equality as BLOCKING: a
+    * misspelled or variant brand never reaches scoring, and nothing
+    * in q166/q167 measures that miss. Here the TRUTH arm re-scores
+    * the same rule WITHOUT the brand block (the name length band is
+    * NOT audited — edit distance ≤ d mathematically forces
+    * |len Δ| ≤ d, a lossless block), and the audit reports, in one
+    * row: truth pairs, blocked pairs (always ⊆ truth — same score
+    * rule), missed pairs, recall in basis points.
+    *
+    * `sampleMod` keeps the truth arm sample-sized at corpus scale
+    * (p_partkey % sampleMod = 0 — deterministic, oracle-expressible);
+    * the gate runs full (sampleMod = 1). Cost shape: the truth arm
+    * pays the SAME dictionary × length-band Levenshtein as the
+    * production pass (q65's metric) — only the record-recovery join
+    * loses the brand key, so the extra cost is the wider recovered
+    * pair list, bounded by per-name multiplicity. */
+  def blockingRecallAudit(records: DataFrame, sampleMod: Long = 1): DataFrame = {
+    val p = if (sampleMod == 1) records
+      else records.filter(col("p_partkey") % sampleMod === 0)
+    val truth = scoredPairs(p, p, requireBrand = false)
+    val blocked = scoredPairs(p, p, requireBrand = true)
+    truth.join(blocked.withColumn("f", lit(1L)), Seq("d1", "d2"), "left")
+      .agg(count(lit(1)).as("truth_pairs"),
+        sum(coalesce(col("f"), lit(0L))).cast("long").as("blocked_pairs"))
+      .select(col("truth_pairs"), col("blocked_pairs"),
+        (col("truth_pairs") - col("blocked_pairs")).as("missed_pairs"),
+        // empty truth ⇒ null recall (the ANSI-vs-DuckDB ÷0 rule)
+        when(col("truth_pairs") > 0,
+          expr("blocked_pairs * 10000L div truth_pairs")).as("recall_bp"))
   }
 
   /** Entity labels for every record from a match-pair list:

@@ -947,6 +947,87 @@ object MiscQueries {
       EntityResolution.resolve(p,
           store.unionByName(deltaPairs).distinct())
         .orderBy("p_partkey")
+    },
+
+    // ---------------------------------------------------------------- q179
+    // Transactional table log + TIME TRAVEL (sinks/TableLog): three
+    // commits land on a fresh manifest-log table — append the %7≠0
+    // documents (v1), append the %7=0 remainder (v2), overwrite with
+    // the %5≠0 slice (v3) — and the query answers "what changed"
+    // purely from PINNED version reads: ids visible at v2 but not v1
+    // ('added@2' — exactly the second append) and ids visible at v2
+    // but not v3 ('removed@3' — exactly what the overwrite dropped).
+    // The oracle recomputes both sets from the documents table alone,
+    // so a hash match proves the log served each version's exact file
+    // set. Concurrency (one winner, one rebase-retry), crashed-writer
+    // invisibility and torn-manifest detection are TableLogSpec's;
+    // this gate pins the read-side contract. Anti-joins broadcast the
+    // small side; the table data stays plain parquet (pushdown and
+    // pruning unchanged — the log only decides WHICH files a version
+    // scans).
+    Q("q179_table_time_travel",
+      """SELECT doc_id, 'added@2' AS status FROM documents WHERE doc_id % 7 = 0
+        |UNION ALL
+        |SELECT doc_id, 'removed@3' AS status FROM documents WHERE doc_id % 5 = 0
+        |ORDER BY status, doc_id""".stripMargin) { (s, d) =>
+      import graft.sinks.TableLog
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-q179-table").toString
+      val v1 = TableLog.append(docs.filter(col("doc_id") % 7 =!= 0), table)
+      val v2 = TableLog.append(docs.filter(col("doc_id") % 7 === 0), table)
+      val v3 = TableLog.overwrite(docs.filter(col("doc_id") % 5 =!= 0), table)
+      require((v1, v2, v3) == (1L, 2L, 3L), s"unexpected versions ($v1,$v2,$v3)")
+      def at(v: Long) = TableLog.read(s, table, Some(v)).select("doc_id")
+      val added = at(v2).join(at(v1), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("added@2").as("status"))
+      val removed = at(v2).join(at(v3), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("removed@3").as("status"))
+      added.unionByName(removed).orderBy("status", "doc_id")
+    },
+
+    // ---------------------------------------------------------------- q180
+    // ER blocking-recall audit — the knob-validator the ER family
+    // owed its brand block (the q98/q124/q142/q177 convention: every
+    // approximation ships with its audit). Truth arm = the SAME score
+    // rule re-run WITHOUT brand equality (the name length band stays:
+    // lev ≤ 2 forces |lenΔ| ≤ 2, a lossless block); the one-row
+    // report is (truth, blocked, missed, recall in basis points).
+    // On this corpus the verdict is brutal and worth knowing: brand
+    // blocking finds 2,135 of 54,658 corroborated pairs at sf0.1 —
+    // recall 390 bp — because the synthetic name space collides
+    // heavily ACROSS brands. Whether those cross-brand pairs are true
+    // duplicates is the user's entity definition; the audit is what
+    // makes the block's assumption measurable instead of silent
+    // (AnalyticsSpec pins a closed-form case where a misspelled brand
+    // provably hides a true match). Runs full here; at corpus scale
+    // the sampleMod knob keeps the truth arm sample-sized. Cost
+    // shape: the same dictionary × length-band Levenshtein as q166 —
+    // only the recovery join loses its brand key.
+    Q("q180_er_blocking_audit",
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |nd AS (SELECT a.p_name AS n1, b.p_name AS n2
+        |       FROM names a JOIN names b
+        |         ON abs(length(a.p_name) - length(b.p_name)) <= 2
+        |       WHERE levenshtein(a.p_name, b.p_name) <= 2),
+        |sc AS (SELECT least(a.p_partkey, b.p_partkey) AS d1,
+        |              greatest(a.p_partkey, b.p_partkey) AS d2,
+        |              max(CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END) AS fb
+        |       FROM nd JOIN part a ON a.p_name = nd.n1
+        |               JOIN part b ON b.p_name = nd.n2 AND a.p_partkey <> b.p_partkey
+        |       WHERE 2 + CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END
+        |               + CASE WHEN abs(a.p_size - b.p_size) <= 1 THEN 1 ELSE 0 END >= 4
+        |       GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS truth_pairs,
+        |       CAST(sum(fb) AS BIGINT) AS blocked_pairs,
+        |       CAST(count(*) - sum(fb) AS BIGINT) AS missed_pairs,
+        |       CASE WHEN count(*) > 0
+        |         THEN CAST(sum(fb) * 10000 // count(*) AS BIGINT) END AS recall_bp
+        |FROM sc""".stripMargin) { (s, d) =>
+      import graft.analytics.EntityResolution
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"),
+        col("p_name"), col("p_type"), col("p_size"))
+      EntityResolution.blockingRecallAudit(p)
     }
   )
 }

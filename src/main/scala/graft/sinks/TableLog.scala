@@ -1,0 +1,229 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Transactional MULTI-file table commits on a plain parquet
+  * directory — the mechanism the reference's read-merge-overwrite
+  * sink lacks (restaurant-crawler/storage_manager.py:28-45 reads the
+  * whole JSON file, concat-appends in memory and rewrites it: two
+  * concurrent crawlers lose one side's rows silently). The DSv2 sink
+  * fixed the SINGLE-file race with a two-phase commit
+  * (JsonLinesSource); this is the table-level protocol above it — the
+  * Delta/Iceberg manifest-log mechanism q112's snapshot delta assumes
+  * exists upstream, reduced to its load-bearing core:
+  *
+  *  - data files are IMMUTABLE, written once under `data/` with
+  *    unique names; nothing ever rewrites or appends in place;
+  *  - a VERSION is a manifest file `_log/v{N}.manifest` listing
+  *    exactly the data files visible at N (full snapshot, not a
+  *    delta — readers resolve one manifest, never a chain);
+  *  - COMMIT = publishing manifest N+1 under an atomic
+  *    create-exclusive primitive. Exactly one writer can win a
+  *    version; the loser re-reads the new head and RETRIES its
+  *    append on top (optimistic concurrency — appends always merge,
+  *    the lost-update race is structurally gone);
+  *  - a crashed writer leaves data files with no manifest pointing at
+  *    them: invisible to every reader, garbage-collectable by
+  *    comparing `data/` against the union of live manifests;
+  *  - READERS pin: resolve head version once, then read that
+  *    manifest's file set for the rest of the job — a concurrent
+  *    commit cannot shear a running query. Time travel = pinning an
+  *    older version explicitly.
+  *
+  * Atomicity of publish, by scheme: on `file:` the manifest body is
+  * written to a temp file and HARD-LINKED to its final name —
+  * link(2) is atomic and fails with EEXIST, so the full content
+  * appears at once and exactly one concurrent publisher wins. On
+  * HDFS-like filesystems the same temp is `rename`d (atomic,
+  * no-overwrite there). Object stores without atomic
+  * create-exclusive need a coordination service for the publish
+  * step (the Delta S3 LogStore approach) — out of scope here, the
+  * protocol point is the manifest, not the lock. A belt-and-braces
+  * trailing `#end` sentinel makes a torn manifest detectable: readers
+  * treat a sentinel-less manifest as in-flight and fail loudly rather
+  * than serve half a version.
+  *
+  * Scale: a manifest lists file PATHS — thousands of entries of
+  * bytes each, driver-sized by construction (the Iceberg answer for
+  * millions of files is manifest hierarchies; one level is enough
+  * here). Data stays parquet: scans, pushdown, pruning all unchanged
+  * — the log changes WHICH files a scan sees, never how it reads
+  * them.
+  */
+object TableLog {
+
+  final case class Manifest(version: Long, base: Long, action: String,
+                            files: Seq[String])
+
+  private val LOG_DIR = "_log"
+  private val SENTINEL = "#end"
+
+  private def fs(spark: SparkSession, table: String): FileSystem =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(table: String, v: Long): Path =
+    new Path(table, f"$LOG_DIR/v$v%08d.manifest")
+
+  /** Highest committed version, 0 when the table has no log yet. */
+  def headVersion(spark: SparkSession, table: String): Long = {
+    val dir = new Path(table, LOG_DIR)
+    val f = fs(spark, table)
+    if (!f.exists(dir)) 0L
+    else f.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong }
+      .foldLeft(0L)(math.max)
+  }
+
+  /** The pinned manifest of `version` (head when None). Throws on a
+    * torn (sentinel-less) manifest — an in-flight publish on a
+    * filesystem without atomic create, surfaced instead of served. */
+  def manifest(spark: SparkSession, table: String,
+               version: Option[Long] = None): Manifest = {
+    val v = version.getOrElse(headVersion(spark, table))
+    require(v >= 1, s"TableLog: $table has no committed version")
+    val p = manifestPath(table, v)
+    val f = fs(spark, table)
+    val in = f.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val lines = body.linesIterator.toSeq
+    require(lines.lastOption.contains(SENTINEL),
+      s"TableLog: torn manifest $p (no $SENTINEL sentinel) — in-flight or corrupt publish")
+    val header = lines.head.split(" ").map { kv =>
+      val Array(k, x) = kv.split("=", 2); k -> x
+    }.toMap
+    Manifest(header("version").toLong, header("base").toLong,
+      header("action"), lines.slice(1, lines.length - 1))
+  }
+
+  /** Read the table at `version` (head when None): exactly the pinned
+    * manifest's parquet files — a commit racing this read changes
+    * nothing the query sees. Schema comes from the parquet footers. */
+  def read(spark: SparkSession, table: String,
+           version: Option[Long] = None): DataFrame = {
+    val m = manifest(spark, table, version)
+    require(m.files.nonEmpty, s"TableLog: version ${m.version} of $table is empty")
+    spark.read.parquet(m.files.map(rel => new Path(table, rel).toString): _*)
+  }
+
+  /** Write `df` as new immutable data files; returns their
+    * table-relative paths. One spark write, no manifest yet — the
+    * files are invisible until a commit publishes them. */
+  private def writeData(df: DataFrame, table: String): Seq[String] = {
+    val sub = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
+    val dir = new Path(table, sub)
+    df.write.parquet(dir.toString)
+    val f = fs(df.sparkSession, table)
+    f.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .sorted.map(n => s"$sub/$n").toSeq
+  }
+
+  /** Atomic create-exclusive publish of `body` at `dst`. True iff
+    * this writer won the version. */
+  private def publish(f: FileSystem, table: String, dst: Path,
+                      body: String): Boolean = {
+    val tmpName = s"$LOG_DIR/.tmp-${java.util.UUID.randomUUID()}"
+    val tmp = new Path(table, tmpName)
+    val out = f.create(tmp, false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val won =
+      if ("file".equalsIgnoreCase(dst.toUri.getScheme) || dst.toUri.getScheme == null) {
+        // link(2): atomic, full-content, EEXIST when a racer won
+        val localTmp = Paths.get(f.makeQualified(tmp).toUri)
+        val localDst = Paths.get(f.makeQualified(dst).toUri)
+        try { Files.createLink(localDst, localTmp); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else
+        // HDFS rename: atomic, returns false when dst exists
+        f.rename(tmp, dst)
+    f.delete(tmp, false)
+    won
+  }
+
+  private def tryCommit(spark: SparkSession, table: String, base: Long,
+                        action: String, files: Seq[String]): Boolean = {
+    val v = base + 1
+    val body = (s"version=$v base=$base action=$action" +: files :+ SENTINEL)
+      .mkString("\n")
+    val f = fs(spark, table)
+    f.mkdirs(new Path(table, LOG_DIR))
+    publish(f, table, manifestPath(table, v), body)
+  }
+
+  /** Append `df` as a new version. Optimistic: on losing the publish
+    * race the ALREADY-WRITTEN data files are re-based onto the new
+    * head (no data rewrite — appends always merge) and the commit
+    * retries, up to `maxRetries`. Returns the committed version. */
+  def append(df: DataFrame, table: String, maxRetries: Int = 10,
+             onRetry: Long => Unit = _ => (),
+             beforeCommit: Long => Unit = _ => ()): Long = {
+    val spark = df.sparkSession
+    val newFiles = writeData(df, table)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val base = headVersion(spark, table)
+      val baseFiles = if (base == 0) Seq.empty
+        else manifest(spark, table, Some(base)).files
+      // test seam: TableLogSpec injects a COMPETING commit here to
+      // pin the lose-and-rebase path deterministically
+      beforeCommit(base)
+      if (tryCommit(spark, table, base, "append", baseFiles ++ newFiles))
+        return base + 1
+      attempt += 1
+      onRetry(base)
+    }
+    throw new IllegalStateException(
+      s"TableLog.append: lost the publish race $maxRetries times on $table")
+  }
+
+  /** Replace the table's contents as a new version (the reader-safe
+    * spelling of the reference's rewrite — old versions stay
+    * readable). */
+  def overwrite(df: DataFrame, table: String, maxRetries: Int = 10): Long = {
+    val spark = df.sparkSession
+    val newFiles = writeData(df, table)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val base = headVersion(spark, table)
+      if (tryCommit(spark, table, base, "overwrite", newFiles)) return base + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"TableLog.overwrite: lost the publish race $maxRetries times on $table")
+  }
+
+  /** Data files no live manifest references — crashed or superseded
+    * writers' leftovers, safe to delete once no reader can still be
+    * pinned below the retention horizon. */
+  def orphans(spark: SparkSession, table: String): Seq[String] = {
+    val head = headVersion(spark, table)
+    val live = (1L to head).flatMap(v =>
+      manifest(spark, table, Some(v)).files).toSet
+    val f = fs(spark, table)
+    val dataDir = new Path(table, "data")
+    if (!f.exists(dataDir)) Seq.empty
+    else {
+      // qualified-prefix strip, not URI.relativize: the listing comes
+      // back scheme-qualified (file:///…) while `table` may be a bare
+      // path, and relativize silently returns the input on mismatch
+      val base = f.makeQualified(dataDir).toString + "/"
+      val it = f.listFiles(dataDir, true)
+      val found = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) {
+          val full = s"data/${st.getPath.toString.stripPrefix(base)}"
+          if (st.getPath.getName.startsWith("part-") && !live.contains(full))
+            found += full
+        }
+      }
+      found.result()
+    }
+  }
+}

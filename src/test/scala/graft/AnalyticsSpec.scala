@@ -954,4 +954,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(inc.exceptAll(bat).isEmpty && bat.exceptAll(inc).isEmpty,
       "incremental labels ≡ batch labels")
   }
+
+  test("ER blocking audit: a misspelled brand provably hides a true match") {
+    import graft.analytics.EntityResolution
+    // records 1/2: identical name/type/size, brand typo ("l" for "1")
+    // — the blocked pipeline can never pair them; the unblocked truth
+    // arm scores them 2+1+1 = 4. Record 3 is lev-unreachable noise.
+    val recs = Seq(
+      (1L, "Brand#13", "azure plum linen", "STANDARD", 5),
+      (2L, "Brand#l3", "azure plum linen", "STANDARD", 5),
+      (3L, "Brand#13", "completely different name", "STANDARD", 5))
+      .toDF("p_partkey", "p_brand", "p_name", "p_type", "p_size")
+    assert(EntityResolution.matchPairs(recs, recs).isEmpty,
+      "brand block must hide the typo pair")
+    val row = EntityResolution.blockingRecallAudit(recs).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      ((1L, 0L, 1L, 0L)),
+      s"truth=1 blocked=0 missed=1 recall=0bp — got $row")
+    // same-brand control: block recovers it, recall 10000 bp
+    val ok = recs.withColumn("p_brand", lit("Brand#13"))
+    val row2 = EntityResolution.blockingRecallAudit(ok).collect().head
+    assert((row2.getLong(0), row2.getLong(1), row2.getLong(3)) == ((1L, 1L, 10000L)),
+      s"control: full recall — got $row2")
+  }
 }

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import graft.sinks.TableLog
+
+/** TableLog: atomic multi-file table commits — versioned manifests,
+  * pinned/time-travel reads, optimistic concurrent writers (one wins,
+  * one rebases and retries), crashed-writer invisibility, torn-
+  * manifest detection. The table-level fix for the reference sink's
+  * read-merge-overwrite race, above the DSv2 single-file commit.
+  */
+class TableLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft-tablelog").toString
+
+  private def batch(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, s"doc-$i")).toDF("id", "payload")
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("append versions, head read, time travel") {
+    val t = tmpTable()
+    assert(TableLog.headVersion(spark, t) == 0L)
+    val v1 = TableLog.append(batch(0 until 3), t)
+    val v2 = TableLog.append(batch(3 until 5), t)
+    assert((v1, v2) == (1L, 2L))
+    assert(ids(TableLog.read(spark, t)) == (0L until 5L))
+    assert(ids(TableLog.read(spark, t, Some(1))) == (0L until 3L))
+    // overwrite publishes a new version; old versions stay readable
+    val v3 = TableLog.overwrite(batch(100 until 102), t)
+    assert(v3 == 3L)
+    assert(ids(TableLog.read(spark, t)) == Seq(100L, 101L))
+    assert(ids(TableLog.read(spark, t, Some(2))) == (0L until 5L))
+    assert(ids(TableLog.read(spark, t, Some(1))) == (0L until 3L))
+  }
+
+  test("a pinned reader is immune to a commit racing it") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 4), t)
+    val pinned = TableLog.read(spark, t, Some(TableLog.headVersion(spark, t)))
+    TableLog.append(batch(4 until 9), t) // lands mid-"query"
+    assert(ids(pinned) == (0L until 4L)) // evaluated AFTER the commit
+    assert(ids(TableLog.read(spark, t)) == (0L until 9L))
+  }
+
+  test("two concurrent writers: one wins, one rebases and retries — no lost update") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 2), t)
+    var retries = 0
+    var injected = false
+    // deterministic race: writer A resolves base, then writer B's full
+    // append lands BEFORE A publishes → A must lose v(base+1), rebase
+    // onto B's head and win v(base+2)
+    val vA = TableLog.append(batch(10 until 13), t,
+      onRetry = _ => retries += 1,
+      beforeCommit = _ => if (!injected) {
+        injected = true
+        assert(TableLog.append(batch(20 until 24), t) == 2L)
+      })
+    assert(retries == 1, "writer A should have lost exactly one publish race")
+    assert(vA == 3L)
+    assert(ids(TableLog.read(spark, t)) ==
+      ((0L until 2L) ++ (10L until 13L) ++ (20L until 24L)).sorted)
+    // B's batch is visible at v2 without A's
+    assert(ids(TableLog.read(spark, t, Some(2))) ==
+      ((0L until 2L) ++ (20L until 24L)).sorted)
+  }
+
+  test("two REAL threads appending: every batch exactly once") {
+    val t = tmpTable()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val futures = (0 until 2).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = {
+          barrier.await()
+          (0 until 4).foreach { b =>
+            TableLog.append(batch(w * 1000 + b * 10 until w * 1000 + b * 10 + 3), t)
+          }
+        }
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    assert(TableLog.headVersion(spark, t) == 8L)
+    val expected = (for (w <- 0 until 2; b <- 0 until 4;
+                         i <- w * 1000 + b * 10 until w * 1000 + b * 10 + 3)
+      yield i.toLong).sorted
+    assert(ids(TableLog.read(spark, t)) == expected)
+  }
+
+  test("a crashed writer's data files are invisible and reported as orphans") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 3), t)
+    // simulate a writer that died after writing data, before commit
+    batch(900 until 905).write.parquet(s"$t/data/cdeadwriter")
+    assert(ids(TableLog.read(spark, t)) == (0L until 3L))
+    val orphans = TableLog.orphans(spark, t)
+    assert(orphans.nonEmpty && orphans.forall(_.startsWith("data/cdeadwriter/")))
+  }
+
+  test("a torn manifest (no sentinel) fails loudly instead of serving half a version") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 3), t)
+    Files.writeString(java.nio.file.Paths.get(s"$t/_log/v00000002.manifest"),
+      "version=2 base=1 action=append\ndata/cnope/part-x.parquet\n")
+    val e = intercept[IllegalArgumentException](TableLog.read(spark, t))
+    assert(e.getMessage.contains("torn manifest"))
+    // the pinned GOOD version still reads
+    assert(ids(TableLog.read(spark, t, Some(1))) == (0L until 3L))
+  }
+}
