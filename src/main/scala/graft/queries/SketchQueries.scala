@@ -441,6 +441,85 @@ object SketchQueries {
         .select(col("c").as("column_name"), col("n_rows"), col("n_null"),
           col("est").as("ndv_kmv"))
         .orderBy("column_name")
+    },
+
+    // ---------------------------------------------------------------- q181
+    // Heavy-tail-safe quantile sketch (analytics/LogHist): q120's
+    // mergeable histogram rollup with LOG₂ buckets — bucket = bit
+    // length of the integer value (length of bin(v): pure integer,
+    // transcendental-free, identical on both engines), estimate =
+    // inclusive bucket edge 2^bin − 1 at rank ⌈q·n⌉. Fixed-W bins
+    // guarantee absolute error ≤ W — unbounded RELATIVE error on
+    // heavy-tailed domains (token counts: median 30, tail 10⁴); the
+    // log sketch guarantees x ≤ est < 2·x at EVERY magnitude with 64
+    // buckets for the whole BIGINT range. Same lifecycle as q120:
+    // per-source sketches persist once (localCheckpoint), the ALL
+    // rollup merges sketch ROWS (groupBy-sum — lossless, no corpus
+    // rescan; SketchSpec proves merge ≡ re-sketch exactly), the
+    // discrete order stat rides along verification-only and the
+    // factor-2 envelope booleans are deterministically TRUE.
+    Q("q181_log_quantile_sketch",
+      """WITH v AS (SELECT source AS scope,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |           FROM documents),
+        |vs AS (SELECT scope, tok FROM v UNION ALL SELECT 'ALL', tok FROM v),
+        |b AS (SELECT scope, CAST(length(bin(tok)) AS BIGINT) AS bin FROM vs),
+        |sk AS (SELECT scope, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |cum AS (SELECT scope, bin,
+        |         sum(cnt) OVER (PARTITION BY scope ORDER BY bin) AS cum,
+        |         sum(cnt) OVER (PARTITION BY scope) AS n FROM sk),
+        |est AS (SELECT scope, CAST(max(n) AS BIGINT) AS n,
+        |         CAST(min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT)
+        |           THEN (1::BIGINT << bin) - 1 END) AS BIGINT) AS est50,
+        |         CAST(min(CASE WHEN cum >= CAST(ceil(0.9 * n) AS BIGINT)
+        |           THEN (1::BIGINT << bin) - 1 END) AS BIGINT) AS est90,
+        |         CAST(min(CASE WHEN cum >= CAST(ceil(0.99 * n) AS BIGINT)
+        |           THEN (1::BIGINT << bin) - 1 END) AS BIGINT) AS est99
+        |       FROM cum GROUP BY scope),
+        |rk AS (SELECT scope, tok,
+        |        row_number() OVER (PARTITION BY scope ORDER BY tok) AS rn,
+        |        count(*) OVER (PARTITION BY scope) AS n FROM vs),
+        |ex AS (SELECT scope,
+        |        CAST(max(CASE WHEN rn <= CAST(ceil(0.5 * n) AS BIGINT) THEN tok END) AS BIGINT) AS x50,
+        |        CAST(max(CASE WHEN rn <= CAST(ceil(0.9 * n) AS BIGINT) THEN tok END) AS BIGINT) AS x90,
+        |        CAST(max(CASE WHEN rn <= CAST(ceil(0.99 * n) AS BIGINT) THEN tok END) AS BIGINT) AS x99
+        |      FROM rk GROUP BY scope)
+        |SELECT e.scope, n, est50, est90, est99, x50, x90, x99,
+        |  est50 >= x50 AND est50 < 2 * x50 AS ok50,
+        |  est90 >= x90 AND est90 < 2 * x90 AS ok90,
+        |  est99 >= x99 AND est99 < 2 * x99 AS ok99
+        |FROM est e JOIN ex ON e.scope = ex.scope
+        |ORDER BY e.scope""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.analytics.LogHist
+      val v = Tables.documents(s, d)
+        .select(col("source").as("scope"),
+          size(split(col("text"), " ")).cast("long").as("v"))
+      // per-source sketch: the persisted artifact (tiny: scopes × ~14 bins)
+      val sk = LogHist.sketch(v).localCheckpoint(true)
+      // ALL rollup merges sketch rows only — no second corpus scan
+      val skS = sk.unionByName(
+        LogHist.merge(sk.withColumn("scope", lit("ALL"))))
+      val ests = LogHist.quantiles(skS,
+        Seq("est50" -> 0.5, "est90" -> 0.9, "est99" -> 0.99))
+      // verification-only rescan: discrete order stats at the same ranks
+      val vs = v.unionByName(v.withColumn("scope", lit("ALL")))
+      val rk = vs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("scope")).orderBy(col("v"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("scope"))))
+      def xq(q: Double, name: String) = max(when(
+        col("rn") <= ceil(lit(q) * col("n")), col("v"))).as(name)
+      val exact = rk.groupBy(col("scope"))
+        .agg(xq(0.5, "x50"), xq(0.9, "x90"), xq(0.99, "x99"))
+      ests.join(exact, Seq("scope"))
+        .select(col("scope"), col("n"),
+          col("est50"), col("est90"), col("est99"),
+          col("x50"), col("x90"), col("x99"),
+          (col("est50") >= col("x50") && col("est50") < lit(2) * col("x50")).as("ok50"),
+          (col("est90") >= col("x90") && col("est90") < lit(2) * col("x90")).as("ok90"),
+          (col("est99") >= col("x99") && col("est99") < lit(2) * col("x99")).as("ok99"))
+        .orderBy(col("scope"))
     }
   )
 

@@ -150,4 +150,42 @@ class SketchSpec extends SparkSpec {
     assert(interAc * 5 <= unionAc,
       s"disjoint scopes must estimate a near-empty intersection, got $interAc")
   }
+
+  test("LogHist: factor-2 relative envelope on a 6-decade heavy tail; fixed-W cannot") {
+    import graft.analytics.LogHist
+    // adversarial heavy tail: median 3, p99 spans to 10⁶ — exactly the
+    // domain where q120's fixed W=8 bin has unbounded relative error
+    val vals = (Seq.fill(600)(3L) ++ Seq.fill(300)(40L) ++
+      Seq.fill(90)(5000L) ++ Seq.fill(10)(1000000L))
+      .zipWithIndex.map { case (v, i) => ("t", v, i) }
+      .toDF("scope", "v", "i").select($"scope", $"v")
+    val sk = LogHist.sketch(vals)
+    val est = LogHist.quantiles(sk, Seq("e50" -> 0.5, "e90" -> 0.9, "e99" -> 0.99))
+      .collect().head
+    val (e50, e90, e99) = (est.getLong(2), est.getLong(3), est.getLong(4))
+    // exact order stats: x50=3, x90=40, x99=5000
+    assert(e50 >= 3 && e50 < 6, s"e50=$e50")
+    assert(e90 >= 40 && e90 < 80, s"e90=$e90")
+    assert(e99 >= 5000 && e99 < 10000, s"e99=$e99")
+    // the fixed-W=8 estimate at the median answers 8 for x=3: rel
+    // error 2.67x already, and it grows with W⁻¹·x⁻¹ shrinkage —
+    // the log sketch is the scale-safe default for count-like columns
+    assert(8.0 / 3.0 > 2.0)
+  }
+
+  test("LogHist: merge is lossless — merged sketch ≡ re-sketch of the union") {
+    import graft.analytics.LogHist
+    val a = (1L to 500L).map(v => ("u", v)).toDF("scope", "v")
+    val b = (200L to 900L).map(v => ("u", v)).toDF("scope", "v")
+    val merged = LogHist.merge(LogHist.sketch(a), LogHist.sketch(b))
+      .orderBy("bin").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val direct = LogHist.sketch(a.unionByName(b))
+      .orderBy("bin").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(merged == direct, "groupBy-sum merge must equal re-sketching the union")
+    // and the bucket function is the exact bit length (no libm drift)
+    val edges = Seq(1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L, (1L << 40) - 1, 1L << 40)
+      .map(v => ("e", v)).toDF("scope", "v")
+      .select(LogHist.bucket($"v")).as[Long].collect().toSeq
+    assert(edges == Seq(1L, 2L, 2L, 3L, 3L, 4L, 10L, 11L, 40L, 41L))
+  }
 }
