@@ -237,7 +237,7 @@ object StreamBench {
       spark.read.parquet(docsPath).filter(col("doc_id") % 50 === 0))
     val curInput = spark.read.parquet(docsPath)
       .filter(col("doc_id") % 50 =!= 0)
-      .select(col("doc_id"), col("lang"), col("text"))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
     val curDir = tmpDir("graft-sbench-cur")
     curInput.write.mode("overwrite").parquet(curDir)
     val nCur = curInput.count()
@@ -337,6 +337,19 @@ object StreamBench {
       graft.streaming.DriftStream.runningCounts(drStream),
       org.apache.spark.sql.streaming.OutputMode.Update)
 
+    // 7d. COMPOSED curation→quota (curatedAdmittedStream): two chained
+    // keyed-state stages in ONE query — q155's pre-packing pipeline as
+    // a stream; docs/s prices the composition against the single-stage
+    // cur figure (same input files, + the quota stage's state).
+    val cqTargets = spark.read.parquet(docsPath)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> math.max(1L, r.getLong(1) / 2)).toMap
+    val cqStream = spark.readStream.schema(curInput.schema).parquet(curDir)
+      .as[graft.streaming.CurationStream.Doc]
+    val (cqSec, cqOut) = timeRun(
+      graft.streaming.CurationStream.curatedAdmittedStream(
+        cqStream, curBench, cqTargets).toDF())
+
     // 7. KMV cardinality monitor: shingle arrivals per source into
     // bottom-K state (K longs/scope forever — the sketch is the cap)
     val kmvArr = spark.read.parquet(docsPath).select(
@@ -366,6 +379,7 @@ object StreamBench {
       f""""kmv_elems_per_sec":${nArr / kmvSec}%.0f,"kmv_sec":$kmvSec%.2f,"kmv_out":$kmvOut,""" +
       f""""er_recs_per_sec":${nRecs / erSec}%.0f,"er_sec":$erSec%.2f,"er_pairs":$erOut,""" +
       f""""quo_docs_per_sec":${nQ / quoSec}%.0f,"quo_sec":$quoSec%.2f,"quo_out":$quoOut,""" +
+      f""""curq_docs_per_sec":${nCur / cqSec}%.0f,"curq_sec":$cqSec%.2f,"curq_admitted":$cqOut,""" +
       f""""drift_sec":$drSec%.2f,"drift_bins":$drOut,""" +
       f""""ss_batches":$nDrops,"ss_cold":$coldRate%.0f,"ss_steady":${steadyRate(ssTimes)}%.0f,""" +
       f""""nd_steady":${steadyRate(ndTimes)}%.0f,"emb_steady":${steadyRate(embTimes)}%.0f,""" +

@@ -50,13 +50,13 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   */
 object CurationStream {
 
-  final case class Doc(doc_id: Long, lang: String, text: String)
+  final case class Doc(doc_id: Long, source: String, lang: String, text: String)
   /** Internal stage-1 output (public: Dataset encoder codegen cannot
     * instantiate a private case class). */
-  final case class Gated(fp: String, doc_id: Long, lang: String,
+  final case class Gated(fp: String, doc_id: Long, source: String, lang: String,
                          n_tokens: Long, text: String)
-  final case class CuratedDoc(fp: String, doc_id: Long, lang: String,
-                              n_tokens: Long)
+  final case class CuratedDoc(fp: String, doc_id: Long, source: String,
+                              lang: String, n_tokens: Long)
   final case class FpState(keeper: Long, ver: Int = 1)
 
   /** Distinct k-gram windows — delegates to THE shared gram loop
@@ -88,7 +88,8 @@ object CurationStream {
       .withColumn("n_tokens", battery.getField("nt"))
       .filter(battery.getField("keep"))
       .withColumn("fp", graft.analytics.TextAnalysis.fingerprint(col("text")))
-      .select(col("fp"), col("doc_id"), col("lang"), col("n_tokens"), col("text"))
+      .select(col("fp"), col("doc_id"), col("source"), col("lang"),
+        col("n_tokens"), col("text"))
       .as[Gated]
     // stage 2: decontamination (hit counting stops at the threshold)
     val clean = gated.filter { g =>
@@ -98,7 +99,7 @@ object CurationStream {
         if (bench.value.contains(grams.next())) hits += 1
       }
       hits < 3
-    }.map(g => CuratedDoc(g.fp, g.doc_id, g.lang, g.n_tokens))
+    }.map(g => CuratedDoc(g.fp, g.doc_id, g.source, g.lang, g.n_tokens))
     // stage 3: exact-dedup keeper per fingerprint
     clean.groupByKey(_.fp)
       .flatMapGroupsWithState[FpState, CuratedDoc](
@@ -110,5 +111,27 @@ object CurationStream {
           Iterator.single(first)
         }
       }
+  }
+
+  /** The COMPOSED streaming curation pipeline — QuotaStream wired
+    * downstream of the curated stream as ONE running query: quality
+    * battery → decontamination → fingerprint exact-dedup → per-source
+    * mixture admission, the streaming face of q155's pre-packing
+    * stages. Two keyed stateful operators chain inside one query
+    * (fingerprint state, then source-quota state — Append mode both);
+    * placing the quota BELOW the dedup stage is what makes its
+    * first-N admission replay-safe: the dedup stage absorbs
+    * at-least-once re-offers, so an admitted document can never be
+    * admitted twice (the QuotaStream scaladoc's ordering contract,
+    * now enforced by construction instead of by caller discipline).
+    * Targets are the batch mixture table (q130/q169) — the
+    * batch-computes-the-model, stream-enforces-it lifecycle. */
+  def curatedAdmittedStream(docs: Dataset[Doc], bench: Broadcast[Set[String]],
+                            targets: Map[String, Long]): Dataset[QuotaStream.Admitted] = {
+    import docs.sparkSession.implicits._
+    QuotaStream.admitted(
+      curatedStream(docs, bench)
+        .map(c => QuotaStream.Arrival(c.source, c.doc_id)),
+      targets)
   }
 }

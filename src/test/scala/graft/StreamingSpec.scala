@@ -1221,7 +1221,7 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(expected.nonEmpty, "fixture must exercise the pipeline")
 
-    val input = corpus.select($"doc_id", $"lang", $"text")
+    val input = corpus.select($"doc_id", $"source", $"lang", $"text")
     val drop1 = input.filter($"doc_id" <= 250).orderBy("doc_id")
     val drop2 = input.filter($"doc_id" > 250).orderBy("doc_id")
     val dir = tmp("graft-curation-stream")
@@ -1292,6 +1292,89 @@ class StreamingSpec extends SparkSpec {
     assert(rev.map(_.fp).toSet == expected.map(_._1),
       "fingerprint membership is arrival-order independent")
     assert(rev.map(_.fp).distinct.size == rev.size)
+  }
+
+  test("composed curation→quota: ONE query, two stateful stages, parity across drops + restart + replay") {
+    import graft.streaming.{CurationStream, QuotaStream}
+    import graft.analytics.TextAnalysis
+    val all = Tables.documents(spark, sf("sf0.01"))
+    val corpus = all.filter($"doc_id" % 50 =!= 0)
+    val benchDocs = all.filter($"doc_id" % 50 === 0)
+    val bench = CurationStream.benchGrams(benchDocs)
+
+    // batch pre-packing survivors: battery ∘ decon ∘ min-id keeper,
+    // with the keeper's source attached (q155's stages 1-3)
+    val gated = corpus.filter(
+      TextAnalysis.qualityBattery(col("text")).getField("keep"))
+    val benchSet = TextAnalysis.shingleSet(benchDocs, 4).select("s").distinct()
+    val hits = TextAnalysis.shingleSet(gated, 4)
+      .join(benchSet, Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    val keepers = gated.join(hits, Seq("doc_id"), "left")
+      .filter(coalesce($"n_hits", lit(0L)) < 3)
+      .select(TextAnalysis.fingerprint($"text").as("fp"), $"doc_id", $"source")
+      .groupBy("fp").agg(min(struct($"doc_id", $"source")).as("k"))
+      .select($"k.doc_id", $"k.source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySource = keepers.groupBy(_._2).map { case (s, xs) => s -> xs.map(_._1).toSet }
+    assert(bySource.size >= 2, "fixture needs several sources")
+
+    // targets: one source admits EVERYTHING (set-equality arm); the
+    // rest admit half (count arm — which half is arrival-defined
+    // inside a micro-batch, deliberately not asserted)
+    val full = bySource.keys.min
+    val targets: Map[String, Long] = bySource.map { case (s, ids) =>
+      s -> (if (s == full) Long.MaxValue / 2 else math.max(1L, ids.size / 2L)) }
+
+    val input = corpus.select($"doc_id", $"source", $"lang", $"text")
+    val drop1 = input.filter($"doc_id" <= 250).orderBy("doc_id")
+    val drop2 = input.filter($"doc_id" > 250).orderBy("doc_id")
+    val dir = tmp("graft-curq-stream")
+    val ckpt = tmp("graft-curq-ckpt")
+    StreamingSpec.collectedQuota.clear()
+    def start() = {
+      val stream = spark.readStream.schema(input.schema).parquet(dir)
+        .as[CurationStream.Doc]
+      CurationStream.curatedAdmittedStream(stream, bench, targets).toDF()
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.as[QuotaStream.Admitted].collect()
+            .foreach(StreamingSpec.collectedQuota.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    drop1.write.mode("overwrite").parquet(dir)
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the checkpoint: BOTH states (fingerprints + quota
+    // counters) must survive; replay drop1 — the dedup stage absorbs
+    // it, so the quota can never double-admit
+    drop2.write.mode("append").parquet(dir)
+    drop1.write.mode("append").parquet(dir)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    import scala.jdk.CollectionConverters._
+    val adm = StreamingSpec.collectedQuota.asScala.toSeq
+    // no double admission across replay + restart
+    assert(adm.map(a => (a.source, a.doc_id)).distinct.size == adm.size)
+    // every admitted doc is a batch survivor keeper of its source
+    assert(adm.forall(a => bySource(a.source).contains(a.doc_id)),
+      "admitted a non-survivor")
+    // per-source counts: min(target, survivors)
+    val got = adm.groupBy(_.source).view.mapValues(_.size.toLong).toMap
+    bySource.foreach { case (s, ids) =>
+      val want = math.min(targets(s), ids.size.toLong)
+      assert(got.getOrElse(s, 0L) == want, s"source $s: ${got.get(s)} vs $want")
+    }
+    // the admit-all source equals the survivor set exactly
+    assert(adm.filter(_.source == full).map(_.doc_id).toSet == bySource(full))
+    // per-source admission sequence is contiguous 1..n
+    adm.groupBy(_.source).foreach { case (s, xs) =>
+      assert(xs.map(_.seq).sorted == (1L to xs.size.toLong), s"seq gap in $s")
+    }
   }
 
   test("streaming KMV: bottom-K state merges across drops and a restart ≡ batch sketch") {
