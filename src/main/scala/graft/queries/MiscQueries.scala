@@ -1028,6 +1028,44 @@ object MiscQueries {
       val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"),
         col("p_name"), col("p_type"), col("p_size"))
       EntityResolution.blockingRecallAudit(p)
+    },
+
+    // ---------------------------------------------------------------- q182
+    // Table-log MERGE + OPTIMIZE: upsert (q179's protocol carrying
+    // Merge.mergeByKey — first-writer-wins key dedup published as one
+    // atomic version, the reference's read-merge-rewrite race made
+    // safe at table level) followed by compaction (contents
+    // identical, file count collapses to 1, pinned history intact —
+    // the runner REQUIRES both invariants before returning). The
+    // hashed output is the post-compaction table: overlapping keys
+    // (%2=0 ∧ %3=0) kept their ORIGINAL source — proof the upsert's
+    // existing-wins precedence survived the merge-rewrite-publish
+    // cycle — while new keys (%3=0 ∧ %2≠0) landed with the marker.
+    Q("q182_table_merge_compact",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN source ELSE 'UPSERTED' END AS src
+        |FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.sinks.TableLog
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source").as("src"))
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-q182-table").toString
+      // two appends ⇒ the head manifest lists ≥ 2 files (one+ per commit)
+      TableLog.append(docs.filter(col("doc_id") % 4 === 0), table)
+      TableLog.append(docs.filter(col("doc_id") % 4 === 2), table)
+      val preFiles = TableLog.manifest(s, table).files.length
+      val preRows = TableLog.read(s, table).count()
+      val v3 = TableLog.compact(s, table, numFiles = 1)
+      val m = TableLog.manifest(s, table)
+      require(m.files.length == 1 && preFiles > 1,
+        s"compaction did not shrink files ($preFiles -> ${m.files.length})")
+      require(TableLog.read(s, table).count() == preRows,
+        "compaction changed the row count")
+      val fresh = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("src", lit("UPSERTED"))
+      val v4 = TableLog.upsert(fresh, table, Seq("doc_id"))
+      require((v3, v4) == (3L, 4L), s"unexpected versions ($v3,$v4)")
+      TableLog.read(s, table).orderBy("doc_id")
     }
   )
 }

@@ -198,6 +198,63 @@ object TableLog {
       s"TableLog.overwrite: lost the publish race $maxRetries times on $table")
   }
 
+  /** Compact the current contents into `numFiles` rewritten data
+    * files as a NEW version (the small-files maintenance pass —
+    * OPTIMIZE): rows identical, file count drops, readers pinned at
+    * older versions keep their exact old file sets. Non-append
+    * commits cannot rebase a stale write, so a lost race re-reads the
+    * new head and REWRITES (the whole-attempt retry loop — correct
+    * optimistic concurrency for read-modify-write commits; the losing
+    * attempt's files become invisible orphans for vacuum). */
+  def compact(spark: SparkSession, table: String, numFiles: Int = 1,
+              maxRetries: Int = 10): Long = {
+    require(numFiles >= 1, s"compact: numFiles must be >= 1, got $numFiles")
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val base = headVersion(spark, table)
+      val newFiles = writeData(
+        read(spark, table, Some(base)).coalesce(numFiles), table)
+      if (tryCommit(spark, table, base, "compact", newFiles)) return base + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"TableLog.compact: lost the publish race $maxRetries times on $table")
+  }
+
+  /** Key-deduped MERGE of `fresh` into the table as a new version —
+    * the table-level face of [[graft.ops.Merge.mergeByKey]] (existing
+    * rows win; the reference's read-merge-rewrite made safe: the
+    * merge result publishes atomically, concurrent committers retry
+    * against the new head instead of silently losing each other's
+    * rows). Read-modify-write like compact: a lost race re-reads and
+    * re-merges. */
+  def upsert(fresh: DataFrame, table: String, keys: Seq[String],
+             maxRetries: Int = 10): Long = {
+    val spark = fresh.sparkSession
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val base = headVersion(spark, table)
+      val merged =
+        if (base == 0) fresh
+        else graft.ops.Merge.mergeByKey(read(spark, table, Some(base)), fresh, keys)
+      val newFiles = writeData(merged, table)
+      if (tryCommit(spark, table, base, "merge", newFiles)) return base + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"TableLog.upsert: lost the publish race $maxRetries times on $table")
+  }
+
+  /** Delete data files no live manifest references (see [[orphans]])
+    * — run only once no reader can still be pinned below the
+    * retention horizon. Returns the deleted table-relative paths. */
+  def vacuum(spark: SparkSession, table: String): Seq[String] = {
+    val os = orphans(spark, table)
+    val f = fs(spark, table)
+    os.foreach(rel => f.delete(new Path(table, rel), false))
+    os
+  }
+
   /** Data files no live manifest references — crashed or superseded
     * writers' leftovers, safe to delete once no reader can still be
     * pinned below the retention horizon. */

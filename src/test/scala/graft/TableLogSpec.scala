@@ -94,6 +94,56 @@ class TableLogSpec extends SparkSpec {
     assert(ids(TableLog.read(spark, t)) == expected)
   }
 
+  test("compact: rows identical, fewer files, pinned history intact") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 3), t)
+    TableLog.append(batch(3 until 6), t)
+    TableLog.append(batch(6 until 9), t)
+    val before = TableLog.manifest(spark, t).files
+    val v = TableLog.compact(spark, t, numFiles = 1)
+    assert(v == 4L)
+    val after = TableLog.manifest(spark, t).files
+    assert(after.length == 1 && before.length > 1,
+      s"${before.length} -> ${after.length} files")
+    assert(ids(TableLog.read(spark, t)) == (0L until 9L))
+    // pre-compaction versions still read their exact old file sets
+    assert(TableLog.manifest(spark, t, Some(3)).files == before)
+    assert(ids(TableLog.read(spark, t, Some(2))) == (0L until 6L))
+    // compacted-away files are NOT orphans — live manifests still
+    // reference them (retention = the manifest horizon)
+    assert(TableLog.orphans(spark, t).isEmpty)
+  }
+
+  test("upsert: existing rows win, new keys land, atomically versioned") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 5), t) // payload doc-0..doc-4
+    val fresh = (3 until 8).map(i => (i.toLong, s"NEW-$i")).toDF("id", "payload")
+    val v = TableLog.upsert(fresh, t, Seq("id"))
+    assert(v == 2L)
+    val rows = TableLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet == (0L until 8L).toSet)
+    (0 until 5).foreach(i => assert(rows(i.toLong) == s"doc-$i", s"id $i overwritten"))
+    (5 until 8).foreach(i => assert(rows(i.toLong) == s"NEW-$i"))
+    // idempotent: re-upserting the same batch changes nothing
+    TableLog.upsert(fresh, t, Seq("id"))
+    val again = TableLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == rows)
+    // the pre-upsert version is untouched
+    assert(ids(TableLog.read(spark, t, Some(1))) == (0L until 5L))
+  }
+
+  test("vacuum deletes exactly the orphans and nothing live") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 4), t)
+    batch(900 until 903).write.parquet(s"$t/data/cdead2")
+    val deleted = TableLog.vacuum(spark, t)
+    assert(deleted.nonEmpty && deleted.forall(_.startsWith("data/cdead2/")))
+    assert(TableLog.orphans(spark, t).isEmpty)
+    assert(ids(TableLog.read(spark, t)) == (0L until 4L), "vacuum touched live data")
+  }
+
   test("a crashed writer's data files are invisible and reported as orphans") {
     val t = tmpTable()
     TableLog.append(batch(0 until 3), t)
