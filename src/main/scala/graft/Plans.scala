@@ -126,7 +126,15 @@ object Plans {
     // rate table, the mergeable-stats lifecycle, and the two
     // feature-prep broadcast-cut assignments
     "q169_temperature_mixture", "q174_incremental_column_stats",
-    "q175_quantile_binning", "q176_group_zscore")
+    "q175_quantile_binning", "q176_group_zscore",
+    // round-11 evidence: the similarity top-k rewrite gate (served
+    // plan materialized under registration — see note), the unblocked
+    // ER audit (the SAME dictionary × length-band metric as q166 with
+    // only the recovery join's brand key dropped — no nested loop
+    // appears), and the log₂-bucket sketch (bit-length bucketing in
+    // the scan projection; ALL rollup aggregates sketch ROWS only)
+    "q178_simtopk_rewrite", "q180_er_blocking_audit",
+    "q181_log_quantile_sketch")
 
   /** Context lines emitted under a query's heading — for plans whose
     * interesting structure is NOT visible in the final explain (e.g. a
@@ -144,7 +152,13 @@ object Plans {
       "pruning (q119: inlined-quantizer map-side assignment), Bloom decontamination " +
       "(q129: broadcast Bloom probe, no join), mixture rebalance (q130: integer-exact " +
       "acceptance, one groupBy). No cartesian/BNLJ anywhere in the composition — " +
-      "PlanSpec's engine-wide assert covers every stage."))
+      "PlanSpec's engine-wide assert covers every stage."),
+    "q178_simtopk_rewrite" -> ("The gate materializes the REWRITTEN plan under its store " +
+      "registration, then unregisters — so the dump starts at the checkpoint's `Scan " +
+      "ExistingRDD`. The substituted plan itself (store cell equi-joins + kth-best " +
+      "threshold + bound-pruned exact rank, replacing the brute broadcast-NLJ + full " +
+      "window) is plan-asserted in RewriteSimTopKSpec, which also pins the decline " +
+      "shapes; the identical-output proof is exactTopKFromStoreModel's scaladoc."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
