@@ -80,11 +80,22 @@ object Layout {
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String, path: String,
                     nFiles: Int, bits: Int = 16,
                     writerOptions: Map[String, String] = Map.empty): Unit =
+    clusterZOrdered(df, xCol, yCol, nFiles, bits)
+      .write.mode("overwrite").options(writerOptions).parquet(path)
+
+  /** The clustered FRAME writeZOrdered writes — grid-checked z-key,
+    * range-partitioned into nFiles, sorted within partitions —
+    * exposed so the table log's OPTIMIZE ZORDER
+    * ([[graft.sinks.TableLog.compactZOrder]]) can publish the same
+    * layout through its manifest protocol instead of a bare
+    * directory write. ONE spelling of the clustering (this method);
+    * the two writers cannot drift. */
+  def clusterZOrdered(df: DataFrame, xCol: String, yCol: String,
+                      nFiles: Int, bits: Int = 16): DataFrame =
     df.withColumn("_zk", zorderKey(
         inGridOrError(col(xCol), xCol, bits),
         inGridOrError(col(yCol), yCol, bits), bits))
       .repartitionByRange(nFiles, col("_zk"))
       .sortWithinPartitions("_zk")
       .drop("_zk")
-      .write.mode("overwrite").options(writerOptions).parquet(path)
 }

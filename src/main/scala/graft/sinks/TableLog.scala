@@ -56,8 +56,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TableLog {
 
+  /** `txns` carries the latest committed (streaming appId → batchId)
+    * per writer forward through every commit — the exactly-once
+    * ledger [[appendStreamBatch]] checks so a replayed micro-batch
+    * publishes nothing. Bounded by the number of distinct streaming
+    * writers, not by batches. */
   final case class Manifest(version: Long, base: Long, action: String,
-                            files: Seq[String])
+                            files: Seq[String],
+                            txns: Map[String, Long] = Map.empty)
 
   private val LOG_DIR = "_log"
   private val SENTINEL = "#end"
@@ -97,8 +103,13 @@ object TableLog {
     val header = lines.head.split(" ").map { kv =>
       val Array(k, x) = kv.split("=", 2); k -> x
     }.toMap
+    val txns = header.get("txns").filter(_.nonEmpty)
+      .map(_.split(";").map { t =>
+        val Array(a, b) = t.split(":", 2); a -> b.toLong
+      }.toMap)
+      .getOrElse(Map.empty[String, Long])
     Manifest(header("version").toLong, header("base").toLong,
-      header("action"), lines.slice(1, lines.length - 1))
+      header("action"), lines.slice(1, lines.length - 1), txns)
   }
 
   /** Read the table at `version` (head when None): exactly the pinned
@@ -147,13 +158,25 @@ object TableLog {
   }
 
   private def tryCommit(spark: SparkSession, table: String, base: Long,
-                        action: String, files: Seq[String]): Boolean = {
+                        action: String, files: Seq[String],
+                        txns: Map[String, Long] = Map.empty): Boolean = {
     val v = base + 1
-    val body = (s"version=$v base=$base action=$action" +: files :+ SENTINEL)
-      .mkString("\n")
+    val txnStr =
+      if (txns.isEmpty) ""
+      else " txns=" + txns.toSeq.sortBy(_._1)
+        .map { case (a, b) => s"$a:$b" }.mkString(";")
+    val body =
+      (s"version=$v base=$base action=$action$txnStr" +: files :+ SENTINEL)
+        .mkString("\n")
     val f = fs(spark, table)
     f.mkdirs(new Path(table, LOG_DIR))
     publish(f, table, manifestPath(table, v), body)
+  }
+
+  /** The head manifest, or None on an empty table. */
+  private def headManifest(spark: SparkSession, table: String): Option[Manifest] = {
+    val v = headVersion(spark, table)
+    if (v == 0) None else Some(manifest(spark, table, Some(v)))
   }
 
   /** Append `df` as a new version. Optimistic: on losing the publish
@@ -167,13 +190,14 @@ object TableLog {
     val newFiles = writeData(df, table)
     var attempt = 0
     while (attempt <= maxRetries) {
-      val base = headVersion(spark, table)
-      val baseFiles = if (base == 0) Seq.empty
-        else manifest(spark, table, Some(base)).files
+      val m = headManifest(spark, table)
+      val base = m.map(_.version).getOrElse(0L)
       // test seam: TableLogSpec injects a COMPETING commit here to
       // pin the lose-and-rebase path deterministically
       beforeCommit(base)
-      if (tryCommit(spark, table, base, "append", baseFiles ++ newFiles))
+      if (tryCommit(spark, table, base, "append",
+          m.map(_.files).getOrElse(Seq.empty) ++ newFiles,
+          m.map(_.txns).getOrElse(Map.empty)))
         return base + 1
       attempt += 1
       onRetry(base)
@@ -190,8 +214,10 @@ object TableLog {
     val newFiles = writeData(df, table)
     var attempt = 0
     while (attempt <= maxRetries) {
-      val base = headVersion(spark, table)
-      if (tryCommit(spark, table, base, "overwrite", newFiles)) return base + 1
+      val m = headManifest(spark, table)
+      if (tryCommit(spark, table, m.map(_.version).getOrElse(0L), "overwrite",
+          newFiles, m.map(_.txns).getOrElse(Map.empty)))
+        return m.map(_.version).getOrElse(0L) + 1
       attempt += 1
     }
     throw new IllegalStateException(
@@ -209,17 +235,86 @@ object TableLog {
   def compact(spark: SparkSession, table: String, numFiles: Int = 1,
               maxRetries: Int = 10): Long = {
     require(numFiles >= 1, s"compact: numFiles must be >= 1, got $numFiles")
+    rewriteCommit(spark, table, "compact", maxRetries,
+      base => read(spark, table, Some(base)).coalesce(numFiles))
+  }
+
+  /** OPTIMIZE ZORDER: compact the current contents into `numFiles`
+    * files CLUSTERED on the Z-order curve of two integer grid columns
+    * ([[graft.ops.Layout.clusterZOrdered]] — one spelling with the
+    * bare-directory writer): same rows, new layout, and every file's
+    * parquet min/max stats are tight on BOTH dimensions, so box
+    * predicates on either prune at the footer across the whole
+    * table. The storage-side maintenance pass a 100 TB table runs
+    * nightly; versioned like any commit — readers pinned below keep
+    * the old layout, and the swap is one atomic manifest publish. */
+  def compactZOrder(spark: SparkSession, table: String,
+                    xCol: String, yCol: String, numFiles: Int,
+                    bits: Int = 16, maxRetries: Int = 10): Long = {
+    require(numFiles >= 1, s"compactZOrder: numFiles must be >= 1, got $numFiles")
+    rewriteCommit(spark, table, "zorder", maxRetries,
+      base => graft.ops.Layout.clusterZOrdered(
+        read(spark, table, Some(base)), xCol, yCol, numFiles, bits))
+  }
+
+  /** Shared read-modify-write commit loop (compact / zorder): a lost
+    * publish race re-reads the new head and REWRITES — rebase is not
+    * sound for whole-table rewrites; the losing attempt's files
+    * become vacuum-able orphans. */
+  private def rewriteCommit(spark: SparkSession, table: String, action: String,
+                            maxRetries: Int, body: Long => DataFrame): Long = {
     var attempt = 0
     while (attempt <= maxRetries) {
-      val base = headVersion(spark, table)
-      val newFiles = writeData(
-        read(spark, table, Some(base)).coalesce(numFiles), table)
-      if (tryCommit(spark, table, base, "compact", newFiles)) return base + 1
+      val m = headManifest(spark, table)
+      val base = m.map(_.version).getOrElse(0L)
+      val newFiles = writeData(body(base), table)
+      if (tryCommit(spark, table, base, action, newFiles,
+          m.map(_.txns).getOrElse(Map.empty)))
+        return base + 1
       attempt += 1
     }
     throw new IllegalStateException(
-      s"TableLog.compact: lost the publish race $maxRetries times on $table")
+      s"TableLog.$action: lost the publish race $maxRetries times on $table")
   }
+
+  /** EXACTLY-ONCE streaming append — the foreachBatch face of the
+    * log (use via [[exactlyOnceSink]]): each commit records the
+    * writer's (appId → batchId) in the manifest's `txns` ledger, and
+    * a micro-batch at or below the ledger's last committed id
+    * publishes NOTHING (returns None) — so Spark's at-least-once
+    * foreachBatch replays (failure after the table commit but before
+    * the checkpoint advances) cannot duplicate rows. The ledger is
+    * one entry per distinct writer, carried forward by every commit;
+    * batch data written before a replay is detected becomes a
+    * vacuum-able orphan. `appId` must be stable across restarts (use
+    * the streaming query's id, a UUID) and contain no ` ;:`. */
+  def appendStreamBatch(df: DataFrame, table: String, appId: String,
+                        batchId: Long, maxRetries: Int = 10): Option[Long] = {
+    require(appId.nonEmpty && !appId.exists(c => c == ' ' || c == ';' || c == ':'),
+      s"appendStreamBatch: appId must be non-empty without ' ;:', got '$appId'")
+    val spark = df.sparkSession
+    // cheap ledger check before paying the data write
+    if (headManifest(spark, table)
+        .exists(_.txns.getOrElse(appId, -1L) >= batchId)) return None
+    val newFiles = writeData(df, table)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val m = headManifest(spark, table)
+      if (m.exists(_.txns.getOrElse(appId, -1L) >= batchId)) return None // raced replay
+      val base = m.map(_.version).getOrElse(0L)
+      if (tryCommit(spark, table, base, "append",
+          m.map(_.files).getOrElse(Seq.empty) ++ newFiles,
+          m.map(_.txns).getOrElse(Map.empty) + (appId -> batchId)))
+        return Some(base + 1)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"TableLog.appendStreamBatch: lost the publish race $maxRetries times on $table")
+  }
+
+  /** The writeStream sink: `.foreachBatch(TableLog.exactlyOnceSink(table, appId))`. */
+  def exactlyOnceSink(table: String, appId: String): (DataFrame, Long) => Unit =
+    (df, batchId) => { appendStreamBatch(df, table, appId, batchId); () }
 
   /** Key-deduped MERGE of `fresh` into the table as a new version —
     * the table-level face of [[graft.ops.Merge.mergeByKey]] (existing
@@ -233,12 +328,15 @@ object TableLog {
     val spark = fresh.sparkSession
     var attempt = 0
     while (attempt <= maxRetries) {
-      val base = headVersion(spark, table)
+      val m = headManifest(spark, table)
+      val base = m.map(_.version).getOrElse(0L)
       val merged =
         if (base == 0) fresh
         else graft.ops.Merge.mergeByKey(read(spark, table, Some(base)), fresh, keys)
       val newFiles = writeData(merged, table)
-      if (tryCommit(spark, table, base, "merge", newFiles)) return base + 1
+      if (tryCommit(spark, table, base, "merge", newFiles,
+          m.map(_.txns).getOrElse(Map.empty)))
+        return base + 1
       attempt += 1
     }
     throw new IllegalStateException(

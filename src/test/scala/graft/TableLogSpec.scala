@@ -134,6 +134,79 @@ class TableLogSpec extends SparkSpec {
     assert(ids(TableLog.read(spark, t, Some(1))) == (0L until 5L))
   }
 
+  test("compactZOrder: same rows, versioned layout swap, box scan prunes at the footer") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .collect { case s: FileSourceScanExec => s }
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val t = tmpTable()
+    // two independent uniform dims in [0, 1024), deterministic, WRITTEN
+    // in x-sorted order (tight x stats, useless y stats pre-zorder)
+    val n = 60000
+    val rows = spark.range(n.toLong).select(
+      ($"id" / 64).cast("long").as("x"),
+      (($"id" * 2654435761L) % 1024).cast("long").as("y"),
+      $"id".as("payload"))
+    TableLog.append(rows.orderBy("x"), t)
+    val box = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter($"y" >= 100 && $"y" < 140)
+    val preScan = scanRows(box(TableLog.read(spark, t)))
+    val v = TableLog.compactZOrder(spark, t, "x", "y", numFiles = 16, bits = 10)
+    assert(v == 2L)
+    // identical contents, new layout
+    val got = TableLog.read(spark, t).select("payload").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until n.toLong))
+    val postScan = scanRows(box(TableLog.read(spark, t)))
+    assert(postScan < preScan / 4,
+      s"z-order must prune the y-box at the footer: $preScan -> $postScan scan rows")
+    // the pre-zorder layout is still pinned at v1
+    assert(TableLog.read(spark, t, Some(1)).count() == n.toLong)
+  }
+
+  test("exactly-once streaming append: a replayed micro-batch publishes nothing") {
+    val t = tmpTable()
+    val app = "q-writer-1"
+    assert(TableLog.appendStreamBatch(batch(0 until 3), t, app, 0L).contains(1L))
+    assert(TableLog.appendStreamBatch(batch(3 until 5), t, app, 1L).contains(2L))
+    // replay of batch 1 (failure after commit, before checkpoint): no-op
+    assert(TableLog.appendStreamBatch(batch(3 until 5), t, app, 1L).isEmpty)
+    // stale replay of batch 0: also a no-op (ledger is monotone)
+    assert(TableLog.appendStreamBatch(batch(0 until 3), t, app, 0L).isEmpty)
+    assert(ids(TableLog.read(spark, t)) == (0L until 5L))
+    // an independent writer's ledger entry does not interfere
+    assert(TableLog.appendStreamBatch(batch(10 until 12), t, "q-writer-2", 0L).contains(3L))
+    assert(TableLog.manifest(spark, t).txns ==
+      Map(app -> 1L, "q-writer-2" -> 0L))
+    // batch commits interleave with plain verbs: txns carry forward
+    TableLog.append(batch(20 until 22), t)
+    assert(TableLog.manifest(spark, t).txns(app) == 1L)
+    assert(TableLog.appendStreamBatch(batch(3 until 5), t, app, 1L).isEmpty,
+      "ledger must survive an interleaved batch commit")
+  }
+
+  test("exactly-once sink end-to-end: file stream + checkpoint restart, rows land once") {
+    import spark.implicits._
+    val t = tmpTable()
+    val srcDir = Files.createTempDirectory("graft-tlsink-src").toString
+    val ckpt = Files.createTempDirectory("graft-tlsink-ckpt").toString
+    val schema = batch(0 until 1).schema
+    def start() = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream.outputMode("append")
+      .foreachBatch(TableLog.exactlyOnceSink(t, "sink-app"))
+      .option("checkpointLocation", ckpt)
+      .start()
+    batch(0 until 4).write.mode("overwrite").parquet(srcDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    batch(4 until 9).write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(ids(TableLog.read(spark, t)) == (0L until 9L))
+    assert(TableLog.manifest(spark, t).txns.contains("sink-app"))
+  }
+
   test("vacuum deletes exactly the orphans and nothing live") {
     val t = tmpTable()
     TableLog.append(batch(0 until 4), t)
