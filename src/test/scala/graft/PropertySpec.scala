@@ -329,6 +329,33 @@ class PropertySpec extends SparkSpec {
       "matchPairs must not depend on partitioning")
   }
 
+  test("LogHist: bucket is the exact bit length; quantile envelope holds on random heavy tails") {
+    import graft.analytics.LogHist
+    // bucket(v) == 64 - numberOfLeadingZeros(v) for arbitrary positive longs
+    val vs = List.fill(200)(math.abs(rnd.nextLong()) % (1L << 50) + 1) ++
+      List(1L, 2L, 3L, 1023L, 1024L, (1L << 40) - 1, 1L << 40)
+    val got = vs.map(v => ("p", v)).toDF("scope", "v")
+      .select($"v", LogHist.bucket($"v").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vs.foreach { v =>
+      assert(got(v) == 64 - java.lang.Long.numberOfLeadingZeros(v),
+        s"bucket($v)=${got(v)}")
+    }
+    // envelope x <= est < 2x at arbitrary quantiles on random skewed data
+    (1 to 5).foreach { _ =>
+      val data = List.fill(rnd.nextInt(300) + 50)(
+        math.abs(rnd.nextLong()) % (1L << (rnd.nextInt(40) + 2)) + 1)
+      val q = rnd.nextDouble() * 0.98 + 0.01
+      val est = LogHist.quantiles(
+          LogHist.sketch(data.map(("s", _)).toDF("scope", "v")),
+          Seq("e" -> q))
+        .collect().head.getLong(2)
+      val rank = math.ceil(q * data.size).toInt
+      val x = data.sorted.apply(rank - 1)
+      assert(est >= x && est < 2 * x, s"q=$q x=$x est=$est n=${data.size}")
+    }
+  }
+
   test("duckRound matches half-away-from-zero on the scaled double") {
     val cases = List.fill(60)((rnd.nextDouble() * 4 - 2, rnd.nextInt(7))) ++
       List((0.6146874999999999, 6), (-0.6146874999999999, 6), (2.5e-6, 6), (0.125, 2))
