@@ -364,6 +364,19 @@ object StreamBench {
       graft.streaming.KmvStream.sketches(kmvStream).toDF(),
       org.apache.spark.sql.streaming.OutputMode.Update)
 
+    // 7e. log-histogram quantile gauge: token counts per source into
+    // ≤ 64-bin streaming-agg state (HistStream — LogHist's twin)
+    val histArr = spark.read.parquet(docsPath).select(
+      col("source").as("scope"),
+      size(split(col("text"), " ")).cast("long").as("v"))
+    val histDir = tmpDir("graft-sbench-hist")
+    histArr.write.mode("overwrite").parquet(histDir)
+    val histStream = spark.readStream.schema(histArr.schema).parquet(histDir)
+      .as[graft.streaming.HistStream.Arrival]
+    val (histSec, histOut) = timeRun(
+      graft.streaming.HistStream.runningSketch(histStream),
+      org.apache.spark.sql.streaming.OutputMode.Update)
+
     val sf = new java.io.File(sfDir).getName
     println(
       f"""{"metric":"stream_bench","unit":"rows_per_sec","sf":"$sf",""" +
@@ -381,6 +394,7 @@ object StreamBench {
       f""""quo_docs_per_sec":${nQ / quoSec}%.0f,"quo_sec":$quoSec%.2f,"quo_out":$quoOut,""" +
       f""""curq_docs_per_sec":${nCur / cqSec}%.0f,"curq_sec":$cqSec%.2f,"curq_admitted":$cqOut,""" +
       f""""drift_sec":$drSec%.2f,"drift_bins":$drOut,""" +
+      f""""hist_docs_per_sec":${nDocs / histSec}%.0f,"hist_sec":$histSec%.2f,"hist_bins":$histOut,""" +
       f""""ss_batches":$nDrops,"ss_cold":$coldRate%.0f,"ss_steady":${steadyRate(ssTimes)}%.0f,""" +
       f""""nd_steady":${steadyRate(ndTimes)}%.0f,"emb_steady":${steadyRate(embTimes)}%.0f,""" +
       f""""sem_steady":${steadyRate(semTimes)}%.0f,"cdc_steady":${steadyRate(cdcTimes)}%.0f,""" +

@@ -32,6 +32,8 @@ object StreamingSpec {
     new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.ErStream.MatchPair]()
   val collectedCurated =
     new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.CurationStream.CuratedDoc]()
+  val collectedHist =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
 }
 
 class StreamingSpec extends SparkSpec {
@@ -1375,6 +1377,57 @@ class StreamingSpec extends SparkSpec {
     adm.groupBy(_.source).foreach { case (s, xs) =>
       assert(xs.map(_.seq).sorted == (1L to xs.size.toLong), s"seq gap in $s")
     }
+  }
+
+  test("streaming log-histogram: latest rows ≡ batch sketch across drops + restart; quantiles identical") {
+    import graft.streaming.HistStream
+    import graft.analytics.LogHist
+    val vals = Tables.documents(spark, sf("sf0.01"))
+      .select($"source".as("scope"),
+        size(split($"text", " ")).cast("long").as("v"))
+    val batchSketch = LogHist.sketch(vals)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val qs = Seq("e50" -> 0.5, "e90" -> 0.9, "e99" -> 0.99)
+    val batchQ = LogHist.quantiles(LogHist.sketch(vals), qs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    val withId = vals.withColumn("i",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy($"scope", $"v")).cast("long"))
+    val drop1 = withId.filter($"i" % 2 === 0).drop("i")
+    val drop2 = withId.filter($"i" % 2 === 1).drop("i")
+    val dir = tmp("graft-hist-stream")
+    val ckpt = tmp("graft-hist-ckpt")
+    StreamingSpec.collectedHist.clear()
+    def start() = {
+      val stream = spark.readStream.schema(drop1.schema).parquet(dir)
+        .as[HistStream.Arrival]
+      HistStream.runningSketch(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => StreamingSpec.collectedHist
+            .put((r.getString(0), r.getLong(1)), r.getLong(2)))
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    drop1.write.mode("overwrite").parquet(dir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // restart from checkpoint: bucket counts must CONTINUE, not reset
+    drop2.write.mode("append").parquet(dir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    import scala.jdk.CollectionConverters._
+    val got = StreamingSpec.collectedHist.asScala.toMap
+    assert(got == batchSketch,
+      s"stream sketch ≠ batch: ${got.size} vs ${batchSketch.size} bins")
+    // the latest emitted rows feed the SAME estimator → identical quantiles
+    val gotQ = LogHist.quantiles(
+        got.toSeq.map { case ((s, b), c) => (s, b, c) }.toDF("scope", "bin", "cnt"),
+        qs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(gotQ == batchQ, "quantiles from streamed rows ≠ batch quantiles")
   }
 
   test("streaming KMV: bottom-K state merges across drops and a restart ≡ batch sketch") {
