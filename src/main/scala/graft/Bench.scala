@@ -63,6 +63,33 @@ object Bench {
     // keeps the store-hit run — the nightly-serve figure
     graft.queries.Q.noOracle("x_ivfpq_serve") { (s, d) =>
       graft.queries.SimilarityQueries.ivfPqServeFrame(s, d)
+    },
+    // the RewriteSimTopK trade, measured where it bites: a CLUSTERED
+    // 400k-vector / 64-cluster corpus (the gate embeddings are
+    // near-isotropic — q98's frontier — so the gate can't show the
+    // win). x_simbrute_clustered = the plan users write;
+    // x_simserve_clustered = the plan the rewrite substitutes
+    // (store-served, bound-pruned, EXACT — same rows). Measured
+    // (this boot, quiet cal): brute 2.60 s vs serve 1.51 s (1.7×);
+    // serve's compute is ~5% of brute's (pass-1 2/64 cells + the
+    // own-cell final scan) behind a ~1.3 s fixed multi-stage floor
+    // (3 broadcasts + 2 window ranks), so the ratio is the FLOOR
+    // talking and widens linearly with corpus size — at 60k vectors
+    // the same probes measured brute 0.88 / serve 1.71 (the floor
+    // exceeds brute's whole scan; the rewrite's value begins where
+    // corpora stop fitting one scan).
+    graft.queries.Q.noOracle("x_simbrute_clustered") { (s, _) =>
+      import org.apache.spark.sql.functions.col
+      val (corpus, _, _, _) = graft.queries.SimilarityQueries.clusteredFixture(s)
+      graft.analytics.Similarity.bruteForceTopK(
+        corpus.filter(col("vec_id") < 100), corpus, 10)
+    },
+    graft.queries.Q.noOracle("x_simserve_clustered") { (s, _) =>
+      import org.apache.spark.sql.functions.col
+      val (corpus, store, quant, radii) =
+        graft.queries.SimilarityQueries.clusteredFixture(s)
+      graft.analytics.Similarity.exactTopKFromStoreModel(
+        corpus.filter(col("vec_id") < 100), store, quant, radii, 10)
     })
 
   def main(args: Array[String]): Unit = {

@@ -55,6 +55,36 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Deterministic CLUSTERED corpus fixture for the `x_simrw_*`
+    * probes (Bench.extraProbes): 20,000 64-dim vectors in 64 tight
+    * axis-aligned balls (cluster c = vec_id % 64 spikes dim c at 10,
+    * every dim carries a small seeded jitter) — the regime where
+    * RewriteSimTopK's bound pruning bites, which the near-isotropic
+    * gate embeddings deliberately cannot show (q98's frontier).
+    * Memoized per session with the store artifacts (centroids trained
+    * once, radii collected once) so best-of-N prices the SERVE, not
+    * the nightly build — the x_ivfpq_serve convention. */
+  private val clusterMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (DataFrame, DataFrame, Array[(Long, Array[Double], Double)], Map[Long, Double])]
+  def clusteredFixture(s: SparkSession):
+      (DataFrame, DataFrame, Array[(Long, Array[Double], Double)], Map[Long, Double]) =
+    clusterMemo.computeIfAbsent("fix", _ => {
+      val jitter = (id: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =>
+        ((id * lit(1315423911L) + j.cast("long") * lit(2654435761L)) % 1000L)
+          .cast("double") / lit(1000.0) * lit(0.05)
+      val corpus = s.range(400000).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), j =>
+            (jitter(col("id"), j) +
+              when(j.cast("long") === col("id") % 64L, lit(10.0))
+                .otherwise(lit(0.0))).cast("float")).as("embedding"))
+        .localCheckpoint(true)
+      val cent = Similarity.kmeansCentroids(corpus, 64, 1).localCheckpoint(true)
+      val store = Similarity.kmeansAssign(corpus, cent).localCheckpoint(true)
+      (corpus, store, Similarity.collectModel(cent),
+        Similarity.cellRadii(store, cent))
+    })
+
   private val normCtes =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)""".stripMargin
