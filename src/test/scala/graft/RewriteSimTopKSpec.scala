@@ -113,6 +113,38 @@ class RewriteSimTopKSpec extends SparkSpec {
     } finally RewriteSimTopK.clear()
   }
 
+  test("rule composition: the plain HOF dot-product spelling is normalized then served") {
+    // a user with no graft imports writes cosine via
+    // aggregate(zip_with(...)) — RewriteVecDot normalizes the HOF to
+    // the native VecDot in the SAME optimizer batch, and RewriteSimTopK
+    // then recognizes the canonical pattern and serves it: two rules
+    // composing on one declarative spelling
+    import org.apache.spark.sql.expressions.Window
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val (store, cent) = buildStore(e, 16)
+    val h = RewriteSimTopK.register(e, store, cent, label = "spec-hof")
+    try {
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+        .withColumn("qn", sqrt(hofDot($"qv", $"qv")))
+      val c = e.select($"vec_id".as("nid"), $"embedding".as("nv"))
+        .withColumn("nn", sqrt(hofDot($"nv", $"nv")))
+      val sims = c.join(broadcast(q), $"qid" =!= $"nid")
+        .select($"qid", $"nid",
+          graft.ops.Exact.duckRound(hofDot($"qv", $"nv") / ($"qn" * $"nn"), 6).as("sim"))
+      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
+      val df = sims.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= K)
+      val got = bruteRows(df)
+      assert(h.hitCount > 0, "HOF spelling did not normalize+serve")
+      RewriteSimTopK.clear()
+      assert(got == bruteRows(Similarity.bruteForceTopK(e.filter($"vec_id" < 10), e, K)))
+    } finally RewriteSimTopK.clear()
+  }
+
   // ------------------------------------------------------------ declines
 
   test("decline: no registered store") {
