@@ -183,8 +183,36 @@ object Plans {
       notes.get(name).foreach(n => sb ++= s"$n\n\n")
       sb ++= s"```\n$plan```\n"
     }
+    // appendix: the plan RewriteSimTopK SUBSTITUTES for the brute
+    // spelling (q178's gate materializes it behind a checkpoint, so
+    // it is invisible there) — store cell equi-joins, the kth-best
+    // threshold, bound-pruned pairs, exact rank; no BNLJ, no
+    // corpus-wide window
+    locally {
+      import org.apache.spark.sql.functions.col
+      val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val cent = graft.analytics.Similarity.kmeansCentroids(e, 16, 1)
+        .localCheckpoint(true)
+      val store = graft.analytics.Similarity.kmeansAssign(e, cent)
+        .localCheckpoint(true)
+      val served = graft.analytics.Similarity.exactTopKFromStoreModel(
+        e.filter(col("vec_id") < 10), store,
+        graft.analytics.Similarity.collectModel(cent),
+        graft.analytics.Similarity.cellRadii(store, cent), 10)
+      sb ++= "\n## appendix: the plan RewriteSimTopK substitutes (exactTopKFromStoreModel)\n\n"
+      sb ++= "q178's gate materializes this under its registration and returns a\n"
+      sb ++= "checkpoint, so the gate dump above cannot show it; this is the served\n"
+      sb ++= "plan itself over the sf0.001 store. Inlined-literal centroid arrays are\n"
+      sb ++= "elided by explain's formatting; the structure to read: TWO store scans\n"
+      sb ++= "(pass-1 threshold, final rank) each cell-equi-joined against a\n"
+      sb ++= "broadcast query-side frame, the kth-best window over pass-1 candidates\n"
+      sb ++= "only, the bound filter on (query, cell) pairs, and WindowGroupLimit\n"
+      sb ++= "partial/final around the last per-query rank — no BNLJ, no corpus-wide\n"
+      sb ++= "window, no join whose build side scales with the corpus.\n\n"
+      sb ++= s"```\n${served.queryExecution.explainString(ExplainMode.fromString("formatted"))}```\n"
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"wrote PLANS.md (${headline.size} queries)")
+    println(s"wrote PLANS.md (${headline.size} queries + simtopk appendix)")
     spark.stop()
   }
 }
