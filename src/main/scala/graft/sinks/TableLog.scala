@@ -74,15 +74,57 @@ object TableLog {
   private def manifestPath(table: String, v: Long): Path =
     new Path(table, f"$LOG_DIR/v$v%08d.manifest")
 
-  /** Highest committed version, 0 when the table has no log yet. */
+  private def hintPath(table: String): Path =
+    new Path(table, s"$LOG_DIR/_head")
+
+  /** Best-effort head hint (the Delta `_last_checkpoint` pattern):
+    * overwritten after every successful publish, NEVER load-bearing —
+    * a stale, torn, or missing hint only costs the reader extra
+    * probes or one directory listing; an invalid one (not naming an
+    * existing manifest) is ignored. */
+  private def readHint(f: FileSystem, table: String): Option[Long] =
+    try {
+      val p = hintPath(table)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        val v = s.toLong
+        if (v >= 1 && f.exists(manifestPath(table, v))) Some(v) else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def writeHint(f: FileSystem, table: String, v: Long): Unit =
+    try {
+      val out = f.create(hintPath(table), true)
+      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () } // best effort
+
+  /** Highest committed version, 0 when the table has no log yet.
+    * O(commits-since-hint): starts at the head hint and probes
+    * FORWARD until the next version is absent — versions are dense
+    * integers, so this is exact whenever hint ≤ head (and a hint can
+    * never exceed the head: it is written only after its manifest).
+    * Without a usable hint, one directory listing. At 10⁶-commit
+    * table ages this is the difference between a constant-cost head
+    * read and listing a million-entry directory per commit. */
   def headVersion(spark: SparkSession, table: String): Long = {
-    val dir = new Path(table, LOG_DIR)
     val f = fs(spark, table)
-    if (!f.exists(dir)) 0L
-    else f.listStatus(dir).map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
-        n.stripPrefix("v").stripSuffix(".manifest").toLong }
-      .foldLeft(0L)(math.max)
+    readHint(f, table) match {
+      case Some(hint) =>
+        var v = hint
+        while (f.exists(manifestPath(table, v + 1))) v += 1
+        v
+      case None =>
+        val dir = new Path(table, LOG_DIR)
+        if (!f.exists(dir)) 0L
+        else f.listStatus(dir).map(_.getPath.getName)
+          .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+            n.stripPrefix("v").stripSuffix(".manifest").toLong }
+          .foldLeft(0L)(math.max)
+    }
   }
 
   /** The pinned manifest of `version` (head when None). Throws on a
@@ -170,7 +212,9 @@ object TableLog {
         .mkString("\n")
     val f = fs(spark, table)
     f.mkdirs(new Path(table, LOG_DIR))
-    publish(f, table, manifestPath(table, v), body)
+    val won = publish(f, table, manifestPath(table, v), body)
+    if (won) writeHint(f, table, v)
+    won
   }
 
   /** The head manifest, or None on an empty table. */

@@ -233,6 +233,30 @@ class TableLogSpec extends SparkSpec {
     assert(orphans.nonEmpty && orphans.forall(_.startsWith("data/cdeadwriter/")))
   }
 
+  test("head hint: maintained, stale/corrupt/missing never load-bearing") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 2), t)
+    TableLog.append(batch(2 until 4), t)
+    val hint = java.nio.file.Paths.get(s"$t/_log/_head")
+    assert(Files.readString(hint).trim == "2")
+    // stale hint (writer crashed before updating it): forward probe
+    // still finds the true head
+    Files.writeString(hint, "1")
+    assert(TableLog.headVersion(spark, t) == 2L)
+    assert(ids(TableLog.read(spark, t)) == (0L until 4L))
+    // corrupt hint: ignored, listing fallback
+    Files.writeString(hint, "not-a-number")
+    assert(TableLog.headVersion(spark, t) == 2L)
+    // hint pointing past the head (garbage): invalid ⇒ ignored
+    Files.writeString(hint, "99")
+    assert(TableLog.headVersion(spark, t) == 2L)
+    // missing hint: listing fallback; next commit restores it
+    Files.delete(hint)
+    assert(TableLog.headVersion(spark, t) == 2L)
+    TableLog.append(batch(4 until 5), t)
+    assert(Files.readString(hint).trim == "3")
+  }
+
   test("a torn manifest (no sentinel) fails loudly instead of serving half a version") {
     val t = tmpTable()
     TableLog.append(batch(0 until 3), t)
