@@ -1,7 +1,7 @@
 package graft.sinks
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -389,7 +389,12 @@ object TableLog {
 
   /** Delete data files no live manifest references (see [[orphans]])
     * — run only once no reader can still be pinned below the
-    * retention horizon. Returns the deleted table-relative paths. */
+    * retention horizon AND no writer is mid-commit: a writer between
+    * writeData and publish holds files no manifest references yet,
+    * indistinguishable from a crashed writer's. Production retention
+    * adds an age floor (delete only orphans older than the longest
+    * plausible commit) — the Delta VACUUM default; here the caller
+    * owns the quiesce. Returns the deleted table-relative paths. */
   def vacuum(spark: SparkSession, table: String): Seq[String] = {
     val os = orphans(spark, table)
     val f = fs(spark, table)
