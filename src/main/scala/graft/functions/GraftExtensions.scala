@@ -27,6 +27,7 @@ import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.vecDotDescription)
+    e.injectFunction(GraftExtensions.duckRoundDescription)
     e.injectFunction(GraftExtensions.shingleExplodeDescription)
     e.injectFunction(GraftExtensions.spanExplodeDescription)
     e.injectOptimizerRule(_ => RewriteVecDot)
@@ -43,6 +44,20 @@ object GraftExtensions {
     (exprs: Seq[Expression]) => {
       require(exprs.length == 2, "vec_dot(a, b) takes exactly 2 arguments")
       VecDot(exprs.head, exprs(1))
+    })
+
+  /** duck_round(x, n): the engine's oracle-parity rounding (DuckDB's
+    * multiply → half-away → divide; see DuckRoundExpr) as a SQL
+    * function — `spark.sql` users get the same boundary-pinned
+    * rounding the DataFrame ops use, and a SQL-spelled brute cosine
+    * top-k becomes recognizable to RewriteSimTopK (the scale must be
+    * an INT literal — it is part of the expression's semantics). */
+  val duckRoundDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("duck_round"),
+    new ExpressionInfo(classOf[DuckRound].getName, "duck_round"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "duck_round(x, n) takes exactly 2 arguments")
+      DuckRound(exprs.head, intLit(exprs(1), "duck_round"))
     })
 
   /** The generator width must be a compile-time constant: it fixes
@@ -76,7 +91,8 @@ object GraftExtensions {
     * no-op — no `replaced a previously registered function` WARN in
     * deployment logs. */
   def install(spark: SparkSession): Unit = {
-    Seq(vecDotDescription, shingleExplodeDescription, spanExplodeDescription)
+    Seq(vecDotDescription, duckRoundDescription,
+        shingleExplodeDescription, spanExplodeDescription)
       .foreach { case (ident, _, builder) =>
         if (!spark.sessionState.functionRegistry.functionExists(ident))
           spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -145,6 +145,32 @@ class RewriteSimTopKSpec extends SparkSpec {
     } finally RewriteSimTopK.clear()
   }
 
+  test("pure spark.sql spelling is served too (duck_round + vec_dot as SQL functions)") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    e.createOrReplaceTempView("emb_simrw")
+    val sqlText =
+      """SELECT qid, nid, sim, CAST(rn AS BIGINT) AS rnk FROM (
+        |  SELECT qid, nid, sim,
+        |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn
+        |  FROM (SELECT q.qid, c.nid,
+        |          duck_round(vec_dot(q.qv, c.nv) / (q.qn * c.nn), 6) AS sim
+        |        FROM (SELECT vec_id AS nid, embedding AS nv,
+        |                sqrt(vec_dot(embedding, embedding)) AS nn FROM emb_simrw) c
+        |        JOIN (SELECT vec_id AS qid, embedding AS qv,
+        |                sqrt(vec_dot(embedding, embedding)) AS qn
+        |              FROM emb_simrw WHERE vec_id < 10) q
+        |          ON q.qid <> c.nid))
+        |WHERE rn <= 10""".stripMargin
+    val expected = bruteRows(spark.sql(sqlText))
+    val (store, cent) = buildStore(e, 16)
+    val h = RewriteSimTopK.register(e, store, cent, label = "spec-sql")
+    try {
+      val got = bruteRows(spark.sql(sqlText))
+      assert(h.hitCount > 0, "SQL spelling did not serve")
+      assert(got == expected)
+    } finally RewriteSimTopK.unregister(h)
+  }
+
   // ------------------------------------------------------------ declines
 
   test("decline: no registered store") {
