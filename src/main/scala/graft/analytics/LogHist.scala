@@ -64,7 +64,13 @@ object LogHist {
       .withColumn("cum", sum(col("cnt")).over(
         Window.partitionBy(col("scope")).orderBy(col("bin"))))
       .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("scope"))))
-    val edge = expr("shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT)) - CAST(1 AS BIGINT)")
+    // bin = 63 (values ≥ 2^62) needs the literal edge: shiftleft(1, 63)
+    // wraps to Long.MinValue and the − 1 THROWS under Spark 4 ANSI —
+    // 2^63 − 1 = Long.MaxValue is the correct inclusive edge and is
+    // not reachable arithmetically (mirrored in q181's oracle SQL)
+    val edge = expr(
+      "CASE WHEN bin >= 63 THEN CAST(9223372036854775807 AS BIGINT) " +
+        "ELSE shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT)) - CAST(1 AS BIGINT) END")
     val aggs = qs.map { case (name, q) =>
       min(when(col("cum") >= ceil(lit(q) * col("n")), edge)).as(name)
     }

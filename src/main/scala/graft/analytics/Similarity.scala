@@ -729,14 +729,28 @@ object Similarity {
             explode(array(quant.map(c => lit(c._1)).toIndexedSeq: _*)))
           .join(broadcast(clDf), Seq("cell"))
           .select(col("qid"), col("qv"), col("qn"), col("cell"),
-            when(d =!= lit(0.0),
-              dot(col("qv"), col("cv")) / d + col("r") + lit(BOUND_MARGIN)).as("ub"))
+            // a ZERO-NORM CENTROID (cn = 0 — degenerate but legal in a
+            // caller-provided model) must read as NO-PRUNE, not null:
+            // a null ub would silently drop the whole cell from the
+            // "provably exact" result. 2 + margin beats any reachable
+            // threshold (cosines are ≤ 1). Zero-norm QUERIES keep the
+            // null-everywhere contract (brute throws on the same input).
+            when(col("cn") === lit(0.0) && col("qn") =!= lit(0.0),
+              lit(2.0 + BOUND_MARGIN))
+              .otherwise(when(d =!= lit(0.0),
+                dot(col("qv"), col("cv")) / d + col("r") + lit(BOUND_MARGIN)))
+              .as("ub"))
       } else {
         val cellUb = array(quant.map { case (cid, cv, cn) =>
           val d = col("qn") * lit(cn)
-          val ub = when(d =!= lit(0.0),
-            dot(col("qv"), typedLit(cv.toSeq)) / d
-              + lit(radii.getOrElse(cid, -2.0)) + lit(BOUND_MARGIN))
+          // zero-norm centroid ⇒ no-prune bound (see the fallback
+          // branch's comment); decided at plan time here — cn is a
+          // Scala literal
+          val ub =
+            if (cn == 0.0) when(col("qn") =!= lit(0.0), lit(2.0 + BOUND_MARGIN))
+            else when(d =!= lit(0.0),
+              dot(col("qv"), typedLit(cv.toSeq)) / d
+                + lit(radii.getOrElse(cid, -2.0)) + lit(BOUND_MARGIN))
           struct(lit(cid).as("cell"), ub.as("ub"))
         }.toIndexedSeq: _*)
         qAll.select(col("qid"), col("qv"), col("qn"), explode(cellUb).as("cu"))

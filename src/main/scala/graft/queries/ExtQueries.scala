@@ -355,32 +355,6 @@ object ExtQueries {
     }
   )
 
-  /** Managed scratch roots for the jsonl round-trip queries: ONE live
-    * directory per tag — constructing the next run's frame deletes the
-    * previous run's tree (every caller constructs then fully consumes
-    * before the next construction: Bench repeats, Verify, PlanSpec),
-    * and a JVM shutdown hook removes whatever is live at exit.
-    * Without this, each frame construction leaked a full jsonl copy of
-    * the documents table into /tmp — gigabytes per bench session. */
-  private object Scratch {
-    private val live = scala.collection.mutable.HashMap.empty[String, java.nio.file.Path]
-    private def rmTree(p: java.nio.file.Path): Unit =
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-    Runtime.getRuntime.addShutdownHook(new Thread(() => live.synchronized {
-      live.values.foreach(rmTree); live.clear()
-    }))
-    def fresh(tag: String): java.nio.file.Path = live.synchronized {
-      live.remove(tag).foreach(rmTree)
-      val p = java.nio.file.Files.createTempDirectory(tag)
-      live.put(tag, p)
-      p
-    }
-  }
-
   /** q121's frame — shared with PlanSpec, which asserts the scan
     * carries the pushed top-N. */
   def jsonlTopNFrame(s: org.apache.spark.sql.SparkSession, d: String)

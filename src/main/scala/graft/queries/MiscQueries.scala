@@ -972,8 +972,10 @@ object MiscQueries {
         |ORDER BY status, doc_id""".stripMargin) { (s, d) =>
       import graft.sinks.TableLog
       val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-q179-table").toString
+      // Scratch-managed: each run's table tree replaces the previous
+      // run's (Bench best-of-2 would otherwise leak 3 full document
+      // copies to /tmp per run — round-11 advisor finding)
+      val table = Scratch.fresh("graft-q179-table").toString
       val v1 = TableLog.append(docs.filter(col("doc_id") % 7 =!= 0), table)
       val v2 = TableLog.append(docs.filter(col("doc_id") % 7 === 0), table)
       val v3 = TableLog.overwrite(docs.filter(col("doc_id") % 5 =!= 0), table)
@@ -1048,8 +1050,7 @@ object MiscQueries {
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       import graft.sinks.TableLog
       val docs = Tables.documents(s, d).select(col("doc_id"), col("source").as("src"))
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-q182-table").toString
+      val table = Scratch.fresh("graft-q182-table").toString
       // two appends ⇒ the head manifest lists ≥ 2 files (one+ per commit)
       TableLog.append(docs.filter(col("doc_id") % 4 === 0), table)
       TableLog.append(docs.filter(col("doc_id") % 4 === 2), table)

@@ -55,8 +55,9 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
-  /** Deterministic CLUSTERED corpus fixture for the `x_simrw_*`
-    * probes (Bench.extraProbes): 20,000 64-dim vectors in 64 tight
+  /** Deterministic CLUSTERED corpus fixture for the
+    * `x_simbrute_clustered` / `x_simserve_clustered` probes
+    * (Bench.extraProbes): 400,000 64-dim vectors in 64 tight
     * axis-aligned balls (cluster c = vec_id % 64 spikes dim c at 10,
     * every dim carries a small seeded jitter) — the regime where
     * RewriteSimTopK's bound pruning bites, which the near-isotropic

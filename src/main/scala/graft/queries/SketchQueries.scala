@@ -470,11 +470,14 @@ object SketchQueries {
         |         sum(cnt) OVER (PARTITION BY scope) AS n FROM sk),
         |est AS (SELECT scope, CAST(max(n) AS BIGINT) AS n,
         |         CAST(min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT)
-        |           THEN (1::BIGINT << bin) - 1 END) AS BIGINT) AS est50,
+        |           THEN CASE WHEN bin >= 63 THEN 9223372036854775807
+        |                ELSE (1::BIGINT << bin) - 1 END END) AS BIGINT) AS est50,
         |         CAST(min(CASE WHEN cum >= CAST(ceil(0.9 * n) AS BIGINT)
-        |           THEN (1::BIGINT << bin) - 1 END) AS BIGINT) AS est90,
+        |           THEN CASE WHEN bin >= 63 THEN 9223372036854775807
+        |                ELSE (1::BIGINT << bin) - 1 END END) AS BIGINT) AS est90,
         |         CAST(min(CASE WHEN cum >= CAST(ceil(0.99 * n) AS BIGINT)
-        |           THEN (1::BIGINT << bin) - 1 END) AS BIGINT) AS est99
+        |           THEN CASE WHEN bin >= 63 THEN 9223372036854775807
+        |                ELSE (1::BIGINT << bin) - 1 END END) AS BIGINT) AS est99
         |       FROM cum GROUP BY scope),
         |rk AS (SELECT scope, tok,
         |        row_number() OVER (PARTITION BY scope ORDER BY tok) AS rn,

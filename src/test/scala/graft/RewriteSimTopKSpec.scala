@@ -98,6 +98,34 @@ class RewriteSimTopKSpec extends SparkSpec {
     assert(survived < 6L * 8 / 2, s"bound pruned nothing: $survived of 48 pairs survived")
   }
 
+  test("a zero-norm centroid never prunes its cell — exactness survives a degenerate model") {
+    // round-12 advisor finding: a cn = 0 centroid made every query's
+    // bound for that cell NULL and the ub >= thr filter silently
+    // dropped the whole cell — rows assigned to it vanished from the
+    // "provably exact" top-k. The fix coalesces the degenerate cell's
+    // bound to a no-prune value (2 + margin beats any cosine threshold).
+    val corpus = clusteredCorpus(240, 8)
+    val (store, cent) = buildStore(corpus, 8)
+    val radii = Similarity.cellRadii(store, cent)
+    val q = corpus.filter($"vec_id" < 6)
+    val expected = bruteRows(Similarity.bruteForceTopK(q, corpus, K))
+    // zero out one centroid the queries' own cluster lives in (cluster
+    // of vec_id 0..5 spans cells; zero them ALL one at a time is
+    // overkill — zeroing any cell that holds expected neighbors shows
+    // the drop): degrade EVERY centroid to zero-norm so every cell
+    // rides the no-prune path — the result must still be brute-exact
+    val quant0 = Similarity.collectModel(cent)
+      .map { case (cid, cv, _) => (cid, Array.fill(cv.length)(0.0), 0.0) }
+    val got = bruteRows(
+      Similarity.exactTopKFromStoreModel(q, store, quant0, radii, K, nProbe0 = 1))
+    assert(got == expected,
+      "zero-norm centroids must degrade to a full scan, not drop cells")
+    // both inline and broadcast-fallback branches carry the fix
+    val gotBc = bruteRows(Similarity.exactTopKFromStoreModel(
+      q, store, quant0, radii, K, nProbe0 = 1, maxInlineDoubles = 1))
+    assert(gotBc == expected)
+  }
+
   test("rewrite fires on a checkpointed (LogicalRDD) corpus too, end to end") {
     val corpus = clusteredCorpus(240, 8)
     val (store, cent) = buildStore(corpus, 8)

@@ -188,4 +188,17 @@ class SketchSpec extends SparkSpec {
       .select(LogHist.bucket($"v")).as[Long].collect().toSeq
     assert(edges == Seq(1L, 2L, 2L, 3L, 3L, 4L, 10L, 11L, 40L, 41L))
   }
+
+  test("LogHist: bin 63 (values ≥ 2^62) estimates Long.MaxValue, no ANSI overflow") {
+    import graft.analytics.LogHist
+    // round-12 advisor finding: shiftleft(1, 63) wraps to Long.MinValue
+    // and the − 1 threw under ANSI — the top bucket's inclusive edge is
+    // the literal Long.MaxValue
+    val vals = Seq(("t", 1L), ("t", (1L << 62) + 5), ("t", Long.MaxValue))
+      .toDF("scope", "v")
+    val est = LogHist.quantiles(LogHist.sketch(vals), Seq("e99" -> 0.99))
+      .collect().head
+    assert(est.getLong(2) == Long.MaxValue, s"e99=${est.getLong(2)}")
+    // envelope still holds: x99 = Long.MaxValue ≤ est < 2·x99 (trivially)
+  }
 }
