@@ -60,10 +60,18 @@ object TableLog {
     * per writer forward through every commit — the exactly-once
     * ledger [[appendStreamBatch]] checks so a replayed micro-batch
     * publishes nothing. Bounded by the number of distinct streaming
-    * writers, not by batches. */
+    * writers, not by batches.
+    *
+    * `stats` maps a file path to its footer-harvested
+    * [[TableStats.FileStats]] (rows, per-column min/max/nullCount) —
+    * recorded at COMMIT time, the Delta data-skipping mechanism:
+    * [[readWhere]] prunes the file list against a predicate BEFORE
+    * the scan exists. Files committed by pre-stats manifests simply
+    * have no entry (never pruned) — old tables stay readable. */
   final case class Manifest(version: Long, base: Long, action: String,
                             files: Seq[String],
-                            txns: Map[String, Long] = Map.empty)
+                            txns: Map[String, Long] = Map.empty,
+                            stats: Map[String, TableStats.FileStats] = Map.empty)
 
   private val LOG_DIR = "_log"
   private val SENTINEL = "#end"
@@ -150,8 +158,16 @@ object TableLog {
         val Array(a, b) = t.split(":", 2); a -> b.toLong
       }.toMap)
       .getOrElse(Map.empty[String, Long])
+    // file line = `path` (pre-stats manifests) or `path\t<stats>`
+    val entries = lines.slice(1, lines.length - 1).map { ln =>
+      val tab = ln.indexOf('\t')
+      if (tab < 0) (ln, None)
+      else (ln.substring(0, tab),
+        Some(TableStats.decode(ln.substring(tab + 1))))
+    }
     Manifest(header("version").toLong, header("base").toLong,
-      header("action"), lines.slice(1, lines.length - 1), txns)
+      header("action"), entries.map(_._1), txns,
+      entries.collect { case (p, Some(st)) => p -> st }.toMap)
   }
 
   /** Read the table at `version` (head when None): exactly the pinned
@@ -164,17 +180,83 @@ object TableLog {
     spark.read.parquet(m.files.map(rel => new Path(table, rel).toString): _*)
   }
 
+  /** Read with MANIFEST-LEVEL data skipping: files whose committed
+    * stats prove they cannot hold a matching row are dropped from the
+    * scan's file list before Spark ever opens them — the pruning
+    * Delta/Iceberg do from their logs, one level ABOVE parquet's own
+    * row-group pruning (which still applies inside the survivors, but
+    * pays a footer open per file and therefore grows with file count).
+    * The predicate is ALSO applied as a normal filter on top —
+    * [[TableStats.mayContain]] is conservative, so the result is
+    * always exactly `read(...).filter(predicate)`. An empty survivor
+    * set returns the filtered scan of one file (schema intact, zero
+    * rows — its stats prove the filter eliminates it). */
+  def readWhere(spark: SparkSession, table: String,
+                predicate: org.apache.spark.sql.Column,
+                version: Option[Long] = None): DataFrame = {
+    val m = manifest(spark, table, version)
+    require(m.files.nonEmpty, s"TableLog: version ${m.version} of $table is empty")
+    val keep = survivors(spark, table, m, predicate)
+    val paths = (if (keep.nonEmpty) keep else m.files.take(1))
+      .map(rel => new Path(table, rel).toString)
+    spark.read.parquet(paths: _*).filter(predicate)
+  }
+
+  /** The file subset [[readWhere]] would scan, as (all, kept) —
+    * test/audit surface (LayoutSpec-style asserts that a selective
+    * predicate reads strictly fewer FILES, not just row groups). */
+  def pruneFiles(spark: SparkSession, table: String,
+                 predicate: org.apache.spark.sql.Column,
+                 version: Option[Long] = None): (Seq[String], Seq[String]) = {
+    val m = manifest(spark, table, version)
+    (m.files, survivors(spark, table, m, predicate))
+  }
+
+  /** Resolve `predicate` against the table's schema (one footer read)
+    * and run it through the OPTIMIZER — the user's Column carries
+    * UnresolvedAttributes and the analyzer wraps its literals in
+    * Casts; constant folding collapses them back to the
+    * Literal-vs-AttributeReference shapes [[TableStats.mayContain]]
+    * matches (and rewrites large INs to InSet, between to >=∧<=). A
+    * predicate the optimizer eliminates entirely (lit(true)) or any
+    * resolution surprise keeps every file — skipping is never
+    * load-bearing. */
+  private def survivors(spark: SparkSession, table: String, m: Manifest,
+                        predicate: org.apache.spark.sql.Column): Seq[String] = {
+    val probe = spark.read.parquet(new Path(table, m.files.head).toString)
+    val cond = probe.filter(predicate).queryExecution.optimizedPlan.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    cond match {
+      case Some(expr) =>
+        m.files.filter(rel =>
+          m.stats.get(rel).forall(st => TableStats.mayContain(st, expr)))
+      case None => m.files
+    }
+  }
+
   /** Write `df` as new immutable data files; returns their
-    * table-relative paths. One spark write, no manifest yet — the
-    * files are invisible until a commit publishes them. */
-  private def writeData(df: DataFrame, table: String): Seq[String] = {
+    * table-relative paths with footer-harvested stats. One spark
+    * write plus one FOOTER read per new file (metadata-only I/O —
+    * the Delta stats-at-commit pattern; no data rescan), no manifest
+    * yet — the files are invisible until a commit publishes them. */
+  private def writeData(df: DataFrame, table: String)
+      : (Seq[String], Map[String, TableStats.FileStats]) = {
     val sub = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
     val dir = new Path(table, sub)
     df.write.parquet(dir.toString)
     val f = fs(df.sparkSession, table)
-    f.listStatus(dir).map(_.getPath.getName)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val rels = f.listStatus(dir).map(_.getPath.getName)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .sorted.map(n => s"$sub/$n").toSeq
+    val stats = rels.flatMap { rel =>
+      // stats are an optimization, never load-bearing: a footer that
+      // fails to parse just means this file is never pruned
+      try Some(rel -> TableStats.fromFooter(conf, new Path(table, rel)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }.toMap
+    (rels, stats)
   }
 
   /** Atomic create-exclusive publish of `body` at `dst`. True iff
@@ -201,14 +283,18 @@ object TableLog {
 
   private def tryCommit(spark: SparkSession, table: String, base: Long,
                         action: String, files: Seq[String],
-                        txns: Map[String, Long] = Map.empty): Boolean = {
+                        txns: Map[String, Long] = Map.empty,
+                        stats: Map[String, TableStats.FileStats] = Map.empty): Boolean = {
     val v = base + 1
     val txnStr =
       if (txns.isEmpty) ""
       else " txns=" + txns.toSeq.sortBy(_._1)
         .map { case (a, b) => s"$a:$b" }.mkString(";")
+    val fileLines = files.map { p =>
+      stats.get(p).map(st => s"$p\t${TableStats.encode(st)}").getOrElse(p)
+    }
     val body =
-      (s"version=$v base=$base action=$action$txnStr" +: files :+ SENTINEL)
+      (s"version=$v base=$base action=$action$txnStr" +: fileLines :+ SENTINEL)
         .mkString("\n")
     val f = fs(spark, table)
     f.mkdirs(new Path(table, LOG_DIR))
@@ -231,7 +317,7 @@ object TableLog {
              onRetry: Long => Unit = _ => (),
              beforeCommit: Long => Unit = _ => ()): Long = {
     val spark = df.sparkSession
-    val newFiles = writeData(df, table)
+    val (newFiles, newStats) = writeData(df, table)
     var attempt = 0
     while (attempt <= maxRetries) {
       val m = headManifest(spark, table)
@@ -241,7 +327,8 @@ object TableLog {
       beforeCommit(base)
       if (tryCommit(spark, table, base, "append",
           m.map(_.files).getOrElse(Seq.empty) ++ newFiles,
-          m.map(_.txns).getOrElse(Map.empty)))
+          m.map(_.txns).getOrElse(Map.empty),
+          m.map(_.stats).getOrElse(Map.empty) ++ newStats))
         return base + 1
       attempt += 1
       onRetry(base)
@@ -255,12 +342,12 @@ object TableLog {
     * readable). */
   def overwrite(df: DataFrame, table: String, maxRetries: Int = 10): Long = {
     val spark = df.sparkSession
-    val newFiles = writeData(df, table)
+    val (newFiles, newStats) = writeData(df, table)
     var attempt = 0
     while (attempt <= maxRetries) {
       val m = headManifest(spark, table)
       if (tryCommit(spark, table, m.map(_.version).getOrElse(0L), "overwrite",
-          newFiles, m.map(_.txns).getOrElse(Map.empty)))
+          newFiles, m.map(_.txns).getOrElse(Map.empty), newStats))
         return m.map(_.version).getOrElse(0L) + 1
       attempt += 1
     }
@@ -311,9 +398,9 @@ object TableLog {
     while (attempt <= maxRetries) {
       val m = headManifest(spark, table)
       val base = m.map(_.version).getOrElse(0L)
-      val newFiles = writeData(body(base), table)
+      val (newFiles, newStats) = writeData(body(base), table)
       if (tryCommit(spark, table, base, action, newFiles,
-          m.map(_.txns).getOrElse(Map.empty)))
+          m.map(_.txns).getOrElse(Map.empty), newStats))
         return base + 1
       attempt += 1
     }
@@ -340,7 +427,7 @@ object TableLog {
     // cheap ledger check before paying the data write
     if (headManifest(spark, table)
         .exists(_.txns.getOrElse(appId, -1L) >= batchId)) return None
-    val newFiles = writeData(df, table)
+    val (newFiles, newStats) = writeData(df, table)
     var attempt = 0
     while (attempt <= maxRetries) {
       val m = headManifest(spark, table)
@@ -348,7 +435,8 @@ object TableLog {
       val base = m.map(_.version).getOrElse(0L)
       if (tryCommit(spark, table, base, "append",
           m.map(_.files).getOrElse(Seq.empty) ++ newFiles,
-          m.map(_.txns).getOrElse(Map.empty) + (appId -> batchId)))
+          m.map(_.txns).getOrElse(Map.empty) + (appId -> batchId),
+          m.map(_.stats).getOrElse(Map.empty) ++ newStats))
         return Some(base + 1)
       attempt += 1
     }
@@ -377,9 +465,9 @@ object TableLog {
       val merged =
         if (base == 0) fresh
         else graft.ops.Merge.mergeByKey(read(spark, table, Some(base)), fresh, keys)
-      val newFiles = writeData(merged, table)
+      val (newFiles, newStats) = writeData(merged, table)
       if (tryCommit(spark, table, base, "merge", newFiles,
-          m.map(_.txns).getOrElse(Map.empty)))
+          m.map(_.txns).getOrElse(Map.empty), newStats))
         return base + 1
       attempt += 1
     }
