@@ -15,6 +15,29 @@ object TextQueries {
   private def vocabSql(vocab: Seq[String]): String =
     vocab.mkString("['", "', '", "']")
 
+  /** q149's stored inverted index as a DURABLE TableLog table +
+    * the ingested batch's (nDocs, nTokens) — built and committed ONCE
+    * per dir (the x_ivfpq_serve memo convention): v1 = `append` of
+    * the 80% batch's postings; measured runs read the PINNED v1 from
+    * parquet — the term-partitioned-store-served plan, replacing the
+    * round-11-flagged eager localCheckpoint stand-in (a corpus-sized
+    * block-manager write inside the measured path). Lifecycle
+    * (append/compact/crash/race) is spec'd on the q97 store —
+    * AnalyticsSpec — one mechanism, one proof. */
+  private val bm25StoreMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long, Long)]
+  private def bm25IndexStore(s: org.apache.spark.sql.SparkSession,
+                             d: String): (String, Long, Long, Long) =
+    bm25StoreMemo.computeIfAbsent(d, _ => {
+      val tag = "graft-q149-index-" + new java.io.File(d).getName
+      val tbl = Scratch.fresh(tag).toString
+      val ingested = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+      val v1 = graft.sinks.TableLog.append(
+        graft.analytics.Retrieval.buildIndex(ingested), tbl)
+      val (n1, t1) = graft.analytics.Retrieval.corpusTokenStats(ingested)
+      (tbl, v1, n1, t1)
+    })
+
   /** DuckDB spelling of "integer value of sha-256 hex chars
     * [start, start+len)" — the portable hash-bucket idiom (DuckDB 1.0
     * has no conv()). */
@@ -1103,8 +1126,11 @@ object TextQueries {
     // ---------------------------------------------------------------- q149
     // Incremental inverted-index maintenance — q97's nightly contract
     // for retrieval: the corpus splits 80/20 into an already-indexed
-    // batch and a delta; the stored index (materialized once —
-    // localCheckpoint stands in for the term-partitioned store read)
+    // batch and a delta; the stored index — a DURABLE TableLog table,
+    // read back at its PINNED version (round 12: the eager
+    // localCheckpoint stand-in was a corpus-sized block-manager write
+    // per measured run, hypersensitive to host disk state — the r11
+    // driver's 18–58 s readings — and not the production plan) —
     // merges with the delta's index by plain union, corpus stats
     // merge by component sums, and BM25 runs off the MERGED frame.
     // The oracle is q146's full-corpus recompute — incremental ≡ full
@@ -1116,11 +1142,9 @@ object TextQueries {
     Q("q149_bm25_incremental", bm25Sql) { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val ingested = docs.filter(col("doc_id") % 5 =!= 0)
       val delta = docs.filter(col("doc_id") % 5 === 0)
-      val storedIndex = graft.analytics.Retrieval.buildIndex(ingested)
-        .localCheckpoint(true)
-      val (n1, t1) = graft.analytics.Retrieval.corpusTokenStats(ingested)
+      val (tbl, v1, n1, t1) = bm25IndexStore(s, d)
+      val storedIndex = graft.sinks.TableLog.read(s, tbl, Some(v1))
       val (n2, t2) = graft.analytics.Retrieval.corpusTokenStats(delta)
       val merged = storedIndex.unionByName(
         graft.analytics.Retrieval.buildIndex(delta))
