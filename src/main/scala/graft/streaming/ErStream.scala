@@ -27,10 +27,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * side predates the replay boundary — at-least-once, absorbed by
   * an idempotent sink (the family contract).
   *
-  * Scale: state shards by blocking key (brand); an arrival costs
-  * one bucket scan. `maxMembers` is the saturation latch of the
-  * other twins — a bucket past the cap is a mass-duplicate signal
-  * that stops pairing AND growing.
+  * Scale: state shards by BLOCKING key — multi-pass like the batch
+  * side (round 12): each record enters its brand bucket, its
+  * name-first-token bucket and its name-last-token bucket
+  * ([[graft.analytics.EntityResolution.block2Key]]/`block3Key`, the
+  * one spelling with the batch `block2Col`/`block3Col`); the
+  * first-token bucket only emits pairs whose brands DIFFER, the
+  * last-token bucket only pairs whose brands AND first tokens
+  * differ (the suppress-in-later-passes rule — a pair covered by an
+  * earlier key emits from that bucket alone), so clean runs stay
+  * exactly-once per pair with no cross-bucket dedup stage. State is
+  * one bucket entry per (record, key) — 3× members, same shape. An
+  * arrival costs three bucket scans. `maxMembers` is the saturation
+  * latch of the other twins — a bucket past the cap is a
+  * mass-duplicate signal that stops pairing AND growing.
   *
   * CHECKPOINT COMPATIBILITY: [[ErStream.BucketState]] is the
   * persisted schema; bump `ver` and migrate on change. */
@@ -67,19 +77,34 @@ object ErStream {
       }
   }
 
-  /** Verified match pairs over a record stream, canonical d1 < d2. */
+  /** Verified match pairs over a record stream, canonical d1 < d2.
+    * Each record enters THREE buckets (brand, name-first-token,
+    * name-last-token); later buckets pair only members every EARLIER
+    * key fails to cover, so the passes are disjoint by construction —
+    * batch parity with `EntityResolution.matchPairs`' multi-pass
+    * recovery. */
   def matchPairs(recs: Dataset[Rec], maxMembers: Int = 10000): Dataset[MatchPair] = {
     import recs.sparkSession.implicits._
-    recs.groupByKey(_.p_brand)
+    import graft.analytics.EntityResolution.{block2Key, block3Key}
+    recs.flatMap(r => Seq(("b|" + r.p_brand, r), ("t|" + block2Key(r.p_name), r),
+        ("u|" + block3Key(r.p_name), r)))
+      .groupByKey(_._1)
       .flatMapGroupsWithState[BucketState, MatchPair](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (_, it, state: GroupState[BucketState]) =>
+        case (key, it, state: GroupState[BucketState]) =>
+          val pass = key.charAt(0) // 'b' | 't' | 'u'
           var st = state.getOption.getOrElse(BucketState(Nil, saturated = false))
           val out = scala.collection.mutable.ListBuffer.empty[MatchPair]
-          it.toSeq.sortBy(_.p_partkey).foreach { r =>
+          it.map(_._2).toSeq.sortBy(_.p_partkey).foreach { r =>
             if (!st.saturated) {
               st.members.foreach { m =>
-                if (m.p_partkey != r.p_partkey && isMatch(m, r))
+                val emit = pass match {
+                  case 'b' => true
+                  case 't' => m.p_brand != r.p_brand
+                  case _ => m.p_brand != r.p_brand &&
+                    block2Key(m.p_name) != block2Key(r.p_name)
+                }
+                if (m.p_partkey != r.p_partkey && emit && isMatch(m, r))
                   out += MatchPair(math.min(m.p_partkey, r.p_partkey),
                     math.max(m.p_partkey, r.p_partkey))
               }

@@ -1012,26 +1012,36 @@ class AnalyticsSpec extends SparkSpec {
       "incremental labels ≡ batch labels")
   }
 
-  test("ER blocking audit: a misspelled brand provably hides a true match") {
+  test("ER multi-pass blocking: token pass recovers brand typos; double-evaders still audited") {
     import graft.analytics.EntityResolution
     // records 1/2: identical name/type/size, brand typo ("l" for "1")
-    // — the blocked pipeline can never pair them; the unblocked truth
-    // arm scores them 2+1+1 = 4. Record 3 is lev-unreachable noise.
+    // — single-pass brand blocking hid this pair (the round-11 390 bp
+    // verdict item); the first-token pass recovers it (same "azure").
+    // Records 4/5: two single-char edits SPLIT across the first and
+    // last tokens with differing brands — the one corner that evades
+    // all three keys; only the truth arm sees it, and the audit
+    // reports exactly that miss. Record 3 is lev-unreachable.
     val recs = Seq(
       (1L, "Brand#13", "azure plum linen", "STANDARD", 5),
       (2L, "Brand#l3", "azure plum linen", "STANDARD", 5),
-      (3L, "Brand#13", "completely different name", "STANDARD", 5))
+      (3L, "Brand#13", "completely different name", "STANDARD", 5),
+      (4L, "Brand#21", "coral mint silk", "ECONOMY", 9),
+      (5L, "Brand#22", "coralx mint silke", "ECONOMY", 9))
       .toDF("p_partkey", "p_brand", "p_name", "p_type", "p_size")
-    assert(EntityResolution.matchPairs(recs, recs).isEmpty,
-      "brand block must hide the typo pair")
+    val pairs = EntityResolution.matchPairs(recs, recs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"token pass must recover the brand-typo pair and only it: $pairs")
     val row = EntityResolution.blockingRecallAudit(recs).collect().head
     assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
-      ((1L, 0L, 1L, 0L)),
-      s"truth=1 blocked=0 missed=1 recall=0bp — got $row")
-    // same-brand control: block recovers it, recall 10000 bp
+      ((2L, 1L, 1L, 5000L)),
+      s"truth=2 blocked=1 missed=1 recall=5000bp — got $row")
+    // candidate count reported: exactly the admitted record pair
+    assert(row.getLong(4) == 1L, s"cand_pairs — got $row")
+    // same-brand control: both pairs blocked, recall 10000 bp
     val ok = recs.withColumn("p_brand", lit("Brand#13"))
     val row2 = EntityResolution.blockingRecallAudit(ok).collect().head
-    assert((row2.getLong(0), row2.getLong(1), row2.getLong(3)) == ((1L, 1L, 10000L)),
+    assert((row2.getLong(0), row2.getLong(1), row2.getLong(3)) == ((2L, 2L, 10000L)),
       s"control: full recall — got $row2")
   }
 }

@@ -17,7 +17,11 @@ ids offset by rep * 10_000_000 so copies never collide. Output goes to
 <outdir>/documents.parquet and <outdir>/embeddings.parquet; run the
 bench against it with SPARK_GRAFT_SF_DIR=<outdir>.
 
-Usage: python3 tools/scale10_gen.py /root/testdata/sf0.1 /tmp/scale10/sf1.0
+Usage: python3 tools/scale10_gen.py /root/testdata/sf0.1 /tmp/scale10/sf1.0 [reps]
+
+`reps` defaults to 10; round 12 runs the fuse probes at reps=100
+(documents 5,000 -> 500,000) -- the SCALE100 validation the member-cap
+families owed one decade past the measured 10x regime.
 """
 import hashlib
 import struct
@@ -27,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-REPS = 10
+REPS = 10  # default; argv[3] overrides
 OFFSET = 10_000_000
 VOCAB = ["drift", "ember", "quarry", "lattice", "sonder", "veldt",
          "umbra", "cairn", "tessel", "brume", "skein", "warden"]
@@ -91,6 +95,8 @@ def gen_embeddings(src, dst):
 
 if __name__ == "__main__":
     src, dst = sys.argv[1], sys.argv[2]
+    if len(sys.argv) > 3:
+        REPS = int(sys.argv[3])
     import os
     os.makedirs(dst, exist_ok=True)
     gen_documents(src, dst)
