@@ -70,12 +70,14 @@ object StreamBench {
     * moveParts). Returns (rows, seconds) per drop — batch 1 is the
     * cold figure, 2..N the sustained one. */
   private def steadyDrops(src: DataFrame, keyCol: String, nDrops: Int,
-                          prefix: String)
+                          prefix: String,
+                          mode: org.apache.spark.sql.streaming.OutputMode =
+                            org.apache.spark.sql.streaming.OutputMode.Append)
                          (mkQuery: DataFrame => DataFrame): Seq[(Long, Double)] = {
     val spark = src.sparkSession
     val dropDir = tmpDir(s"graft-sbench-$prefix-drop")
     val q = mkQuery(spark.readStream.schema(src.schema).parquet(dropDir))
-      .writeStream.outputMode("append")
+      .writeStream.outputMode(mode)
       .foreachBatch { (b: DataFrame, _: Long) => b.count(): Unit }
       .option("checkpointLocation", tmpDir(s"graft-sbench-$prefix-ck"))
       .start()
@@ -377,6 +379,20 @@ object StreamBench {
       graft.streaming.HistStream.runningSketch(histStream),
       org.apache.spark.sql.streaming.OutputMode.Update)
 
+    // 8. steady-state rows for the round-11 twins (curq, hist) —
+    // drops 2..N through the same protocol as the others (round-12
+    // verdict item #6; placed here because both need the cold
+    // sections' curBench/cqTargets/histArr fixtures)
+    val cqTimes = steadyDrops(curInput, "doc_id", nDrops, "curqss") { raw =>
+      graft.streaming.CurationStream.curatedAdmittedStream(
+        raw.as[graft.streaming.CurationStream.Doc], curBench, cqTargets).toDF()
+    }
+    val histTimes = steadyDrops(histArr, "v", nDrops, "histss",
+        org.apache.spark.sql.streaming.OutputMode.Update) { raw =>
+      graft.streaming.HistStream.runningSketch(
+        raw.as[graft.streaming.HistStream.Arrival])
+    }
+
     val sf = new java.io.File(sfDir).getName
     println(
       f"""{"metric":"stream_bench","unit":"rows_per_sec","sf":"$sf",""" +
@@ -398,7 +414,8 @@ object StreamBench {
       f""""ss_batches":$nDrops,"ss_cold":$coldRate%.0f,"ss_steady":${steadyRate(ssTimes)}%.0f,""" +
       f""""nd_steady":${steadyRate(ndTimes)}%.0f,"emb_steady":${steadyRate(embTimes)}%.0f,""" +
       f""""sem_steady":${steadyRate(semTimes)}%.0f,"cdc_steady":${steadyRate(cdcTimes)}%.0f,""" +
-      f""""idx_steady":${steadyRate(idxTimes)}%.0f,"cur_steady":${steadyRate(curTimes)}%.0f}""")
+      f""""idx_steady":${steadyRate(idxTimes)}%.0f,"cur_steady":${steadyRate(curTimes)}%.0f,""" +
+      f""""curq_steady":${steadyRate(cqTimes)}%.0f,"hist_steady":${steadyRate(histTimes)}%.0f}""")
     spark.stop()
   }
 }

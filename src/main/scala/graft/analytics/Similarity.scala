@@ -332,7 +332,7 @@ object Similarity {
     collectQuantizer(cent)
 
   /** A collected quantizer rebuilt as a local (cid, cv, cn) frame —
-    * the broadcast side of assignByJoin. A centroid plan can be a
+    * the broadcast side of the query-probe joins. A centroid plan can be a
     * full-corpus pass (initCentroids is orderBy+limit over the whole
     * table), so every consumer collects the model ONCE via
     * collectQuantizer and re-derives any frame it needs from the rows
@@ -408,40 +408,80 @@ object Similarity {
     * warnings — literal arrays cost ~4 KB/double in plan form — so at
     * 4096-dim embeddings × 1024 cells (4M doubles) the pattern would
     * ship ~16 GB per stage. Past this ceiling kmeansAssign/ivfTopK
-    * switch to the broadcast-join spelling (assignByJoin): same
-    * rounded-cosine argmax semantics, one k-fold explode + broadcast
-    * hash join + partial-agged per-vector max instead of a zero-
-    * shuffle map pass — the API degrades to one corpus-width shuffle
-    * of (vec_id, key) rows rather than cliffing on task-binary size. */
+    * switch to the broadcast-MATRIX spelling (assignLargeK): the
+    * collected quantizer broadcasts once per executor and the same
+    * rounded-cosine argmax runs in a per-partition loop — still zero
+    * shuffle, zero row expansion (the earlier k-fold-explode join
+    * fallback spilled >77 GB at k=1600 on the 100× corpus — see
+    * assignLargeK's scaladoc). */
   val MAX_INLINE_DOUBLES: Long = 8192L
 
-  /** The broadcast-join argmax assignment — bit-identical semantics
-    * to nearestCellExpr (rounded cosine desc, null→-2.0, -0.0
-    * normalized, ties → lowest cid) for quantizers too large to
-    * inline. The corpus expands k-fold by a cid-list literal (k longs
-    * — tiny), equi-joins the broadcast centroid frame by cid (never a
-    * nested loop), and reduces per vector with a partial-agged
-    * struct-max: the k rows of each vector sit in one partition, so
-    * map-side combine collapses them before the exchange. */
-  private def assignByJoin(vecs: DataFrame,
+  /** Scala twin of DuckRound(·, 6) — the same three IEEE ops the
+    * expression's nullSafeEval/codegen perform (scale, round half
+    * away from zero, unscale), so [[assignLargeK]]'s in-loop cosine
+    * rounds bit-identically to the inlined/expression paths. */
+  private def duckRound6(x: Double): Double = {
+    val s = x * 1e6
+    (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)) / 1e6
+  }
+
+  /** The LARGE-QUANTIZER argmax assignment — bit-identical semantics
+    * to nearestCellExpr (rounded cosine desc, null→-2.0 sentinel,
+    * ties → lowest cid) for models too large to inline: the collected
+    * quantizer broadcasts ONCE per executor and each row's argmax
+    * runs in a per-partition loop — zero row expansion, zero shuffle
+    * (the Spark-MLlib KMeans shape; one of the few places a
+    * mapPartitions genuinely beats every declarative spelling).
+    *
+    * Why not the previous exploded broadcast-join: it materialized
+    * n×k PAIR ROWS, each carrying the full embedding, through a
+    * partial-agged struct-max — fine at the spec scales it was built
+    * for, but the k-grows-with-n contract (SemDeDup) breaks it:
+    * measured on the 100× corpus (SCALING.md round 12), k=1600 over
+    * 200k vectors = 320M wide rows spilled past 77 GB of local disk
+    * and killed the job. Dot products here accumulate left-to-right
+    * with float→double per element — exactly VecDot's nullSafeEval
+    * loop — and a length-mismatched centroid degrades to the same
+    * -2.0 sentinel the join path's null dot produced. AnalyticsSpec
+    * pins the inline≡large-k identity. */
+  private def assignLargeK(vecs: DataFrame,
                            quant: Array[(Long, Array[Double], Double)]): DataFrame = {
-    val cids = quant.map(_._1)
-    val expanded = vecs.select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", norm(col("embedding")))
-      .withColumn("cid", explode(array(cids.map(lit).toIndexedSeq: _*)))
-    val joined = expanded.join(
-      broadcast(localCentroids(vecs.sparkSession, quant)), Seq("cid"))
-    // same zero-norm guard as cellKeys — keeps the two assignment
-    // paths output-identical on all-zero vectors instead of one
-    // throwing DIVIDE_BY_ZERO under ANSI
-    val den = col("nrm") * col("cn")
-    val sim = when(den =!= lit(0.0), graft.ops.Exact.duckRound(
-      dot(col("embedding"), col("cv")) / den, 6))
-    val key = struct((coalesce(sim, lit(-2.0)) + lit(0.0)).as("s"),
-      (-col("cid")).as("nc"))
-    joined.groupBy(col("vec_id"))
-      .agg(max(key).as("bk"), first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), (-col("bk.nc")).as("cid"), col("embedding"))
+    val sess = vecs.sparkSession
+    import sess.implicits._
+    val bc = sess.sparkContext.broadcast(quant)
+    vecs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val q = bc.value
+        it.map { case (id, v) =>
+          var n2 = 0.0
+          var i = 0
+          while (i < v.length) { n2 += v(i).toDouble * v(i).toDouble; i += 1 }
+          val nrm = math.sqrt(n2)
+          var bestSim = Double.NegativeInfinity
+          var bestCid = Long.MaxValue
+          var c = 0
+          while (c < q.length) {
+            val (cid, cv, cn) = q(c)
+            val den = nrm * cn
+            val sim =
+              if (den == 0.0 || cv.length != v.length) -2.0
+              else {
+                var d = 0.0
+                var j = 0
+                while (j < cv.length) { d += v(j).toDouble * cv(j); j += 1 }
+                duckRound6(d / den)
+              }
+            if (sim > bestSim || (sim == bestSim && cid < bestCid)) {
+              bestSim = sim
+              bestCid = cid
+            }
+            c += 1
+          }
+          (id, bestCid, v)
+        }
+      }
+      .toDF("vec_id", "cid", "embedding")
   }
 
   /** One Lloyd assignment: each vector to its nearest centroid by
@@ -452,8 +492,8 @@ object Similarity {
     * The centroids (a model, ≤ k rows) are inlined as literals via
     * nearestCellExpr, so assignment is one map-side codegen'd pass —
     * no join, no window, no shuffle of the vector side; past
-    * `maxInlineDoubles` (see MAX_INLINE_DOUBLES) the broadcast-join
-    * fallback takes over with identical output. */
+    * `maxInlineDoubles` (see MAX_INLINE_DOUBLES) the broadcast-matrix
+    * partition-loop fallback takes over with identical output. */
   def kmeansAssign(vecs: DataFrame, cent: DataFrame,
                    maxInlineDoubles: Long = MAX_INLINE_DOUBLES): DataFrame =
     // ONE action on the centroid plan: the model rows decide
@@ -469,7 +509,7 @@ object Similarity {
                               quant: Array[(Long, Array[Double], Double)],
                               maxInlineDoubles: Long): DataFrame = {
     val modelDoubles = quant.foldLeft(0L)((a, c) => a + c._2.length)
-    if (modelDoubles > maxInlineDoubles) assignByJoin(vecs, quant)
+    if (modelDoubles > maxInlineDoubles) assignLargeK(vecs, quant)
     else
       vecs.select(col("vec_id"), col("embedding"))
         .withColumn("cid",
@@ -552,10 +592,10 @@ object Similarity {
     val modelDoubles = quant.foldLeft(0L)((a, c) => a + c._2.length)
     val cCells =
       if (modelDoubles > maxInlineDoubles)
-        // Broadcast-join fallback for quantizers past the inline
+        // Broadcast-matrix fallback for quantizers past the inline
         // ceiling (see MAX_INLINE_DOUBLES): candidate cells from
-        // assignByJoin (identical argmax semantics).
-        assignByJoin(candidates.select(col("vec_id"), col("embedding")), quant)
+        // assignLargeK (identical argmax semantics).
+        assignLargeK(candidates.select(col("vec_id"), col("embedding")), quant)
           .select(col("vec_id").as("nid"), col("cid").as("cell"),
             col("embedding").as("nv"))
           .withColumn("nn", norm(col("nv")))
@@ -1224,7 +1264,7 @@ object Similarity {
     val spark = vecs.sparkSession
     import spark.implicits._
     // the assignment pass is the broadcast-join argmax spelling
-    // (assignByJoin's shape): the book rides as a tiny broadcast frame
+    // (the broadcast-frame shape): the book rides as a tiny broadcast frame
     // and distances are VecDot terms — NOT per-centroid inlined
     // literal chains, whose generated code (nSub·k copies of the
     // element arithmetic) cost ~51 s of janino compile per run at

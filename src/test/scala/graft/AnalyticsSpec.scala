@@ -545,7 +545,7 @@ class AnalyticsSpec extends SparkSpec {
     assert(topk.count() > 0)
   }
 
-  test("quantizer past the inline ceiling: broadcast-join fallback, identical output") {
+  test("quantizer past the inline ceiling: broadcast-matrix fallback, identical output") {
     val e = Tables.embeddings(spark, sf("sf0.001"))
     val cent = Similarity.kmeansCentroids(e, 16, 1)
     def pairs(df: org.apache.spark.sql.DataFrame) =
@@ -554,11 +554,14 @@ class AnalyticsSpec extends SparkSpec {
     val inline = Similarity.kmeansAssign(e, cent)
     val fallback = Similarity.kmeansAssign(e, cent, maxInlineDoubles = 1)
     assert(pairs(fallback) == pairs(inline))
-    // the fallback must be the broadcast equi-join, not a giant
-    // literal and not a nested loop
+    // the fallback is the zero-shuffle broadcast-matrix partition
+    // loop (round 12 — the exploded broadcast-join it replaced
+    // materialized n×k wide rows and spilled >77 GB at k=1600 on the
+    // 100× corpus): no join of any kind, no k-fold row expansion, no
+    // giant literal in the plan
     val plan = fallback.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+    assert(plan.contains("MapPartitions"), plan.take(500))
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan.take(800))
     val q = e.filter($"vec_id" < 10)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("qid", "nid", "rnk", "sim").collect()
