@@ -606,6 +606,34 @@ object DedupOps {
     * sound BECAUSE compaction also removed the non-keeper documents
     * themselves: a new document near-dup to a dropped one is near-dup
     * to its keeper by transitivity of the cluster. */
+  /** LEAKAGE-SAFE train/validation split: near-dup COMPONENTS are
+    * assigned to splits WHOLE, so a document and its near-duplicates
+    * can never straddle train and eval — the contamination channel
+    * plain per-document random splits leave open (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * measure exactly this leak). Every document takes its component
+    * label (itself when it is a singleton), the split key is the
+    * 3-nibble sha bucket OF THE LABEL ([[graft.ops.Mixture.shaBucket]]
+    * — the engine-wide deterministic sample key, q130/q157's
+    * spelling), and `bucket < valBuckets` sends the whole group to
+    * validation (410/4096 ≈ 10%). Deterministic, rerun- and
+    * reshard-stable, and mergeable: membership depends only on
+    * (component label, threshold). One broadcast-sized join (the
+    * component list is near-dup-output-sized); the corpus side
+    * streams map-only.
+    *
+    * AnalyticsSpec pins the invariant: NO near-dup pair straddles
+    * the split, at every threshold. */
+  def leakageSafeSplit(docIds: DataFrame, components: DataFrame,
+                       valBuckets: Long = 410): DataFrame =
+    docIds.select(col("doc_id"))
+      .join(components.select(col("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("bucket", graft.ops.Mixture.shaBucket(col("component")))
+      .withColumn("split",
+        when(col("bucket") < valBuckets, "val").otherwise("train"))
+
   def compactBandStore(store: DataFrame, components: DataFrame): DataFrame =
     store.join(
       components.filter(col("is_keeper") === false).select(col("doc_id")),

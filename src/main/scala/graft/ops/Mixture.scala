@@ -34,9 +34,15 @@ object Mixture {
     * key (the q126 trick), and the integer acceptance predicate, so
     * balancedSample / temperatureSample / nestedSubsamples cannot
     * drift on the parts they share. */
-  private[ops] def shaBucket(idCol: String): Column =
-    conv(substring(sha2(col(idCol).cast("string"), 256), 1, 3), 16, 10)
+  /** 3-nibble sha bucket (0..4095) — the engine-wide deterministic
+    * split/sample key: one spelling for every consumer
+    * (balanced/temperature/nested samplers here, q185's leakage-safe
+    * split in DedupOps); the oracle mirror is the strpos hex decode
+    * (DuckDB 1.0 has no conv). */
+  def shaBucket(c: Column): Column =
+    conv(substring(sha2(c.cast("string"), 256), 1, 3), 16, 10)
       .cast("long")
+  private[ops] def shaBucket(idCol: String): Column = shaBucket(col(idCol))
   private def gKey(c: Column): Column =
     (pmod(c, lit(1L)) + lit(1L)).cast("int")
   private def accept(targetCol: String): Column =

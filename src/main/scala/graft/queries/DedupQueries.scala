@@ -262,6 +262,38 @@ object DedupQueries {
       componentsBuild(s, d).orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- q185
+    // Leakage-safe train/validation split (DedupOps.leakageSafeSplit,
+    // round 12): near-dup components are assigned to splits WHOLE —
+    // the split key is the 3-nibble sha bucket of the COMPONENT label
+    // (Mixture.shaBucket, the q130/q157 sample-key spelling), so a
+    // document and its near-duplicates can never straddle train and
+    // eval (the contamination channel a per-document random split
+    // leaves open; Lee et al. 2022 measure the resulting eval
+    // inflation). bucket < 410 of 4096 ≈ a 10% validation slice;
+    // membership depends only on (label, threshold) — rerun-,
+    // reshard- and merge-stable like q157's nested subsamples.
+    // Labels come from the cached component artifact (componentsOf);
+    // the oracle recomputes the full LSH → closure → label → bucket
+    // chain from the documents table alone. AnalyticsSpec pins the
+    // no-straddle invariant at every threshold.
+    Q("q185_leakage_safe_split",
+      s"""$componentsCtes,
+         |alldocs AS (SELECT doc_id FROM documents),
+         |lab AS (SELECT a.doc_id, coalesce(c.component, a.doc_id) AS component
+         |        FROM alldocs a LEFT JOIN comp c ON c.doc_id = a.doc_id),
+         |bk AS (SELECT doc_id, component,
+         |    ${TextQueries.hexValSql("CAST(component AS VARCHAR)", 1, 3)} AS bucket
+         |  FROM lab)
+         |SELECT doc_id, component, bucket,
+         |  CASE WHEN bucket < 410 THEN 'val' ELSE 'train' END AS split
+         |FROM bk ORDER BY doc_id""".stripMargin) { (s, d) =>
+      DedupOps.leakageSafeSplit(
+          Tables.documents(s, d).select(col("doc_id")),
+          componentsOf(s, d))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- q106
     // The SAME clustering contract as q58 computed by the O(log n)
     // algorithm: alternating large-star/small-star rounds (Kiveris et
@@ -883,7 +915,7 @@ object DedupQueries {
     "q108_band_compaction", "q114_lsh_capped",
     "q118_neardup_jaccard_membercap", "q142_simhash_audit",
     "q147_canonical_keeper", "q150_source_similarity",
-    "q155_curation_capstone")
+    "q155_curation_capstone", "q185_leakage_safe_split")
 
   /** Drop this session's dedup-family caches and free their storage
     * memory. The WeakHashMap entries cannot be collected on their own

@@ -41,7 +41,7 @@ object TextQueries {
   /** DuckDB spelling of "integer value of sha-256 hex chars
     * [start, start+len)" — the portable hash-bucket idiom (DuckDB 1.0
     * has no conv()). */
-  private def hexValSql(arg: String, start: Int, len: Int): String =
+  private[queries] def hexValSql(arg: String, start: Int, len: Int): String =
     (0 until len).map { k =>
       val mult = math.pow(16, len - 1 - k).toLong
       s"CAST(strpos('0123456789abcdef', substr(sha256($arg), ${start + k}, 1)) - 1 AS BIGINT)" +
@@ -561,6 +561,48 @@ object TextQueries {
           // loses integer precision past 2^53
           expr("(cum - n_tokens) div 10000").as("shard"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q184
+    // Fixed-window SEQUENCE PACKING (ops/Pack, round 12) — the
+    // concat-and-chunk step that turns the curated corpus into
+    // training sequences of exactly 512 tokens (GPT-style packing:
+    // docs concatenate in doc_id order, the stream is cut every 512
+    // tokens, docs may straddle cuts). q60 answers which ≤-budget
+    // shard a doc STARTS in; this gate pins the loader-grade answers:
+    // the per-sequence manifest — how many docs each window holds
+    // (n_docs), how many carried across its left cut (n_carry — the
+    // cross-contamination count an attention mask must separate; ≤ 1
+    // structurally), and its token fill (512 everywhere but the final
+    // partial window; fills sum to the corpus token total). Offsets
+    // come from PrefixSum's two-pass distributed cumsum (no
+    // single-partition window — PlanSpec's q60 rule); the manifest
+    // explode is output-sized (≤ n/512 + 1 rows per doc). All
+    // integer arithmetic — floor divisions on non-negative longs are
+    // engine-identical.
+    Q("q184_sequence_packing",
+      """WITH tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |            FROM documents),
+        |c AS (SELECT doc_id, n,
+        |        sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM tk),
+        |pl AS (SELECT doc_id, n, CAST(cum AS BIGINT) AS cum,
+        |         CAST((cum - n) // 512 AS BIGINT) AS fs,
+        |         CAST((cum - 1) // 512 AS BIGINT) AS ls FROM c),
+        |ex AS (SELECT doc_id, n, cum, fs,
+        |         unnest(generate_series(fs, ls)) AS seq_id FROM pl),
+        |m AS (SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(count(*) FILTER (WHERE fs < seq_id) AS BIGINT) AS n_carry,
+        |        CAST(sum(least(cum, (seq_id + 1) * 512)
+        |               - greatest(cum - n, seq_id * 512)) AS BIGINT) AS tok_fill
+        |      FROM ex GROUP BY seq_id)
+        |SELECT seq_id, n_docs, n_carry, tok_fill FROM m
+        |ORDER BY seq_id""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.ops.Pack.seqManifest(
+          graft.ops.Pack.packPlacement(base, 512), 512)
+        .orderBy("seq_id")
     },
 
     // ---------------------------------------------------------------- q105

@@ -71,6 +71,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(pairs2.count() == full.count(), "no duplicate pair rows")
   }
 
+  test("leakageSafeSplit: no near-dup pair straddles the split, at any threshold") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val pairs = DedupOps.minhashLshPairs(docs, 0.6).localCheckpoint(true)
+    assert(pairs.count() > 0, "fixture must contain near-dup pairs")
+    val comps = DedupOps.nearDupComponents(pairs)
+    val pairList = pairs.select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    Seq(0L, 410L, 2048L, 4096L).foreach { t =>
+      val m = DedupOps.leakageSafeSplit(docs.select($"doc_id"), comps, t)
+        .select($"doc_id", $"split").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      val straddling = pairList.count { case (a, b) => m(a) != m(b) }
+      assert(straddling == 0,
+        s"threshold $t: $straddling near-dup pairs straddle train/val")
+    }
+    // default threshold genuinely splits on this corpus (both sides
+    // populated) and every doc is labeled exactly once
+    val s = DedupOps.leakageSafeSplit(docs.select($"doc_id"), comps)
+    val bySplit = s.groupBy("split").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(bySplit.getOrElse("val", 0L) > 0 && bySplit.getOrElse("train", 0L) > 0)
+    assert(s.count() == docs.count() &&
+      s.select("doc_id").distinct().count() == docs.count())
+  }
+
   test("TableLog-versioned band store: pinned nightly probes, compaction rewrite, race safety") {
     import graft.sinks.TableLog
     // round-12 judge item #3: the O(Δ) store contract on DURABLE,

@@ -102,4 +102,37 @@ class OpsSpec extends SparkSpec {
     val many = vals.toDF("v").repartition(37).agg(Exact.dsum($"v")).collect().head.getDouble(0)
     assert(one == many)
   }
+  test("Pack: placement offsets exact; fills sum to the total; at most one carry per cut") {
+    // window 7 over uneven docs incl. one longer than the window
+    val docs = Seq((1L, 3L), (2L, 5L), (3L, 16L), (4L, 1L), (5L, 4L))
+      .toDF("doc_id", "n_tokens")
+    val pl = Pack.packPlacement(docs, 7).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // (doc, cum, first_seq, last_seq, start_off, n_splits)
+    assert(pl.toSeq == Seq(
+      (1L, 3L, 0L, 0L, 0L, 0L),    // [0,3)
+      (2L, 8L, 0L, 1L, 3L, 1L),    // [3,8) straddles the 7-cut
+      (3L, 24L, 1L, 3L, 1L, 2L),   // [8,24) crosses cuts 14 and 21
+      (4L, 25L, 3L, 3L, 3L, 0L),   // [24,25) — 24 mod 7 = 3
+      (5L, 29L, 3L, 4L, 4L, 1L)))  // [25,29) straddles 28
+    val m = Pack.seqManifest(Pack.packPlacement(docs, 7), 7).orderBy("seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(m.toSeq == Seq(
+      (0L, 2L, 0L, 7L), (1L, 2L, 1L, 7L), (2L, 1L, 1L, 7L),
+      (3L, 3L, 1L, 7L), (4L, 1L, 1L, 1L)))
+    // invariants on the real corpus: fills sum to the token total,
+    // every window but the last is full, carries never exceed 1,
+    // explode rows reconcile with per-doc split counts
+    val base = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+    val total = base.agg(sum($"n_tokens")).head.getLong(0)
+    val place = Pack.packPlacement(base, 512)
+    val man = Pack.seqManifest(place, 512).orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(man.map(_._4).sum == total)
+    assert(man.last._1 == (total - 1) / 512 && man.map(_._1).toSeq == (0L to man.last._1))
+    assert(man.init.forall(_._4 == 512L) && man.forall(_._3 <= 1L))
+    assert(man.map(_._2).sum ==
+      place.agg(sum($"n_splits") + count(lit(1))).head.getLong(0))
+  }
 }

@@ -164,6 +164,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TableLog data skipping: readWhere ≡ read().filter for random tables and predicates") {
+    // round-12 soundness property: footer-stat pruning may only drop
+    // files that provably hold no matching row — for ANY predicate in
+    // the supported shapes and any data (nulls, negatives, duplicate
+    // values across files, string edges), readWhere's rows equal the
+    // unpruned read + filter exactly
+    import graft.sinks.TableLog
+    val strs = Array("", "a", "ab", "zz", "m-9", "Ωmega", "\u0001ctl")
+    (1 to 6).foreach { round =>
+      val t = java.nio.file.Files.createTempDirectory(s"graft-skip-prop$round").toString
+      // 2–4 commits of random (id, x, s) rows — ranges overlap freely
+      val nCommits = 2 + rnd.nextInt(3)
+      (1 to nCommits).foreach { _ =>
+        val rows = List.fill(rnd.nextInt(40) + 5)((
+          rnd.nextInt(200).toLong - 100,
+          if (rnd.nextInt(8) == 0) null.asInstanceOf[java.lang.Double]
+          else java.lang.Double.valueOf(rnd.nextInt(100) / 7.0),
+          if (rnd.nextInt(8) == 0) null else strs(rnd.nextInt(strs.length))))
+        TableLog.append(rows.toDF("id", "x", "s").coalesce(1 + rnd.nextInt(2)), t)
+      }
+      val preds = Seq(
+        col("id") === (rnd.nextInt(240) - 120).toLong,
+        col("id") > (rnd.nextInt(200) - 100).toLong,
+        col("id") <= (rnd.nextInt(200) - 100).toLong && col("id") >= -50L,
+        col("x") < rnd.nextInt(15).toDouble,
+        col("s") === strs(rnd.nextInt(strs.length)),
+        col("s").isNull,
+        col("s").isNotNull && col("id") =!= 0L,
+        col("id").isin(-3L, 7L, 99L, 1000L),
+        col("id") === 5L || col("s") === "zz",
+        length(col("s")) > 1) // opaque: must never prune
+      preds.foreach { pred =>
+        val expected = TableLog.read(spark, t).filter(pred)
+          .collect().map(_.toString).sorted.toSeq
+        val got = TableLog.readWhere(spark, t, pred)
+          .collect().map(_.toString).sorted.toSeq
+        assert(got == expected, s"round $round predicate $pred")
+      }
+    }
+  }
+
   test("q120 histogram binning: Spark floor(x/8) matches Scala IEEE on random doubles incl. negatives; rank invariant holds") {
     // the corpus never exercises negative values or exact bin edges —
     // random doubles do. Division by a power of two is an exponent
