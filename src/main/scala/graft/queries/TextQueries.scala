@@ -32,8 +32,18 @@ object TextQueries {
       val tag = "graft-q149-index-" + new java.io.File(d).getName
       val tbl = Scratch.fresh(tag).toString
       val ingested = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+      // TERM-partitioned layout: range-partition the postings by term
+      // before the commit so each data file's footer stats carry a
+      // tight term range — TableLog.readWhere(term IN query-vocab)
+      // then prunes whole FILES at the manifest (the round-12
+      // data-skipping path), and parquet row-group pruning still
+      // applies inside the survivors. This is the literal
+      // "term-partitioned store read" the r11 verdict asked q149's
+      // gate to measure.
       val v1 = graft.sinks.TableLog.append(
-        graft.analytics.Retrieval.buildIndex(ingested), tbl)
+        graft.analytics.Retrieval.buildIndex(ingested)
+          .repartitionByRange(16, col("term"))
+          .sortWithinPartitions("term"), tbl)
       val (n1, t1) = graft.analytics.Retrieval.corpusTokenStats(ingested)
       (tbl, v1, n1, t1)
     })
@@ -1186,7 +1196,13 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val delta = docs.filter(col("doc_id") % 5 === 0)
       val (tbl, v1, n1, t1) = bm25IndexStore(s, d)
-      val storedIndex = graft.sinks.TableLog.read(s, tbl, Some(v1))
+      // pruned pinned read: manifest stats drop index files whose
+      // term range misses the query vocabulary entirely (the
+      // downstream scoresCore term filter makes the extra predicate
+      // a no-op semantically — readWhere ≡ read().filter always)
+      val vocab = BM25_QUERIES.map(_._2).distinct
+      val storedIndex = graft.sinks.TableLog.readWhere(s, tbl,
+        col("term").isin(vocab: _*), Some(v1))
       val (n2, t2) = graft.analytics.Retrieval.corpusTokenStats(delta)
       val merged = storedIndex.unionByName(
         graft.analytics.Retrieval.buildIndex(delta))
