@@ -102,8 +102,18 @@ object EntityResolution {
     * old–new AND new–new pair (the q102 incremental contract),
     * so store ∪ deltaPairs ≡ the full recompute. */
   def matchPairs(probe: DataFrame, base: DataFrame): DataFrame =
-    canonical(recoveredPairs(probe, base, blocked = true)
+    canonical(recoveredPairs(probe, base, blocked = true,
+        nameDict(probe, base))
       .filter(matchScore >= MATCH_THRESHOLD))
+
+  /** The lev ≤ MAX_NAME_DIST name-pair dictionary both recovery modes
+    * join through — factored out so multi-arm consumers (the audit:
+    * truth + blocked + candidates) compute it ONCE. */
+  private def nameDict(probe: DataFrame, base: DataFrame): DataFrame =
+    levBandPairs(
+      probe.select(col("p_name")).distinct(),
+      base.select(col("p_name")).distinct(), MAX_NAME_DIST)
+      .drop("dist")
 
   private def matchScore =
     lit(W_NAME) + when(col("ta") === col("tb"), W_TYPE).otherwise(0) +
@@ -130,11 +140,7 @@ object EntityResolution {
     * joins, each with the broadcast name-pair dictionary on the probe
     * side — no new join shape, no pair blow-up at 100 TB. */
   private def recoveredPairs(probe: DataFrame, base: DataFrame,
-                             blocked: Boolean): DataFrame = {
-    val nd = levBandPairs(
-        probe.select(col("p_name")).distinct(),
-        base.select(col("p_name")).distinct(), MAX_NAME_DIST)
-      .drop("dist")
+                             blocked: Boolean, nd: DataFrame): DataFrame = {
     val a = probe.select(col("p_partkey").as("ka"), col("p_brand").as("ba"),
       col("p_name").as("n1"), col("p_type").as("ta"), col("p_size").as("sa"))
     val b = base.select(col("p_partkey").as("kb"), col("p_brand").as("bb"),
@@ -179,14 +185,21 @@ object EntityResolution {
   def blockingRecallAudit(records: DataFrame, sampleMod: Long = 1): DataFrame = {
     val p = if (sampleMod == 1) records
       else records.filter(col("p_partkey") % sampleMod === 0)
-    val truth = canonical(recoveredPairs(p, p, blocked = false)
+    // ONE name-pair dictionary feeds all four recovery joins of the
+    // three arms — dictionary-pair-sized, so the eager checkpoint is
+    // the "tiny many-branch intermediate" pattern (q97's candidate
+    // list), not a corpus-sized write; without it each arm re-pays
+    // the full distinct-names × length-band Levenshtein
+    val nd = nameDict(p, p).localCheckpoint(true)
+    val truth = canonical(recoveredPairs(p, p, blocked = false, nd)
       .filter(matchScore >= MATCH_THRESHOLD))
-    val blocked = matchPairs(p, p)
+    val blocked = canonical(recoveredPairs(p, p, blocked = true, nd)
+      .filter(matchScore >= MATCH_THRESHOLD))
     // candidate pairs ENTERING scoring under blocking — the audit's
     // cost column: blocking recall is only honest next to the
     // candidate volume it pays for (an unblocked pass has perfect
     // recall and quadratic candidates)
-    val cands = canonical(recoveredPairs(p, p, blocked = true))
+    val cands = canonical(recoveredPairs(p, p, blocked = true, nd))
     // two single-row aggregates combined by union + max per column —
     // the q103 pattern (a join on the literal key constant-folds into
     // the BNLJ the engine-wide PlanSpec bans)
