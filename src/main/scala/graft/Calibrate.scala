@@ -219,8 +219,10 @@ object Calibrate {
 
   /** JIT + lazy-allocation warmup: the first alu/mem calls pay C2
     * compilation and the thread-private array allocation (hundreds of
-    * MiB), the first io call pays the write-block fill; run each once
-    * untimed before the first real window or window 0 reads ~1.5×
-    * inflated on a quiet host. */
-  def warmup(): Unit = { alu(); mem(); io(); () }
+    * MiB), the first io calls pay the write-block fill AND the
+    * filesystem's cold-journal/allocation path — io runs TWICE here
+    * because a single priming pass still left window 0 reading ~1.6×
+    * on a quiet host (the r12 full-suite record's only inflated
+    * window was exactly that first-io artifact). */
+  def warmup(): Unit = { alu(); mem(); io(); io(); () }
 }
