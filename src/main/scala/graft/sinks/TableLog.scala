@@ -483,9 +483,28 @@ object TableLog {
     * adds an age floor (delete only orphans older than the longest
     * plausible commit) — the Delta VACUUM default; here the caller
     * owns the quiesce. Returns the deleted table-relative paths. */
-  def vacuum(spark: SparkSession, table: String): Seq[String] = {
-    val os = orphans(spark, table)
+  def vacuum(spark: SparkSession, table: String): Seq[String] =
+    vacuum(spark, table, 0L)
+
+  /** Vacuum with the RETENTION AGE FLOOR (the Delta VACUUM default,
+    * previously only documented): an orphan younger than
+    * `minAgeMillis` is kept — it may belong to a writer currently
+    * between writeData and publish, whose commit would otherwise
+    * publish a manifest pointing at deleted files. With the floor set
+    * above the longest plausible commit duration, vacuum is safe to
+    * run WITHOUT quiescing writers; `minAgeMillis = 0` restores the
+    * caller-owns-the-quiesce behavior. Age is the file's modification
+    * time — set by the filesystem at write, monotone enough for a
+    * floor (clock skew subtracts from the safety margin; size the
+    * floor generously, Delta's default is 7 days). */
+  def vacuum(spark: SparkSession, table: String, minAgeMillis: Long): Seq[String] = {
     val f = fs(spark, table)
+    val cutoff = System.currentTimeMillis() - minAgeMillis
+    val os = orphans(spark, table).filter { rel =>
+      minAgeMillis <= 0 ||
+        (try f.getFileStatus(new Path(table, rel)).getModificationTime <= cutoff
+         catch { case scala.util.control.NonFatal(_) => false }) // raced away: skip
+    }
     os.foreach(rel => f.delete(new Path(table, rel), false))
     os
   }

@@ -223,6 +223,25 @@ class TableLogSpec extends SparkSpec {
     assert(ids(TableLog.read(spark, t)) == (0L until 4L), "vacuum touched live data")
   }
 
+  test("vacuum age floor: young orphans survive, old ones go") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 3), t)
+    // two orphans: one "old" (mtime backdated an hour), one fresh —
+    // an in-flight writer's files between writeData and publish
+    val dir = new java.io.File(s"$t/data/corphan"); dir.mkdirs()
+    val old = new java.io.File(dir, "part-00000-old.parquet")
+    val young = new java.io.File(dir, "part-00001-young.parquet")
+    Files.writeString(old.toPath, "x"); Files.writeString(young.toPath, "y")
+    Files.setLastModifiedTime(old.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600_000L))
+    val deleted = TableLog.vacuum(spark, t, minAgeMillis = 600_000L)
+    assert(deleted == Seq("data/corphan/part-00000-old.parquet"), deleted)
+    assert(young.exists && !old.exists)
+    // floor 0 = the quiesced behavior: everything unreferenced goes
+    assert(TableLog.vacuum(spark, t) == Seq("data/corphan/part-00001-young.parquet"))
+    assert(ids(TableLog.read(spark, t)) == (0L until 3L)) // live data untouched
+  }
+
   test("a crashed writer's data files are invisible and reported as orphans") {
     val t = tmpTable()
     TableLog.append(batch(0 until 3), t)
