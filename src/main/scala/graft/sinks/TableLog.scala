@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Transactional MULTI-file table commits on a plain parquet
   * directory — the mechanism the reference's read-merge-overwrite
@@ -67,11 +68,23 @@ object TableLog {
     * recorded at COMMIT time, the Delta data-skipping mechanism:
     * [[readWhere]] prunes the file list against a predicate BEFORE
     * the scan exists. Files committed by pre-stats manifests simply
-    * have no entry (never pruned) — old tables stay readable. */
+    * have no entry (never pruned) — old tables stay readable.
+    *
+    * `schema` is the table's committed schema (the Delta
+    * schema-in-log mechanism): commits ENFORCE it — an append whose
+    * columns clash in type, or add columns without `evolve = true`,
+    * throws instead of publishing — and reads APPLY it, so files
+    * written before an evolution null-fill the added columns without
+    * a mergeSchema footer sweep (which pays a footer open per file
+    * and therefore grows with file count — the q173 mechanism moved
+    * into the log, where 100×-file tables need it). Pre-schema
+    * manifests have None: such legacy tables read from footers and
+    * skip enforcement, exactly as before. */
   final case class Manifest(version: Long, base: Long, action: String,
                             files: Seq[String],
                             txns: Map[String, Long] = Map.empty,
-                            stats: Map[String, TableStats.FileStats] = Map.empty)
+                            stats: Map[String, TableStats.FileStats] = Map.empty,
+                            schema: Option[StructType] = None)
 
   private val LOG_DIR = "_log"
   private val SENTINEL = "#end"
@@ -158,6 +171,11 @@ object TableLog {
         val Array(a, b) = t.split(":", 2); a -> b.toLong
       }.toMap)
       .getOrElse(Map.empty[String, Long])
+    val schema = header.get("schema").map { b64 =>
+      DataType.fromJson(new String(
+        java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8))
+        .asInstanceOf[StructType]
+    }
     // file line = `path` (pre-stats manifests) or `path\t<stats>`
     val entries = lines.slice(1, lines.length - 1).map { ln =>
       val tab = ln.indexOf('\t')
@@ -167,18 +185,25 @@ object TableLog {
     }
     Manifest(header("version").toLong, header("base").toLong,
       header("action"), entries.map(_._1), txns,
-      entries.collect { case (p, Some(st)) => p -> st }.toMap)
+      entries.collect { case (p, Some(st)) => p -> st }.toMap, schema)
   }
 
   /** Read the table at `version` (head when None): exactly the pinned
     * manifest's parquet files — a commit racing this read changes
-    * nothing the query sees. Schema comes from the parquet footers. */
+    * nothing the query sees. Schema is the manifest's committed one
+    * when present (files written before a schema evolution null-fill
+    * the added columns — no per-file footer sweep); pre-schema
+    * manifests fall back to the parquet footers. */
   def read(spark: SparkSession, table: String,
            version: Option[Long] = None): DataFrame = {
     val m = manifest(spark, table, version)
     require(m.files.nonEmpty, s"TableLog: version ${m.version} of $table is empty")
-    spark.read.parquet(m.files.map(rel => new Path(table, rel).toString): _*)
+    reader(spark, m).parquet(m.files.map(rel => new Path(table, rel).toString): _*)
   }
+
+  /** DataFrameReader honoring the manifest's committed schema. */
+  private def reader(spark: SparkSession, m: Manifest) =
+    m.schema.map(spark.read.schema).getOrElse(spark.read)
 
   /** Read with MANIFEST-LEVEL data skipping: files whose committed
     * stats prove they cannot hold a matching row are dropped from the
@@ -199,7 +224,57 @@ object TableLog {
     val keep = survivors(spark, table, m, predicate)
     val paths = (if (keep.nonEmpty) keep else m.files.take(1))
       .map(rel => new Path(table, rel).toString)
-    spark.read.parquet(paths: _*).filter(predicate)
+    reader(spark, m).parquet(paths: _*).filter(predicate)
+  }
+
+  /** Incremental consumption — the rows APPENDED after `sinceVersion`
+    * up to `toVersion` (head when None), read from ONLY the data
+    * files those commits added: the nightly/streaming consumer
+    * contract (Delta-as-a-streaming-source semantics). Appends never
+    * remove files, so for an append-only version range the manifest
+    * file-set difference IS the row delta, and the read is O(new
+    * files) regardless of table size — a downstream consumer
+    * (indexer, dedup probe, replication) prices each cycle at the
+    * delta, never the corpus.
+    *
+    * Any NON-append commit in the range (compact / zorder /
+    * overwrite / merge) rewrites files, making the file diff not a
+    * row delta — this THROWS with the resume instruction instead of
+    * silently double-reading rewritten rows (Delta's "data update
+    * detected" streaming-source error; maintenance passes schedule
+    * around consumers, or consumers re-snapshot). `sinceVersion = 0`
+    * reads everything. Validation walks the (since, to] manifests —
+    * O(versions consumed) driver-side metadata reads, the same cost
+    * Delta pays reading its commit JSONs. */
+  def readAppendsSince(spark: SparkSession, table: String, sinceVersion: Long,
+                       toVersion: Option[Long] = None): DataFrame = {
+    val to = toVersion.getOrElse(headVersion(spark, table))
+    require(to >= 1, s"TableLog: $table has no committed version")
+    require(sinceVersion >= 0 && sinceVersion <= to,
+      s"TableLog.readAppendsSince: sinceVersion $sinceVersion outside [0, $to]")
+    val mTo = manifest(spark, table, Some(to))
+    ((sinceVersion + 1) to to).foreach { v =>
+      val a = if (v == to) mTo.action else manifest(spark, table, Some(v)).action
+      if (a != "append") throw new IllegalStateException(
+        s"TableLog.readAppendsSince: version $v of $table is '$a' — a " +
+          s"non-append commit rewrote data files, so the file diff is not a " +
+          s"row delta; re-read the snapshot at $v and resume from there")
+    }
+    val baseFiles: Set[String] =
+      if (sinceVersion == 0) Set.empty
+      else manifest(spark, table, Some(sinceVersion)).files.toSet
+    val lost = baseFiles -- mTo.files.toSet
+    if (lost.nonEmpty) throw new IllegalStateException(
+      s"TableLog.readAppendsSince: append-only range lost files ${lost.take(3)
+        .mkString(", ")} — corrupt log")
+    val newFiles = mTo.files.filterNot(baseFiles)
+    require(mTo.files.nonEmpty, s"TableLog: version $to of $table is empty")
+    if (newFiles.isEmpty)
+      // schema-correct empty frame: one pinned file, filtered away
+      reader(spark, mTo).parquet(new Path(table, mTo.files.head).toString)
+        .filter(org.apache.spark.sql.functions.lit(false))
+    else
+      reader(spark, mTo).parquet(newFiles.map(rel => new Path(table, rel).toString): _*)
   }
 
   /** The file subset [[readWhere]] would scan, as (all, kept) —
@@ -223,7 +298,7 @@ object TableLog {
     * load-bearing. */
   private def survivors(spark: SparkSession, table: String, m: Manifest,
                         predicate: org.apache.spark.sql.Column): Seq[String] = {
-    val probe = spark.read.parquet(new Path(table, m.files.head).toString)
+    val probe = reader(spark, m).parquet(new Path(table, m.files.head).toString)
     val cond = probe.filter(predicate).queryExecution.optimizedPlan.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
@@ -284,17 +359,24 @@ object TableLog {
   private def tryCommit(spark: SparkSession, table: String, base: Long,
                         action: String, files: Seq[String],
                         txns: Map[String, Long] = Map.empty,
-                        stats: Map[String, TableStats.FileStats] = Map.empty): Boolean = {
+                        stats: Map[String, TableStats.FileStats] = Map.empty,
+                        schema: Option[StructType] = None): Boolean = {
     val v = base + 1
     val txnStr =
       if (txns.isEmpty) ""
       else " txns=" + txns.toSeq.sortBy(_._1)
         .map { case (a, b) => s"$a:$b" }.mkString(";")
+    // base64 keeps the JSON schema one space-free header token; the
+    // header parser splits key=value at the FIRST '=', so padding
+    // survives round-trip
+    val schemaStr = schema.map(st => " schema=" +
+      java.util.Base64.getEncoder.encodeToString(
+        st.json.getBytes(StandardCharsets.UTF_8))).getOrElse("")
     val fileLines = files.map { p =>
       stats.get(p).map(st => s"$p\t${TableStats.encode(st)}").getOrElse(p)
     }
     val body =
-      (s"version=$v base=$base action=$action$txnStr" +: fileLines :+ SENTINEL)
+      (s"version=$v base=$base action=$action$txnStr$schemaStr" +: fileLines :+ SENTINEL)
         .mkString("\n")
     val f = fs(spark, table)
     f.mkdirs(new Path(table, LOG_DIR))
@@ -309,26 +391,73 @@ object TableLog {
     if (v == 0) None else Some(manifest(spark, table, Some(v)))
   }
 
+  /** Top-level-nullable copy — the committed schema never claims
+    * non-null: post-evolution reads null-fill older files, and a
+    * non-nullable read schema over them would lie to the optimizer. */
+  private def nullableTop(st: StructType): StructType =
+    StructType(st.fields.map(_.copy(nullable = true)))
+
+  /** The schema a commit of `df` onto `head` publishes — the Delta
+    * enforcement rule: a TYPE change on an existing column always
+    * throws; NEW columns throw unless `evolve` (then they append to
+    * the stored schema — old files null-fill at read); MISSING
+    * columns are fine (the committed schema fills them with null).
+    * A legacy head (pre-schema manifest) skips enforcement and stays
+    * legacy — upgrading it would apply a guessed schema to files this
+    * code never saw. */
+  private def commitSchema(head: Option[Manifest], df: DataFrame,
+                           evolve: Boolean, op: String): Option[StructType] =
+    head match {
+      case None => Some(nullableTop(df.schema)) // first commit defines the table
+      case Some(m) => m.schema match {
+        case None => None // legacy table: no enforcement, no upgrade
+        case Some(st) =>
+          val stored = st.fields.map(f => f.name -> f.dataType).toMap
+          val clash = df.schema.fields.filter(f =>
+            stored.get(f.name).exists(_ != f.dataType))
+          if (clash.nonEmpty) throw new IllegalArgumentException(
+            s"TableLog.$op: column type change is not allowed on $op — " +
+              clash.map(f => s"${f.name}: ${stored(f.name).simpleString} -> " +
+                f.dataType.simpleString).mkString(", "))
+          val added = df.schema.fields.filter(f => !stored.contains(f.name))
+          if (added.isEmpty) Some(st)
+          else if (evolve)
+            Some(StructType(st.fields ++ added.map(_.copy(nullable = true))))
+          else throw new IllegalArgumentException(
+            s"TableLog.$op: incoming columns ${added.map(_.name).mkString(", ")} " +
+              s"are not in the table schema — pass evolve = true to add them " +
+              s"(old files will read them as null)")
+      }
+    }
+
   /** Append `df` as a new version. Optimistic: on losing the publish
     * race the ALREADY-WRITTEN data files are re-based onto the new
     * head (no data rewrite — appends always merge) and the commit
-    * retries, up to `maxRetries`. Returns the committed version. */
+    * retries, up to `maxRetries`. Schema is ENFORCED against the
+    * table's committed one ([[commitSchema]]): type changes throw,
+    * new columns throw unless `evolve = true` (then the stored schema
+    * widens and every older file null-fills them at read). Returns
+    * the committed version. */
   def append(df: DataFrame, table: String, maxRetries: Int = 10,
              onRetry: Long => Unit = _ => (),
-             beforeCommit: Long => Unit = _ => ()): Long = {
+             beforeCommit: Long => Unit = _ => (),
+             evolve: Boolean = false): Long = {
     val spark = df.sparkSession
     val (newFiles, newStats) = writeData(df, table)
     var attempt = 0
     while (attempt <= maxRetries) {
       val m = headManifest(spark, table)
       val base = m.map(_.version).getOrElse(0L)
+      // schema re-derives per attempt: a racing writer may have
+      // evolved the table between retries
+      val schema = commitSchema(m, df, evolve, "append")
       // test seam: TableLogSpec injects a COMPETING commit here to
       // pin the lose-and-rebase path deterministically
       beforeCommit(base)
       if (tryCommit(spark, table, base, "append",
           m.map(_.files).getOrElse(Seq.empty) ++ newFiles,
           m.map(_.txns).getOrElse(Map.empty),
-          m.map(_.stats).getOrElse(Map.empty) ++ newStats))
+          m.map(_.stats).getOrElse(Map.empty) ++ newStats, schema))
         return base + 1
       attempt += 1
       onRetry(base)
@@ -339,7 +468,9 @@ object TableLog {
 
   /** Replace the table's contents as a new version (the reader-safe
     * spelling of the reference's rewrite — old versions stay
-    * readable). */
+    * readable). An overwrite REPLACES the schema too (it replaces
+    * every row the schema described — Delta's overwriteSchema,
+    * implied here); pinned readers below keep the old one. */
   def overwrite(df: DataFrame, table: String, maxRetries: Int = 10): Long = {
     val spark = df.sparkSession
     val (newFiles, newStats) = writeData(df, table)
@@ -347,7 +478,8 @@ object TableLog {
     while (attempt <= maxRetries) {
       val m = headManifest(spark, table)
       if (tryCommit(spark, table, m.map(_.version).getOrElse(0L), "overwrite",
-          newFiles, m.map(_.txns).getOrElse(Map.empty), newStats))
+          newFiles, m.map(_.txns).getOrElse(Map.empty), newStats,
+          Some(nullableTop(df.schema))))
         return m.map(_.version).getOrElse(0L) + 1
       attempt += 1
     }
@@ -398,9 +530,14 @@ object TableLog {
     while (attempt <= maxRetries) {
       val m = headManifest(spark, table)
       val base = m.map(_.version).getOrElse(0L)
-      val (newFiles, newStats) = writeData(body(base), table)
+      val rewritten = body(base)
+      val (newFiles, newStats) = writeData(rewritten, table)
+      // a rewrite replaces EVERY data file with ones this code wrote,
+      // so committing the rewrite's schema is always sound — and it
+      // upgrades legacy (pre-schema) tables as a side effect
       if (tryCommit(spark, table, base, action, newFiles,
-          m.map(_.txns).getOrElse(Map.empty), newStats))
+          m.map(_.txns).getOrElse(Map.empty), newStats,
+          Some(nullableTop(rewritten.schema))))
         return base + 1
       attempt += 1
     }
@@ -433,10 +570,11 @@ object TableLog {
       val m = headManifest(spark, table)
       if (m.exists(_.txns.getOrElse(appId, -1L) >= batchId)) return None // raced replay
       val base = m.map(_.version).getOrElse(0L)
+      val schema = commitSchema(m, df, evolve = false, "appendStreamBatch")
       if (tryCommit(spark, table, base, "append",
           m.map(_.files).getOrElse(Seq.empty) ++ newFiles,
           m.map(_.txns).getOrElse(Map.empty) + (appId -> batchId),
-          m.map(_.stats).getOrElse(Map.empty) ++ newStats))
+          m.map(_.stats).getOrElse(Map.empty) ++ newStats, schema))
         return Some(base + 1)
       attempt += 1
     }
@@ -462,12 +600,15 @@ object TableLog {
     while (attempt <= maxRetries) {
       val m = headManifest(spark, table)
       val base = m.map(_.version).getOrElse(0L)
+      // strict enforcement on the INCOMING side (merge never evolves);
+      // the commit carries the enforced table schema through
+      val schema = commitSchema(m, fresh, evolve = false, "upsert")
       val merged =
         if (base == 0) fresh
         else graft.ops.Merge.mergeByKey(read(spark, table, Some(base)), fresh, keys)
       val (newFiles, newStats) = writeData(merged, table)
       if (tryCommit(spark, table, base, "merge", newFiles,
-          m.map(_.txns).getOrElse(Map.empty), newStats))
+          m.map(_.txns).getOrElse(Map.empty), newStats, schema))
         return base + 1
       attempt += 1
     }

@@ -384,4 +384,98 @@ class TableLogSpec extends SparkSpec {
     assert(keptOld.length == 1, "stat-less files are never pruned")
     assert(ids(TableLog.readWhere(spark, t3, col("id") >= 2L)) == Seq(2L, 3L))
   }
+
+  test("schema enforcement: type change and un-evolved new columns throw; evolution null-fills old files") {
+    import org.apache.spark.sql.functions._
+    val t = tmpTable()
+    TableLog.append(batch(0 until 3), t)
+    // type change: never allowed, on any commit kind
+    val typeClash = Seq(("x", 1L)).toDF("id", "payload") // id string, payload long
+    val e1 = intercept[IllegalArgumentException] { TableLog.append(typeClash, t) }
+    assert(e1.getMessage.contains("type change"))
+    intercept[IllegalArgumentException] { TableLog.upsert(typeClash, t, Seq("id")) }
+    // new column without evolve: rejected (the reference's silent
+    // drift becomes a loud contract)
+    val widened = Seq((10L, "doc-10", "en")).toDF("id", "payload", "lang")
+    val e2 = intercept[IllegalArgumentException] { TableLog.append(widened, t) }
+    assert(e2.getMessage.contains("evolve"))
+    // with evolve: stored schema widens; OLD files null-fill the new
+    // column at read — no mergeSchema footer sweep
+    val v2 = TableLog.append(widened, t, evolve = true)
+    val head = TableLog.read(spark, t)
+    assert(head.columns.toSeq == Seq("id", "payload", "lang"))
+    assert(head.filter(col("lang").isNull).count() == 3)
+    assert(head.filter(col("lang") === "en").count() == 1)
+    // a pinned reader BELOW the evolution keeps the old schema
+    assert(TableLog.read(spark, t, Some(v2 - 1)).columns.toSeq == Seq("id", "payload"))
+    // MISSING columns are fine post-evolution: the committed schema
+    // fills them — and the new file's rows read back null there
+    TableLog.append(batch(20 until 22), t)
+    val after = TableLog.read(spark, t)
+    assert(after.columns.toSeq == Seq("id", "payload", "lang"))
+    assert(after.filter(col("id") >= 20L && col("lang").isNull).count() == 2)
+    // data skipping still engages on the evolved table (survivors
+    // probe resolves through the committed schema)
+    val (allF, keptF) = TableLog.pruneFiles(spark, t, col("id") >= 20L)
+    assert(keptF.nonEmpty && keptF.length < allF.length)
+    assert(ids(TableLog.readWhere(spark, t, col("id") >= 20L)) == Seq(20L, 21L))
+  }
+
+  test("legacy pre-schema manifests: read from footers, no enforcement, rewrite upgrades") {
+    import org.apache.spark.sql.functions._
+    val t = tmpTable()
+    TableLog.append(batch(0 until 4).coalesce(1), t)
+    // strip the schema= header token → the pre-round-12 manifest form
+    val mPath = java.nio.file.Paths.get(s"$t/_log/v00000001.manifest")
+    val body = Files.readString(mPath).linesIterator.toSeq
+    Files.writeString(mPath,
+      (body.head.replaceAll(" schema=\\S+", "") +: body.tail).mkString("\n"))
+    assert(TableLog.manifest(spark, t).schema.isEmpty)
+    assert(ids(TableLog.read(spark, t)) == (0L until 4L)) // footer schema
+    // appends to a legacy table stay legacy (no guessed schema applied
+    // to files this code never wrote)
+    TableLog.append(batch(4 until 6), t)
+    assert(TableLog.manifest(spark, t).schema.isEmpty)
+    assert(ids(TableLog.read(spark, t)) == (0L until 6L))
+    // a whole-table rewrite replaces every file with known-schema ones
+    // — compact upgrades the legacy table as a side effect
+    TableLog.compact(spark, t, numFiles = 1)
+    assert(TableLog.manifest(spark, t).schema.nonEmpty)
+    val e = intercept[IllegalArgumentException] {
+      TableLog.append(Seq((1, "x", true)).toDF("id", "payload", "flag"), t)
+    }
+    assert(e.getMessage.contains("type change") || e.getMessage.contains("evolve"))
+  }
+
+  test("readAppendsSince: O(new files) row delta, loud on non-append history") {
+    import org.apache.spark.sql.functions._
+    val t = tmpTable()
+    val v1 = TableLog.append(batch(0 until 3), t)
+    TableLog.append(batch(3 until 7), t)
+    val v3 = TableLog.append(batch(7 until 9), t)
+    // the delta after v1 is exactly batches 2+3, and it reads ONLY
+    // the files those commits added
+    val delta = TableLog.readAppendsSince(spark, t, v1)
+    assert(ids(delta) == (3L until 9L))
+    val newFileCount = TableLog.manifest(spark, t).files.length -
+      TableLog.manifest(spark, t, Some(v1)).files.length
+    assert(delta.inputFiles.length == newFileCount,
+      "delta read must touch only the appended files")
+    // since 0 = everything; since head = schema-correct empty
+    assert(ids(TableLog.readAppendsSince(spark, t, 0L)) == (0L until 9L))
+    val empty = TableLog.readAppendsSince(spark, t, v3)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "payload"))
+    // bounded upper version: (v1, v2] only
+    assert(ids(TableLog.readAppendsSince(spark, t, v1, Some(v1 + 1))) == (3L until 7L))
+    // a compact inside the range rewrites files → file diff is not a
+    // row delta → loud failure with the resume instruction
+    val vC = TableLog.compact(spark, t, numFiles = 1)
+    TableLog.append(batch(9 until 10), t)
+    val e = intercept[IllegalStateException] {
+      TableLog.readAppendsSince(spark, t, v1)
+    }
+    assert(e.getMessage.contains("compact"))
+    // resuming FROM the rewrite version works again
+    assert(ids(TableLog.readAppendsSince(spark, t, vC)) == Seq(9L))
+  }
 }
