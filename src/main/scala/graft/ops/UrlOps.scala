@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL-level corpus curation — the stage-0 pass of every web-scale
+  * pipeline (CCNet, RefinedWeb §3.1: URL filtering + dedup happen
+  * BEFORE any text is fetched or compared, because a canonical-URL
+  * match is free while a text comparison costs a fetch + shingle).
+  * Three faces, all codegen'd built-ins (no UDFs):
+  *
+  *  - [[canonicalizeUrl]]: raw crawl URL → canonical form. Policy
+  *    (each step is a documented curation choice, not RFC 3986
+  *    resolution): lowercase scheme+host, strip a leading `www.`,
+  *    strip default ports (80/http, 443/443-https), drop the
+  *    fragment, strip `utm_*` tracking params (the dominant
+  *    crawl-dup source), empty path → `/`, strip a trailing slash
+  *    off non-root paths. Strings without a `scheme://` pass
+  *    through unchanged (the extractOrSelf fallback convention).
+  *  - [[urlDomain]]: the canonical host — the grouping key for
+  *    per-domain caps and blocklists.
+  *  - [[urlCurate]]: canonical-URL exact dedup (min-id keeper per
+  *    canonical URL — one partial-agged groupBy, the q40 idiom) +
+  *    the RefinedWeb-style PER-DOMAIN CAP: at most `cap` keepers
+  *    per domain, selected in (sha-bucket, id) order — the
+  *    engine-wide deterministic sample key ([[Mixture.shaBucket]]),
+  *    so the cap is rerun/reshard-stable and unbiased by id order.
+  *
+  * Scale shape: canonicalization is map-side; the dedup groupBy is
+  * THE url-dedup shuffle (unavoidable and key-bucketable); the cap
+  * window is keeper-sized and rank-above-row_number, so the partial
+  * group limit bounds per-partition state at `cap` rows per domain.
+  * Verified by q186 (hash vs a DuckDB recompute of every step, both
+  * scales) and UrlSpec closed forms.
+  */
+object UrlOps {
+
+  /** Canonical URL (see object doc for the policy). */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = regexp_extract(rest, "^([^/?#]*)", 1)
+    val tail = rest.substr(length(hostport) + lit(1), length(rest))
+    val host = regexp_replace(
+      lower(regexp_replace(hostport, ":[0-9]+$", "")), "^www\\.", "")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val portPart = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path0 = regexp_extract(tail, "^([^?#]*)", 1)
+    val path = when(path0 === "", lit("/"))
+      .otherwise(regexp_replace(path0, "(.)/$", "$1"))
+    // utm_* params: drop each (keeping its ^/& delimiter), collapse
+    // the doubled separators that leaves, trim dangling ends
+    val q0 = regexp_extract(tail, "\\?([^#]*)", 1)
+    val q = regexp_replace(regexp_replace(
+      regexp_replace(q0, "(^|&)utm_[^&]*", "$1"), "&&+", "&"), "^&|&$", "")
+    val queryPart = when(q === "", lit("")).otherwise(concat(lit("?"), q))
+    when(scheme === "", url)
+      .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
+  }
+
+  /** The canonical host of a [[canonicalizeUrl]] output. */
+  def urlDomain(canon: Column): Column =
+    regexp_extract(canon, "^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1)
+
+  /** Per-row URL-curation verdicts: (idCol, canon, domain, is_keeper,
+    * kept). `is_keeper` ⇔ this row holds the minimum id of its
+    * canonical-URL group; `kept` ⇔ keeper AND within the first `cap`
+    * keepers of its domain in (sha-bucket, id) order. */
+  def urlCurate(docs: DataFrame, urlCol: String, idCol: String,
+                cap: Int): DataFrame = {
+    require(cap >= 1, s"urlCurate: cap must be >= 1, got $cap")
+    val base = docs
+      .select(col(idCol), canonicalizeUrl(col(urlCol)).as("canon"))
+      .withColumn("domain", urlDomain(col("canon")))
+    val keepers = base.groupBy(col("canon"))
+      .agg(min(col(idCol)).as("keeper_id"))
+    val flagged = base.join(keepers, Seq("canon"))
+      .withColumn("is_keeper", col(idCol) === col("keeper_id"))
+    // the cap ranks KEEPERS only — a dup never burns domain budget
+    val ranked = flagged.filter(col("is_keeper"))
+      .withColumn("bucket", Mixture.shaBucket(col(idCol)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("domain")).orderBy(col("bucket"), col(idCol))))
+      .select(col(idCol), col("rk"))
+    flagged.join(ranked, Seq(idCol), "left")
+      .select(col(idCol), col("canon"), col("domain"), col("is_keeper"),
+        // false && null = false: non-keepers are deterministically out
+        (col("is_keeper") && col("rk") <= cap).as("kept"))
+  }
+}

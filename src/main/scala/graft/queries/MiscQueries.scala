@@ -1158,6 +1158,102 @@ object MiscQueries {
       val pinned = TableLog.readWhere(s, table, predMid, Some(v2))
         .select(col("doc_id"), col("source"), lit("pinned").as("status"))
       lowq.unionByName(pinned).orderBy("status", "doc_id")
+    },
+
+    // ---------------------------------------------------------------- q186
+    // URL curation — the STAGE-0 pass of a web-scale pipeline
+    // (CCNet/RefinedWeb: URL canonicalization + URL-level dedup +
+    // per-domain caps run before any text is fetched or shingled,
+    // because a canonical-URL match is free while a text comparison
+    // costs a fetch). Raw crawl URLs are synthesized deterministically
+    // per doc (scheme/host case mix, www. prefixes, default and
+    // non-default ports, trailing slashes, utm_* tracking params,
+    // fragments — the real crawl-dup channels); UrlOps.canonicalizeUrl
+    // normalizes them with codegen'd regex built-ins, urlCurate elects
+    // the min-id keeper per canonical URL (one partial-agged groupBy)
+    // and caps keepers per domain at 10 in (sha-bucket, id) order (the
+    // engine-wide stable-sample key). The collision channel is real:
+    // ?utm_source=feed&id=N and ?id=N&utm_campaign=rel canonicalize to
+    // the same ?id=N. Oracle rebuilds generation + every
+    // canonicalization step + dedup + cap as CTEs.
+    Q("q186_url_curation", {
+      val bucket = TextQueries.hexValSql("CAST(doc_id AS VARCHAR)", 1, 3)
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://'
+        |  || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+        |  || (CASE WHEN doc_id % 5 = 0 THEN upper('cdn-' || source)
+        |           ELSE 'cdn-' || source END)
+        |  || '.example.com'
+        |  || (CASE WHEN doc_id % 9 < 3 THEN
+        |             (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+        |           WHEN doc_id % 9 = 3 THEN ':8080' ELSE '' END)
+        |  || '/' || lang || '/doc/' || CAST(doc_id % 200 AS VARCHAR)
+        |  || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+        |  || (CASE WHEN doc_id % 3 = 1
+        |             THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+        |           WHEN doc_id % 3 = 2
+        |             THEN '?id=' || CAST(doc_id % 50 AS VARCHAR) || '&utm_campaign=rel'
+        |           ELSE '' END)
+        |  || (CASE WHEN doc_id % 7 = 0 THEN '#s2' ELSE '' END) AS raw
+        |FROM documents),
+        |p0 AS (SELECT doc_id, raw,
+        |  lower(regexp_extract(raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(raw, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM u),
+        |p1 AS (SELECT *, regexp_extract(rest, '^([^/?#]*)', 1) AS hostport,
+        |  substr(rest, length(regexp_extract(rest, '^([^/?#]*)', 1)) + 1) AS tail
+        |FROM p0),
+        |p2 AS (SELECT *,
+        |  regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
+        |                 '^www\.', '') AS host,
+        |  regexp_extract(hostport, ':([0-9]+)$', 1) AS port FROM p1),
+        |p3 AS (SELECT *,
+        |  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |         OR (scheme = 'https' AND port = '443') THEN ''
+        |       ELSE ':' || port END AS portpart,
+        |  CASE WHEN regexp_extract(tail, '^([^?#]*)', 1) = '' THEN '/'
+        |       ELSE regexp_replace(regexp_extract(tail, '^([^?#]*)', 1),
+        |                           '(.)/$', '\1') END AS path,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_extract(tail, '\?([^#]*)', 1),
+        |    '(^|&)utm_[^&]*', '\1', 'g'), '&&+', '&', 'g'), '^&|&$', '', 'g') AS q
+        |FROM p2),
+        |c AS (SELECT doc_id, host AS domain,
+        |  scheme || '://' || host || portpart || path
+        |    || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon FROM p3),
+        |k AS (SELECT canon, min(doc_id) AS keeper_id FROM c GROUP BY 1),
+        |f AS (SELECT c.doc_id, c.canon, c.domain,
+        |  c.doc_id = k.keeper_id AS is_keeper
+        |FROM c JOIN k ON c.canon = k.canon),
+        |r AS (SELECT doc_id, row_number() OVER (
+        |    PARTITION BY domain ORDER BY bucket, doc_id) AS rk
+        |  FROM (SELECT doc_id, domain,
+        |          """.stripMargin + bucket + """ AS bucket
+        |        FROM f WHERE is_keeper))
+        |SELECT f.doc_id, f.canon, f.domain, f.is_keeper,
+        |  (f.is_keeper AND r.rk <= 10) AS kept
+        |FROM f LEFT JOIN r ON f.doc_id = r.doc_id
+        |ORDER BY f.doc_id""".stripMargin
+    }) { (s, d) =>
+      import graft.ops.UrlOps
+      def m(k: Int) = pmod(col("doc_id"), lit(k.toLong))
+      val raw = concat(
+        when(m(2) === 0, lit("https")).otherwise(lit("HTTP")), lit("://"),
+        when(m(3) === 0, lit("WWW.")).otherwise(lit("")),
+        when(m(5) === 0, upper(concat(lit("cdn-"), col("source"))))
+          .otherwise(concat(lit("cdn-"), col("source"))),
+        lit(".example.com"),
+        when(m(9) < 3, when(m(2) === 0, lit(":443")).otherwise(lit(":80")))
+          .when(m(9) === 3, lit(":8080")).otherwise(lit("")),
+        lit("/"), col("lang"), lit("/doc/"), m(200).cast("string"),
+        when(m(6) === 0, lit("/")).otherwise(lit("")),
+        when(m(3) === 1, concat(lit("?utm_source=feed&id="), m(50).cast("string")))
+          .when(m(3) === 2,
+            concat(lit("?id="), m(50).cast("string"), lit("&utm_campaign=rel")))
+          .otherwise(lit("")),
+        when(m(7) === 0, lit("#s2")).otherwise(lit("")))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), raw.as("url"))
+      UrlOps.urlCurate(docs, "url", "doc_id", cap = 10).orderBy("doc_id")
     }
   )
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.UrlOps
+
+/** UrlOps: canonicalization policy closed forms + the dedup/cap
+  * contract (q186's operator). Every case pins one policy clause so a
+  * regex regression names the broken rule. */
+class UrlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(raw: String): String =
+    Seq(raw).toDF("u").select(UrlOps.canonicalizeUrl(col("u"))).head.getString(0)
+
+  test("canonicalization policy closed forms") {
+    // scheme + host case, www strip
+    assert(canon("HTTPS://WWW.Example.COM/a") == "https://example.com/a")
+    // default ports strip, per scheme; non-default ports survive
+    assert(canon("http://h.io:80/x") == "http://h.io/x")
+    assert(canon("https://h.io:443/x") == "https://h.io/x")
+    assert(canon("https://h.io:80/x") == "https://h.io:80/x") // mismatched: kept
+    assert(canon("http://h.io:8080/x") == "http://h.io:8080/x")
+    // fragment drops; empty path roots; trailing slash strips off non-root
+    assert(canon("https://h.io/a/b#frag") == "https://h.io/a/b")
+    assert(canon("https://h.io") == "https://h.io/")
+    assert(canon("https://h.io/") == "https://h.io/")
+    assert(canon("https://h.io/a/b/") == "https://h.io/a/b")
+    // utm_* params strip at start / middle / end / alone; others keep order
+    assert(canon("https://h.io/p?utm_source=f&id=5") == "https://h.io/p?id=5")
+    assert(canon("https://h.io/p?id=5&utm_campaign=x") == "https://h.io/p?id=5")
+    assert(canon("https://h.io/p?a=1&utm_m=x&b=2") == "https://h.io/p?a=1&b=2")
+    assert(canon("https://h.io/p?utm_a=1&utm_b=2") == "https://h.io/p")
+    assert(canon("https://h.io/p?b=2&a=1") == "https://h.io/p?b=2&a=1")
+    // the q186 collision channel: both tracking variants meet
+    assert(canon("https://x.io/p?utm_source=feed&id=7")
+      == canon("https://x.io/p?id=7&utm_campaign=rel"))
+    // port strips before host lowering; query+fragment both present
+    assert(canon("HTTP://API.h.IO:80/v1?id=1#s") == "http://api.h.io/v1?id=1")
+    // non-URL passthrough (extractOrSelf convention)
+    assert(canon("not a url") == "not a url")
+  }
+
+  test("urlCurate: min-id keeper per canonical URL, per-domain cap in sha order") {
+    // two canonical groups on domain a.io (ids 1,2 collide; 3 alone),
+    // one group on b.io (4,5 collide)
+    val docs = Seq(
+      (1L, "https://a.io/p?utm_source=f&id=1"),
+      (2L, "https://a.io/p?id=1&utm_campaign=x"),
+      (3L, "https://a.io/q"),
+      (4L, "http://WWW.b.io:80/r/"),
+      (5L, "http://b.io/r")).toDF("doc_id", "url")
+    val out = UrlOps.urlCurate(docs, "url", "doc_id", cap = 1)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getString(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    // keepers: min id of each canonical group
+    assert(byId(1L)._2 && !byId(2L)._2 && byId(3L)._2 && byId(4L)._2 && !byId(5L)._2)
+    // dups are never kept, regardless of domain budget
+    assert(!byId(2L)._3 && !byId(5L)._3)
+    // cap=1: exactly one keeper kept per domain
+    val keptPerDomain = out.filter(_.getBoolean(4))
+      .groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(keptPerDomain == Map("a.io" -> 1, "b.io" -> 1))
+    // the a.io winner is the sha-bucket order choice between ids 1 and 3
+    val kept = out.filter(r => r.getString(2) == "a.io" && r.getBoolean(4))
+      .map(_.getLong(0)).toSeq
+    val expect = Seq(1L, 3L).minBy(i =>
+      (Seq(i).toDF("x").select(graft.ops.Mixture.shaBucket(col("x")))
+        .head.getLong(0), i))
+    assert(kept == Seq(expect))
+    // cap >= keepers: everything a keeper is kept
+    val all = UrlOps.urlCurate(docs, "url", "doc_id", cap = 10).collect()
+    assert(all.count(_.getBoolean(4)) == 3)
+  }
+}
