@@ -1160,6 +1160,47 @@ object MiscQueries {
       lowq.unionByName(pinned).orderBy("status", "doc_id")
     },
 
+    // ---------------------------------------------------------------- q187
+    // TableLog INCREMENTAL READ — the nightly/streaming consumer
+    // contract (Delta-as-a-streaming-source semantics): rows appended
+    // in (since, to] read from ONLY the files those commits added, so
+    // a downstream consumer (indexer, dedup probe, replication)
+    // prices each cycle at the DELTA, never the corpus — the read
+    // face of the O(Δ) store lifecycle every family's nightly
+    // documents (q97/q102/q117/q149). Three appends partition the
+    // corpus by doc_id mod 3; arm 'd12' consumes exactly commit 2's
+    // rows (bounded upper version), arm 'd13' consumes everything
+    // after v1. The runner REQUIRES each delta scan to touch exactly
+    // the appended files (O(Δ) is self-enforcing, the q183
+    // convention); non-append commits in a range throw — spec-pinned
+    // (TableLogSpec), since a thrown gate can't hash.
+    Q("q187_table_incremental_read",
+      """SELECT doc_id, source, 'd12' AS arm FROM documents WHERE doc_id % 3 = 1
+        |UNION ALL
+        |SELECT doc_id, source, 'd13' AS arm FROM documents WHERE doc_id % 3 <> 0
+        |ORDER BY arm, doc_id""".stripMargin) { (s, d) =>
+      import graft.sinks.TableLog
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val table = Scratch.fresh("graft-q187-table").toString
+      val v1 = TableLog.append(docs.filter(col("doc_id") % 3 === 0), table)
+      val v2 = TableLog.append(docs.filter(col("doc_id") % 3 === 1), table)
+      val v3 = TableLog.append(docs.filter(col("doc_id") % 3 === 2), table)
+      def newFiles(from: Long, to: Long): Int =
+        TableLog.manifest(s, table, Some(to)).files.length -
+          TableLog.manifest(s, table, Some(from)).files.length
+      val d12 = TableLog.readAppendsSince(s, table, v1, Some(v2))
+      require(d12.inputFiles.length == newFiles(v1, v2),
+        s"delta (v1,v2] must scan only commit 2's files " +
+          s"(${d12.inputFiles.length} vs ${newFiles(v1, v2)})")
+      val d13 = TableLog.readAppendsSince(s, table, v1)
+      require(d13.inputFiles.length == newFiles(v1, v3),
+        s"delta (v1,head] must scan only commits 2+3's files " +
+          s"(${d13.inputFiles.length} vs ${newFiles(v1, v3)})")
+      d12.select(col("doc_id"), col("source"), lit("d12").as("arm"))
+        .unionByName(d13.select(col("doc_id"), col("source"), lit("d13").as("arm")))
+        .orderBy("arm", "doc_id")
+    },
+
     // ---------------------------------------------------------------- q186
     // URL curation — the STAGE-0 pass of a web-scale pipeline
     // (CCNet/RefinedWeb: URL canonicalization + URL-level dedup +
