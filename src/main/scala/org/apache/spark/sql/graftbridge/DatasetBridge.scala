@@ -18,4 +18,13 @@ object DatasetBridge {
                      schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+
+  /** Same, flagged isStreaming — the form a legacy streaming Source's
+    * getBatch must return (MicroBatchExecution asserts the returned
+    * plan is a streaming one). */
+  def ofInternalRowsStreaming(spark: SparkSession,
+                              rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
 }

@@ -478,4 +478,103 @@ class TableLogSpec extends SparkSpec {
     // resuming FROM the rewrite version works again
     assert(ids(TableLog.readAppendsSince(spark, t, vC)) == Seq(9L))
   }
+
+  private def collected(): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    TableLogSpec.seenIds.asScala.toSeq.sorted
+  }
+
+  private def startSource(table: String, ckpt: String,
+                          options: Map[String, String] = Map.empty) = {
+    val r0 = spark.readStream.format("graft.streaming.TableLogSource")
+      .option("path", table)
+    options.foldLeft(r0) { case (r, (k, v)) => r.option(k, v) }.load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("id").collect().foreach(r => TableLogSpec.seenIds.add(r.getLong(0)))
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+  }
+
+  test("streaming source: versions are offsets, batches are append deltas, checkpoint resumes") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 3), t)
+    TableLog.append(batch(3 until 5), t)
+    val ckpt = Files.createTempDirectory("graft-tls-ckpt").toString
+    TableLogSpec.seenIds.clear()
+    val q = startSource(t, ckpt)
+    q.processAllAvailable(); q.stop()
+    assert(collected() == (0L until 5L), "first run serves the whole history")
+    // commits land while the consumer is DOWN; the checkpointed offset
+    // (a table version) resumes exactly past them — delta only
+    TableLog.append(batch(5 until 8), t)
+    TableLog.append(batch(8 until 9), t)
+    TableLogSpec.seenIds.clear()
+    val q2 = startSource(t, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    assert(collected() == (5L until 9L), "restart consumes only the new commits")
+    // idle table: no batch planned
+    TableLogSpec.seenIds.clear()
+    val q3 = startSource(t, ckpt)
+    q3.processAllAvailable(); q3.stop()
+    assert(collected().isEmpty)
+    // startingVersion: a fresh consumer skips history at or below it
+    TableLogSpec.seenIds.clear()
+    val q4 = startSource(t, Files.createTempDirectory("graft-tls-ckpt2").toString,
+      Map("startingVersion" -> "1"))
+    q4.processAllAvailable(); q4.stop()
+    assert(collected() == (3L until 9L), "appends AFTER version 1 only")
+  }
+
+  test("streaming source: a non-append commit inside the range fails loudly") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 4), t)
+    val ckpt = Files.createTempDirectory("graft-tls-ckpt3").toString
+    TableLogSpec.seenIds.clear()
+    val q = startSource(t, ckpt)
+    q.processAllAvailable(); q.stop()
+    assert(collected() == (0L until 4L))
+    TableLog.compact(spark, t, numFiles = 1)
+    TableLog.append(batch(4 until 6), t)
+    val q2 = startSource(t, ckpt)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(e.getMessage.contains("compact") ||
+      Option(e.getCause).exists(_.getMessage.contains("compact")),
+      s"expected the non-append loud failure, got: ${e.getMessage}")
+  }
+
+  test("streaming source -> exactly-once sink: a table-to-table hop lands each row once") {
+    val a = tmpTable(); val b = tmpTable()
+    TableLog.append(batch(0 until 4), a)
+    val ckpt = Files.createTempDirectory("graft-tls-hop").toString
+    def hop() = {
+      val q = spark.readStream.format("graft.streaming.TableLogSource")
+        .option("path", a).load()
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          TableLog.appendStreamBatch(df, b, "hop1", bid); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    hop()
+    assert(ids(TableLog.read(spark, b)) == (0L until 4L))
+    // nightly cycle: appends to A flow to B exactly once, priced at
+    // the delta on BOTH ends (source reads new files; sink appends)
+    TableLog.append(batch(4 until 7), a)
+    hop()
+    assert(ids(TableLog.read(spark, b)) == (0L until 7L))
+    // replaying the hop (same checkpoint, no new commits) adds nothing
+    hop()
+    assert(ids(TableLog.read(spark, b)) == (0L until 7L))
+  }
+}
+
+object TableLogSpec {
+  val seenIds = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
 }
