@@ -1518,6 +1518,54 @@ object TextQueries {
       binRows.unionByName(allRows).orderBy("feature", "bin")
     },
 
+    // ---------------------------------------------------------------- q189
+    // BPE COMPRESSION CURVE — the vocab-size planning artifact on top
+    // of q138 (train) / q140 (apply): corpus-weighted tokens-per-word
+    // (fertility) after 0, 1, 2, 3 merge rounds. Round 0 is the
+    // char-segmentation ceiling; each row prices what the next merge
+    // buys in training-token budget — the curve a tokenizer's vocab
+    // size is chosen from (and the multilingual-parity metric's
+    // denominator). Everything is DICTIONARY arithmetic: fertility =
+    // Σ freq·|seg| / Σ freq over the word-frequency dictionary — the
+    // corpus is touched once for the word counts, each round's row is
+    // a dictionary-sized agg (no doc re-join, unlike q140's per-doc
+    // face). No merge-count shortcut: a self-overlapping pair ("x x"
+    // in "x x x") counts adjacent occurrences but merges fewer, so
+    // the curve recomputes segmentations rather than subtracting
+    // pair counts. One exact BIGINT/BIGINT division per row → IEEE-
+    // identical, then duckRound(6).
+    Q("q189_bpe_fertility_curve", {
+      def row(r: Int, cte: String) =
+        s"""SELECT CAST($r AS BIGINT) AS r,
+           |  CAST(sum(freq) AS BIGINT) AS n_words,
+           |  CAST(sum(freq * len(string_split(seg, ' '))) AS BIGINT) AS n_subtokens,
+           |  round(CAST(sum(freq * len(string_split(seg, ' '))) AS DOUBLE)
+           |        / CAST(sum(freq) AS DOUBLE), 6) AS fertility
+           |FROM $cte""".stripMargin
+      s"""$bpeCtes,
+         |s3 AS (SELECT word, freq, trim(replace(' ' || seg || ' ',
+         |         ' ' || t3.pair || ' ', ' ' || replace(t3.pair, ' ', '') || ' ')) AS seg
+         |       FROM s2, t3)
+         |${row(0, "s0")}
+         |UNION ALL ${row(1, "s1")}
+         |UNION ALL ${row(2, "s2")}
+         |UNION ALL ${row(3, "s3")}
+         |ORDER BY r""".stripMargin
+    }) { (s, d) =>
+      import graft.analytics.TextAnalysis
+      val rows = (0 to 3).map { r =>
+        TextAnalysis.bpeTrain(bpeWords(s, d), r)._2
+          .agg(sum(col("freq")).as("n_words"),
+            sum(col("freq") * size(split(col("seg"), " ")).cast("long"))
+              .as("n_subtokens"))
+          .select(lit(r.toLong).as("r"), col("n_words"), col("n_subtokens"),
+            graft.ops.Exact.duckRound(
+              col("n_subtokens").cast("double") / col("n_words").cast("double"), 6)
+              .as("fertility"))
+      }
+      rows.reduce(_ unionByName _).orderBy("r")
+    },
+
     // ---------------------------------------------------------------- q188
     // Quality-rule ATTRITION audit — the knob-validator the q132
     // battery was missing (the q98/q124/q142/q177/q180 convention:
