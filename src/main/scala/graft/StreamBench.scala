@@ -379,6 +379,21 @@ object StreamBench {
       graft.streaming.HistStream.runningSketch(histStream),
       org.apache.spark.sql.streaming.OutputMode.Update)
 
+    // 7f. TableLog as a streaming source: the documents table
+    // committed as 4 appends, served back as version-offset
+    // micro-batches (AvailableNow = one batch over the whole range
+    // here); rows/s prices the O(new-files) delta read + the
+    // streaming-frame conversion — the table-to-table hop's source
+    // half (its sink half is the exactly-once ledger commit).
+    val tblDir = tmpDir("graft-sbench-tbl")
+    val tblDocs = spark.read.parquet(docsPath)
+      .select(col("doc_id"), col("text"), col("source"))
+    (0 until 4).foreach(k => graft.sinks.TableLog.append(
+      tblDocs.filter(pmod(col("doc_id"), lit(4L)) === k), tblDir))
+    val (tblSec, tblOut) = timeRun(
+      spark.readStream.format("graft.streaming.TableLogSource")
+        .option("path", tblDir).load())
+
     // 8. steady-state rows for the round-11 twins (curq, hist) —
     // drops 2..N through the same protocol as the others (round-12
     // verdict item #6; placed here because both need the cold
@@ -410,6 +425,7 @@ object StreamBench {
       f""""quo_docs_per_sec":${nQ / quoSec}%.0f,"quo_sec":$quoSec%.2f,"quo_out":$quoOut,""" +
       f""""curq_docs_per_sec":${nCur / cqSec}%.0f,"curq_sec":$cqSec%.2f,"curq_admitted":$cqOut,""" +
       f""""drift_sec":$drSec%.2f,"drift_bins":$drOut,""" +
+      f""""tbl_rows_per_sec":${nDocs / tblSec}%.0f,"tbl_sec":$tblSec%.2f,"tbl_out":$tblOut,""" +
       f""""hist_docs_per_sec":${nDocs / histSec}%.0f,"hist_sec":$histSec%.2f,"hist_bins":$histOut,""" +
       f""""ss_batches":$nDrops,"ss_cold":$coldRate%.0f,"ss_steady":${steadyRate(ssTimes)}%.0f,""" +
       f""""nd_steady":${steadyRate(ndTimes)}%.0f,"emb_steady":${steadyRate(embTimes)}%.0f,""" +

@@ -650,6 +650,24 @@ object TableLog {
     os
   }
 
+  /** DESCRIBE HISTORY: one row per committed version — (version,
+    * action, base, n_files, n_rows) with n_rows summed from the
+    * manifest's per-file stats (-1 when any file predates stats —
+    * never guessed from data reads). Driver-sized like the manifests
+    * themselves; the audit verb a maintenance runbook leads with. */
+  def history(spark: SparkSession, table: String): Seq[HistoryRow] =
+    (1L to headVersion(spark, table)).map { v =>
+      val m = manifest(spark, table, Some(v))
+      val rows =
+        if (m.files.forall(m.stats.contains))
+          m.files.map(f => m.stats(f).rows).sum
+        else -1L
+      HistoryRow(m.version, m.action, m.base, m.files.length, rows)
+    }
+
+  final case class HistoryRow(version: Long, action: String, base: Long,
+                              nFiles: Int, nRows: Long)
+
   /** Data files no live manifest references — crashed or superseded
     * writers' leftovers, safe to delete once no reader can still be
     * pinned below the retention horizon. */

@@ -497,6 +497,23 @@ class TableLogSpec extends SparkSpec {
       .start()
   }
 
+  test("history: one row per version with action, file and row accounting") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 3).coalesce(1), t)
+    TableLog.append(batch(3 until 7).coalesce(2), t)
+    TableLog.compact(spark, t, numFiles = 1)
+    val h = TableLog.history(spark, t)
+    assert(h.map(r => (r.version, r.action, r.base, r.nRows)) == Seq(
+      (1L, "append", 0L, 3L), (2L, "append", 1L, 7L), (3L, "compact", 2L, 7L)))
+    assert(h(1).nFiles == 3 && h(2).nFiles == 1)
+    // a stat-less legacy file degrades the row count to -1, never a guess
+    val mPath = java.nio.file.Paths.get(s"$t/_log/v00000003.manifest")
+    val stripped = Files.readString(mPath).linesIterator
+      .map(l => l.split("\t", 2).head).mkString("\n")
+    Files.writeString(mPath, stripped)
+    assert(TableLog.history(spark, t).last.nRows == -1L)
+  }
+
   test("streaming source: versions are offsets, batches are append deltas, checkpoint resumes") {
     val t = tmpTable()
     TableLog.append(batch(0 until 3), t)
