@@ -69,26 +69,33 @@ object UrlOps {
   /** Per-row URL-curation verdicts: (idCol, canon, domain, is_keeper,
     * kept). `is_keeper` ⇔ this row holds the minimum id of its
     * canonical-URL group; `kept` ⇔ keeper AND within the first `cap`
-    * keepers of its domain in (sha-bucket, id) order. */
+    * keepers of its domain in (sha-bucket, id) order.
+    *
+    * Plan shape: LINEAR — two windows, no join-backs. The first
+    * spelling elected keepers by groupBy + join and ranked by a
+    * filtered window + second join, which duplicated the deep
+    * canonicalization regex tree across four plan branches: measured
+    * 29.6 s of janino codegen on run 1 and ~3 s of driver-side
+    * plan work per run even codegen-warm. Here each regex evaluates
+    * ONCE; the keeper flag is a min-over-canon window and the cap
+    * rank partitions by (domain, is_keeper) — keepers rank 1..k
+    * within their domain, dups rank in their own partition and never
+    * burn budget (same verdicts, hash-identical). Two exchanges, the
+    * canon one being THE unavoidable url-dedup shuffle. */
   def urlCurate(docs: DataFrame, urlCol: String, idCol: String,
                 cap: Int): DataFrame = {
     require(cap >= 1, s"urlCurate: cap must be >= 1, got $cap")
     val base = docs
       .select(col(idCol), canonicalizeUrl(col(urlCol)).as("canon"))
       .withColumn("domain", urlDomain(col("canon")))
-    val keepers = base.groupBy(col("canon"))
-      .agg(min(col(idCol)).as("keeper_id"))
-    val flagged = base.join(keepers, Seq("canon"))
-      .withColumn("is_keeper", col(idCol) === col("keeper_id"))
-    // the cap ranks KEEPERS only — a dup never burns domain budget
-    val ranked = flagged.filter(col("is_keeper"))
+    val wCanon = Window.partitionBy(col("canon"))
+    val wRank = Window.partitionBy(col("domain"), col("is_keeper"))
+      .orderBy(col("bucket"), col(idCol))
+    base
+      .withColumn("is_keeper", col(idCol) === min(col(idCol)).over(wCanon))
       .withColumn("bucket", Mixture.shaBucket(col(idCol)))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("domain")).orderBy(col("bucket"), col(idCol))))
-      .select(col(idCol), col("rk"))
-    flagged.join(ranked, Seq(idCol), "left")
+      .withColumn("rk", row_number().over(wRank))
       .select(col(idCol), col("canon"), col("domain"), col("is_keeper"),
-        // false && null = false: non-keepers are deterministically out
         (col("is_keeper") && col("rk") <= cap).as("kept"))
   }
 }
