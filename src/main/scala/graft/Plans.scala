@@ -134,7 +134,13 @@ object Plans {
     // appears), and the log₂-bucket sketch (bit-length bucketing in
     // the scan projection; ALL rollup aggregates sketch ROWS only)
     "q178_simtopk_rewrite", "q180_er_blocking_audit",
-    "q181_log_quantile_sketch")
+    "q181_log_quantile_sketch",
+    // round-12 session-2 evidence: URL curation's LINEAR two-window
+    // plan — each canonicalization regex evaluated once, keeper flag
+    // a min-over-canon window, cap rank partitioned by
+    // (domain, is_keeper); the groupBy+join-back spelling it replaced
+    // duplicated the regex tree across four branches (4x wall)
+    "q186_url_curation")
 
   /** Context lines emitted under a query's heading — for plans whose
     * interesting structure is NOT visible in the final explain (e.g. a
