@@ -397,6 +397,23 @@ object TableLog {
   private def nullableTop(st: StructType): StructType =
     StructType(st.fields.map(_.copy(nullable = true)))
 
+  /** Nullability-normalized type for compatibility comparison: a
+    * writer whose array<float> says containsNull=false is NOT a type
+    * change against a stored containsNull=true (nullability is a
+    * property of the data seen so far, not of the type) — only real
+    * shape/type differences reject. */
+  private def normType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = normType(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      org.apache.spark.sql.types.ArrayType(normType(a.elementType), true)
+    case m: org.apache.spark.sql.types.MapType =>
+      org.apache.spark.sql.types.MapType(
+        normType(m.keyType), normType(m.valueType), true)
+    case other => other
+  }
+
   /** The schema a commit of `df` onto `head` publishes — the Delta
     * enforcement rule: a TYPE change on an existing column always
     * throws; NEW columns throw unless `evolve` (then they append to
@@ -412,9 +429,9 @@ object TableLog {
       case Some(m) => m.schema match {
         case None => None // legacy table: no enforcement, no upgrade
         case Some(st) =>
-          val stored = st.fields.map(f => f.name -> f.dataType).toMap
+          val stored = st.fields.map(f => f.name -> normType(f.dataType)).toMap
           val clash = df.schema.fields.filter(f =>
-            stored.get(f.name).exists(_ != f.dataType))
+            stored.get(f.name).exists(_ != normType(f.dataType)))
           if (clash.nonEmpty) throw new IllegalArgumentException(
             s"TableLog.$op: column type change is not allowed on $op — " +
               clash.map(f => s"${f.name}: ${stored(f.name).simpleString} -> " +

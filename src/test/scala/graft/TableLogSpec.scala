@@ -419,6 +419,25 @@ class TableLogSpec extends SparkSpec {
     val (allF, keptF) = TableLog.pruneFiles(spark, t, col("id") >= 20L)
     assert(keptF.nonEmpty && keptF.length < allF.length)
     assert(ids(TableLog.readWhere(spark, t, col("id") >= 20L)) == Seq(20L, 21L))
+    // NESTED nullability drift is not a type change: array<float>
+    // containsNull flips between writers (the embeddings-frame shape)
+    val t2 = tmpTable()
+    val vecsNotNull = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "vec") // containsNull=false
+    TableLog.append(vecsNotNull, t2)
+    val vecsNullable = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(2L, Seq(3.0f)))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("vec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = true)))))
+    TableLog.append(vecsNullable, t2) // must NOT throw
+    assert(TableLog.read(spark, t2).count() == 2)
+    // a REAL element-type change still rejects
+    intercept[IllegalArgumentException] {
+      TableLog.append(Seq((3L, Seq(1.0))).toDF("id", "vec"), t2) // array<double>
+    }
   }
 
   test("legacy pre-schema manifests: read from footers, no enforcement, rewrite upgrades") {
