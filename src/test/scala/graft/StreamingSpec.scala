@@ -34,6 +34,8 @@ object StreamingSpec {
     new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.CurationStream.CuratedDoc]()
   val collectedHist =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
+  val collectedUrl =
+    new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.UrlStream.Admitted]()
 }
 
 class StreamingSpec extends SparkSpec {
@@ -1668,5 +1670,66 @@ class StreamingSpec extends SparkSpec {
         s"missing ${(expected -- all.toSet).take(3)}, " +
         s"extra ${(all.toSet -- expected).take(3)}")
     assert(all.size > night1.size, "later drops must add cross-drop pairs")
+  }
+
+  test("streaming URL curation: canon dedup + domain cap, replay-safe, invariants vs batch") {
+    import graft.streaming.UrlStream
+    import graft.ops.UrlOps
+    // 3 domains; a.io has 4 distinct canonical URLs (cap 2 binds),
+    // b.io has 2 (cap doesn't bind), c.io has 1; utm variants and a
+    // www/port variant collide canonically ACROSS drops
+    val drop1 = Seq(
+      (1L, "https://a.io/p1?utm_source=x"),
+      (2L, "https://a.io/p1"),                 // dup of 1 (in-batch)
+      (3L, "https://a.io/p2"),
+      (4L, "http://WWW.b.io:80/r/"),
+      (10L, "https://c.io/only")).map((UrlStream.UrlDoc.apply _).tupled)
+    val drop2 = Seq(
+      (5L, "https://a.io/p1?utm_campaign=y"),  // dup of 1 (cross-drop)
+      (6L, "https://a.io/p3"),                 // 3rd a.io keeper: capped out
+      (7L, "https://a.io/p4"),                 // 4th: capped out
+      (8L, "http://b.io/r"),                   // dup of 4 (cross-drop)
+      (9L, "http://b.io/s")).map((UrlStream.UrlDoc.apply _).tupled)
+    val all = drop1 ++ drop2
+    val dir = tmp("graft-urlstream")
+    val ckpt = tmp("graft-urlstream-ckpt")
+    drop1.toDF().write.mode("overwrite").parquet(dir)
+    StreamingSpec.collectedUrl.clear()
+    def start() = spark.readStream.schema(drop1.toDF().schema).parquet(dir)
+      .as[UrlStream.UrlDoc]
+      .transform(s => UrlStream.urlCuratedAdmitted(s, cap = 2).toDF())
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.as[UrlStream.Admitted].collect().foreach(StreamingSpec.collectedUrl.add)
+      }
+      .option("checkpointLocation", ckpt).start()
+    def got() = { import scala.jdk.CollectionConverters._
+      StreamingSpec.collectedUrl.asScala.toSeq }
+    val q = start(); q.processAllAvailable(); q.stop()
+    val after1 = got()
+    // in-batch dedup: ids 1/2 collide — exactly one admitted for p1
+    assert(after1.count(_.canon == "https://a.io/p1") == 1)
+    assert(after1.map(_.doc_id).toSet == Set(1L, 3L, 4L, 10L))
+    // drop 2 + checkpoint restart; then REPLAY drop 1's rows (at-least
+    // -once re-offer): dedup absorbs them before the cap counts
+    drop2.toDF().write.mode("append").parquet(dir)
+    val q2 = start(); q2.processAllAvailable()
+    drop1.toDF().write.mode("append").parquet(dir) // replayed copies
+    q2.processAllAvailable(); q2.stop()
+    val fin = got()
+    assert(fin.size == fin.map(_.doc_id).distinct.size, "exactly-once")
+    // invariants vs the batch operator on the SAME rows
+    val batch = UrlOps.urlCurate(all.toDF(), "url", "doc_id", cap = 2).collect()
+    val batchKeeperCanon = batch.filter(_.getBoolean(3)).map(_.getString(1)).toSet
+    assert(fin.map(_.canon).toSet.subsetOf(batchKeeperCanon),
+      "admitted canonical URLs are batch keepers' canonical URLs")
+    // per-domain counts = min(cap, distinct canonical URLs of the domain)
+    val perDomain = fin.groupBy(_.domain).view.mapValues(_.size).toMap
+    assert(perDomain == Map("a.io" -> 2, "b.io" -> 2, "c.io" -> 1))
+    // cross-drop dedup: ids 5 (dup of 1) and 8 (dup of 4) never admitted
+    assert(!fin.exists(a => a.doc_id == 5L || a.doc_id == 8L))
+    // seq is contiguous 1..n per domain across restarts
+    fin.groupBy(_.domain).foreach { case (_, as) =>
+      assert(as.map(_.seq).sorted == (1L to as.size)) }
   }
 }
