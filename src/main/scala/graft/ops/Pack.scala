@@ -37,12 +37,36 @@ object Pack {
     * run through it — 0 for a doc contained in one window). */
   def packPlacement(docs: DataFrame, window: Long): DataFrame = {
     require(window >= 1, s"packPlacement: window must be >= 1, got $window")
-    PrefixSum.withRunningSum(docs, "doc_id", "n_tokens", "cum")
+    placementCols(
+      PrefixSum.withRunningSum(docs, "doc_id", "n_tokens", "cum"), window)
+  }
+
+  /** INCREMENTAL placement — the O(Δ) face of [[packPlacement]]: pack
+    * only `delta` (documents appended AFTER everything already
+    * packed; every delta doc_id must exceed the packed corpus's max)
+    * into the stream that already holds `baseTokens` tokens. The
+    * prefix sum is prefix-decomposable, so
+    * `packPlacement(base ∪ delta) ≡ packPlacement(base) ∪
+    * packPlacementFrom(delta, Σ base tokens)` EXACTLY — a nightly
+    * append packs at delta cost, never re-packing the corpus (q97's
+    * store contract applied to the packing stage; q191 gates the
+    * identity). `baseTokens` is one stored long — the packing
+    * store's whole state. */
+  def packPlacementFrom(delta: DataFrame, window: Long,
+                        baseTokens: Long): DataFrame = {
+    require(window >= 1, s"packPlacementFrom: window must be >= 1, got $window")
+    require(baseTokens >= 0, s"packPlacementFrom: baseTokens must be >= 0")
+    placementCols(
+      PrefixSum.withRunningSum(delta, "doc_id", "n_tokens", "cum")
+        .withColumn("cum", col("cum") + lit(baseTokens)), window)
+  }
+
+  private def placementCols(withCum: DataFrame, window: Long): DataFrame =
+    withCum
       .withColumn("first_seq", expr(s"(cum - n_tokens) div ${window}L"))
       .withColumn("last_seq", expr(s"(cum - 1) div ${window}L"))
       .withColumn("start_off", (col("cum") - col("n_tokens")) % window)
       .withColumn("n_splits", col("last_seq") - col("first_seq"))
-  }
 
   /** Per-sequence manifest from [[packPlacement]] rows: for every
     * window index, how many documents it contains (`n_docs`), how

@@ -1518,6 +1518,92 @@ object TextQueries {
       binRows.unionByName(allRows).orderBy("feature", "bin")
     },
 
+    // ---------------------------------------------------------------- q190
+    // Per-document KEYWORD EXTRACTION — the tagging face of the
+    // retrieval stats (q146 ranks docs for a query; this ranks TERMS
+    // for a doc — auto-labels, facet keys, inspection summaries): the
+    // inverted index's (term, doc, tf) rows scored tf·idf with the
+    // rational idf (N−df+0.5)/(df+0.5) — q146's no-ln spelling —
+    // duckRound(6) → exact DECIMAL rank compare, top-3 per doc under
+    // a (score desc, term asc) total order. The tf groupBy IS the
+    // index build (Retrieval.buildIndex, the q149-stored frame — at
+    // 100 TB this query reads the store); the df frame is
+    // vocabulary-sized and broadcast back; rank-above-row_number
+    // plans WindowGroupLimit (map-side partial top-k per doc).
+    Q("q190_keyword_extraction",
+      """WITH p AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |f AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |sc AS (SELECT p.doc_id, p.term,
+        |         CAST(round(CAST(p.tf AS DOUBLE)
+        |             * ((n.n - CAST(f.df AS DOUBLE) + 0.5)
+        |                / (CAST(f.df AS DOUBLE) + 0.5)), 6)
+        |           AS DECIMAL(21,10)) AS s
+        |       FROM p JOIN f USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, s, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY s DESC, term ASC) AS rnk FROM sc)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
+        |  CAST(s AS DOUBLE) AS score
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val p = graft.analytics.Retrieval.buildIndex(docs)
+      val df_ = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.count().toDouble // one model-sized scalar (q146's N)
+      val sc = p.join(broadcast(df_), Seq("term"))
+        .select(col("doc_id"), col("term"),
+          graft.ops.Exact.duckRound(col("tf").cast("double")
+              * ((lit(n) - col("df").cast("double") + lit(0.5))
+                 / (col("df").cast("double") + lit(0.5))), 6)
+            .cast("decimal(21,10)").as("s"))
+      sc.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("s").desc, col("term").asc)))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("term"),
+          col("s").cast("double").as("score"))
+        .orderBy("doc_id", "rnk")
+    },
+
+    // ---------------------------------------------------------------- q191
+    // INCREMENTAL sequence packing — q184's O(Δ) face (the q97 store
+    // contract applied to the packing stage): the corpus's first 80%
+    // of doc_ids is already packed (its whole stored state is ONE
+    // long — the packed token total); the nightly delta packs ALONE
+    // from that offset via Pack.packPlacementFrom, never re-reading
+    // the packed corpus. The gate is the identity proof: the oracle
+    // computes the FULL-corpus window cumsum chain and restricts to
+    // delta docs — incremental ≡ full, hash-checked per doc. The
+    // windowed sum feeds integer division, so the oracle CASTs it to
+    // BIGINT at the window's output (DuckDB windowed sum over BIGINT
+    // yields HUGEINT — the q184 binder lesson).
+    Q("q191_incremental_packing",
+      """WITH mx AS (SELECT 4 * max(doc_id) // 5 AS t FROM documents),
+        |tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |       FROM documents),
+        |c AS (SELECT doc_id, n,
+        |        CAST(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) AS BIGINT) AS cum FROM tk)
+        |SELECT doc_id, n AS n_tokens, cum,
+        |  CAST((cum - n) // 512 AS BIGINT) AS first_seq,
+        |  CAST((cum - 1) // 512 AS BIGINT) AS last_seq,
+        |  CAST((cum - n) % 512 AS BIGINT) AS start_off,
+        |  CAST((cum - 1) // 512 - (cum - n) // 512 AS BIGINT) AS n_splits
+        |FROM c, mx WHERE doc_id > t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      val t = base.agg((lit(4) * max("doc_id") / lit(5)).cast("long")).head.getLong(0)
+      // the packing store's whole state: one long (packed token total)
+      val packedTokens = base.filter(col("doc_id") <= t)
+        .agg(sum(col("n_tokens"))).head.getLong(0)
+      graft.ops.Pack.packPlacementFrom(
+          base.filter(col("doc_id") > t), 512, packedTokens)
+        .select(col("doc_id"), col("n_tokens"), col("cum"), col("first_seq"),
+          col("last_seq"), col("start_off"), col("n_splits"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- q189
     // BPE COMPRESSION CURVE — the vocab-size planning artifact on top
     // of q138 (train) / q140 (apply): corpus-weighted tokens-per-word

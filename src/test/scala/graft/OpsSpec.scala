@@ -135,4 +135,26 @@ class OpsSpec extends SparkSpec {
     assert(man.map(_._2).sum ==
       place.agg(sum($"n_splits") + count(lit(1))).head.getLong(0))
   }
+
+  test("Pack.packPlacementFrom: prefix decomposition is exact at any cut") {
+    val docs = Seq((1L, 3L), (2L, 5L), (3L, 16L), (4L, 1L), (5L, 4L))
+      .toDF("doc_id", "n_tokens")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val full = rows(Pack.packPlacement(docs, 7))
+    // every split point: base = ids <= t, delta = ids > t
+    (0L to 5L).foreach { t =>
+      val base = docs.filter($"doc_id" <= t)
+      val delta = docs.filter($"doc_id" > t)
+      val packed =
+        if (t == 0) 0L
+        else base.agg(sum($"n_tokens")).head.getLong(0)
+      val baseRows = if (t == 0) Seq.empty else rows(Pack.packPlacement(base, 7))
+      val deltaRows =
+        if (t == 5) Seq.empty
+        else rows(Pack.packPlacementFrom(delta, 7, packed))
+      assert(baseRows ++ deltaRows == full, s"cut at $t")
+    }
+  }
 }
