@@ -316,4 +316,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window ["), s"canonical election must not sort per span:\n$p")
     assert(p.contains("partial_min"), s"map-side canonical partials missing:\n$p")
   }
+
+  test("q186: URL curation plans LINEAR — no joins, three exchanges end to end") {
+    val p = plan("q186_url_curation")
+    // the groupBy+join-back spelling duplicated the deep
+    // canonicalization tree across four plan BRANCHES (4x wall,
+    // BASELINE session 2) — the verdict flags are windows, so the
+    // plan must carry ZERO joins and exactly the linear pipeline's
+    // exchanges: hash(canon) for the keeper window, hash(domain,
+    // is_keeper) for the cap rank, range for the gate's final sort.
+    // (Textual copies of the regex tree WITHIN one Project are fine —
+    // whole-stage codegen's subexpression elimination evaluates them
+    // once per row; branch duplication was the real cost.)
+    assert(!p.contains("Join"), s"URL curation must not join back:\n$p")
+    assert(p.contains("Window"), p)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"linear plan needs <= 3 exchanges, got $exchanges:\n$p")
+  }
 }
