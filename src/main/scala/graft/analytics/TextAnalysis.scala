@@ -141,9 +141,24 @@ object TextAnalysis {
     * SQL-unrollable (deliberately NOT HuggingFace-BPE emulation).
     * Costs scale with the dictionary, never the corpus. */
   def bpeTrain(words: DataFrame, rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+    val (merges, trace) = bpeTrainTrace(words, rounds)
+    (merges, trace.last)
+  }
+
+  /** [[bpeTrain]] exposing every round's segmentation frame (index r
+    * = after r merges; index 0 = the char segmentation) — each round
+    * is localCheckpoint'd anyway, so the trace is free, and a
+    * consumer wanting the whole compression curve (q189) trains ONCE
+    * instead of once per round. Early exhaustion (fewer merges exist
+    * than `rounds`) pads the trace with the final frame so indices
+    * stay addressable. */
+  def bpeTrainTrace(words: DataFrame, rounds: Int)
+      : (Seq[(Long, String, String, Long)], Seq[DataFrame]) = {
     var segs = words
       .withColumn("seg", trim(regexp_replace(col("word"), "(.)", "$1 ")))
       .localCheckpoint(true) // dictionary-sized; every round re-reads it
+    val trace = Seq.newBuilder[DataFrame]
+    trace += segs
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -172,10 +187,12 @@ object TextAnalysis {
           lit(java.util.regex.Pattern.quote(s" $pair ")),
           lit(java.util.regex.Matcher.quoteReplacement(s" $merged ")))))
           .localCheckpoint(true)
+        trace += segs
         r += 1
       }
     }
-    (merges.result(), segs)
+    val t = trace.result()
+    (merges.result(), t ++ Seq.fill(rounds + 1 - t.length)(t.last))
   }
 
   /** The q132 hard quality-rule battery — THE single spelling of the

@@ -1639,8 +1639,11 @@ object TextQueries {
          |ORDER BY r""".stripMargin
     }) { (s, d) =>
       import graft.analytics.TextAnalysis
-      val rows = (0 to 3).map { r =>
-        TextAnalysis.bpeTrain(bpeWords(s, d), r)._2
+      // ONE training run; the trace exposes every round's checkpointed
+      // segmentation (re-training per round would repeat rounds² work)
+      val trace = TextAnalysis.bpeTrainTrace(bpeWords(s, d), 3)._2
+      val rows = trace.zipWithIndex.map { case (segs, r) =>
+        segs
           .agg(sum(col("freq")).as("n_words"),
             sum(col("freq") * size(split(col("seg"), " ")).cast("long"))
               .as("n_subtokens"))
