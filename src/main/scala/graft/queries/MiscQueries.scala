@@ -1160,6 +1160,56 @@ object MiscQueries {
       lowq.unionByName(pinned).orderBy("status", "doc_id")
     },
 
+    // ---------------------------------------------------------------- q192
+    // TABLE-TO-TABLE STREAMING HOP — the composition the table log
+    // exists for, hash-verified end to end: table A streams through
+    // TableLogSource (offsets = versions, batches = the appended
+    // files) into table B via the exactly-once ledger sink — the
+    // incremental-pipeline hop where BOTH ends price at the delta
+    // (source reads only new files, sink appends one atomic version).
+    // Three runs of the SAME checkpointed query: the first serves A's
+    // history, the second consumes ONLY the commit landed in between
+    // (runner requires B gained exactly the delta's rows, from the
+    // manifest stats — no data recount), the third finds nothing new
+    // and must publish NOTHING (runner requires B's head unmoved).
+    // The hashed output is B itself ≡ the documents table.
+    Q("q192_table_stream_hop",
+      "SELECT doc_id, source FROM documents ORDER BY doc_id") { (s, d) =>
+      import graft.sinks.TableLog
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val root = Scratch.fresh("graft-q192")
+      val (a, b, ck) = (s"$root/a", s"$root/b", s"$root/ck")
+      TableLog.append(docs.filter(col("doc_id") % 3 === 0), a)
+      TableLog.append(docs.filter(col("doc_id") % 3 === 1), a)
+      def hop(): Unit = {
+        val q = s.readStream.format("graft.streaming.TableLogSource")
+          .option("path", a).load()
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+            TableLog.appendStreamBatch(df, b, "hop192", bid); ()
+          }
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      hop()
+      val v1 = TableLog.headVersion(s, b)
+      TableLog.append(docs.filter(col("doc_id") % 3 === 2), a)
+      hop()
+      val h = TableLog.history(s, b)
+      require(h.length == 2 && v1 == 1L,
+        s"each hop must land as one atomic version (got ${h.length}, v1=$v1)")
+      // delta pricing from manifest stats alone — no data recount
+      val deltaRows = docs.filter(col("doc_id") % 3 === 2).count()
+      require(h.last.nRows - h.head.nRows == deltaRows,
+        s"hop 2 must carry exactly the delta (${h.last.nRows - h.head.nRows} vs $deltaRows)")
+      hop() // nothing new in A: no batch, no commit
+      require(TableLog.headVersion(s, b) == h.last.version,
+        "an idle hop must publish nothing")
+      TableLog.read(s, b).orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- q187
     // TableLog INCREMENTAL READ — the nightly/streaming consumer
     // contract (Delta-as-a-streaming-source semantics): rows appended
