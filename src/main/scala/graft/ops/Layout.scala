@@ -52,6 +52,36 @@ object Layout {
         s"(((CAST($y AS BIGINT) >> $b) & 1) << ${2 * b + 1})")
     }.mkString(" + ")
 
+  /** N-DIMENSIONAL Morton key — the Delta/Iceberg `OPTIMIZE ZORDER BY
+    * (c1, …, cn)` surface: bit b of dimension i lands at position
+    * n·b + i, so rows close in ALL n dimensions are close on the one
+    * sort key and every dimension's per-file min/max stays tight.
+    * The interleaved key must fit a signed long: n·bits ≤ 63 (3 dims
+    * × 16 bits, 4 × 15, 6 × 10 …) — more dims trade per-dim
+    * resolution, the classic z-order budget. n = 2 reproduces
+    * [[zorderKey]] bit-for-bit (same loop, generalized stride). */
+  def zorderKeyN(dims: Seq[Column], bits: Int = 16): Column = {
+    val n = dims.length
+    require(n >= 2, s"zorderKeyN: need >= 2 dimensions, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"zorderKeyN: $n dims x $bits bits = ${n * bits} key bits > 63 — lower `bits`")
+    (0 until bits).flatMap { b =>
+      dims.zipWithIndex.map { case (d, i) =>
+        shiftleft(shiftright(d.cast("long"), b).bitwiseAND(lit(1L)), n * b + i)
+      }
+    }.reduceLeft(_ + _)
+  }
+
+  /** Oracle SQL for [[zorderKeyN]], generated from the same loop. */
+  def zorderKeyNSql(dims: Seq[String], bits: Int = 16): String = {
+    val n = dims.length
+    (0 until bits).flatMap { b =>
+      dims.zipWithIndex.map { case (d, i) =>
+        s"(((CAST($d AS BIGINT) >> $b) & 1) << ${n * b + i})"
+      }
+    }.mkString(" + ")
+  }
+
   /** Raises a runtime error for any row whose dimension value falls
     * outside the z-grid domain [0, 2^bits): out-of-grid values would
     * otherwise alias silently onto the low `bits` bits and quietly
@@ -95,6 +125,17 @@ object Layout {
     df.withColumn("_zk", zorderKey(
         inGridOrError(col(xCol), xCol, bits),
         inGridOrError(col(yCol), yCol, bits), bits))
+      .repartitionByRange(nFiles, col("_zk"))
+      .sortWithinPartitions("_zk")
+      .drop("_zk")
+
+  /** N-dimensional [[clusterZOrdered]] — one clustering spelling for
+    * any dimension count, grid-checked per dim, published through
+    * [[graft.sinks.TableLog.compactZOrderN]] or a bare write. */
+  def clusterZOrderedN(df: DataFrame, cols: Seq[String],
+                       nFiles: Int, bits: Int = 16): DataFrame =
+    df.withColumn("_zk", zorderKeyN(
+        cols.map(c => inGridOrError(col(c), c, bits)), bits))
       .repartitionByRange(nFiles, col("_zk"))
       .sortWithinPartitions("_zk")
       .drop("_zk")

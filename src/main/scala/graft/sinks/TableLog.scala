@@ -1,11 +1,11 @@
 package graft.sinks
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.util.Locale
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Transactional MULTI-file table commits on a plain parquet
   * directory — the mechanism the reference's read-merge-overwrite
@@ -14,46 +14,61 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * concurrent crawlers lose one side's rows silently). The DSv2 sink
   * fixed the SINGLE-file race with a two-phase commit
   * (JsonLinesSource); this is the table-level protocol above it — the
-  * Delta/Iceberg manifest-log mechanism q112's snapshot delta assumes
-  * exists upstream, reduced to its load-bearing core:
+  * Delta/Iceberg manifest-log mechanism reduced to its load-bearing
+  * core:
   *
   *  - data files are IMMUTABLE, written once under `data/` with
   *    unique names; nothing ever rewrites or appends in place;
-  *  - a VERSION is a manifest file `_log/v{N}.manifest` listing
-  *    exactly the data files visible at N (full snapshot, not a
-  *    delta — readers resolve one manifest, never a chain);
+  *  - a VERSION is a manifest file `_log/v{N}.manifest`. An APPEND
+  *    commit publishes a DELTA manifest — only the files it ADDS (the
+  *    Delta-Lake add-action shape), so commit bytes are O(Δ), never
+  *    O(table files); a REWRITE commit (overwrite/compact/zorder/
+  *    merge) publishes a FULL snapshot manifest, which is O(the files
+  *    it wrote) — the same files it just paid to write;
+  *  - readers RECONSTRUCT a version's snapshot as the nearest
+  *    checkpoint-or-full manifest at/below it plus the delta tail — a
+  *    CHECKPOINT (`_log/v{N}.checkpoint`, a full snapshot body) is
+  *    written every [[TableLog.CHECKPOINT_EVERY]] delta commits, so
+  *    the tail is bounded. Checkpoints are best-effort and NEVER
+  *    load-bearing for correctness (a missing/torn one just lengthens
+  *    the walk, worst case back to the last full manifest or v1 —
+  *    a delta from the empty table IS its full file set); cumulative
+  *    log bytes are O(files · versions/CHECKPOINT_EVERY) instead of
+  *    O(files · versions);
   *  - COMMIT = publishing manifest N+1 under an atomic
-  *    create-exclusive primitive. Exactly one writer can win a
-  *    version; the loser re-reads the new head and RETRIES its
-  *    append on top (optimistic concurrency — appends always merge,
-  *    the lost-update race is structurally gone);
+  *    put-if-absent primitive ([[LogStore]] — pluggable per scheme:
+  *    link(2) on `file:`, rename-no-overwrite on HDFS, a registered
+  *    conditional-put implementation for object stores; an unknown
+  *    scheme REFUSES to commit rather than run a silently unsafe
+  *    log). Exactly one writer can win a version; the loser re-reads
+  *    the new head and RETRIES its append on top (optimistic
+  *    concurrency — appends always merge, the lost-update race is
+  *    structurally gone);
   *  - a crashed writer leaves data files with no manifest pointing at
   *    them: invisible to every reader, garbage-collectable by
   *    comparing `data/` against the union of live manifests;
   *  - READERS pin: resolve head version once, then read that
-  *    manifest's file set for the rest of the job — a concurrent
+  *    version's file set for the rest of the job — a concurrent
   *    commit cannot shear a running query. Time travel = pinning an
   *    older version explicitly.
   *
-  * Atomicity of publish, by scheme: on `file:` the manifest body is
-  * written to a temp file and HARD-LINKED to its final name —
-  * link(2) is atomic and fails with EEXIST, so the full content
-  * appears at once and exactly one concurrent publisher wins. On
-  * HDFS-like filesystems the same temp is `rename`d (atomic,
-  * no-overwrite there). Object stores without atomic
-  * create-exclusive need a coordination service for the publish
-  * step (the Delta S3 LogStore approach) — out of scope here, the
-  * protocol point is the manifest, not the lock. A belt-and-braces
-  * trailing `#end` sentinel makes a torn manifest detectable: readers
-  * treat a sentinel-less manifest as in-flight and fail loudly rather
-  * than serve half a version.
+  * A belt-and-braces trailing `#end` sentinel makes a torn manifest
+  * detectable: readers treat a sentinel-less manifest as in-flight
+  * and fail loudly rather than serve half a version.
   *
-  * Scale: a manifest lists file PATHS — thousands of entries of
-  * bytes each, driver-sized by construction (the Iceberg answer for
-  * millions of files is manifest hierarchies; one level is enough
-  * here). Data stays parquet: scans, pushdown, pruning all unchanged
-  * — the log changes WHICH files a scan sees, never how it reads
-  * them.
+  * Log retention: [[expireVersions]] drops history below a floor —
+  * it first publishes a LOAD-BEARING checkpoint at the floor (verified
+  * before anything is deleted), then removes older manifests and the
+  * data files only they referenced. Reads/incremental consumers
+  * pinned below the floor fail LOUDLY with a resume instruction —
+  * never a silent hole (the fence Delta leaves to documentation).
+  *
+  * Scale: a delta manifest lists the commit's files — bytes ∝ Δ; a
+  * checkpoint lists file PATHS+stats — driver-sized by construction
+  * (the Iceberg answer for millions of files is manifest hierarchies;
+  * one level is enough here). Data stays parquet: scans, pushdown,
+  * pruning all unchanged — the log changes WHICH files a scan sees,
+  * never how it reads them.
   */
 object TableLog {
 
@@ -76,24 +91,53 @@ object TableLog {
     * throws instead of publishing — and reads APPLY it, so files
     * written before an evolution null-fill the added columns without
     * a mergeSchema footer sweep (which pays a footer open per file
-    * and therefore grows with file count — the q173 mechanism moved
-    * into the log, where 100×-file tables need it). Pre-schema
-    * manifests have None: such legacy tables read from footers and
-    * skip enforcement, exactly as before. */
+    * and therefore grows with file count). The stored form is
+    * DEEP-nullability-normalized (every field nullable, every
+    * array/map element containsNull) — post-evolution reads null-fill
+    * older files at ANY nesting depth, so the committed schema never
+    * claims non-null for data it null-filled. Pre-schema manifests
+    * have None: such legacy tables read from footers and skip
+    * enforcement, exactly as before. */
   final case class Manifest(version: Long, base: Long, action: String,
                             files: Seq[String],
                             txns: Map[String, Long] = Map.empty,
                             stats: Map[String, TableStats.FileStats] = Map.empty,
                             schema: Option[StructType] = None)
 
+  /** A checkpoint (full-snapshot sidecar) is written after every this
+    * many consecutive delta commits — bounds the reconstruction walk
+    * AND the amortized commit cost (O(files)/CHECKPOINT_EVERY); the
+    * Delta default is 10. */
+  val CHECKPOINT_EVERY = 8
+
   private val LOG_DIR = "_log"
   private val SENTINEL = "#end"
+
+  /** On-disk manifest, as stored: a FULL snapshot (`kind=full`,
+    * `adds` = the complete file list) or a DELTA (`kind=delta`,
+    * adds/removes relative to version−1). Header (version, base,
+    * action, txns, schema) is complete in EVERY manifest — a bounded
+    * per-writer ledger and one schema token, never accumulated. */
+  private final case class Raw(version: Long, base: Long, action: String,
+                               kind: String, adds: Seq[String],
+                               removes: Seq[String],
+                               addStats: Map[String, TableStats.FileStats],
+                               txns: Map[String, Long],
+                               schema: Option[StructType])
+
+  /** A resolved snapshot plus the length of the delta tail applied to
+    * reach it — commit paths use `chain` to decide when the next
+    * checkpoint is due. */
+  private final case class Resolved(m: Manifest, chain: Int)
 
   private def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def manifestPath(table: String, v: Long): Path =
     new Path(table, f"$LOG_DIR/v$v%08d.manifest")
+
+  private def checkpointPath(table: String, v: Long): Path =
+    new Path(table, f"$LOG_DIR/v$v%08d.checkpoint")
 
   private def hintPath(table: String): Path =
     new Path(table, s"$LOG_DIR/_head")
@@ -138,31 +182,34 @@ object TableLog {
         var v = hint
         while (f.exists(manifestPath(table, v + 1))) v += 1
         v
-      case None =>
-        val dir = new Path(table, LOG_DIR)
-        if (!f.exists(dir)) 0L
-        else f.listStatus(dir).map(_.getPath.getName)
-          .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
-            n.stripPrefix("v").stripSuffix(".manifest").toLong }
-          .foldLeft(0L)(math.max)
+      case None => listVersions(f, table).foldLeft(0L)(math.max)
     }
   }
 
-  /** The pinned manifest of `version` (head when None). Throws on a
-    * torn (sentinel-less) manifest — an in-flight publish on a
-    * filesystem without atomic create, surfaced instead of served. */
-  def manifest(spark: SparkSession, table: String,
-               version: Option[Long] = None): Manifest = {
-    val v = version.getOrElse(headVersion(spark, table))
-    require(v >= 1, s"TableLog: $table has no committed version")
-    val p = manifestPath(table, v)
-    val f = fs(spark, table)
-    val in = f.open(p)
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
+  private def listVersions(f: FileSystem, table: String): Seq[Long] = {
+    val dir = new Path(table, LOG_DIR)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong }.toSeq
+  }
+
+  /** Lowest retained manifest version (1 for never-expired tables),
+    * 0 on an empty log. */
+  def lowestVersion(spark: SparkSession, table: String): Long =
+    lowestVersion(fs(spark, table), table)
+
+  private def lowestVersion(f: FileSystem, table: String): Long = {
+    val vs = listVersions(f, table)
+    if (vs.isEmpty) 0L else vs.min
+  }
+
+  // ---------------------------------------------------------- manifest I/O
+
+  private def parseRaw(body: String, where: String): Raw = {
     val lines = body.linesIterator.toSeq
     require(lines.lastOption.contains(SENTINEL),
-      s"TableLog: torn manifest $p (no $SENTINEL sentinel) — in-flight or corrupt publish")
+      s"TableLog: torn manifest $where (no $SENTINEL sentinel) — in-flight or corrupt publish")
     val header = lines.head.split(" ").map { kv =>
       val Array(k, x) = kv.split("=", 2); k -> x
     }.toMap
@@ -176,17 +223,179 @@ object TableLog {
         java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8))
         .asInstanceOf[StructType]
     }
-    // file line = `path` (pre-stats manifests) or `path\t<stats>`
-    val entries = lines.slice(1, lines.length - 1).map { ln =>
+    val kind = header.getOrElse("kind", "full") // pre-round-13 manifests: full snapshots
+    // file line = `path` / `+path` / `-path`, with an optional
+    // `\t<stats>` suffix on (plain or +) lines
+    val adds = Seq.newBuilder[String]
+    val removes = Seq.newBuilder[String]
+    val addStats = Map.newBuilder[String, TableStats.FileStats]
+    lines.slice(1, lines.length - 1).foreach { ln0 =>
+      val (isRemove, ln) =
+        if (kind == "delta" && ln0.startsWith("-")) (true, ln0.substring(1))
+        else if (kind == "delta" && ln0.startsWith("+")) (false, ln0.substring(1))
+        else if (kind == "delta") throw new IllegalArgumentException(
+          s"TableLog: delta manifest $where has an unprefixed file line '$ln0'")
+        else (false, ln0)
       val tab = ln.indexOf('\t')
-      if (tab < 0) (ln, None)
-      else (ln.substring(0, tab),
-        Some(TableStats.decode(ln.substring(tab + 1))))
+      val path = if (tab < 0) ln else ln.substring(0, tab)
+      if (isRemove) removes += path
+      else {
+        adds += path
+        if (tab >= 0) addStats += path -> TableStats.decode(ln.substring(tab + 1))
+      }
     }
-    Manifest(header("version").toLong, header("base").toLong,
-      header("action"), entries.map(_._1), txns,
-      entries.collect { case (p, Some(st)) => p -> st }.toMap, schema)
+    Raw(header("version").toLong, header("base").toLong, header("action"),
+      kind, adds.result(), removes.result(), addStats.result(), txns, schema)
   }
+
+  private def readRaw(f: FileSystem, table: String, v: Long, wanted: Long): Raw = {
+    val p = manifestPath(table, v)
+    if (!f.exists(p)) {
+      val floor = lowestVersion(f, table)
+      throw new IllegalStateException(
+        s"TableLog: manifest v$v of $table is missing" +
+          (if (wanted != v) s" (needed to resolve version $wanted)" else "") +
+          s" — expired by expireVersions or never committed; earliest retained " +
+          s"manifest is ${if (floor == 0) "none" else s"v$floor"}. Re-read the " +
+          s"table at a retained version (or head) and resume incremental " +
+          s"consumers from a fresh snapshot.")
+    }
+    val in = f.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    parseRaw(body, p.toString)
+  }
+
+  /** A valid full-snapshot checkpoint at exactly `v`, else None —
+    * torn/corrupt/mismatched checkpoints are silently skipped (the
+    * reconstruction walk just continues). */
+  private def readCheckpoint(f: FileSystem, table: String, v: Long): Option[Raw] =
+    try {
+      val p = checkpointPath(table, v)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val r = parseRaw(body, p.toString)
+        if (r.version == v && r.kind == "full") Some(r) else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def headerLine(v: Long, base: Long, action: String, kind: String,
+                         txns: Map[String, Long],
+                         schema: Option[StructType]): String = {
+    val txnStr =
+      if (txns.isEmpty) ""
+      else " txns=" + txns.toSeq.sortBy(_._1)
+        .map { case (a, b) => s"$a:$b" }.mkString(";")
+    // base64 keeps the JSON schema one space-free header token; the
+    // header parser splits key=value at the FIRST '=', so padding
+    // survives round-trip
+    val schemaStr = schema.map(st => " schema=" +
+      java.util.Base64.getEncoder.encodeToString(
+        st.json.getBytes(StandardCharsets.UTF_8))).getOrElse("")
+    s"version=$v base=$base action=$action kind=$kind$txnStr$schemaStr"
+  }
+
+  private def statLine(p: String, stats: Map[String, TableStats.FileStats]): String =
+    stats.get(p).map(st => s"$p\t${TableStats.encode(st)}").getOrElse(p)
+
+  private def fullBody(m: Manifest): String =
+    (headerLine(m.version, m.base, m.action, "full", m.txns, m.schema) +:
+      m.files.map(statLine(_, m.stats)) :+ SENTINEL).mkString("\n")
+
+  /** Best-effort full-snapshot sidecar at `m.version`. Only the
+    * winner of a version writes its checkpoint, so overwrite is safe
+    * (any complete body for a version is equivalent). */
+  private def writeCheckpoint(f: FileSystem, table: String, m: Manifest): Unit =
+    try {
+      val out = f.create(checkpointPath(table, m.version), true)
+      try out.write(fullBody(m).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def toManifest(r: Raw): Manifest =
+    Manifest(r.version, r.base, r.action, r.adds, r.txns, r.addStats, r.schema)
+
+  /** The snapshot after applying `r` on top of `prev` (the snapshot at
+    * r.version − 1). Full manifests replace; deltas merge files/stats
+    * and take everything header-borne from `r`. */
+  private def applyRaw(prev: Option[Manifest], r: Raw): Manifest =
+    if (r.kind == "full") toManifest(r)
+    else {
+      val rm = r.removes.toSet
+      val pf = prev.map(_.files).getOrElse(Seq.empty)
+      val ps = prev.map(_.stats).getOrElse(Map.empty[String, TableStats.FileStats])
+      Manifest(r.version, r.base, r.action,
+        (if (rm.isEmpty) pf else pf.filterNot(rm)) ++ r.adds,
+        r.txns, (if (rm.isEmpty) ps else ps -- rm) ++ r.addStats, r.schema)
+    }
+
+  /** Reconstruct the snapshot at `v`: nearest checkpoint-or-full
+    * manifest at/below `v`, plus the delta tail — bounded by
+    * [[CHECKPOINT_EVERY]] whenever checkpoints land (they are
+    * best-effort; a lost one only lengthens the walk, worst case to
+    * the last full manifest or the empty table below v1). */
+  private def resolve(spark: SparkSession, table: String, v: Long): Resolved = {
+    val f = fs(spark, table)
+    readCheckpoint(f, table, v) match {
+      case Some(cp) => return Resolved(toManifest(cp), 0)
+      case None =>
+    }
+    val top = readRaw(f, table, v, v)
+    if (top.kind == "full") return Resolved(toManifest(top), 0)
+    var deltas: List[Raw] = List(top)
+    var cur = v - 1
+    var base: Option[Manifest] = None
+    var searching = cur >= 1
+    while (searching) {
+      readCheckpoint(f, table, cur) match {
+        case Some(cp) => base = Some(toManifest(cp)); searching = false
+        case None =>
+          val r = readRaw(f, table, cur, v)
+          if (r.kind == "full") { base = Some(toManifest(r)); searching = false }
+          else {
+            deltas = r :: deltas
+            cur -= 1
+            searching = cur >= 1
+          }
+      }
+    }
+    val m = deltas.foldLeft(base)((acc, r) => Some(applyRaw(acc, r))).get
+    Resolved(m, deltas.length)
+  }
+
+  /** The pinned manifest of `version` (head when None). Throws on a
+    * torn (sentinel-less) manifest — an in-flight publish on a
+    * filesystem without atomic create, surfaced instead of served. */
+  def manifest(spark: SparkSession, table: String,
+               version: Option[Long] = None): Manifest = {
+    val v = version.getOrElse(headVersion(spark, table))
+    require(v >= 1, s"TableLog: $table has no committed version")
+    resolve(spark, table, v).m
+  }
+
+  /** Walk the retained versions [floor, head] once, feeding each
+    * resolved snapshot to `step` — O(total manifests) for the whole
+    * walk instead of O(versions · chain) repeated resolutions. */
+  private def foldSnapshots[A](spark: SparkSession, table: String)(z: A)(
+      step: (A, Manifest) => A): A = {
+    val f = fs(spark, table)
+    val head = headVersion(spark, table)
+    if (head == 0) return z
+    val floor = math.max(1L, lowestVersion(f, table))
+    var acc = z
+    var m: Option[Manifest] = None
+    (floor to head).foreach { v =>
+      m = Some(if (m.isEmpty) resolve(spark, table, v).m
+               else applyRaw(m, readRaw(f, table, v, v)))
+      acc = step(acc, m.get)
+    }
+    acc
+  }
+
+  // ------------------------------------------------------------------ reads
 
   /** Read the table at `version` (head when None): exactly the pinned
     * manifest's parquet files — a commit racing this read changes
@@ -242,24 +451,28 @@ object TableLog {
     * row delta — this THROWS with the resume instruction instead of
     * silently double-reading rewritten rows (Delta's "data update
     * detected" streaming-source error; maintenance passes schedule
-    * around consumers, or consumers re-snapshot). `sinceVersion = 0`
-    * reads everything. Validation walks the (since, to] manifests —
-    * O(versions consumed) driver-side metadata reads, the same cost
-    * Delta pays reading its commit JSONs. */
+    * around consumers, or consumers re-snapshot). A range reaching
+    * below the [[expireVersions]] floor also throws loudly — an
+    * expired manifest is a missing prerequisite, never a silent hole.
+    * `sinceVersion = 0` reads everything. Validation walks the
+    * (since, to] manifests — O(versions consumed) driver-side
+    * metadata reads, the same cost Delta pays reading its commit
+    * JSONs. */
   def readAppendsSince(spark: SparkSession, table: String, sinceVersion: Long,
                        toVersion: Option[Long] = None): DataFrame = {
     val to = toVersion.getOrElse(headVersion(spark, table))
     require(to >= 1, s"TableLog: $table has no committed version")
     require(sinceVersion >= 0 && sinceVersion <= to,
       s"TableLog.readAppendsSince: sinceVersion $sinceVersion outside [0, $to]")
-    val mTo = manifest(spark, table, Some(to))
+    val f = fs(spark, table)
     ((sinceVersion + 1) to to).foreach { v =>
-      val a = if (v == to) mTo.action else manifest(spark, table, Some(v)).action
+      val a = readRaw(f, table, v, v).action // header-only check, O(1) per version
       if (a != "append") throw new IllegalStateException(
         s"TableLog.readAppendsSince: version $v of $table is '$a' — a " +
           s"non-append commit rewrote data files, so the file diff is not a " +
           s"row delta; re-read the snapshot at $v and resume from there")
     }
+    val mTo = manifest(spark, table, Some(to))
     val baseFiles: Set[String] =
       if (sinceVersion == 0) Set.empty
       else manifest(spark, table, Some(sinceVersion)).files.toSet
@@ -310,6 +523,8 @@ object TableLog {
     }
   }
 
+  // ----------------------------------------------------------------- writes
+
   /** Write `df` as new immutable data files; returns their
     * table-relative paths with footer-harvested stats. One spark
     * write plus one FOOTER read per new file (metadata-only I/O —
@@ -334,68 +549,79 @@ object TableLog {
     (rels, stats)
   }
 
-  /** Atomic create-exclusive publish of `body` at `dst`. True iff
-    * this writer won the version. */
-  private def publish(f: FileSystem, table: String, dst: Path,
-                      body: String): Boolean = {
-    val tmpName = s"$LOG_DIR/.tmp-${java.util.UUID.randomUUID()}"
-    val tmp = new Path(table, tmpName)
-    val out = f.create(tmp, false)
-    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val won =
-      if ("file".equalsIgnoreCase(dst.toUri.getScheme) || dst.toUri.getScheme == null) {
-        // link(2): atomic, full-content, EEXIST when a racer won
-        val localTmp = Paths.get(f.makeQualified(tmp).toUri)
-        val localDst = Paths.get(f.makeQualified(dst).toUri)
-        try { Files.createLink(localDst, localTmp); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else
-        // HDFS rename: atomic, returns false when dst exists
-        f.rename(tmp, dst)
-    f.delete(tmp, false)
-    won
-  }
-
-  private def tryCommit(spark: SparkSession, table: String, base: Long,
-                        action: String, files: Seq[String],
-                        txns: Map[String, Long] = Map.empty,
-                        stats: Map[String, TableStats.FileStats] = Map.empty,
-                        schema: Option[StructType] = None): Boolean = {
-    val v = base + 1
-    val txnStr =
-      if (txns.isEmpty) ""
-      else " txns=" + txns.toSeq.sortBy(_._1)
-        .map { case (a, b) => s"$a:$b" }.mkString(";")
-    // base64 keeps the JSON schema one space-free header token; the
-    // header parser splits key=value at the FIRST '=', so padding
-    // survives round-trip
-    val schemaStr = schema.map(st => " schema=" +
-      java.util.Base64.getEncoder.encodeToString(
-        st.json.getBytes(StandardCharsets.UTF_8))).getOrElse("")
-    val fileLines = files.map { p =>
-      stats.get(p).map(st => s"$p\t${TableStats.encode(st)}").getOrElse(p)
-    }
-    val body =
-      (s"version=$v base=$base action=$action$txnStr$schemaStr" +: fileLines :+ SENTINEL)
-        .mkString("\n")
+  /** Publish a manifest body for version `v` via the scheme's
+    * [[LogStore]]. True iff this writer won the version. */
+  private def publishManifest(spark: SparkSession, table: String, v: Long,
+                              body: String): Boolean = {
     val f = fs(spark, table)
     f.mkdirs(new Path(table, LOG_DIR))
-    val won = publish(f, table, manifestPath(table, v), body)
+    val dst = f.makeQualified(manifestPath(table, v))
+    val won = LogStore.forPath(dst).putIfAbsent(f, dst,
+      body.getBytes(StandardCharsets.UTF_8))
     if (won) writeHint(f, table, v)
     won
   }
 
-  /** The head manifest, or None on an empty table. */
-  private def headManifest(spark: SparkSession, table: String): Option[Manifest] = {
-    val v = headVersion(spark, table)
-    if (v == 0) None else Some(manifest(spark, table, Some(v)))
+  /** Publish version base+1 as a FULL snapshot manifest (rewrite
+    * commits: the manifest is O(the files the commit wrote)). */
+  private def tryCommitFull(spark: SparkSession, table: String, base: Long,
+                            action: String, files: Seq[String],
+                            txns: Map[String, Long],
+                            stats: Map[String, TableStats.FileStats],
+                            schema: Option[StructType]): Boolean = {
+    val v = base + 1
+    val body = (headerLine(v, base, action, "full", txns, schema) +:
+      files.map(statLine(_, stats)) :+ SENTINEL).mkString("\n")
+    publishManifest(spark, table, v, body)
   }
 
-  /** Top-level-nullable copy — the committed schema never claims
-    * non-null: post-evolution reads null-fill older files, and a
-    * non-nullable read schema over them would lie to the optimizer. */
-  private def nullableTop(st: StructType): StructType =
-    StructType(st.fields.map(_.copy(nullable = true)))
+  /** Publish version base+1 as a DELTA manifest listing only the
+    * files this commit ADDS — bytes ∝ Δ, the O(Δ) commit the log's
+    * incremental contract sells. */
+  private def tryCommitDelta(spark: SparkSession, table: String, base: Long,
+                             action: String, adds: Seq[String],
+                             txns: Map[String, Long],
+                             addStats: Map[String, TableStats.FileStats],
+                             schema: Option[StructType]): Boolean = {
+    val v = base + 1
+    val body = (headerLine(v, base, action, "delta", txns, schema) +:
+      adds.map(p => "+" + statLine(p, addStats)) :+ SENTINEL).mkString("\n")
+    publishManifest(spark, table, v, body)
+  }
+
+  /** After winning delta commit `v` on top of `prev`: write the
+    * full-snapshot checkpoint when the delta tail is due. The new
+    * snapshot is assembled in memory from what the commit already
+    * held — no re-read. */
+  private def maybeCheckpoint(spark: SparkSession, table: String,
+                              prev: Option[Resolved], v: Long, action: String,
+                              newFiles: Seq[String],
+                              newStats: Map[String, TableStats.FileStats],
+                              txns: Map[String, Long],
+                              schema: Option[StructType]): Unit = {
+    val chain = prev.map(_.chain).getOrElse(0) + 1
+    if (chain >= CHECKPOINT_EVERY) {
+      val pm = prev.map(_.m)
+      writeCheckpoint(fs(spark, table), table,
+        Manifest(v, v - 1, action,
+          pm.map(_.files).getOrElse(Seq.empty) ++ newFiles, txns,
+          pm.map(_.stats).getOrElse(Map.empty) ++ newStats, schema))
+    }
+  }
+
+  /** The head snapshot (+ delta-tail length), or None on an empty table. */
+  private def headResolved(spark: SparkSession, table: String): Option[Resolved] = {
+    val v = headVersion(spark, table)
+    if (v == 0) None else Some(resolve(spark, table, v))
+  }
+
+  /** Deep-nullability-normalized schema: every field nullable, every
+    * array/map element containsNull — the form the log commits, so
+    * reads never claim non-null for data they null-filled (top-level
+    * via evolution, nested via a later writer whose elements DO
+    * contain nulls). */
+  private def deepNullable(st: StructType): StructType =
+    normType(st).asInstanceOf[StructType]
 
   /** Nullability-normalized type for compatibility comparison: a
     * writer whose array<float> says containsNull=false is NOT a type
@@ -419,42 +645,51 @@ object TableLog {
     * throws; NEW columns throw unless `evolve` (then they append to
     * the stored schema — old files null-fill at read); MISSING
     * columns are fine (the committed schema fills them with null).
-    * A legacy head (pre-schema manifest) skips enforcement and stays
-    * legacy — upgrading it would apply a guessed schema to files this
-    * code never saw. */
-  private def commitSchema(head: Option[Manifest], df: DataFrame,
-                           evolve: Boolean, op: String): Option[StructType] =
+    * Columns resolve against the stored schema the way Spark resolves
+    * references — case-insensitively unless `spark.sql.caseSensitive`
+    * — so a writer sending `ID` against stored `id` is the SAME
+    * column, never a second one that would make every later reference
+    * ambiguous. A legacy head (pre-schema manifest) skips enforcement
+    * and stays legacy — upgrading it would apply a guessed schema to
+    * files this code never saw. */
+  private def commitSchema(spark: SparkSession, head: Option[Manifest],
+                           df: DataFrame, evolve: Boolean, op: String,
+                           evolveFlag: String = "evolve = true"): Option[StructType] =
     head match {
-      case None => Some(nullableTop(df.schema)) // first commit defines the table
+      case None => Some(deepNullable(df.schema)) // first commit defines the table
       case Some(m) => m.schema match {
         case None => None // legacy table: no enforcement, no upgrade
         case Some(st) =>
-          val stored = st.fields.map(f => f.name -> normType(f.dataType)).toMap
+          val caseSensitive =
+            spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+          def key(n: String) = if (caseSensitive) n else n.toLowerCase(Locale.ROOT)
+          val stored = st.fields.map(f => key(f.name) -> normType(f.dataType)).toMap
           val clash = df.schema.fields.filter(f =>
-            stored.get(f.name).exists(_ != normType(f.dataType)))
+            stored.get(key(f.name)).exists(_ != normType(f.dataType)))
           if (clash.nonEmpty) throw new IllegalArgumentException(
             s"TableLog.$op: column type change is not allowed on $op — " +
-              clash.map(f => s"${f.name}: ${stored(f.name).simpleString} -> " +
+              clash.map(f => s"${f.name}: ${stored(key(f.name)).simpleString} -> " +
                 f.dataType.simpleString).mkString(", "))
-          val added = df.schema.fields.filter(f => !stored.contains(f.name))
+          val added = df.schema.fields.filter(f => !stored.contains(key(f.name)))
           if (added.isEmpty) Some(st)
           else if (evolve)
-            Some(StructType(st.fields ++ added.map(_.copy(nullable = true))))
+            Some(StructType(st.fields ++ added.map(f =>
+              StructField(f.name, normType(f.dataType), nullable = true))))
           else throw new IllegalArgumentException(
             s"TableLog.$op: incoming columns ${added.map(_.name).mkString(", ")} " +
-              s"are not in the table schema — pass evolve = true to add them " +
-              s"(old files will read them as null)")
+              s"are not in the table schema — pass $evolveFlag to accept them")
       }
     }
 
-  /** Append `df` as a new version. Optimistic: on losing the publish
-    * race the ALREADY-WRITTEN data files are re-based onto the new
-    * head (no data rewrite — appends always merge) and the commit
-    * retries, up to `maxRetries`. Schema is ENFORCED against the
-    * table's committed one ([[commitSchema]]): type changes throw,
-    * new columns throw unless `evolve = true` (then the stored schema
-    * widens and every older file null-fills them at read). Returns
-    * the committed version. */
+  /** Append `df` as a new version — a DELTA commit: the manifest
+    * lists only the added files, O(Δ) bytes. Optimistic: on losing
+    * the publish race the ALREADY-WRITTEN data files are re-based
+    * onto the new head (no data rewrite — appends always merge) and
+    * the commit retries, up to `maxRetries`. Schema is ENFORCED
+    * against the table's committed one ([[commitSchema]]): type
+    * changes throw, new columns throw unless `evolve = true` (then
+    * the stored schema widens and every older file null-fills them at
+    * read). Returns the committed version. */
   def append(df: DataFrame, table: String, maxRetries: Int = 10,
              onRetry: Long => Unit = _ => (),
              beforeCommit: Long => Unit = _ => (),
@@ -463,19 +698,22 @@ object TableLog {
     val (newFiles, newStats) = writeData(df, table)
     var attempt = 0
     while (attempt <= maxRetries) {
-      val m = headManifest(spark, table)
+      val r = headResolved(spark, table)
+      val m = r.map(_.m)
       val base = m.map(_.version).getOrElse(0L)
       // schema re-derives per attempt: a racing writer may have
       // evolved the table between retries
-      val schema = commitSchema(m, df, evolve, "append")
+      val schema = commitSchema(spark, m, df, evolve, "append")
+      val txns = m.map(_.txns).getOrElse(Map.empty[String, Long])
       // test seam: TableLogSpec injects a COMPETING commit here to
       // pin the lose-and-rebase path deterministically
       beforeCommit(base)
-      if (tryCommit(spark, table, base, "append",
-          m.map(_.files).getOrElse(Seq.empty) ++ newFiles,
-          m.map(_.txns).getOrElse(Map.empty),
-          m.map(_.stats).getOrElse(Map.empty) ++ newStats, schema))
+      if (tryCommitDelta(spark, table, base, "append", newFiles, txns,
+          newStats, schema)) {
+        maybeCheckpoint(spark, table, r, base + 1, "append",
+          newFiles, newStats, txns, schema)
         return base + 1
+      }
       attempt += 1
       onRetry(base)
     }
@@ -485,18 +723,26 @@ object TableLog {
 
   /** Replace the table's contents as a new version (the reader-safe
     * spelling of the reference's rewrite — old versions stay
-    * readable). An overwrite REPLACES the schema too (it replaces
-    * every row the schema described — Delta's overwriteSchema,
-    * implied here); pinned readers below keep the old one. */
-  def overwrite(df: DataFrame, table: String, maxRetries: Int = 10): Long = {
+    * readable). The committed schema is ENFORCED like any commit —
+    * type changes and new columns throw — unless `overwriteSchema =
+    * true` REPLACES it with the frame's (Delta's overwriteSchema
+    * flag: one accidental overwrite with a drifted frame must not
+    * silently rewrite the table contract for every downstream
+    * reader). Pinned readers below keep the old schema either way. */
+  def overwrite(df: DataFrame, table: String, maxRetries: Int = 10,
+                overwriteSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val (newFiles, newStats) = writeData(df, table)
     var attempt = 0
     while (attempt <= maxRetries) {
-      val m = headManifest(spark, table)
-      if (tryCommit(spark, table, m.map(_.version).getOrElse(0L), "overwrite",
+      val m = headResolved(spark, table).map(_.m)
+      val schema =
+        if (overwriteSchema) Some(deepNullable(df.schema))
+        else commitSchema(spark, m, df, evolve = false, "overwrite",
+          evolveFlag = "overwriteSchema = true")
+      if (tryCommitFull(spark, table, m.map(_.version).getOrElse(0L), "overwrite",
           newFiles, m.map(_.txns).getOrElse(Map.empty), newStats,
-          Some(nullableTop(df.schema))))
+          schema.orElse(Some(deepNullable(df.schema)))))
         return m.map(_.version).getOrElse(0L) + 1
       attempt += 1
     }
@@ -537,24 +783,38 @@ object TableLog {
         read(spark, table, Some(base)), xCol, yCol, numFiles, bits))
   }
 
+  /** N-DIMENSIONAL OPTIMIZE ZORDER — interleaves all of `cols`
+    * ([[graft.ops.Layout.clusterZOrderedN]]); the 2-dim verb above
+    * stays as the common case. */
+  def compactZOrderN(spark: SparkSession, table: String,
+                     cols: Seq[String], numFiles: Int,
+                     bits: Int = 16, maxRetries: Int = 10): Long = {
+    require(numFiles >= 1, s"compactZOrderN: numFiles must be >= 1, got $numFiles")
+    rewriteCommit(spark, table, "zorder", maxRetries,
+      base => graft.ops.Layout.clusterZOrderedN(
+        read(spark, table, Some(base)), cols, numFiles, bits))
+  }
+
   /** Shared read-modify-write commit loop (compact / zorder): a lost
     * publish race re-reads the new head and REWRITES — rebase is not
     * sound for whole-table rewrites; the losing attempt's files
-    * become vacuum-able orphans. */
+    * become vacuum-able orphans. Rewrites publish FULL manifests
+    * (they replace the file set — the manifest is O(what they wrote))
+    * and therefore double as checkpoints for the reconstruction walk. */
   private def rewriteCommit(spark: SparkSession, table: String, action: String,
                             maxRetries: Int, body: Long => DataFrame): Long = {
     var attempt = 0
     while (attempt <= maxRetries) {
-      val m = headManifest(spark, table)
+      val m = headResolved(spark, table).map(_.m)
       val base = m.map(_.version).getOrElse(0L)
       val rewritten = body(base)
       val (newFiles, newStats) = writeData(rewritten, table)
       // a rewrite replaces EVERY data file with ones this code wrote,
       // so committing the rewrite's schema is always sound — and it
       // upgrades legacy (pre-schema) tables as a side effect
-      if (tryCommit(spark, table, base, action, newFiles,
+      if (tryCommitFull(spark, table, base, action, newFiles,
           m.map(_.txns).getOrElse(Map.empty), newStats,
-          Some(nullableTop(rewritten.schema))))
+          Some(deepNullable(rewritten.schema))))
         return base + 1
       attempt += 1
     }
@@ -579,20 +839,23 @@ object TableLog {
       s"appendStreamBatch: appId must be non-empty without ' ;:', got '$appId'")
     val spark = df.sparkSession
     // cheap ledger check before paying the data write
-    if (headManifest(spark, table)
-        .exists(_.txns.getOrElse(appId, -1L) >= batchId)) return None
+    if (headResolved(spark, table)
+        .exists(_.m.txns.getOrElse(appId, -1L) >= batchId)) return None
     val (newFiles, newStats) = writeData(df, table)
     var attempt = 0
     while (attempt <= maxRetries) {
-      val m = headManifest(spark, table)
+      val r = headResolved(spark, table)
+      val m = r.map(_.m)
       if (m.exists(_.txns.getOrElse(appId, -1L) >= batchId)) return None // raced replay
       val base = m.map(_.version).getOrElse(0L)
-      val schema = commitSchema(m, df, evolve = false, "appendStreamBatch")
-      if (tryCommit(spark, table, base, "append",
-          m.map(_.files).getOrElse(Seq.empty) ++ newFiles,
-          m.map(_.txns).getOrElse(Map.empty) + (appId -> batchId),
-          m.map(_.stats).getOrElse(Map.empty) ++ newStats, schema))
+      val schema = commitSchema(spark, m, df, evolve = false, "appendStreamBatch")
+      val txns = m.map(_.txns).getOrElse(Map.empty[String, Long]) + (appId -> batchId)
+      if (tryCommitDelta(spark, table, base, "append", newFiles, txns,
+          newStats, schema)) {
+        maybeCheckpoint(spark, table, r, base + 1, "append",
+          newFiles, newStats, txns, schema)
         return Some(base + 1)
+      }
       attempt += 1
     }
     throw new IllegalStateException(
@@ -615,23 +878,26 @@ object TableLog {
     val spark = fresh.sparkSession
     var attempt = 0
     while (attempt <= maxRetries) {
-      val m = headManifest(spark, table)
+      val m = headResolved(spark, table).map(_.m)
       val base = m.map(_.version).getOrElse(0L)
       // strict enforcement on the INCOMING side (merge never evolves);
       // the commit carries the enforced table schema through
-      val schema = commitSchema(m, fresh, evolve = false, "upsert")
+      val schema = commitSchema(spark, m, fresh, evolve = false, "upsert")
       val merged =
         if (base == 0) fresh
         else graft.ops.Merge.mergeByKey(read(spark, table, Some(base)), fresh, keys)
       val (newFiles, newStats) = writeData(merged, table)
-      if (tryCommit(spark, table, base, "merge", newFiles,
-          m.map(_.txns).getOrElse(Map.empty), newStats, schema))
+      if (tryCommitFull(spark, table, base, "merge", newFiles,
+          m.map(_.txns).getOrElse(Map.empty), newStats,
+          schema.orElse(Some(deepNullable(merged.schema)))))
         return base + 1
       attempt += 1
     }
     throw new IllegalStateException(
       s"TableLog.upsert: lost the publish race $maxRetries times on $table")
   }
+
+  // ------------------------------------------------------------ maintenance
 
   /** Delete data files no live manifest references (see [[orphans]])
     * — run only once no reader can still be pinned below the
@@ -654,7 +920,9 @@ object TableLog {
     * caller-owns-the-quiesce behavior. Age is the file's modification
     * time — set by the filesystem at write, monotone enough for a
     * floor (clock skew subtracts from the safety margin; size the
-    * floor generously, Delta's default is 7 days). */
+    * floor generously, Delta's default is 7 days). Vacuum never
+    * touches manifests — version history is [[expireVersions]]'s job,
+    * with its own fence. */
   def vacuum(spark: SparkSession, table: String, minAgeMillis: Long): Seq[String] = {
     val f = fs(spark, table)
     val cutoff = System.currentTimeMillis() - minAgeMillis
@@ -667,31 +935,93 @@ object TableLog {
     os
   }
 
-  /** DESCRIBE HISTORY: one row per committed version — (version,
+  /** LOG RETENTION: drop all history strictly below `minRetainVersion`
+    * — expired manifests (and their checkpoints) are deleted, along
+    * with the data files ONLY expired versions referenced. The gap
+    * Delta leaves to documentation is fenced here in code:
+    *
+    *  - before anything is deleted, a full-snapshot checkpoint at
+    *    `minRetainVersion` is published and VERIFIED readable — the
+    *    new floor reconstructs without its predecessors, or the whole
+    *    operation aborts having deleted nothing;
+    *  - any consumer pinned BELOW the floor — a time-travel read, a
+    *    [[readAppendsSince]] range, a TableLogSource checkpoint whose
+    *    offset predates it — fails LOUDLY with a resume instruction
+    *    the moment it needs an expired manifest; it can never read a
+    *    silent hole (the missing manifest is a checked prerequisite,
+    *    not an absent file served as empty).
+    *
+    * Size `minRetainVersion` at or below every live consumer's LAST
+    * BATCH START offset, not just its head offset: on restart the
+    * streaming engine re-requests the last checkpointed batch
+    * (start, end] to prime the source, so the manifests from
+    * `start` up must still resolve (the same rule Delta's source
+    * imposes on delta.logRetentionDuration vs checkpoint age — here
+    * it is explicit, and violating it fails loudly instead of
+    * reading a hole). Returns the deleted table-relative paths
+    * (data + manifests). */
+  def expireVersions(spark: SparkSession, table: String,
+                     minRetainVersion: Long): Seq[String] = {
+    val f = fs(spark, table)
+    val head = headVersion(spark, table)
+    require(head >= 1, s"TableLog: $table has no committed version")
+    require(minRetainVersion >= 1 && minRetainVersion <= head,
+      s"TableLog.expireVersions: minRetainVersion $minRetainVersion outside [1, $head]")
+    val floor = math.max(1L, lowestVersion(f, table))
+    if (minRetainVersion <= floor) return Seq.empty
+    // 1. load-bearing checkpoint at the new floor — verified BEFORE
+    //    any delete; abort (nothing deleted) if it cannot be read back
+    val mFloor = resolve(spark, table, minRetainVersion).m
+    writeCheckpoint(f, table, mFloor)
+    if (readCheckpoint(f, table, minRetainVersion).isEmpty)
+      throw new IllegalStateException(
+        s"TableLog.expireVersions: could not publish the load-bearing checkpoint " +
+          s"at v$minRetainVersion of $table — aborting, nothing was deleted")
+    // 2. data files referenced ONLY by expired versions (one
+    //    incremental walk over [floor, head])
+    var expiredRef = Set.empty[String]
+    var retainedRef = Set.empty[String]
+    var m: Option[Manifest] = None
+    (floor to head).foreach { v =>
+      m = Some(if (m.isEmpty) resolve(spark, table, v).m
+               else applyRaw(m, readRaw(f, table, v, v)))
+      if (v < minRetainVersion) expiredRef ++= m.get.files
+      else retainedRef ++= m.get.files
+    }
+    val dropData = (expiredRef -- retainedRef).toSeq.sorted
+    dropData.foreach(rel => f.delete(new Path(table, rel), false))
+    // 3. expired manifests + their checkpoints
+    val droppedManifests = (floor until minRetainVersion).flatMap { v =>
+      val cp = checkpointPath(table, v)
+      if (f.exists(cp)) f.delete(cp, false)
+      if (f.delete(manifestPath(table, v), false))
+        Some(f"$LOG_DIR/v$v%08d.manifest") else None
+    }
+    dropData ++ droppedManifests
+  }
+
+  /** DESCRIBE HISTORY: one row per RETAINED version — (version,
     * action, base, n_files, n_rows) with n_rows summed from the
     * manifest's per-file stats (-1 when any file predates stats —
-    * never guessed from data reads). Driver-sized like the manifests
-    * themselves; the audit verb a maintenance runbook leads with. */
+    * never guessed from data reads). One incremental walk over the
+    * log; driver-sized like the manifests themselves; the audit verb
+    * a maintenance runbook leads with. */
   def history(spark: SparkSession, table: String): Seq[HistoryRow] =
-    (1L to headVersion(spark, table)).map { v =>
-      val m = manifest(spark, table, Some(v))
+    foldSnapshots(spark, table)(Vector.empty[HistoryRow]) { (acc, m) =>
       val rows =
-        if (m.files.forall(m.stats.contains))
-          m.files.map(f => m.stats(f).rows).sum
+        if (m.files.forall(m.stats.contains)) m.files.map(f => m.stats(f).rows).sum
         else -1L
-      HistoryRow(m.version, m.action, m.base, m.files.length, rows)
+      acc :+ HistoryRow(m.version, m.action, m.base, m.files.length, rows)
     }
 
   final case class HistoryRow(version: Long, action: String, base: Long,
                               nFiles: Int, nRows: Long)
 
-  /** Data files no live manifest references — crashed or superseded
-    * writers' leftovers, safe to delete once no reader can still be
-    * pinned below the retention horizon. */
+  /** Data files no retained manifest references — crashed or
+    * superseded writers' leftovers, safe to delete once no reader can
+    * still be pinned below the retention horizon. */
   def orphans(spark: SparkSession, table: String): Seq[String] = {
-    val head = headVersion(spark, table)
-    val live = (1L to head).flatMap(v =>
-      manifest(spark, table, Some(v)).files).toSet
+    val live = foldSnapshots(spark, table)(Set.empty[String])(_ ++ _.files)
     val f = fs(spark, table)
     val dataDir = new Path(table, "data")
     if (!f.exists(dataDir)) Seq.empty

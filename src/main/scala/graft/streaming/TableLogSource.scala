@@ -32,17 +32,28 @@ import graft.sinks.TableLog
   *    inside a batch range make the file diff not a row delta:
   *    `readAppendsSince` THROWS and the query fails loudly with a
   *    resume instruction — never silent double-reads (Delta's "data
-  *    update detected" source error). Schedule maintenance around
+  *    update detected" source error). Likewise a checkpointed offset
+  *    BELOW the table's `expireVersions` floor fails loudly with the
+  *    resume instruction — an expired manifest is a checked
+  *    prerequisite, never a silent hole. Schedule maintenance around
   *    consumers, or restart the stream from a fresh checkpoint +
   *    `startingVersion`.
   *
   * Options: `path` (the table directory, required);
   * `startingVersion` (serve only appends AFTER this version; default
   * 0 = the table's whole history — the Delta option of the same
-  * name). The served schema is pinned at query start (user-provided
-  * or the head manifest's); a mid-stream schema evolution keeps
-  * serving the pinned projection — evolved columns appear on a
-  * restart, never as a mid-query shape change.
+  * name); `failOnSchemaEvolution` (default false — see below). The
+  * served schema is pinned at query start (user-provided or the head
+  * manifest's); a mid-stream schema evolution keeps serving the
+  * pinned projection — evolved columns appear on a restart, never as
+  * a mid-query shape change. With `failOnSchemaEvolution=true` the
+  * query instead FAILS loudly the first time a batch's head schema
+  * differs from the pinned one — for consumers that must never
+  * silently drop a column a producer started sending. A USER-provided
+  * schema (`readStream.schema(...)`) must be a type-equal subset of
+  * the table's committed schema: the source projects columns by name
+  * but never converts types, so a type-divergent user schema would
+  * reinterpret the rows' binary layout — rejected at query start.
   *
   * Spark-facing registration: the legacy `StreamSourceProvider` API
   * (a Source returns each batch as a DataFrame — exactly what
@@ -59,15 +70,54 @@ class TableLogSource extends StreamSourceProvider with DataSourceRegister {
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "TableLogSource: option 'path' (the TableLog table directory) is required"))
 
+  /** The table's committed (or footer) schema at query start. */
+  private def tableSchema(spark: SparkSession, table: String): StructType = {
+    val m = TableLog.manifest(spark, table) // head must exist
+    m.schema.getOrElse(TableLog.read(spark, table).schema)
+  }
+
+  /** Deep nullability-normalized type for the user-schema check —
+    * nullability differences are not type differences. */
+  private def norm(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = norm(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      org.apache.spark.sql.types.ArrayType(norm(a.elementType), true)
+    case m: org.apache.spark.sql.types.MapType =>
+      org.apache.spark.sql.types.MapType(norm(m.keyType), norm(m.valueType), true)
+    case other => other
+  }
+
+  /** A user schema must be a TYPE-EQUAL subset of the table's —
+    * `getBatch` projects by name without conversion, so a divergent
+    * type would silently reinterpret the physical rows (int served
+    * as long). Rejected here, at query start. */
+  private def validated(user: StructType, table: StructType,
+                        tablePath: String): StructType = {
+    val byName = table.fields.map(f => f.name -> f.dataType).toMap
+    val bad = user.fields.flatMap { f =>
+      byName.get(f.name) match {
+        case None => Some(s"${f.name} (not in the table schema)")
+        case Some(dt) if norm(dt) != norm(f.dataType) =>
+          Some(s"${f.name}: table ${dt.simpleString} vs requested ${f.dataType.simpleString}")
+        case _ => None
+      }
+    }
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"TableLogSource: the user-provided stream schema is not a type-equal " +
+        s"subset of $tablePath's committed schema — ${bad.mkString("; ")}. The " +
+        s"source projects columns by name and never converts types; cast " +
+        s"downstream instead.")
+    user
+  }
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
     val table = tablePath(parameters)
-    val resolved = schema.getOrElse {
-      val m = TableLog.manifest(sqlContext.sparkSession, table) // head must exist
-      m.schema.getOrElse(TableLog.read(sqlContext.sparkSession, table).schema)
-    }
-    (shortName(), resolved)
+    val tbl = tableSchema(sqlContext.sparkSession, table)
+    (shortName(), schema.map(validated(_, tbl, table)).getOrElse(tbl))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -75,14 +125,19 @@ class TableLogSource extends StreamSourceProvider with DataSourceRegister {
                             parameters: Map[String, String]): Source = {
     val table = tablePath(parameters)
     val starting = parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
-    val pinned = sourceSchema(sqlContext, schema, providerName, parameters)._2
-    new TableLogStreamSource(sqlContext.sparkSession, table, pinned, starting)
+    val failOnEvolve = parameters.get("failOnSchemaEvolution")
+      .exists(_.toBoolean)
+    val spark = sqlContext.sparkSession
+    val tbl = tableSchema(spark, table)
+    val pinned = schema.map(validated(_, tbl, table)).getOrElse(tbl)
+    new TableLogStreamSource(spark, table, pinned, tbl, starting, failOnEvolve)
   }
 }
 
 private[streaming] class TableLogStreamSource(
     spark: SparkSession, table: String, pinned: StructType,
-    startingVersion: Long) extends Source {
+    initialTableSchema: StructType, startingVersion: Long,
+    failOnSchemaEvolution: Boolean) extends Source {
 
   override def schema: StructType = pinned
 
@@ -101,6 +156,15 @@ private[streaming] class TableLogStreamSource(
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val since = start.map(version).getOrElse(startingVersion)
     val to = version(end)
+    if (failOnSchemaEvolution) {
+      val now = TableLog.manifest(spark, table, Some(to)).schema
+        .getOrElse(initialTableSchema)
+      if (now != initialTableSchema) throw new IllegalStateException(
+        s"TableLogSource: $table's schema evolved mid-stream (pinned " +
+          s"${initialTableSchema.simpleString}, table now ${now.simpleString}) " +
+          s"and failOnSchemaEvolution=true — restart the query to pick up the " +
+          s"new schema (the default policy keeps serving the pinned projection).")
+    }
     val delta = TableLog.readAppendsSince(spark, table, since, Some(to))
     // project to the PINNED schema (a mid-stream evolution must not
     // change the batch shape under a running query), then hand the

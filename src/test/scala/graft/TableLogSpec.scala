@@ -583,6 +583,315 @@ class TableLogSpec extends SparkSpec {
       s"expected the non-append loud failure, got: ${e.getMessage}")
   }
 
+  test("delta manifests: append commit bytes are O(delta), checkpoints bound reconstruction") {
+    val t = tmpTable()
+    (0 until 20).foreach(i => TableLog.append(batch(i * 3 until i * 3 + 3).coalesce(1), t))
+    def manifestBytes(v: Int): Long =
+      Files.size(java.nio.file.Paths.get(f"$t/_log/v$v%08d.manifest"))
+    // an append's manifest lists ONLY its added files: the v18
+    // manifest (17 files already in the table) is the same size as
+    // v2's (1 file in the table) — commit cost ∝ delta, not table
+    assert(manifestBytes(18) <= manifestBytes(2) + 64,
+      s"append manifest grew with table size: v2=${manifestBytes(2)}B v18=${manifestBytes(18)}B")
+    // checkpoints land every CHECKPOINT_EVERY delta commits
+    assert(Files.exists(java.nio.file.Paths.get(f"$t/_log/v${8}%08d.checkpoint")))
+    assert(Files.exists(java.nio.file.Paths.get(f"$t/_log/v${16}%08d.checkpoint")))
+    // reconstruction: head and time travel resolve the full snapshots
+    assert(ids(TableLog.read(spark, t)) == (0L until 60L))
+    assert(ids(TableLog.read(spark, t, Some(7))) == (0L until 21L))
+    assert(TableLog.manifest(spark, t).files.length == 20)
+    assert(TableLog.manifest(spark, t).stats.size == 20, "stats accumulate across deltas")
+    // checkpoints are NEVER load-bearing: delete them all (and the
+    // hint) — every version still reconstructs from the delta chain
+    val log = new java.io.File(s"$t/_log")
+    log.listFiles.filter(_.getName.endsWith(".checkpoint")).foreach(_.delete())
+    Files.delete(java.nio.file.Paths.get(s"$t/_log/_head"))
+    assert(ids(TableLog.read(spark, t)) == (0L until 60L))
+    assert(ids(TableLog.read(spark, t, Some(12))) == (0L until 36L))
+    // a TORN checkpoint is skipped, not served
+    Files.writeString(java.nio.file.Paths.get(f"$t/_log/v${8}%08d.checkpoint"),
+      "version=8 base=7 action=append kind=full\ndata/cnope/part-x.parquet\n")
+    assert(ids(TableLog.read(spark, t, Some(9))) == (0L until 27L))
+    // pre-round-13 compat: a FULL manifest without kind= parses (old
+    // tables keep reading) — rewrite v1 into the legacy shape
+    val v1p = java.nio.file.Paths.get(f"$t/_log/v${1}%08d.manifest")
+    val legacy = Files.readString(v1p).linesIterator.map { ln =>
+      if (ln.startsWith("version=")) ln.replace(" kind=delta", "")
+      else ln.stripPrefix("+")
+    }.mkString("\n")
+    Files.writeString(v1p, legacy)
+    assert(ids(TableLog.read(spark, t, Some(1))) == (0L until 3L))
+    assert(ids(TableLog.read(spark, t, Some(3))) == (0L until 9L),
+      "delta chains apply on top of a legacy full manifest")
+  }
+
+  test("expireVersions: history below the floor goes, consumers below it fail loudly") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 3), t)         // v1
+    TableLog.append(batch(3 until 6), t)         // v2
+    TableLog.overwrite(batch(100 until 104), t)  // v3 — v1/v2 files now only theirs
+    TableLog.append(batch(104 until 106), t)     // v4
+    TableLog.append(batch(106 until 109), t)     // v5
+    val v1Files = TableLog.manifest(spark, t, Some(2)).files
+    // floor below current floor: no-op
+    assert(TableLog.expireVersions(spark, t, 1L).isEmpty)
+    val deleted = TableLog.expireVersions(spark, t, 4L)
+    // v1/v2's data files are gone (only expired versions referenced
+    // them); v3's files survive (v4/v5 still reference them)
+    assert(v1Files.forall(deleted.contains), s"expected ${v1Files} ⊆ $deleted")
+    assert(deleted.exists(_.endsWith("v00000001.manifest")))
+    assert(deleted.exists(_.endsWith("v00000003.manifest")))
+    assert(TableLog.lowestVersion(spark, t) == 4L)
+    // retained versions read fine — the floor got a load-bearing checkpoint
+    assert(ids(TableLog.read(spark, t)) == (100L until 109L))
+    assert(ids(TableLog.read(spark, t, Some(4))) == (100L until 106L))
+    assert(TableLog.history(spark, t).map(_.version) == Seq(4L, 5L))
+    assert(TableLog.orphans(spark, t).isEmpty)
+    // a consumer pinned BELOW the floor fails LOUDLY with the resume
+    // instruction — never a silent hole
+    val e1 = intercept[IllegalStateException](TableLog.read(spark, t, Some(2)))
+    assert(e1.getMessage.contains("expired") && e1.getMessage.contains("resume"))
+    val e2 = intercept[IllegalStateException](TableLog.readAppendsSince(spark, t, 1L))
+    assert(e2.getMessage.contains("expired") || e2.getMessage.contains("non-append")
+      || e2.getMessage.contains("missing"))
+    // appends continue normally past an expiry
+    TableLog.append(batch(109 until 111), t)
+    assert(ids(TableLog.read(spark, t)) == (100L until 111L))
+  }
+
+  test("expireVersions fence: a streaming checkpoint below the floor fails loudly, above it resumes") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 2), t)  // v1
+    TableLog.append(batch(2 until 4), t)  // v2
+    val ckpt = Files.createTempDirectory("graft-tls-exp").toString
+    TableLogSpec.seenIds.clear()
+    val q = startSource(t, ckpt)
+    q.processAllAvailable(); q.stop() // checkpointed offset = version 2
+    assert(collected() == (0L until 4L))
+    TableLog.append(batch(4 until 6), t)  // v3
+    TableLog.append(batch(6 until 8), t)  // v4
+    // floor at v3 > the consumer's offset 2: long-outage restart must
+    // fail LOUDLY (readAppendsSince(2, …) needs the expired v2 manifest)
+    TableLog.expireVersions(spark, t, 3L)
+    val q2 = startSource(t, ckpt)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("expired") || msg.contains("missing"),
+      s"expected the expiry loud failure, got: ${e.getMessage}")
+    // honoring the floor: the contract is minRetain ≤ the consumer's
+    // LAST BATCH START offset (the engine re-requests the last batch
+    // range on restart to prime the source — see expireVersions doc)
+    val t2 = tmpTable()
+    TableLog.append(batch(0 until 2), t2)  // v1
+    TableLog.append(batch(2 until 4), t2)  // v2
+    val ckpt2 = Files.createTempDirectory("graft-tls-exp2").toString
+    TableLogSpec.seenIds.clear()
+    val q3 = startSource(t2, ckpt2)
+    q3.processAllAvailable(); q3.stop() // batch 0 = (0, 2]
+    TableLog.append(batch(4 until 7), t2)  // v3
+    val q3b = startSource(t2, ckpt2)
+    q3b.processAllAvailable(); q3b.stop() // batch 1 = (2, 3] — last start = 2
+    TableLog.expireVersions(spark, t2, 2L) // ≤ the last batch start: honored
+    TableLog.append(batch(7 until 9), t2)  // v4
+    TableLogSpec.seenIds.clear()
+    val q4 = startSource(t2, ckpt2)
+    q4.processAllAvailable(); q4.stop()
+    assert(collected() == (7L until 9L), "resume past a honored floor is the delta only")
+  }
+
+  test("LogStore seam: commits on an object-store scheme refuse without a registration, run the race matrix with one") {
+    import graft.sinks.LogStore
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.grafts3.impl", classOf[FakeObjectStoreFS].getName)
+    conf.set("fs.grafts3.impl.disable.cache", "true")
+    val t = s"grafts3://${tmpTable()}"
+    // no LogStore for grafts3: the commit REFUSES rather than running
+    // a silently unsafe log (rename on an object store is not atomic)
+    val e = intercept[IllegalStateException](TableLog.append(batch(0 until 2), t))
+    assert(e.getMessage.contains("no LogStore registered"))
+    // a conditional-put store (the S3 If-None-Match/DynamoDB-mutex
+    // stand-in): atomic check-and-create under a lock
+    val condPut = new LogStore {
+      val lock = new Object
+      override def putIfAbsent(f: org.apache.hadoop.fs.FileSystem,
+                               dst: org.apache.hadoop.fs.Path,
+                               body: Array[Byte]): Boolean = lock.synchronized {
+        if (f.exists(dst)) false
+        else {
+          val out = f.create(dst, false)
+          try out.write(body) finally out.close()
+          true
+        }
+      }
+    }
+    val prev = LogStore.register("grafts3", condPut)
+    try {
+      // the deterministic 2-writer race through the SEAM: A resolves
+      // its base, B commits first, A loses the conditional put,
+      // rebases, wins the next version
+      TableLog.append(batch(0 until 2), t)
+      var retries = 0; var injected = false
+      val vA = TableLog.append(batch(10 until 13), t,
+        onRetry = _ => retries += 1,
+        beforeCommit = _ => if (!injected) {
+          injected = true
+          assert(TableLog.append(batch(20 until 24), t) == 2L)
+        })
+      assert(retries == 1 && vA == 3L)
+      assert(ids(TableLog.read(spark, t)) ==
+        ((0L until 2L) ++ (10L until 13L) ++ (20L until 24L)).sorted)
+      // exactly-once ledger works through the seam too
+      assert(TableLog.appendStreamBatch(batch(30 until 32), t, "obj-app", 0L).contains(4L))
+      assert(TableLog.appendStreamBatch(batch(30 until 32), t, "obj-app", 0L).isEmpty)
+    } finally {
+      prev match {
+        case Some(p) => LogStore.register("grafts3", p)
+        case None => LogStore.unregister("grafts3")
+      }
+    }
+  }
+
+  test("committed schema normalizes nullability DEEP: a later writer's null elements are honestly typed") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val t = tmpTable()
+    // first writer: array<float> containsNull=false (the toDF default)
+    TableLog.append(Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "vec"), t)
+    val stored = TableLog.manifest(spark, t).schema.get
+    assert(stored("vec").dataType.asInstanceOf[ArrayType].containsNull,
+      "committed schema must not claim containsNull=false — later writers may null elements")
+    // second writer: elements DO contain nulls — committed, and reads
+    // must SEE them (a containsNull=false read schema would let the
+    // optimizer fold the IsNull away)
+    val withNulls = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(2L, Seq(3.0f, null)))),
+      StructType(Seq(StructField("id", LongType),
+        StructField("vec", ArrayType(FloatType, containsNull = true)))))
+    TableLog.append(withNulls, t)
+    val nullElems = TableLog.read(spark, t)
+      .filter(exists(col("vec"), _.isNull)).count()
+    assert(nullElems == 1L, "the null element must be visible through the committed schema")
+  }
+
+  test("schema columns resolve case-insensitively: 'ID' against stored 'id' is the same column") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 3), t)
+    // same types, case-drifted names: NOT a new column — no evolve
+    // needed, no ambiguous duplicate committed
+    val drifted = Seq((10L, "doc-10")).toDF("ID", "PAYLOAD")
+    TableLog.append(drifted, t)
+    val st = TableLog.manifest(spark, t).schema.get
+    assert(st.fieldNames.toSeq == Seq("id", "payload"),
+      s"case-only drift must not add columns: ${st.fieldNames.toSeq}")
+    assert(TableLog.read(spark, t).count() == 4)
+    // a case-drifted TYPE clash still rejects
+    intercept[IllegalArgumentException] {
+      TableLog.append(Seq(("x", "y")).toDF("ID", "payload"), t)
+    }
+  }
+
+  test("overwrite enforces the committed schema unless overwriteSchema=true") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 3), t)
+    // type change: rejected
+    intercept[IllegalArgumentException] {
+      TableLog.overwrite(Seq(("x", "y")).toDF("id", "payload"), t)
+    }
+    // accidental extra column: rejected, names the flag
+    val drifted = Seq((1L, "p", true)).toDF("id", "payload", "flag")
+    val e = intercept[IllegalArgumentException](TableLog.overwrite(drifted, t))
+    assert(e.getMessage.contains("overwriteSchema"))
+    // the deliberate spelling replaces the contract
+    val v = TableLog.overwrite(drifted, t, overwriteSchema = true)
+    assert(TableLog.read(spark, t, Some(v)).columns.toSeq == Seq("id", "payload", "flag"))
+    // pinned readers below keep the old schema
+    assert(TableLog.read(spark, t, Some(v - 1)).columns.toSeq == Seq("id", "payload"))
+  }
+
+  test("streaming source: user schema must be a type-equal subset; failOnSchemaEvolution fails loudly") {
+    import org.apache.spark.sql.types._
+    val t = tmpTable()
+    TableLog.append(batch(0 until 3), t)
+    // type-divergent user schema: rejected at query START (the source
+    // projects by name, never converts — int-read-as-long corruption)
+    val badSchema = StructType(Seq(StructField("id", IntegerType),
+      StructField("payload", StringType)))
+    val eBad = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft.streaming.TableLogSource")
+        .schema(badSchema).option("path", t).load()
+    }
+    assert(eBad.getMessage.contains("type-equal"))
+    // a type-equal SUBSET is fine (projection by name)
+    val sub = StructType(Seq(StructField("id", LongType)))
+    val dfSub = spark.readStream.format("graft.streaming.TableLogSource")
+      .schema(sub).option("path", t).load()
+    assert(dfSub.columns.toSeq == Seq("id"))
+    // default policy: mid-stream evolution keeps serving the pinned
+    // projection (columns never change shape under a running query)
+    val ckpt = Files.createTempDirectory("graft-tls-evo").toString
+    TableLogSpec.seenIds.clear()
+    val q = startSource(t, ckpt)
+    q.processAllAvailable()
+    TableLog.append(Seq((3L, "doc-3", "en")).toDF("id", "payload", "lang"),
+      t, evolve = true)
+    q.processAllAvailable(); q.stop()
+    assert(collected() == (0L until 4L), "pinned projection keeps serving")
+    // loud option: the same evolution under failOnSchemaEvolution=true
+    // fails the query with the restart instruction
+    val t2 = tmpTable()
+    TableLog.append(batch(0 until 2), t2)
+    val ckpt2 = Files.createTempDirectory("graft-tls-evo2").toString
+    val q2 = spark.readStream.format("graft.streaming.TableLogSource")
+      .option("path", t2).option("failOnSchemaEvolution", "true").load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .option("checkpointLocation", ckpt2).start()
+    q2.processAllAvailable()
+    TableLog.append(Seq((2L, "doc-2", "ko")).toDF("id", "payload", "lang"),
+      t2, evolve = true)
+    val eEvo = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    val msg = eEvo.getMessage + Option(eEvo.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("evolved") || msg.contains("failOnSchemaEvolution"),
+      s"expected the schema-evolution loud failure, got: ${eEvo.getMessage}")
+  }
+
+  test("three-table chained hop: A->B->C through two checkpointed queries, replay in the middle") {
+    val a = tmpTable(); val b = tmpTable(); val c = tmpTable()
+    TableLog.append(batch(0 until 3), a)
+    val ckAB = Files.createTempDirectory("graft-hop-ab").toString
+    val ckBC = Files.createTempDirectory("graft-hop-bc").toString
+    def hop(src: String, dst: String, ck: String, app: String): Unit = {
+      val q = spark.readStream.format("graft.streaming.TableLogSource")
+        .option("path", src).load()
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          TableLog.appendStreamBatch(df, dst, app, bid); ()
+        }
+        .option("checkpointLocation", ck).start()
+      q.processAllAvailable(); q.stop()
+    }
+    hop(a, b, ckAB, "hopAB"); hop(b, c, ckBC, "hopBC")
+    assert(ids(TableLog.read(spark, c)) == (0L until 3L))
+    // nightly cycle down the chain, priced at the delta on every hop
+    TableLog.append(batch(3 until 7), a)
+    hop(a, b, ckAB, "hopAB"); hop(b, c, ckBC, "hopBC")
+    assert(ids(TableLog.read(spark, b)) == (0L until 7L))
+    assert(ids(TableLog.read(spark, c)) == (0L until 7L))
+    // REPLAY of the middle hop (same checkpoint, no new A commits):
+    // the exactly-once ledger absorbs it — C gains nothing
+    hop(b, c, ckBC, "hopBC")
+    hop(b, c, ckBC, "hopBC")
+    assert(ids(TableLog.read(spark, c)) == (0L until 7L))
+    assert(TableLog.manifest(spark, c).txns.contains("hopBC"))
+  }
+
   test("streaming source -> exactly-once sink: a table-to-table hop lands each row once") {
     val a = tmpTable(); val b = tmpTable()
     TableLog.append(batch(0 until 4), a)
