@@ -652,6 +652,29 @@ object MiscQueries {
         .orderBy("c_custkey")
     },
 
+    // ---------------------------------------------------------------- q193
+    // N-DIMENSIONAL Z-order key (3 dims here) — the Delta/Iceberg
+    // `OPTIMIZE ZORDER BY (c1..cn)` surface generalizing q137: bit b
+    // of dim i lands at position 3b+i, one sort key clusters all
+    // three, every dimension's per-file min/max stays tight
+    // (LayoutSpec measures the third-dim prune end-to-end; the gate
+    // hash-verifies every interleaved bit). SQL generated from the
+    // SAME loop (Layout.zorderKeyNSql) — the spellings cannot drift.
+    // 16 bits × 3 dims = 48 key bits, inside the signed-long budget.
+    Q("q193_zorder3_key",
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(${graft.ops.Layout.zorderKeyNSql(
+               Seq("l_partkey", "l_suppkey", "l_linenumber"))} AS BIGINT) AS zkey
+         |FROM lineitem WHERE l_orderkey % 100 = 0
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.ops.Layout.zorderKeyN(
+            Seq(col("l_partkey"), col("l_suppkey"), col("l_linenumber"))).as("zkey"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // ---------------------------------------------------------------- q139
     // PageRank over the supplier↔customer co-purchase graph — the
     // iterative-graph workload (the Pregel shape: per iteration ONE
@@ -1208,6 +1231,50 @@ object MiscQueries {
       require(TableLog.headVersion(s, b) == h.last.version,
         "an idle hop must publish nothing")
       TableLog.read(s, b).orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q194
+    // TABLE LOG RETENTION — the maintenance verb that keeps a
+    // frequently-committing table's LOG from growing without bound
+    // (round 13's delta manifests make each commit O(Δ); this bounds
+    // the cumulative history): expireVersions(floor) first publishes
+    // a VERIFIED load-bearing checkpoint at the floor, then drops
+    // older manifests and the data files only they referenced. The
+    // runner REQUIRES the fence behavior end-to-end: expired data
+    // bytes actually deleted (the compacted-away originals), reads
+    // below the floor fail LOUDLY with the resume instruction (never
+    // a silent hole), retained reads + data skipping unchanged.
+    // Output = the retained head ≡ a documents slice.
+    Q("q194_table_retention",
+      """SELECT doc_id, source FROM documents WHERE doc_id % 4 <> 0
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.sinks.TableLog
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val table = Scratch.fresh("graft-q194").toString
+      TableLog.append(docs.filter(col("doc_id") % 4 === 1), table) // v1
+      TableLog.append(docs.filter(col("doc_id") % 4 === 2), table) // v2
+      TableLog.append(docs.filter(col("doc_id") % 4 === 3), table) // v3
+      val preFiles = TableLog.manifest(s, table).files.toSet
+      TableLog.compact(s, table, numFiles = 2)                     // v4 rewrite
+      val deleted = TableLog.expireVersions(s, table, 4L)
+      require(preFiles.subsetOf(deleted.toSet),
+        s"the pre-compaction data files are referenced only by expired " +
+          s"versions and must be deleted (${preFiles.size} expected in " +
+          s"${deleted.length} deleted)")
+      require(TableLog.lowestVersion(s, table) == 4L,
+        s"floor must be v4, got v${TableLog.lowestVersion(s, table)}")
+      val loud =
+        try { TableLog.read(s, table, Some(2)); false }
+        catch { case e: IllegalStateException =>
+          e.getMessage.contains("expired") && e.getMessage.contains("resume") }
+      require(loud, "a read below the retention floor must fail loudly " +
+        "with the resume instruction")
+      require(TableLog.orphans(s, table).isEmpty,
+        "retention must leave no orphans behind")
+      // the audit verb still works over the truncated log
+      require(TableLog.history(s, table).map(_.version) == Seq(4L),
+        "history must cover exactly the retained versions")
+      TableLog.read(s, table).orderBy("doc_id")
     },
 
     // ---------------------------------------------------------------- q187

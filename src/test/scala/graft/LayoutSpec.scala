@@ -34,6 +34,64 @@ class LayoutSpec extends SparkSpec {
     assert(got((1L, 0L)) == 1L && got((0L, 1L)) == 2L && got((1L, 1L)) == 3L)
   }
 
+  test("zorderKeyN: closed-form 3-dim morton; n=2 reproduces zorderKey bit-for-bit") {
+    import spark.implicits._
+    val rows = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (5L, 3L, 7L), (1023L, 7L, 15L), (0L, 1023L, 1023L))
+    val got = rows.toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        Layout.zorderKeyN(Seq(col("x"), col("y"), col("z")), bits = 10).as("k"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2, t._3) -> t._4).toMap
+    def morton3(x: Long, y: Long, z: Long): Long =
+      (0 until 10).map(b => (((x >> b) & 1L) << (3 * b)) |
+        (((y >> b) & 1L) << (3 * b + 1)) | (((z >> b) & 1L) << (3 * b + 2))).sum
+    rows.foreach { case (x, y, z) =>
+      assert(got((x, y, z)) == morton3(x, y, z), s"($x,$y,$z)") }
+    assert(got((1L, 0L, 0L)) == 1L && got((0L, 1L, 0L)) == 2L && got((0L, 0L, 1L)) == 4L)
+    // n = 2 degenerates to the 2-dim key exactly
+    val twoEq = rows.toDF("x", "y", "z")
+      .select((Layout.zorderKeyN(Seq(col("x"), col("y")), 16) ===
+        Layout.zorderKey(col("x"), col("y"), 16)).as("eq"))
+      .as[Boolean].collect()
+    assert(twoEq.forall(identity), "zorderKeyN(2 dims) must equal zorderKey")
+    // key-bit budget: 4 dims × 16 bits = 64 > 63 rejects
+    intercept[IllegalArgumentException] {
+      Layout.zorderKeyN(Seq(col("x"), col("y"), col("z"), col("x")), 16)
+    }
+  }
+
+  test("3-dim z-ordered write prunes a box on the THIRD dimension at the footer") {
+    val n = 200000
+    // three independent uniform dims in [0, 1024), deterministic
+    val base = spark.range(n.toLong).select(
+      col("id"),
+      (hash(col("id"), lit(1)).cast("long").bitwiseAND(lit(1023L))).as("x"),
+      (hash(col("id"), lit(2)).cast("long").bitwiseAND(lit(1023L))).as("y"),
+      (hash(col("id"), lit(3)).cast("long").bitwiseAND(lit(1023L))).as("z"),
+      sha2(col("id").cast("string"), 256).as("payload"))
+    val opts = Map("parquet.block.size" -> (64 * 1024).toString)
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout3").toString
+    base.repartition(4).write.mode("overwrite").options(opts).parquet(s"$dir/shuffled")
+    Layout.clusterZOrderedN(base, Seq("x", "y", "z"), nFiles = 4, bits = 10)
+      .write.mode("overwrite").options(opts).parquet(s"$dir/z3")
+    // the box constrains ONLY the third dimension — the one a 2-dim
+    // key would leave unclustered (the q137->q193 generalization)
+    def box(path: String): DataFrame =
+      spark.read.parquet(path).filter(col("z") >= 192 && col("z") < 256)
+    val shuffledRows = scanRows(box(s"$dir/shuffled"))
+    val zRows = scanRows(box(s"$dir/z3"))
+    val a = box(s"$dir/shuffled").agg(count(lit(1)), sum(col("id"))).collect()(0)
+    val b = box(s"$dir/z3").agg(count(lit(1)), sum(col("id"))).collect()(0)
+    assert(a == b, s"layouts disagree: $a vs $b")
+    info(f"third-dim scan rows: shuffled=$shuffledRows z3=$zRows (${shuffledRows.toDouble / zRows}%.1f×)")
+    assert(shuffledRows > n * 0.9, s"shuffled scan unexpectedly pruned: $shuffledRows")
+    // contract, not magnitude (range-partition sampling varies
+    // in-suite): the third dim must prune meaningfully at all
+    assert(zRows < shuffledRows / 2,
+      s"3-dim z-order pruned nothing on the third dim: $zRows vs $shuffledRows")
+  }
+
   test("box query on a z-ordered write prunes row groups; a shuffled write scans everything") {
     import spark.implicits._
     val n = 200000
