@@ -394,6 +394,41 @@ object StreamBench {
       spark.readStream.format("graft.streaming.TableLogSource")
         .option("path", tblDir).load())
 
+    // 8b. steady-state for the TABLE source (round-12 verdict #6):
+    // N append commits into a fresh table consumed by ONE running
+    // query — the sustained table-to-table cycle. Unlike the file
+    // drops above, the producer's commit is PART of the timed cycle
+    // (the hop's real nightly cost is commit + version-delta read);
+    // slices are pre-staged to parquet so slicing cost stays outside.
+    val tblSsTimes: Seq[(Long, Double)] = {
+      val dir = tmpDir("graft-sbench-tblss")
+      val ck = tmpDir("graft-sbench-tblss-ck")
+      val staged = (0 until nDrops).map { i =>
+        val st = tmpDir(s"graft-sbench-tblss-stage$i")
+        val s = tblDocs.filter(pmod(col("doc_id"), lit(nDrops.toLong)) === i)
+        s.write.mode("overwrite").parquet(st)
+        (spark.read.parquet(st).count(), st)
+      }
+      val t00 = System.nanoTime()
+      graft.sinks.TableLog.append(spark.read.parquet(staged.head._2), dir)
+      val q = spark.readStream.format("graft.streaming.TableLogSource")
+        .option("path", dir).load()
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) => b.count(): Unit }
+        .option("checkpointLocation", ck)
+        .start()
+      q.processAllAvailable()
+      val first = (staged.head._1, (System.nanoTime() - t00) / 1e9)
+      val rest = staged.tail.map { case (n, st) =>
+        val t0 = System.nanoTime()
+        graft.sinks.TableLog.append(spark.read.parquet(st), dir)
+        q.processAllAvailable()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      q.stop()
+      first +: rest
+    }
+
     // 8. steady-state rows for the round-11 twins (curq, hist) —
     // drops 2..N through the same protocol as the others (round-12
     // verdict item #6; placed here because both need the cold
@@ -431,7 +466,8 @@ object StreamBench {
       f""""nd_steady":${steadyRate(ndTimes)}%.0f,"emb_steady":${steadyRate(embTimes)}%.0f,""" +
       f""""sem_steady":${steadyRate(semTimes)}%.0f,"cdc_steady":${steadyRate(cdcTimes)}%.0f,""" +
       f""""idx_steady":${steadyRate(idxTimes)}%.0f,"cur_steady":${steadyRate(curTimes)}%.0f,""" +
-      f""""curq_steady":${steadyRate(cqTimes)}%.0f,"hist_steady":${steadyRate(histTimes)}%.0f}""")
+      f""""curq_steady":${steadyRate(cqTimes)}%.0f,"hist_steady":${steadyRate(histTimes)}%.0f,""" +
+      f""""tbl_steady":${steadyRate(tblSsTimes)}%.0f}""")
     spark.stop()
   }
 }

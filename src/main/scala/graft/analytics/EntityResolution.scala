@@ -75,6 +75,27 @@ object EntityResolution {
   def block3Key(name: String): String =
     name.substring(name.lastIndexOf(' ') + 1)
 
+  /** Fourth blocking key (round 13): the name's MIDDLE SECTION —
+    * everything between the first and last tokens ("" for names of
+    * ≤ 2 tokens). This closes the r12 split-edit corner STRUCTURALLY:
+    * a lev ≤ 2 budget split as one edit in the first token and one in
+    * the last cannot touch anything between them, so any pair evading
+    * passes 1–3 that way agrees on this key (for ≤ 2-token names the
+    * key is "" = "" — pass 4 degrades to the truth arm's fan-out
+    * there, still bounded by the lev-dictionary join). The residual
+    * corner narrows to TOKEN-RESTRUCTURING edits (e.g. a deleted
+    * space merging two tokens plus a far-end char edit, brands
+    * differing) — measured by the q180 audit, documented in
+    * AnalyticsSpec's space-merge evader. Anchored regexes, so the
+    * first-match-vs-global replace semantics of Spark/Java/DuckDB
+    * agree; oracle spelling in MiscQueries.erMiddleSql. */
+  def block4Col(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(name, "^\\S+\\s*", ""), "\\s*\\S+$", "")
+
+  /** String twin of [[block4Col]] (ErStream's bucket key). */
+  def block4Key(name: String): String =
+    name.replaceFirst("^\\S+\\s*", "").replaceFirst("\\s*\\S+$", "")
+
   /** Length-band-blocked Levenshtein dictionary pairs — q65's
     * dictionary-first metric, the ONE spelling for every fuzzy
     * consumer (q65, matchPairs): edit distance ≤ maxDist forces
@@ -129,16 +150,18 @@ object EntityResolution {
     * audit's unblocked truth arm, and its candidate count all read
     * this body, so the audit can never drift from the rule it audits.
     *
-    * Blocked = MULTI-PASS (round 12): pass 1 recovers record pairs on
-    * the (name, brand) equi key; pass 2 on (name, first-token) with a
-    * brands-DIFFER filter; pass 3 on (name, last-token) with
-    * brands-differ AND first-tokens-differ — each later pass excludes
-    * everything an earlier key covers, so the passes are DISJOINT by
-    * construction (the standard suppress-in-later-passes rule;
-    * ErStream mirrors it per bucket) and the union needs no
-    * cross-pass dedup beyond the final canonical distinct. Three equi
-    * joins, each with the broadcast name-pair dictionary on the probe
-    * side — no new join shape, no pair blow-up at 100 TB. */
+    * Blocked = MULTI-PASS (round 12, pass 4 round 13): pass 1
+    * recovers record pairs on the (name, brand) equi key; pass 2 on
+    * (name, first-token) with a brands-DIFFER filter; pass 3 on
+    * (name, last-token) with brands-differ AND first-tokens-differ;
+    * pass 4 on (name, middle-section — [[block4Col]]) with all three
+    * earlier keys differing — each later pass excludes everything an
+    * earlier key covers, so the passes are DISJOINT by construction
+    * (the standard suppress-in-later-passes rule; ErStream mirrors it
+    * per bucket) and the union needs no cross-pass dedup beyond the
+    * final canonical distinct. Four equi joins, each with the
+    * broadcast name-pair dictionary on the probe side — no new join
+    * shape, no pair blow-up at 100 TB. */
   private def recoveredPairs(probe: DataFrame, base: DataFrame,
                              blocked: Boolean, nd: DataFrame): DataFrame = {
     val a = probe.select(col("p_partkey").as("ka"), col("p_brand").as("ba"),
@@ -149,13 +172,16 @@ object EntityResolution {
     val withNames = a.join(broadcast(nd), Seq("n1"))
     if (blocked) {
       val tok1Eq = block2Col(col("n1")) === block2Col(col("n2b"))
+      val tok3Eq = block3Col(col("n1")) === block3Col(col("n2b"))
       val pass1 = withNames.join(b, recov && col("ba") === col("bb"))
       val pass2 = withNames.join(b,
         recov && tok1Eq && col("ba") =!= col("bb"))
       val pass3 = withNames.join(b,
-        recov && block3Col(col("n1")) === block3Col(col("n2b"))
-          && col("ba") =!= col("bb") && !tok1Eq)
-      pass1.unionByName(pass2).unionByName(pass3)
+        recov && tok3Eq && col("ba") =!= col("bb") && !tok1Eq)
+      val pass4 = withNames.join(b,
+        recov && block4Col(col("n1")) === block4Col(col("n2b"))
+          && col("ba") =!= col("bb") && !tok1Eq && !tok3Eq)
+      pass1.unionByName(pass2).unionByName(pass3).unionByName(pass4)
     } else withNames.join(b, recov)
   }
 

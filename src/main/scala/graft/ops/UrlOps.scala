@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   *
   *  - [[canonicalizeUrl]]: raw crawl URL → canonical form. Policy
   *    (each step is a documented curation choice, not RFC 3986
-  *    resolution): lowercase scheme+host, strip a leading `www.`,
+  *    resolution): drop userinfo (`user:pass@` — never part of the
+  *    document identity), lowercase scheme+host (incl. bracketed
+  *    IPv6 literals, kept as one token), strip a leading `www.`,
   *    strip default ports (80/http, 443/443-https), drop the
   *    fragment, strip `utm_*` tracking params (the dominant
   *    crawl-dup source), empty path → `/`, strip a trailing slash
@@ -42,9 +44,18 @@ object UrlOps {
     val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     val hostport = regexp_extract(rest, "^([^/?#]*)", 1)
     val tail = rest.substr(length(hostport) + lit(1), length(rest))
+    // userinfo ends at the first '@' (RFC 3986: '@' cannot appear
+    // unencoded inside userinfo) and is DROPPED — stripped before
+    // host/port parsing so a numeric password can never read as a
+    // port (round-13 advisor fix). Bracketed IPv6 authorities are
+    // safe under the $-anchored port regex by construction: without
+    // a real :port the authority ends in ']', which the digit class
+    // cannot match — '[::1]:8080' strips its port, '[2001:db8::1]'
+    // is untouched.
+    val auth = regexp_replace(hostport, "^[^@]*@", "")
     val host = regexp_replace(
-      lower(regexp_replace(hostport, ":[0-9]+$", "")), "^www\\.", "")
-    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+      lower(regexp_replace(auth, ":[0-9]+$", "")), "^www\\.", "")
+    val port = regexp_extract(auth, ":([0-9]+)$", 1)
     val portPart = when(port === "" ||
         (scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"), lit(""))
@@ -62,9 +73,11 @@ object UrlOps {
       .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
   }
 
-  /** The canonical host of a [[canonicalizeUrl]] output. */
+  /** The canonical host of a [[canonicalizeUrl]] output. A bracketed
+    * IPv6 literal is one host token (the alternation tries the
+    * bracket form first — '[::1]:8080' yields '[::1]', not '['). */
   def urlDomain(canon: Column): Column =
-    regexp_extract(canon, "^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1)
+    regexp_extract(canon, "^[a-z][a-z0-9+.-]*://(\\[[^\\]]*\\]|[^/:?#]*)", 1)
 
   /** Per-row URL-curation verdicts: (idCol, canon, domain, is_keeper,
     * kept). `is_keeper` ⇔ this row holds the minimum id of its

@@ -35,18 +35,44 @@ object MiscQueries {
       (tbl, v1)
     })
 
+  /** DuckDB spelling of `EntityResolution.block4Col` (the name's
+    * middle section — pass-4 blocking key, round 13). Anchored
+    * regexes, so DuckDB's first-match replace and Spark's global
+    * replace agree; \S/\s are RE2- and Java-identical on this
+    * ASCII name space. ONE helper feeds every ER oracle (the
+    * batteryCtes anti-drift rule). */
+  private def erMiddleSql(c: String): String =
+    s"regexp_replace(regexp_replace($c, '^\\S+\\s*', ''), '\\s*\\S+$$', '')"
+
+  /** The part table with the pass-4 middle key PRECOMPUTED per row —
+    * the ER oracles' pair joins are quadratic in DuckDB (OR-of-
+    * equalities can't hash-join), so the regex must run n times in a
+    * CTE, never n² times inside the join condition. */
+  private val erPmSql: String =
+    s"pm AS (SELECT *, ${erMiddleSql("p_name")} AS mid FROM part)"
+
+  /** The ER oracles' blocking disjunction — brand ∪ first-token ∪
+    * last-token ∪ middle-section, the union the four disjoint Spark
+    * passes cover (disjointness matters only for exactly-once
+    * streaming emission; set-wise the union is this OR). Operands
+    * must be [[erPmSql]] aliases (for the precomputed mid). */
+  private def erBlockSql(a: String, b: String): String =
+    s"""($a.p_brand = $b.p_brand
+       |        OR split_part($a.p_name, ' ', 1) = split_part($b.p_name, ' ', 1)
+       |        OR split_part($a.p_name, ' ', -1) = split_part($b.p_name, ' ', -1)
+       |        OR $a.mid = $b.mid)""".stripMargin
+
   /** Full-recompute ER oracle (scored pairs → recursive closure →
     * canonical + sizes). q166 AND q167 read this ONE string — q167's
     * gate is the identity proof "incremental ≡ full recompute", so
     * the two oracles must be the same text by construction, not by
     * discipline (the batteryCtes rule). */
   private val erResolveSql: String =
-    """WITH RECURSIVE sc AS (
+    s"""WITH RECURSIVE $erPmSql,
+      |sc AS (
       |  SELECT a.p_partkey AS d1, b.p_partkey AS d2
-      |  FROM part a JOIN part b
-      |    ON (a.p_brand = b.p_brand
-      |        OR split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
-      |        OR split_part(a.p_name, ' ', -1) = split_part(b.p_name, ' ', -1))
+      |  FROM pm a JOIN pm b
+      |    ON ${erBlockSql("a", "b")}
       |       AND a.p_partkey < b.p_partkey
       |  WHERE levenshtein(a.p_name, b.p_name) <= 2
       |    AND 2 + CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END
@@ -1054,35 +1080,37 @@ object MiscQueries {
     // EntityResolution.block2Col/block3Col), candidates unioned
     // pass-disjointly. The token keys ride the metric's structure: a
     // lev ≤ 2 budget cannot disturb both ends of the name unless it
-    // splits two single-char edits across them. Measured at sf0.1:
-    // 390 bp single-pass → 5,858 two-pass → 10,000 bp three-pass,
-    // candidates 5.5M (output-bounded; cand_pairs rides in the
-    // report so the recall/volume trade stays visible). The audit
-    // keeps measuring the split-edit corner that could still evade.
+    // splits two single-char edits across them — and round 13's
+    // FOURTH pass (middle section, block4Col) closes that corner
+    // structurally: edits split across first AND last leave the
+    // middle intact. Measured at sf0.1: 390 bp single-pass → 5,858
+    // two-pass → 10,000 bp three-pass, candidates 5.5M
+    // (output-bounded; cand_pairs rides in the report so the
+    // recall/volume trade stays visible). The residual corner is
+    // token-RESTRUCTURING edits (space-merge + far-end edit, brands
+    // differing) — the audit keeps measuring it (AnalyticsSpec's
+    // space-merge evader pins one).
     Q("q180_er_blocking_audit",
-      """WITH names AS (SELECT DISTINCT p_name FROM part),
+      s"""WITH $erPmSql,
+        |names AS (SELECT DISTINCT p_name FROM part),
         |nd AS (SELECT a.p_name AS n1, b.p_name AS n2
         |       FROM names a JOIN names b
         |         ON abs(length(a.p_name) - length(b.p_name)) <= 2
         |       WHERE levenshtein(a.p_name, b.p_name) <= 2),
         |sc AS (SELECT least(a.p_partkey, b.p_partkey) AS d1,
         |              greatest(a.p_partkey, b.p_partkey) AS d2,
-        |              max(CASE WHEN a.p_brand = b.p_brand
-        |                    OR split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
-        |                    OR split_part(a.p_name, ' ', -1) = split_part(b.p_name, ' ', -1)
+        |              max(CASE WHEN ${erBlockSql("a", "b")}
         |                  THEN 1 ELSE 0 END) AS fb
-        |       FROM nd JOIN part a ON a.p_name = nd.n1
-        |               JOIN part b ON b.p_name = nd.n2 AND a.p_partkey <> b.p_partkey
+        |       FROM nd JOIN pm a ON a.p_name = nd.n1
+        |               JOIN pm b ON b.p_name = nd.n2 AND a.p_partkey <> b.p_partkey
         |       WHERE 2 + CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END
         |               + CASE WHEN abs(a.p_size - b.p_size) <= 1 THEN 1 ELSE 0 END >= 4
         |       GROUP BY 1, 2),
         |cand AS (SELECT DISTINCT least(a.p_partkey, b.p_partkey) AS d1,
         |                greatest(a.p_partkey, b.p_partkey) AS d2
-        |         FROM nd JOIN part a ON a.p_name = nd.n1
-        |                 JOIN part b ON b.p_name = nd.n2 AND a.p_partkey <> b.p_partkey
-        |         WHERE a.p_brand = b.p_brand
-        |            OR split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
-        |            OR split_part(a.p_name, ' ', -1) = split_part(b.p_name, ' ', -1)),
+        |         FROM nd JOIN pm a ON a.p_name = nd.n1
+        |                 JOIN pm b ON b.p_name = nd.n2 AND a.p_partkey <> b.p_partkey
+        |         WHERE ${erBlockSql("a", "b")}),
         |cn AS (SELECT CAST(count(*) AS BIGINT) AS cand_pairs FROM cand)
         |SELECT CAST(count(*) AS BIGINT) AS truth_pairs,
         |       CAST(sum(fb) AS BIGINT) AS blocked_pairs,
@@ -1324,7 +1352,9 @@ object MiscQueries {
     // per-domain caps run before any text is fetched or shingled,
     // because a canonical-URL match is free while a text comparison
     // costs a fetch). Raw crawl URLs are synthesized deterministically
-    // per doc (scheme/host case mix, www. prefixes, default and
+    // per doc (scheme/host case mix, www. prefixes, userinfo with a
+    // NUMERIC password — the strip-as-port hazard the round-13
+    // advisor named — bracketed IPv6 hosts, default and
     // non-default ports, trailing slashes, utm_* tracking params,
     // fragments — the real crawl-dup channels); UrlOps.canonicalizeUrl
     // normalizes them with codegen'd regex built-ins, urlCurate elects
@@ -1338,10 +1368,15 @@ object MiscQueries {
       val bucket = TextQueries.hexValSql("CAST(doc_id AS VARCHAR)", 1, 3)
       """WITH u AS (SELECT doc_id,
         |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://'
-        |  || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
-        |  || (CASE WHEN doc_id % 5 = 0 THEN upper('cdn-' || source)
-        |           ELSE 'cdn-' || source END)
-        |  || '.example.com'
+        |  || (CASE WHEN doc_id % 11 = 0
+        |           THEN 'u' || CAST(doc_id % 3 AS VARCHAR) || ':9@'
+        |           ELSE '' END)
+        |  || (CASE WHEN doc_id % 13 = 0
+        |           THEN '[2001:DB8::' || CAST(doc_id % 4 AS VARCHAR) || ']'
+        |           ELSE (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+        |                || (CASE WHEN doc_id % 5 = 0 THEN upper('cdn-' || source)
+        |                         ELSE 'cdn-' || source END)
+        |                || '.example.com' END)
         |  || (CASE WHEN doc_id % 9 < 3 THEN
         |             (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
         |           WHEN doc_id % 9 = 3 THEN ':8080' ELSE '' END)
@@ -1360,10 +1395,12 @@ object MiscQueries {
         |p1 AS (SELECT *, regexp_extract(rest, '^([^/?#]*)', 1) AS hostport,
         |  substr(rest, length(regexp_extract(rest, '^([^/?#]*)', 1)) + 1) AS tail
         |FROM p0),
+        |p1a AS (SELECT *, regexp_replace(hostport, '^[^@]*@', '') AS auth
+        |FROM p1),
         |p2 AS (SELECT *,
-        |  regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
+        |  regexp_replace(lower(regexp_replace(auth, ':[0-9]+$', '')),
         |                 '^www\.', '') AS host,
-        |  regexp_extract(hostport, ':([0-9]+)$', 1) AS port FROM p1),
+        |  regexp_extract(auth, ':([0-9]+)$', 1) AS port FROM p1a),
         |p3 AS (SELECT *,
         |  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
         |         OR (scheme = 'https' AND port = '443') THEN ''
@@ -1396,10 +1433,15 @@ object MiscQueries {
       def m(k: Int) = pmod(col("doc_id"), lit(k.toLong))
       val raw = concat(
         when(m(2) === 0, lit("https")).otherwise(lit("HTTP")), lit("://"),
-        when(m(3) === 0, lit("WWW.")).otherwise(lit("")),
-        when(m(5) === 0, upper(concat(lit("cdn-"), col("source"))))
-          .otherwise(concat(lit("cdn-"), col("source"))),
-        lit(".example.com"),
+        when(m(11) === 0, concat(lit("u"), m(3).cast("string"), lit(":9@")))
+          .otherwise(lit("")),
+        when(m(13) === 0,
+            concat(lit("[2001:DB8::"), m(4).cast("string"), lit("]")))
+          .otherwise(concat(
+            when(m(3) === 0, lit("WWW.")).otherwise(lit("")),
+            when(m(5) === 0, upper(concat(lit("cdn-"), col("source"))))
+              .otherwise(concat(lit("cdn-"), col("source"))),
+            lit(".example.com"))),
         when(m(9) < 3, when(m(2) === 0, lit(":443")).otherwise(lit(":80")))
           .when(m(9) === 3, lit(":8080")).otherwise(lit("")),
         lit("/"), col("lang"), lit("/doc/"), m(200).cast("string"),

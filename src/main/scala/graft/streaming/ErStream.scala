@@ -28,17 +28,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * an idempotent sink (the family contract).
   *
   * Scale: state shards by BLOCKING key — multi-pass like the batch
-  * side (round 12): each record enters its brand bucket, its
-  * name-first-token bucket and its name-last-token bucket
-  * ([[graft.analytics.EntityResolution.block2Key]]/`block3Key`, the
-  * one spelling with the batch `block2Col`/`block3Col`); the
-  * first-token bucket only emits pairs whose brands DIFFER, the
-  * last-token bucket only pairs whose brands AND first tokens
-  * differ (the suppress-in-later-passes rule — a pair covered by an
-  * earlier key emits from that bucket alone), so clean runs stay
-  * exactly-once per pair with no cross-bucket dedup stage. State is
-  * one bucket entry per (record, key) — 3× members, same shape. An
-  * arrival costs three bucket scans. `maxMembers` is the saturation
+  * side (round 12, pass 4 round 13): each record enters its brand
+  * bucket, its name-first-token, name-last-token and name-middle-
+  * section buckets
+  * ([[graft.analytics.EntityResolution.block2Key]]/`block3Key`/
+  * `block4Key`, the one spelling with the batch `block2Col`/
+  * `block3Col`/`block4Col`); the first-token bucket only emits pairs
+  * whose brands DIFFER, the last-token bucket only pairs whose
+  * brands AND first tokens differ, the middle bucket only pairs
+  * where all three earlier keys differ (the suppress-in-later-passes
+  * rule — a pair covered by an earlier key emits from that bucket
+  * alone), so clean runs stay exactly-once per pair with no
+  * cross-bucket dedup stage. State is one bucket entry per
+  * (record, key) — 4× members, same shape. An arrival costs four
+  * bucket scans. `maxMembers` is the saturation
   * latch of the other twins — a bucket past the cap is a
   * mass-duplicate signal that stops pairing AND growing.
   *
@@ -78,21 +81,21 @@ object ErStream {
   }
 
   /** Verified match pairs over a record stream, canonical d1 < d2.
-    * Each record enters THREE buckets (brand, name-first-token,
-    * name-last-token); later buckets pair only members every EARLIER
-    * key fails to cover, so the passes are disjoint by construction —
-    * batch parity with `EntityResolution.matchPairs`' multi-pass
-    * recovery. */
+    * Each record enters FOUR buckets (brand, name-first-token,
+    * name-last-token, name-middle-section); later buckets pair only
+    * members every EARLIER key fails to cover, so the passes are
+    * disjoint by construction — batch parity with
+    * `EntityResolution.matchPairs`' multi-pass recovery. */
   def matchPairs(recs: Dataset[Rec], maxMembers: Int = 10000): Dataset[MatchPair] = {
     import recs.sparkSession.implicits._
-    import graft.analytics.EntityResolution.{block2Key, block3Key}
+    import graft.analytics.EntityResolution.{block2Key, block3Key, block4Key}
     recs.flatMap(r => Seq(("b|" + r.p_brand, r), ("t|" + block2Key(r.p_name), r),
-        ("u|" + block3Key(r.p_name), r)))
+        ("u|" + block3Key(r.p_name), r), ("m|" + block4Key(r.p_name), r)))
       .groupByKey(_._1)
       .flatMapGroupsWithState[BucketState, MatchPair](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (key, it, state: GroupState[BucketState]) =>
-          val pass = key.charAt(0) // 'b' | 't' | 'u'
+          val pass = key.charAt(0) // 'b' | 't' | 'u' | 'm'
           var st = state.getOption.getOrElse(BucketState(Nil, saturated = false))
           val out = scala.collection.mutable.ListBuffer.empty[MatchPair]
           it.map(_._2).toSeq.sortBy(_.p_partkey).foreach { r =>
@@ -101,8 +104,11 @@ object ErStream {
                 val emit = pass match {
                   case 'b' => true
                   case 't' => m.p_brand != r.p_brand
-                  case _ => m.p_brand != r.p_brand &&
+                  case 'u' => m.p_brand != r.p_brand &&
                     block2Key(m.p_name) != block2Key(r.p_name)
+                  case _ => m.p_brand != r.p_brand &&
+                    block2Key(m.p_name) != block2Key(r.p_name) &&
+                    block3Key(m.p_name) != block3Key(r.p_name)
                 }
                 if (m.p_partkey != r.p_partkey && emit && isMatch(m, r))
                   out += MatchPair(math.min(m.p_partkey, r.p_partkey),

@@ -1040,36 +1040,49 @@ class AnalyticsSpec extends SparkSpec {
       "incremental labels ≡ batch labels")
   }
 
-  test("ER multi-pass blocking: token pass recovers brand typos; double-evaders still audited") {
+  test("ER multi-pass blocking: token passes recover brand typos + split edits; space-merge evader still audited") {
     import graft.analytics.EntityResolution
     // records 1/2: identical name/type/size, brand typo ("l" for "1")
     // — single-pass brand blocking hid this pair (the round-11 390 bp
     // verdict item); the first-token pass recovers it (same "azure").
     // Records 4/5: two single-char edits SPLIT across the first and
-    // last tokens with differing brands — the one corner that evades
-    // all three keys; only the truth arm sees it, and the audit
-    // reports exactly that miss. Record 3 is lev-unreachable.
+    // last tokens with differing brands — the corner that evaded the
+    // three r12 keys; round 13's MIDDLE-SECTION pass (block4Col)
+    // recovers it structurally ("mint" survives both edits).
+    // Records 6/7: the residual corner — a deleted space MERGES the
+    // first two tokens (restructuring every token key, middle
+    // included) plus a far-end edit, brands differing; only the truth
+    // arm sees it, and the audit reports exactly that miss.
+    // Record 3 is lev-unreachable.
     val recs = Seq(
       (1L, "Brand#13", "azure plum linen", "STANDARD", 5),
       (2L, "Brand#l3", "azure plum linen", "STANDARD", 5),
       (3L, "Brand#13", "completely different name", "STANDARD", 5),
       (4L, "Brand#21", "coral mint silk", "ECONOMY", 9),
-      (5L, "Brand#22", "coralx mint silke", "ECONOMY", 9))
+      (5L, "Brand#22", "coralx mint silke", "ECONOMY", 9),
+      (6L, "Brand#31", "aa bb cc dd", "PROMO", 7),
+      (7L, "Brand#32", "aabb cc ddx", "PROMO", 7))
       .toDF("p_partkey", "p_brand", "p_name", "p_type", "p_size")
+    // the middle key itself: between first and last token, "" for
+    // <= 2-token names, whitespace-run tolerant
+    assert(EntityResolution.block4Key("coral mint silk") == "mint")
+    assert(EntityResolution.block4Key("aa bb cc dd") == "bb cc")
+    assert(EntityResolution.block4Key("onetoken") == "")
+    assert(EntityResolution.block4Key("two tokens") == "")
     val pairs = EntityResolution.matchPairs(recs, recs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs == Set((1L, 2L)),
-      s"token pass must recover the brand-typo pair and only it: $pairs")
+    assert(pairs == Set((1L, 2L), (4L, 5L)),
+      s"token passes must recover the brand-typo AND split-edit pairs: $pairs")
     val row = EntityResolution.blockingRecallAudit(recs).collect().head
     assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
-      ((2L, 1L, 1L, 5000L)),
-      s"truth=2 blocked=1 missed=1 recall=5000bp — got $row")
-    // candidate count reported: exactly the admitted record pair
-    assert(row.getLong(4) == 1L, s"cand_pairs — got $row")
-    // same-brand control: both pairs blocked, recall 10000 bp
+      ((3L, 2L, 1L, 6666L)),
+      s"truth=3 blocked=2 missed=1 recall=6666bp — got $row")
+    // candidate count reported: exactly the two admitted record pairs
+    assert(row.getLong(4) == 2L, s"cand_pairs — got $row")
+    // same-brand control: all three pairs blocked, recall 10000 bp
     val ok = recs.withColumn("p_brand", lit("Brand#13"))
     val row2 = EntityResolution.blockingRecallAudit(ok).collect().head
-    assert((row2.getLong(0), row2.getLong(1), row2.getLong(3)) == ((2L, 2L, 10000L)),
+    assert((row2.getLong(0), row2.getLong(1), row2.getLong(3)) == ((3L, 3L, 10000L)),
       s"control: full recall — got $row2")
   }
 }
