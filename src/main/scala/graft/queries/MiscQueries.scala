@@ -1305,6 +1305,98 @@ object MiscQueries {
       TableLog.read(s, table).orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- q195
+    // TABLE-LOG ROW DELETE — copy-on-write DELETE WHERE with
+    // manifest-stats FILE PRUNING (the Delta DELETE + data-skipping
+    // shape; the GDPR-erasure verb a 100 TB corpus table runs): three
+    // appends partition documents by doc_id RANGE (disjoint per-file
+    // doc_id stats), then a delete of the even ids INSIDE range 1.
+    // The runner REQUIRES the scale contract, not just the rows:
+    // ranges 2+3's files carry into the new version UNTOUCHED (file
+    // identity preserved — zero new bytes for 2/3 of the table),
+    // range 1's files are all replaced, the commit lands as ONE
+    // 'delete' version, incremental readers fail loudly across it (a
+    // delete IS a data update), and a stats-provably-empty delete is
+    // a metadata NO-OP (no version bump). Output = the table after
+    // the delete ≡ a WHERE NOT slice of documents.
+    Q("q195_table_delete",
+      """SELECT doc_id, source FROM documents
+        |WHERE NOT (doc_id < (SELECT count(*) // 3 FROM documents)
+        |           AND doc_id % 2 = 0)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.sinks.TableLog
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val c = docs.count() / 3
+      val table = Scratch.fresh("graft-q195").toString
+      TableLog.append(docs.filter(col("doc_id") < c), table)           // v1
+      TableLog.append(docs.filter(col("doc_id") >= c &&
+        col("doc_id") < 2 * c), table)                                 // v2
+      TableLog.append(docs.filter(col("doc_id") >= 2 * c), table)      // v3
+      val pre = TableLog.manifest(s, table)
+      val (_, r1Files) = TableLog.pruneFiles(s, table, col("doc_id") < c)
+      val vDel = TableLog.delete(s, table,
+        col("doc_id") < c && col("doc_id") % 2 === 0)
+      val post = TableLog.manifest(s, table, Some(vDel))
+      val carried = pre.files.toSet -- r1Files.toSet
+      require(carried.subsetOf(post.files.toSet),
+        s"files outside the deleted range must carry UNTOUCHED " +
+          s"(${carried.size} expected in ${post.files.length})")
+      require(r1Files.toSet.intersect(post.files.toSet).isEmpty,
+        "every possibly-matching file must be replaced")
+      require(post.action == "delete" && vDel == 4L,
+        s"one atomic delete version (got ${post.action}@$vDel)")
+      val loud =
+        try { TableLog.readAppendsSince(s, table, 3L); false }
+        catch { case e: IllegalStateException =>
+          e.getMessage.contains("delete") }
+      require(loud, "incremental reads across a delete must fail loudly")
+      // stats prove no doc_id is negative: metadata no-op, no commit
+      require(TableLog.delete(s, table, col("doc_id") < -1) == vDel,
+        "a stats-provably-empty delete must be a metadata no-op")
+      require(TableLog.headVersion(s, table) == vDel,
+        "a no-op delete must not publish a version")
+      TableLog.read(s, table).orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q196
+    // METADATA-ONLY TABLE AGGREGATES — COUNT/MIN/MAX/null-count per
+    // column answered from the manifest's committed footer stats
+    // alone (the Delta/Iceberg SELECT-COUNT(*) metadata optimization
+    // as a verb): at 10⁵ files this is a manifest read vs a 100 TB
+    // scan. The runner REQUIRES zero data-file I/O — the result is a
+    // LocalRelation with no input files — and the gate hashes the
+    // VALUES against DuckDB's full recompute over documents, proving
+    // the commit-time footer harvest is exact (min/max are real row
+    // values decoded whole, counts summed at commit). text is
+    // excluded by the operator's own honesty rule (no stats ⇒
+    // omitted), so the served columns are doc_id/lang/source.
+    Q("q196_table_stats_agg",
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(min(doc_id) AS VARCHAR) AS min_v,
+        |    CAST(max(doc_id) AS VARCHAR) AS max_v,
+        |    CAST(0 AS BIGINT) AS n_nulls FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', CAST(count(*) AS BIGINT), min(lang), max(lang),
+        |    CAST(0 AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', CAST(count(*) AS BIGINT), min(source), max(source),
+        |    CAST(0 AS BIGINT) FROM documents)
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      import graft.sinks.TableLog
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"))
+      val table = Scratch.fresh("graft-q196").toString
+      (0 until 3).foreach(k => TableLog.append(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === k), table))
+      val agg = TableLog.statsSummary(s, table)
+      require(agg.inputFiles.isEmpty,
+        "statsSummary must answer from the manifest alone (zero data files)")
+      agg.select(col("column").as("col_name"), col("n_rows"),
+          col("min_v"), col("max_v"), col("n_nulls"))
+        .orderBy("col_name")
+    },
+
     // ---------------------------------------------------------------- q187
     // TableLog INCREMENTAL READ — the nightly/streaming consumer
     // contract (Delta-as-a-streaming-source semantics): rows appended

@@ -897,6 +897,124 @@ object TableLog {
       s"TableLog.upsert: lost the publish race $maxRetries times on $table")
   }
 
+  /** ROW-LEVEL DELETE (copy-on-write — Delta's DELETE WHERE): remove
+    * the rows matching `predicate`, published as ONE atomic 'delete'
+    * version. SQL null semantics: only rows where the predicate is
+    * TRUE are removed; a NULL verdict keeps the row.
+    *
+    * The rewrite is FILE-PRUNED through the same optimizer-resolved
+    * manifest-stats evaluator the read side uses ([[readWhere]]'s
+    * survivors): files whose committed stats PROVE no row can match
+    * carry into the new version UNTOUCHED — not read, not rewritten,
+    * zero new bytes — so the pass costs O(files that might match),
+    * never O(table). On a range/z-ordered table a selective delete
+    * rewrites a handful of files out of 10⁵ (the Delta
+    * DELETE-with-data-skipping shape); the GDPR/right-to-erasure verb
+    * a 100 TB corpus table needs. A delete the stats prove EMPTY is a
+    * metadata no-op: nothing written, nothing committed, the current
+    * head returned.
+    *
+    * Commits as a REWRITE action: incremental readers and the
+    * streaming source fail loudly across it per the rewrite contract
+    * (a delete IS a data update), and the full manifest doubles as a
+    * checkpoint. The committed schema carries forward unchanged
+    * (copy-on-write preserves the contract; legacy no-schema tables
+    * stay legacy). A lost publish race re-resolves and re-deletes
+    * (rebase is unsound — the racing commit may have added matching
+    * rows); the loser's files become vacuum-able orphans, and the
+    * replaced files stay referenced by OLDER versions until
+    * [[expireVersions]] retires them — time travel below the delete
+    * still sees the deleted rows, which is the versioned-table
+    * contract, not a leak (erasure compliance = delete + expire +
+    * vacuum, in that order). */
+  def delete(spark: SparkSession, table: String,
+             predicate: org.apache.spark.sql.Column,
+             maxRetries: Int = 10): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val r = headResolved(spark, table)
+      require(r.nonEmpty, s"TableLog.delete: $table has no committed version")
+      val m = r.get.m
+      val touched = survivors(spark, table, m, predicate)
+      if (touched.isEmpty) return m.version // stats prove nothing matches
+      val keptSet = m.files.toSet -- touched
+      val kept = m.files.filter(keptSet)
+      val rewritten = reader(spark, m)
+        .parquet(touched.map(rel => new Path(table, rel).toString): _*)
+        .filter(not(coalesce(predicate, lit(false))))
+      val (rawFiles, rawStats) = writeData(rewritten, table)
+      // drop zero-row part files (empty-partition write artifacts):
+      // their footers carry no column stats, so once committed they
+      // would survive EVERY future predicate conservatively — turning
+      // stats-provably-empty deletes into endless rewrite commits.
+      // They are this writer's own uncommitted files: removed eagerly.
+      val empties = rawFiles.filter(f => rawStats.get(f).exists(_.rows == 0))
+      empties.foreach(rel => fs(spark, table).delete(new Path(table, rel), false))
+      val newFiles = rawFiles.filterNot(empties.toSet)
+      val newStats = rawStats.filter { case (k, _) => !empties.contains(k) }
+      val files = kept ++ newFiles
+      if (files.isEmpty) throw new IllegalStateException(
+        s"TableLog.delete: the predicate removed every row of $table and the " +
+          s"empty rewrite produced no data file — an empty table version is " +
+          s"not representable; overwrite with replacement contents instead")
+      val stats = m.stats.filter { case (k, _) => keptSet(k) } ++ newStats
+      if (tryCommitFull(spark, table, m.version, "delete", files, m.txns,
+          stats, m.schema))
+        return m.version + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"TableLog.delete: lost the publish race $maxRetries times on $table")
+  }
+
+  /** METADATA-ONLY aggregates — COUNT / per-column MIN / MAX /
+    * null-count served from the manifest's committed footer stats
+    * alone: ZERO data files opened, O(manifest) driver work, a
+    * LocalRelation result (the Delta/Iceberg `SELECT COUNT(*)`
+    * metadata optimization exposed as a verb — at 10⁵ files this is
+    * the difference between a manifest read and a 100 TB scan).
+    * Output: one row per column that has complete stats in EVERY
+    * file — (column, kind, n_rows, min_v, max_v, n_nulls), sorted by
+    * column. min/max come back in the stats' decoded string form and
+    * are EXACT (footer min/max are real row values, decoded whole at
+    * commit); n_nulls is null when any file reported the count
+    * unknown. Columns lacking stats in any file (unsupported types)
+    * are omitted — absence is honest, a wrong bound never is. Fails
+    * on legacy manifests without stats rather than guessing. */
+  def statsSummary(spark: SparkSession, table: String,
+                   version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val m = manifest(spark, table, version)
+    require(m.files.nonEmpty, s"TableLog: version ${m.version} of $table is empty")
+    require(m.files.forall(m.stats.contains),
+      s"TableLog.statsSummary: version ${m.version} of $table predates " +
+        s"per-file stats (legacy manifest) — rewrite the table to upgrade")
+    val fss = m.files.map(m.stats)
+    val nRows = fss.map(_.rows).sum
+    val common = fss.map(_.cols.keySet).reduce(_ intersect _).toSeq.sorted
+    val rows: Seq[Row] = common.map { c =>
+      val cs = fss.map(_.cols(c))
+      val kind = cs.head.kind
+      val mn = cs.map(_.min).reduce((a, b) => if (TableStats.lte(kind, a, b)) a else b)
+      val mx = cs.map(_.max).reduce((a, b) => if (TableStats.lte(kind, a, b)) b else a)
+      val nulls =
+        if (cs.exists(_.nulls < 0)) null
+        else java.lang.Long.valueOf(cs.map(_.nulls).sum)
+      Row(c, kind.toString, nRows, mn, mx, nulls)
+    }
+    val schema = StructType(Seq(
+      StructField("column", org.apache.spark.sql.types.StringType, false),
+      StructField("kind", org.apache.spark.sql.types.StringType, false),
+      StructField("n_rows", LongType, false),
+      StructField("min_v", org.apache.spark.sql.types.StringType, false),
+      StructField("max_v", org.apache.spark.sql.types.StringType, false),
+      StructField("n_nulls", LongType, true)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   // ------------------------------------------------------------ maintenance
 
   /** Delete data files no live manifest references (see [[orphans]])

@@ -161,7 +161,7 @@ object TableStats {
   }
 
   /** `a ≤ b` in `kind`'s order. */
-  private def lte(kind: Char, a: String, b: String): Boolean = kind match {
+  private[sinks] def lte(kind: Char, a: String, b: String): Boolean = kind match {
     case 'l' => a.toLong <= b.toLong
     case 'd' => a.toDouble <= b.toDouble
     case _   => utf8Cmp(a, b) <= 0

@@ -918,6 +918,69 @@ class TableLogSpec extends SparkSpec {
     hop()
     assert(ids(TableLog.read(spark, b)) == (0L until 7L))
   }
+
+  test("delete: SQL null semantics, schema/txns carry, pruned no-op, orphan accounting") {
+    val t = tmpTable()
+    // nullable column: DELETE WHERE v > 5 must KEEP the null-verdict rows
+    val df = Seq((1L, Some(3L)), (2L, Some(9L)), (3L, None), (4L, Some(7L)))
+      .toDF("id", "v")
+    TableLog.append(df, t)
+    val v2 = TableLog.delete(spark, t, $"v" > 5)
+    assert(v2 == 2L)
+    assert(ids(TableLog.read(spark, t)) == Seq(1L, 3L),
+      "rows where the predicate is NULL survive a delete")
+    // committed schema carried forward unchanged through the delete
+    assert(TableLog.manifest(spark, t).schema ==
+      TableLog.manifest(spark, t, Some(1)).schema)
+    // history records one atomic delete version
+    assert(TableLog.history(spark, t).map(_.action) == Seq("append", "delete"))
+    // time travel below the delete still sees the deleted rows
+    assert(ids(TableLog.read(spark, t, Some(1))) == Seq(1L, 2L, 3L, 4L))
+    // stats-provably-empty delete: metadata no-op, no version bump
+    assert(TableLog.delete(spark, t, $"id" > 100) == v2)
+    assert(TableLog.headVersion(spark, t) == v2)
+    // the replaced file is referenced by v1 (NOT an orphan) until the
+    // version expires — erasure = delete + expire + vacuum
+    assert(TableLog.orphans(spark, t).isEmpty)
+    TableLog.expireVersions(spark, t, v2)
+    val e = intercept[IllegalStateException] { TableLog.read(spark, t, Some(1)) }
+    assert(e.getMessage.contains("expired"))
+  }
+
+  test("delete prunes by manifest stats: untouched files carry by identity") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 10), t)
+    TableLog.append(batch(10 until 20), t)
+    TableLog.append(batch(20 until 30), t)
+    val pre = TableLog.manifest(spark, t)
+    val (_, touched) = TableLog.pruneFiles(spark, t, $"id" < 10)
+    assert(touched.nonEmpty && touched.size < pre.files.size,
+      "fixture: the range predicate must prune some files")
+    TableLog.delete(spark, t, $"id" < 10 && $"id" % 2 === 0)
+    val post = TableLog.manifest(spark, t)
+    assert((pre.files.toSet -- touched.toSet).subsetOf(post.files.toSet),
+      "files the stats clear must carry into the new version untouched")
+    assert(touched.toSet.intersect(post.files.toSet).isEmpty,
+      "possibly-matching files must be replaced")
+    assert(ids(TableLog.read(spark, t)) ==
+      ((0L until 10L).filter(_ % 2 == 1) ++ (10L until 30L)))
+  }
+
+  test("statsSummary: manifest-only aggregates, exact values, honest omission") {
+    val t = tmpTable()
+    val df = Seq((5L, "b", Seq(1, 2)), (1L, "a", Seq(3)), (9L, "c", Seq.empty[Int]))
+      .toDF("id", "tag", "xs")
+    TableLog.append(df.repartition(2), t)
+    TableLog.append(Seq((12L, "a", Seq(4))).toDF("id", "tag", "xs"), t)
+    val agg = TableLog.statsSummary(spark, t)
+    assert(agg.inputFiles.isEmpty, "LocalRelation — zero data files opened")
+    val rows = agg.collect().map(r => r.getString(0) ->
+      (r.getLong(2), r.getString(3), r.getString(4), r.get(5))).toMap
+    assert(rows("id") == ((4L, "1", "12", 0L)))
+    assert(rows("tag") == ((4L, "a", "c", 0L)))
+    assert(!rows.contains("xs"),
+      "a column without footer stats in every file is omitted, never guessed")
+  }
 }
 
 object TableLogSpec {
