@@ -140,7 +140,12 @@ object Plans {
     // a min-over-canon window, cap rank partitioned by
     // (domain, is_keeper); the groupBy+join-back spelling it replaced
     // duplicated the regex tree across four branches (4x wall)
-    "q186_url_curation")
+    "q186_url_curation",
+    // round-13 evidence: the copy-on-write delete's final table read
+    // (pruned-file carry happens at commit; the read is a plain
+    // pinned scan) and the reconstructed CDF (per-version union;
+    // the delete arm's O(touched-files) exceptAll)
+    "q195_table_delete", "q197_table_changes")
 
   /** Context lines emitted under a query's heading — for plans whose
     * interesting structure is NOT visible in the final explain (e.g. a

@@ -77,15 +77,23 @@ object EntityResolution {
 
   /** Fourth blocking key (round 13): the name's MIDDLE SECTION —
     * everything between the first and last tokens ("" for names of
-    * ≤ 2 tokens). This closes the r12 split-edit corner STRUCTURALLY:
-    * a lev ≤ 2 budget split as one edit in the first token and one in
-    * the last cannot touch anything between them, so any pair evading
-    * passes 1–3 that way agrees on this key (for ≤ 2-token names the
-    * key is "" = "" — pass 4 degrades to the truth arm's fan-out
-    * there, still bounded by the lev-dictionary join). The residual
-    * corner narrows to TOKEN-RESTRUCTURING edits (e.g. a deleted
-    * space merging two tokens plus a far-end char edit, brands
-    * differing) — measured by the q180 audit, documented in
+    * ≤ 2 tokens). This closes the r12 split-edit corner STRUCTURALLY
+    * for ≥ 3-token names: a lev ≤ 2 budget split as one edit in the
+    * first token and one in the last cannot touch anything between
+    * them, so any pair evading passes 1–3 that way agrees on this
+    * key. The EMPTY key is PURGED from pass 4 (standard oversized-
+    * block hygiene, Papadakis et al.'s block purging): "" would be a
+    * degenerate blocking key collecting EVERY ≤ 2-token name — on
+    * this corpus's 2-token name space that is one 20,000-member
+    * stream bucket scanning 4·10⁸ member pairs in a single FMGWS
+    * group (measured: er 2,621 → 599 recs/s before the purge — the
+    * constant-key-funnel anti-pattern) and, batch-side, the
+    * unblocked truth arm in disguise. A 2-edit split across a
+    * 2-token name touches the WHOLE name — no token-structural key
+    * can block it; that corner stays accepted AND measured by the
+    * q180 audit. The residual corner for long names narrows to
+    * TOKEN-RESTRUCTURING edits (e.g. a deleted space merging two
+    * tokens plus a far-end char edit, brands differing) —
     * AnalyticsSpec's space-merge evader. Anchored regexes, so the
     * first-match-vs-global replace semantics of Spark/Java/DuckDB
     * agree; oracle spelling in MiscQueries.erMiddleSql. */
@@ -180,6 +188,7 @@ object EntityResolution {
         recov && tok3Eq && col("ba") =!= col("bb") && !tok1Eq)
       val pass4 = withNames.join(b,
         recov && block4Col(col("n1")) === block4Col(col("n2b"))
+          && block4Col(col("n1")) =!= lit("") // empty-block purge
           && col("ba") =!= col("bb") && !tok1Eq && !tok3Eq)
       pass1.unionByName(pass2).unionByName(pass3).unionByName(pass4)
     } else withNames.join(b, recov)

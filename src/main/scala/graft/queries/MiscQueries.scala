@@ -60,7 +60,7 @@ object MiscQueries {
     s"""($a.p_brand = $b.p_brand
        |        OR split_part($a.p_name, ' ', 1) = split_part($b.p_name, ' ', 1)
        |        OR split_part($a.p_name, ' ', -1) = split_part($b.p_name, ' ', -1)
-       |        OR $a.mid = $b.mid)""".stripMargin
+       |        OR ($a.mid = $b.mid AND $a.mid <> ''))""".stripMargin
 
   /** Full-recompute ER oracle (scored pairs → recursive closure →
     * canonical + sizes). q166 AND q167 read this ONE string — q167's
@@ -1082,14 +1082,20 @@ object MiscQueries {
     // lev ≤ 2 budget cannot disturb both ends of the name unless it
     // splits two single-char edits across them — and round 13's
     // FOURTH pass (middle section, block4Col) closes that corner
-    // structurally: edits split across first AND last leave the
-    // middle intact. Measured at sf0.1: 390 bp single-pass → 5,858
-    // two-pass → 10,000 bp three-pass, candidates 5.5M
-    // (output-bounded; cand_pairs rides in the report so the
-    // recall/volume trade stays visible). The residual corner is
-    // token-RESTRUCTURING edits (space-merge + far-end edit, brands
-    // differing) — the audit keeps measuring it (AnalyticsSpec's
-    // space-merge evader pins one).
+    // structurally for ≥ 3-token names: edits split across first AND
+    // last leave the middle intact. The EMPTY middle ("" — every
+    // ≤ 2-token name) is PURGED from the pass (Papadakis-style
+    // oversized-block hygiene: on this corpus's 2-token names "" is
+    // one degenerate bucket = the unblocked arm in disguise, and a
+    // 20,000-member FMGWS funnel in the stream — measured 2,621 →
+    // 599 recs/s before the purge). Measured at sf0.1: 390 bp
+    // single-pass → 5,858 two-pass → 10,000 bp three-pass,
+    // candidates 5.5M (output-bounded; cand_pairs rides in the
+    // report so the recall/volume trade stays visible). Residual
+    // corners, both audited: token-RESTRUCTURING edits (space-merge
+    // + far-end edit, brands differing) and 2-edit splits across
+    // 2-token names (the whole name moves — no token key can block
+    // it); AnalyticsSpec pins one of each.
     Q("q180_er_blocking_audit",
       s"""WITH $erPmSql,
         |names AS (SELECT DISTINCT p_name FROM part),
@@ -1356,6 +1362,39 @@ object MiscQueries {
       require(TableLog.headVersion(s, table) == vDel,
         "a no-op delete must not publish a version")
       TableLog.read(s, table).orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q197
+    // CHANGE DATA FEED, reconstructed — row-level +insert/-delete per
+    // commit derived from the log + immutable data files alone (no
+    // writer-side change files; Delta CDF's consumer contract for the
+    // verbs this log can recover after the fact): two appends are
+    // pure inserts, the delete's removed rows are the O(touched
+    // files) multiset diff old-touched ∖ new, and the interleaved
+    // COMPACT must contribute ZERO changes (layout-only — the runner
+    // requires the version gap). A row inserted AND deleted in the
+    // range appears twice, once per change — the CDC contract; the
+    // oracle rebuilds all three change sets from documents.
+    Q("q197_table_changes",
+      """SELECT doc_id, source, 'insert' AS _change_type,
+        |  CAST(CASE WHEN doc_id < (SELECT count(*) // 2 FROM documents)
+        |       THEN 1 ELSE 2 END AS BIGINT) AS _commit_version
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, source, 'delete', CAST(4 AS BIGINT)
+        |FROM documents WHERE doc_id % 7 = 0
+        |ORDER BY _commit_version, _change_type, doc_id""".stripMargin) { (s, d) =>
+      import graft.sinks.TableLog
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val c = docs.count() / 2
+      val table = Scratch.fresh("graft-q197").toString
+      TableLog.append(docs.filter(col("doc_id") < c), table)      // v1
+      TableLog.append(docs.filter(col("doc_id") >= c), table)     // v2
+      TableLog.compact(s, table, numFiles = 2)                    // v3: 0 changes
+      TableLog.delete(s, table, col("doc_id") % 7 === 0)          // v4
+      val ch = TableLog.readChanges(s, table, 0L)
+      require(TableLog.headVersion(s, table) == 4L, "fixture: 4 versions")
+      ch.orderBy("_commit_version", "_change_type", "doc_id")
     },
 
     // ---------------------------------------------------------------- q196

@@ -968,6 +968,76 @@ object TableLog {
       s"TableLog.delete: lost the publish race $maxRetries times on $table")
   }
 
+  /** CHANGE DATA FEED, reconstructed — per-version row-level changes
+    * (+insert / -delete) for the commits in (since, to], derived from
+    * the log and the immutable data files alone, NO writer-side
+    * change files (Delta CDF makes writers emit _change_data; this
+    * log's append and delete actions are change-recoverable after
+    * the fact, which is cheaper to write and identical to consume
+    * for the verbs it covers):
+    *
+    *  - `append` — the added files' rows ARE the inserts (what
+    *    [[readAppendsSince]] serves), O(new files);
+    *  - `delete` — copy-on-write only REMOVES rows from the files it
+    *    touches, so the deleted rows are exactly
+    *    old-touched-files ∖ new-files (multiset exceptAll), and the
+    *    diff costs O(touched files), never O(table);
+    *  - `compact` / `zorder` — layout-only rewrites, content
+    *    preserved by contract (spec-pinned): ZERO row changes,
+    *    skipped;
+    *  - `overwrite` / `merge` — not change-recoverable at O(Δ)
+    *    (the diff would be whole-table): THROWS with the resume
+    *    instruction, same contract as [[readAppendsSince]] on
+    *    rewrites. Consumers needing CDC across those re-snapshot.
+    *
+    * Output: the table columns + `_change_type` ('insert'|'delete')
+    * + `_commit_version`. A row deleted in the range after being
+    * inserted in it appears TWICE (its insert and its delete) — the
+    * CDC contract; folding is the consumer's job. Cost: one pinned
+    * read per changed version (driver-side loop over O(versions
+    * consumed) manifests, the Delta commit-JSON walk). */
+  def readChanges(spark: SparkSession, table: String, sinceVersion: Long,
+                  toVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val to = toVersion.getOrElse(headVersion(spark, table))
+    require(to >= 1, s"TableLog: $table has no committed version")
+    require(sinceVersion >= 0 && sinceVersion <= to,
+      s"TableLog.readChanges: sinceVersion $sinceVersion outside [0, $to]")
+    val f = fs(spark, table)
+    val frames = ((sinceVersion + 1) to to).flatMap { v =>
+      val action = readRaw(f, table, v, v).action
+      action match {
+        case "append" =>
+          Seq(readAppendsSince(spark, table, v - 1, Some(v))
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)))
+        case "delete" =>
+          val prev = manifest(spark, table, Some(v - 1))
+          val cur = manifest(spark, table, Some(v))
+          val removed = prev.files.filterNot(cur.files.toSet)
+          val added = cur.files.filterNot(prev.files.toSet)
+          def rd(files: Seq[String]) = reader(spark, cur)
+            .parquet(files.map(rel => new Path(table, rel).toString): _*)
+          val old = rd(removed)
+          val deleted = if (added.isEmpty) old else old.exceptAll(rd(added))
+          Seq(deleted
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(v)))
+        case "compact" | "zorder" => Seq.empty // layout-only: zero row changes
+        case other => throw new IllegalStateException(
+          s"TableLog.readChanges: version $v of $table is '$other' — not " +
+            s"change-recoverable at O(Δ) (the diff would be whole-table); " +
+            s"re-read the snapshot at $v and resume from there")
+      }
+    }
+    if (frames.isEmpty) // empty or change-free range: schema-correct empty feed
+      read(spark, table, Some(to))
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(0L))
+        .filter(lit(false))
+    else frames.reduce(_ unionByName _)
+  }
+
   /** METADATA-ONLY aggregates — COUNT / per-column MIN / MAX /
     * null-count served from the manifest's committed footer stats
     * alone: ZERO data files opened, O(manifest) driver work, a

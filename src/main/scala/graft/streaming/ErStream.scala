@@ -89,8 +89,15 @@ object ErStream {
   def matchPairs(recs: Dataset[Rec], maxMembers: Int = 10000): Dataset[MatchPair] = {
     import recs.sparkSession.implicits._
     import graft.analytics.EntityResolution.{block2Key, block3Key, block4Key}
-    recs.flatMap(r => Seq(("b|" + r.p_brand, r), ("t|" + block2Key(r.p_name), r),
-        ("u|" + block3Key(r.p_name), r), ("m|" + block4Key(r.p_name), r)))
+    recs.flatMap { r =>
+      val mid = block4Key(r.p_name) // empty-block purge: "" would be a
+      // degenerate bucket holding every <= 2-token name (one constant-
+      // key FMGWS funnel — see block4Col's scaladoc; batch pass 4
+      // carries the same =!= "" guard)
+      Seq(("b|" + r.p_brand, r), ("t|" + block2Key(r.p_name), r),
+        ("u|" + block3Key(r.p_name), r)) ++
+        (if (mid.nonEmpty) Seq(("m|" + mid, r)) else Seq.empty)
+    }
       .groupByKey(_._1)
       .flatMapGroupsWithState[BucketState, MatchPair](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {

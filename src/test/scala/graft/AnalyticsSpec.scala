@@ -1053,6 +1053,12 @@ class AnalyticsSpec extends SparkSpec {
     // first two tokens (restructuring every token key, middle
     // included) plus a far-end edit, brands differing; only the truth
     // arm sees it, and the audit reports exactly that miss.
+    // Records 8/9: a 2-TOKEN name with the edits split across both
+    // tokens — the middle key is "" and the EMPTY BLOCK IS PURGED
+    // (block4Col scaladoc: "" is a degenerate bucket holding every
+    // short name — the measured FMGWS funnel), so this pair stays
+    // missed-and-audited: a 2-edit split across a 2-token name
+    // touches the whole name, no token key can block it.
     // Record 3 is lev-unreachable.
     val recs = Seq(
       (1L, "Brand#13", "azure plum linen", "STANDARD", 5),
@@ -1061,7 +1067,9 @@ class AnalyticsSpec extends SparkSpec {
       (4L, "Brand#21", "coral mint silk", "ECONOMY", 9),
       (5L, "Brand#22", "coralx mint silke", "ECONOMY", 9),
       (6L, "Brand#31", "aa bb cc dd", "PROMO", 7),
-      (7L, "Brand#32", "aabb cc ddx", "PROMO", 7))
+      (7L, "Brand#32", "aabb cc ddx", "PROMO", 7),
+      (8L, "Brand#41", "aqua rose", "ANODIZED", 3),
+      (9L, "Brand#42", "aquax rosex", "ANODIZED", 3))
       .toDF("p_partkey", "p_brand", "p_name", "p_type", "p_size")
     // the middle key itself: between first and last token, "" for
     // <= 2-token names, whitespace-run tolerant
@@ -1075,14 +1083,14 @@ class AnalyticsSpec extends SparkSpec {
       s"token passes must recover the brand-typo AND split-edit pairs: $pairs")
     val row = EntityResolution.blockingRecallAudit(recs).collect().head
     assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
-      ((3L, 2L, 1L, 6666L)),
-      s"truth=3 blocked=2 missed=1 recall=6666bp — got $row")
+      ((4L, 2L, 2L, 5000L)),
+      s"truth=4 blocked=2 missed=2 recall=5000bp — got $row")
     // candidate count reported: exactly the two admitted record pairs
     assert(row.getLong(4) == 2L, s"cand_pairs — got $row")
-    // same-brand control: all three pairs blocked, recall 10000 bp
+    // same-brand control: all four pairs blocked, recall 10000 bp
     val ok = recs.withColumn("p_brand", lit("Brand#13"))
     val row2 = EntityResolution.blockingRecallAudit(ok).collect().head
-    assert((row2.getLong(0), row2.getLong(1), row2.getLong(3)) == ((3L, 3L, 10000L)),
+    assert((row2.getLong(0), row2.getLong(1), row2.getLong(3)) == ((4L, 4L, 10000L)),
       s"control: full recall — got $row2")
   }
 }

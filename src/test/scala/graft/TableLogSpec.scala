@@ -966,6 +966,37 @@ class TableLogSpec extends SparkSpec {
       ((0L until 10L).filter(_ % 2 == 1) ++ (10L until 30L)))
   }
 
+  test("readChanges: insert/delete feed, compact contributes zero, overwrite throws") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 6), t)                       // v1
+    TableLog.append(batch(6 until 10), t)                      // v2
+    TableLog.compact(spark, t, numFiles = 1)                   // v3
+    TableLog.delete(spark, t, $"id" >= 8)                      // v4
+    val ch = TableLog.readChanges(spark, t, 0L)
+      .select($"id", $"_change_type", $"_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = (0L until 6L).map((_, "insert", 1L)).toSet ++
+      (6L until 10L).map((_, "insert", 2L)) ++
+      (8L until 10L).map((_, "delete", 4L))
+    assert(ch == want, s"full feed: ${ch.toSeq.sorted} vs ${want.toSeq.sorted}")
+    // bounded range: only the delete
+    val d4 = TableLog.readChanges(spark, t, 3L)
+      .select($"id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(d4 == Seq(8L, 9L))
+    // compact-only range: schema-correct empty feed
+    assert(TableLog.readChanges(spark, t, 2L, Some(3L)).isEmpty)
+    // a row inserted AND deleted in range appears twice (CDC contract)
+    val id8 = TableLog.readChanges(spark, t, 0L).filter($"id" === 8).count()
+    assert(id8 == 2L)
+    // overwrite: not change-recoverable at O(delta) — loud
+    TableLog.overwrite(batch(50 until 52), t)                  // v5
+    val e = intercept[IllegalStateException] {
+      TableLog.readChanges(spark, t, 4L).collect()
+    }
+    assert(e.getMessage.contains("not") &&
+      e.getMessage.contains("change-recoverable"))
+  }
+
   test("statsSummary: manifest-only aggregates, exact values, honest omission") {
     val t = tmpTable()
     val df = Seq((5L, "b", Seq(1, 2)), (1L, "a", Seq(3)), (9L, "c", Seq.empty[Int]))
