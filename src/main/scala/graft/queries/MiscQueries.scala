@@ -1364,6 +1364,62 @@ object MiscQueries {
       TableLog.read(s, table).orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- q198
+    // ZERO-COPY SHALLOW CLONE + copy-on-write divergence — the
+    // experiment/staging verb (Delta CLONE SHALLOW): cloning the
+    // 3-range documents table is ONE manifest write referencing the
+    // source's files absolutely (runner requires the clone's data
+    // dir holds ZERO bytes at clone time), then a delete on the
+    // CLONE rewrites only range 1 into the clone's own storage while
+    // ranges 2+3 stay SHARED source files (runner requires both the
+    // share and the source head byte-identical after the delete —
+    // production untouched by the what-if). Output = clone post-
+    // delete ('clone' arm) ∪ source ('src' arm), both hashed.
+    Q("q198_table_shallow_clone",
+      """SELECT doc_id, source, 'clone' AS arm FROM documents
+        |WHERE NOT (doc_id < (SELECT count(*) // 3 FROM documents)
+        |           AND doc_id % 2 = 0)
+        |UNION ALL
+        |SELECT doc_id, source, 'src' AS arm FROM documents
+        |ORDER BY arm, doc_id""".stripMargin) { (s, d) =>
+      import graft.sinks.TableLog
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val c = docs.count() / 3
+      val src = Scratch.fresh("graft-q198-src").toString
+      val cln = Scratch.fresh("graft-q198-clone").toString
+      TableLog.append(docs.filter(col("doc_id") < c), src)
+      TableLog.append(docs.filter(col("doc_id") >= c &&
+        col("doc_id") < 2 * c), src)
+      TableLog.append(docs.filter(col("doc_id") >= 2 * c), src)
+      val srcHead = TableLog.manifest(s, src)
+      require(TableLog.cloneShallow(s, src, cln) == 1L, "clone is v1")
+      def cloneDataBytes(): Long = {
+        val dd = new java.io.File(cln, "data")
+        if (!dd.exists()) 0L
+        else { var n = 0L
+          java.nio.file.Files.walk(dd.toPath).forEach(p =>
+            if (p.toFile.isFile) n += p.toFile.length())
+          n }
+      }
+      require(cloneDataBytes() == 0L,
+        "a shallow clone must copy ZERO data bytes")
+      val (_, touched) = TableLog.pruneFiles(s, cln, col("doc_id") < c)
+      TableLog.delete(s, cln, col("doc_id") < c && col("doc_id") % 2 === 0)
+      val post = TableLog.manifest(s, cln)
+      val shared = post.files.filter(_.contains(new java.io.File(src).getName))
+      require(shared.size == srcHead.files.size - touched.size && shared.nonEmpty,
+        s"untouched ranges must stay SHARED source files " +
+          s"(${shared.size} of ${post.files.size})")
+      require(TableLog.manifest(s, src).files == srcHead.files &&
+        TableLog.headVersion(s, src) == srcHead.version,
+        "the source must be byte-identical after the clone's delete")
+      TableLog.read(s, cln)
+        .select(col("doc_id"), col("source"), lit("clone").as("arm"))
+        .unionByName(TableLog.read(s, src)
+          .select(col("doc_id"), col("source"), lit("src").as("arm")))
+        .orderBy("arm", "doc_id")
+    },
+
     // ---------------------------------------------------------------- q197
     // CHANGE DATA FEED, reconstructed — row-level +insert/-delete per
     // commit derived from the log + immutable data files alone (no

@@ -968,6 +968,47 @@ object TableLog {
       s"TableLog.delete: lost the publish race $maxRetries times on $table")
   }
 
+  /** ZERO-COPY SHALLOW CLONE (Delta's CLONE SHALLOW): `target`
+    * becomes a new table whose v1 manifest references the SOURCE's
+    * data files — by qualified ABSOLUTE path — at the pinned
+    * `version` (head when None). No data bytes move: cloning a
+    * 100 TB table is one manifest write, the
+    * experiment/staging/what-if verb (try a delete, a compaction
+    * policy, a schema evolution against production data without
+    * touching production). Sound because data files are immutable
+    * and never rewritten in place.
+    *
+    * The clone is a fully independent table afterwards: appends land
+    * in ITS data dir; a copy-on-write [[delete]] rewrites only
+    * touched files into the clone (untouched files stay shared);
+    * `compact`/`zorder` MATERIALIZE it (whole-table rewrite into its
+    * own files). Divergence safety: the clone's own maintenance
+    * ([[vacuum]] scans only its data dir; [[expireVersions]] carries
+    * an ownership guard) never deletes source files. The one
+    * standing hazard is Delta's own: retention ON THE SOURCE can
+    * delete files a clone still references — schedule source
+    * expiry/vacuum around clones, or materialize first. The clone
+    * commit's action is 'clone' (not append), so incremental/
+    * streaming consumers start from `startingVersion = 1`, never
+    * across the snapshot boundary. */
+  def cloneShallow(spark: SparkSession, source: String, target: String,
+                   version: Option[Long] = None): Long = {
+    val m = manifest(spark, source, version)
+    require(m.files.nonEmpty,
+      s"TableLog: version ${m.version} of $source is empty")
+    require(headVersion(spark, target) == 0L,
+      s"TableLog.cloneShallow: target $target already has committed versions")
+    val f = fs(spark, source)
+    val abs = m.files.map(rel => f.makeQualified(new Path(source, rel)).toString)
+    val stats = m.files.zip(abs).flatMap { case (rel, a) =>
+      m.stats.get(rel).map(a -> _) }.toMap
+    if (tryCommitFull(spark, target, 0L, "clone", abs, Map.empty, stats, m.schema))
+      1L
+    else throw new IllegalStateException(
+      s"TableLog.cloneShallow: lost the publish race on $target — another " +
+        s"writer committed v1 concurrently; clone into a fresh directory")
+  }
+
   /** CHANGE DATA FEED, reconstructed — per-version row-level changes
     * (+insert / -delete) for the commits in (since, to], derived from
     * the log and the immutable data files alone, NO writer-side
@@ -1176,7 +1217,14 @@ object TableLog {
       if (v < minRetainVersion) expiredRef ++= m.get.files
       else retainedRef ++= m.get.files
     }
+    // ownership guard: retention deletes only files that live UNDER
+    // this table's directory — a shallow clone's manifests reference
+    // the SOURCE table's files by qualified absolute path
+    // ([[cloneShallow]]), and the clone's own retention must never
+    // reach into the source (Delta's vacuum-on-clone rule)
+    val tableQ = f.makeQualified(new Path(table)).toString + "/"
     val dropData = (expiredRef -- retainedRef).toSeq.sorted
+      .filter(rel => f.makeQualified(new Path(table, rel)).toString.startsWith(tableQ))
     dropData.foreach(rel => f.delete(new Path(table, rel), false))
     // 3. expired manifests + their checkpoints
     val droppedManifests = (floor until minRetainVersion).flatMap { v =>

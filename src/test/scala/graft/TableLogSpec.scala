@@ -966,6 +966,45 @@ class TableLogSpec extends SparkSpec {
       ((0L until 10L).filter(_ % 2 == 1) ++ (10L until 30L)))
   }
 
+  test("cloneShallow: zero-copy v1, divergence isolation, retention ownership guard, materialize") {
+    val src = tmpTable(); val cln = tmpTable()
+    TableLog.append(batch(0 until 5), src)
+    TableLog.append(batch(5 until 8), src)
+    assert(TableLog.cloneShallow(spark, src, cln) == 1L)
+    assert(ids(TableLog.read(spark, cln)) == (0L until 8L))
+    // zero-copy: no data dir in the clone yet
+    assert(!new java.io.File(cln, "data").exists())
+    // schema + stats travel: manifest skipping works on the clone
+    val (all, kept) = TableLog.pruneFiles(spark, cln, $"id" >= 5)
+    assert(kept.size < all.size, "source per-file stats must prune on the clone")
+    // divergence: appends land in the CLONE's storage, source unmoved
+    TableLog.append(batch(100 until 102), cln)
+    assert(ids(TableLog.read(spark, cln)).size == 10)
+    assert(ids(TableLog.read(spark, src)) == (0L until 8L))
+    // retention on the clone: ownership guard — the overwrite drops
+    // every shared reference, but expire must delete ONLY clone-owned
+    // bytes; the source still reads after it
+    TableLog.overwrite(batch(200 until 203), cln)
+    val deleted = TableLog.expireVersions(spark, cln, 3L)
+    assert(deleted.forall(p => !p.startsWith("file:") || p.contains(
+      new java.io.File(cln).getName)),
+      s"retention must never reach into the source: $deleted")
+    assert(ids(TableLog.read(spark, src)) == (0L until 8L),
+      "the source survives the clone's full retention cycle")
+    // a non-fresh target refuses
+    val e = intercept[IllegalArgumentException] {
+      TableLog.cloneShallow(spark, src, cln)
+    }
+    assert(e.getMessage.contains("already has committed versions"))
+    // compact MATERIALIZES a clone: every file becomes clone-owned
+    val cln2 = tmpTable()
+    TableLog.cloneShallow(spark, src, cln2)
+    TableLog.compact(spark, cln2, numFiles = 1)
+    assert(TableLog.manifest(spark, cln2).files.forall(f =>
+      !f.contains(new java.io.File(src).getName)))
+    assert(ids(TableLog.read(spark, cln2)) == (0L until 8L))
+  }
+
   test("readChanges: insert/delete feed, compact contributes zero, overwrite throws") {
     val t = tmpTable()
     TableLog.append(batch(0 until 6), t)                       // v1
