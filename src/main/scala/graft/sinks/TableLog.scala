@@ -546,7 +546,21 @@ object TableLog {
       try Some(rel -> TableStats.fromFooter(conf, new Path(table, rel)))
       catch { case scala.util.control.NonFatal(_) => None }
     }.toMap
-    (rels, stats)
+    // Zero-row part artifacts (empty write partitions) carry NO
+    // column stats in their footers: committed, each one survives
+    // every future manifest-stats prune conservatively — a table of
+    // range appends measured 21 of 40 files "touched" by a
+    // single-range predicate (1 real + 20 empties) before this drop.
+    // Removed here, bytes included (they are this writer's own,
+    // still-unpublished files); ONE is kept only when the whole
+    // write is empty — empty appends/deletes still need a
+    // schema-bearing file for the read invariants and commits that
+    // exist only to carry the txns ledger.
+    val empties = rels.filter(r => stats.get(r).exists(_.rows == 0))
+    val dropped = if (empties.size == rels.size) empties.drop(1) else empties
+    dropped.foreach(rel => f.delete(new Path(table, rel), false))
+    val keep = rels.filterNot(dropped.toSet)
+    (keep, stats.filter { case (k, _) => !dropped.contains(k) })
   }
 
   /** Publish a manifest body for version `v` via the scheme's
@@ -943,16 +957,23 @@ object TableLog {
       val rewritten = reader(spark, m)
         .parquet(touched.map(rel => new Path(table, rel).toString): _*)
         .filter(not(coalesce(predicate, lit(false))))
+      // writeData drops zero-row part artifacts (stat-less footers
+      // would survive every future prune conservatively, turning
+      // stats-provably-empty deletes into endless rewrites); when the
+      // delete empties ALL touched files it keeps one schema-bearing
+      // empty, so kept ++ newFiles is never empty and a full-table
+      // delete yields an empty-but-readable table
       val (rawFiles, rawStats) = writeData(rewritten, table)
-      // drop zero-row part files (empty-partition write artifacts):
-      // their footers carry no column stats, so once committed they
-      // would survive EVERY future predicate conservatively — turning
-      // stats-provably-empty deletes into endless rewrite commits.
-      // They are this writer's own uncommitted files: removed eagerly.
-      val empties = rawFiles.filter(f => rawStats.get(f).exists(_.rows == 0))
-      empties.foreach(rel => fs(spark, table).delete(new Path(table, rel), false))
-      val newFiles = rawFiles.filterNot(empties.toSet)
-      val newStats = rawStats.filter { case (k, _) => !empties.contains(k) }
+      // writeData's keep-one empty is only needed when NOTHING else
+      // survives — with carried files present, drop it (bytes too)
+      val emptyKept = rawFiles.filter(f => rawStats.get(f).exists(_.rows == 0))
+      val (newFiles, newStats) =
+        if (kept.nonEmpty && emptyKept.nonEmpty) {
+          emptyKept.foreach(rel =>
+            fs(spark, table).delete(new Path(table, rel), false))
+          (rawFiles.filterNot(emptyKept.toSet),
+            rawStats.filter { case (k, _) => !emptyKept.contains(k) })
+        } else (rawFiles, rawStats)
       val files = kept ++ newFiles
       if (files.isEmpty) throw new IllegalStateException(
         s"TableLog.delete: the predicate removed every row of $table and the " +
