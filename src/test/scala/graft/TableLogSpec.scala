@@ -1003,6 +1003,18 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.manifest(spark, cln2).files.forall(f =>
       !f.contains(new java.io.File(src).getName)))
     assert(ids(TableLog.read(spark, cln2)) == (0L until 8L))
+    // CDF on a clone: the v1 snapshot is not a change feed (loud),
+    // consumers start past it and see only post-clone changes
+    val cln3 = tmpTable()
+    TableLog.cloneShallow(spark, src, cln3)
+    TableLog.append(batch(300 until 302), cln3)
+    val e3 = intercept[IllegalStateException] {
+      TableLog.readChanges(spark, cln3, 0L).collect()
+    }
+    assert(e3.getMessage.contains("clone"))
+    val post = TableLog.readChanges(spark, cln3, 1L)
+      .select($"id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(post == Seq(300L, 301L))
   }
 
   test("readChanges: insert/delete feed, compact contributes zero, overwrite throws") {
