@@ -1364,6 +1364,42 @@ object MiscQueries {
       TableLog.read(s, table).orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- q199
+    // RESTORE TO VERSION — the undo verb (Delta RESTORE): two appends
+    // build the table, a deliberate bad delete drops half of range 1,
+    // restore(v2) publishes a head whose contents are exactly v2's
+    // again — with ZERO data movement (runner requires the restored
+    // manifest's file set IDENTICAL to v2's — old files re-referenced
+    // by identity, nothing rewritten) and history PRESERVED (append,
+    // append, delete, restore — the mistake and its undo both audit;
+    // restore is a new version, never a rewind). The txns ledger
+    // carries forward. Output = the restored head ≡ the full
+    // documents table.
+    Q("q199_table_restore",
+      "SELECT doc_id, source FROM documents ORDER BY doc_id") { (s, d) =>
+      import graft.sinks.TableLog
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val c = docs.count() / 2
+      val table = Scratch.fresh("graft-q199").toString
+      TableLog.append(docs.filter(col("doc_id") < c), table)      // v1
+      val v2 = TableLog.append(docs.filter(col("doc_id") >= c), table)
+      val m2 = TableLog.manifest(s, table, Some(v2))
+      TableLog.delete(s, table,
+        col("doc_id") < c && col("doc_id") % 2 === 0)             // v3: oops
+      val v4 = TableLog.restore(s, table, v2)
+      val m4 = TableLog.manifest(s, table)
+      require(v4 == 4L && m4.action == "restore", s"restore lands as v4 ($v4)")
+      require(m4.files == m2.files,
+        "restore must re-reference v2's files by identity (zero data moved)")
+      require(TableLog.history(s, table).map(_.action) ==
+        Seq("append", "append", "delete", "restore"),
+        "history preserved: the mistake and its undo both audit")
+      // idempotent no-op when already at the target contents
+      require(TableLog.restore(s, table, v4) == v4,
+        "restore to head is a no-op")
+      TableLog.read(s, table).orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- q198
     // ZERO-COPY SHALLOW CLONE + copy-on-write divergence — the
     // experiment/staging verb (Delta CLONE SHALLOW): cloning the

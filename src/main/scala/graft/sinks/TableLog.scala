@@ -989,6 +989,42 @@ object TableLog {
       s"TableLog.delete: lost the publish race $maxRetries times on $table")
   }
 
+  /** RESTORE TO VERSION (Delta's RESTORE): publish a new head whose
+    * contents are exactly version `version`'s — the undo verb for a
+    * bad delete/overwrite/merge. ZERO data movement: the commit is
+    * one full manifest re-referencing the old version's still-present
+    * files by identity (retention only deletes files no retained
+    * manifest references, so a restorable version's files exist by
+    * construction; an EXPIRED version fails loudly in resolve).
+    * History is preserved — restore is a new version on top, never a
+    * rewind, so the mistake and its undo both audit. The current
+    * head's `txns` ledger carries FORWARD (never backwards — a
+    * rewound ledger would let replayed streaming batches
+    * double-commit); the restored version's SCHEMA comes back with
+    * its data (restoring past an evolution restores the narrower
+    * contract, documented Delta behavior). Commits as a rewrite
+    * action: incremental/streaming consumers fail loudly across it
+    * and re-snapshot. */
+  def restore(spark: SparkSession, table: String, version: Long,
+              maxRetries: Int = 10): Long = {
+    val target = manifest(spark, table, Some(version)) // loud if expired
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val r = headResolved(spark, table)
+      require(r.nonEmpty, s"TableLog.restore: $table has no committed version")
+      val m = r.get.m
+      require(version <= m.version,
+        s"TableLog.restore: version $version is ahead of head ${m.version}")
+      if (version == m.version) return m.version // already there: no-op
+      if (tryCommitFull(spark, table, m.version, "restore", target.files,
+          m.txns, target.stats, target.schema))
+        return m.version + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"TableLog.restore: lost the publish race $maxRetries times on $table")
+  }
+
   /** ZERO-COPY SHALLOW CLONE (Delta's CLONE SHALLOW): `target`
     * becomes a new table whose v1 manifest references the SOURCE's
     * data files — by qualified ABSOLUTE path — at the pinned

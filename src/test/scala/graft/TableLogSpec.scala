@@ -1017,6 +1017,34 @@ class TableLogSpec extends SparkSpec {
     assert(post == Seq(300L, 301L))
   }
 
+  test("restore: zero-move undo, ledger carries forward, CDF loud across, expired target loud") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 4), t)                        // v1
+    TableLog.appendStreamBatch(batch(4 until 6), t, "w1", 0L)   // v2 (ledger)
+    TableLog.overwrite(batch(50 until 53), t)                   // v3: oops
+    val v4 = TableLog.restore(spark, t, 2L)
+    assert(v4 == 4L)
+    assert(ids(TableLog.read(spark, t)) == (0L until 6L))
+    assert(TableLog.manifest(spark, t).files ==
+      TableLog.manifest(spark, t, Some(2)).files,
+      "restore re-references the old files by identity")
+    // the txns ledger carried FORWARD through the restore: a replayed
+    // streaming batch must still publish nothing
+    assert(TableLog.appendStreamBatch(batch(4 until 6), t, "w1", 0L).isEmpty,
+      "a rewound ledger would let replayed batches double-commit")
+    // CDF across a restore fails loudly (not change-recoverable)
+    val e = intercept[IllegalStateException] {
+      TableLog.readChanges(spark, t, 3L).collect()
+    }
+    assert(e.getMessage.contains("restore"))
+    // restoring to an EXPIRED version is loud; the restored head's
+    // shared files survive retention (referenced by a retained manifest)
+    TableLog.expireVersions(spark, t, v4)
+    val e2 = intercept[IllegalStateException] { TableLog.restore(spark, t, 2L) }
+    assert(e2.getMessage.contains("expired"))
+    assert(ids(TableLog.read(spark, t)) == (0L until 6L))
+  }
+
   test("readChanges: insert/delete feed, compact contributes zero, overwrite throws") {
     val t = tmpTable()
     TableLog.append(batch(0 until 6), t)                       // v1
