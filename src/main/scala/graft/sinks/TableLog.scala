@@ -911,6 +911,152 @@ object TableLog {
       s"TableLog.upsert: lost the publish race $maxRetries times on $table")
   }
 
+  /** When the changes' distinct non-null keys number at most this,
+    * the touch-set predicate is the exact IN set (pruning per key);
+    * above it, the [min, max] envelope — two scalars, key-count
+    * independent. 1024 keeps the predicate driver-sized while an IN
+    * set still beats an envelope for scattered nightly keys. */
+  val MERGE_KEY_INLINE_CAP = 1024
+
+  /** MERGE INTO (copy-on-write, changelog semantics — the Delta
+    * MERGE verb, completing the DML triad append/delete/merge):
+    * fold `changes` — (keyCol, seqCol, opCol, payload…) rows with op
+    * ∈ {'I','U','D'}, [[graft.ops.Cdc.applyChangelog]]'s exact
+    * semantics (latest seq per key wins; 'D' deletes the key;
+    * 'U'/'I' both upsert, so an update to a missing key inserts —
+    * idempotent replay over a compacted log) — into the table as ONE
+    * atomic 'merge' version, touching only the files that might hold
+    * a change key.
+    *
+    * Scale shape (the q195 delete machinery pointed at the verb a
+    * real 100 TB user runs nightly — the CDC apply): the change-key
+    * DOMAIN reduces to a pruning predicate (the exact IN set up to
+    * [[MERGE_KEY_INLINE_CAP]] distinct keys, else the [min,max]
+    * envelope) and the same optimizer-resolved manifest-stats
+    * evaluator the read side uses decides the TOUCH SET — files
+    * whose committed stats prove no change key can live there carry
+    * into the new version UNTOUCHED (not read, not rewritten, zero
+    * new bytes). Because an untouched file provably holds no change
+    * key, every table row a change can match lives in a touched
+    * file — so ONE [[graft.ops.Cdc.applyChangelog]] pass over
+    * (touched rows ⟗ changes) yields the rewritten rows AND the
+    * inserts (the full-outer join's unmatched change side), and the
+    * whole apply costs O(touched files + changes), never O(table) —
+    * the O(table) full-outer join `upsert`/`ops.Cdc` standalone pay
+    * is gone. A merge whose keys prune EVERY file is a pure insert
+    * (no table file read); one that also folds to zero surviving
+    * rows is a metadata NO-OP (nothing written, head returned).
+    * Like [[delete]], the untouched-file carry makes
+    * [[TableStats.mayContain]] soundness load-bearing (fuzzed in
+    * PropertySpec for both verbs).
+    *
+    * Null keys: the changelog FOLD treats null as one key (latest
+    * seq wins, like any key), but the apply matches NO table row
+    * (null ≠ null in the join — SQL MERGE semantics): a folded
+    * 'U'/'I' inserts one null-key row, a folded 'D' is a no-op, and
+    * existing null-key table rows always carry through. Schema is ENFORCED, never evolved: `changes` must hold
+    * exactly keyCol + seqCol + opCol + the table's payload columns,
+    * type-compatible with the committed schema. Commits as a REWRITE
+    * action ('merge'): incremental readers and the streaming source
+    * fail loudly across it; [[readChanges]] serves its ±rows (an
+    * update = −preimage +postimage) at O(touched). A lost publish
+    * race re-resolves and re-merges (rebase is unsound — the racing
+    * commit may have added matching rows); `changes` is eagerly
+    * localCheckpoint'd once, so retries and the key probe never
+    * recompute a caller's expensive changelog plan.
+    *
+    * Reference anchor: the skip-if-exists-else-insert loop in
+    * review-crawler/restaurant_save.py:77-130 IS this merge, one row
+    * at a time. */
+  def merge(spark: SparkSession, table: String, changes: DataFrame,
+            keyCol: String, seqCol: String, opCol: String,
+            maxRetries: Int = 10,
+            beforeCommit: Long => Unit = _ => ()): Long = {
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    val ch = changes.localCheckpoint(true)
+    // the change-key domain as a pruning predicate; None = no non-null
+    // keys exist, so nothing in the table can match any change
+    val someKeys = ch.select(col(keyCol)).where(col(keyCol).isNotNull)
+      .distinct().limit(MERGE_KEY_INLINE_CAP + 1).collect().map(_.get(0)).toSeq
+    val keyPred =
+      if (someKeys.isEmpty) None
+      else if (someKeys.length <= MERGE_KEY_INLINE_CAP)
+        Some(col(keyCol).isin(someKeys: _*))
+      else {
+        val r = ch.agg(min(col(keyCol)), max(col(keyCol))).head
+        Some(col(keyCol) >= lit(r.get(0)) && col(keyCol) <= lit(r.get(1)))
+      }
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val res = headResolved(spark, table)
+      require(res.nonEmpty,
+        s"TableLog.merge: $table has no committed version — append the " +
+          s"initial contents first (MERGE needs an existing target)")
+      val m = res.get.m
+      val tableSchema =
+        m.schema.getOrElse(read(spark, table, Some(m.version)).schema)
+      require(tableSchema.fieldNames.contains(keyCol),
+        s"TableLog.merge: key column '$keyCol' is not in the table schema " +
+          s"(${tableSchema.fieldNames.mkString(", ")})")
+      val payloadCols = tableSchema.fieldNames.toSeq.filterNot(_ == keyCol)
+      val expectedCols = (Seq(keyCol, seqCol, opCol) ++ payloadCols).toSet
+      require(ch.columns.toSet == expectedCols,
+        s"TableLog.merge: changes must carry exactly key+seq+op+payload " +
+          s"(${expectedCols.toSeq.sorted.mkString(", ")}); got " +
+          s"(${ch.columns.sorted.mkString(", ")}) — merge never evolves " +
+          s"the schema")
+      // type enforcement against the committed schema (merge never
+      // evolves; a racing evolution re-checks on retry)
+      commitSchema(spark, Some(m),
+        ch.select((col(keyCol) +: payloadCols.map(col)).toIndexedSeq: _*),
+        evolve = false, "merge")
+      val touched = keyPred.map(survivors(spark, table, m, _))
+        .getOrElse(Seq.empty)
+      val keptSet = m.files.toSet -- touched
+      val kept = m.files.filter(keptSet)
+      val base: DataFrame =
+        if (touched.isEmpty)
+          // schema-correct EMPTY snapshot side: stats prove no table
+          // row can match, so the apply reduces to the insert arm
+          reader(spark, m).parquet(new Path(table, m.files.head).toString)
+            .filter(lit(false))
+        else reader(spark, m)
+          .parquet(touched.map(rel => new Path(table, rel).toString): _*)
+      val applied = graft.ops.Cdc.applyChangelog(
+          base, ch, keyCol, seqCol, opCol, payloadCols)
+        .select(tableSchema.fieldNames.map(col).toIndexedSeq: _*)
+      val (rawFiles, rawStats) = writeData(applied, table)
+      // writeData's keep-one empty is only needed when NOTHING else
+      // survives — with carried files present, drop it (bytes too);
+      // the delete-path pattern
+      val emptyKept = rawFiles.filter(f => rawStats.get(f).exists(_.rows == 0))
+      val (newFiles, newStats) =
+        if (kept.nonEmpty && emptyKept.nonEmpty) {
+          emptyKept.foreach(rel =>
+            fs(spark, table).delete(new Path(table, rel), false))
+          (rawFiles.filterNot(emptyKept.toSet),
+            rawStats.filter { case (k, _) => !emptyKept.contains(k) })
+        } else (rawFiles, rawStats)
+      if (touched.isEmpty && newFiles.isEmpty)
+        return m.version // zero matches, zero inserts: metadata no-op
+      val files = kept ++ newFiles
+      if (files.isEmpty) throw new IllegalStateException(
+        s"TableLog.merge: the changelog deleted every row of $table and the " +
+          s"empty rewrite produced no data file — an empty table version is " +
+          s"not representable; overwrite with replacement contents instead")
+      val stats = m.stats.filter { case (k, _) => keptSet(k) } ++ newStats
+      // test seam: TableLogSpec injects a COMPETING commit here to pin
+      // the lose-and-re-merge path deterministically
+      beforeCommit(m.version)
+      if (tryCommitFull(spark, table, m.version, "merge", files, m.txns,
+          stats, m.schema))
+        return m.version + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"TableLog.merge: lost the publish race $maxRetries times on $table")
+  }
+
   /** ROW-LEVEL DELETE (copy-on-write — Delta's DELETE WHERE): remove
     * the rows matching `predicate`, published as ONE atomic 'delete'
     * version. SQL null semantics: only rows where the predicate is
@@ -1041,13 +1187,20 @@ object TableLog {
     * `compact`/`zorder` MATERIALIZE it (whole-table rewrite into its
     * own files). Divergence safety: the clone's own maintenance
     * ([[vacuum]] scans only its data dir; [[expireVersions]] carries
-    * an ownership guard) never deletes source files. The one
-    * standing hazard is Delta's own: retention ON THE SOURCE can
-    * delete files a clone still references — schedule source
-    * expiry/vacuum around clones, or materialize first. The clone
-    * commit's action is 'clone' (not append), so incremental/
-    * streaming consumers start from `startingVersion = 1`, never
-    * across the snapshot boundary. */
+    * an ownership guard) never deletes source files. Retention ON THE
+    * SOURCE — the hazard Delta leaves to documentation — is FENCED:
+    * the clone registers a marker in the source's log
+    * ([[registerClone]]), and the source's [[expireVersions]] refuses
+    * to expire below a live clone's pin while its HEAD still shares
+    * source files (materialized/dropped clones auto-detach;
+    * [[detachClone]] releases explicitly). The fence covers the
+    * clone's head — time travel on the clone below its own
+    * materialization point is the clone's own retention trade, as in
+    * Delta. A marker write failure (cross-filesystem clone without
+    * source write access) degrades to the documented
+    * schedule-around-clones contract. The clone commit's action is
+    * 'clone' (not append), so incremental/streaming consumers start
+    * from `startingVersion = 1`, never across the snapshot boundary. */
   def cloneShallow(spark: SparkSession, source: String, target: String,
                    version: Option[Long] = None): Long = {
     val m = manifest(spark, source, version)
@@ -1059,11 +1212,102 @@ object TableLog {
     val abs = m.files.map(rel => f.makeQualified(new Path(source, rel)).toString)
     val stats = m.files.zip(abs).flatMap { case (rel, a) =>
       m.stats.get(rel).map(a -> _) }.toMap
-    if (tryCommitFull(spark, target, 0L, "clone", abs, Map.empty, stats, m.schema))
+    if (tryCommitFull(spark, target, 0L, "clone", abs, Map.empty, stats, m.schema)) {
+      registerClone(spark, source, target, m.version)
       1L
-    else throw new IllegalStateException(
+    } else throw new IllegalStateException(
       s"TableLog.cloneShallow: lost the publish race on $target — another " +
         s"writer committed v1 concurrently; clone into a fresh directory")
+  }
+
+  // ------------------------------------------------------- clone registry
+
+  /** The SOURCE-side clone registry (`_log/_clones/<id>`): one marker
+    * per shallow clone, recording the target path and the pinned
+    * source version. Written by [[cloneShallow]] at clone time so
+    * SOURCE-side retention can refuse to delete files an alive clone
+    * still references ([[expireVersions]]'s fence) — the hazard Delta
+    * leaves to documentation, fenced here the way the
+    * retention-vs-streaming-checkpoint hazard already is. Markers are
+    * advisory metadata: a marker write failure never fails the clone
+    * (cross-filesystem clones may lack source write access — then the
+    * documented schedule-around-clones contract applies), and a
+    * marker whose clone is GONE or has materialized away from the
+    * source auto-detaches at the next retention check. */
+  private def clonesDir(table: String): Path = new Path(table, s"$LOG_DIR/_clones")
+
+  private def registerClone(spark: SparkSession, source: String,
+                            target: String, pinnedVersion: Long): Unit =
+    try {
+      val f = fs(spark, source)
+      f.mkdirs(clonesDir(source))
+      val id = java.util.UUID.randomUUID().toString.take(12)
+      val body = s"target=${f.makeQualified(new Path(target)).toString}\t" +
+        s"version=$pinnedVersion"
+      val out = f.create(new Path(clonesDir(source), s"c$id"), false)
+      try out.write(body.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () } // advisory
+
+  /** Registered clones of `table` as (markerName, targetPath,
+    * pinnedVersion) — the audit face of the registry. */
+  def clones(spark: SparkSession, table: String): Seq[(String, String, Long)] = {
+    val f = fs(spark, table)
+    val dir = clonesDir(table)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.flatMap { st =>
+      try {
+        val in = f.open(st.getPath)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val kv = body.split("\t").map { s =>
+          val Array(k, v) = s.split("=", 2); k -> v }.toMap
+        Some((st.getPath.getName, kv("target"), kv("version").toLong))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Remove a clone's marker from `source`'s registry — the explicit
+    * release after a clone is materialized (`compact`/`zorder`/
+    * `overwrite`), dropped, or accepted as the caller's own risk.
+    * Returns true when a marker for `target` existed. */
+  def detachClone(spark: SparkSession, source: String, target: String): Boolean = {
+    val f = fs(spark, source)
+    val tq = f.makeQualified(new Path(target)).toString
+    val mine = clones(spark, source).filter(_._2 == tq)
+    mine.foreach { case (name, _, _) =>
+      f.delete(new Path(clonesDir(source), name), false) }
+    mine.nonEmpty
+  }
+
+  /** Markers whose clone would LOSE data if `table` expired history
+    * below `minRetainVersion`: the clone must still exist, still
+    * reference at least one file under THIS table's directory (a
+    * materialized/overwritten clone references none — auto-detached),
+    * and pin a version below the new floor. Unreachable clone logs
+    * are conservatively treated as alive (a network hiccup must not
+    * unfence a data-loss path). */
+  private def blockingClones(spark: SparkSession, table: String,
+                             minRetainVersion: Long): Seq[(String, String, Long)] = {
+    val f = fs(spark, table)
+    val tableQ = f.makeQualified(new Path(table)).toString + "/"
+    clones(spark, table).filter { case (name, target, pinned) =>
+      if (pinned >= minRetainVersion) false
+      else {
+        val state: Option[Boolean] = // Some(stillShares) | None = unreachable
+          try {
+            if (headVersion(spark, target) == 0L) Some(false) // clone gone
+            else Some(manifest(spark, target).files.exists(_.startsWith(tableQ)))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        state match {
+          case Some(false) =>
+            f.delete(new Path(clonesDir(table), name), false) // auto-detach
+            false
+          case Some(true) => true
+          case None => true // unreachable: assume alive
+        }
+      }
+    }
   }
 
   /** CHANGE DATA FEED, reconstructed — per-version row-level changes
@@ -1091,9 +1335,18 @@ object TableLog {
     * Output: the table columns + `_change_type` ('insert'|'delete')
     * + `_commit_version`. A row deleted in the range after being
     * inserted in it appears TWICE (its insert and its delete) — the
-    * CDC contract; folding is the consumer's job. Cost: one pinned
-    * read per changed version (driver-side loop over O(versions
-    * consumed) manifests, the Delta commit-JSON walk). */
+    * CDC contract; folding is the consumer's job. A `merge` commit
+    * ([[merge]]) serves an UPDATE as its −preimage and +postimage
+    * rows (old-touched ∖ new and new ∖ old-touched — O(touched
+    * files), the same multiset machinery as delete).
+    *
+    * The feed's SCHEMA is the TO-version manifest's (Delta CDF
+    * behavior): every version's files are read WITH it, so a range
+    * spanning an `append(evolve = true)` serves the older versions'
+    * rows with the added columns null-filled instead of failing the
+    * union. Cost: one pinned read per changed version (one
+    * incremental driver-side walk over the range's manifests, the
+    * Delta commit-JSON walk). */
   def readChanges(spark: SparkSession, table: String, sinceVersion: Long,
                   toVersion: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.lit
@@ -1102,31 +1355,50 @@ object TableLog {
     require(sinceVersion >= 0 && sinceVersion <= to,
       s"TableLog.readChanges: sinceVersion $sinceVersion outside [0, $to]")
     val f = fs(spark, table)
+    val mTo = manifest(spark, table, Some(to))
+    def rd(files: Seq[String]) = reader(spark, mTo)
+      .parquet(files.map(rel => new Path(table, rel).toString): _*)
+    var prev: Option[Manifest] =
+      if (sinceVersion == 0) None
+      else Some(manifest(spark, table, Some(sinceVersion)))
     val frames = ((sinceVersion + 1) to to).flatMap { v =>
-      val action = readRaw(f, table, v, v).action
-      action match {
+      val raw = readRaw(f, table, v, v)
+      val cur = applyRaw(prev, raw)
+      val prevFiles = prev.map(_.files.toSet).getOrElse(Set.empty[String])
+      val out: Seq[DataFrame] = raw.action match {
         case "append" =>
-          Seq(readAppendsSince(spark, table, v - 1, Some(v))
+          val added = cur.files.filterNot(prevFiles)
+          if (added.isEmpty) Seq.empty
+          else Seq(rd(added)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
-        case "delete" =>
-          val prev = manifest(spark, table, Some(v - 1))
-          val cur = manifest(spark, table, Some(v))
-          val removed = prev.files.filterNot(cur.files.toSet)
-          val added = cur.files.filterNot(prev.files.toSet)
-          def rd(files: Seq[String]) = reader(spark, cur)
-            .parquet(files.map(rel => new Path(table, rel).toString): _*)
-          val old = rd(removed)
-          val deleted = if (added.isEmpty) old else old.exceptAll(rd(added))
-          Seq(deleted
-            .withColumn("_change_type", lit("delete"))
-            .withColumn("_commit_version", lit(v)))
+        case "delete" | "merge" =>
+          val removed = prev.map(_.files).getOrElse(Seq.empty)
+            .filterNot(cur.files.toSet)
+          val added = cur.files.filterNot(prevFiles)
+          val oldRows = if (removed.isEmpty) None else Some(rd(removed))
+          val newRows = if (added.isEmpty) None else Some(rd(added))
+          // rows leaving the touched set are deletes, rows entering it
+          // are inserts; a merge UPDATE is its −preimage + its
+          // +postimage (the signed-row CDC contract). For a delete the
+          // insert side is empty by construction and skipped.
+          val deleted = oldRows.map(o => newRows.fold(o)(o.exceptAll))
+            .map(_.withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_version", lit(v)))
+          val inserted =
+            if (raw.action == "delete") None
+            else newRows.map(n => oldRows.fold(n)(n.exceptAll))
+              .map(_.withColumn("_change_type", lit("insert"))
+                .withColumn("_commit_version", lit(v)))
+          deleted.toSeq ++ inserted.toSeq
         case "compact" | "zorder" => Seq.empty // layout-only: zero row changes
         case other => throw new IllegalStateException(
           s"TableLog.readChanges: version $v of $table is '$other' — not " +
             s"change-recoverable at O(Δ) (the diff would be whole-table); " +
             s"re-read the snapshot at $v and resume from there")
       }
+      prev = Some(cur)
+      out
     }
     if (frames.isEmpty) // empty or change-free range: schema-correct empty feed
       read(spark, table, Some(to))
@@ -1255,6 +1527,20 @@ object TableLog {
       s"TableLog.expireVersions: minRetainVersion $minRetainVersion outside [1, $head]")
     val floor = math.max(1L, lowestVersion(f, table))
     if (minRetainVersion <= floor) return Seq.empty
+    // 0. clone fence (the hazard Delta leaves to documentation): a
+    //    live shallow clone pinned below the new floor still
+    //    references files this expiry may delete — REFUSE, loudly,
+    //    before anything is removed. Markers for clones that are gone
+    //    or have materialized away auto-detach here.
+    val blocking = blockingClones(spark, table, minRetainVersion)
+    if (blocking.nonEmpty) throw new IllegalStateException(
+      s"TableLog.expireVersions: $table has live shallow clone(s) pinned " +
+        s"below v$minRetainVersion that still reference its files — " +
+        blocking.map { case (_, tgt, v) => s"$tgt (pinned v$v)" }
+          .mkString(", ") +
+        s". Expiring would silently break them. Materialize each clone " +
+        s"(compact/zorder/overwrite) or drop it, then detachClone(source, " +
+        s"target) — or lower minRetainVersion to at most the oldest pin.")
     // 1. load-bearing checkpoint at the new floor — verified BEFORE
     //    any delete; abort (nothing deleted) if it cannot be read back
     val mFloor = resolve(spark, table, minRetainVersion).m

@@ -206,7 +206,17 @@ object TableStats {
   /** Could `file` contain a row matching `pred`? Conservative: any
     * shape this doesn't understand answers true. The evaluator treats
     * a file's stats as the INTERVAL [min, max] — sound because parquet
-    * footer min/max bound every non-null value in the file. */
+    * footer min/max bound every non-null value in the file.
+    *
+    * SOUNDNESS IS LOAD-BEARING on the DML paths: `TableLog.delete`
+    * and `TableLog.merge` carry files this evaluator clears into the
+    * new version UNTOUCHED — a false "cannot match" would silently
+    * leave matching rows undeleted/unmerged, and no read-side filter
+    * stacks on top there (unlike `readWhere`, where the original
+    * filter re-applies and pruning can never change the answer).
+    * PropertySpec fuzzes both identities — delete(p) ≡
+    * read.filter(NOT coalesce(p, false)) and the readWhere identity —
+    * over random tables and predicates. */
   def mayContain(fs: FileStats, pred: Expression): Boolean = pred match {
     case And(l, r) => mayContain(fs, l) && mayContain(fs, r)
     case Or(l, r) => mayContain(fs, l) || mayContain(fs, r)

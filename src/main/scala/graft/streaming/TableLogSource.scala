@@ -42,7 +42,17 @@ import graft.sinks.TableLog
   * Options: `path` (the table directory, required);
   * `startingVersion` (serve only appends AFTER this version; default
   * 0 = the table's whole history — the Delta option of the same
-  * name); `failOnSchemaEvolution` (default false — see below). The
+  * name); `readChangeFeed` (default false): CDF MODE — each batch is
+  * `TableLog.readChanges(start, end]` instead of the append delta,
+  * so the stream RIDES ACROSS delete and merge commits as signed
+  * rows (−preimage/+postimage with `_change_type`/`_commit_version`
+  * columns, Delta's readChangeFeed option) instead of failing;
+  * compact/zorder contribute zero rows; overwrite/restore/clone
+  * still fail loudly with the resume instruction (not
+  * change-recoverable at O(Δ)). Checkpoint replays re-derive the
+  * same signed rows from the same immutable files — offsets stay
+  * versions, exactly-once composition unchanged;
+  * `failOnSchemaEvolution` (default false — see below). The
   * served schema is pinned at query start (user-provided or the head
   * manifest's); a mid-stream schema evolution keeps serving the
   * pinned projection — evolved columns appear on a restart, never as
@@ -112,11 +122,24 @@ class TableLogSource extends StreamSourceProvider with DataSourceRegister {
     user
   }
 
+  /** The CDF-mode stream schema: the table's columns + the signed-row
+    * markers `readChanges` emits. */
+  private def cdfSchema(tbl: StructType): StructType =
+    StructType(tbl.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  private def cdf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
     val table = tablePath(parameters)
-    val tbl = tableSchema(sqlContext.sparkSession, table)
+    val tbl0 = tableSchema(sqlContext.sparkSession, table)
+    val tbl = if (cdf(parameters)) cdfSchema(tbl0) else tbl0
     (shortName(), schema.map(validated(_, tbl, table)).getOrElse(tbl))
   }
 
@@ -128,16 +151,19 @@ class TableLogSource extends StreamSourceProvider with DataSourceRegister {
     val failOnEvolve = parameters.get("failOnSchemaEvolution")
       .exists(_.toBoolean)
     val spark = sqlContext.sparkSession
-    val tbl = tableSchema(spark, table)
+    val tbl0 = tableSchema(spark, table)
+    val tbl = if (cdf(parameters)) cdfSchema(tbl0) else tbl0
     val pinned = schema.map(validated(_, tbl, table)).getOrElse(tbl)
-    new TableLogStreamSource(spark, table, pinned, tbl, starting, failOnEvolve)
+    new TableLogStreamSource(spark, table, pinned, tbl, starting, failOnEvolve,
+      changeFeed = cdf(parameters))
   }
 }
 
 private[streaming] class TableLogStreamSource(
     spark: SparkSession, table: String, pinned: StructType,
     initialTableSchema: StructType, startingVersion: Long,
-    failOnSchemaEvolution: Boolean) extends Source {
+    failOnSchemaEvolution: Boolean,
+    changeFeed: Boolean = false) extends Source {
 
   override def schema: StructType = pinned
 
@@ -157,7 +183,9 @@ private[streaming] class TableLogStreamSource(
     val since = start.map(version).getOrElse(startingVersion)
     val to = version(end)
     if (failOnSchemaEvolution) {
-      val now = TableLog.manifest(spark, table, Some(to)).schema
+      val now0 = TableLog.manifest(spark, table, Some(to)).schema
+      val now = (if (changeFeed) now0.map(s => StructType(s.fields ++
+          initialTableSchema.fields.takeRight(2))) else now0)
         .getOrElse(initialTableSchema)
       if (now != initialTableSchema) throw new IllegalStateException(
         s"TableLogSource: $table's schema evolved mid-stream (pinned " +
@@ -165,7 +193,9 @@ private[streaming] class TableLogStreamSource(
           s"and failOnSchemaEvolution=true — restart the query to pick up the " +
           s"new schema (the default policy keeps serving the pinned projection).")
     }
-    val delta = TableLog.readAppendsSince(spark, table, since, Some(to))
+    val delta =
+      if (changeFeed) TableLog.readChanges(spark, table, since, Some(to))
+      else TableLog.readAppendsSince(spark, table, since, Some(to))
     // project to the PINNED schema (a mid-stream evolution must not
     // change the batch shape under a running query), then hand the
     // engine the streaming-flagged frame it asserts on

@@ -205,6 +205,92 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TableLog delete: delete(p) ≡ read.filter(NOT coalesce(p, false)) for random tables and predicates") {
+    // the round-13 DELETE made manifest-stats pruning LOAD-BEARING for
+    // the first time: files mayContain clears carry into the new
+    // version untouched, with NO read-side filter stacking on top (the
+    // readWhere safety net). This fuzzes the erasure identity itself:
+    // for ANY predicate in the supported shapes and any data, the
+    // post-delete table equals the pre-delete rows where the predicate
+    // is not TRUE (SQL null semantics — a NULL verdict keeps the row).
+    // Deletes COMPOSE on one table, so later rounds also exercise
+    // delete-on-delete over already-rewritten files.
+    import graft.sinks.TableLog
+    val strs = Array("", "a", "ab", "zz", "m-9", "Ωmega", "ctl")
+    (1 to 4).foreach { round =>
+      val t = java.nio.file.Files.createTempDirectory(s"graft-del-prop$round").toString
+      (1 to 2 + rnd.nextInt(3)).foreach { _ =>
+        val rows = List.fill(rnd.nextInt(40) + 5)((
+          rnd.nextInt(200).toLong - 100,
+          if (rnd.nextInt(8) == 0) null.asInstanceOf[java.lang.Double]
+          else java.lang.Double.valueOf(rnd.nextInt(100) / 7.0),
+          if (rnd.nextInt(8) == 0) null else strs(rnd.nextInt(strs.length))))
+        TableLog.append(rows.toDF("id", "x", "s").coalesce(1 + rnd.nextInt(2)), t)
+      }
+      val preds = Seq(
+        col("id") === (rnd.nextInt(240) - 120).toLong,
+        col("id") > (rnd.nextInt(120) + 40).toLong,
+        col("x") < rnd.nextInt(4).toDouble,
+        col("s") === strs(rnd.nextInt(strs.length)),
+        col("s").isNull,
+        col("id").isin(-3L, 7L, 99L, 1000L),
+        col("id") === 5L || col("s") === "zz",
+        length(col("s")) > 1) // opaque: every file is "touched"
+      preds.foreach { pred =>
+        val expected = TableLog.read(spark, t)
+          .filter(not(coalesce(pred, lit(false))))
+          .collect().map(_.toString).sorted.toSeq
+        try {
+          TableLog.delete(spark, t, pred)
+          val got = TableLog.read(spark, t)
+            .collect().map(_.toString).sorted.toSeq
+          assert(got == expected, s"round $round predicate $pred")
+        } catch {
+          case e: IllegalStateException
+              if e.getMessage.contains("removed every row") =>
+            assert(expected.isEmpty,
+              s"round $round predicate $pred: loud full-delete refusal " +
+                s"but ${expected.size} rows should survive")
+        }
+      }
+    }
+  }
+
+  test("TableLog merge: merge(changes) ≡ Cdc-fold over the snapshot for random tables and changelogs") {
+    // same load-bearing-pruning hazard as delete, on the MERGE path:
+    // untouched files carry by identity, so a false "cannot match"
+    // would leave a key unmerged. Fuzz: random range-appended tables,
+    // random I/U/D changelogs (in-range, out-of-range, duplicate seqs
+    // per key, null keys) — the post-merge table must equal
+    // Cdc.applyChangelog over the full pre-merge snapshot (the
+    // O(table) spelling the verb replaces).
+    import graft.sinks.TableLog
+    (1 to 4).foreach { round =>
+      val t = java.nio.file.Files.createTempDirectory(s"graft-mrg-prop$round").toString
+      (0 until 2 + rnd.nextInt(2)).foreach { k =>
+        val rows = (0 until rnd.nextInt(30) + 10).map { i =>
+          (k * 100L + i, s"v$k-$i")
+        }
+        TableLog.append(rows.toDF("id", "pay").coalesce(1 + rnd.nextInt(2)), t)
+      }
+      val snapshot = TableLog.read(spark, t).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val ops = Array("I", "U", "D")
+      val changes = (1 to rnd.nextInt(25) + 5).map { i =>
+        val key: java.lang.Long =
+          if (rnd.nextInt(10) == 0) null
+          else java.lang.Long.valueOf(rnd.nextInt(400).toLong - 50)
+        (key, rnd.nextInt(4).toLong, ops(rnd.nextInt(3)), s"c$i")
+      }.toDF("id", "seq", "op", "pay")
+      val expected = graft.ops.Cdc.applyChangelog(
+          snapshot.toSeq.toDF("id", "pay"), changes, "id", "seq", "op", Seq("pay"))
+        .collect().map(_.toString).sorted.toSeq
+      TableLog.merge(spark, t, changes, "id", "seq", "op")
+      val got = TableLog.read(spark, t).collect().map(_.toString).sorted.toSeq
+      assert(got == expected, s"round $round")
+    }
+  }
+
   test("q120 histogram binning: Spark floor(x/8) matches Scala IEEE on random doubles incl. negatives; rank invariant holds") {
     // the corpus never exercises negative values or exact bin edges —
     // random doubles do. Division by a power of two is an exponent

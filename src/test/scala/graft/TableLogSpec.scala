@@ -583,6 +583,60 @@ class TableLogSpec extends SparkSpec {
       s"expected the non-append loud failure, got: ${e.getMessage}")
   }
 
+  test("streaming source CDF mode: rides across delete and merge as signed rows; checkpoint restart parity") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 4), t)                            // v1
+    val ckpt = Files.createTempDirectory("graft-tls-cdf").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    def start() = spark.readStream.format("graft.streaming.TableLogSource")
+      .option("path", t).option("readChangeFeed", "true").load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select("id", "_change_type", "_commit_version").collect()
+          .foreach(r => got.add((r.getLong(0), r.getString(1), r.getLong(2))))
+      }
+      .option("checkpointLocation", ckpt).start()
+    def drain(): Seq[(Long, String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val s = got.asScala.toSeq.sorted; got.clear(); s
+    }
+    // ONE running query consumes append → delete → append: the delete
+    // yields −rows instead of killing the stream (the r13 dead-end)
+    val q = start()
+    q.processAllAvailable()
+    assert(drain() == (0L until 4L).map((_, "insert", 1L)))
+    TableLog.delete(spark, t, $"id" % 2 === 0L)                     // v2
+    TableLog.append(batch(4 until 6), t)                            // v3
+    q.processAllAvailable()
+    assert(drain() == Seq((0L, "delete", 2L), (2L, "delete", 2L),
+      (4L, "insert", 3L), (5L, "insert", 3L)),
+      "a delete serves signed rows mid-stream")
+    // merge rides too: D deletes, U updates as −pre/+post
+    TableLog.merge(spark, t,
+      Seq((1L, 1L, "D", null: String), (3L, 1L, "U", "upd-3"))
+        .toDF("id", "seq", "op", "payload"), "id", "seq", "op")     // v4
+    q.processAllAvailable(); q.stop()
+    assert(drain() == Seq((1L, "delete", 4L), (3L, "delete", 4L),
+      (3L, "insert", 4L)),
+      "a merge serves the update as -preimage/+postimage")
+    // commits while the consumer is DOWN + restart: checkpoint parity
+    TableLog.append(batch(6 until 7), t)                            // v5
+    TableLog.delete(spark, t, $"id" === 5L)                         // v6
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    assert(drain() == Seq((5L, "delete", 6L), (6L, "insert", 5L)),
+      "restart consumes exactly the missed signed rows")
+    // overwrite still fails loudly — not change-recoverable
+    TableLog.overwrite(batch(100 until 102), t)                     // v7
+    val q3 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    q3.stop()
+    assert(e.getMessage.contains("overwrite") ||
+      Option(e.getCause).exists(_.getMessage.contains("overwrite")))
+  }
+
   test("delta manifests: append commit bytes are O(delta), checkpoints bound reconstruction") {
     val t = tmpTable()
     (0 until 20).foreach(i => TableLog.append(batch(i * 3 until i * 3 + 3).coalesce(1), t))
@@ -1090,6 +1144,247 @@ class TableLogSpec extends SparkSpec {
     assert(rows("tag") == ((4L, "a", "c", 0L)))
     assert(!rows.contains("xs"),
       "a column without footer stats in every file is omitted, never guessed")
+  }
+
+  test("merge: changelog semantics, SQL null keys, schema enforced, replay idempotent") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 10), t)
+    def chg(rows: Seq[(java.lang.Long, Long, String, String)]): DataFrame =
+      rows.toDF("id", "seq", "op", "payload")
+    // D deletes, U updates, U-on-missing inserts, D-then-U latest wins
+    val v2 = TableLog.merge(spark, t, chg(Seq(
+      (2L, 1L, "D", null),
+      (5L, 1L, "U", "upd-5"),
+      (100L, 1L, "U", "new-100"),            // update to missing key inserts
+      (7L, 1L, "D", null), (7L, 2L, "U", "upd-7"))), // latest seq wins
+      "id", "seq", "op")
+    assert(v2 == 2L)
+    assert(TableLog.manifest(spark, t).action == "merge")
+    val got = TableLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == ((0L until 10L).toSet - 2L + 100L))
+    assert(got(5L) == "upd-5" && got(7L) == "upd-7" && got(100L) == "new-100")
+    assert(got(3L) == "doc-3", "unmatched table rows carry through")
+    // replay of the SAME (non-null-key) changelog is idempotent: D on
+    // now-missing keys no-ops, U re-applies the same values
+    val before = TableLog.read(spark, t).collect().map(_.toString).sorted.toSeq
+    TableLog.merge(spark, t, chg(Seq(
+      (2L, 1L, "D", null), (5L, 1L, "U", "upd-5"),
+      (100L, 1L, "U", "new-100"),
+      (7L, 1L, "D", null), (7L, 2L, "U", "upd-7"))), "id", "seq", "op")
+    assert(TableLog.read(spark, t).collect().map(_.toString).sorted.toSeq
+      == before, "replaying a changelog must be a row-level no-op")
+    // null keys: the changelog FOLD treats null as one key (latest seq
+    // wins), but the apply matches NO table row (null ≠ null in the
+    // join) — a folded U/I inserts one null-key row, a folded D
+    // no-ops, and existing null-key rows always carry through
+    TableLog.merge(spark, t, chg(Seq((null, 1L, "U", "null-ins"))),
+      "id", "seq", "op")
+    def nulls = TableLog.read(spark, t).filter($"id".isNull)
+      .select("payload").collect().map(_.getString(0)).toSeq
+    assert(nulls == Seq("null-ins"), "a folded null-key U inserts once")
+    TableLog.merge(spark, t, chg(Seq((null, 1L, "D", null))), "id", "seq", "op")
+    assert(nulls == Seq("null-ins"),
+      "a null-key D matches nothing — the existing null-key row carries")
+    // schema is ENFORCED, never evolved: extra/missing/clashing
+    // columns all throw
+    val extra = Seq((1L, 1L, "U", "x", "boom"))
+      .toDF("id", "seq", "op", "payload", "extra_col")
+    val e1 = intercept[IllegalArgumentException] {
+      TableLog.merge(spark, t, extra, "id", "seq", "op") }
+    assert(e1.getMessage.contains("exactly"))
+    val clash = Seq((1L, 1L, "U", 99L)).toDF("id", "seq", "op", "payload")
+    val e2 = intercept[IllegalArgumentException] {
+      TableLog.merge(spark, t, clash, "id", "seq", "op") }
+    assert(e2.getMessage.contains("type change"))
+  }
+
+  test("merge: stats-pruned touch set, pure-insert merge, no-op, loud incremental read") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 10), t)
+    TableLog.append(batch(10 until 20), t)
+    TableLog.append(batch(20 until 30), t)
+    val pre = TableLog.manifest(spark, t)
+    // the touch set is keyed on the change keys' IN set — finer than
+    // the whole id<10 range (only the v1 part files whose [min,max]
+    // may hold 2 or 4 rewrite; v1's other files carry too)
+    val (_, touched) = TableLog.pruneFiles(spark, t, $"id".isin(2L, 4L))
+    assert(touched.nonEmpty && touched.size < pre.files.size)
+    TableLog.merge(spark, t, Seq((2L, 1L, "D", null: String),
+        (4L, 1L, "U", "u4")).toDF("id", "seq", "op", "payload"),
+      "id", "seq", "op")
+    val post = TableLog.manifest(spark, t)
+    assert((pre.files.toSet -- touched.toSet).subsetOf(post.files.toSet),
+      "files the change keys' stats clear must carry by identity")
+    assert(touched.toSet.intersect(post.files.toSet).isEmpty,
+      "possibly-matching files must be replaced")
+    // incremental consumers fail loudly across a merge
+    val e = intercept[IllegalStateException] {
+      TableLog.readAppendsSince(spark, t, 3L) }
+    assert(e.getMessage.contains("merge"))
+    // a PURE-INSERT merge (keys provably absent everywhere) reads no
+    // table file and carries the WHOLE table by identity
+    val preIns = TableLog.manifest(spark, t)
+    TableLog.merge(spark, t,
+      Seq((500L, 1L, "I", "i500")).toDF("id", "seq", "op", "payload"),
+      "id", "seq", "op")
+    val postIns = TableLog.manifest(spark, t)
+    assert(preIns.files.toSet.subsetOf(postIns.files.toSet),
+      "a pure-insert merge carries every existing file by identity")
+    assert(TableLog.read(spark, t).filter($"id" === 500L).count() == 1)
+    // provably-absent D-only changelog: metadata no-op, no version
+    val head = TableLog.headVersion(spark, t)
+    assert(TableLog.merge(spark, t,
+      Seq((-9L, 1L, "D", null: String)).toDF("id", "seq", "op", "payload"),
+      "id", "seq", "op") == head)
+    assert(TableLog.headVersion(spark, t) == head)
+  }
+
+  test("merge: a lost publish race re-resolves and re-merges on the new head") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 5), t)
+    var injected = false
+    val v = TableLog.merge(spark, t,
+      Seq((1L, 1L, "U", "u1")).toDF("id", "seq", "op", "payload"),
+      "id", "seq", "op",
+      beforeCommit = base => if (!injected) {
+        injected = true
+        // a competing append wins the version the merge was about to
+        // take — the merge must lose, re-resolve, and re-merge with
+        // the racer's rows present in its result
+        TableLog.append(batch(50 until 52), t)
+      })
+    assert(v == 3L, "merge lands AFTER the racing append")
+    val got = TableLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "u1" && got.contains(50L) && got.contains(51L),
+      "the re-merge must see the racer's rows")
+    assert(TableLog.history(spark, t).map(_.action) ==
+      Seq("append", "append", "merge"))
+  }
+
+  test("clone fence: source retention refuses while a live clone shares files, releases on materialize/detach/drop") {
+    val src = tmpTable()
+    TableLog.append(batch(0 until 4), src)    // v1
+    TableLog.append(batch(4 until 8), src)    // v2
+    val cln = tmpTable()
+    TableLog.cloneShallow(spark, src, cln)    // pins src v2
+    TableLog.append(batch(8 until 12), src)   // v3
+    TableLog.append(batch(12 until 16), src)  // v4
+    assert(TableLog.clones(spark, src).map(c => (c._2, c._3)) ==
+      Seq((new org.apache.hadoop.fs.Path("file:" + cln).toString, 2L)))
+    // expiring src below the clone's pin must refuse LOUDLY, deleting
+    // nothing — the silent-data-loss path the r13 verdict flagged
+    val e = intercept[IllegalStateException] {
+      TableLog.expireVersions(spark, src, 3L) }
+    assert(e.getMessage.contains("clone") && e.getMessage.contains(
+      "pinned v2"))
+    assert(ids(TableLog.read(spark, cln)) == (0L until 8L),
+      "nothing was deleted: the clone still reads")
+    assert(TableLog.lowestVersion(spark, src) == 1L)
+    // at-or-below the pin is safe: the pinned manifest is retained,
+    // so every file the clone references survives
+    TableLog.expireVersions(spark, src, 2L)
+    assert(ids(TableLog.read(spark, cln)) == (0L until 8L))
+    // materializing the clone auto-detaches at the next check
+    TableLog.compact(spark, cln, numFiles = 1)
+    TableLog.expireVersions(spark, src, 4L)
+    assert(TableLog.clones(spark, src).isEmpty,
+      "a materialized clone's marker auto-detaches")
+    assert(ids(TableLog.read(spark, cln)) == (0L until 8L))
+    // explicit detach unfences a still-sharing clone (caller owns it)
+    val src2 = tmpTable(); val cln2 = tmpTable()
+    TableLog.append(batch(0 until 3), src2)
+    TableLog.append(batch(3 until 6), src2)
+    TableLog.cloneShallow(spark, src2, cln2, Some(1L))
+    intercept[IllegalStateException] { TableLog.expireVersions(spark, src2, 2L) }
+    assert(TableLog.detachClone(spark, src2, cln2))
+    TableLog.expireVersions(spark, src2, 2L) // caller accepted the risk
+    // a DROPPED clone (log gone) auto-detaches
+    val src3 = tmpTable(); val cln3 = tmpTable()
+    TableLog.append(batch(0 until 3), src3)
+    TableLog.append(batch(3 until 6), src3)
+    TableLog.cloneShallow(spark, src3, cln3, Some(1L))
+    rmTree(new java.io.File(cln3))
+    TableLog.expireVersions(spark, src3, 2L)
+    assert(TableLog.clones(spark, src3).isEmpty)
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete()
+  }
+
+  test("graftlog format face: write modes, SQL surfaces, versionAsOf, stats skipping, evolve") {
+    val t = tmpTable()
+    batch(0 until 4).coalesce(1).write.format("graftlog").mode("append").save(t)
+    batch(4 until 8).coalesce(1).write.format("graftlog").mode("append").save(t)
+    assert(TableLog.history(spark, t).map(_.action) == Seq("append", "append"))
+    assert(ids(spark.read.format("graftlog").load(t)) == (0L until 8L))
+    assert(ids(spark.read.format("graftlog").option("versionAsOf", "1")
+      .load(t)) == (0L until 4L), "time travel through the format")
+    // pure SQL: USING view
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gl_spec " +
+      s"USING graftlog OPTIONS (path '$t')")
+    assert(ids(spark.sql("SELECT * FROM gl_spec")) == (0L until 8L))
+    // manifest-stats skipping engages under a plain SQL WHERE: the
+    // scan's numFiles metric must read fewer files than the table has
+    val flt = spark.sql("SELECT * FROM gl_spec WHERE id >= 4")
+    // collect THIS frame (not a derived one): the numFiles metric
+    // lives on the executed plan of the exact query that ran
+    assert(flt.collect().map(_.getLong(0)).sorted.toSeq == (4L until 8L))
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case s: FileSourceScanExec => Seq(s)
+      case q: QueryStageExec => scans(q.plan)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case other => other.children.flatMap(scans)
+    }
+    val scanned = scans(flt.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    assert(scanned == 1L,
+      s"the v1 file is stats-provably filtered out (scanned $scanned of 2)")
+    // write modes: ErrorIfExists refuses an existing table, Ignore
+    // no-ops, Overwrite lands the log's overwrite verb
+    intercept[IllegalStateException] {
+      batch(90 until 91).write.format("graftlog").mode("error").save(t) }
+    batch(90 until 91).write.format("graftlog").mode("ignore").save(t)
+    assert(ids(spark.read.format("graftlog").load(t)) == (0L until 8L))
+    batch(50 until 52).write.format("graftlog").mode("overwrite").save(t)
+    assert(ids(spark.read.format("graftlog").load(t)) == Seq(50L, 51L))
+    assert(ids(spark.read.format("graftlog").option("versionAsOf", "2")
+      .load(t)) == (0L until 8L), "old versions stay readable")
+    // schema evolution through the format: refused bare, accepted
+    // with evolve=true (old rows null-fill)
+    val wide = Seq((60L, "p60", "x")).toDF("id", "payload", "extra")
+    intercept[IllegalArgumentException] {
+      wide.write.format("graftlog").mode("append").save(t) }
+    wide.write.format("graftlog").mode("append").option("evolve", "true").save(t)
+    val got = spark.read.format("graftlog").load(t)
+      .select($"id", $"extra").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(50L -> None, 51L -> None, 60L -> Some("x")))
+  }
+
+  test("readChanges across a schema evolution serves the to-version schema (old rows null-fill)") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 3), t)                           // v1
+    TableLog.append(Seq((3L, "doc-3", "x3"), (4L, "doc-4", "x4"))
+      .toDF("id", "payload", "extra"), t, evolve = true)           // v2
+    TableLog.delete(spark, t, $"id" === 0L)                        // v3
+    // the whole range reads with the TO-version schema: v1's rows
+    // null-fill `extra` instead of failing the union (Delta CDF
+    // serves the feed in the end-of-range schema)
+    val feed = TableLog.readChanges(spark, t, 0L)
+      .select($"id", $"extra", $"_change_type", $"_commit_version")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getString(2), r.getLong(3))).sortBy(x => (x._4, x._3, x._1)).toSeq
+    assert(feed == Seq(
+      (0L, None, "insert", 1L), (1L, None, "insert", 1L),
+      (2L, None, "insert", 1L),
+      (3L, Some("x3"), "insert", 2L), (4L, Some("x4"), "insert", 2L),
+      (0L, None, "delete", 3L)))
   }
 }
 
