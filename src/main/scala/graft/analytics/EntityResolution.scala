@@ -104,6 +104,53 @@ object EntityResolution {
   def block4Key(name: String): String =
     name.replaceFirst("^\\S+\\s*", "").replaceFirst("\\s*\\S+$", "")
 
+  /** Window width of the fifth/sixth blocking keys. 8 profiled on the
+    * corpus BEFORE wiring (the block4Col lesson): stripped-prefix-8
+    * buckets max 347 members at sf0.1 / stripped-suffix-8 max 1,238 —
+    * both FINER than the existing first/last-token buckets (8 noun/
+    * adjective keys ⇒ ~2,500 members), so the stream adds no new
+    * worst bucket. */
+  val STRIP_LEN = 8
+
+  /** Fifth and sixth blocking keys (round 14): the SPACE-STRIPPED
+    * name's first and last [[STRIP_LEN]] characters. Closes the
+    * r13 residual TOKEN-RESTRUCTURING corner structurally: a lev ≤ 2
+    * budget that spends one edit on a whitespace insert/delete (the
+    * space-merge that re-tokenizes every token key, middle included)
+    * leaves the STRIPPED forms within lev ≤ 1, and a single
+    * character edit cannot disturb both the first STRIP_LEN and the
+    * last STRIP_LEN stripped characters unless the stripped name is
+    * shorter than 2·STRIP_LEN AND the edit falls in the overlap zone
+    * [len−STRIP_LEN, STRIP_LEN) — suffix-from-the-END keys are
+    * alignment-free under inserts/deletes before them, prefix keys
+    * under edits after them (the PassJoin/pigeonhole observation).
+    * What remains uncovered: 2-edit splits touching both windows
+    * (the 2-token whole-name corner, already accepted-and-audited)
+    * and mid-overlap edits on short names — both still measured by
+    * the q180 audit's truth arm. Spark's regexp_replace is global;
+    * the oracle twin carries DuckDB's 'g' flag. */
+  def block5Col(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(regexp_replace(name, "\\s+", ""), 1, STRIP_LEN)
+
+  /** Last STRIP_LEN stripped chars — spelled substr(greatest(len−K+1,
+    * 1)) so Spark and DuckDB agree on short strings. */
+  def block6Col(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = regexp_replace(name, "\\s+", "")
+    s.substr(greatest(length(s) - (STRIP_LEN - 1), lit(1)), length(s))
+  }
+
+  /** String twin of [[block5Col]] (ErStream's bucket key). */
+  def block5Key(name: String): String = {
+    val s = name.replaceAll("\\s+", "")
+    s.substring(0, math.min(STRIP_LEN, s.length))
+  }
+
+  /** String twin of [[block6Col]]. */
+  def block6Key(name: String): String = {
+    val s = name.replaceAll("\\s+", "")
+    s.substring(math.max(0, s.length - STRIP_LEN))
+  }
+
   /** Length-band-blocked Levenshtein dictionary pairs — q65's
     * dictionary-first metric, the ONE spelling for every fuzzy
     * consumer (q65, matchPairs): edit distance ≤ maxDist forces
@@ -163,13 +210,16 @@ object EntityResolution {
     * (name, first-token) with a brands-DIFFER filter; pass 3 on
     * (name, last-token) with brands-differ AND first-tokens-differ;
     * pass 4 on (name, middle-section — [[block4Col]]) with all three
-    * earlier keys differing — each later pass excludes everything an
-    * earlier key covers, so the passes are DISJOINT by construction
-    * (the standard suppress-in-later-passes rule; ErStream mirrors it
-    * per bucket) and the union needs no cross-pass dedup beyond the
-    * final canonical distinct. Four equi joins, each with the
-    * broadcast name-pair dictionary on the probe side — no new join
-    * shape, no pair blow-up at 100 TB. */
+    * earlier keys differing; passes 5/6 (round 14) on the stripped
+    * prefix/suffix windows ([[block5Col]]/[[block6Col]] — the
+    * token-restructuring recovery) with every earlier key differing —
+    * each later pass excludes everything an earlier key covers, so
+    * the passes are DISJOINT by construction (the standard
+    * suppress-in-later-passes rule; ErStream mirrors it per bucket)
+    * and the union needs no cross-pass dedup beyond the final
+    * canonical distinct. Six equi joins, each with the broadcast
+    * name-pair dictionary on the probe side — no new join shape, no
+    * pair blow-up at 100 TB. */
   private def recoveredPairs(probe: DataFrame, base: DataFrame,
                              blocked: Boolean, nd: DataFrame): DataFrame = {
     val a = probe.select(col("p_partkey").as("ka"), col("p_brand").as("ba"),
@@ -181,16 +231,32 @@ object EntityResolution {
     if (blocked) {
       val tok1Eq = block2Col(col("n1")) === block2Col(col("n2b"))
       val tok3Eq = block3Col(col("n1")) === block3Col(col("n2b"))
+      // pass 4 coverage = middle sections equal AND non-empty (the
+      // empty-block purge) — later passes exclude exactly this
+      val mid4Cov = block4Col(col("n1")) === block4Col(col("n2b")) &&
+        block4Col(col("n1")) =!= lit("")
+      val pre8Eq = block5Col(col("n1")) === block5Col(col("n2b"))
+      val suf8Eq = block6Col(col("n1")) === block6Col(col("n2b"))
       val pass1 = withNames.join(b, recov && col("ba") === col("bb"))
       val pass2 = withNames.join(b,
         recov && tok1Eq && col("ba") =!= col("bb"))
       val pass3 = withNames.join(b,
         recov && tok3Eq && col("ba") =!= col("bb") && !tok1Eq)
       val pass4 = withNames.join(b,
-        recov && block4Col(col("n1")) === block4Col(col("n2b"))
-          && block4Col(col("n1")) =!= lit("") // empty-block purge
+        recov && mid4Cov
           && col("ba") =!= col("bb") && !tok1Eq && !tok3Eq)
+      // passes 5/6 (round 14): stripped prefix/suffix windows — the
+      // token-restructuring recovery ([[block5Col]]); same shape as
+      // every pass (a FILTER on the name-dict equi-join, no new join)
+      val pass5 = withNames.join(b,
+        recov && pre8Eq
+          && col("ba") =!= col("bb") && !tok1Eq && !tok3Eq && !mid4Cov)
+      val pass6 = withNames.join(b,
+        recov && suf8Eq
+          && col("ba") =!= col("bb") && !tok1Eq && !tok3Eq && !mid4Cov
+          && !pre8Eq)
       pass1.unionByName(pass2).unionByName(pass3).unionByName(pass4)
+        .unionByName(pass5).unionByName(pass6)
     } else withNames.join(b, recov)
   }
 

@@ -44,23 +44,30 @@ object MiscQueries {
   private def erMiddleSql(c: String): String =
     s"regexp_replace(regexp_replace($c, '^\\S+\\s*', ''), '\\s*\\S+$$', '')"
 
-  /** The part table with the pass-4 middle key PRECOMPUTED per row —
-    * the ER oracles' pair joins are quadratic in DuckDB (OR-of-
-    * equalities can't hash-join), so the regex must run n times in a
-    * CTE, never n² times inside the join condition. */
+  /** The part table with the pass-4 middle key and the pass-5/6
+    * stripped prefix/suffix windows PRECOMPUTED per row — the ER
+    * oracles' pair joins are quadratic in DuckDB (OR-of-equalities
+    * can't hash-join), so the regexes must run n times in a CTE,
+    * never n² times inside the join condition. DuckDB regexp_replace
+    * needs the 'g' flag to match Spark's global replace. */
   private val erPmSql: String =
-    s"pm AS (SELECT *, ${erMiddleSql("p_name")} AS mid FROM part)"
+    s"""pm0 AS (SELECT *, ${erMiddleSql("p_name")} AS mid,
+      |  regexp_replace(p_name, '\\s+', '', 'g') AS st FROM part),
+      |pm AS (SELECT *, substr(st, 1, 8) AS pre8,
+      |  substr(st, greatest(length(st) - 7, 1)) AS suf8 FROM pm0)""".stripMargin
 
   /** The ER oracles' blocking disjunction — brand ∪ first-token ∪
-    * last-token ∪ middle-section, the union the four disjoint Spark
-    * passes cover (disjointness matters only for exactly-once
-    * streaming emission; set-wise the union is this OR). Operands
-    * must be [[erPmSql]] aliases (for the precomputed mid). */
+    * last-token ∪ middle-section ∪ stripped-prefix ∪ stripped-suffix,
+    * the union the six disjoint Spark passes cover (disjointness
+    * matters only for exactly-once streaming emission; set-wise the
+    * union is this OR). Operands must be [[erPmSql]] aliases (for the
+    * precomputed mid/pre8/suf8). */
   private def erBlockSql(a: String, b: String): String =
     s"""($a.p_brand = $b.p_brand
        |        OR split_part($a.p_name, ' ', 1) = split_part($b.p_name, ' ', 1)
        |        OR split_part($a.p_name, ' ', -1) = split_part($b.p_name, ' ', -1)
-       |        OR ($a.mid = $b.mid AND $a.mid <> ''))""".stripMargin
+       |        OR ($a.mid = $b.mid AND $a.mid <> '')
+       |        OR $a.pre8 = $b.pre8 OR $a.suf8 = $b.suf8)""".stripMargin
 
   /** Full-recompute ER oracle (scored pairs → recursive closure →
     * canonical + sizes). q166 AND q167 read this ONE string — q167's
@@ -1091,11 +1098,15 @@ object MiscQueries {
     // 599 recs/s before the purge). Measured at sf0.1: 390 bp
     // single-pass → 5,858 two-pass → 10,000 bp three-pass,
     // candidates 5.5M (output-bounded; cand_pairs rides in the
-    // report so the recall/volume trade stays visible). Residual
-    // corners, both audited: token-RESTRUCTURING edits (space-merge
-    // + far-end edit, brands differing) and 2-edit splits across
-    // 2-token names (the whole name moves — no token key can block
-    // it); AnalyticsSpec pins one of each.
+    // report so the recall/volume trade stays visible). Round 14
+    // adds passes 5/6 (stripped prefix/suffix windows —
+    // EntityResolution.block5Col/block6Col), closing the
+    // token-RESTRUCTURING corner (space-merge + far-end edit)
+    // structurally: stripping spaces refunds the whitespace edit, and
+    // one remaining edit cannot disturb both windows. Residual
+    // corner, still audited: 2-edit splits touching both windows (the
+    // 2-token whole-name class); AnalyticsSpec pins recovered and
+    // residual evaders.
     Q("q180_er_blocking_audit",
       s"""WITH $erPmSql,
         |names AS (SELECT DISTINCT p_name FROM part),
@@ -1400,6 +1411,148 @@ object MiscQueries {
       TableLog.read(s, table).orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- q200
+    // MERGE INTO — copy-on-write changelog apply with a STATS-PRUNED
+    // TOUCH SET (the Delta MERGE verb; completes the DML triad
+    // append/delete/merge — the nightly 100 TB CDC apply, previously
+    // only available as the O(table) full-outer join of ops.Cdc/q144):
+    // three range appends, then ONE merge whose changelog targets only
+    // range 1 — deletes (doc_id%15=0), updates (%15=1 → source||'-u'),
+    // inserts at brand-new keys (doc_id+n for %15=2), and a
+    // same-key seq conflict (%15=3: seq-1 'D' then seq-2 'U' → the
+    // LATEST change wins, so the row survives updated to 'w'). The
+    // runner REQUIRES the scale contract: ranges 2+3's files carry
+    // into the new version UNTOUCHED (identity — zero new bytes for
+    // 2/3 of the table), every possibly-matching file is replaced,
+    // the commit lands as ONE 'merge' version, incremental readers
+    // fail loudly across it, and a merge whose keys are stats-provably
+    // absent is a metadata NO-OP. Output = the merged table ≡ a
+    // MERGE-semantics rebuild over documents.
+    Q("q200_table_merge",
+      """WITH p AS (SELECT count(*) // 3 AS c, max(doc_id) + 1 AS n
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id < (SELECT c FROM p) AND doc_id % 15 = 1
+        |         THEN source || '-u'
+        |       WHEN doc_id < (SELECT c FROM p) AND doc_id % 15 = 3
+        |         THEN 'w'
+        |       ELSE source END AS source
+        |FROM documents
+        |WHERE NOT (doc_id < (SELECT c FROM p) AND doc_id % 15 = 0)
+        |UNION ALL
+        |SELECT doc_id + (SELECT n FROM p), 'ins' FROM documents
+        |WHERE doc_id < (SELECT c FROM p) AND doc_id % 15 = 2
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.sinks.TableLog
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val agg = docs.agg(count(lit(1)), max(col("doc_id"))).head
+      val c = agg.getLong(0) / 3
+      val n = agg.getLong(1) + 1
+      val table = Scratch.fresh("graft-q200").toString
+      TableLog.append(docs.filter(col("doc_id") < c), table)           // v1
+      TableLog.append(docs.filter(col("doc_id") >= c &&
+        col("doc_id") < 2 * c), table)                                 // v2
+      TableLog.append(docs.filter(col("doc_id") >= 2 * c), table)      // v3
+      val r1 = docs.filter(col("doc_id") < c)
+      def ch(flt: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column,
+             seq: Long, op: String, pay: org.apache.spark.sql.Column) =
+        r1.filter(flt).select(key.as("doc_id"), lit(seq).as("seq"),
+          lit(op).as("op"), pay.cast("string").as("source"))
+      val changes =
+        ch(col("doc_id") % 15 === 0, col("doc_id"), 1L, "D", lit(null))
+          .unionByName(ch(col("doc_id") % 15 === 1, col("doc_id"), 1L, "U",
+            concat(col("source"), lit("-u"))))
+          .unionByName(ch(col("doc_id") % 15 === 2, col("doc_id") + n, 1L, "I",
+            lit("ins")))
+          .unionByName(ch(col("doc_id") % 15 === 3, col("doc_id"), 1L, "D",
+            lit(null)))
+          .unionByName(ch(col("doc_id") % 15 === 3, col("doc_id"), 2L, "U",
+            lit("w")))
+      val pre = TableLog.manifest(s, table)
+      val (_, r1Files) = TableLog.pruneFiles(s, table, col("doc_id") < c)
+      val vM = TableLog.merge(s, table, changes, "doc_id", "seq", "op")
+      val post = TableLog.manifest(s, table, Some(vM))
+      val carried = pre.files.toSet -- r1Files.toSet
+      require(carried.subsetOf(post.files.toSet),
+        s"files outside the change-key domain must carry UNTOUCHED " +
+          s"(${carried.size} expected in ${post.files.length})")
+      require(r1Files.toSet.intersect(post.files.toSet).isEmpty,
+        "every possibly-matching file must be replaced")
+      require(post.action == "merge" && vM == 4L,
+        s"one atomic merge version (got ${post.action}@$vM)")
+      val loud =
+        try { TableLog.readAppendsSince(s, table, 3L); false }
+        catch { case e: IllegalStateException =>
+          e.getMessage.contains("merge") }
+      require(loud, "incremental reads across a merge must fail loudly")
+      // stats prove key -5 exists nowhere: metadata no-op, no commit
+      val absent = docs.limit(1).select(lit(-5L).as("doc_id"),
+        lit(1L).as("seq"), lit("D").as("op"),
+        lit(null).cast("string").as("source"))
+      require(TableLog.merge(s, table, absent, "doc_id", "seq", "op") == vM &&
+        TableLog.headVersion(s, table) == vM,
+        "a stats-provably-absent changelog must be a metadata no-op")
+      TableLog.read(s, table).orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q201
+    // CHANGE DATA FEED ACROSS A MERGE — readChanges serves a merge
+    // commit's row changes as −preimage/+postimage pairs at O(touched
+    // files) (old-touched ∖ new and new ∖ old-touched — the q197
+    // multiset machinery generalized; an UPDATE is its delete + its
+    // insert, the signed-row CDC contract): two appends are pure
+    // inserts, then one merge deletes %9=0, updates %9=1 and inserts
+    // new keys — the feed must carry the appends' inserts, the
+    // deletes' and updates' preimages as −rows, and the updates' and
+    // inserts' postimages as +rows, all stamped with the merge's
+    // commit version. Rows untouched by the merge cancel out of the
+    // diff entirely (they appear in both the old and new touched
+    // sets). Oracle rebuilds all change sets from documents.
+    Q("q201_table_merge_cdf",
+      """WITH p AS (SELECT count(*) // 2 AS c, max(doc_id) + 1 AS n
+        |           FROM documents)
+        |SELECT doc_id, source, 'insert' AS _change_type,
+        |  CAST(CASE WHEN doc_id < (SELECT c FROM p) THEN 1 ELSE 2 END
+        |       AS BIGINT) AS _commit_version
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, source, 'delete', CAST(3 AS BIGINT)
+        |FROM documents
+        |WHERE doc_id < (SELECT c FROM p) AND doc_id % 9 IN (0, 1)
+        |UNION ALL
+        |SELECT doc_id, source || '-u', 'insert', CAST(3 AS BIGINT)
+        |FROM documents
+        |WHERE doc_id < (SELECT c FROM p) AND doc_id % 9 = 1
+        |UNION ALL
+        |SELECT doc_id + (SELECT n FROM p), 'ins', 'insert', CAST(3 AS BIGINT)
+        |FROM documents
+        |WHERE doc_id < (SELECT c FROM p) AND doc_id % 9 = 2
+        |ORDER BY _commit_version, _change_type, doc_id""".stripMargin) { (s, d) =>
+      import graft.sinks.TableLog
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val agg = docs.agg(count(lit(1)), max(col("doc_id"))).head
+      val c = agg.getLong(0) / 2
+      val n = agg.getLong(1) + 1
+      val table = Scratch.fresh("graft-q201").toString
+      TableLog.append(docs.filter(col("doc_id") < c), table)      // v1
+      TableLog.append(docs.filter(col("doc_id") >= c), table)     // v2
+      val r1 = docs.filter(col("doc_id") < c)
+      def ch(flt: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column,
+             op: String, pay: org.apache.spark.sql.Column) =
+        r1.filter(flt).select(key.as("doc_id"), lit(1L).as("seq"),
+          lit(op).as("op"), pay.cast("string").as("source"))
+      val changes =
+        ch(col("doc_id") % 9 === 0, col("doc_id"), "D", lit(null))
+          .unionByName(ch(col("doc_id") % 9 === 1, col("doc_id"), "U",
+            concat(col("source"), lit("-u"))))
+          .unionByName(ch(col("doc_id") % 9 === 2, col("doc_id") + n, "I",
+            lit("ins")))
+      val vM = TableLog.merge(s, table, changes, "doc_id", "seq", "op")
+      require(vM == 3L, s"fixture: merge lands as v3 (got $vM)")
+      TableLog.readChanges(s, table, 0L)
+        .orderBy("_commit_version", "_change_type", "doc_id")
+    },
+
     // ---------------------------------------------------------------- q198
     // ZERO-COPY SHALLOW CLONE + copy-on-write divergence — the
     // experiment/staging verb (Delta CLONE SHALLOW): cloning the
@@ -1433,8 +1586,9 @@ object MiscQueries {
         val dd = new java.io.File(cln, "data")
         if (!dd.exists()) 0L
         else { var n = 0L
-          java.nio.file.Files.walk(dd.toPath).forEach(p =>
-            if (p.toFile.isFile) n += p.toFile.length())
+          val walk = java.nio.file.Files.walk(dd.toPath)
+          try walk.forEach(p => if (p.toFile.isFile) n += p.toFile.length())
+          finally walk.close() // Files.walk leaks a dir handle unclosed
           n }
       }
       require(cloneDataBytes() == 0L,
@@ -1453,6 +1607,63 @@ object MiscQueries {
         .select(col("doc_id"), col("source"), lit("clone").as("arm"))
         .unionByName(TableLog.read(s, src)
           .select(col("doc_id"), col("source"), lit("src").as("arm")))
+        .orderBy("arm", "doc_id")
+    },
+
+    // ---------------------------------------------------------------- q202
+    // TABLELOG FORMAT FACE — the `graftlog` data source (the Delta
+    // connector's route: a HadoopFsRelation whose FileIndex IS the
+    // pinned manifest, over Spark's own vectorized parquet reader):
+    // every table verb reachable from format/SQL surface instead of
+    // library calls. Three range appends, then (a) a pure-SQL read
+    // through CREATE TEMPORARY VIEW … USING graftlog with a WHERE the
+    // runner REQUIRES to engage manifest-stats skipping at the
+    // FileSourceScan (fewer files scanned than the table holds, with
+    // zero caller cooperation — readWhere's prune under plain SQL),
+    // and (b) a versionAsOf time-travel read pinned below the head.
+    // Output = both arms ≡ documents slices.
+    Q("q202_table_format",
+      """WITH p AS (SELECT count(*) // 3 AS c FROM documents)
+        |SELECT doc_id, source, 'flt' AS arm FROM documents
+        |WHERE doc_id >= 2 * (SELECT c FROM p)
+        |UNION ALL
+        |SELECT doc_id, source, 'v2' AS arm FROM documents
+        |WHERE doc_id < 2 * (SELECT c FROM p)
+        |ORDER BY arm, doc_id""".stripMargin) { (s, d) =>
+      import graft.sinks.TableLog
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val c = docs.count() / 3
+      val table = Scratch.fresh("graft-q202").toString
+      TableLog.append(docs.filter(col("doc_id") < c), table)           // v1
+      TableLog.append(docs.filter(col("doc_id") >= c &&
+        col("doc_id") < 2 * c), table)                                 // v2
+      TableLog.append(docs.filter(col("doc_id") >= 2 * c), table)      // v3
+      val total = TableLog.manifest(s, table).files.size
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graftlog_q202 " +
+        s"USING graftlog OPTIONS (path '$table')")
+      val flt = s.sql(
+        s"SELECT doc_id, source FROM graftlog_q202 WHERE doc_id >= ${2 * c}")
+      flt.collect() // finalize the (possibly adaptive) executed plan
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case sc: FileSourceScanExec => Seq(sc)
+        case q: QueryStageExec => scans(q.plan)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case other => other.children.flatMap(scans)
+      }
+      val scanned = scans(flt.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+      require(scanned > 0 && scanned < total,
+        s"manifest-stats skipping must engage through the format's " +
+          s"FileIndex (scanned $scanned of $total files)")
+      val v2 = s.read.format("graftlog").option("versionAsOf", "2")
+        .load(table).select(col("doc_id"), col("source"))
+      require(v2.count() == docs.filter(col("doc_id") < 2 * c).count(),
+        "versionAsOf must pin the time-travel snapshot")
+      flt.select(col("doc_id"), col("source"), lit("flt").as("arm"))
+        .unionByName(v2.select(col("doc_id"), col("source"),
+          lit("v2").as("arm")))
         .orderBy("arm", "doc_id")
     },
 

@@ -28,19 +28,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * an idempotent sink (the family contract).
   *
   * Scale: state shards by BLOCKING key — multi-pass like the batch
-  * side (round 12, pass 4 round 13): each record enters its brand
-  * bucket, its name-first-token, name-last-token and name-middle-
-  * section buckets
+  * side (round 12, pass 4 round 13, passes 5/6 round 14): each
+  * record enters its brand bucket, its name-first-token,
+  * name-last-token, name-middle-section, stripped-prefix and
+  * stripped-suffix buckets
   * ([[graft.analytics.EntityResolution.block2Key]]/`block3Key`/
-  * `block4Key`, the one spelling with the batch `block2Col`/
-  * `block3Col`/`block4Col`); the first-token bucket only emits pairs
-  * whose brands DIFFER, the last-token bucket only pairs whose
-  * brands AND first tokens differ, the middle bucket only pairs
-  * where all three earlier keys differ (the suppress-in-later-passes
+  * `block4Key`/`block5Key`/`block6Key`, the one spelling with the
+  * batch `blockNCol` family); each later bucket only emits pairs
+  * EVERY earlier key fails to cover (the suppress-in-later-passes
   * rule — a pair covered by an earlier key emits from that bucket
   * alone), so clean runs stay exactly-once per pair with no
   * cross-bucket dedup stage. State is one bucket entry per
-  * (record, key) — 4× members, same shape. An arrival costs four
+  * (record, key) — 6× members, same shape. An arrival costs six
   * bucket scans. `maxMembers` is the saturation
   * latch of the other twins — a bucket past the cap is a
   * mass-duplicate signal that stops pairing AND growing.
@@ -88,7 +87,7 @@ object ErStream {
     * `EntityResolution.matchPairs`' multi-pass recovery. */
   def matchPairs(recs: Dataset[Rec], maxMembers: Int = 10000): Dataset[MatchPair] = {
     import recs.sparkSession.implicits._
-    import graft.analytics.EntityResolution.{block2Key, block3Key, block4Key}
+    import graft.analytics.EntityResolution.{block2Key, block3Key, block4Key, block5Key, block6Key}
     recs.flatMap { r =>
       val mid = block4Key(r.p_name) // empty-block purge: "" would be a
       // degenerate bucket holding every <= 2-token name (one constant-
@@ -96,26 +95,45 @@ object ErStream {
       // carries the same =!= "" guard)
       Seq(("b|" + r.p_brand, r), ("t|" + block2Key(r.p_name), r),
         ("u|" + block3Key(r.p_name), r)) ++
-        (if (mid.nonEmpty) Seq(("m|" + mid, r)) else Seq.empty)
+        (if (mid.nonEmpty) Seq(("m|" + mid, r)) else Seq.empty) ++
+        // passes 5/6 (round 14): stripped prefix/suffix windows —
+        // profiled FINER than the token buckets on this corpus
+        // (block5Col scaladoc); "" only for all-space names, purged
+        // on the same hygiene as the middle key
+        Seq(block5Key(r.p_name)).filter(_.nonEmpty).map(k => ("p|" + k, r)) ++
+        Seq(block6Key(r.p_name)).filter(_.nonEmpty).map(k => ("q|" + k, r))
     }
       .groupByKey(_._1)
       .flatMapGroupsWithState[BucketState, MatchPair](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (key, it, state: GroupState[BucketState]) =>
-          val pass = key.charAt(0) // 'b' | 't' | 'u' | 'm'
+          val pass = key.charAt(0) // 'b' | 't' | 'u' | 'm' | 'p' | 'q'
           var st = state.getOption.getOrElse(BucketState(Nil, saturated = false))
           val out = scala.collection.mutable.ListBuffer.empty[MatchPair]
           it.map(_._2).toSeq.sortBy(_.p_partkey).foreach { r =>
             if (!st.saturated) {
               st.members.foreach { m =>
+                // the suppress-in-later-passes rule, one clause per
+                // earlier key — a pair covered by an earlier bucket
+                // emits from that bucket alone (batch disjointness,
+                // mirrored)
+                def brandsDiffer = m.p_brand != r.p_brand
+                def tok1Differ = block2Key(m.p_name) != block2Key(r.p_name)
+                def tok3Differ = block3Key(m.p_name) != block3Key(r.p_name)
+                def midUncovered = {
+                  val mm = block4Key(m.p_name)
+                  mm != block4Key(r.p_name) || mm.isEmpty
+                }
+                def pre8Differ = block5Key(m.p_name) != block5Key(r.p_name)
                 val emit = pass match {
                   case 'b' => true
-                  case 't' => m.p_brand != r.p_brand
-                  case 'u' => m.p_brand != r.p_brand &&
-                    block2Key(m.p_name) != block2Key(r.p_name)
-                  case _ => m.p_brand != r.p_brand &&
-                    block2Key(m.p_name) != block2Key(r.p_name) &&
-                    block3Key(m.p_name) != block3Key(r.p_name)
+                  case 't' => brandsDiffer
+                  case 'u' => brandsDiffer && tok1Differ
+                  case 'm' => brandsDiffer && tok1Differ && tok3Differ
+                  case 'p' => brandsDiffer && tok1Differ && tok3Differ &&
+                    midUncovered
+                  case _ => brandsDiffer && tok1Differ && tok3Differ &&
+                    midUncovered && pre8Differ
                 }
                 if (m.p_partkey != r.p_partkey && emit && isMatch(m, r))
                   out += MatchPair(math.min(m.p_partkey, r.p_partkey),

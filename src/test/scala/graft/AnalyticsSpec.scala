@@ -1049,16 +1049,19 @@ class AnalyticsSpec extends SparkSpec {
     // last tokens with differing brands — the corner that evaded the
     // three r12 keys; round 13's MIDDLE-SECTION pass (block4Col)
     // recovers it structurally ("mint" survives both edits).
-    // Records 6/7: the residual corner — a deleted space MERGES the
-    // first two tokens (restructuring every token key, middle
-    // included) plus a far-end edit, brands differing; only the truth
-    // arm sees it, and the audit reports exactly that miss.
+    // Records 6/7: the r13 residual corner — a deleted space MERGES
+    // the first two tokens (restructuring every token key, middle
+    // included) plus a far-end edit, brands differing. Round 14's
+    // STRIPPED-PREFIX pass (block5Col) recovers it structurally:
+    // stripping refunds the whitespace edit ("aabbccdd" both sides),
+    // and the far-end edit lands outside the prefix window.
     // Records 8/9: a 2-TOKEN name with the edits split across both
-    // tokens — the middle key is "" and the EMPTY BLOCK IS PURGED
-    // (block4Col scaladoc: "" is a degenerate bucket holding every
-    // short name — the measured FMGWS funnel), so this pair stays
-    // missed-and-audited: a 2-edit split across a 2-token name
-    // touches the whole name, no token key can block it.
+    // tokens — the middle key is "" (PURGED — block4Col scaladoc:
+    // the measured FMGWS funnel) and both single-char edits land
+    // inside the stripped prefix AND suffix windows (the name is
+    // shorter than both), so this pair stays missed-and-audited: a
+    // 2-edit split across a short 2-token name touches the whole
+    // name, no structural key can block it.
     // Record 3 is lev-unreachable.
     val recs = Seq(
       (1L, "Brand#13", "azure plum linen", "STANDARD", 5),
@@ -1077,16 +1080,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(EntityResolution.block4Key("aa bb cc dd") == "bb cc")
     assert(EntityResolution.block4Key("onetoken") == "")
     assert(EntityResolution.block4Key("two tokens") == "")
+    // the stripped-window keys themselves
+    assert(EntityResolution.block5Key("aa bb cc dd") == "aabbccdd")
+    assert(EntityResolution.block5Key("aabb cc ddx") == "aabbccdd")
+    assert(EntityResolution.block6Key("aqua rose") == "aquarose")
+    assert(EntityResolution.block6Key("aquax rosex") == "uaxrosex")
     val pairs = EntityResolution.matchPairs(recs, recs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs == Set((1L, 2L), (4L, 5L)),
-      s"token passes must recover the brand-typo AND split-edit pairs: $pairs")
+    assert(pairs == Set((1L, 2L), (4L, 5L), (6L, 7L)),
+      s"token passes recover brand-typo + split-edit; the stripped-prefix " +
+        s"pass recovers the space-merge evader: $pairs")
     val row = EntityResolution.blockingRecallAudit(recs).collect().head
     assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
-      ((4L, 2L, 2L, 5000L)),
-      s"truth=4 blocked=2 missed=2 recall=5000bp — got $row")
-    // candidate count reported: exactly the two admitted record pairs
-    assert(row.getLong(4) == 2L, s"cand_pairs — got $row")
+      ((4L, 3L, 1L, 7500L)),
+      s"truth=4 blocked=3 missed=1 recall=7500bp — got $row")
+    // candidate count reported: exactly the three admitted record pairs
+    assert(row.getLong(4) == 3L, s"cand_pairs — got $row")
     // same-brand control: all four pairs blocked, recall 10000 bp
     val ok = recs.withColumn("p_brand", lit("Brand#13"))
     val row2 = EntityResolution.blockingRecallAudit(ok).collect().head
