@@ -175,6 +175,29 @@ object Bench {
         graft.queries.SimilarityQueries.clusteredFixture(s)
       graft.analytics.Similarity.exactTopKFromStoreModel(
         corpus.filter(col("vec_id") < 100), store, quant, radii, 10)
+    },
+    // q151's triangle body with the co-occurrence support threshold
+    // SCALED by SPARK_GRAFT_TRI_SCALE (default 1 = the gate's w>=5):
+    // on a rep-R relational corpus (tools/scale_rel_gen.py) weights
+    // grow xR, so the FIXED threshold densifies the graph toward
+    // complete (the output-bound regime q151's gate measures there)
+    // while the SCALED threshold w >= 5R keeps the graph structurally
+    // identical to 1x — isolating the pair-count stage's xR cost from
+    // the densification blow-up (the q126 relative-vs-absolute-cap
+    // lesson applied to graph support filters).
+    graft.queries.Q.noOracle("x_tri_relthresh") { (s, d) =>
+      import org.apache.spark.sql.functions.{col, countDistinct}
+      val thr = 5L * sys.env.getOrElse("SPARK_GRAFT_TRI_SCALE", "1").toLong
+      val li = graft.sources.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") < col("b.l_suppkey"))
+        .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+        .agg(countDistinct(col("a.l_orderkey")).as("w"))
+      graft.ops.Graph.triangleCounts(
+          pairs.filter(col("w") >= thr).select(col("u"), col("v")))
+        .orderBy("node")
     })
 
   def main(args: Array[String]): Unit = {
@@ -326,15 +349,20 @@ object Bench {
       val short = if (k.startsWith("x_")) k.split('_').take(2).mkString("_")
         else k.split('_').head.stripPrefix("q")
       // Values are INTEGER CENTISECONDS (seconds × 100, rounded;
-      // decode as value/100 — the `"u":"cs"` marker on the line says
-      // so): "163":49 = 0.49 s. vs the previous 2-decimal seconds
-      // this buys 2–3 chars/query ≈ 25+ queries of tail-buffer
-      // headroom at the 185-query scale (the r2/r9 parsed:null
-      // overflow lesson). Millisecond precision stays in
+      // decode as value/100 — the `"u":"k:cs"` marker on the line
+      // says so): 163:49 = 0.49 s. Millisecond precision stays in
       // bench_detail.json, which is unchanged.
       val v = math.round(best.sec * 100).toString
-      "\"" + short + "\":" + v }
-      .mkString("{", ",", "}")
+      short + ":" + v }
+      // `queries` is ONE PACKED JSON STRING ("01:81,02:27,…"), not a
+      // JSON object: the line must stay a valid whole-line json.loads
+      // for the driver (no required fields — BENCH_r09 shows
+      // tail+parsed only), and dropping the per-entry quote+brace
+      // syntax saves 3 chars/query ≈ 600 chars at 200 queries — the
+      // round-13 line measured 1,849 of the 2000-char tail buffer
+      // with only ~16 queries of headroom left. Decode:
+      // dict(kv.split(":") for kv in s.split(",")), values /100 s.
+      .mkString("\"", ",", "\"")
     val total = bests.map(_._2.sec).sum
     val gcTotal = bests.map(_._2.gc).sum
     val cpuTotal = bests.map(_._2.cpu).filter(_ >= 0).sum
@@ -418,9 +446,10 @@ object Bench {
     // gc dropped from the one-liner (gc_sec lives in
     // bench_detail.json, per-query gc in its rows) — 11 more chars
     // for query entries.
-    // "u":"cs" self-describes the per-query unit (integer
-    // centiseconds); "value" (the total) stays plain seconds.
-    println(f"""{"queries":$qs,"u":"cs","value":$total%.3f$calOut,"sf":"${new java.io.File(sfDir).getName}"}""")
+    // "u":"k:cs" self-describes the packed per-query encoding (one
+    // string of key:integer-centisecond pairs); "value" (the total)
+    // stays plain seconds.
+    println(f"""{"queries":$qs,"u":"k:cs","value":$total%.3f$calOut,"sf":"${new java.io.File(sfDir).getName}"}""")
     spark.stop()
   }
 }
