@@ -232,29 +232,47 @@ object EntityResolution {
       val tok1Eq = block2Col(col("n1")) === block2Col(col("n2b"))
       val tok3Eq = block3Col(col("n1")) === block3Col(col("n2b"))
       // pass 4 coverage = middle sections equal AND non-empty (the
-      // empty-block purge)
+      // empty-block purge) — later passes exclude exactly this
       val mid4Cov = block4Col(col("n1")) === block4Col(col("n2b")) &&
         block4Col(col("n1")) =!= lit("")
       val pre8Eq = block5Col(col("n1")) === block5Col(col("n2b"))
       val suf8Eq = block6Col(col("n1")) === block6Col(col("n2b"))
-      // The six passes as ONE join with a residual DISJUNCTION: the
-      // real join key is the name-pair equi condition (recov) in
-      // every pass, so six separate joins re-scan withNames/b per
-      // pass and re-score cross-pass duplicates (the q31
-      // multi-branch-self-join lesson; measured at sf0.1 on one boot:
-      // six-pass union 29.8 CPU s, this OR 19.2, vs the r13 4-pass
-      // union's 13.9 — the OR pays only the two extra keys).
-      // Pre-computing the regex keys per side measured SLOWER (22.7
-      // CPU s) than letting codegen evaluate them in-condition — the
-      // projection columns cost more than the short-circuited regex
-      // re-evaluation saves at this fanout (~275 rows/record).
-      // Set-wise the OR equals the pass union — the downstream
-      // canonical().distinct() already dedups, so batch needs no
-      // disjointness. The DISJOINT suppress-in-later-passes spelling
-      // remains the STREAM's emission rule (ErStream), where
-      // exactly-once needs it.
-      withNames.join(b, recov && (col("ba") === col("bb") ||
-        tok1Eq || tok3Eq || mid4Cov || pre8Eq || suf8Eq))
+      val pass1 = withNames.join(b, recov && col("ba") === col("bb"))
+      val pass2 = withNames.join(b,
+        recov && tok1Eq && col("ba") =!= col("bb"))
+      val pass3 = withNames.join(b,
+        recov && tok3Eq && col("ba") =!= col("bb") && !tok1Eq)
+      val pass4 = withNames.join(b,
+        recov && mid4Cov
+          && col("ba") =!= col("bb") && !tok1Eq && !tok3Eq)
+      // passes 5/6 (round 14): stripped prefix/suffix windows — the
+      // token-restructuring recovery ([[block5Col]]); same shape as
+      // every pass (a FILTER on the name-dict equi-join, no new join).
+      //
+      // KEEP THE PASSES AS SEPARATE JOINS — measured, do not re-fold
+      // (round 14 tried one join with the blocking as a residual OR,
+      // set-wise identical): at sf0.1 the OR reads slightly better
+      // (19.2 vs 29.8 CPU s — six joins pay fixed overhead at small
+      // fanout), but on the 10x mass-duplicate corpus the union is
+      // 3x FASTER in wall (138 vs 432 s) and 1.3-1.5x in task CPU
+      // (396-435 vs 520-600 s): each pass's blocking equality is an
+      // extra EQUI conjunct Catalyst folds into the join keys, so
+      // pass 1 enumerates (name, brand) groups instead of whole name
+      // groups, and the per-pass residuals short-circuit on one
+      // condition where the OR evaluates all six per enumerated
+      // pair. The q31 fold lesson does not apply: these branches are
+      // finer-keyed joins, not re-evaluations of a shared expensive
+      // subplan. Pre-computing the regex keys per side also measured
+      // slower at both scales (22.7 CPU s at 1x; 394 s wall at 10x).
+      val pass5 = withNames.join(b,
+        recov && pre8Eq
+          && col("ba") =!= col("bb") && !tok1Eq && !tok3Eq && !mid4Cov)
+      val pass6 = withNames.join(b,
+        recov && suf8Eq
+          && col("ba") =!= col("bb") && !tok1Eq && !tok3Eq && !mid4Cov
+          && !pre8Eq)
+      pass1.unionByName(pass2).unionByName(pass3).unionByName(pass4)
+        .unionByName(pass5).unionByName(pass6)
     } else withNames.join(b, recov)
   }
 
