@@ -57,8 +57,11 @@ object ScaleProbe {
       f.getFileStatus(new org.apache.hadoop.fs.Path(t, rel)).getLen).sum
     val m0 = TableLog.manifest(spark, t)
     val tableBytes = bytesOf(m0.files)
-    // one hot row per file: every file's stats interval contains its id
-    val hotIds = (0 until 4).map(i => mn + i * span)
+    // one hot row per file — REAL ids (the corpus ids are sparse:
+    // rep-offset blocks), one inside each file's stats interval
+    val hotIds = (0 until 4).map(i =>
+      docs.filter(col("doc_id") >= mn + i * span)
+        .agg(min("doc_id")).head.getLong(0))
     val t1 = System.nanoTime()
     TableLog.delete(spark, t, col("doc_id").isin(hotIds: _*))
     val secAll = (System.nanoTime() - t1) / 1e9
