@@ -20,8 +20,12 @@ import graft.sinks.{TableLog, TableStats}
   * spark.read.format("graftlog").option("versionAsOf", 2).load(dir)
   * df.write.format("graftlog").mode("append").save(dir)
   * sql("CREATE TEMPORARY VIEW t USING graftlog OPTIONS (path '…')")
-  * sql("SELECT * FROM graftlog.`/path/to/table`")
   * }}}
+  *
+  * (`SELECT … FROM graftlog.`path`` direct-on-file SQL is a
+  * FileFormat-only surface in Spark — probed, rejected with
+  * UNSUPPORTED_DATASOURCE_FOR_DIRECT_QUERY; the USING view above is
+  * the pure-SQL face.)
   *
   * Architecture — the Delta connector's own route, not a hand-rolled
   * reader: `createRelation` resolves the pinned manifest and returns a
