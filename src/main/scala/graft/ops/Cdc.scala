@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   * idiom), then ONE full-outer equi-join against the snapshot. Both
   * sides shuffle on the key once; with a bucketed snapshot the join
   * co-locates and the nightly CDC apply is a single exchange of the
-  * (small) changelog.
+  * (small) changelog. The full-outer join still REWRITES the whole
+  * snapshot per apply — against a durable TableLog table, use
+  * [[graft.sinks.TableLog.merge]] (round 14): the same semantics
+  * through this fold, but copy-on-write over a STATS-PRUNED touch
+  * set, O(touched files + changes) instead of O(table).
   */
 object Cdc {
 

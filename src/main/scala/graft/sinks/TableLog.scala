@@ -886,7 +886,11 @@ object TableLog {
     * merge result publishes atomically, concurrent committers retry
     * against the new head instead of silently losing each other's
     * rows). Read-modify-write like compact: a lost race re-reads and
-    * re-merges. */
+    * re-merges. NOTE this verb rewrites the WHOLE table (O(table) per
+    * apply — fine for small dims, wrong for a nightly CDC batch into
+    * a big table): [[merge]] below is the O(touched files) MERGE INTO
+    * with source-wins changelog semantics and a stats-pruned touch
+    * set — prefer it whenever the keys are range-clustered. */
   def upsert(fresh: DataFrame, table: String, keys: Seq[String],
              maxRetries: Int = 10): Long = {
     val spark = fresh.sparkSession
