@@ -1667,6 +1667,147 @@ object MiscQueries {
         .orderBy("arm", "doc_id")
     },
 
+    // ---------------------------------------------------------------- q203
+    // MERGE-ON-READ DELETION VECTORS — delete's scale face for the
+    // erasure shape copy-on-write handles worst (SCALE100_r14's
+    // widedelete probe: ONE hot row per file rewrites 100% of table
+    // bytes): a scattered delete (doc_id % 97 = 3 — a few rows in
+    // EVERY file) lands as per-file position sidecars. The runner
+    // REQUIRES the scale contract: every data file carries into the
+    // new version BY IDENTITY (zero data bytes rewritten — the exact
+    // case the probe measured as a full-table rewrite), the commit is
+    // ONE atomic 'delete' version, CDF serves the deleted rows at
+    // O(dv) positions, a SECOND scattered delete unions into fresh
+    // sidecars with the files still untouched and exact audited
+    // cardinalities, and compact MATERIALIZES the vectors away with
+    // content preserved. Output = the DV-applied read (the
+    // merge-on-read path itself is what the oracle hashes).
+    Q("q203_table_delete_dv",
+      """SELECT doc_id, source FROM documents
+        |WHERE NOT (doc_id % 97 = 3 OR doc_id % 89 = 7)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.sinks.TableLog
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val c = docs.count() / 3
+      val table = Scratch.fresh("graft-q203").toString
+      TableLog.append(docs.filter(col("doc_id") < c), table)           // v1
+      TableLog.append(docs.filter(col("doc_id") >= c &&
+        col("doc_id") < 2 * c), table)                                 // v2
+      TableLog.append(docs.filter(col("doc_id") >= 2 * c), table)      // v3
+      val pre = TableLog.manifest(s, table)
+      val v4 = TableLog.deleteVectors(s, table, col("doc_id") % 97 === 3)
+      val m4 = TableLog.manifest(s, table, Some(v4))
+      require(m4.action == "delete" && v4 == 4L,
+        s"one atomic delete version (got ${m4.action}@$v4)")
+      require(m4.files == pre.files,
+        "a scattered DV delete must carry EVERY data file by IDENTITY " +
+          "(zero data bytes rewritten)")
+      require(m4.dvs.nonEmpty, "the delete must land as deletion vectors")
+      val card4 = m4.dvs.valuesIterator.map(_.card).sum
+      require(card4 == docs.where(col("doc_id") % 97 === 3).count(),
+        "audited DV cardinalities must equal the deleted-row count")
+      // CDF rides the DV commit: deleted rows recovered BY POSITION
+      val fed = TableLog.readChanges(s, table, 3L, Some(v4))
+      require(fed.where(col("_change_type") === "delete").count() == card4 &&
+        fed.where(col("_change_type") === "insert").count() == 0,
+        "the change feed must serve exactly the DV-deleted rows")
+      // second scattered delete: per-file sidecars UNION, still zero
+      // data bytes (positions already deleted must not recount)
+      val v5 = TableLog.deleteVectors(s, table, col("doc_id") % 89 === 7)
+      val m5 = TableLog.manifest(s, table, Some(v5))
+      require(m5.files == pre.files, "re-delete must still carry every file")
+      val fresh = docs.where(col("doc_id") % 89 === 7 &&
+        !(col("doc_id") % 97 === 3)).count()
+      require(m5.dvs.valuesIterator.map(_.card).sum == card4 + fresh,
+        "re-delete sidecars must hold the exact position UNION")
+      val live = TableLog.read(s, table) // the DV-applied plan — pinned
+      val nLive = live.count()
+      // compact materializes: vectors gone, content preserved
+      TableLog.compact(s, table, numFiles = 2)
+      val mC = TableLog.manifest(s, table)
+      require(mC.dvs.isEmpty, "compact must materialize the vectors away")
+      val after = TableLog.read(s, table)
+      require(after.count() == nLive && live.exceptAll(after).isEmpty,
+        "materialization must preserve the DV-applied content exactly")
+      live.orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q204
+    // SQL DML FACE — MERGE INTO + DELETE FROM + DESCRIBE HISTORY as
+    // pure SQL text over a graftlog table (GraftSql: Spark's OWN
+    // parser, the MergeIntoTable/DeleteFromTable nodes rerouted onto
+    // the TableLog verbs; the r14 "DML is Scala-only" gap). The CDC
+    // merge shape (guarded-insert clause matrix) updates %11=1,
+    // deletes %11=2 and inserts fresh keys for %11=3 of range 1; a
+    // SQL DELETE FROM then erases %13=5 table-wide. The runner
+    // REQUIRES: the merge lands as ONE 'merge' version whose
+    // untouched ranges carry by identity (the SQL face inherits the
+    // stats-pruned touch set), DESCRIBE HISTORY audits the verb
+    // sequence, and the final SELECT goes through the auto-refreshed
+    // temp view — parse-to-read, zero library calls in the consumer
+    // path. Oracle rebuilds the same DML from documents.
+    Q("q204_sql_dml",
+      """WITH p AS (SELECT count(*) // 3 AS c, max(doc_id) + 1 AS n
+        |           FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < (SELECT c FROM p) AND doc_id % 11 = 1
+        |         THEN source || '-u' ELSE source END AS source
+        |  FROM documents
+        |  WHERE NOT (doc_id < (SELECT c FROM p) AND doc_id % 11 = 2)
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT n FROM p), 'ins' FROM documents
+        |  WHERE doc_id < (SELECT c FROM p) AND doc_id % 11 = 3
+        |)
+        |SELECT doc_id, source FROM m WHERE doc_id % 13 <> 5
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.sinks.TableLog
+      import graft.sql.GraftSql
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val agg = docs.agg(count(lit(1)), max(col("doc_id"))).head
+      val c = agg.getLong(0) / 3
+      val n = agg.getLong(1) + 1
+      val table = Scratch.fresh("graft-q204").toString
+      TableLog.append(docs.filter(col("doc_id") < c), table)           // v1
+      TableLog.append(docs.filter(col("doc_id") >= c &&
+        col("doc_id") < 2 * c), table)                                 // v2
+      TableLog.append(docs.filter(col("doc_id") >= 2 * c), table)      // v3
+      GraftSql.register(s, "q204_t", table)
+      val r1 = docs.filter(col("doc_id") < c)
+      r1.filter(col("doc_id") % 11 === 1)
+        .select(col("doc_id"), concat(col("source"), lit("-u")).as("source"),
+          lit("U").as("op"))
+        .unionByName(r1.filter(col("doc_id") % 11 === 2)
+          .select(col("doc_id"), lit(null).cast("string").as("source"),
+            lit("D").as("op")))
+        .unionByName(r1.filter(col("doc_id") % 11 === 3)
+          .select((col("doc_id") + n).as("doc_id"), lit("ins").as("source"),
+            lit("U").as("op")))
+        .createOrReplaceTempView("q204_src")
+      val pre = TableLog.manifest(s, table)
+      val (_, r1Files) = TableLog.pruneFiles(s, table, col("doc_id") < c)
+      GraftSql.sql(s,
+        """MERGE INTO q204_t USING q204_src s ON q204_t.doc_id = s.doc_id
+          |WHEN MATCHED AND s.op = 'D' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED AND NOT (s.op = 'D') THEN INSERT *""".stripMargin)
+      val post = TableLog.manifest(s, table)
+      require(post.action == "merge" && post.version == 4L,
+        s"SQL MERGE must land as one merge version (${post.action}@${post.version})")
+      val carried = pre.files.toSet -- r1Files.toSet
+      require(carried.subsetOf(post.files.toSet),
+        "the SQL face inherits the stats-pruned touch set: untouched " +
+          "ranges carry by identity")
+      GraftSql.sql(s, "DELETE FROM q204_t WHERE doc_id % 13 = 5")
+      val hist = GraftSql.sql(s, "DESCRIBE HISTORY q204_t")
+        .select(col("action")).collect().map(_.getString(0)).toSeq
+      require(hist == Seq("append", "append", "append", "merge", "delete"),
+        s"DESCRIBE HISTORY must audit the verb sequence (got $hist)")
+      // parse-to-read: the consumer path is pure SQL over the
+      // auto-refreshed view
+      s.sql("SELECT doc_id, source FROM q204_t ORDER BY doc_id")
+    },
+
     // ---------------------------------------------------------------- q197
     // CHANGE DATA FEED, reconstructed — row-level +insert/-delete per
     // commit derived from the log + immutable data files alone (no

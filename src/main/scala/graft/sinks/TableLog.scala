@@ -102,7 +102,19 @@ object TableLog {
                             files: Seq[String],
                             txns: Map[String, Long] = Map.empty,
                             stats: Map[String, TableStats.FileStats] = Map.empty,
-                            schema: Option[StructType] = None)
+                            schema: Option[StructType] = None,
+                            dvs: Map[String, DvRef] = Map.empty)
+
+  /** A data file's DELETION VECTOR reference — merge-on-read erasure
+    * ([[deleteVectors]]): `path` is the parquet sidecar holding the
+    * deleted (file_name, row_index) positions, `card` the number of
+    * deleted rows in THAT data file (exact — audited at commit).
+    * Several data files may share one sidecar (one per delete
+    * commit); a re-deleted file repoints at a NEW sidecar holding the
+    * UNION of its positions, so for any file the referenced sidecar's
+    * rows are a superset of every older sidecar's — reading the union
+    * of all referenced sidecars is always exact. */
+  final case class DvRef(path: String, card: Long)
 
   /** A checkpoint (full-snapshot sidecar) is written after every this
     * many consecutive delta commits — bounds the reconstruction walk
@@ -123,7 +135,8 @@ object TableLog {
                                removes: Seq[String],
                                addStats: Map[String, TableStats.FileStats],
                                txns: Map[String, Long],
-                               schema: Option[StructType])
+                               schema: Option[StructType],
+                               addDvs: Map[String, DvRef])
 
   /** A resolved snapshot plus the length of the delta tail applied to
     * reach it — commit paths use `chain` to decide when the next
@@ -224,11 +237,14 @@ object TableLog {
         .asInstanceOf[StructType]
     }
     val kind = header.getOrElse("kind", "full") // pre-round-13 manifests: full snapshots
-    // file line = `path` / `+path` / `-path`, with an optional
-    // `\t<stats>` suffix on (plain or +) lines
+    // file line = `path` / `+path` / `-path`, with optional
+    // tab-separated tokens on (plain or +) lines: a stats token
+    // (starts `rows=` — TableStats.encode's first field) and/or a
+    // deletion-vector token `dv=<urlenc(path)>:<card>`
     val adds = Seq.newBuilder[String]
     val removes = Seq.newBuilder[String]
     val addStats = Map.newBuilder[String, TableStats.FileStats]
+    val addDvs = Map.newBuilder[String, DvRef]
     lines.slice(1, lines.length - 1).foreach { ln0 =>
       val (isRemove, ln) =
         if (kind == "delta" && ln0.startsWith("-")) (true, ln0.substring(1))
@@ -236,17 +252,29 @@ object TableLog {
         else if (kind == "delta") throw new IllegalArgumentException(
           s"TableLog: delta manifest $where has an unprefixed file line '$ln0'")
         else (false, ln0)
-      val tab = ln.indexOf('\t')
-      val path = if (tab < 0) ln else ln.substring(0, tab)
+      val toks = ln.split("\t")
+      val path = toks.head
       if (isRemove) removes += path
       else {
         adds += path
-        if (tab >= 0) addStats += path -> TableStats.decode(ln.substring(tab + 1))
+        toks.tail.foreach { t =>
+          if (t.startsWith("dv=")) {
+            val i = t.lastIndexOf(':') // the urlenc path holds no ':'
+            addDvs += path -> DvRef(urlDec(t.substring(3, i)),
+              t.substring(i + 1).toLong)
+          } else addStats += path -> TableStats.decode(t)
+        }
       }
     }
     Raw(header("version").toLong, header("base").toLong, header("action"),
-      kind, adds.result(), removes.result(), addStats.result(), txns, schema)
+      kind, adds.result(), removes.result(), addStats.result(), txns, schema,
+      addDvs.result())
   }
+
+  private def urlEnc(s: String): String =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+  private def urlDec(s: String): String =
+    java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
 
   private def readRaw(f: FileSystem, table: String, v: Long, wanted: Long): Raw = {
     val p = manifestPath(table, v)
@@ -298,12 +326,14 @@ object TableLog {
     s"version=$v base=$base action=$action kind=$kind$txnStr$schemaStr"
   }
 
-  private def statLine(p: String, stats: Map[String, TableStats.FileStats]): String =
-    stats.get(p).map(st => s"$p\t${TableStats.encode(st)}").getOrElse(p)
+  private def statLine(p: String, stats: Map[String, TableStats.FileStats],
+                       dvs: Map[String, DvRef] = Map.empty): String =
+    p + stats.get(p).map(st => s"\t${TableStats.encode(st)}").getOrElse("") +
+      dvs.get(p).map(d => s"\tdv=${urlEnc(d.path)}:${d.card}").getOrElse("")
 
   private def fullBody(m: Manifest): String =
     (headerLine(m.version, m.base, m.action, "full", m.txns, m.schema) +:
-      m.files.map(statLine(_, m.stats)) :+ SENTINEL).mkString("\n")
+      m.files.map(statLine(_, m.stats, m.dvs)) :+ SENTINEL).mkString("\n")
 
   /** Best-effort full-snapshot sidecar at `m.version`. Only the
     * winner of a version writes its checkpoint, so overwrite is safe
@@ -316,20 +346,25 @@ object TableLog {
     } catch { case scala.util.control.NonFatal(_) => () }
 
   private def toManifest(r: Raw): Manifest =
-    Manifest(r.version, r.base, r.action, r.adds, r.txns, r.addStats, r.schema)
+    Manifest(r.version, r.base, r.action, r.adds, r.txns, r.addStats, r.schema,
+      r.addDvs)
 
   /** The snapshot after applying `r` on top of `prev` (the snapshot at
     * r.version − 1). Full manifests replace; deltas merge files/stats
-    * and take everything header-borne from `r`. */
+    * (and carry the surviving files' deletion vectors forward — a
+    * delta commit never writes or drops a DV) and take everything
+    * header-borne from `r`. */
   private def applyRaw(prev: Option[Manifest], r: Raw): Manifest =
     if (r.kind == "full") toManifest(r)
     else {
       val rm = r.removes.toSet
       val pf = prev.map(_.files).getOrElse(Seq.empty)
       val ps = prev.map(_.stats).getOrElse(Map.empty[String, TableStats.FileStats])
+      val pd = prev.map(_.dvs).getOrElse(Map.empty[String, DvRef])
       Manifest(r.version, r.base, r.action,
         (if (rm.isEmpty) pf else pf.filterNot(rm)) ++ r.adds,
-        r.txns, (if (rm.isEmpty) ps else ps -- rm) ++ r.addStats, r.schema)
+        r.txns, (if (rm.isEmpty) ps else ps -- rm) ++ r.addStats, r.schema,
+        (if (rm.isEmpty) pd else pd -- rm) ++ r.addDvs)
     }
 
   /** Reconstruct the snapshot at `v`: nearest checkpoint-or-full
@@ -407,12 +442,73 @@ object TableLog {
            version: Option[Long] = None): DataFrame = {
     val m = manifest(spark, table, version)
     require(m.files.nonEmpty, s"TableLog: version ${m.version} of $table is empty")
-    reader(spark, m).parquet(m.files.map(rel => new Path(table, rel).toString): _*)
+    readFiles(spark, table, m, m.files)
   }
 
   /** DataFrameReader honoring the manifest's committed schema. */
   private def reader(spark: SparkSession, m: Manifest) =
     m.schema.map(spark.read.schema).getOrElse(spark.read)
+
+  /** When a DV-applying read's total deleted-position count exceeds
+    * this, the anti-join loses its broadcast hint and the planner
+    * falls back to a shuffled join — correct, never OOM. Sized so the
+    * broadcast stays a few-MB lookup table (positions are one
+    * (file_name, long) pair each); a table accumulating more live DV
+    * rows than this is overdue for the [[compact]] that materializes
+    * them away. */
+  val DV_BROADCAST_CAP = 4L * 1000 * 1000
+
+  /** Read exactly `files` of snapshot `m`, applying any DELETION
+    * VECTORS the manifest carries for them — the one spelling every
+    * raw file read in this object (read / readWhere / merge's base /
+    * delete's rewrite / readChanges' pre/postimages) goes through, so
+    * merge-on-read correctness has a single seam.
+    *
+    * Mechanism: files without a DV scan exactly as before (zero
+    * overhead — the common case stays the engine's vectorized parquet
+    * path untouched); files WITH a DV scan with the parquet metadata
+    * columns (`_metadata.file_name`, `_metadata.row_index` — stable
+    * per-file row positions, the substrate Delta's DVs key on) and
+    * anti-join the union of their referenced position sidecars.
+    * Position rows key on the data file's NAME: part-file names carry
+    * the write job's UUID, and [[deleteVectors]] enforces
+    * basename uniqueness across a version's DV'd files at commit, so
+    * the join can never cancel a row of a different file. Sidecars
+    * are per-commit; a re-deleted file's current sidecar holds the
+    * UNION of its positions (strict superset of older ones), so
+    * unioning every referenced sidecar stays exact. */
+  private def readFiles(spark: SparkSession, table: String, m: Manifest,
+                        files: Seq[String], keepPos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    def scan(fs: Seq[String]) =
+      reader(spark, m).parquet(fs.map(rel => new Path(table, rel).toString): _*)
+    def tag(df: DataFrame) = df.select(col("*"),
+      col("_metadata.file_name").as("__dv_f"),
+      col("_metadata.row_index").as("__dv_r"))
+    val withDv = files.filter(m.dvs.contains)
+    if (withDv.isEmpty) return if (keepPos) tag(scan(files)) else scan(files)
+    val plain = files.filterNot(m.dvs.contains)
+    val dvPaths = withDv.map(f => m.dvs(f).path).distinct
+      .map(rel => new Path(table, rel).toString)
+    // no name filter needed: a position row of a file OUTSIDE this
+    // scan matches nothing in it (names are write-UUID-unique)
+    val dv0 = spark.read.parquet(dvPaths: _*)
+    val dv = if (withDv.map(f => m.dvs(f).card).sum <= DV_BROADCAST_CAP)
+      broadcast(dv0) else dv0
+    val base = scan(withDv)
+    val outCols = base.columns.toSeq ++
+      (if (keepPos) Seq("__dv_f", "__dv_r") else Seq.empty)
+    val tagged = tag(base)
+    val applied = tagged.join(dv,
+        tagged("__dv_f") === dv("f") && tagged("__dv_r") === dv("r"),
+        "left_anti")
+      .select(outCols.map(col): _*)
+    if (plain.isEmpty) applied
+    else (if (keepPos) tag(scan(plain)) else scan(plain)).unionByName(applied)
+  }
+
+  /** `rel`'s basename — the name [[readFiles]]' anti-join keys on. */
+  private def baseName(rel: String): String = new Path(rel).getName
 
   /** Read with MANIFEST-LEVEL data skipping: files whose committed
     * stats prove they cannot hold a matching row are dropped from the
@@ -431,9 +527,8 @@ object TableLog {
     val m = manifest(spark, table, version)
     require(m.files.nonEmpty, s"TableLog: version ${m.version} of $table is empty")
     val keep = survivors(spark, table, m, predicate)
-    val paths = (if (keep.nonEmpty) keep else m.files.take(1))
-      .map(rel => new Path(table, rel).toString)
-    reader(spark, m).parquet(paths: _*).filter(predicate)
+    readFiles(spark, table, m, if (keep.nonEmpty) keep else m.files.take(1))
+      .filter(predicate)
   }
 
   /** Incremental consumption — the rows APPENDED after `sinceVersion`
@@ -487,7 +582,10 @@ object TableLog {
       reader(spark, mTo).parquet(new Path(table, mTo.files.head).toString)
         .filter(org.apache.spark.sql.functions.lit(false))
     else
-      reader(spark, mTo).parquet(newFiles.map(rel => new Path(table, rel).toString): _*)
+      // files added inside an append-only range can carry no DV (DV
+      // assignment is a 'delete' action, which the range check above
+      // rejects) — readFiles is the uniform spelling regardless
+      readFiles(spark, table, mTo, newFiles)
   }
 
   /** The file subset [[readWhere]] would scan, as (all, kept) —
@@ -520,6 +618,28 @@ object TableLog {
         m.files.filter(rel =>
           m.stats.get(rel).forall(st => TableStats.mayContain(st, expr)))
       case None => m.files
+    }
+  }
+
+  /** The table-wide [min, max] of `col` over the files that HAVE
+    * committed stats for it, as typed JVM values (None when no file
+    * does, or kinds clash). Files WITHOUT stats survive every prune,
+    * so CLIPPING a change-key domain to this range is sound: a key
+    * outside it can only match rows in stat-less files, and those
+    * stay in any touch set regardless of the predicate. */
+  private def statsKeyRange(m: Manifest, col: String): Option[(Any, Any)] = {
+    val cs = m.files.flatMap(f => m.stats.get(f).flatMap(_.cols.get(col)))
+    if (cs.isEmpty || cs.exists(_.kind != cs.head.kind)) None
+    else {
+      val kind = cs.head.kind
+      val lo = cs.map(_.min).reduce((a, b) => if (TableStats.lte(kind, a, b)) a else b)
+      val hi = cs.map(_.max).reduce((a, b) => if (TableStats.lte(kind, a, b)) b else a)
+      def typed(s: String): Any = kind match {
+        case 'l' => s.toLong
+        case 'd' => s.toDouble
+        case _ => s
+      }
+      Some((typed(lo), typed(hi)))
     }
   }
 
@@ -582,10 +702,11 @@ object TableLog {
                             action: String, files: Seq[String],
                             txns: Map[String, Long],
                             stats: Map[String, TableStats.FileStats],
-                            schema: Option[StructType]): Boolean = {
+                            schema: Option[StructType],
+                            dvs: Map[String, DvRef] = Map.empty): Boolean = {
     val v = base + 1
     val body = (headerLine(v, base, action, "full", txns, schema) +:
-      files.map(statLine(_, stats)) :+ SENTINEL).mkString("\n")
+      files.map(statLine(_, stats, dvs)) :+ SENTINEL).mkString("\n")
     publishManifest(spark, table, v, body)
   }
 
@@ -619,7 +740,8 @@ object TableLog {
       writeCheckpoint(fs(spark, table), table,
         Manifest(v, v - 1, action,
           pm.map(_.files).getOrElse(Seq.empty) ++ newFiles, txns,
-          pm.map(_.stats).getOrElse(Map.empty) ++ newStats, schema))
+          pm.map(_.stats).getOrElse(Map.empty) ++ newStats, schema,
+          pm.map(_.dvs).getOrElse(Map.empty))) // appends never change DVs
     }
   }
 
@@ -982,13 +1104,40 @@ object TableLog {
     // keys exist, so nothing in the table can match any change
     val someKeys = ch.select(col(keyCol)).where(col(keyCol).isNotNull)
       .distinct().limit(MERGE_KEY_INLINE_CAP + 1).collect().map(_.get(0)).toSeq
-    val keyPred =
+    /** The touch predicate for snapshot `m`. Above the inline cap the
+      * domain is first CLIPPED to the table's committed key range
+      * ([[statsKeyRange]]): the canonical nightly CDC batch is
+      * scattered updates on old keys PLUS inserts at fresh
+      * monotonically-high keys, and without clipping the insert tail
+      * widens the [min,max] envelope over the whole table — an
+      * O(table) rewrite in disguise. Clipped keys that fit the cap
+      * become the exact IN set again; only a genuinely table-spanning
+      * update set falls to the envelope (and then the cliff is
+      * logged). Sound because a key outside the committed range can
+      * only match rows in stat-less files, which survive every
+      * prune. */
+    def keyPredFor(m: Manifest): Option[org.apache.spark.sql.Column] =
       if (someKeys.isEmpty) None
       else if (someKeys.length <= MERGE_KEY_INLINE_CAP)
         Some(col(keyCol).isin(someKeys: _*))
       else {
-        val r = ch.agg(min(col(keyCol)), max(col(keyCol))).head
-        Some(col(keyCol) >= lit(r.get(0)) && col(keyCol) <= lit(r.get(1)))
+        val bounds = statsKeyRange(m, keyCol) match {
+          case Some((lo, hi)) =>
+            col(keyCol).isNotNull && col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi)
+          case None => col(keyCol).isNotNull
+        }
+        val clipped = ch.select(col(keyCol)).where(bounds)
+          .distinct().limit(MERGE_KEY_INLINE_CAP + 1).collect().map(_.get(0)).toSeq
+        if (clipped.length <= MERGE_KEY_INLINE_CAP && clipped.nonEmpty)
+          Some(col(keyCol).isin(clipped: _*))
+        else {
+          // envelope over the (clipped) in-range keys — two scalars;
+          // when nothing is in range, the raw envelope still prunes
+          // every statted file (it lies wholly outside their ranges)
+          val dom = if (clipped.isEmpty) col(keyCol).isNotNull else bounds
+          val r = ch.where(dom).agg(min(col(keyCol)), max(col(keyCol))).head
+          Some(col(keyCol) >= lit(r.get(0)) && col(keyCol) <= lit(r.get(1)))
+        }
       }
     var attempt = 0
     while (attempt <= maxRetries) {
@@ -1014,8 +1163,13 @@ object TableLog {
       commitSchema(spark, Some(m),
         ch.select((col(keyCol) +: payloadCols.map(col)).toIndexedSeq: _*),
         evolve = false, "merge")
-      val touched = keyPred.map(survivors(spark, table, m, _))
+      val touched = keyPredFor(m).map(survivors(spark, table, m, _))
         .getOrElse(Seq.empty)
+      if (touched.size == m.files.size && m.files.size > 8)
+        System.err.println(s"TableLog.merge: WARN the touch predicate covers " +
+          s"every file of $table (${m.files.size}) — this apply is an " +
+          s"O(table) rewrite; cluster the table on '$keyCol' " +
+          s"(compactZOrder) or split the changelog by key range")
       val keptSet = m.files.toSet -- touched
       val kept = m.files.filter(keptSet)
       val base: DataFrame =
@@ -1024,8 +1178,7 @@ object TableLog {
           // row can match, so the apply reduces to the insert arm
           reader(spark, m).parquet(new Path(table, m.files.head).toString)
             .filter(lit(false))
-        else reader(spark, m)
-          .parquet(touched.map(rel => new Path(table, rel).toString): _*)
+        else readFiles(spark, table, m, touched) // DV-applied preimages
       val applied = graft.ops.Cdc.applyChangelog(
           base, ch, keyCol, seqCol, opCol, payloadCols)
         .select(tableSchema.fieldNames.map(col).toIndexedSeq: _*)
@@ -1043,17 +1196,25 @@ object TableLog {
         } else (rawFiles, rawStats)
       if (touched.isEmpty && newFiles.isEmpty)
         return m.version // zero matches, zero inserts: metadata no-op
+      // full-table erasure refuses LOUDLY, exactly like [[delete]] —
+      // the same logical outcome must not silently commit an
+      // empty-but-versioned table through one verb and throw in the
+      // other (writeData's keep-one-empty makes newFiles non-empty
+      // here, so the zero-row check is on stats, not file counts)
+      if (kept.isEmpty &&
+          newFiles.forall(f => newStats.get(f).exists(_.rows == 0)))
+        throw new IllegalStateException(
+          s"TableLog.merge: the changelog removed every row of $table — an " +
+            s"empty table version is not representable; overwrite with " +
+            s"replacement contents instead")
       val files = kept ++ newFiles
-      if (files.isEmpty) throw new IllegalStateException(
-        s"TableLog.merge: the changelog deleted every row of $table and the " +
-          s"empty rewrite produced no data file — an empty table version is " +
-          s"not representable; overwrite with replacement contents instead")
       val stats = m.stats.filter { case (k, _) => keptSet(k) } ++ newStats
       // test seam: TableLogSpec injects a COMPETING commit here to pin
       // the lose-and-re-merge path deterministically
       beforeCommit(m.version)
       if (tryCommitFull(spark, table, m.version, "merge", files, m.txns,
-          stats, m.schema))
+          stats, m.schema,
+          m.dvs.filter { case (k, _) => keptSet(k) })) // carried files keep DVs
         return m.version + 1
       attempt += 1
     }
@@ -1104,8 +1265,9 @@ object TableLog {
       if (touched.isEmpty) return m.version // stats prove nothing matches
       val keptSet = m.files.toSet -- touched
       val kept = m.files.filter(keptSet)
-      val rewritten = reader(spark, m)
-        .parquet(touched.map(rel => new Path(table, rel).toString): _*)
+      // DV-applied: a touched file's already-deleted rows must not
+      // resurrect into its rewrite (the rewrite MATERIALIZES the DV)
+      val rewritten = readFiles(spark, table, m, touched)
         .filter(not(coalesce(predicate, lit(false))))
       // writeData drops zero-row part artifacts (stat-less footers
       // would survive every future prune conservatively, turning
@@ -1131,12 +1293,157 @@ object TableLog {
           s"not representable; overwrite with replacement contents instead")
       val stats = m.stats.filter { case (k, _) => keptSet(k) } ++ newStats
       if (tryCommitFull(spark, table, m.version, "delete", files, m.txns,
-          stats, m.schema))
+          stats, m.schema,
+          m.dvs.filter { case (k, _) => keptSet(k) })) // carried files keep DVs
         return m.version + 1
       attempt += 1
     }
     throw new IllegalStateException(
       s"TableLog.delete: lost the publish race $maxRetries times on $table")
+  }
+
+  /** MERGE-ON-READ DELETE — [[delete]]'s scale face for the erasure
+    * shape copy-on-write handles worst (the SCALE100_r14 widedelete
+    * probe: ONE hot row per file rewrites 100% of table bytes — at
+    * 100 TB with 1 GB files, a scattered GDPR-style erasure is a
+    * full-table rewrite). Instead of rewriting a touched file, this
+    * verb writes a DELETION-VECTOR sidecar — the file's deleted
+    * (file_name, row_index) positions as one small parquet per
+    * commit — and the manifest carries the data file BY IDENTITY with
+    * a `dv=` annotation; every read applies the positions as an
+    * anti-join ([[readFiles]]), so `read` ≡ the copy-on-write answer
+    * while the delete's write cost is O(deleted rows), not O(touched
+    * bytes).
+    *
+    * Per-file auto decision (the commit may MIX modes): a touched
+    * file whose matched-row fraction exceeds `maxDvFraction` of its
+    * live rows is cheaper rewritten — it takes the copy-on-write
+    * path; one whose rows ALL match is dropped from the manifest
+    * outright (zero bytes moved — the best case); the scattered
+    * remainder gets DVs. A re-deleted file's new sidecar holds the
+    * UNION of its old and new positions (so the union-of-sidecars
+    * read stays exact), with the per-file cardinality re-audited at
+    * commit. Read-side cost is priced by the manifest itself
+    * (Σ card): under [[DV_BROADCAST_CAP]] the anti-join broadcasts;
+    * [[compact]] / [[compactZOrder]] MATERIALIZE all DVs away (their
+    * rewrite reads DV-applied rows), which is the standing
+    * maintenance answer to DV accumulation.
+    *
+    * Same contracts as [[delete]] otherwise: SQL null semantics (a
+    * NULL verdict keeps the row), one atomic 'delete' version,
+    * stats-pruned touch set with [[TableStats.mayContain]] soundness
+    * load-bearing, metadata no-op when stats prove nothing matches,
+    * loud failure for incremental readers crossing it (CDF mode
+    * serves the deleted rows at O(dv) — [[readChanges]]), lost races
+    * re-resolve and re-run. Stats of a DV'd file stay the committed
+    * ones — a SUPERSET of the live rows, conservative for every
+    * prune; [[statsSummary]] refuses DV'd versions rather than serve
+    * loose bounds, and [[history]] subtracts the audited
+    * cardinalities so row counts stay exact.
+    *
+    * Reference anchor: the erasure verb a real S3-backed corpus
+    * (restaurant-crawler/storage_manager.py:44-45's bucket) needs at
+    * scale. */
+  def deleteVectors(spark: SparkSession, table: String,
+                    predicate: org.apache.spark.sql.Column,
+                    maxDvFraction: Double = 0.5,
+                    maxRetries: Int = 10): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    require(maxDvFraction >= 0.0 && maxDvFraction <= 1.0,
+      s"deleteVectors: maxDvFraction must be in [0, 1], got $maxDvFraction")
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val r = headResolved(spark, table)
+      require(r.nonEmpty, s"TableLog.deleteVectors: $table has no committed version")
+      val m = r.get.m
+      val touched = survivors(spark, table, m, predicate)
+      if (touched.isEmpty) return m.version // stats prove nothing matches
+      // basename-uniqueness fuse: the DV anti-join keys on file NAME
+      // (write-UUID-unique by construction); a collision among the
+      // files that could carry DVs would let one file's positions
+      // cancel another's rows — refuse rather than risk it
+      val dvCandidates = touched ++ m.dvs.keys
+      require(dvCandidates.map(baseName).distinct.size == dvCandidates.distinct.size,
+        s"TableLog.deleteVectors: duplicate data-file basenames in $table — " +
+          s"DV positions key on file names; use the copy-on-write delete")
+      // the deleted positions, computed over the DV-APPLIED touched
+      // rows (already-deleted rows must not recount); small by the
+      // verb's premise — eagerly pinned so the per-file audit, the
+      // sidecar write and a retry never rescan
+      val positions = readFiles(spark, table, m, touched, keepPos = true)
+        .where(coalesce(predicate, lit(false)))
+        .select(col("__dv_f").as("f"), col("__dv_r").as("r"))
+        .localCheckpoint(true)
+      val matched: Map[String, Long] = positions.groupBy(col("f"))
+        .count().collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      if (matched.isEmpty) {
+        // stats said "may match" but nothing did — metadata no-op,
+        // unless a racing commit forces a re-check (pinned m is ours)
+        return m.version
+      }
+      // per-file mode decision, driver-sized (O(touched files))
+      val dead = Seq.newBuilder[String] // every live row matched: drop outright
+      val cow = Seq.newBuilder[String] // dense matches: cheaper rewritten
+      val dv = Seq.newBuilder[String] // scattered matches: sidecar
+      touched.foreach { f =>
+        val hits = matched.getOrElse(baseName(f), 0L)
+        if (hits == 0L) () // carried untouched, existing DV (if any) kept
+        else m.stats.get(f).map(_.rows - m.dvs.get(f).map(_.card).getOrElse(0L)) match {
+          case Some(live) if hits >= live => dead += f
+          case Some(live) if hits > maxDvFraction * live => cow += f
+          case _ => dv += f // scattered (or stat-less: cost unknown, DV is the ask)
+        }
+      }
+      val (deadF, cowF, dvF) = (dead.result(), cow.result(), dv.result())
+      // new sidecar: this commit's positions for the DV'd files,
+      // UNIONed with those files' previous sidecar rows (distinct —
+      // re-matching an already-deleted position is harmless)
+      val dvNames = dvF.map(baseName)
+      val (newDvs, dvDataFiles): (Map[String, DvRef], Seq[String]) =
+        if (dvF.isEmpty) (Map.empty, Seq.empty)
+        else {
+          val fresh = positions.where(col("f").isin(dvNames: _*))
+          val oldPaths = dvF.flatMap(f => m.dvs.get(f).map(_.path)).distinct
+          val all =
+            if (oldPaths.isEmpty) fresh
+            else fresh.unionByName(
+              spark.read.parquet(
+                  oldPaths.map(rel => new Path(table, rel).toString): _*)
+                .where(col("f").isin(dvNames: _*))).distinct()
+          val (rels, _) = writeData(all.coalesce(1), table)
+          val cards = all.groupBy(col("f")).count().collect()
+            .map(x => x.getString(0) -> x.getLong(1)).toMap
+          (dvF.map(f => f -> DvRef(rels.head, cards(baseName(f)))).toMap, rels)
+        }
+      // copy-on-write arm (dense files): DV-applied rewrite, like delete
+      val (cowNew, cowStats) =
+        if (cowF.isEmpty) (Seq.empty[String], Map.empty[String, TableStats.FileStats])
+        else {
+          val rewritten = readFiles(spark, table, m, cowF)
+            .filter(not(coalesce(predicate, lit(false))))
+          val (rawFiles, rawStats) = writeData(rewritten, table)
+          val empties = rawFiles.filter(f => rawStats.get(f).exists(_.rows == 0))
+          (rawFiles.filterNot(empties.toSet),
+            rawStats.filter { case (k, _) => !empties.contains(k) })
+        }
+      val gone = (deadF ++ cowF).toSet
+      val files = m.files.filterNot(gone) ++ cowNew
+      if (files.isEmpty) throw new IllegalStateException(
+        s"TableLog.deleteVectors: the predicate removed every row of $table — " +
+          s"an empty table version is not representable; overwrite with " +
+          s"replacement contents instead")
+      val stats = m.stats.filter { case (k, _) => !gone(k) } ++ cowStats
+      val dvs = (m.dvs -- gone) ++ newDvs
+      if (tryCommitFull(spark, table, m.version, "delete", files, m.txns,
+          stats, m.schema, dvs))
+        return m.version + 1
+      // lost the race: this attempt's sidecar + rewrites become
+      // vacuum-able orphans; re-resolve and re-run
+      val _ = dvDataFiles
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"TableLog.deleteVectors: lost the publish race $maxRetries times on $table")
   }
 
   /** RESTORE TO VERSION (Delta's RESTORE): publish a new head whose
@@ -1167,7 +1474,7 @@ object TableLog {
         s"TableLog.restore: version $version is ahead of head ${m.version}")
       if (version == m.version) return m.version // already there: no-op
       if (tryCommitFull(spark, table, m.version, "restore", target.files,
-          m.txns, target.stats, target.schema))
+          m.txns, target.stats, target.schema, target.dvs))
         return m.version + 1
       attempt += 1
     }
@@ -1213,10 +1520,16 @@ object TableLog {
     require(headVersion(spark, target) == 0L,
       s"TableLog.cloneShallow: target $target already has committed versions")
     val f = fs(spark, source)
-    val abs = m.files.map(rel => f.makeQualified(new Path(source, rel)).toString)
+    def qual(rel: String) = f.makeQualified(new Path(source, rel)).toString
+    val abs = m.files.map(qual)
     val stats = m.files.zip(abs).flatMap { case (rel, a) =>
       m.stats.get(rel).map(a -> _) }.toMap
-    if (tryCommitFull(spark, target, 0L, "clone", abs, Map.empty, stats, m.schema)) {
+    // deletion-vector refs re-key AND re-point absolutely: the clone
+    // reads the source's sidecars in place, like its data files
+    val dvs = m.files.zip(abs).flatMap { case (rel, a) =>
+      m.dvs.get(rel).map(d => a -> d.copy(path = qual(d.path))) }.toMap
+    if (tryCommitFull(spark, target, 0L, "clone", abs, Map.empty, stats, m.schema,
+        dvs)) {
       registerClone(spark, source, target, m.version)
       1L
     } else throw new IllegalStateException(
@@ -1277,8 +1590,14 @@ object TableLog {
     * Returns true when a marker for `target` existed. */
   def detachClone(spark: SparkSession, source: String, target: String): Boolean = {
     val f = fs(spark, source)
-    val tq = f.makeQualified(new Path(target)).toString
-    val mine = clones(spark, source).filter(_._2 == tq)
+    // normalized compare: qualification + Path canonicalization absorb
+    // trailing-slash / double-slash / scheme spelling differences, so
+    // an operator's re-spelling of the registered path still matches
+    // (a truly divergent alias — symlinks — has the ignoreClones
+    // escape on expireVersions)
+    def normQ(p: String) = f.makeQualified(new Path(p)).toString.stripSuffix("/")
+    val tq = normQ(target)
+    val mine = clones(spark, source).filter(c => normQ(c._2) == tq)
     mine.foreach { case (name, _, _) =>
       f.delete(new Path(clonesDir(source), name), false) }
     mine.nonEmpty
@@ -1301,7 +1620,11 @@ object TableLog {
         val state: Option[Boolean] = // Some(stillShares) | None = unreachable
           try {
             if (headVersion(spark, target) == 0L) Some(false) // clone gone
-            else Some(manifest(spark, target).files.exists(_.startsWith(tableQ)))
+            else {
+              val tm = manifest(spark, target)
+              Some((tm.files ++ tm.dvs.valuesIterator.map(_.path))
+                .exists(_.startsWith(tableQ)))
+            }
           } catch { case scala.util.control.NonFatal(_) => None }
         state match {
           case Some(false) =>
@@ -1377,11 +1700,20 @@ object TableLog {
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
         case "delete" | "merge" =>
+          import org.apache.spark.sql.functions.col
           val removed = prev.map(_.files).getOrElse(Seq.empty)
             .filterNot(cur.files.toSet)
           val added = cur.files.filterNot(prevFiles)
-          val oldRows = if (removed.isEmpty) None else Some(rd(removed))
-          val newRows = if (added.isEmpty) None else Some(rd(added))
+          // pre/postimages are DV-APPLIED under their OWN version's
+          // vectors (a rewritten file's preimage is its live rows,
+          // not its physical ones), read with the TO-version schema
+          // per the CDF contract
+          val oldRows = if (removed.isEmpty) None
+            else Some(readFiles(spark, table,
+              prev.get.copy(schema = mTo.schema), removed))
+          val newRows = if (added.isEmpty) None
+            else Some(readFiles(spark, table,
+              cur.copy(schema = mTo.schema), added))
           // rows leaving the touched set are deletes, rows entering it
           // are inserts; a merge UPDATE is its −preimage + its
           // +postimage (the signed-row CDC contract). For a delete the
@@ -1394,7 +1726,37 @@ object TableLog {
             else newRows.map(n => oldRows.fold(n)(n.exceptAll))
               .map(_.withColumn("_change_type", lit("insert"))
                 .withColumn("_commit_version", lit(v)))
-          deleted.toSeq ++ inserted.toSeq
+          // DV-GROWN files (merge-on-read deletes): carried by
+          // identity with a larger deletion cardinality — their
+          // newly-deleted rows are recovered BY POSITION ((cur ∖
+          // prev) sidecar rows semi-joined back into the file), so
+          // the feed costs O(dv), cheaper than any content diff
+          val grown = cur.files.filter(f => prevFiles.contains(f) &&
+            cur.dvs.get(f).exists(nd =>
+              prev.flatMap(_.dvs.get(f)).forall(_.card < nd.card)))
+          val dvDeleted = if (grown.isEmpty) None else {
+            val names = grown.map(baseName)
+            def posns(refs: Seq[DvRef]): Option[DataFrame] =
+              if (refs.isEmpty) None
+              else Some(spark.read.parquet(refs.map(d =>
+                  new Path(table, d.path).toString).distinct: _*)
+                .where(col("f").isin(names: _*)))
+            val newPos = posns(grown.map(cur.dvs(_))).get
+            val oldPos = posns(grown.flatMap(f => prev.flatMap(_.dvs.get(f))))
+            val delta = oldPos.fold(newPos)(newPos.exceptAll)
+            val tagged = readFiles(spark, table,
+              cur.copy(schema = mTo.schema, dvs = Map.empty), grown,
+              keepPos = true)
+            val outCols = tagged.columns.toSeq
+              .filterNot(c => c == "__dv_f" || c == "__dv_r")
+            Some(tagged.join(delta,
+                tagged("__dv_f") === delta("f") && tagged("__dv_r") === delta("r"),
+                "left_semi")
+              .select(outCols.map(col): _*)
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_version", lit(v)))
+          }
+          deleted.toSeq ++ dvDeleted.toSeq ++ inserted.toSeq
         case "compact" | "zorder" => Seq.empty // layout-only: zero row changes
         case other => throw new IllegalStateException(
           s"TableLog.readChanges: version $v of $table is '$other' — not " +
@@ -1435,6 +1797,13 @@ object TableLog {
     require(m.files.forall(m.stats.contains),
       s"TableLog.statsSummary: version ${m.version} of $table predates " +
         s"per-file stats (legacy manifest) — rewrite the table to upgrade")
+    // a DV'd file's committed min/max bound its PHYSICAL rows, a
+    // superset of the live ones — loose bounds served as EXACT would
+    // be a lie; refuse until a compact materializes the vectors
+    require(m.dvs.isEmpty,
+      s"TableLog.statsSummary: version ${m.version} of $table carries live " +
+        s"deletion vectors — its committed min/max bound deleted rows too; " +
+        s"compact the table to materialize them, then summarize")
     val fss = m.files.map(m.stats)
     val nRows = fss.map(_.rows).sum
     val common = fss.map(_.cols.keySet).reduce(_ intersect _).toSeq.sorted
@@ -1523,7 +1892,18 @@ object TableLog {
     * reading a hole). Returns the deleted table-relative paths
     * (data + manifests). */
   def expireVersions(spark: SparkSession, table: String,
-                     minRetainVersion: Long): Seq[String] = {
+                     minRetainVersion: Long): Seq[String] =
+    expireVersions(spark, table, minRetainVersion, ignoreClones = false)
+
+  /** [[expireVersions]] with the operator's UNWEDGE: `ignoreClones =
+    * true` skips the clone fence — for a clone whose directory is
+    * permanently gone (the conservative fence treats unreachable as
+    * alive forever) or whose marker path an operator cannot spell
+    * back at [[detachClone]] (symlinked mounts). The caller asserts
+    * the clones' fate; with the fence off, expiry may delete files a
+    * still-alive pinned clone shares. */
+  def expireVersions(spark: SparkSession, table: String,
+                     minRetainVersion: Long, ignoreClones: Boolean): Seq[String] = {
     val f = fs(spark, table)
     val head = headVersion(spark, table)
     require(head >= 1, s"TableLog: $table has no committed version")
@@ -1536,7 +1916,9 @@ object TableLog {
     //    references files this expiry may delete — REFUSE, loudly,
     //    before anything is removed. Markers for clones that are gone
     //    or have materialized away auto-detach here.
-    val blocking = blockingClones(spark, table, minRetainVersion)
+    val blocking =
+      if (ignoreClones) Seq.empty
+      else blockingClones(spark, table, minRetainVersion)
     if (blocking.nonEmpty) throw new IllegalStateException(
       s"TableLog.expireVersions: $table has live shallow clone(s) pinned " +
         s"below v$minRetainVersion that still reference its files — " +
@@ -1561,8 +1943,9 @@ object TableLog {
     (floor to head).foreach { v =>
       m = Some(if (m.isEmpty) resolve(spark, table, v).m
                else applyRaw(m, readRaw(f, table, v, v)))
-      if (v < minRetainVersion) expiredRef ++= m.get.files
-      else retainedRef ++= m.get.files
+      val refs = m.get.files ++ m.get.dvs.valuesIterator.map(_.path)
+      if (v < minRetainVersion) expiredRef ++= refs
+      else retainedRef ++= refs
     }
     // ownership guard: retention deletes only files that live UNDER
     // this table's directory — a shallow clone's manifests reference
@@ -1592,7 +1975,11 @@ object TableLog {
   def history(spark: SparkSession, table: String): Seq[HistoryRow] =
     foldSnapshots(spark, table)(Vector.empty[HistoryRow]) { (acc, m) =>
       val rows =
-        if (m.files.forall(m.stats.contains)) m.files.map(f => m.stats(f).rows).sum
+        if (m.files.forall(m.stats.contains))
+          // deletion-vector cardinalities are audited at commit, so
+          // subtracting them keeps the count EXACT under live DVs
+          m.files.map(f => m.stats(f).rows).sum -
+            m.dvs.valuesIterator.map(_.card).sum
         else -1L
       acc :+ HistoryRow(m.version, m.action, m.base, m.files.length, rows)
     }
@@ -1604,7 +1991,8 @@ object TableLog {
     * superseded writers' leftovers, safe to delete once no reader can
     * still be pinned below the retention horizon. */
   def orphans(spark: SparkSession, table: String): Seq[String] = {
-    val live = foldSnapshots(spark, table)(Set.empty[String])(_ ++ _.files)
+    val live = foldSnapshots(spark, table)(Set.empty[String])((acc, m) =>
+      acc ++ m.files ++ m.dvs.valuesIterator.map(_.path))
     val f = fs(spark, table)
     val dataDir = new Path(table, "data")
     if (!f.exists(dataDir)) Seq.empty

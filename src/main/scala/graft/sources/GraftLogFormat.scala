@@ -66,6 +66,14 @@ class GraftLogSource extends RelationProvider
     val m = TableLog.manifest(spark, table, version)
     require(m.files.nonEmpty,
       s"graftlog: version ${m.version} of $table is empty")
+    // a version carrying DELETION VECTORS cannot be served as a bare
+    // file listing (the HadoopFsRelation scan would resurrect deleted
+    // rows): it takes the PrunedFilteredScan fallback, whose scan IS
+    // TableLog.read's DV-applying plan — correct first; the
+    // vectorized fast path returns after a compact materializes the
+    // vectors (the standing maintenance answer)
+    if (m.dvs.nonEmpty)
+      return new GraftLogDvRelation(spark, table, m.version)
     // committed schema when present; legacy pre-schema tables fall
     // back to one footer read (the TableLog.read rule)
     val dataSchema = m.schema.getOrElse(
@@ -101,6 +109,57 @@ class GraftLogSource extends RelationProvider
       case SaveMode.Ignore => TableLog.append(data, table)
     }
     createRelation(sqlContext, parameters)
+  }
+}
+
+/** The DV-aware fallback relation: `buildScan` delegates to
+  * [[TableLog.read]]'s deletion-vector-applying plan (anti-join of
+  * position sidecars over the DV'd files' scans), with required
+  * columns projected and the pushable subset of the filters applied
+  * INSIDE that plan — parquet pushdown and manifest-stats pruning
+  * still engage through `readWhere`-equivalent machinery downstream;
+  * Spark re-evaluates every filter on top (`unhandledFilters` default),
+  * so best-effort translation is safe. Slower than the vectorized
+  * HadoopFsRelation path (rows convert through an RDD[Row] seam) —
+  * the price of correctness between a deleteVectors commit and the
+  * compact that materializes it. */
+private[sources] class GraftLogDvRelation(
+    spark: SparkSession, table: String, version: Long)
+    extends BaseRelation with org.apache.spark.sql.sources.PrunedFilteredScan {
+
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  private val df: DataFrame = TableLog.read(spark, table, Some(version))
+
+  override def schema: StructType = df.schema
+
+  /** sources.Filter → Column, best-effort: None = not translated
+    * (Spark re-applies the full predicate above the scan anyway). */
+  private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case Or(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val filtered = filters.flatMap(toColumn).foldLeft(df)(_ filter _)
+    // rows must carry EXACTLY requiredColumns (zero-width for
+    // count(*) scans — select() with no args is the empty projection)
+    filtered.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
   }
 }
 

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sinks.TableLog
+import graft.sql.GraftSql
+
+/** GraftSql: the pure-SQL DML face over TableLog — MERGE INTO /
+  * DELETE FROM through Spark's own parser, maintenance verbs, view
+  * refresh after DML, and loud rejection of every clause shape whose
+  * changelog translation would silently diverge from SQL semantics.
+  */
+class GraftSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft-sql").toString
+
+  private def rows(name: String): Seq[(Long, String)] =
+    spark.sql(s"SELECT id, payload FROM $name ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  test("SQL MERGE INTO (CDC shape) ≡ the Scala merge verb; the view refreshes so SELECT sees the new head") {
+    val t = tmpTable()
+    TableLog.append((0L until 10L).map(i => (i, s"p$i")).toDF("id", "payload"), t)
+    GraftSql.register(spark, "gsql_t", t)
+    Seq((1L, "p1-u", "U"), (2L, null.asInstanceOf[String], "D"),
+        (20L, "new", "U"), (21L, "flagged", "D"))
+      .toDF("id", "payload", "op").createOrReplaceTempView("gsql_src")
+    val res = GraftSql.sql(spark,
+      """MERGE INTO gsql_t USING gsql_src s ON gsql_t.id = s.id
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED AND NOT (s.op = 'D') THEN INSERT *""".stripMargin)
+    assert(res.head.getString(1) == "merge" && res.head.getLong(2) == 2L)
+    assert(TableLog.manifest(spark, t).action == "merge")
+    // id 2 deleted, id 1 updated, id 20 inserted, id 21 (unmatched,
+    // delete-flagged) dropped per the guarded-insert contract
+    val expected = ((0L until 10L).filterNot(_ == 2L).map(i =>
+      (i, if (i == 1L) "p1-u" else s"p$i")) :+ (20L, "new")).sortBy(_._1)
+    assert(rows("gsql_t") == expected, "SELECT through the view sees the new head")
+    // plain upsert shape, no delete arm
+    Seq((3L, "p3-u2"), (30L, "newer")).toDF("id", "payload")
+      .createOrReplaceTempView("gsql_src2")
+    GraftSql.sql(spark,
+      """MERGE INTO gsql_t USING gsql_src2 s ON gsql_t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(rows("gsql_t").toMap.get(3L).contains("p3-u2"))
+    assert(rows("gsql_t").toMap.get(30L).contains("newer"))
+  }
+
+  test("SQL DELETE FROM ≡ TableLog.delete; DESCRIBE HISTORY / OPTIMIZE / RESTORE / VACUUM drive the verbs") {
+    val t = tmpTable()
+    TableLog.append((0L until 20L).map(i => (i, s"p$i")).toDF("id", "payload")
+      .coalesce(2), t)
+    GraftSql.register(spark, "gsql_m", t)
+    GraftSql.sql(spark, "DELETE FROM gsql_m WHERE id % 2 = 0 AND id < 10")
+    assert(rows("gsql_m").map(_._1) ==
+      (0L until 20L).filterNot(i => i % 2 == 0 && i < 10))
+    val hist = GraftSql.sql(spark, "DESCRIBE HISTORY gsql_m")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist == Seq((1L, "append"), (2L, "delete")))
+    GraftSql.sql(spark, "OPTIMIZE gsql_m INTO 1 FILES")
+    assert(TableLog.manifest(spark, t).action == "compact" &&
+      TableLog.manifest(spark, t).files.size == 1)
+    assert(rows("gsql_m").size == 15, "optimize preserves content")
+    val r = GraftSql.sql(spark, "RESTORE gsql_m TO VERSION AS OF 1")
+    assert(r.head.getLong(2) == 4L)
+    assert(rows("gsql_m").map(_._1) == (0L until 20L),
+      "restore through SQL serves v1 again")
+    val vac = GraftSql.sql(spark, "VACUUM gsql_m")
+    assert(vac.columns.toSeq == Seq("deleted_path"))
+    // a zorder through SQL text
+    TableLog.append((20L until 40L).map(i => (i, s"p$i")).toDF("id", "payload"), t)
+    GraftSql.sql(spark, "OPTIMIZE gsql_m ZORDER BY (id) INTO 2 FILES")
+    assert(TableLog.manifest(spark, t).action == "zorder")
+    assert(spark.sql("SELECT count(*) AS c FROM gsql_m").head.getLong(0) == 40L)
+  }
+
+  test("divergent clause shapes reject loudly; SQL MERGE cardinality contract enforced; non-DML delegates to spark.sql") {
+    val t = tmpTable()
+    TableLog.append((0L until 5L).map(i => (i, s"p$i")).toDF("id", "payload"), t)
+    GraftSql.register(spark, "gsql_r", t)
+    Seq((1L, "x", "D"), (2L, "y", "U")).toDF("id", "payload", "op")
+      .createOrReplaceTempView("gsql_rsrc")
+    // update-only: changelog 'U' would INSERT unmatched keys, SQL wouldn't
+    val e1 = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      """MERGE INTO gsql_r USING gsql_rsrc s ON gsql_r.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
+    assert(e1.getMessage.contains("Supported shapes"))
+    // unguarded INSERT with a delete arm: SQL inserts flagged
+    // unmatched rows, the changelog drops them
+    val e2 = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      """MERGE INTO gsql_r USING gsql_rsrc s ON gsql_r.id = s.id
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e2.getMessage.contains("guarded"))
+    // duplicate source keys: the SQL cardinality violation
+    Seq((1L, "a", "U"), (1L, "b", "U")).toDF("id", "payload", "op")
+      .createOrReplaceTempView("gsql_rdup")
+    val e3 = intercept[IllegalStateException](GraftSql.sql(spark,
+      """MERGE INTO gsql_r USING gsql_rdup s ON gsql_r.id = s.id
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED AND NOT (s.op = 'D') THEN INSERT *""".stripMargin))
+    assert(e3.getMessage.contains("multiple source rows"))
+    // delete-only shape works with a key-only source
+    Seq(Tuple1(3L)).toDF("id").createOrReplaceTempView("gsql_rdel")
+    GraftSql.sql(spark,
+      """MERGE INTO gsql_r USING gsql_rdel s ON gsql_r.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(rows("gsql_r").map(_._1) == Seq(0L, 1L, 2L, 4L))
+    // anything else is plain spark.sql — a SELECT comes back verbatim
+    assert(GraftSql.sql(spark, "SELECT 1 AS one").head.getInt(0) == 1)
+  }
+}

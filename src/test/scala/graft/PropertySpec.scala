@@ -256,6 +256,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TableLog deleteVectors: deleteVectors(p) ≡ read.filter(NOT coalesce(p, false)) for random tables, predicates and dv fractions") {
+    // the merge-on-read erasure identity: same contract as the
+    // copy-on-write delete fuzz, but the verb lands as per-file
+    // position sidecars (or a mixed dv/cow/drop commit, steered by a
+    // random maxDvFraction — 0.0 forces pure copy-on-write through
+    // the verb, 1.0 pure sidecars, 0.5 mixes). Deletes COMPOSE on one
+    // table, so later rounds exercise dv-on-dv (sidecar repoint +
+    // union), dv-over-rewritten-files, and positions computed over
+    // already-DV'd reads.
+    import graft.sinks.TableLog
+    val strs = Array("", "a", "ab", "zz", "m-9", "Ωmega", "ctl")
+    (1 to 4).foreach { round =>
+      val t = java.nio.file.Files.createTempDirectory(s"graft-dvp$round").toString
+      (1 to 2 + rnd.nextInt(3)).foreach { _ =>
+        val rows = List.fill(rnd.nextInt(40) + 5)((
+          rnd.nextInt(200).toLong - 100,
+          if (rnd.nextInt(8) == 0) null.asInstanceOf[java.lang.Double]
+          else java.lang.Double.valueOf(rnd.nextInt(100) / 7.0),
+          if (rnd.nextInt(8) == 0) null else strs(rnd.nextInt(strs.length))))
+        TableLog.append(rows.toDF("id", "x", "s").coalesce(1 + rnd.nextInt(2)), t)
+      }
+      val preds = Seq(
+        col("id") === (rnd.nextInt(240) - 120).toLong,
+        col("id") > (rnd.nextInt(120) + 40).toLong,
+        col("x") < rnd.nextInt(4).toDouble,
+        col("s") === strs(rnd.nextInt(strs.length)),
+        col("s").isNull,
+        col("id").isin(-3L, 7L, 99L, 1000L),
+        col("id") === 5L || col("s") === "zz",
+        length(col("s")) > 1) // opaque: every file is "touched"
+      preds.foreach { pred =>
+        val frac = Seq(0.0, 0.5, 1.0)(rnd.nextInt(3))
+        val expected = TableLog.read(spark, t)
+          .filter(not(coalesce(pred, lit(false))))
+          .collect().map(_.toString).sorted.toSeq
+        try {
+          TableLog.deleteVectors(spark, t, pred, maxDvFraction = frac)
+          val got = TableLog.read(spark, t)
+            .collect().map(_.toString).sorted.toSeq
+          assert(got == expected, s"round $round predicate $pred frac $frac")
+        } catch {
+          case e: IllegalStateException
+              if e.getMessage.contains("removed every row") =>
+            assert(expected.isEmpty,
+              s"round $round predicate $pred frac $frac: loud full-delete " +
+                s"refusal but ${expected.size} rows should survive")
+        }
+      }
+    }
+  }
+
   test("TableLog merge: merge(changes) ≡ Cdc-fold over the snapshot for random tables and changelogs") {
     // same load-bearing-pruning hazard as delete, on the MERGE path:
     // untouched files carry by identity, so a false "cannot match"

@@ -1386,6 +1386,131 @@ class TableLogSpec extends SparkSpec {
       (3L, Some("x3"), "insert", 2L), (4L, Some("x4"), "insert", 2L),
       (0L, None, "delete", 3L)))
   }
+  // ------------------------------------------------------ deletion vectors
+
+  test("deleteVectors: scattered erasure carries every file by identity; every read path applies the vectors") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 400).repartition(4), t)
+    TableLog.append(batch(400 until 800).repartition(4), t)
+    val pre = TableLog.manifest(spark, t)
+    val v = TableLog.deleteVectors(spark, t, $"id" % 10 === 3,
+      maxDvFraction = 1.0)
+    val m = TableLog.manifest(spark, t)
+    assert(m.files == pre.files && m.action == "delete" && v == 3L)
+    assert(m.dvs.nonEmpty && m.dvs.valuesIterator.map(_.card).sum == 80L)
+    val want = (0L until 800L).filterNot(_ % 10 == 3)
+    assert(ids(TableLog.read(spark, t)) == want)
+    // readWhere stacks skipping on top of the DV-applied plan
+    assert(ids(TableLog.readWhere(spark, t, $"id" >= 500L)) ==
+      want.filter(_ >= 500))
+    // format face: the DV fallback relation, reachable from pure SQL
+    assert(ids(spark.read.format("graftlog").load(t)) == want)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW dv_spec_v " +
+      s"USING graftlog OPTIONS (path '$t')")
+    assert(spark.sql("SELECT count(*) AS c FROM dv_spec_v WHERE id >= 500")
+      .head.getLong(0) == want.count(_ >= 500))
+    // second scattered delete UNIONs per-file sidecars, files untouched
+    TableLog.deleteVectors(spark, t, $"id" % 10 === 7, maxDvFraction = 1.0)
+    val m2 = TableLog.manifest(spark, t)
+    assert(m2.files == pre.files)
+    assert(m2.dvs.valuesIterator.map(_.card).sum == 160L)
+    val want2 = want.filterNot(_ % 10 == 7)
+    assert(ids(TableLog.read(spark, t)) == want2)
+    // statsSummary refuses loose bounds; history stays EXACT under DVs
+    assertThrows[IllegalArgumentException](TableLog.statsSummary(spark, t))
+    assert(TableLog.history(spark, t).last.nRows == want2.size)
+    // time travel below the DV commits serves the physical rows
+    assert(ids(TableLog.read(spark, t, Some(2))) == (0L until 800L))
+  }
+
+  test("deleteVectors: per-file auto decision — scattered gets sidecars, dense rewrites, fully-dead drops; compact materializes") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 100).coalesce(1), t) // 10% match: sidecar
+    TableLog.append(batch(100 until 200).coalesce(1), t) // 90%: rewrite
+    TableLog.append(batch(200 until 300).coalesce(1), t) // 100%: drop outright
+    val (_, r1) = TableLog.pruneFiles(spark, t, $"id" < 100L)
+    val (_, r2) = TableLog.pruneFiles(spark, t, $"id" >= 100L && $"id" < 200L)
+    val (_, r3) = TableLog.pruneFiles(spark, t, $"id" >= 200L)
+    val pred = ($"id" < 100L && $"id" % 10 === 3) ||
+      ($"id" >= 100L && $"id" < 200L && $"id" % 10 =!= 3) ||
+      ($"id" >= 200L)
+    TableLog.deleteVectors(spark, t, pred) // default maxDvFraction = 0.5
+    val m = TableLog.manifest(spark, t)
+    assert(m.dvs.keySet == r1.toSet, "the scattered file carries a sidecar")
+    assert(r1.forall(m.files.contains), "the scattered file carries by identity")
+    assert(r2.forall(f => !m.files.contains(f)), "the dense file is rewritten")
+    assert(r3.forall(f => !m.files.contains(f)), "the dead file drops outright")
+    val want = (0L until 100L).filterNot(_ % 10 == 3) ++
+      (100L until 200L).filter(_ % 10 == 3)
+    assert(ids(TableLog.read(spark, t)) == want)
+    // compact materializes the vectors away, content preserved
+    TableLog.compact(spark, t, numFiles = 1)
+    assert(TableLog.manifest(spark, t).dvs.isEmpty)
+    assert(ids(TableLog.read(spark, t)) == want)
+  }
+
+  test("deleteVectors: sidecar lifecycle — repoint on re-delete, restore brings the pinned sidecar back, retention collects superseded ones") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 60).coalesce(1), t) // v1
+    TableLog.deleteVectors(spark, t, $"id" % 5 === 1, maxDvFraction = 1.0) // v2
+    val dv2 = TableLog.manifest(spark, t).dvs.values.map(_.path).toSet
+    TableLog.deleteVectors(spark, t, $"id" % 5 === 2, maxDvFraction = 1.0) // v3
+    val dv3 = TableLog.manifest(spark, t).dvs.values.map(_.path).toSet
+    assert(dv3 != dv2 && dv3.size == 1, "re-delete repoints at a UNION sidecar")
+    assert(ids(TableLog.read(spark, t)) ==
+      (0L until 60L).filterNot(i => i % 5 == 1 || i % 5 == 2))
+    val v4 = TableLog.restore(spark, t, 2L)
+    assert(v4 == 4L &&
+      TableLog.manifest(spark, t).dvs.values.map(_.path).toSet == dv2,
+      "restore re-references the pinned version's sidecar by identity")
+    assert(ids(TableLog.read(spark, t)) == (0L until 60L).filterNot(_ % 5 == 1))
+    // retention: v3's sidecar was referenced only by expired versions
+    val dropped = TableLog.expireVersions(spark, t, 4L)
+    assert(dropped.exists(dv3.contains) && !dropped.exists(dv2.contains),
+      "expiry collects the superseded sidecar and keeps the live one")
+    assert(ids(TableLog.read(spark, t)) == (0L until 60L).filterNot(_ % 5 == 1))
+    assert(TableLog.orphans(spark, t).isEmpty)
+  }
+
+  test("shallow clone of a DV'd version reads the source's sidecars in place; the clone's compact materializes without touching the source") {
+    val src = tmpTable()
+    val tgt = tmpTable()
+    TableLog.append(batch(0 until 40).coalesce(1), src)
+    TableLog.deleteVectors(spark, src, $"id" % 4 === 0, maxDvFraction = 1.0)
+    TableLog.cloneShallow(spark, src, tgt)
+    val want = (0L until 40L).filterNot(_ % 4 == 0)
+    assert(TableLog.manifest(spark, tgt).dvs.nonEmpty)
+    assert(ids(TableLog.read(spark, tgt)) == want)
+    TableLog.compact(spark, tgt, numFiles = 1)
+    assert(TableLog.manifest(spark, tgt).dvs.isEmpty)
+    assert(ids(TableLog.read(spark, tgt)) == want)
+    assert(ids(TableLog.read(spark, src)) == want,
+      "the source still reads through its own sidecar, untouched")
+  }
+
+  test("readChanges across a mixed dv/cow delete serves exact signed rows; merge preimages are DV-applied") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 100).coalesce(1), t) // scattered → sidecar
+    TableLog.append(batch(100 until 200).coalesce(1), t) // dense → rewrite
+    val pred = ($"id" < 100L && $"id" % 10 === 0) ||
+      ($"id" >= 100L && $"id" % 10 =!= 0)
+    TableLog.deleteVectors(spark, t, pred) // v3, mixed commit
+    assert(TableLog.manifest(spark, t).dvs.size == 1)
+    val feed = TableLog.readChanges(spark, t, 2L)
+    val del = feed.filter($"_change_type" === "delete")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val expected = (0L until 200L).filter(i =>
+      if (i < 100) i % 10 == 0 else i % 10 != 0)
+    assert(del == expected, "both arms' deleted rows ride the feed")
+    assert(feed.filter($"_change_type" === "insert").count() == 0)
+    // a merge's preimages read DV-applied: an update to a DV-deleted
+    // key finds no row and INSERTS (the row is logically gone)
+    val chg = Seq((0L, 1L, "U", "back")).toDF("id", "seq", "op", "payload")
+    TableLog.merge(spark, t, chg, "id", "seq", "op")
+    val zeros = TableLog.read(spark, t).filter($"id" === 0L)
+      .select("payload").collect().map(_.getString(0)).toSeq
+    assert(zeros == Seq("back"))
+  }
 }
 
 object TableLogSpec {
