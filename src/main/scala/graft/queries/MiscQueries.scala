@@ -1808,6 +1808,62 @@ object MiscQueries {
       s.sql("SELECT doc_id, source FROM q204_t ORDER BY doc_id")
     },
 
+    // ---------------------------------------------------------------- q205
+    // STREAMING UPSERT HOP — stream → MERGE INTO, exactly once (the
+    // Delta foreachBatch-merge pattern; the r14 verdict's third ask):
+    // table A is a CDC changelog (doc_id, seq, op, payload) appended
+    // in two waves; a TableLogSource stream drives
+    // TableLog.upsertSink, which maintains serving table B through
+    // ledger-checked merges — the first batch BOOTSTRAPS B from its
+    // own fold, the second applies updates (%7=1) and deletes (%7=2)
+    // through the stats-pruned merge path (the wave's ~N/7 keys
+    // exceed the inline cap at sf0.1, so this gate also drives the
+    // clipped-envelope touch predicate). The runner REQUIRES: each
+    // hop lands as ONE atomic merge version, a re-run hop with the
+    // same checkpoint publishes NOTHING (replay idempotence through
+    // the txns ledger), and B ≡ the folded changelog.
+    Q("q205_table_stream_merge",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 1 THEN source || '-u' ELSE source END AS source
+        |FROM documents
+        |WHERE doc_id % 7 <> 2
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.sinks.TableLog
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val root = Scratch.fresh("graft-q205")
+      val (a, b, ck) = (s"$root/a", s"$root/b", s"$root/ck")
+      TableLog.append(docs.select(col("doc_id"), lit(1L).as("seq"),
+        lit("I").as("op"), col("source")), a) // wave 1: the corpus as inserts
+      def hop(): Unit = {
+        val q = s.readStream.format("graft.streaming.TableLogSource")
+          .option("path", a).load()
+          .writeStream
+          .foreachBatch(TableLog.upsertSink(b, "hop205", "doc_id", "seq", "op"))
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      hop()
+      require(TableLog.headVersion(s, b) == 1L,
+        "the first batch must bootstrap the serving table as v1")
+      TableLog.append(
+        docs.filter(col("doc_id") % 7 === 1)
+          .select(col("doc_id"), lit(2L).as("seq"), lit("U").as("op"),
+            concat(col("source"), lit("-u")).as("source"))
+          .unionByName(docs.filter(col("doc_id") % 7 === 2)
+            .select(col("doc_id"), lit(2L).as("seq"), lit("D").as("op"),
+              lit(null).cast("string").as("source"))), a) // wave 2
+      hop()
+      val h = TableLog.history(s, b)
+      require(h.map(_.action) == Seq("merge", "merge"),
+        s"each hop lands as one atomic merge version (got ${h.map(_.action)})")
+      hop() // idle: no new source version → no batch, no commit
+      require(TableLog.headVersion(s, b) == 2L,
+        "an idle hop must publish nothing")
+      TableLog.read(s, b).orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- q197
     // CHANGE DATA FEED, reconstructed — row-level +insert/-delete per
     // commit derived from the log + immutable data files alone (no

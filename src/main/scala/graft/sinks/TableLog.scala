@@ -588,6 +588,60 @@ object TableLog {
       readFiles(spark, table, mTo, newFiles)
   }
 
+  /** [[resume]]'s answer: either the incremental delta (append-only
+    * range — apply it downstream and advance to `toVersion`), or a
+    * full re-snapshot (a rewrite/expiry broke the incremental
+    * contract — REBUILD downstream state from `snapshot`, then
+    * continue from `version`). */
+  sealed trait Resume { def toVersion: Long }
+  final case class Continue(changes: DataFrame, toVersion: Long) extends Resume
+  final case class ReSnapshot(snapshot: DataFrame, toVersion: Long) extends Resume
+
+  /** PROGRAMMATIC RESUME across re-snapshot commits — the verb that
+    * turns [[readAppendsSince]]'s loud rewrite/expiry failures into a
+    * decision a nightly consumer can act on without manual checkpoint
+    * surgery (the r14 gap: RESTORE/overwrite implied hand-rebuilding
+    * every downstream):
+    *
+    *  - the (since, head] range is append-only → [[Continue]] with
+    *    exactly the appended rows (what readAppendsSince serves);
+    *  - the range contains ANY rewrite (overwrite / restore / compact
+    *    / zorder / delete / merge / clone), or `sinceVersion` fell
+    *    below the [[expireVersions]] floor → [[ReSnapshot]] with the
+    *    pinned head read: replace downstream state wholesale, then
+    *    resume incrementally from `toVersion`.
+    *
+    * The STREAMING two-phase recipe (spec-pinned in TableLogSpec):
+    * when a TableLogSource query dies on the rewrite error, call
+    * `resume(table, lastCheckpointedVersion)` — on ReSnapshot,
+    * rebuild the sink from `snapshot` (idempotently: overwrite, or a
+    * keyed merge) and restart the stream with a FRESH checkpoint and
+    * `startingVersion = toVersion`. No rows lost (the snapshot IS the
+    * head), none doubled (the new stream serves only commits after
+    * it). Cost: O(new files) on the Continue arm, O(head snapshot)
+    * on the ReSnapshot arm — the rewrite already paid that. */
+  def resume(spark: SparkSession, table: String, sinceVersion: Long): Resume = {
+    val head = headVersion(spark, table)
+    require(head >= 1, s"TableLog: $table has no committed version")
+    require(sinceVersion >= 0 && sinceVersion <= head,
+      s"TableLog.resume: sinceVersion $sinceVersion outside [0, $head]")
+    if (sinceVersion == head)
+      return Continue(
+        readAppendsSince(spark, table, head, Some(head)), head) // empty delta
+    val f = fs(spark, table)
+    val floor = math.max(1L, lowestVersion(f, table))
+    // the base snapshot at sinceVersion must still RESOLVE (v0 is the
+    // empty table — always resolvable when the whole log is retained)
+    val baseRetained =
+      if (sinceVersion == 0) floor == 1 else sinceVersion >= floor
+    val appendOnly = baseRetained &&
+      ((sinceVersion + 1) to head).forall(v =>
+        readRaw(f, table, v, v).action == "append")
+    if (appendOnly) Continue(readAppendsSince(spark, table, sinceVersion,
+      Some(head)), head)
+    else ReSnapshot(read(spark, table, Some(head)), head)
+  }
+
   /** The file subset [[readWhere]] would scan, as (all, kept) —
     * test/audit surface (LayoutSpec-style asserts that a selective
     * predicate reads strictly fewer FILES, not just row groups). */
@@ -1097,7 +1151,71 @@ object TableLog {
   def merge(spark: SparkSession, table: String, changes: DataFrame,
             keyCol: String, seqCol: String, opCol: String,
             maxRetries: Int = 10,
-            beforeCommit: Long => Unit = _ => ()): Long = {
+            beforeCommit: Long => Unit = _ => ()): Long =
+    mergeImpl(spark, table, changes, keyCol, seqCol, opCol, maxRetries,
+      beforeCommit, txn = None).get
+
+  /** EXACTLY-ONCE STREAMING MERGE — [[merge]]'s foreachBatch face
+    * (use via [[upsertSink]]), completing the streaming-hop triad:
+    * appendStreamBatch lands append-only hops, this lands UPSERT hops
+    * (the Delta foreachBatch-merge pattern — a CDC stream maintaining
+    * a serving table). Each commit records (appId → batchId) in the
+    * same `txns` ledger; a replayed micro-batch (failure after the
+    * table commit, before the checkpoint advances) publishes NOTHING
+    * and returns None — replay-idempotent even though a re-run merge
+    * over already-applied changes would usually be a visible no-op,
+    * because 'D'-then-restart interleavings are NOT idempotent
+    * without the ledger. A batch whose changes are a stats-provable
+    * no-op still publishes a txns-only DELTA commit (zero files —
+    * the ledger must advance or the replay check never clears). */
+  def mergeStreamBatch(spark: SparkSession, table: String, changes: DataFrame,
+                       keyCol: String, seqCol: String, opCol: String,
+                       appId: String, batchId: Long,
+                       maxRetries: Int = 10): Option[Long] = {
+    require(appId.nonEmpty && !appId.exists(c => c == ' ' || c == ';' || c == ':'),
+      s"mergeStreamBatch: appId must be non-empty without ' ;:', got '$appId'")
+    // cheap ledger check before paying the changelog localCheckpoint
+    if (headResolved(spark, table)
+        .exists(_.m.txns.getOrElse(appId, -1L) >= batchId)) return None
+    // BOOTSTRAP: the stream's first batch creates the serving table
+    // from the changelog's own fold (the Delta foreachBatch-merge
+    // recipe's create-if-absent step, done transactionally: a racing
+    // writer's v1 wins the putIfAbsent and this falls through to the
+    // normal merge path)
+    if (headVersion(spark, table) == 0L) {
+      import org.apache.spark.sql.functions.{col, lit}
+      val payload = changes.columns.toSeq
+        .filterNot(c => c == keyCol || c == seqCol || c == opCol)
+      val empty = changes.select((col(keyCol) +: payload.map(col)).toIndexedSeq: _*)
+        .filter(lit(false))
+      val applied = graft.ops.Cdc.applyChangelog(
+        empty, changes, keyCol, seqCol, opCol, payload)
+      val (newFiles, newStats) = writeData(applied, table)
+      if (tryCommitFull(spark, table, 0L, "merge", newFiles,
+          Map(appId -> batchId), newStats, Some(deepNullable(applied.schema))))
+        return Some(1L)
+      // lost the bootstrap race: the winner's head exists now
+    }
+    mergeImpl(spark, table, changes, keyCol, seqCol, opCol, maxRetries,
+      _ => (), txn = Some(appId -> batchId))
+  }
+
+  /** The writeStream sink for a CDC-shaped stream — each micro-batch
+    * of (keyCol, seqCol, opCol, payload…) rows MERGEs into `table`
+    * exactly once: `.foreachBatch(TableLog.upsertSink(table, appId,
+    * "k", "seq", "op"))`. */
+  def upsertSink(table: String, appId: String, keyCol: String,
+                 seqCol: String, opCol: String): (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      mergeStreamBatch(df.sparkSession, table, df, keyCol, seqCol, opCol,
+        appId, batchId)
+      ()
+    }
+
+  private def mergeImpl(spark: SparkSession, table: String, changes: DataFrame,
+                        keyCol: String, seqCol: String, opCol: String,
+                        maxRetries: Int, beforeCommit: Long => Unit,
+                        txn: Option[(String, Long)]): Option[Long] = {
     import org.apache.spark.sql.functions.{col, lit, max, min}
     val ch = changes.localCheckpoint(true)
     // the change-key domain as a pruning predicate; None = no non-null
@@ -1146,6 +1264,9 @@ object TableLog {
         s"TableLog.merge: $table has no committed version — append the " +
           s"initial contents first (MERGE needs an existing target)")
       val m = res.get.m
+      // raced replay: another attempt of this same micro-batch won
+      if (txn.exists { case (a, b) => m.txns.getOrElse(a, -1L) >= b })
+        return None
       val tableSchema =
         m.schema.getOrElse(read(spark, table, Some(m.version)).schema)
       require(tableSchema.fieldNames.contains(keyCol),
@@ -1194,28 +1315,38 @@ object TableLog {
           (rawFiles.filterNot(emptyKept.toSet),
             rawStats.filter { case (k, _) => !emptyKept.contains(k) })
         } else (rawFiles, rawStats)
-      if (touched.isEmpty && newFiles.isEmpty)
-        return m.version // zero matches, zero inserts: metadata no-op
-      // full-table erasure refuses LOUDLY, exactly like [[delete]] —
-      // the same logical outcome must not silently commit an
-      // empty-but-versioned table through one verb and throw in the
-      // other (writeData's keep-one-empty makes newFiles non-empty
-      // here, so the zero-row check is on stats, not file counts)
-      if (kept.isEmpty &&
-          newFiles.forall(f => newStats.get(f).exists(_.rows == 0)))
-        throw new IllegalStateException(
-          s"TableLog.merge: the changelog removed every row of $table — an " +
-            s"empty table version is not representable; overwrite with " +
-            s"replacement contents instead")
-      val files = kept ++ newFiles
-      val stats = m.stats.filter { case (k, _) => keptSet(k) } ++ newStats
-      // test seam: TableLogSpec injects a COMPETING commit here to pin
-      // the lose-and-re-merge path deterministically
-      beforeCommit(m.version)
-      if (tryCommitFull(spark, table, m.version, "merge", files, m.txns,
-          stats, m.schema,
-          m.dvs.filter { case (k, _) => keptSet(k) })) // carried files keep DVs
-        return m.version + 1
+      if (touched.isEmpty && newFiles.isEmpty) txn match {
+        case None => return Some(m.version) // zero matches/inserts: no-op
+        case Some((a, b)) =>
+          // a streaming batch must still ADVANCE the ledger, else the
+          // replay check never clears — a txns-only delta commit
+          // (zero files, action append: incremental consumers see an
+          // empty append, never a rewrite)
+          if (tryCommitDelta(spark, table, m.version, "append", Seq.empty,
+              m.txns + (a -> b), Map.empty, m.schema))
+            return Some(m.version + 1)
+      } else {
+        // full-table erasure refuses LOUDLY, exactly like [[delete]] —
+        // the same logical outcome must not silently commit an
+        // empty-but-versioned table through one verb and throw in the
+        // other (writeData's keep-one-empty makes newFiles non-empty
+        // here, so the zero-row check is on stats, not file counts)
+        if (kept.isEmpty &&
+            newFiles.forall(f => newStats.get(f).exists(_.rows == 0)))
+          throw new IllegalStateException(
+            s"TableLog.merge: the changelog removed every row of $table — an " +
+              s"empty table version is not representable; overwrite with " +
+              s"replacement contents instead")
+        val files = kept ++ newFiles
+        val stats = m.stats.filter { case (k, _) => keptSet(k) } ++ newStats
+        // test seam: TableLogSpec injects a COMPETING commit here to pin
+        // the lose-and-re-merge path deterministically
+        beforeCommit(m.version)
+        if (tryCommitFull(spark, table, m.version, "merge", files,
+            m.txns ++ txn, stats, m.schema,
+            m.dvs.filter { case (k, _) => keptSet(k) })) // carried files keep DVs
+          return Some(m.version + 1)
+      }
       attempt += 1
     }
     throw new IllegalStateException(

@@ -1386,6 +1386,145 @@ class TableLogSpec extends SparkSpec {
       (3L, Some("x3"), "insert", 2L), (4L, Some("x4"), "insert", 2L),
       (0L, None, "delete", 3L)))
   }
+  test("exactly-once streaming merge: replays publish nothing, no-op batches advance the ledger, bootstrap creates the table") {
+    val t = tmpTable()
+    // bootstrap: the first batch CREATES the serving table from its fold
+    val c0 = Seq((0L, 1L, "I", "p0"), (1L, 1L, "I", "p1"), (2L, 1L, "I", "p2"),
+        (3L, 2L, "D", null.asInstanceOf[String]), (3L, 1L, "I", "p3"))
+      .toDF("id", "seq", "op", "payload")
+    assert(TableLog.mergeStreamBatch(spark, t, c0, "id", "seq", "op",
+      "m1", 0L).contains(1L))
+    assert(ids(TableLog.read(spark, t)) == Seq(0L, 1L, 2L)) // 3 folded away
+    // normal upsert batch, then its replay: nothing published
+    val c1 = Seq((1L, 3L, "U", "p1-u"), (10L, 3L, "U", "new"))
+      .toDF("id", "seq", "op", "payload")
+    assert(TableLog.mergeStreamBatch(spark, t, c1, "id", "seq", "op",
+      "m1", 1L).contains(2L))
+    assert(TableLog.mergeStreamBatch(spark, t, c1, "id", "seq", "op",
+      "m1", 1L).isEmpty)
+    assert(TableLog.headVersion(spark, t) == 2L)
+    assert(ids(TableLog.read(spark, t)) == Seq(0L, 1L, 2L, 10L))
+    // a stats-provably-absent batch still ADVANCES the ledger via a
+    // txns-only empty append (incremental consumers see zero rows)
+    val noop = Seq((-99L, 4L, "D", null.asInstanceOf[String]))
+      .toDF("id", "seq", "op", "payload")
+    assert(TableLog.mergeStreamBatch(spark, t, noop, "id", "seq", "op",
+      "m1", 2L).contains(3L))
+    assert(TableLog.mergeStreamBatch(spark, t, noop, "id", "seq", "op",
+      "m1", 2L).isEmpty)
+    assert(TableLog.readAppendsSince(spark, t, 2L).count() == 0L)
+    // an independent writer's ledger entry is separate
+    assert(TableLog.mergeStreamBatch(spark, t, noop, "id", "seq", "op",
+      "m2", 0L).contains(4L))
+  }
+
+  test("stream → upsertSink: a CDC hop maintains a serving table across restarts, exactly once") {
+    val src = tmpTable()
+    val serve = tmpTable()
+    val ckpt = Files.createTempDirectory("graft-upsert-ck").toString
+    def hop(): Unit = {
+      val q = spark.readStream.format("graft.streaming.TableLogSource")
+        .option("path", src).load()
+        .writeStream
+        .foreachBatch(TableLog.upsertSink(serve, "cdchop", "id", "seq", "op"))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    TableLog.append(Seq((0L, 1L, "I", "a"), (1L, 1L, "I", "b"),
+        (2L, 1L, "I", "c")).toDF("id", "seq", "op", "payload"), src)
+    hop()
+    assert(ids(TableLog.read(spark, serve)) == Seq(0L, 1L, 2L))
+    // second wave: update + delete + insert, then RESTART the hop
+    TableLog.append(Seq((1L, 2L, "U", "b2"), (2L, 2L, "D", null),
+        (9L, 2L, "U", "i")).toDF("id", "seq", "op", "payload"), src)
+    hop()
+    val got = TableLog.read(spark, serve).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap // serve schema: (id, payload)
+    assert(got == Map(0L -> "a", 1L -> "b2", 9L -> "i"),
+      "each change lands exactly once across the restart")
+    // idle restart: no new source version, nothing published
+    val head = TableLog.headVersion(spark, serve)
+    hop()
+    assert(TableLog.headVersion(spark, serve) == head)
+  }
+
+  test("resume: append-only ranges continue incrementally; rewrites and expiry answer with a re-snapshot") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 4), t) // v1
+    var last = 0L
+    var state = Set.empty[Long]
+    def consume(): Unit = TableLog.resume(spark, t, last) match {
+      case TableLog.Continue(ch, to) => state ++= ids(ch); last = to
+      case TableLog.ReSnapshot(snap, to) => state = ids(snap).toSet; last = to
+    }
+    consume()
+    assert(state == (0L until 4L).toSet && last == 1L)
+    TableLog.append(batch(4 until 6), t) // v2
+    consume()
+    assert(state == (0L until 6L).toSet && last == 2L)
+    TableLog.restore(spark, t, 1L) // v3: a rewrite strands the consumer
+    TableLog.append(batch(10 until 12), t) // v4
+    consume() // → ReSnapshot: state replaced wholesale, no surgery
+    assert(state == ((0L until 4L) ++ (10L until 12L)).toSet && last == 4L)
+    TableLog.append(batch(12 until 13), t) // v5: incremental again
+    consume()
+    assert(state.contains(12L) && last == 5L)
+    // a checkpoint below the expiry floor also answers re-snapshot
+    TableLog.expireVersions(spark, t, 5L)
+    assert(TableLog.resume(spark, t, 2L).isInstanceOf[TableLog.ReSnapshot])
+    // idle consumer: an empty Continue, no state change
+    assert(TableLog.resume(spark, t, 5L) match {
+      case TableLog.Continue(ch, 5L) => ch.count() == 0L
+      case _ => false
+    })
+  }
+
+  test("streaming two-phase resume: one logical consumer survives append→restore→append, no lost or doubled rows") {
+    val src = tmpTable()
+    val sink = tmpTable()
+    def hop(ck: String, startingVersion: Long, gen: Int): Unit = {
+      val q = spark.readStream.format("graft.streaming.TableLogSource")
+        .option("path", src)
+        .option("startingVersion", startingVersion.toString).load()
+        .writeStream
+        .foreachBatch(TableLog.exactlyOnceSink(sink, s"resume-hop-g$gen"))
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val ck0 = Files.createTempDirectory("graft-resume-ck0").toString
+    TableLog.append(batch(0 until 4), src) // v1
+    hop(ck0, 0L, 0)
+    TableLog.append(batch(4 until 6), src) // v2
+    hop(ck0, 0L, 0)
+    assert(ids(TableLog.read(spark, sink)) == (0L until 6L))
+    TableLog.restore(spark, src, 1L) // v3: the stream's poison pill
+    TableLog.append(batch(10 until 12), src) // v4
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      hop(ck0, 0L, 0))
+    assert(boom.getMessage.contains("restore") ||
+      boom.getCause.getMessage.contains("restore"))
+    // THE TWO-PHASE RECIPE: re-snapshot downstream, restart the
+    // stream with a fresh checkpoint + startingVersion + sink appId
+    val plan = TableLog.resume(spark, src, 2L)
+    val snap = plan match {
+      case TableLog.ReSnapshot(s0, 4L) => s0
+      case other => fail(s"expected ReSnapshot at v4, got $other")
+    }
+    TableLog.overwrite(snap, sink)
+    val ck1 = Files.createTempDirectory("graft-resume-ck1").toString
+    hop(ck1, plan.toVersion, 1) // nothing new yet: no batch
+    TableLog.append(batch(12 until 13), src) // v5: flows again
+    hop(ck1, plan.toVersion, 1)
+    val got = TableLog.read(spark, sink).collect().map(_.getLong(0)).toSeq
+    assert(got.sorted == Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L) &&
+      got.length == got.distinct.length,
+      "no row lost, none doubled across the re-snapshot boundary")
+  }
+
   // ------------------------------------------------------ deletion vectors
 
   test("deleteVectors: scattered erasure carries every file by identity; every read path applies the vectors") {
