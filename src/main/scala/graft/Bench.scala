@@ -185,6 +185,20 @@ object Bench {
     // identical to 1x — isolating the pair-count stage's xR cost from
     // the densification blow-up (the q126 relative-vs-absolute-cap
     // lesson applied to graph support filters).
+    // exact-dedup-first ER (q206's composition) over the dir's part
+    // table AS-IS: on a rep-R scale corpus (tools/scale_rel_gen.py
+    // keeps p_name/p_brand/p_type/p_size) the representative space
+    // IS the 1× space, so the whole pipeline runs at 1× cost plus a
+    // groupBy and two label-expansion joins — the only ER spelling
+    // with a 100× row at all (SCALE100_r14 measured the direct
+    // pipeline output-bound at 10×: 137.9 s, match pairs ×116.5;
+    // 100× would be a ~64M-pair output).
+    graft.queries.Q.noOracle("x_er_dedupfirst") { (s, d) =>
+      import org.apache.spark.sql.functions.col
+      val p = graft.sources.Tables.part(s, d).select(col("p_partkey"),
+        col("p_brand"), col("p_name"), col("p_type"), col("p_size"))
+      graft.analytics.EntityResolution.resolveDeduped(p)
+    },
     graft.queries.Q.noOracle("x_tri_relthresh") { (s, d) =>
       import org.apache.spark.sql.functions.{col, countDistinct}
       val thr = 5L * sys.env.getOrElse("SPARK_GRAFT_TRI_SCALE", "1").toLong

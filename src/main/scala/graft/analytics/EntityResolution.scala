@@ -264,13 +264,18 @@ object EntityResolution {
       // finer-keyed joins, not re-evaluations of a shared expensive
       // subplan. Pre-computing the regex keys per side also measured
       // slower at both scales (22.7 CPU s at 1x; 394 s wall at 10x).
+      // EMPTY-KEY PURGE on passes 5/6, mirroring pass 4's (the
+      // CLAUDE.md degenerate-blocking rule, r14 ADVICE): an
+      // all-whitespace name strips to "", and "" = "" would admit
+      // every such pair — moot on this corpus but the batch≡stream
+      // parity contract (ErStream already drops the empty buckets)
       val pass5 = withNames.join(b,
-        recov && pre8Eq
+        recov && pre8Eq && block5Col(col("n1")) =!= lit("")
           && col("ba") =!= col("bb") && !tok1Eq && !tok3Eq && !mid4Cov)
       val pass6 = withNames.join(b,
-        recov && suf8Eq
+        recov && suf8Eq && block6Col(col("n1")) =!= lit("")
           && col("ba") =!= col("bb") && !tok1Eq && !tok3Eq && !mid4Cov
-          && !pre8Eq)
+          && !(pre8Eq && block5Col(col("n1")) =!= lit("")))
       pass1.unionByName(pass2).unionByName(pass3).unionByName(pass4)
         .unionByName(pass5).unionByName(pass6)
     } else withNames.join(b, recov)
@@ -348,6 +353,47 @@ object EntityResolution {
     * cross-brand entities have long chains — min-label propagation
     * paid diameter-many rounds (measured 18.6 s at sf0.1; LS/SS
     * 3.6 s, same labels — AnalyticsSpec pins the parity). */
+  /** EXACT-DEDUP-FIRST ER — the 100× composition (round 15, closing
+    * SCALE100_r14's "the FIRST move is q28 before ER" note): collapse
+    * identical (name, brand, type, size) groups to one REPRESENTATIVE
+    * (min key — q28's exact dedup as stage 0), run the full
+    * match/resolve pipeline over representatives only, expand entity
+    * labels back through group membership.
+    *
+    * EXACT by construction, not approximate: the match rule and every
+    * blocking key read only (name, brand, type, size) — constant
+    * within a group — so a member-level pair matches iff its rep pair
+    * does; identical records always match each other (lev 0 + type =
+    * + size = scores exactly MATCH_THRESHOLD), so a group is always a
+    * clique inside one component; and entity = min p_partkey survives
+    * because each rep IS its group's min. q206 gates the identity
+    * (composed labels ≡ the direct-ER oracle, both scales).
+    *
+    * Scale shape: under mass replication (the SCALE100 corpus — R
+    * copies of every record) the direct pipeline's candidate space
+    * and match list grow R², while the representative space is
+    * CONSTANT — the composed cost is one groupBy + the 1× pipeline +
+    * two label-expansion joins, the only ER spelling that survives a
+    * 100× duplicate-heavy decade. */
+  def resolveDeduped(records: DataFrame): DataFrame = {
+    val fields = Seq("p_name", "p_brand", "p_type", "p_size")
+    val groups = records.groupBy(fields.map(col): _*)
+      .agg(min(col("p_partkey")).as("_rep"))
+    val reps = groups.select(col("_rep").as("p_partkey"), col("p_brand"),
+      col("p_name"), col("p_type"), col("p_size"))
+    val comp = DedupOps.componentsLargeSmallStar(matchPairs(reps, reps))
+      .select(col("doc_id").as("_rep"), col("component"))
+    val labeled = records.join(groups, fields) // group membership
+      .join(comp, Seq("_rep"), "left")
+      .select(col("p_partkey"),
+        coalesce(col("component"), col("_rep")).as("entity"))
+    val sizes = labeled.groupBy(col("entity")).agg(count(lit(1)).as("n"))
+    labeled.join(sizes, Seq("entity"))
+      .select(col("p_partkey"), col("entity"),
+        (col("entity") === col("p_partkey")).as("is_canonical"),
+        col("n").cast("long").as("n_members"))
+  }
+
   def resolve(records: DataFrame, pairs: DataFrame): DataFrame = {
     val comp = DedupOps.componentsLargeSmallStar(pairs)
       .select(col("doc_id").as("p_partkey"), col("component"))

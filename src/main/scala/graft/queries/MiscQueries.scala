@@ -50,9 +50,9 @@ object MiscQueries {
     * can't hash-join), so the regexes must run n times in a CTE,
     * never n² times inside the join condition. DuckDB regexp_replace
     * needs the 'g' flag to match Spark's global replace. */
-  private val erPmSql: String =
+  private def erPmSqlOver(src: String): String =
     s"""pm0 AS (SELECT *, ${erMiddleSql("p_name")} AS mid,
-      |  regexp_replace(p_name, '\\s+', '', 'g') AS st FROM part),
+      |  regexp_replace(p_name, '\\s+', '', 'g') AS st FROM $src),
       |pm AS (SELECT *, substr(st, 1, 8) AS pre8,
       |  substr(st, greatest(length(st) - 7, 1)) AS suf8 FROM pm0)""".stripMargin
 
@@ -67,15 +67,16 @@ object MiscQueries {
        |        OR split_part($a.p_name, ' ', 1) = split_part($b.p_name, ' ', 1)
        |        OR split_part($a.p_name, ' ', -1) = split_part($b.p_name, ' ', -1)
        |        OR ($a.mid = $b.mid AND $a.mid <> '')
-       |        OR $a.pre8 = $b.pre8 OR $a.suf8 = $b.suf8)""".stripMargin
+       |        OR ($a.pre8 = $b.pre8 AND $a.pre8 <> '')
+       |        OR ($a.suf8 = $b.suf8 AND $a.suf8 <> ''))""".stripMargin
 
   /** Full-recompute ER oracle (scored pairs → recursive closure →
     * canonical + sizes). q166 AND q167 read this ONE string — q167's
     * gate is the identity proof "incremental ≡ full recompute", so
     * the two oracles must be the same text by construction, not by
     * discipline (the batteryCtes rule). */
-  private val erResolveSql: String =
-    s"""WITH RECURSIVE $erPmSql,
+  private def erResolveSqlOver(src: String): String =
+    s"""WITH RECURSIVE ${erPmSqlOver(src)},
       |sc AS (
       |  SELECT a.p_partkey AS d1, b.p_partkey AS d2
       |  FROM pm a JOIN pm b
@@ -94,9 +95,11 @@ object MiscQueries {
       |SELECT p.p_partkey, coalesce(c.entity, p.p_partkey) AS entity,
       |  coalesce(c.entity, p.p_partkey) = p.p_partkey AS is_canonical,
       |  CAST(coalesce(m.n, 1) AS BIGINT) AS n_members
-      |FROM part p LEFT JOIN comp c ON c.pk = p.p_partkey
+      |FROM pm0 p LEFT JOIN comp c ON c.pk = p.p_partkey
       |LEFT JOIN m ON m.entity = coalesce(c.entity, p.p_partkey)
       |ORDER BY p.p_partkey""".stripMargin
+
+  private val erResolveSql: String = erResolveSqlOver("part")
 
   val queries: Seq[Q] = Seq(
 
@@ -1108,7 +1111,7 @@ object MiscQueries {
     // 2-token whole-name class); AnalyticsSpec pins recovered and
     // residual evaders.
     Q("q180_er_blocking_audit",
-      s"""WITH $erPmSql,
+      s"""WITH ${erPmSqlOver("part")},
         |names AS (SELECT DISTINCT p_name FROM part),
         |nd AS (SELECT a.p_name AS n1, b.p_name AS n2
         |       FROM names a JOIN names b
@@ -1427,7 +1430,12 @@ object MiscQueries {
     // the commit lands as ONE 'merge' version, incremental readers
     // fail loudly across it, and a merge whose keys are stats-provably
     // absent is a metadata NO-OP. Output = the merged table ≡ a
-    // MERGE-semantics rebuild over documents.
+    // MERGE-semantics rebuild over documents. The carried-untouched
+    // require holds at ANY corpus size (the r14 ADVICE scale
+    // artifact, fixed round 15): above the inline cap the touch
+    // domain CLIPS to the table's committed key range first, so the
+    // fresh-key insert tail drops out and the residual envelope stays
+    // inside range 1 whether or not the update keys fit the IN set.
     Q("q200_table_merge",
       """WITH p AS (SELECT count(*) // 3 AS c, max(doc_id) + 1 AS n
         |           FROM documents)
@@ -1862,6 +1870,45 @@ object MiscQueries {
       require(TableLog.headVersion(s, b) == 2L,
         "an idle hop must publish nothing")
       TableLog.read(s, b).orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q206
+    // EXACT-DEDUP-FIRST ENTITY RESOLUTION — the 100× composition
+    // (SCALE100_r14 stopped ER at 10× with "the FIRST move is q28
+    // before ER"; this wires and GATES it): the corpus is part ∪ a
+    // %3 replica under fresh keys (exact duplicate groups, the
+    // duplicate-heavy shape mass replication produces), and the
+    // pipeline collapses identical (name, brand, type, size) groups
+    // to min-key representatives, resolves the REPRESENTATIVE space
+    // only, and expands labels back through group membership. The
+    // oracle is the DIRECT full-ER resolution over the same record
+    // set — the hash match IS the identity proof composed ≡ direct
+    // (exact because the match rule and every blocking key are
+    // group-constant, and identical records always score exactly at
+    // threshold). Under R× replication the direct pipeline's match
+    // list grows R² while the representative space stays constant —
+    // the only ER spelling that survives a duplicate-heavy decade
+    // (measured in SCALE100_r15).
+    Q("q206_er_dedup_first",
+      erResolveSqlOver(
+        """(SELECT p_partkey, p_brand, p_name, p_type, p_size FROM part
+          |      UNION ALL
+          |      SELECT p_partkey + (SELECT max(p_partkey) + 1 FROM part),
+          |             p_brand, p_name, p_type, p_size
+          |      FROM part WHERE p_partkey % 3 = 0) rep_src""".stripMargin)) { (s, d) =>
+      import graft.analytics.EntityResolution
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"),
+        col("p_name"), col("p_type"), col("p_size"))
+      val mx = p.agg(max(col("p_partkey"))).head.getLong(0) + 1
+      val records = p.unionByName(p.filter(col("p_partkey") % 3 === 0)
+        .withColumn("p_partkey", col("p_partkey") + mx))
+      val total = records.count()
+      val reps = records
+        .dropDuplicates("p_name", "p_brand", "p_type", "p_size").count()
+      require(reps < total,
+        s"fixture: the replica must create exact-duplicate groups " +
+          s"($reps reps of $total records)")
+      EntityResolution.resolveDeduped(records).orderBy("p_partkey")
     },
 
     // ---------------------------------------------------------------- q197

@@ -714,12 +714,28 @@ object TableLog {
     val rels = f.listStatus(dir).map(_.getPath.getName)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .sorted.map(n => s"$sub/$n").toSeq
-    val stats = rels.flatMap { rel =>
-      // stats are an optimization, never load-bearing: a footer that
-      // fails to parse just means this file is never pruned
-      try Some(rel -> TableStats.fromFooter(conf, new Path(table, rel)))
-      catch { case scala.util.control.NonFatal(_) => None }
-    }.toMap
+    // footer harvest runs on a bounded thread pool: each read is a
+    // ~ms metadata round-trip, and a 10⁵-file commit (the manifest
+    // ceiling probe's shape) must not serialize 10⁵ of them on the
+    // driver (the Delta answer is distributing stats collection; a
+    // pool is enough while manifests stay driver-sized — measured in
+    // SCALING.md round 15). Output identical: the map is keyed,
+    // order-free.
+    val stats = {
+      import scala.jdk.CollectionConverters._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, Runtime.getRuntime.availableProcessors))
+      try rels.map { rel =>
+        rel -> pool.submit(new java.util.concurrent.Callable[Option[TableStats.FileStats]] {
+          // stats are an optimization, never load-bearing: a footer
+          // that fails to parse just means this file is never pruned
+          def call(): Option[TableStats.FileStats] =
+            try Some(TableStats.fromFooter(conf, new Path(table, rel)))
+            catch { case scala.util.control.NonFatal(_) => None }
+        })
+      }.flatMap { case (rel, fut) => fut.get().map(rel -> _) }.toMap
+      finally pool.shutdown()
+    }
     // Zero-row part artifacts (empty write partitions) carry NO
     // column stats in their footers: committed, each one survives
     // every future manifest-stats prune conservatively — a table of

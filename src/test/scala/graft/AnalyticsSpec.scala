@@ -1040,6 +1040,29 @@ class AnalyticsSpec extends SparkSpec {
       "incremental labels ≡ batch labels")
   }
 
+  test("exact-dedup-first ER: composed labels ≡ direct resolution on a duplicate-heavy corpus") {
+    import graft.analytics.EntityResolution
+    val p = Tables.part(spark, sf("sf0.01"))
+      .select(col("p_partkey"), col("p_brand"), col("p_name"),
+        col("p_type"), col("p_size"))
+    val mx = p.agg(max(col("p_partkey"))).head.getLong(0) + 1
+    // two replica waves under fresh keys → exact-duplicate groups of
+    // up to 3 (the mass-replication shape SCALE100 produces)
+    val records = p
+      .unionByName(p.filter(col("p_partkey") % 2 === 0)
+        .withColumn("p_partkey", col("p_partkey") + mx))
+      .unionByName(p.filter(col("p_partkey") % 4 === 0)
+        .withColumn("p_partkey", col("p_partkey") + 2 * mx))
+    val direct = EntityResolution.resolve(records,
+      EntityResolution.matchPairs(records, records))
+    val composed = EntityResolution.resolveDeduped(records)
+    assert(composed.count() == direct.count(), "label counts differ")
+    assert(composed.exceptAll(direct).isEmpty, "composed labels ≡ direct")
+    // non-vacuous: the rep space is strictly smaller than the corpus
+    val reps = records.dropDuplicates("p_name", "p_brand", "p_type", "p_size")
+    assert(reps.count() < records.count())
+  }
+
   test("ER multi-pass blocking: token passes recover brand typos + split edits; space-merge evader still audited") {
     import graft.analytics.EntityResolution
     // records 1/2: identical name/type/size, brand typo ("l" for "1")
