@@ -429,6 +429,44 @@ object StreamBench {
       first +: rest
     }
 
+    // 8c. STREAM → MERGE hop (round 15): a CDC changes table consumed
+    // by ONE running query whose sink is the exactly-once ledger
+    // MERGE (TableLog.upsertSink) maintaining a serving table — the
+    // full nightly upsert cycle per drop (producer commit +
+    // version-delta read + stats-pruned ledger merge all inside the
+    // timed cycle, like 8b). Batch 1 BOOTSTRAPS the serving table
+    // from its own fold (the cold figure).
+    val upsSsTimes: Seq[(Long, Double)] = {
+      val srcT = tmpDir("graft-sbench-upsss-src")
+      val serveT = tmpDir("graft-sbench-upsss-serve")
+      val ck = tmpDir("graft-sbench-upsss-ck")
+      val staged = (0 until nDrops).map { i =>
+        val st = tmpDir(s"graft-sbench-upsss-stage$i")
+        cdcChanges.filter(pmod(col("seq"), lit(nDrops.toLong)) === i)
+          .write.mode("overwrite").parquet(st)
+        (spark.read.parquet(st).count(), st)
+      }
+      val t00 = System.nanoTime()
+      graft.sinks.TableLog.append(spark.read.parquet(staged.head._2), srcT)
+      val q = spark.readStream.format("graft.streaming.TableLogSource")
+        .option("path", srcT).load()
+        .writeStream.outputMode("append")
+        .foreachBatch(graft.sinks.TableLog.upsertSink(
+          serveT, "sbench-ups", "key", "seq", "op"))
+        .option("checkpointLocation", ck)
+        .start()
+      q.processAllAvailable()
+      val first = (staged.head._1, (System.nanoTime() - t00) / 1e9)
+      val rest = staged.tail.map { case (n, st) =>
+        val t0 = System.nanoTime()
+        graft.sinks.TableLog.append(spark.read.parquet(st), srcT)
+        q.processAllAvailable()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      q.stop()
+      first +: rest
+    }
+
     // 8. steady-state rows for the round-11 twins (curq, hist) —
     // drops 2..N through the same protocol as the others (round-12
     // verdict item #6; placed here because both need the cold
@@ -467,7 +505,9 @@ object StreamBench {
       f""""sem_steady":${steadyRate(semTimes)}%.0f,"cdc_steady":${steadyRate(cdcTimes)}%.0f,""" +
       f""""idx_steady":${steadyRate(idxTimes)}%.0f,"cur_steady":${steadyRate(curTimes)}%.0f,""" +
       f""""curq_steady":${steadyRate(cqTimes)}%.0f,"hist_steady":${steadyRate(histTimes)}%.0f,""" +
-      f""""tbl_steady":${steadyRate(tblSsTimes)}%.0f}""")
+      f""""tbl_steady":${steadyRate(tblSsTimes)}%.0f,""" +
+      f""""ups_cold":${upsSsTimes.head._1 / upsSsTimes.head._2}%.0f,""" +
+      f""""ups_steady":${steadyRate(upsSsTimes)}%.0f}""")
     spark.stop()
   }
 }

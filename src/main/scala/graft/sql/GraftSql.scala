@@ -72,9 +72,10 @@ import graft.sinks.TableLog
   */
 object GraftSql {
 
-  /** name (lowercased) → table directory. */
+  /** name (lowercased) → (table directory, DELETE routes to
+    * deleteVectors). */
   private val registry =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Boolean)]
 
   /** Internal changelog column names — chosen to avoid colliding with
     * payload columns ([[TableLog.merge]] requires changes = exactly
@@ -85,16 +86,20 @@ object GraftSql {
   /** Register `name` as the SQL face of the table at `path`: records
     * the DML routing AND (re-)creates the graftlog temp view so plain
     * SELECTs resolve. Call again after out-of-band commits to refresh
-    * the view's pinned version. */
-  def register(spark: SparkSession, name: String, path: String): Unit = {
+    * the view's pinned version. `deleteVectors = true` routes this
+    * table's SQL `DELETE FROM` through the merge-on-read verb
+    * ([[TableLog.deleteVectors]] — the scattered-erasure default at
+    * scale; its per-file maxDvFraction still rewrites dense files). */
+  def register(spark: SparkSession, name: String, path: String,
+               deleteVectors: Boolean = false): Unit = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"GraftSql.register: '$name' is not a plain SQL identifier")
-    registry.put(name.toLowerCase(Locale.ROOT), path)
+    registry.put(name.toLowerCase(Locale.ROOT), (path, deleteVectors))
     refreshView(spark, name)
   }
 
   private def refreshView(spark: SparkSession, name: String): Unit = {
-    val path = registry(name.toLowerCase(Locale.ROOT))
+    val path = registry(name.toLowerCase(Locale.ROOT))._1
     if (TableLog.headVersion(spark, path) > 0L)
       spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name " +
         s"USING graftlog OPTIONS (path '$path')")
@@ -103,10 +108,13 @@ object GraftSql {
   private def lookup(plan: LogicalPlan): Option[(String, String)] = plan match {
     case UnresolvedRelation(parts, _, _) if parts.length == 1 =>
       val n = parts.head.toLowerCase(Locale.ROOT)
-      registry.get(n).map(n -> _)
+      registry.get(n).map(v => n -> v._1)
     case SubqueryAlias(_, child) => lookup(child)
     case _ => None
   }
+
+  private def dvDelete(name: String): Boolean =
+    registry.get(name.toLowerCase(Locale.ROOT)).exists(_._2)
 
   /** Strip qualifiers off every attribute — sound over a single
     * relation (DELETE's target; MERGE's one-relation source), where a
@@ -137,7 +145,7 @@ object GraftSql {
     registry.getOrElse(name.toLowerCase(Locale.ROOT),
       throw new IllegalArgumentException(
         s"GraftSql: '$name' is not a registered graftlog table — " +
-          s"GraftSql.register(spark, name, path) first"))
+          s"GraftSql.register(spark, name, path) first"))._1
 
   /** Run `text`: table-log DML/maintenance when it targets a
     * registered table, plain `spark.sql` otherwise. */
@@ -177,7 +185,9 @@ object GraftSql {
       plan match {
         case DeleteFromTable(target, cond) if lookup(target).nonEmpty =>
           val (name, path) = lookup(target).get
-          val out = TableLog.delete(spark, path, asColumn(cond))
+          val out =
+            if (dvDelete(name)) TableLog.deleteVectors(spark, path, asColumn(cond))
+            else TableLog.delete(spark, path, asColumn(cond))
           refreshView(spark, name)
           verbResult(spark, name, "delete", out)
         case m: MergeIntoTable if lookup(m.targetTable).nonEmpty =>

@@ -115,4 +115,18 @@ class GraftSqlSpec extends SparkSpec {
     // anything else is plain spark.sql — a SELECT comes back verbatim
     assert(GraftSql.sql(spark, "SELECT 1 AS one").head.getInt(0) == 1)
   }
+
+  test("register(deleteVectors = true) routes SQL DELETE FROM through the merge-on-read verb") {
+    val t = tmpTable()
+    TableLog.append((0L until 40L).map(i => (i, s"p$i")).toDF("id", "payload")
+      .coalesce(2), t)
+    GraftSql.register(spark, "gsql_dv", t, deleteVectors = true)
+    val pre = TableLog.manifest(spark, t)
+    GraftSql.sql(spark, "DELETE FROM gsql_dv WHERE id % 10 = 3")
+    val post = TableLog.manifest(spark, t)
+    assert(post.files == pre.files && post.dvs.nonEmpty,
+      "the scattered SQL delete must land as deletion vectors")
+    assert(rows("gsql_dv").map(_._1) == (0L until 40L).filterNot(_ % 10 == 3),
+      "the refreshed view reads through the vectors")
+  }
 }
