@@ -145,7 +145,12 @@ object Plans {
     // (pruned-file carry happens at commit; the read is a plain
     // pinned scan) and the reconstructed CDF (per-version union;
     // the delete arm's O(touched-files) exceptAll)
-    "q195_table_delete", "q197_table_changes")
+    "q195_table_delete", "q197_table_changes",
+    // round-15 evidence: the deletion-vector read (the DV'd files'
+    // scan anti-joined against the broadcast position sidecars,
+    // unioned with the untouched files' plain scan — the plain arm's
+    // vectorized path unchanged)
+    "q203_table_delete_dv")
 
   /** Context lines emitted under a query's heading — for plans whose
     * interesting structure is NOT visible in the final explain (e.g. a

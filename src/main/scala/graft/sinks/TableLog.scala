@@ -1001,6 +1001,85 @@ object TableLog {
         read(spark, table, Some(base)), cols, numFiles, bits))
   }
 
+  /** PREDICATE-SCOPED OPTIMIZE (Delta's `OPTIMIZE … WHERE`): compact
+    * only the files that might hold rows matching `predicate` — the
+    * same stats-pruned touch set delete/merge use — into `numFiles`
+    * rewritten files; everything else carries BY IDENTITY. At 100 TB
+    * nobody compacts the whole table: the nightly pass compacts the
+    * day's hot key range, and this verb is also the SCOPED
+    * deletion-vector materializer (the touched files' DVs fold into
+    * their rewrite — readFiles applies them — while untouched files
+    * keep theirs). Content preserved by contract, so the CDF's
+    * compact-is-zero-changes rule holds unchanged. A predicate whose
+    * touch set is empty is a metadata no-op. `zorderCols` non-empty
+    * clusters the rewritten subset on the n-dim Z-curve instead of a
+    * plain coalesce (scoped OPTIMIZE ZORDER). */
+  def compactWhere(spark: SparkSession, table: String,
+                   predicate: org.apache.spark.sql.Column,
+                   numFiles: Int = 1, zorderCols: Seq[String] = Seq.empty,
+                   maxRetries: Int = 10): Long = {
+    require(numFiles >= 1, s"compactWhere: numFiles must be >= 1, got $numFiles")
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val r = headResolved(spark, table)
+      require(r.nonEmpty, s"TableLog.compactWhere: $table has no committed version")
+      val m = r.get.m
+      val touched = survivors(spark, table, m, predicate)
+      if (touched.isEmpty) return m.version // nothing to optimize
+      val keptSet = m.files.toSet -- touched
+      val kept = m.files.filter(keptSet)
+      val scoped = readFiles(spark, table, m, touched) // DVs materialize
+      val rewritten =
+        if (zorderCols.isEmpty) scoped.coalesce(numFiles)
+        else graft.ops.Layout.clusterZOrderedN(scoped,
+          if (zorderCols.size == 1) zorderCols ++ zorderCols else zorderCols,
+          numFiles)
+      val (rawFiles, rawStats) = writeData(rewritten, table)
+      val emptyKept = rawFiles.filter(f => rawStats.get(f).exists(_.rows == 0))
+      val (newFiles, newStats) =
+        if (kept.nonEmpty && emptyKept.nonEmpty) {
+          emptyKept.foreach(rel =>
+            fs(spark, table).delete(new Path(table, rel), false))
+          (rawFiles.filterNot(emptyKept.toSet),
+            rawStats.filter { case (k, _) => !emptyKept.contains(k) })
+        } else (rawFiles, rawStats)
+      val action = if (zorderCols.isEmpty) "compact" else "zorder"
+      if (tryCommitFull(spark, table, m.version, action, kept ++ newFiles,
+          m.txns, m.stats.filter { case (k, _) => keptSet(k) } ++ newStats,
+          m.schema, m.dvs.filter { case (k, _) => keptSet(k) }))
+        return m.version + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"TableLog.compactWhere: lost the publish race $maxRetries times on $table")
+  }
+
+  /** DESCRIBE DETAIL — one row of table-level metadata served from
+    * the manifest (+ one FileStatus per file for bytes): (version,
+    * action, n_files, total_bytes, n_rows, n_dv_files, dv_rows,
+    * n_columns). n_rows is exact when every file has stats (DV
+    * cardinalities subtracted), −1 otherwise — never guessed from
+    * data reads. */
+  def detail(spark: SparkSession, table: String,
+             version: Option[Long] = None): DataFrame = {
+    val m = manifest(spark, table, version)
+    val f = fs(spark, table)
+    val bytes = m.files.map(rel =>
+      try f.getFileStatus(new Path(table, rel)).getLen
+      catch { case scala.util.control.NonFatal(_) => 0L }).sum
+    val rows =
+      if (m.files.forall(m.stats.contains))
+        m.files.map(rel => m.stats(rel).rows).sum -
+          m.dvs.valuesIterator.map(_.card).sum
+      else -1L
+    val nCols = m.schema.map(_.fields.length).getOrElse(-1)
+    import spark.implicits._
+    Seq((m.version, m.action, m.files.length.toLong, bytes, rows,
+        m.dvs.size.toLong, m.dvs.valuesIterator.map(_.card).sum, nCols))
+      .toDF("version", "action", "n_files", "total_bytes", "n_rows",
+        "n_dv_files", "dv_rows", "n_columns")
+  }
+
   /** Shared read-modify-write commit loop (compact / zorder): a lost
     * publish race re-reads the new head and REWRITES — rebase is not
     * sound for whole-table rewrites; the losing attempt's files

@@ -137,9 +137,10 @@ object GraftSql {
   // --------------------------------------------------------------- dispatch
 
   private val DESCRIBE_HISTORY = """(?is)\s*DESCRIBE\s+HISTORY\s+(\w+)\s*""".r
+  private val DESCRIBE_DETAIL = """(?is)\s*DESCRIBE\s+DETAIL\s+(\w+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*""".r
   private val VACUUM = """(?is)\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*""".r
   private val RESTORE = """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
-  private val OPTIMIZE = """(?is)\s*OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(?:\s+INTO\s+(\d+)\s+FILES)?\s*""".r
+  private val OPTIMIZE = """(?is)\s*OPTIMIZE\s+(\w+)(?:\s+WHERE\s+(.*?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(?:\s+INTO\s+(\d+)\s+FILES)?\s*""".r
 
   private def registered(spark: SparkSession, name: String): String =
     registry.getOrElse(name.toLowerCase(Locale.ROOT),
@@ -164,17 +165,28 @@ object GraftSql {
       val out = TableLog.restore(spark, path, v.toLong)
       refreshView(spark, name)
       verbResult(spark, name, "restore", out)
-    case OPTIMIZE(name, zcols, nf) =>
+    case DESCRIBE_DETAIL(name, v) =>
+      TableLog.detail(spark, registered(spark, name),
+        Option(v).map(_.toLong))
+    case OPTIMIZE(name, whereCond, zcols, nf) =>
       val path = registered(spark, name)
       val numFiles = Option(nf).map(_.toInt).getOrElse(4)
-      val out = Option(zcols) match {
-        case Some(cs) =>
-          val cols = cs.split(",").map(_.trim).toSeq
-          // the N-dim interleaver needs ≥ 2 dims; ZORDER BY (c) is a
-          // plain cluster-by-c, which interleaving (c, c) reproduces
-          TableLog.compactZOrderN(spark, path,
-            if (cols.size == 1) cols ++ cols else cols, numFiles)
-        case None => TableLog.compact(spark, path, numFiles)
+      val zcolsSeq = Option(zcols).map(_.split(",").map(_.trim).toSeq)
+      val out = Option(whereCond).filter(_.trim.nonEmpty) match {
+        case Some(cond) =>
+          // predicate-scoped OPTIMIZE [ZORDER]: Spark's own expression
+          // parser, qualifiers stripped (single relation)
+          val pred = asColumn(spark.sessionState.sqlParser.parseExpression(cond))
+          TableLog.compactWhere(spark, path, pred, numFiles,
+            zcolsSeq.getOrElse(Seq.empty))
+        case None => zcolsSeq match {
+          case Some(cols) =>
+            // the N-dim interleaver needs ≥ 2 dims; ZORDER BY (c) is a
+            // plain cluster-by-c, which interleaving (c, c) reproduces
+            TableLog.compactZOrderN(spark, path,
+              if (cols.size == 1) cols ++ cols else cols, numFiles)
+          case None => TableLog.compact(spark, path, numFiles)
+        }
       }
       refreshView(spark, name)
       verbResult(spark, name, "optimize", out)

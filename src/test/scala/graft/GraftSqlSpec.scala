@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
+
 import graft.sinks.TableLog
 import graft.sql.GraftSql
 
@@ -128,5 +130,23 @@ class GraftSqlSpec extends SparkSpec {
       "the scattered SQL delete must land as deletion vectors")
     assert(rows("gsql_dv").map(_._1) == (0L until 40L).filterNot(_ % 10 == 3),
       "the refreshed view reads through the vectors")
+    // DESCRIBE DETAIL: manifest-served metadata, DV accounting exact
+    val det = GraftSql.sql(spark, "DESCRIBE DETAIL gsql_dv").head
+    assert(det.getAs[Long]("n_rows") == 36L &&
+      det.getAs[Long]("dv_rows") == 4L &&
+      det.getAs[Long]("n_files") == pre.files.size.toLong, s"got $det")
+    // OPTIMIZE WHERE: scoped compaction materializes only the touched
+    // files' vectors; out-of-scope files (and their DVs) carry
+    val (_, lowFiles) = TableLog.pruneFiles(spark, t, col("id") < 20L)
+    assert(lowFiles.size < post.files.size, "fixture: the predicate scopes")
+    GraftSql.sql(spark, "OPTIMIZE gsql_dv WHERE id < 20 INTO 1 FILES")
+    val m2 = TableLog.manifest(spark, t)
+    assert(m2.action == "compact")
+    assert((post.files.toSet -- lowFiles.toSet).subsetOf(m2.files.toSet),
+      "out-of-scope files carry by identity")
+    assert(m2.dvs.keySet == post.dvs.keySet -- lowFiles,
+      "only the touched files' vectors materialize")
+    assert(rows("gsql_dv").map(_._1) == (0L until 40L).filterNot(_ % 10 == 3),
+      "scoped optimize preserves content")
   }
 }
