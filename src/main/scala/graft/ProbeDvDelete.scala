@@ -85,14 +85,7 @@ object ProbeDvDelete {
       s""""dv_ms":$tDv,"dv_bytes":$dvBytes,"dv_carried_all":$carried,""" +
       s""""read_dv_ms":$tReadDv,"read_cow_ms":$tReadCow,""" +
       s""""compact_ms":$tCompact,"read_materialized_ms":$tReadMat}""")
-    Seq(cowT, dvT).foreach { t =>
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(t))
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      } finally walk.close()
-    }
+    Seq(cowT, dvT).foreach(ProbeUtil.rmTree) // leave nothing behind
     spark.stop()
   }
 }

@@ -68,13 +68,7 @@ object ProbeManifestScale {
       s""""delta_append_ms":$tDelta,"ckpt_commit_ms":$tCkptCommit,""" +
       s""""resolve_with_tail_ms":$tResolveTail,""" +
       s""""max_manifest_bytes":$manifestBytes}""")
-    // leave nothing behind
-    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(table))
-    try {
-      import scala.jdk.CollectionConverters._
-      walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    } finally walk.close()
+    ProbeUtil.rmTree(table) // leave nothing behind
     spark.stop()
   }
 }

@@ -377,16 +377,28 @@ object EntityResolution {
     * 100× duplicate-heavy decade. */
   def resolveDeduped(records: DataFrame): DataFrame = {
     val fields = Seq("p_name", "p_brand", "p_type", "p_size")
-    val groups = records.groupBy(fields.map(col): _*)
+    // NULL-bearing records are MATCH-ISOLATED in the direct pipeline
+    // (every blocked pass carries brand = or brand ≠ — NULL fails
+    // both; and the score cannot reach MATCH_THRESHOLD = 4 = name(2)
+    // + type(1) + size(1) with any of name/type/size null), so they
+    // pass through as their own singleton entities. Grouping them
+    // would merge identical null-brand records that direct ER keeps
+    // apart — and a plain equi-join membership would DROP them
+    // (NULL ≠ NULL): both r15 review findings.
+    val clean = records.filter(fields.map(col(_).isNotNull).reduce(_ && _))
+    val dirty = records.filter(fields.map(col(_).isNull).reduce(_ || _))
+    val groups = clean.groupBy(fields.map(col): _*)
       .agg(min(col("p_partkey")).as("_rep"))
     val reps = groups.select(col("_rep").as("p_partkey"), col("p_brand"),
       col("p_name"), col("p_type"), col("p_size"))
     val comp = DedupOps.componentsLargeSmallStar(matchPairs(reps, reps))
       .select(col("doc_id").as("_rep"), col("component"))
-    val labeled = records.join(groups, fields) // group membership
+    val labeled = clean.join(groups, fields) // group membership
       .join(comp, Seq("_rep"), "left")
       .select(col("p_partkey"),
         coalesce(col("component"), col("_rep")).as("entity"))
+      .unionByName(dirty.select(col("p_partkey"),
+        col("p_partkey").as("entity")))
     val sizes = labeled.groupBy(col("entity")).agg(count(lit(1)).as("n"))
     labeled.join(sizes, Seq("entity"))
       .select(col("p_partkey"), col("entity"),

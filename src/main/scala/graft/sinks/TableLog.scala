@@ -449,14 +449,17 @@ object TableLog {
   private def reader(spark: SparkSession, m: Manifest) =
     m.schema.map(spark.read.schema).getOrElse(spark.read)
 
-  /** When a DV-applying read's total deleted-position count exceeds
+  /** When the referenced DV sidecars' total PHYSICAL bytes exceed
     * this, the anti-join loses its broadcast hint and the planner
-    * falls back to a shuffled join — correct, never OOM. Sized so the
-    * broadcast stays a few-MB lookup table (positions are one
-    * (file_name, long) pair each); a table accumulating more live DV
-    * rows than this is overdue for the [[compact]] that materializes
-    * them away. */
-  val DV_BROADCAST_CAP = 4L * 1000 * 1000
+    * falls back to a shuffled join — correct, never OOM. The bound is
+    * on the sidecar FILES the scan unions (what the broadcast would
+    * actually build from — a sidecar shared with files outside the
+    * scan is read whole, so bounding on the scanned files' audited
+    * cardinalities alone would under-count; round-15 review finding),
+    * measured driver-side from their FileStatus. A table accumulating
+    * more live DV bytes than this is overdue for the [[compact]] /
+    * [[compactWhere]] that materializes them away. */
+  val DV_BROADCAST_BYTES = 32L * 1024 * 1024
 
   /** Read exactly `files` of snapshot `m`, applying any DELETION
     * VECTORS the manifest carries for them — the one spelling every
@@ -490,11 +493,16 @@ object TableLog {
     val plain = files.filterNot(m.dvs.contains)
     val dvPaths = withDv.map(f => m.dvs(f).path).distinct
       .map(rel => new Path(table, rel).toString)
-    // no name filter needed: a position row of a file OUTSIDE this
-    // scan matches nothing in it (names are write-UUID-unique)
+    // no name filter needed for CORRECTNESS: a position row of a file
+    // OUTSIDE this scan matches nothing in it (names are
+    // write-UUID-unique); the broadcast bound is therefore on the
+    // sidecar files' PHYSICAL bytes — what the union actually reads
     val dv0 = spark.read.parquet(dvPaths: _*)
-    val dv = if (withDv.map(f => m.dvs(f).card).sum <= DV_BROADCAST_CAP)
-      broadcast(dv0) else dv0
+    val fsys = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvBytes = dvPaths.map(p =>
+      try fsys.getFileStatus(new Path(p)).getLen
+      catch { case scala.util.control.NonFatal(_) => Long.MaxValue / 1024 }).sum
+    val dv = if (dvBytes <= DV_BROADCAST_BYTES) broadcast(dv0) else dv0
     val base = scan(withDv)
     val outCols = base.columns.toSeq ++
       (if (keepPos) Seq("__dv_f", "__dv_r") else Seq.empty)
@@ -1317,40 +1325,50 @@ object TableLog {
     // keys exist, so nothing in the table can match any change
     val someKeys = ch.select(col(keyCol)).where(col(keyCol).isNotNull)
       .distinct().limit(MERGE_KEY_INLINE_CAP + 1).collect().map(_.get(0)).toSeq
-    /** The touch predicate for snapshot `m`. Above the inline cap the
+    /** The TOUCH SET for snapshot `m`. Above the inline cap the
       * domain is first CLIPPED to the table's committed key range
       * ([[statsKeyRange]]): the canonical nightly CDC batch is
       * scattered updates on old keys PLUS inserts at fresh
       * monotonically-high keys, and without clipping the insert tail
       * widens the [min,max] envelope over the whole table — an
       * O(table) rewrite in disguise. Clipped keys that fit the cap
-      * become the exact IN set again; only a genuinely table-spanning
-      * update set falls to the envelope (and then the cliff is
-      * logged). Sound because a key outside the committed range can
-      * only match rows in stat-less files, which survive every
-      * prune. */
-    def keyPredFor(m: Manifest): Option[org.apache.spark.sql.Column] =
-      if (someKeys.isEmpty) None
+      * become the exact IN set again; a genuinely table-spanning
+      * update set falls to the clipped envelope (and the cliff is
+      * logged). When NO key lies inside the committed range, the
+      * touch set is exactly the files WITHOUT usable key stats (each
+      * statted file's range ⊆ [lo, hi], so an out-of-range key cannot
+      * match it) — an envelope over the raw keys would straddle
+      * [lo, hi] whenever keys sit on both sides and cover the whole
+      * table (r15 review finding). Clipping is sound because an
+      * out-of-range key can only match rows in stat-less files, which
+      * this returns (and which survive every predicate prune). */
+    def touchSetFor(m: Manifest): Seq[String] =
+      if (someKeys.isEmpty) Seq.empty
       else if (someKeys.length <= MERGE_KEY_INLINE_CAP)
-        Some(col(keyCol).isin(someKeys: _*))
-      else {
-        val bounds = statsKeyRange(m, keyCol) match {
-          case Some((lo, hi)) =>
-            col(keyCol).isNotNull && col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi)
-          case None => col(keyCol).isNotNull
-        }
-        val clipped = ch.select(col(keyCol)).where(bounds)
-          .distinct().limit(MERGE_KEY_INLINE_CAP + 1).collect().map(_.get(0)).toSeq
-        if (clipped.length <= MERGE_KEY_INLINE_CAP && clipped.nonEmpty)
-          Some(col(keyCol).isin(clipped: _*))
-        else {
-          // envelope over the (clipped) in-range keys — two scalars;
-          // when nothing is in range, the raw envelope still prunes
-          // every statted file (it lies wholly outside their ranges)
-          val dom = if (clipped.isEmpty) col(keyCol).isNotNull else bounds
-          val r = ch.where(dom).agg(min(col(keyCol)), max(col(keyCol))).head
-          Some(col(keyCol) >= lit(r.get(0)) && col(keyCol) <= lit(r.get(1)))
-        }
+        survivors(spark, table, m, col(keyCol).isin(someKeys: _*))
+      else statsKeyRange(m, keyCol) match {
+        case None =>
+          // no usable key stats anywhere: every file survives any
+          // predicate, so the envelope is as good as it gets
+          val r = ch.where(col(keyCol).isNotNull)
+            .agg(min(col(keyCol)), max(col(keyCol))).head
+          survivors(spark, table, m,
+            col(keyCol) >= lit(r.get(0)) && col(keyCol) <= lit(r.get(1)))
+        case Some((lo, hi)) =>
+          val bounds = col(keyCol).isNotNull &&
+            col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi)
+          val clipped = ch.select(col(keyCol)).where(bounds)
+            .distinct().limit(MERGE_KEY_INLINE_CAP + 1).collect()
+            .map(_.get(0)).toSeq
+          if (clipped.isEmpty)
+            m.files.filter(f => !m.stats.get(f).exists(_.cols.contains(keyCol)))
+          else if (clipped.length <= MERGE_KEY_INLINE_CAP)
+            survivors(spark, table, m, col(keyCol).isin(clipped: _*))
+          else {
+            val r = ch.where(bounds).agg(min(col(keyCol)), max(col(keyCol))).head
+            survivors(spark, table, m,
+              col(keyCol) >= lit(r.get(0)) && col(keyCol) <= lit(r.get(1)))
+          }
       }
     var attempt = 0
     while (attempt <= maxRetries) {
@@ -1379,8 +1397,7 @@ object TableLog {
       commitSchema(spark, Some(m),
         ch.select((col(keyCol) +: payloadCols.map(col)).toIndexedSeq: _*),
         evolve = false, "merge")
-      val touched = keyPredFor(m).map(survivors(spark, table, m, _))
-        .getOrElse(Seq.empty)
+      val touched = touchSetFor(m)
       if (touched.size == m.files.size && m.files.size > 8)
         System.err.println(s"TableLog.merge: WARN the touch predicate covers " +
           s"every file of $table (${m.files.size}) — this apply is an " +
@@ -1418,8 +1435,14 @@ object TableLog {
           // (zero files, action append: incremental consumers see an
           // empty append, never a rewrite)
           if (tryCommitDelta(spark, table, m.version, "append", Seq.empty,
-              m.txns + (a -> b), Map.empty, m.schema))
+              m.txns + (a -> b), Map.empty, m.schema)) {
+            // a run of consecutive no-op batches must still checkpoint
+            // (r15 review: an uncheckpointed delta tail grows the
+            // reconstruction walk unboundedly)
+            maybeCheckpoint(spark, table, res, m.version + 1, "append",
+              Seq.empty, Map.empty, m.txns + (a -> b), m.schema)
             return Some(m.version + 1)
+          }
       } else {
         // full-table erasure refuses LOUDLY, exactly like [[delete]] —
         // the same logical outcome must not silently commit an
@@ -1550,7 +1573,7 @@ object TableLog {
     * UNION of its old and new positions (so the union-of-sidecars
     * read stays exact), with the per-file cardinality re-audited at
     * commit. Read-side cost is priced by the manifest itself
-    * (Σ card): under [[DV_BROADCAST_CAP]] the anti-join broadcasts;
+    * (Σ card): under [[DV_BROADCAST_BYTES]] the anti-join broadcasts;
     * [[compact]] / [[compactZOrder]] MATERIALIZE all DVs away (their
     * rewrite reads DV-applied rows), which is the standing
     * maintenance answer to DV accumulation.

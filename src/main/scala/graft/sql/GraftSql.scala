@@ -124,6 +124,30 @@ object GraftSql {
       UnresolvedAttribute(Seq(a.nameParts.last))
   }
 
+  /** The qualifiers that name `plan` (relation name + aliases). */
+  private def qualsOf(plan: LogicalPlan): Set[String] = plan match {
+    case SubqueryAlias(id, child) =>
+      qualsOf(child) + id.name.toLowerCase(Locale.ROOT)
+    case UnresolvedRelation(parts, _, _) =>
+      Set(parts.last.toLowerCase(Locale.ROOT))
+    case _ => Set.empty
+  }
+
+  /** MERGE clause conditions may reference SOURCE columns only — the
+    * changelog fold has no target row at hand, so a target-qualified
+    * reference would silently evaluate against the INCOMING row
+    * (r15 review finding). Rejected by qualifier; unqualified names
+    * resolve against the source, documented. */
+  private def rejectTargetRefs(cond: Expression, targetQuals: Set[String]): Unit =
+    cond.foreach {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+          targetQuals(a.nameParts.head.toLowerCase(Locale.ROOT)) =>
+        rejectMerge(s"clause condition references the TARGET (${a.sql}) — " +
+          s"conditions may reference SOURCE columns only (the changelog " +
+          s"translation evaluates them over the incoming row)")
+      case _ => ()
+    }
+
   private def asColumn(e: Expression): Column =
     ColumnBridge.column(unqualify(e))
 
@@ -158,7 +182,12 @@ object GraftSql {
         .toDF("version", "action", "base", "n_files", "n_rows")
     case VACUUM(name, hours) =>
       import spark.implicits._
-      val minAge = Option(hours).map(_.toLong * 3600L * 1000L).getOrElse(0L)
+      // the Delta default: 7 days — a zero floor would delete files
+      // of writers currently between writeData and publish (r15
+      // review finding); 'VACUUM t RETAIN 0 HOURS' is the explicit
+      // caller-owns-the-quiesce spelling
+      val minAge = Option(hours).map(_.toLong * 3600L * 1000L)
+        .getOrElse(168L * 3600L * 1000L)
       TableLog.vacuum(spark, registered(spark, name), minAge).toDF("deleted_path")
     case RESTORE(name, v) =>
       val path = registered(spark, name)
@@ -221,19 +250,28 @@ object GraftSql {
         s"the insert clause guarded AND NOT (<c>); " +
         s"(3) WHEN MATCHED THEN DELETE alone.")
 
-  /** The changelog op expression for the clause matrix, or a loud
+  /** The translated clause matrix: the changelog op expression, the
+    * delete-only flag (only that shape tolerates a key-only source)
+    * and the delete condition (for the runtime NULL check). */
+  private final case class MergePlan(op: Column, deleteOnly: Boolean,
+                                     deleteCond: Option[Expression])
+
+  /** The changelog translation for the clause matrix, or a loud
     * rejection — see the object scaladoc for why each unsupported
     * shape would silently diverge from SQL semantics. */
-  private def opExpr(m: MergeIntoTable): Column =
+  private def opExpr(m: MergeIntoTable): MergePlan = {
+    val tq = qualsOf(m.targetTable)
     (m.matchedActions, m.notMatchedActions) match {
       case _ if m.notMatchedBySourceActions.nonEmpty =>
         rejectMerge("WHEN NOT MATCHED BY SOURCE is not translatable to a changelog")
       case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
-        lit("U")
+        MergePlan(lit("U"), deleteOnly = false, None)
       case (Seq(DeleteAction(Some(dc)), UpdateStarAction(None)),
             Seq(InsertStarAction(Some(ic))))
           if unqualify(ic).sql == Not(unqualify(dc)).sql =>
-        when(asColumn(dc), lit("D")).otherwise(lit("U"))
+        rejectTargetRefs(dc, tq)
+        MergePlan(when(asColumn(dc), lit("D")).otherwise(lit("U")),
+          deleteOnly = false, Some(dc))
       case (Seq(DeleteAction(Some(_)), UpdateStarAction(None)),
             Seq(InsertStarAction(other))) =>
         rejectMerge(s"with a conditional DELETE clause the INSERT must be " +
@@ -241,12 +279,14 @@ object GraftSql {
           s"${other.map(_.sql).getOrElse("no guard")}; an unguarded INSERT " +
           s"would insert a delete-flagged unmatched row in SQL while the " +
           s"changelog drops it")
-      case (Seq(DeleteAction(None)), Seq()) => lit("D")
+      case (Seq(DeleteAction(None)), Seq()) =>
+        MergePlan(lit("D"), deleteOnly = true, None)
       case (ma, nma) =>
         rejectMerge(s"unsupported clause matrix (matched: " +
           s"${ma.map(_.getClass.getSimpleName).mkString(", ")}; not matched: " +
           s"${nma.map(_.getClass.getSimpleName).mkString(", ")})")
     }
+  }
 
   /** The single equi-key of `ON a = b`: both sides must name the SAME
     * column (TableLog.merge keys the changelog on one column present
@@ -273,20 +313,41 @@ object GraftSql {
       s"GraftSql MERGE: multiple source rows share key " +
         s"${dup.head.get(0)} — the SQL MERGE cardinality contract " +
         s"requires at most one; pre-aggregate the source")
+    val plan = opExpr(m)
+    // the guarded clause matrix treats a NULL delete-condition as
+    // not-fired on BOTH arms (an unmatched null-cond row is NOT
+    // inserted in SQL), which a changelog op cannot express — reject
+    // at runtime rather than silently diverge (r15 review finding)
+    plan.deleteCond.foreach { dc =>
+      if (src.where(asColumn(dc).isNull).limit(1).collect().nonEmpty)
+        throw new IllegalStateException(
+          s"GraftSql MERGE: the DELETE clause condition evaluates NULL for " +
+            s"at least one source row — SQL's guarded matrix skips such a " +
+            s"row on both arms, which the changelog cannot express; " +
+            s"coalesce the condition or clean the source")
+    }
     val tableSchema = TableLog.manifest(spark, path).schema
       .getOrElse(TableLog.read(spark, path).schema)
     val payload = tableSchema.fields.toSeq.filterNot(
       _.name.toLowerCase(Locale.ROOT) == key.toLowerCase(Locale.ROOT))
     require(!payload.exists(p => p.name == SEQ || p.name == OP),
       s"GraftSql MERGE: table columns collide with internal names $SEQ/$OP")
-    // a delete-only source may carry just the key: payload columns it
-    // lacks ride as typed nulls (ignored by the fold for 'D' rows)
+    // ONLY a delete-only source may carry just the key (payload rides
+    // as typed nulls the fold ignores for 'D'); under UPDATE SET * /
+    // INSERT * a missing payload column would silently null-overwrite
+    // every matched row — Delta rejects at analysis, so do we
+    // (r15 review finding)
     val srcCols = src.columns.map(_.toLowerCase(Locale.ROOT)).toSet
+    val missing = payload.filterNot(f => srcCols(f.name.toLowerCase(Locale.ROOT)))
+    if (missing.nonEmpty && !plan.deleteOnly)
+      rejectMerge(s"UPDATE SET * / INSERT * requires the source to carry " +
+        s"every table payload column; missing: " +
+        s"${missing.map(_.name).mkString(", ")}")
     val payloadCols = payload.map(f =>
       if (srcCols(f.name.toLowerCase(Locale.ROOT))) col(f.name)
       else lit(null).cast(f.dataType).as(f.name))
     val changes = src.select(
-      (col(key) +: lit(0L).as(SEQ) +: opExpr(m).as(OP) +:
+      (col(key) +: lit(0L).as(SEQ) +: plan.op.as(OP) +:
         payloadCols).toIndexedSeq: _*)
     TableLog.merge(spark, path, changes, key, SEQ, OP)
   }

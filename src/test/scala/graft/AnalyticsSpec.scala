@@ -1048,11 +1048,21 @@ class AnalyticsSpec extends SparkSpec {
     val mx = p.agg(max(col("p_partkey"))).head.getLong(0) + 1
     // two replica waves under fresh keys → exact-duplicate groups of
     // up to 3 (the mass-replication shape SCALE100 produces)
+    // NULL-bearing rows ride along: direct ER isolates them (every
+    // blocked pass needs brand =/≠, the score can't reach threshold
+    // with a null field), so composed must too — including two
+    // IDENTICAL null-brand rows that naive grouping would merge
+    val extra = Seq(
+      (9 * mx + 1, null.asInstanceOf[String], "omega widget", "T1", 5),
+      (9 * mx + 2, null.asInstanceOf[String], "omega widget", "T1", 5),
+      (9 * mx + 3, "Brand#13", null.asInstanceOf[String], "T1", 5))
+      .toDF("p_partkey", "p_brand", "p_name", "p_type", "p_size")
     val records = p
       .unionByName(p.filter(col("p_partkey") % 2 === 0)
         .withColumn("p_partkey", col("p_partkey") + mx))
       .unionByName(p.filter(col("p_partkey") % 4 === 0)
         .withColumn("p_partkey", col("p_partkey") + 2 * mx))
+      .unionByName(extra)
     val direct = EntityResolution.resolve(records,
       EntityResolution.matchPairs(records, records))
     val composed = EntityResolution.resolveDeduped(records)

@@ -108,6 +108,32 @@ class GraftSqlSpec extends SparkSpec {
         |WHEN MATCHED THEN UPDATE SET *
         |WHEN NOT MATCHED AND NOT (s.op = 'D') THEN INSERT *""".stripMargin))
     assert(e3.getMessage.contains("multiple source rows"))
+    // a TARGET-qualified clause condition would silently evaluate
+    // against the incoming row — rejected by qualifier
+    val e4 = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      """MERGE INTO gsql_r USING gsql_rsrc s ON gsql_r.id = s.id
+        |WHEN MATCHED AND gsql_r.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED AND NOT (gsql_r.op = 'D') THEN INSERT *""".stripMargin))
+    assert(e4.getMessage.contains("TARGET"))
+    // a source missing a payload column under SET * would silently
+    // null-overwrite it on every matched row — rejected like Delta
+    Seq(Tuple1(1L)).toDF("id").createOrReplaceTempView("gsql_rthin")
+    val e5 = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      """MERGE INTO gsql_r USING gsql_rthin s ON gsql_r.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e5.getMessage.contains("payload column"))
+    // a NULL delete-condition row is untranslatable (SQL skips it on
+    // both arms) — loud runtime rejection, never silent divergence
+    Seq((1L, "x", null.asInstanceOf[String])).toDF("id", "payload", "op")
+      .createOrReplaceTempView("gsql_rnull")
+    val e6 = intercept[IllegalStateException](GraftSql.sql(spark,
+      """MERGE INTO gsql_r USING gsql_rnull s ON gsql_r.id = s.id
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED AND NOT (s.op = 'D') THEN INSERT *""".stripMargin))
+    assert(e6.getMessage.contains("NULL"))
     // delete-only shape works with a key-only source
     Seq(Tuple1(3L)).toDF("id").createOrReplaceTempView("gsql_rdel")
     GraftSql.sql(spark,
