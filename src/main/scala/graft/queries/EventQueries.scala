@@ -139,6 +139,43 @@ object EventQueries {
             when(col("sd") =!= 0,
               (col("cnt").cast("double") - col("mean")) / col("sd")), 4).as("z"))
         .orderBy("event_type", "hour")
+    },
+
+    // ---------------------------------------------------------------- q207
+    // SFT conversation assembly: the event log rendered into ordered
+    // multi-turn conversations (sessionize at the q22 gap → role-
+    // template turns → in-agg ordered fold → sha-256 fingerprint →
+    // conversation-level exact dedup electing one keeper per
+    // fingerprint). The step between a product's raw event stream and
+    // an instruction-tuning corpus; the fold carries template-sized
+    // turn structs only, never the raw event row, and the only sort
+    // is sessionization's inherent per-user window.
+    Q("q207_sft_conversations",
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM o),
+        |t AS (
+        |  SELECT user_id, session_id, ts, event_id,
+        |    (CASE WHEN list_contains(['click', 'view', 'signup'], event_type)
+        |          THEN 'user' ELSE 'assistant' END) || ': ' || event_type AS turn
+        |  FROM s),
+        |c AS (
+        |  SELECT user_id, session_id, count(*) AS n_turns,
+        |    sha256(string_agg(turn, chr(10) ORDER BY ts, event_id)) AS fp
+        |  FROM t GROUP BY user_id, session_id)
+        |SELECT user_id, session_id, n_turns, fp,
+        |  CAST(CASE WHEN row_number() OVER (PARTITION BY fp
+        |    ORDER BY user_id, session_id) = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+        |FROM c ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+      graft.analytics.Assembly.conversations(Tables.events(s, d))
+        .orderBy("user_id", "session_id")
     }
   )
 }

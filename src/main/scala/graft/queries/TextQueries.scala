@@ -1750,6 +1750,40 @@ object TextQueries {
           .agg(count(lit(1)).as("n_docs"))
           .select(lit("stage:3_exact_keepers").as("item"), col("n_docs"), nullSole))
       ruleRows.unionByName(stageRows).orderBy("item")
+    },
+
+    // ---------------------------------------------------------------- q208
+    // Preference-pair mining (the RLHF/DPO assembly step): documents
+    // sharing a 4-token prompt prefix form a response group; each
+    // group of ≥ 2 elects chosen = best q26 quality (ties → lowest
+    // doc_id) and rejected = worst (ties → highest doc_id) via ONE
+    // partial-aggregated max/min-struct groupBy — no window sort, no
+    // join, text never leaves the scan projection. `margin` is the
+    // quality gap a trainer weights pairs by (0.0 = an
+    // indistinguishable pair the consumer should drop).
+    Q("q208_preference_pairs",
+      s"""WITH $qualityCteSql,
+         |p AS (SELECT doc_id,
+         |        sha256(array_to_string(string_split(text, ' ')[1:4], ' ')) AS prompt_fp
+         |      FROM documents),
+         |j AS (SELECT p.prompt_fp, p.doc_id, q.quality
+         |      FROM p JOIN qual q ON p.doc_id = q.doc_id),
+         |b AS (SELECT prompt_fp, doc_id, quality,
+         |        row_number() OVER (PARTITION BY prompt_fp
+         |          ORDER BY quality DESC, doc_id ASC) AS rb,
+         |        row_number() OVER (PARTITION BY prompt_fp
+         |          ORDER BY quality ASC, doc_id DESC) AS rw,
+         |        count(*) OVER (PARTITION BY prompt_fp) AS n_group
+         |      FROM j)
+         |SELECT cb.prompt_fp, cb.doc_id AS chosen_id, cw.doc_id AS rejected_id,
+         |  round(cb.quality - cw.quality, 6) AS margin,
+         |  CAST(cb.n_group AS BIGINT) AS n_group
+         |FROM (SELECT * FROM b WHERE rb = 1) cb
+         |JOIN (SELECT * FROM b WHERE rw = 1) cw USING (prompt_fp)
+         |WHERE cb.n_group >= 2
+         |ORDER BY cb.prompt_fp""".stripMargin) { (s, d) =>
+      graft.analytics.Assembly.preferencePairs(Tables.documents(s, d))
+        .orderBy("prompt_fp")
     }
   )
 
