@@ -1027,12 +1027,69 @@ object TableLog {
                    numFiles: Int = 1, zorderCols: Seq[String] = Seq.empty,
                    maxRetries: Int = 10): Long = {
     require(numFiles >= 1, s"compactWhere: numFiles must be >= 1, got $numFiles")
+    compactTouched(spark, table, "compactWhere",
+      m => survivors(spark, table, m, predicate), numFiles, zorderCols,
+      maxRetries)
+  }
+
+  /** AUTO-COMPACT: fold the table's SMALL data files (physical length
+    * < `smallBytes`) into `numFiles`, carrying every adequately-sized
+    * file BY IDENTITY — Delta's autoCompact policy as an explicit
+    * verb. Fewer than `minSmallFiles` small files is a metadata NO-OP
+    * (returns the head version unchanged), so the verb is cheap to
+    * call after every append; [[appendAuto]] is exactly that policy
+    * wrapper, the answer to the streaming/nightly small-append drip
+    * that otherwise turns a 100 TB table into millions of KB-sized
+    * files. Detection reads ONE FileStatus per file (driver metadata
+    * I/O — the DESCRIBE DETAIL cost); touched files' deletion vectors
+    * materialize through the rewrite like any OPTIMIZE. */
+  def compactSmallFiles(spark: SparkSession, table: String,
+                        smallBytes: Long = 8L << 20, minSmallFiles: Int = 4,
+                        numFiles: Int = 1, maxRetries: Int = 10): Long = {
+    require(numFiles >= 1, s"compactSmallFiles: numFiles must be >= 1, got $numFiles")
+    require(minSmallFiles >= 2,
+      s"compactSmallFiles: folding fewer than 2 files is never useful, got $minSmallFiles")
+    compactTouched(spark, table, "compactSmallFiles",
+      m => {
+        val f = fs(spark, table)
+        val small = m.files.filter { rel =>
+          (try f.getFileStatus(new Path(table, rel)).getLen
+           catch { case scala.util.control.NonFatal(_) => Long.MaxValue }) < smallBytes
+        }
+        if (small.length >= minSmallFiles) small else Seq.empty
+      },
+      numFiles, Seq.empty, maxRetries)
+  }
+
+  /** [[append]] + [[compactSmallFiles]] under one call — the
+    * auto-compacting writer. Returns the newest version (the compact
+    * commit when it fired, the append otherwise). Two separate
+    * commits by design (Delta's autoCompact shape): readers pinned
+    * between them see the appended-but-unfolded state, incremental
+    * consumers see one append then one rewrite. */
+  def appendAuto(df: DataFrame, table: String,
+                 smallBytes: Long = 8L << 20, minSmallFiles: Int = 4,
+                 numFiles: Int = 1): Long = {
+    val v = append(df, table)
+    math.max(v, compactSmallFiles(df.sparkSession, table, smallBytes,
+      minSmallFiles, numFiles))
+  }
+
+  /** Shared scoped-rewrite loop behind [[compactWhere]] and
+    * [[compactSmallFiles]]: rewrite exactly `select(m)`'s files,
+    * carry the rest by identity (stats and DVs included), publish as
+    * one 'compact'/'zorder' version; empty selection = metadata
+    * no-op. */
+  private def compactTouched(spark: SparkSession, table: String,
+                             verb: String, select: Manifest => Seq[String],
+                             numFiles: Int, zorderCols: Seq[String],
+                             maxRetries: Int): Long = {
     var attempt = 0
     while (attempt <= maxRetries) {
       val r = headResolved(spark, table)
-      require(r.nonEmpty, s"TableLog.compactWhere: $table has no committed version")
+      require(r.nonEmpty, s"TableLog.$verb: $table has no committed version")
       val m = r.get.m
-      val touched = survivors(spark, table, m, predicate)
+      val touched = select(m)
       if (touched.isEmpty) return m.version // nothing to optimize
       val keptSet = m.files.toSet -- touched
       val kept = m.files.filter(keptSet)
@@ -1059,7 +1116,7 @@ object TableLog {
       attempt += 1
     }
     throw new IllegalStateException(
-      s"TableLog.compactWhere: lost the publish race $maxRetries times on $table")
+      s"TableLog.$verb: lost the publish race $maxRetries times on $table")
   }
 
   /** DESCRIBE DETAIL — one row of table-level metadata served from

@@ -1650,6 +1650,51 @@ class TableLogSpec extends SparkSpec {
       .select("payload").collect().map(_.getString(0)).toSeq
     assert(zeros == Seq("back"))
   }
+
+  test("compactSmallFiles folds only the small files; big files carry by identity") {
+    val t = tmpTable()
+    // one adequately-sized file (20k rows ≫ 4 KB) + a drip of tiny appends
+    TableLog.append(batch(0 until 20000).repartition(1), t)
+    val bigFiles = TableLog.manifest(spark, t).files.toSet
+    TableLog.append(batch(20000 until 20003).repartition(1), t)
+    TableLog.append(batch(20003 until 20006).repartition(1), t)
+    TableLog.append(batch(20006 until 20009).repartition(1), t)
+    val v4 = TableLog.headVersion(spark, t)
+    // 3 small files < minSmallFiles=4: metadata no-op, version unchanged
+    assert(TableLog.compactSmallFiles(spark, t, smallBytes = 4096,
+      minSmallFiles = 4) == v4)
+    assert(TableLog.headVersion(spark, t) == v4)
+    TableLog.append(batch(20009 until 20012).repartition(1), t)
+    val pre = TableLog.manifest(spark, t)
+    val vC = TableLog.compactSmallFiles(spark, t, smallBytes = 4096,
+      minSmallFiles = 4)
+    val post = TableLog.manifest(spark, t)
+    assert(vC == pre.version + 1 && post.action == "compact")
+    assert(bigFiles.subsetOf(post.files.toSet),
+      "the adequately-sized file must carry BY IDENTITY")
+    assert(post.files.length == bigFiles.size + 1,
+      s"4 small files fold into one (got ${post.files.length})")
+    assert(ids(TableLog.read(spark, t)) == (0L until 20012L),
+      "rows identical across the fold")
+    // pinned reader below the compact keeps the exact old file set
+    assert(TableLog.manifest(spark, t, Some(pre.version)).files.toSet
+      == pre.files.toSet)
+  }
+
+  test("appendAuto keeps the file count bounded under a small-append drip") {
+    val t = tmpTable()
+    var lastV = 0L
+    (0 until 8).foreach { i =>
+      lastV = TableLog.appendAuto(batch(i * 3 until (i + 1) * 3), t,
+        smallBytes = 4096, minSmallFiles = 4)
+    }
+    val m = TableLog.manifest(spark, t)
+    assert(m.files.length < 8,
+      s"auto-compact never fired: ${m.files.length} files after 8 tiny appends")
+    assert(ids(TableLog.read(spark, t)) == (0L until 24L),
+      "rows identical under the append+fold drip")
+    assert(lastV == m.version)
+  }
 }
 
 object TableLogSpec {
