@@ -89,6 +89,36 @@ object Assembly {
       when(row_number().over(wf) === 1, 1L).otherwise(0L))
   }
 
+  /** O(Δ) incremental face of [[conversations]] (the q97/q117 store
+    * contract): conversations are USER-decomposable — a delta batch of
+    * events can only change the conversations of the users it
+    * touches. `storeConvos` is the persisted output of a prior run
+    * (columns user_id, session_id, n_turns, fp — the keeper flag is
+    * NOT stored; it re-derives below), `touchedEvents` is the FULL
+    * event history of every user appearing in the delta (at corpus
+    * scale: a key-pruned read of the events table — user_id is the
+    * natural cluster/bucket key, the q133/q149 store-read shape).
+    * Untouched users' rows carry from the store BY IDENTITY; touched
+    * users re-assemble from their own history; the keeper flag is
+    * re-elected over the merged conversations frame — sessions-sized,
+    * not events-sized, and min-per-fingerprint is mergeable so the
+    * election never re-reads events. Identity: this ≡ a full
+    * [[conversations]] over (store's events ∪ delta) — q209 gates it
+    * against the SAME oracle as q207. */
+  def conversationsIncremental(storeConvos: DataFrame,
+                               touchedEvents: DataFrame): DataFrame = {
+    val touchedUsers = touchedEvents.select("user_id").distinct()
+    val carried = storeConvos
+      .select("user_id", "session_id", "n_turns", "fp")
+      .join(broadcast(touchedUsers), Seq("user_id"), "left_anti")
+    val rebuilt = conversations(touchedEvents)
+      .select("user_id", "session_id", "n_turns", "fp")
+    val merged = carried.unionByName(rebuilt)
+    val wf = Window.partitionBy(col("fp")).orderBy(col("user_id"), col("session_id"))
+    merged.withColumn("is_keeper",
+      when(row_number().over(wf) === 1, 1L).otherwise(0L))
+  }
+
   /** Mine (chosen, rejected) preference pairs from documents that
     * share a prompt prefix.
     *

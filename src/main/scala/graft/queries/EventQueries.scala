@@ -12,6 +12,66 @@ import graft.sources.Tables
   */
 object EventQueries {
 
+  /** q207's oracle — ALSO q209's: the incremental assembly's identity
+    * under test is "store ∪ delta rebuild ≡ full recompute", so both
+    * gates verify against this one full-recompute SQL (the
+    * q97/q117/q149 convention). */
+  private lazy val sftConvoSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |  FROM events),
+      |s AS (
+      |  SELECT *, CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM o),
+      |t AS (
+      |  SELECT user_id, session_id, ts, event_id,
+      |    (CASE WHEN list_contains(['click', 'view', 'signup'], event_type)
+      |          THEN 'user' ELSE 'assistant' END) || ': ' || event_type AS turn
+      |  FROM s),
+      |c AS (
+      |  SELECT user_id, session_id, count(*) AS n_turns,
+      |    sha256(string_agg(turn, chr(10) ORDER BY ts, event_id)) AS fp
+      |  FROM t GROUP BY user_id, session_id)
+      |SELECT user_id, session_id, n_turns, fp,
+      |  CAST(CASE WHEN row_number() OVER (PARTITION BY fp
+      |    ORDER BY user_id, session_id) = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+      |FROM c ORDER BY user_id, session_id""".stripMargin
+
+  /** The q209 "nightly" split: the delta is the LAST fifth of the
+    * timeline restricted to user_id % 7 == 0 (only some users were
+    * active tonight — so untouched users exist and their rows must
+    * CARRY). Cut point derives from the data (one model-sized agg). */
+  private def deltaCutUs(s: org.apache.spark.sql.SparkSession, d: String): Long = {
+    val b = Tables.events(s, d)
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head
+    b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 5L * 4L
+  }
+
+  private def isDelta(cut: Long): org.apache.spark.sql.Column =
+    unix_micros(col("ts")) >= cut && col("user_id") % 7 === 0
+
+  /** Build-once-serve-on-repeat conversation store (the
+    * bandStoreTable memo pattern, Scratch-tagged per dir): the
+    * persisted q207 output over everything EXCEPT the delta. */
+  private val convoStoreMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def convoStoreTable(s: org.apache.spark.sql.SparkSession,
+                              d: String): String =
+    convoStoreMemo.computeIfAbsent(d, _ => {
+      val tbl = Scratch.fresh(
+        "graft-q209-store-" + new java.io.File(d).getName).toString
+      val cut = deltaCutUs(s, d)
+      val preDelta = Tables.events(s, d).filter(!isDelta(cut))
+      graft.sinks.TableLog.append(
+        graft.analytics.Assembly.conversations(preDelta)
+          .select("user_id", "session_id", "n_turns", "fp"), tbl)
+      tbl
+    })
+
   val queries: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------- q72
@@ -150,31 +210,38 @@ object EventQueries {
     // an instruction-tuning corpus; the fold carries template-sized
     // turn structs only, never the raw event row, and the only sort
     // is sessionization's inherent per-user window.
-    Q("q207_sft_conversations",
-      """WITH o AS (
-        |  SELECT user_id, event_id, ts, event_type,
-        |    epoch_us(ts) - lag(epoch_us(ts)) OVER
-        |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap
-        |  FROM events),
-        |s AS (
-        |  SELECT *, CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
-        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |  FROM o),
-        |t AS (
-        |  SELECT user_id, session_id, ts, event_id,
-        |    (CASE WHEN list_contains(['click', 'view', 'signup'], event_type)
-        |          THEN 'user' ELSE 'assistant' END) || ': ' || event_type AS turn
-        |  FROM s),
-        |c AS (
-        |  SELECT user_id, session_id, count(*) AS n_turns,
-        |    sha256(string_agg(turn, chr(10) ORDER BY ts, event_id)) AS fp
-        |  FROM t GROUP BY user_id, session_id)
-        |SELECT user_id, session_id, n_turns, fp,
-        |  CAST(CASE WHEN row_number() OVER (PARTITION BY fp
-        |    ORDER BY user_id, session_id) = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
-        |FROM c ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+    Q("q207_sft_conversations", sftConvoSql) { (s, d) =>
       graft.analytics.Assembly.conversations(Tables.events(s, d))
+        .orderBy("user_id", "session_id")
+    },
+
+    // ---------------------------------------------------------------- q209
+    // INCREMENTAL conversation assembly — q207's O(Δ) nightly face
+    // (the q97/q117 store contract on the assembly stage):
+    // conversations are user-decomposable, so the composed spelling
+    // reads the persisted store, carries every untouched user's rows
+    // BY IDENTITY (anti-join against the delta's user set), rebuilds
+    // ONLY the touched users from their own history (a key-pruned
+    // read at corpus scale), and re-elects keepers over the
+    // sessions-sized merged frame. Oracle = q207's full recompute:
+    // the identity IS the property under test. Runner REQUIRES the
+    // split to be non-vacuous both ways (carried users exist AND a
+    // pre-delta conversation of a touched user is actually replaced).
+    Q("q209_sft_incremental", sftConvoSql) { (s, d) =>
+      import graft.analytics.Assembly
+      val ev = Tables.events(s, d)
+      val store = graft.sinks.TableLog.read(s, convoStoreTable(s, d))
+      val cut = deltaCutUs(s, d)
+      val deltaUsers = ev.filter(isDelta(cut)).select("user_id").distinct()
+      val touched = ev.join(broadcast(deltaUsers), Seq("user_id"), "left_semi")
+      val nTouchedInStore = store
+        .join(broadcast(deltaUsers), Seq("user_id"), "left_semi").count()
+      require(nTouchedInStore > 0,
+        "vacuous split: no touched user has pre-delta conversations to replace")
+      require(store.join(broadcast(deltaUsers), Seq("user_id"), "left_anti")
+          .limit(1).count() == 1,
+        "vacuous split: every user touched — nothing exercises the carry path")
+      Assembly.conversationsIncremental(store, touched)
         .orderBy("user_id", "session_id")
     }
   )

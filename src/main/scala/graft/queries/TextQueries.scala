@@ -1784,6 +1784,60 @@ object TextQueries {
          |ORDER BY cb.prompt_fp""".stripMargin) { (s, d) =>
       graft.analytics.Assembly.preferencePairs(Tables.documents(s, d))
         .orderBy("prompt_fp")
+    },
+
+    // ---------------------------------------------------------------- q210
+    // Prompt-prefix-length audit — the q208 knob validator (the
+    // q98/q124/q142/q177/q188 convention: measure the knob's regime
+    // before trusting the operator). For each candidate prefix length
+    // k ∈ {2, 4, 8}: how many groups form, how many yield a pair
+    // (≥ 2 members), how many of those pairs are score-indistinguishable
+    // (zero margin — the pairs a trainer must drop), and the total
+    // margin mass. Too-short prefixes merge unrelated prompts
+    // (pairs ↑, margins noisy); too-long yield singletons (pairs → 0).
+    // ONE corpus scan: quality + token array computed once, k exploded
+    // map-side, two partial-aggregated groupBys — no joins, no windows.
+    Q("q210_prefix_audit",
+      s"""WITH $qualityCteSql,
+         |p AS (SELECT d.doc_id, string_split(d.text, ' ') AS ws, q.quality
+         |      FROM documents d JOIN qual q ON d.doc_id = q.doc_id),
+         |e AS (SELECT k, sha256(array_to_string(ws[1:k], ' ')) AS pfp, quality
+         |      FROM p CROSS JOIN (SELECT unnest([2, 4, 8]) AS k) ks),
+         |g AS (SELECT k, pfp, count(*) AS n, max(quality) AS bq, min(quality) AS wq
+         |      FROM e GROUP BY 1, 2)
+         |SELECT CAST(k AS BIGINT) AS k,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN n >= 2 AND round(bq - wq, 6) = 0
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_margin,
+         |  CAST(sum(CASE WHEN n >= 2 THEN CAST(round(bq - wq, 6) AS DECIMAL(18,6))
+         |           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS sum_margin
+         |FROM g GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
+      import graft.ops.Exact
+      val scored = Tables.documents(s, d).select(
+        split(col("text"), " ").as("ws"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      val groups = scored
+        .select(explode(array(lit(2), lit(4), lit(8))).as("k"),
+          col("ws"), col("q"))
+        .select(col("k"),
+          sha2(concat_ws(" ", slice(col("ws"), lit(1), col("k"))), 256).as("pfp"),
+          col("q"))
+        .groupBy(col("k"), col("pfp"))
+        .agg(count(lit(1)).as("n"), max(col("q")).as("bq"), min(col("q")).as("wq"))
+      val margin = Exact.duckRound(col("bq") - col("wq"), 6)
+      groups.groupBy(col("k"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_pairs"),
+          sum(when(col("n") >= 2 && margin === 0.0, 1L).otherwise(0L))
+            .as("n_zero_margin"),
+          sum(when(col("n") >= 2, margin.cast("decimal(18,6)"))
+            .otherwise(lit(0).cast("decimal(18,6)"))).cast("double")
+            .as("sum_margin"))
+        .select(col("k").cast("long").as("k"), col("n_groups"), col("n_pairs"),
+          col("n_zero_margin"), col("sum_margin"))
+        .orderBy("k")
     }
   )
 

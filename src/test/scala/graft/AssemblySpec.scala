@@ -84,6 +84,36 @@ class AssemblySpec extends SparkSpec {
     assert(r.getAs[Double]("margin") == 0.0)
   }
 
+  test("conversationsIncremental: carry untouched, rebuild touched, re-elect keepers") {
+    // store = pre-delta state: users 1 and 2 each hold an identical
+    // 2-turn session (shared fingerprint, user 1 keeps). The delta is
+    // ONE new event for user 1 (a later session), so user 1 rebuilds
+    // from its full history while user 2 must carry BY IDENTITY —
+    // and the keeper election must still see user 2's carried row.
+    val pre = events(
+      (1L, 0L, 1L, "click"), (2L, 10L, 1L, "purchase"),
+      (3L, 0L, 2L, "click"), (4L, 10L, 2L, "purchase"))
+    val all = events(
+      (1L, 0L, 1L, "click"), (2L, 10L, 1L, "purchase"),
+      (3L, 0L, 2L, "click"), (4L, 10L, 2L, "purchase"),
+      (5L, 200L, 1L, "view"))
+    val store = Assembly.conversations(pre)
+      .select("user_id", "session_id", "n_turns", "fp")
+    val touched = all.filter(col("user_id") === 1L) // user 1's full history
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "session_id", "n_turns", "fp", "is_keeper")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getLong(4))).toSet
+    val inc = rows(Assembly.conversationsIncremental(store, touched))
+    assert(inc == rows(Assembly.conversations(all)),
+      "incremental (carry ∪ rebuild + re-election) must equal the full recompute")
+    assert(inc.exists(c => c._1 == 2 && c._5 == 0L),
+      "user 2's carried duplicate must lose the keeper election")
+    assert(inc.exists(c => c._1 == 1 && c._2 == 2),
+      "user 1's delta session must appear from the rebuild")
+  }
+
   test("turnString ≡ turnText over every event type (one template, two faces)") {
     val types = Assembly.USER_EVENT_TYPES ++ Seq("purchase", "error", "zzz-unknown")
     val viaColumn = types.toDF("event_type")
