@@ -150,7 +150,12 @@ object Plans {
     // scan anti-joined against the broadcast position sidecars,
     // unioned with the untouched files' plain scan — the plain arm's
     // vectorized path unchanged)
-    "q203_table_delete_dv")
+    "q203_table_delete_dv",
+    // round-15 assembly family: the O(Δ) incremental conversation
+    // rebuild (broadcast anti-join carries untouched users from the
+    // pinned store read; only the touched users' events re-assemble;
+    // keeper re-election is one sessions-sized window)
+    "q209_sft_incremental")
 
   /** Context lines emitted under a query's heading — for plans whose
     * interesting structure is NOT visible in the final explain (e.g. a

@@ -248,6 +248,19 @@ object StreamBench {
     val (curSec, curOut) = timeRun(
       graft.streaming.CurationStream.curatedStream(curStream, curBench).toDF())
 
+    // 3h. streaming conversation assembly (AssemblyStream): per-user
+    // open-session state + event-time-timeout closes + chained
+    // first-seen fingerprint dedup — events/s is the SFT-assembly
+    // ingest figure. The composed two-FMGWS query needs the
+    // conservative global-watermark check stood down (stage 2 is
+    // watermark-free; see flagFirstSeen scaladoc) — scoped to this
+    // query start and restored.
+    val ccKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    spark.conf.set(ccKey, "false")
+    val (sftSec, sftOut) = timeRun(
+      graft.streaming.AssemblyStream.conversationStream(eventStream()).toDF())
+    spark.conf.unset(ccKey)
+
     // 3e. streaming CDC apply (CdcStream): a changelog derived from
     // the events table (key = user, seq = event id, 5% deletes) folds
     // into per-key serving state — every change is a keyed state
@@ -491,6 +504,7 @@ object StreamBench {
       f""""sem_vecs_per_sec":${nVecs / semSec}%.0f,"sem_sec":$semSec%.2f,"sem_prunes":$semOut,""" +
       f""""ham_sigs_per_sec":${nSigs / hamSec}%.0f,"ham_sec":$hamSec%.2f,"ham_pairs":$hamOut,""" +
       f""""cdc_changes_per_sec":${nChanges / cdcSec}%.0f,"cdc_sec":$cdcSec%.2f,"cdc_out":$cdcOut,""" +
+      f""""sft_events_per_sec":${totalRows / sftSec}%.0f,"sft_sec":$sftSec%.2f,"sft_convos":$sftOut,""" +
       f""""idx_docs_per_sec":${nDocs / idxSec}%.0f,"idx_sec":$idxSec%.2f,"idx_postings":$idxOut,""" +
       f""""cur_docs_per_sec":${nCur / curSec}%.0f,"cur_sec":$curSec%.2f,"cur_out":$curOut,""" +
       f""""kmv_elems_per_sec":${nArr / kmvSec}%.0f,"kmv_sec":$kmvSec%.2f,"kmv_out":$kmvOut,""" +
