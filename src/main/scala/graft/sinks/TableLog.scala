@@ -103,7 +103,8 @@ object TableLog {
                             txns: Map[String, Long] = Map.empty,
                             stats: Map[String, TableStats.FileStats] = Map.empty,
                             schema: Option[StructType] = None,
-                            dvs: Map[String, DvRef] = Map.empty)
+                            dvs: Map[String, DvRef] = Map.empty,
+                            constraints: Map[String, String] = Map.empty)
 
   /** A data file's DELETION VECTOR reference — merge-on-read erasure
     * ([[deleteVectors]]): `path` is the parquet sidecar holding the
@@ -136,7 +137,8 @@ object TableLog {
                                addStats: Map[String, TableStats.FileStats],
                                txns: Map[String, Long],
                                schema: Option[StructType],
-                               addDvs: Map[String, DvRef])
+                               addDvs: Map[String, DvRef],
+                               constraints: Map[String, String])
 
   /** A resolved snapshot plus the length of the delta tail applied to
     * reach it — commit paths use `chain` to decide when the next
@@ -217,6 +219,100 @@ object TableLog {
     if (vs.isEmpty) 0L else vs.min
   }
 
+  // ------------------------------------------------------ CHECK constraints
+
+  /** SQL-standard CHECK semantics: a row VIOLATES a constraint iff
+    * its expression evaluates to FALSE — NULL passes (spell
+    * `x IS NOT NULL AND …` to reject nulls), exactly the standard's
+    * UNKNOWN-passes rule, pinned by spec. Zero cost when the table
+    * has no constraints; one combined scan of the incoming batch
+    * otherwise (the guilty constraint is identified on the error
+    * path only). */
+  private def enforceConstraints(df: DataFrame, cs: Map[String, String],
+                                 verb: String, table: String): Unit =
+    if (cs.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      val all = cs.values.map(e => coalesce(expr(e), lit(true))).reduce(_ && _)
+      if (df.filter(not(all)).limit(1).count() > 0) {
+        val guilty = cs.find { case (_, e) =>
+          df.filter(not(coalesce(expr(e), lit(true)))).limit(1).count() > 0 }
+        throw new IllegalArgumentException(
+          s"TableLog.$verb: CHECK constraint " +
+            guilty.map { case (n, e) => s"'$n' ($e)" }.getOrElse("?") +
+            s" is violated by incoming rows on $table")
+      }
+    }
+
+  /** ADD a named CHECK constraint (Delta's `ALTER TABLE … ADD
+    * CONSTRAINT`): validates that EVERY existing row satisfies the
+    * expression (a full scan — the price Delta charges too; by
+    * induction every later commit then needs only its own batch
+    * checked), then publishes a zero-file 'append' delta carrying the
+    * new constraint set in the header — constraints ride every
+    * manifest like the schema token, so they version with the table:
+    * RESTORE brings back the restored version's contract, CLONE
+    * copies the source's, and incremental consumers ride across the
+    * commit as an empty append. Enforcement points: append /
+    * appendStreamBatch / overwrite / upsert / merge /
+    * mergeStreamBatch — delete, DV-delete, compact and zorder only
+    * rewrite satisfying rows, so they carry the set untouched. */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+                    expression: String, maxRetries: Int = 10): Long = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-'),
+      s"addConstraint: name must be [A-Za-z0-9_-]+, got '$name'")
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val r = headResolved(spark, table)
+      require(r.nonEmpty, s"TableLog.addConstraint: $table has no committed version")
+      val m = r.get.m
+      require(!m.constraints.contains(name),
+        s"TableLog.addConstraint: constraint '$name' already exists on $table" +
+          s" (${m.constraints(name)}) — dropConstraint first")
+      enforceConstraints(read(spark, table, Some(m.version)),
+        Map(name -> expression), "addConstraint(existing data)", table)
+      if (tryCommitDelta(spark, table, m.version, "append", Seq.empty,
+          m.txns, Map.empty, m.schema, m.constraints + (name -> expression))) {
+        maybeCheckpoint(spark, table, r, m.version + 1, "append",
+          Seq.empty, Map.empty, m.txns, m.schema,
+          m.constraints + (name -> expression))
+        return m.version + 1
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"TableLog.addConstraint: lost the publish race $maxRetries times on $table")
+  }
+
+  /** DROP a named CHECK constraint — the loud inverse; a missing name
+    * throws (a silent no-op would hide a typo'd drop that leaves the
+    * constraint enforcing). */
+  def dropConstraint(spark: SparkSession, table: String, name: String,
+                     maxRetries: Int = 10): Long = {
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val r = headResolved(spark, table)
+      require(r.nonEmpty, s"TableLog.dropConstraint: $table has no committed version")
+      val m = r.get.m
+      require(m.constraints.contains(name),
+        s"TableLog.dropConstraint: no constraint '$name' on $table " +
+          s"(have: ${m.constraints.keys.toSeq.sorted.mkString(", ")})")
+      if (tryCommitDelta(spark, table, m.version, "append", Seq.empty,
+          m.txns, Map.empty, m.schema, m.constraints - name)) {
+        maybeCheckpoint(spark, table, r, m.version + 1, "append",
+          Seq.empty, Map.empty, m.txns, m.schema, m.constraints - name)
+        return m.version + 1
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"TableLog.dropConstraint: lost the publish race $maxRetries times on $table")
+  }
+
+  /** The head's CHECK constraints (name -> SQL expression). */
+  def constraintsOf(spark: SparkSession, table: String): Map[String, String] =
+    headResolved(spark, table).map(_.m.constraints).getOrElse(Map.empty)
+
   // ---------------------------------------------------------- manifest I/O
 
   private def parseRaw(body: String, where: String): Raw = {
@@ -236,6 +332,11 @@ object TableLog {
         java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8))
         .asInstanceOf[StructType]
     }
+    val constraints = header.get("constraints").filter(_.nonEmpty)
+      .map(_.split(";").map { t =>
+        val Array(n, e) = t.split(":", 2); n -> urlDec(e)
+      }.toMap)
+      .getOrElse(Map.empty[String, String])
     val kind = header.getOrElse("kind", "full") // pre-round-13 manifests: full snapshots
     // file line = `path` / `+path` / `-path`, with optional
     // tab-separated tokens on (plain or +) lines: a stats token
@@ -268,7 +369,7 @@ object TableLog {
     }
     Raw(header("version").toLong, header("base").toLong, header("action"),
       kind, adds.result(), removes.result(), addStats.result(), txns, schema,
-      addDvs.result())
+      addDvs.result(), constraints)
   }
 
   private def urlEnc(s: String): String =
@@ -312,7 +413,8 @@ object TableLog {
 
   private def headerLine(v: Long, base: Long, action: String, kind: String,
                          txns: Map[String, Long],
-                         schema: Option[StructType]): String = {
+                         schema: Option[StructType],
+                         constraints: Map[String, String]): String = {
     val txnStr =
       if (txns.isEmpty) ""
       else " txns=" + txns.toSeq.sortBy(_._1)
@@ -323,7 +425,14 @@ object TableLog {
     val schemaStr = schema.map(st => " schema=" +
       java.util.Base64.getEncoder.encodeToString(
         st.json.getBytes(StandardCharsets.UTF_8))).getOrElse("")
-    s"version=$v base=$base action=$action kind=$kind$txnStr$schemaStr"
+    // CHECK constraints ride like schema: complete in every header
+    // (never accumulated), names word-safe by addConstraint, the
+    // expression url-encoded space-free so ':'/';' stay structural
+    val consStr =
+      if (constraints.isEmpty) ""
+      else " constraints=" + constraints.toSeq.sortBy(_._1)
+        .map { case (n, e) => s"$n:${urlEnc(e)}" }.mkString(";")
+    s"version=$v base=$base action=$action kind=$kind$txnStr$schemaStr$consStr"
   }
 
   private def statLine(p: String, stats: Map[String, TableStats.FileStats],
@@ -332,7 +441,8 @@ object TableLog {
       dvs.get(p).map(d => s"\tdv=${urlEnc(d.path)}:${d.card}").getOrElse("")
 
   private def fullBody(m: Manifest): String =
-    (headerLine(m.version, m.base, m.action, "full", m.txns, m.schema) +:
+    (headerLine(m.version, m.base, m.action, "full", m.txns, m.schema,
+      m.constraints) +:
       m.files.map(statLine(_, m.stats, m.dvs)) :+ SENTINEL).mkString("\n")
 
   /** Best-effort full-snapshot sidecar at `m.version`. Only the
@@ -347,7 +457,7 @@ object TableLog {
 
   private def toManifest(r: Raw): Manifest =
     Manifest(r.version, r.base, r.action, r.adds, r.txns, r.addStats, r.schema,
-      r.addDvs)
+      r.addDvs, r.constraints)
 
   /** The snapshot after applying `r` on top of `prev` (the snapshot at
     * r.version − 1). Full manifests replace; deltas merge files/stats
@@ -364,7 +474,7 @@ object TableLog {
       Manifest(r.version, r.base, r.action,
         (if (rm.isEmpty) pf else pf.filterNot(rm)) ++ r.adds,
         r.txns, (if (rm.isEmpty) ps else ps -- rm) ++ r.addStats, r.schema,
-        (if (rm.isEmpty) pd else pd -- rm) ++ r.addDvs)
+        (if (rm.isEmpty) pd else pd -- rm) ++ r.addDvs, r.constraints)
     }
 
   /** Reconstruct the snapshot at `v`: nearest checkpoint-or-full
@@ -781,9 +891,11 @@ object TableLog {
                             txns: Map[String, Long],
                             stats: Map[String, TableStats.FileStats],
                             schema: Option[StructType],
+                            constraints: Map[String, String],
                             dvs: Map[String, DvRef] = Map.empty): Boolean = {
     val v = base + 1
-    val body = (headerLine(v, base, action, "full", txns, schema) +:
+    val body = (headerLine(v, base, action, "full", txns, schema,
+      constraints) +:
       files.map(statLine(_, stats, dvs)) :+ SENTINEL).mkString("\n")
     publishManifest(spark, table, v, body)
   }
@@ -795,9 +907,11 @@ object TableLog {
                              action: String, adds: Seq[String],
                              txns: Map[String, Long],
                              addStats: Map[String, TableStats.FileStats],
-                             schema: Option[StructType]): Boolean = {
+                             schema: Option[StructType],
+                             constraints: Map[String, String]): Boolean = {
     val v = base + 1
-    val body = (headerLine(v, base, action, "delta", txns, schema) +:
+    val body = (headerLine(v, base, action, "delta", txns, schema,
+      constraints) +:
       adds.map(p => "+" + statLine(p, addStats)) :+ SENTINEL).mkString("\n")
     publishManifest(spark, table, v, body)
   }
@@ -811,7 +925,8 @@ object TableLog {
                               newFiles: Seq[String],
                               newStats: Map[String, TableStats.FileStats],
                               txns: Map[String, Long],
-                              schema: Option[StructType]): Unit = {
+                              schema: Option[StructType],
+                              constraints: Map[String, String]): Unit = {
     val chain = prev.map(_.chain).getOrElse(0) + 1
     if (chain >= CHECKPOINT_EVERY) {
       val pm = prev.map(_.m)
@@ -819,7 +934,8 @@ object TableLog {
         Manifest(v, v - 1, action,
           pm.map(_.files).getOrElse(Seq.empty) ++ newFiles, txns,
           pm.map(_.stats).getOrElse(Map.empty) ++ newStats, schema,
-          pm.map(_.dvs).getOrElse(Map.empty))) // appends never change DVs
+          pm.map(_.dvs).getOrElse(Map.empty), // appends never change DVs
+          constraints))
     }
   }
 
@@ -909,6 +1025,16 @@ object TableLog {
              beforeCommit: Long => Unit = _ => (),
              evolve: Boolean = false): Long = {
     val spark = df.sparkSession
+    // CHECK constraints: enforce the batch ONCE against the head's
+    // set; a retry re-enforces only if a racing addConstraint changed
+    // it (the memo below)
+    var enforcedCs: Option[Map[String, String]] = None
+    def ensureConstraints(cs: Map[String, String]): Unit =
+      if (!enforcedCs.contains(cs)) {
+        enforceConstraints(df, cs, "append", table); enforcedCs = Some(cs)
+      }
+    ensureConstraints(
+      headResolved(spark, table).map(_.m.constraints).getOrElse(Map.empty))
     val (newFiles, newStats) = writeData(df, table)
     var attempt = 0
     while (attempt <= maxRetries) {
@@ -919,13 +1045,15 @@ object TableLog {
       // evolved the table between retries
       val schema = commitSchema(spark, m, df, evolve, "append")
       val txns = m.map(_.txns).getOrElse(Map.empty[String, Long])
+      val cs = m.map(_.constraints).getOrElse(Map.empty[String, String])
+      ensureConstraints(cs)
       // test seam: TableLogSpec injects a COMPETING commit here to
       // pin the lose-and-rebase path deterministically
       beforeCommit(base)
       if (tryCommitDelta(spark, table, base, "append", newFiles, txns,
-          newStats, schema)) {
+          newStats, schema, cs)) {
         maybeCheckpoint(spark, table, r, base + 1, "append",
-          newFiles, newStats, txns, schema)
+          newFiles, newStats, txns, schema, cs)
         return base + 1
       }
       attempt += 1
@@ -946,6 +1074,17 @@ object TableLog {
   def overwrite(df: DataFrame, table: String, maxRetries: Int = 10,
                 overwriteSchema: Boolean = false): Long = {
     val spark = df.sparkSession
+    // the replacement contents must satisfy the standing contract
+    // (constraints survive overwrite like the schema does; an
+    // overwriteSchema frame that cannot evaluate them fails loudly
+    // in analysis — never a silent drop)
+    var enforcedCs: Option[Map[String, String]] = None
+    def ensureConstraints(cs: Map[String, String]): Unit =
+      if (!enforcedCs.contains(cs)) {
+        enforceConstraints(df, cs, "overwrite", table); enforcedCs = Some(cs)
+      }
+    ensureConstraints(
+      headResolved(spark, table).map(_.m.constraints).getOrElse(Map.empty))
     val (newFiles, newStats) = writeData(df, table)
     var attempt = 0
     while (attempt <= maxRetries) {
@@ -954,9 +1093,11 @@ object TableLog {
         if (overwriteSchema) Some(deepNullable(df.schema))
         else commitSchema(spark, m, df, evolve = false, "overwrite",
           evolveFlag = "overwriteSchema = true")
+      val cs = m.map(_.constraints).getOrElse(Map.empty[String, String])
+      ensureConstraints(cs)
       if (tryCommitFull(spark, table, m.map(_.version).getOrElse(0L), "overwrite",
           newFiles, m.map(_.txns).getOrElse(Map.empty), newStats,
-          schema.orElse(Some(deepNullable(df.schema)))))
+          schema.orElse(Some(deepNullable(df.schema))), cs))
         return m.map(_.version).getOrElse(0L) + 1
       attempt += 1
     }
@@ -1111,7 +1252,8 @@ object TableLog {
       val action = if (zorderCols.isEmpty) "compact" else "zorder"
       if (tryCommitFull(spark, table, m.version, action, kept ++ newFiles,
           m.txns, m.stats.filter { case (k, _) => keptSet(k) } ++ newStats,
-          m.schema, m.dvs.filter { case (k, _) => keptSet(k) }))
+          m.schema, m.constraints,
+          m.dvs.filter { case (k, _) => keptSet(k) }))
         return m.version + 1
       attempt += 1
     }
@@ -1164,7 +1306,8 @@ object TableLog {
       // upgrades legacy (pre-schema) tables as a side effect
       if (tryCommitFull(spark, table, base, action, newFiles,
           m.map(_.txns).getOrElse(Map.empty), newStats,
-          Some(deepNullable(rewritten.schema))))
+          Some(deepNullable(rewritten.schema)),
+          m.map(_.constraints).getOrElse(Map.empty)))
         return base + 1
       attempt += 1
     }
@@ -1191,6 +1334,14 @@ object TableLog {
     // cheap ledger check before paying the data write
     if (headResolved(spark, table)
         .exists(_.m.txns.getOrElse(appId, -1L) >= batchId)) return None
+    var enforcedCs: Option[Map[String, String]] = None
+    def ensureConstraints(cs: Map[String, String]): Unit =
+      if (!enforcedCs.contains(cs)) {
+        enforceConstraints(df, cs, "appendStreamBatch", table)
+        enforcedCs = Some(cs)
+      }
+    ensureConstraints(
+      headResolved(spark, table).map(_.m.constraints).getOrElse(Map.empty))
     val (newFiles, newStats) = writeData(df, table)
     var attempt = 0
     while (attempt <= maxRetries) {
@@ -1200,10 +1351,12 @@ object TableLog {
       val base = m.map(_.version).getOrElse(0L)
       val schema = commitSchema(spark, m, df, evolve = false, "appendStreamBatch")
       val txns = m.map(_.txns).getOrElse(Map.empty[String, Long]) + (appId -> batchId)
+      val cs = m.map(_.constraints).getOrElse(Map.empty[String, String])
+      ensureConstraints(cs)
       if (tryCommitDelta(spark, table, base, "append", newFiles, txns,
-          newStats, schema)) {
+          newStats, schema, cs)) {
         maybeCheckpoint(spark, table, r, base + 1, "append",
-          newFiles, newStats, txns, schema)
+          newFiles, newStats, txns, schema, cs)
         return Some(base + 1)
       }
       attempt += 1
@@ -1240,10 +1393,12 @@ object TableLog {
       val merged =
         if (base == 0) fresh
         else graft.ops.Merge.mergeByKey(read(spark, table, Some(base)), fresh, keys)
+      val cs = m.map(_.constraints).getOrElse(Map.empty[String, String])
+      enforceConstraints(fresh, cs, "upsert", table)
       val (newFiles, newStats) = writeData(merged, table)
       if (tryCommitFull(spark, table, base, "merge", newFiles,
           m.map(_.txns).getOrElse(Map.empty), newStats,
-          schema.orElse(Some(deepNullable(merged.schema)))))
+          schema.orElse(Some(deepNullable(merged.schema))), cs))
         return base + 1
       attempt += 1
     }
@@ -1352,7 +1507,8 @@ object TableLog {
         empty, changes, keyCol, seqCol, opCol, payload)
       val (newFiles, newStats) = writeData(applied, table)
       if (tryCommitFull(spark, table, 0L, "merge", newFiles,
-          Map(appId -> batchId), newStats, Some(deepNullable(applied.schema))))
+          Map(appId -> batchId), newStats, Some(deepNullable(applied.schema)),
+          Map.empty))
         return Some(1L)
       // lost the bootstrap race: the winner's head exists now
     }
@@ -1472,6 +1628,9 @@ object TableLog {
       val applied = graft.ops.Cdc.applyChangelog(
           base, ch, keyCol, seqCol, opCol, payloadCols)
         .select(tableSchema.fieldNames.map(col).toIndexedSeq: _*)
+      // post-apply rows must satisfy the contract (carried rows pass
+      // by induction; the scan is touched-sized)
+      enforceConstraints(applied, m.constraints, "merge", table)
       val (rawFiles, rawStats) = writeData(applied, table)
       // writeData's keep-one empty is only needed when NOTHING else
       // survives — with carried files present, drop it (bytes too);
@@ -1492,12 +1651,12 @@ object TableLog {
           // (zero files, action append: incremental consumers see an
           // empty append, never a rewrite)
           if (tryCommitDelta(spark, table, m.version, "append", Seq.empty,
-              m.txns + (a -> b), Map.empty, m.schema)) {
+              m.txns + (a -> b), Map.empty, m.schema, m.constraints)) {
             // a run of consecutive no-op batches must still checkpoint
             // (r15 review: an uncheckpointed delta tail grows the
             // reconstruction walk unboundedly)
             maybeCheckpoint(spark, table, res, m.version + 1, "append",
-              Seq.empty, Map.empty, m.txns + (a -> b), m.schema)
+              Seq.empty, Map.empty, m.txns + (a -> b), m.schema, m.constraints)
             return Some(m.version + 1)
           }
       } else {
@@ -1518,7 +1677,7 @@ object TableLog {
         // the lose-and-re-merge path deterministically
         beforeCommit(m.version)
         if (tryCommitFull(spark, table, m.version, "merge", files,
-            m.txns ++ txn, stats, m.schema,
+            m.txns ++ txn, stats, m.schema, m.constraints,
             m.dvs.filter { case (k, _) => keptSet(k) })) // carried files keep DVs
           return Some(m.version + 1)
       }
@@ -1599,7 +1758,7 @@ object TableLog {
           s"not representable; overwrite with replacement contents instead")
       val stats = m.stats.filter { case (k, _) => keptSet(k) } ++ newStats
       if (tryCommitFull(spark, table, m.version, "delete", files, m.txns,
-          stats, m.schema,
+          stats, m.schema, m.constraints,
           m.dvs.filter { case (k, _) => keptSet(k) })) // carried files keep DVs
         return m.version + 1
       attempt += 1
@@ -1741,7 +1900,7 @@ object TableLog {
       val stats = m.stats.filter { case (k, _) => !gone(k) } ++ cowStats
       val dvs = (m.dvs -- gone) ++ newDvs
       if (tryCommitFull(spark, table, m.version, "delete", files, m.txns,
-          stats, m.schema, dvs))
+          stats, m.schema, m.constraints, dvs))
         return m.version + 1
       // lost the race: this attempt's sidecar + rewrites become
       // vacuum-able orphans; re-resolve and re-run
@@ -1780,7 +1939,7 @@ object TableLog {
         s"TableLog.restore: version $version is ahead of head ${m.version}")
       if (version == m.version) return m.version // already there: no-op
       if (tryCommitFull(spark, table, m.version, "restore", target.files,
-          m.txns, target.stats, target.schema, target.dvs))
+          m.txns, target.stats, target.schema, target.constraints, target.dvs))
         return m.version + 1
       attempt += 1
     }
@@ -1835,7 +1994,7 @@ object TableLog {
     val dvs = m.files.zip(abs).flatMap { case (rel, a) =>
       m.dvs.get(rel).map(d => a -> d.copy(path = qual(d.path))) }.toMap
     if (tryCommitFull(spark, target, 0L, "clone", abs, Map.empty, stats, m.schema,
-        dvs)) {
+        m.constraints, dvs)) {
       registerClone(spark, source, target, m.version)
       1L
     } else throw new IllegalStateException(

@@ -165,6 +165,10 @@ object GraftSql {
   private val VACUUM = """(?is)\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*""".r
   private val RESTORE = """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
   private val OPTIMIZE = """(?is)\s*OPTIMIZE\s+(\w+)(?:\s+WHERE\s+(.*?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(?:\s+INTO\s+(\d+)\s+FILES)?\s*""".r
+  private val ADD_CONSTRAINT =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+([\w-]+)\s+CHECK\s*\((.*)\)\s*""".r
+  private val DROP_CONSTRAINT =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+([\w-]+)\s*""".r
 
   private def registered(spark: SparkSession, name: String): String =
     registry.getOrElse(name.toLowerCase(Locale.ROOT),
@@ -197,6 +201,13 @@ object GraftSql {
     case DESCRIBE_DETAIL(name, v) =>
       TableLog.detail(spark, registered(spark, name),
         Option(v).map(_.toLong))
+    case ADD_CONSTRAINT(name, cname, chk) =>
+      val out = TableLog.addConstraint(spark, registered(spark, name),
+        cname, chk.trim)
+      verbResult(spark, name, "add_constraint", out)
+    case DROP_CONSTRAINT(name, cname) =>
+      val out = TableLog.dropConstraint(spark, registered(spark, name), cname)
+      verbResult(spark, name, "drop_constraint", out)
     case OPTIMIZE(name, whereCond, zcols, nf) =>
       val path = registered(spark, name)
       val numFiles = Option(nf).map(_.toInt).getOrElse(4)

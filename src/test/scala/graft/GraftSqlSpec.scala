@@ -175,4 +175,21 @@ class GraftSqlSpec extends SparkSpec {
     assert(rows("gsql_dv").map(_._1) == (0L until 40L).filterNot(_ % 10 == 3),
       "scoped optimize preserves content")
   }
+  test("ALTER TABLE ADD/DROP CONSTRAINT drive the check-constraint verbs from SQL") {
+    val t = tmpTable()
+    TableLog.append((0L until 8L).map(i => (i, s"p$i")).toDF("id", "payload"), t)
+    GraftSql.register(spark, "gsql_c", t)
+    val r = GraftSql.sql(spark,
+      "ALTER TABLE gsql_c ADD CONSTRAINT id_nonneg CHECK (id >= 0)")
+    assert(r.head.getString(1) == "add_constraint")
+    assert(TableLog.constraintsOf(spark, t) == Map("id_nonneg" -> "id >= 0"))
+    assert(intercept[IllegalArgumentException] {
+      TableLog.append(Seq((-1L, "x")).toDF("id", "payload"), t)
+    }.getMessage.contains("id_nonneg"))
+    GraftSql.sql(spark, "ALTER TABLE gsql_c DROP CONSTRAINT id_nonneg")
+    assert(TableLog.constraintsOf(spark, t).isEmpty)
+    TableLog.append(Seq((-1L, "x")).toDF("id", "payload"), t)
+    assert(TableLog.read(spark, t).count() == 9L)
+  }
+
 }
