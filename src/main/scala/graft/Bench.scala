@@ -199,6 +199,26 @@ object Bench {
         col("p_brand"), col("p_name"), col("p_type"), col("p_size"))
       graft.analytics.EntityResolution.resolveDeduped(p)
     },
+    // conversation assembly under a user-decade: events replicated
+    // SPARK_GRAFT_SFT_SCALE× map-side with per-rep user/event-id
+    // offsets (users ×R, per-user history UNCHANGED — the corpus
+    // growth axis an event log actually has). Expect ~linear wall:
+    // the sessionize window is per-user (constant size), every other
+    // stage is a partial-agged shuffle of ×R rows.
+    graft.queries.Q.noOracle("x_sft_scale") { (s, d) =>
+      import org.apache.spark.sql.functions.{array, col, explode, lit}
+      val r = sys.env.getOrElse("SPARK_GRAFT_SFT_SCALE", "1").toInt
+      val ev = graft.sources.Tables.events(s, d)
+        .select(explode(array((0 until r).map(lit): _*)).as("rep"),
+          col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .select(
+          (col("event_id") + col("rep").cast("long") * 1000000000L).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("rep").cast("long") * 1000000L).as("user_id"),
+          col("event_type"))
+      graft.analytics.Assembly.conversations(ev)
+        .groupBy().count() // force the full pipeline, output one row
+    },
     graft.queries.Q.noOracle("x_tri_relthresh") { (s, d) =>
       import org.apache.spark.sql.functions.{col, countDistinct}
       val thr = 5L * sys.env.getOrElse("SPARK_GRAFT_TRI_SCALE", "1").toLong
