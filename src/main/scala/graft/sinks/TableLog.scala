@@ -1264,7 +1264,7 @@ object TableLog {
   /** DESCRIBE DETAIL — one row of table-level metadata served from
     * the manifest (+ one FileStatus per file for bytes): (version,
     * action, n_files, total_bytes, n_rows, n_dv_files, dv_rows,
-    * n_columns). n_rows is exact when every file has stats (DV
+    * n_columns, n_constraints). n_rows is exact when every file has stats (DV
     * cardinalities subtracted), −1 otherwise — never guessed from
     * data reads. */
   def detail(spark: SparkSession, table: String,
@@ -1282,9 +1282,10 @@ object TableLog {
     val nCols = m.schema.map(_.fields.length).getOrElse(-1)
     import spark.implicits._
     Seq((m.version, m.action, m.files.length.toLong, bytes, rows,
-        m.dvs.size.toLong, m.dvs.valuesIterator.map(_.card).sum, nCols))
+        m.dvs.size.toLong, m.dvs.valuesIterator.map(_.card).sum, nCols,
+        m.constraints.size.toLong))
       .toDF("version", "action", "n_files", "total_bytes", "n_rows",
-        "n_dv_files", "dv_rows", "n_columns")
+        "n_dv_files", "dv_rows", "n_columns", "n_constraints")
   }
 
   /** Shared read-modify-write commit loop (compact / zorder): a lost

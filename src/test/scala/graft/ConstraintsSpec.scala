@@ -86,6 +86,8 @@ class ConstraintsSpec extends SparkSpec {
     val c = tmpTable()
     TableLog.cloneShallow(spark, t, c)
     assert(TableLog.constraintsOf(spark, c) == want, "clone dropped constraints")
+    assert(TableLog.detail(spark, t).head.getAs[Long]("n_constraints") == 1L,
+      "DESCRIBE DETAIL surfaces the constraint count")
   }
 
   test("constraints version with the table: restore brings back the old contract") {
