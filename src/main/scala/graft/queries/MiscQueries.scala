@@ -2132,6 +2132,51 @@ object MiscQueries {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), raw.as("url"))
       UrlOps.urlCurate(docs, "url", "doc_id", cap = 10).orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q211
+    // TABLE CHECK CONSTRAINTS end-to-end (the q200-family runner
+    // contract on the round-15 invariants feature): build the table
+    // in two appends around an ADD CONSTRAINT, with the runner
+    // REQUIRING the whole enforcement story on the way — a violating
+    // batch refuses naming the guilty constraint (and commits
+    // NOTHING: the head version is unchanged), a constraint the
+    // existing data violates refuses at add time, the set survives
+    // the second append and an OPTIMIZE, and DESCRIBE DETAIL counts
+    // it. Output = the final table ≡ plain documents (the violating
+    // batch must have left no trace).
+    Q("q211_table_constraints",
+      """SELECT doc_id, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.sinks.TableLog
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        col("n_chars"))
+      val cnt = docs.count()
+      val table = Scratch.fresh("graft-q211").toString
+      TableLog.append(docs.filter(col("doc_id") % 2 === 0), table)      // v1
+      TableLog.addConstraint(s, table, "n_chars_pos", "n_chars > 0")    // v2
+      val vPre = TableLog.headVersion(s, table)
+      val bad = docs.limit(1).select((col("doc_id") + cnt).as("doc_id"),
+        col("source"), lit(-5L).as("n_chars"))
+      val refused =
+        try { TableLog.append(bad, table); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("n_chars_pos") }
+      require(refused, "a violating append must refuse naming the constraint")
+      require(TableLog.headVersion(s, table) == vPre,
+        "a refused append must commit NOTHING")
+      val addRefused =
+        try { TableLog.addConstraint(s, table, "id_small", "doc_id < 10"); false }
+        catch { case e: IllegalArgumentException => e.getMessage.contains("id_small") }
+      require(addRefused, "existing data violating a new constraint must refuse the add")
+      TableLog.append(docs.filter(col("doc_id") % 2 =!= 0), table)      // v3
+      TableLog.compact(s, table, 2)                                     // v4
+      require(TableLog.constraintsOf(s, table) ==
+        Map("n_chars_pos" -> "n_chars > 0"),
+        "the set must survive append + OPTIMIZE")
+      require(TableLog.detail(s, table).head
+        .getAs[Long]("n_constraints") == 1L, "DESCRIBE DETAIL count")
+      TableLog.read(s, table).orderBy("doc_id")
     }
   )
 }
