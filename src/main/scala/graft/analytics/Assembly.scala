@@ -89,6 +89,11 @@ object Assembly {
       when(row_number().over(wf) === 1, 1L).otherwise(0L))
   }
 
+  /** Touched-user sets up to this size broadcast (the J1 anti-join);
+    * past it the carry anti-join falls back to a shuffled join — a
+    * monster delta must not OOM the driver for the carry step. */
+  val TOUCHED_BROADCAST_CAP: Long = 2000000L
+
   /** O(Δ) incremental face of [[conversations]] (the q97/q117 store
     * contract): conversations are USER-decomposable — a delta batch of
     * events can only change the conversations of the users it
@@ -108,9 +113,12 @@ object Assembly {
   def conversationsIncremental(storeConvos: DataFrame,
                                touchedEvents: DataFrame): DataFrame = {
     val touchedUsers = touchedEvents.select("user_id").distinct()
+    val small = touchedUsers.limit((TOUCHED_BROADCAST_CAP + 1).toInt)
+      .count() <= TOUCHED_BROADCAST_CAP
+    val probe = if (small) broadcast(touchedUsers) else touchedUsers
     val carried = storeConvos
       .select("user_id", "session_id", "n_turns", "fp")
-      .join(broadcast(touchedUsers), Seq("user_id"), "left_anti")
+      .join(probe, Seq("user_id"), "left_anti")
     val rebuilt = conversations(touchedEvents)
       .select("user_id", "session_id", "n_turns", "fp")
     val merged = carried.unionByName(rebuilt)

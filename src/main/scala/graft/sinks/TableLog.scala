@@ -229,13 +229,22 @@ object TableLog {
     * otherwise (the guilty constraint is identified on the error
     * path only). */
   private def enforceConstraints(df: DataFrame, cs: Map[String, String],
-                                 verb: String, table: String): Unit =
+                                 verb: String, table: String,
+                                 schema: Option[StructType] = None): Unit =
     if (cs.nonEmpty) {
       import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      // a batch may legitimately OMIT committed columns (they
+      // null-fill at read): enforcement must see those NULLs — which
+      // PASS under the UNKNOWN rule — not an unresolved-column error
+      val have = df.columns.map(_.toLowerCase(Locale.ROOT)).toSet
+      val aligned = schema.map(_.fields.toSeq).getOrElse(Seq.empty)
+        .filterNot(f => have.contains(f.name.toLowerCase(Locale.ROOT)))
+        .foldLeft(df)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
       val all = cs.values.map(e => coalesce(expr(e), lit(true))).reduce(_ && _)
-      if (df.filter(not(all)).limit(1).count() > 0) {
+      if (aligned.filter(not(all)).limit(1).count() > 0) {
         val guilty = cs.find { case (_, e) =>
-          df.filter(not(coalesce(expr(e), lit(true)))).limit(1).count() > 0 }
+          aligned.filter(not(coalesce(expr(e), lit(true)))).limit(1).count() > 0 }
         throw new IllegalArgumentException(
           s"TableLog.$verb: CHECK constraint " +
             guilty.map { case (n, e) => s"'$n' ($e)" }.getOrElse("?") +
@@ -1029,12 +1038,14 @@ object TableLog {
     // set; a retry re-enforces only if a racing addConstraint changed
     // it (the memo below)
     var enforcedCs: Option[Map[String, String]] = None
-    def ensureConstraints(cs: Map[String, String]): Unit =
+    def ensureConstraints(m: Option[Manifest]): Unit = {
+      val cs = m.map(_.constraints).getOrElse(Map.empty[String, String])
       if (!enforcedCs.contains(cs)) {
-        enforceConstraints(df, cs, "append", table); enforcedCs = Some(cs)
+        enforceConstraints(df, cs, "append", table, m.flatMap(_.schema))
+        enforcedCs = Some(cs)
       }
-    ensureConstraints(
-      headResolved(spark, table).map(_.m.constraints).getOrElse(Map.empty))
+    }
+    ensureConstraints(headResolved(spark, table).map(_.m))
     val (newFiles, newStats) = writeData(df, table)
     var attempt = 0
     while (attempt <= maxRetries) {
@@ -1046,7 +1057,7 @@ object TableLog {
       val schema = commitSchema(spark, m, df, evolve, "append")
       val txns = m.map(_.txns).getOrElse(Map.empty[String, Long])
       val cs = m.map(_.constraints).getOrElse(Map.empty[String, String])
-      ensureConstraints(cs)
+      ensureConstraints(m)
       // test seam: TableLogSpec injects a COMPETING commit here to
       // pin the lose-and-rebase path deterministically
       beforeCommit(base)
@@ -1079,12 +1090,14 @@ object TableLog {
     // overwriteSchema frame that cannot evaluate them fails loudly
     // in analysis — never a silent drop)
     var enforcedCs: Option[Map[String, String]] = None
-    def ensureConstraints(cs: Map[String, String]): Unit =
+    def ensureConstraints(m: Option[Manifest]): Unit = {
+      val cs = m.map(_.constraints).getOrElse(Map.empty[String, String])
       if (!enforcedCs.contains(cs)) {
-        enforceConstraints(df, cs, "overwrite", table); enforcedCs = Some(cs)
+        enforceConstraints(df, cs, "overwrite", table, m.flatMap(_.schema))
+        enforcedCs = Some(cs)
       }
-    ensureConstraints(
-      headResolved(spark, table).map(_.m.constraints).getOrElse(Map.empty))
+    }
+    ensureConstraints(headResolved(spark, table).map(_.m))
     val (newFiles, newStats) = writeData(df, table)
     var attempt = 0
     while (attempt <= maxRetries) {
@@ -1094,7 +1107,7 @@ object TableLog {
         else commitSchema(spark, m, df, evolve = false, "overwrite",
           evolveFlag = "overwriteSchema = true")
       val cs = m.map(_.constraints).getOrElse(Map.empty[String, String])
-      ensureConstraints(cs)
+      ensureConstraints(m)
       if (tryCommitFull(spark, table, m.map(_.version).getOrElse(0L), "overwrite",
           newFiles, m.map(_.txns).getOrElse(Map.empty), newStats,
           schema.orElse(Some(deepNullable(df.schema))), cs))
@@ -1336,13 +1349,15 @@ object TableLog {
     if (headResolved(spark, table)
         .exists(_.m.txns.getOrElse(appId, -1L) >= batchId)) return None
     var enforcedCs: Option[Map[String, String]] = None
-    def ensureConstraints(cs: Map[String, String]): Unit =
+    def ensureConstraints(m: Option[Manifest]): Unit = {
+      val cs = m.map(_.constraints).getOrElse(Map.empty[String, String])
       if (!enforcedCs.contains(cs)) {
-        enforceConstraints(df, cs, "appendStreamBatch", table)
+        enforceConstraints(df, cs, "appendStreamBatch", table,
+          m.flatMap(_.schema))
         enforcedCs = Some(cs)
       }
-    ensureConstraints(
-      headResolved(spark, table).map(_.m.constraints).getOrElse(Map.empty))
+    }
+    ensureConstraints(headResolved(spark, table).map(_.m))
     val (newFiles, newStats) = writeData(df, table)
     var attempt = 0
     while (attempt <= maxRetries) {
@@ -1353,7 +1368,7 @@ object TableLog {
       val schema = commitSchema(spark, m, df, evolve = false, "appendStreamBatch")
       val txns = m.map(_.txns).getOrElse(Map.empty[String, Long]) + (appId -> batchId)
       val cs = m.map(_.constraints).getOrElse(Map.empty[String, String])
-      ensureConstraints(cs)
+      ensureConstraints(m)
       if (tryCommitDelta(spark, table, base, "append", newFiles, txns,
           newStats, schema, cs)) {
         maybeCheckpoint(spark, table, r, base + 1, "append",
@@ -1395,7 +1410,7 @@ object TableLog {
         if (base == 0) fresh
         else graft.ops.Merge.mergeByKey(read(spark, table, Some(base)), fresh, keys)
       val cs = m.map(_.constraints).getOrElse(Map.empty[String, String])
-      enforceConstraints(fresh, cs, "upsert", table)
+      enforceConstraints(fresh, cs, "upsert", table, m.flatMap(_.schema))
       val (newFiles, newStats) = writeData(merged, table)
       if (tryCommitFull(spark, table, base, "merge", newFiles,
           m.map(_.txns).getOrElse(Map.empty), newStats,

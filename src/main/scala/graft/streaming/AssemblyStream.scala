@@ -64,11 +64,15 @@ object AssemblyStream {
   final case class SessState(open: List[Turn], lastTs: Long,
                              sessionId: Long, saturated: Boolean,
                              ver: Int = 1)
+  /** `saturated` = the session hit [[MAX_OPEN_TURNS]] and later turns
+    * were dropped — the latch must be VISIBLE on the emitted record
+    * (a silently-truncated conversation read as complete is a data
+    * bug; consumers drop or quarantine flagged rows). */
   final case class Convo(user_id: Long, session_id: Long, n_turns: Long,
-                         fp: String)
+                         fp: String, saturated: Boolean)
   final case class FlaggedConvo(user_id: Long, session_id: Long,
                                 n_turns: Long, fp: String,
-                                first_seen: Boolean)
+                                first_seen: Boolean, saturated: Boolean)
   final case class FpState(seen: Boolean, ver: Int = 1)
 
   private def sha256Hex(s: String): String = {
@@ -80,7 +84,7 @@ object AssemblyStream {
   private def close(userId: Long, st: SessState): Convo = {
     val ordered = st.open.sortBy(t => (t.ts_us, t.event_id))
     Convo(userId, st.sessionId, ordered.length.toLong,
-      sha256Hex(ordered.map(_.turn).mkString("\n")))
+      sha256Hex(ordered.map(_.turn).mkString("\n")), st.saturated)
   }
 
   /** events(event_id, ts TIMESTAMP, user_id, event_type, …) →
@@ -162,7 +166,8 @@ object AssemblyStream {
           val out = rows.map { c =>
             val first = !seen
             seen = true
-            FlaggedConvo(c.user_id, c.session_id, c.n_turns, c.fp, first)
+            FlaggedConvo(c.user_id, c.session_id, c.n_turns, c.fp, first,
+              c.saturated)
           }.toList
           state.update(FpState(seen = true))
           out.iterator

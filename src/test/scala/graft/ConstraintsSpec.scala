@@ -57,6 +57,27 @@ class ConstraintsSpec extends SparkSpec {
     }.getMessage.contains("id_nn"))
   }
 
+  test("a batch omitting a constrained column enforces against its null-fill") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 3), t)
+    TableLog.addConstraint(spark, t, "pay_not_bad", "payload <> 'bad'")
+    // payload omitted entirely: reads null-fill it, NULL passes the
+    // CHECK — the append must succeed, not die on an unresolved column
+    TableLog.append(Seq(Tuple1(50L)).toDF("id"), t)
+    assert(TableLog.read(spark, t).filter(col("id") === 50L)
+      .head.isNullAt(1))
+    // but an omitted column under IS NOT NULL is a real violation
+    // (fresh table: the null-filled row above would refuse the add)
+    val t2 = tmpTable()
+    TableLog.append(batch(0 until 3), t2)
+    TableLog.addConstraint(spark, t2, "pay_nn", "payload IS NOT NULL")
+    val ex = intercept[IllegalArgumentException] {
+      TableLog.append(Seq(Tuple1(51L)).toDF("id"), t2)
+    }
+    assert(ex.getMessage.contains("pay_nn") &&
+      ex.getMessage.contains("append"), ex.getMessage)
+  }
+
   test("every commit path carries the constraint set (the no-silent-drop matrix)") {
     val t = tmpTable()
     TableLog.append(batch(0 until 40).repartition(4), t)
