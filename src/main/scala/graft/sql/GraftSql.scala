@@ -167,6 +167,8 @@ object GraftSql {
   private val OPTIMIZE = """(?is)\s*OPTIMIZE\s+(\w+)(?:\s+WHERE\s+(.*?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(?:\s+INTO\s+(\d+)\s+FILES)?\s*""".r
   private val ADD_CONSTRAINT =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+([\w-]+)\s+CHECK\s*\((.*)\)\s*""".r
+  private val SHOW_CONSTRAINTS =
+    """(?is)\s*SHOW\s+CONSTRAINTS\s+(?:ON\s+)?(\w+)\s*""".r
   private val DROP_CONSTRAINT =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+([\w-]+)\s*""".r
 
@@ -205,6 +207,10 @@ object GraftSql {
       val out = TableLog.addConstraint(spark, registered(spark, name),
         cname, chk.trim)
       verbResult(spark, name, "add_constraint", out)
+    case SHOW_CONSTRAINTS(name) =>
+      import spark.implicits._
+      TableLog.constraintsOf(spark, registered(spark, name))
+        .toSeq.sortBy(_._1).toDF("name", "expression")
     case DROP_CONSTRAINT(name, cname) =>
       val out = TableLog.dropConstraint(spark, registered(spark, name), cname)
       verbResult(spark, name, "drop_constraint", out)

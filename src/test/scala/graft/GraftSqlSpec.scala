@@ -183,6 +183,9 @@ class GraftSqlSpec extends SparkSpec {
       "ALTER TABLE gsql_c ADD CONSTRAINT id_nonneg CHECK (id >= 0)")
     assert(r.head.getString(1) == "add_constraint")
     assert(TableLog.constraintsOf(spark, t) == Map("id_nonneg" -> "id >= 0"))
+    assert(GraftSql.sql(spark, "SHOW CONSTRAINTS gsql_c").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("id_nonneg", "id >= 0")))
     assert(intercept[IllegalArgumentException] {
       TableLog.append(Seq((-1L, "x")).toDF("id", "payload"), t)
     }.getMessage.contains("id_nonneg"))
