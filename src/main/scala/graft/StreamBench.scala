@@ -108,6 +108,9 @@ object StreamBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // hold generated codegen units across queries (Bench rationale)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       // transformWithState requires RocksDB; 4.1's checkpoint checksum
       // writer deadlocks the RocksDB snapshot upload in local mode
       // (see StreamingSpec) — same two settings a deployment uses
