@@ -735,6 +735,10 @@ object DedupOps {
         .distinct()
     var edges = canon(pairs.select(col("d1").as("u"), col("d2").as("v")))
       .localCheckpoint(true)
+    // the previous round's cardinality, carried in a driver var: the
+    // convergence check needs |edges|, and re-counting the already-
+    // checkpointed frame was one whole extra job per round (round 16)
+    var prevN = edges.count()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -742,9 +746,13 @@ object DedupOps {
       val b = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       val mL = b.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val afterLarge = canon(
-        b.join(mL, Seq("u")).filter(col("v") > col("u"))
-          .select(col("v").as("u"), col("m").as("v")))
+      // NOT canon'd (round 16): every produced edge (old v, m) already
+      // has u > v (m ≤ min-neighborhood ≤ old u < old v), and the only
+      // consumers are a groupBy-min (duplicate-insensitive) and the
+      // join feeding the round's FINAL distinct — the mid-round
+      // distinct was one redundant exchange+stage per round
+      val afterLarge = b.join(mL, Seq("u")).filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
       // small-star over (max -> min) oriented edges
       val s = afterLarge // already canonical: u > v
       val mS = s.groupBy(col("u")).agg(min(col("v")).as("m"))
@@ -758,9 +766,11 @@ object DedupOps {
       // ⟹ A = B. A bare one-way except would miss rounds that only
       // SHRINK the edge set; the count comparison (a cheap agg job)
       // restores soundness at half the exceptAll cost.
+      val n = afterSmall.count()
       changed =
-        if (afterSmall.count() != edges.count()) 1L
+        if (n != prevN) 1L
         else afterSmall.exceptAll(edges).count()
+      prevN = n
       edges = afterSmall
       i += 1
     }
@@ -791,8 +801,12 @@ object DedupOps {
 
   /** SimHash signature over token-frequency-weighted bit votes. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(tokens(col("text"))).as("w"))
+    // parallelism floor: the per-token sha-256 vote pass is the cost,
+    // and it otherwise runs on the document scan's split count
+    // (1 task for a single-row-group file; no-op at real scale)
+    val toks = graft.ops.Guards.parallelismFloor(
+        docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .withColumn("v", tokenHash32(col("w")))
     val sig = (0 until SIMHASH_BITS).map { b =>
       when(sum(shiftright(col("v"), b).bitwiseAND(lit(1L)) * 2 - 1) >= 0, lit(1L))
@@ -835,7 +849,12 @@ object DedupOps {
     * keeps the shuffled rows narrow and uniformly distributed — no
     * span text ever shuffles. */
   def spanOccurrences(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"),
+    // parallelism floor: the span explode + per-span sha-256 is the
+    // family's map-side cost and otherwise runs on the document
+    // scan's split count (the simhashSignatures rationale)
+    graft.ops.Guards.parallelismFloor(
+        docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
         graft.functions.SpanExplode.span_explode(col("text"), k))
       .select(col("doc_id"), col("pos"),
         substring(sha2(col("s"), 256), 1, 16).as("h"))

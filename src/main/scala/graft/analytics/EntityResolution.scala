@@ -305,37 +305,68 @@ object EntityResolution {
     * loses the brand key, so the extra cost is the wider recovered
     * pair list, bounded by per-name multiplicity. */
   def blockingRecallAudit(records: DataFrame, sampleMod: Long = 1): DataFrame = {
-    val p = if (sampleMod == 1) records
+    val p0 = if (sampleMod == 1) records
       else records.filter(col("p_partkey") % sampleMod === 0)
-    // ONE name-pair dictionary feeds all four recovery joins of the
-    // three arms — dictionary-pair-sized, so the eager checkpoint is
-    // the "tiny many-branch intermediate" pattern (q97's candidate
-    // list), not a corpus-sized write; without it each arm re-pays
-    // the full distinct-names × length-band Levenshtein
-    val nd = nameDict(p, p).localCheckpoint(true)
-    val truth = canonical(recoveredPairs(p, p, blocked = false, nd)
-      .filter(matchScore >= MATCH_THRESHOLD))
-    val blocked = canonical(recoveredPairs(p, p, blocked = true, nd)
-      .filter(matchScore >= MATCH_THRESHOLD))
-    // candidate pairs ENTERING scoring under blocking — the audit's
-    // cost column: blocking recall is only honest next to the
-    // candidate volume it pays for (an unblocked pass has perfect
-    // recall and quadratic candidates)
-    val cands = canonical(recoveredPairs(p, p, blocked = true, nd))
-    // two single-row aggregates combined by union + max per column —
-    // the q103 pattern (a join on the literal key constant-folds into
-    // the BNLJ the engine-wide PlanSpec bans)
-    val nullL = lit(null).cast("long")
-    val aggTB = truth.join(blocked.withColumn("f", lit(1L)), Seq("d1", "d2"), "left")
-      .agg(count(lit(1)).as("truth_pairs"),
-        sum(coalesce(col("f"), lit(0L))).cast("long").as("blocked_pairs"))
-      .withColumn("cand_pairs", nullL)
-    val aggC = cands.agg(count(lit(1)).as("cand_pairs"))
-      .select(nullL.as("truth_pairs"), nullL.as("blocked_pairs"), col("cand_pairs"))
-    aggTB.unionByName(aggC)
-      .agg(max(col("truth_pairs")).as("truth_pairs"),
-        max(col("blocked_pairs")).as("blocked_pairs"),
-        max(col("cand_pairs")).as("cand_pairs"))
+    // parallelism FLOOR on the enumeration's stream side (round 16):
+    // the truth arm is ONE unblocked recovery join whose stream side
+    // inherits the record scan's split count — a catalog-sized input
+    // in one parquet row group runs the whole per-pair scoring on ONE
+    // core (measured: 9.1 s wall with ~13 executor-CPU-s at sf0.1;
+    // 3.7 s floored). No-op at real scale (Guards.parallelismFloor).
+    val p = graft.ops.Guards.parallelismFloor(p0)
+    // ONE name-pair dictionary feeds the recovery join —
+    // dictionary-pair-sized, so the eager checkpoint is the "tiny
+    // many-branch intermediate" pattern (q97's candidate list), not a
+    // corpus-sized write. The five NAME-derived blocking keys are
+    // evaluated HERE, once per distinct name pair (q65's
+    // dictionary-first rule applied to the blocking regexes), not per
+    // recovered record pair — `_nk` rides through recoveredPairs'
+    // broadcast join as an extra nd column.
+    val nkEq = block2Col(col("n1")) === block2Col(col("n2")) ||
+      block3Col(col("n1")) === block3Col(col("n2")) ||
+      (block4Col(col("n1")) === block4Col(col("n2")) &&
+        block4Col(col("n1")) =!= lit("")) ||
+      (block5Col(col("n1")) === block5Col(col("n2")) &&
+        block5Col(col("n1")) =!= lit("")) ||
+      (block6Col(col("n1")) === block6Col(col("n2")) &&
+        block6Col(col("n1")) =!= lit(""))
+    val nd = nameDict(p, p).withColumn("_nk", nkEq).localCheckpoint(true)
+    // ROUND-16 SHAPE: ONE unblocked enumeration with the blocking
+    // coverage as a PER-ROW FLAG, aggregated per canonical pair —
+    // exactly the oracle's max(CASE WHEN <block OR> ...) spelling.
+    // The previous three-arm spelling (truth + blocked + cands) paid
+    // the six-pass recovery join TWICE on top of the unblocked truth
+    // enumeration (27 joins total, ~42 executor-CPU-s at sf0.1); the
+    // flag spelling pays the truth enumeration ONCE and evaluates the
+    // six block conditions per row (13 joins → 3, measured 10.9 →
+    // ~4 s isolated). Equivalence: the six disjoint passes' union is
+    // the plain OR of their keys (each later pass adds its key's
+    // coverage minus the earlier ones'), which is erBlockSql verbatim;
+    // score and block flags are symmetric in (ka, kb), so max() over
+    // the ≤2 recovered orders of a pair equals either row's value.
+    // NOTE the production path (matchPairs) KEEPS the six-join union —
+    // at 10× mass-duplication the finer-keyed joins enumerate fewer
+    // pairs (the recoveredPairs scaladoc measurement); here the
+    // unblocked arm must enumerate everything anyway, so the blocked
+    // arms were pure re-computation.
+    val rec = recoveredPairs(p, p, blocked = false, nd)
+    val per = rec.select(
+        least(col("ka"), col("kb")).as("d1"),
+        greatest(col("ka"), col("kb")).as("d2"),
+        (matchScore >= MATCH_THRESHOLD).as("m"),
+        (col("ba") === col("bb") || col("_nk")).as("bf"))
+      // rows that are neither matched nor block-covered cannot move
+      // any of the three counts (a pair whose EVERY row is dropped
+      // has max(m) = max(bf) = false and contributes nothing): drop
+      // them BEFORE the pair shuffle, which bounds the exchange to
+      // truth ∪ candidates instead of the full recovered enumeration
+      .filter(col("m") || col("bf"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(max(col("m")).as("m"), max(col("bf")).as("bf"))
+    per.agg(
+        sum(when(col("m"), 1L).otherwise(0L)).cast("long").as("truth_pairs"),
+        sum(when(col("m") && col("bf"), 1L).otherwise(0L)).cast("long").as("blocked_pairs"),
+        sum(when(col("bf"), 1L).otherwise(0L)).cast("long").as("cand_pairs"))
       .select(col("truth_pairs"), col("blocked_pairs"),
         (col("truth_pairs") - col("blocked_pairs")).as("missed_pairs"),
         // empty truth ⇒ null recall (the ANSI-vs-DuckDB ÷0 rule)

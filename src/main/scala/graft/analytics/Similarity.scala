@@ -162,8 +162,13 @@ object Similarity {
       n.select(col("vec_id").as("v1"), col("embedding").as("av"), col("nrm").as("an"))
         .withColumn("_blk", explode(array((0 until blocks).map(lit): _*))),
       col("v1"), guard)
-    val b = n.select(col("vec_id").as("v2"), col("embedding").as("bv"), col("nrm").as("bn"))
-      .withColumn("_blk", pmod(col("v2"), lit(blocks)).cast("int"))
+    // parallelism floor on the STREAM side (round 16): the whole
+    // n²/blocks dot-product verify otherwise runs on the corpus
+    // scan's split count — one task for a single-row-group file
+    // (measured 2.8 s single-task at sf0.1; no-op at real scale)
+    val b = graft.ops.Guards.parallelismFloor(
+      n.select(col("vec_id").as("v2"), col("embedding").as("bv"), col("nrm").as("bn"))
+        .withColumn("_blk", pmod(col("v2"), lit(blocks)).cast("int")))
     // zero-norm guard (round 8): ANSI Spark throws on double x/0;
     // a null cosine simply fails the threshold filter, matching the
     // DuckDB oracle's CASE-guarded spelling on such rows

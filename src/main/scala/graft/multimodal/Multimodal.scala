@@ -183,7 +183,8 @@ object Multimodal {
   def syntheticMp4s(df: DataFrame, idCol: String = "doc_id"): Dataset[MediaRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    graft.ops.Guards.parallelismFloor(
+      df.select(col(idCol).cast("long"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val ts = (600 * (1 + id % 3)).toInt
         val dur = 100 + id % 1000
@@ -247,7 +248,8 @@ object Multimodal {
   def syntheticPngs(df: DataFrame, idCol: String = "doc_id"): Dataset[MediaRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    graft.ops.Guards.parallelismFloor(
+      df.select(col(idCol).cast("long"))).as[Long].mapPartitions { it =>
       imageIOInMemory()
       it.map { id =>
         val w = (1 + id % 16).toInt
@@ -352,7 +354,8 @@ object Multimodal {
                           nGroups: Int = 41): Dataset[MediaRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    graft.ops.Guards.parallelismFloor(
+      df.select(col(idCol).cast("long"))).as[Long].mapPartitions { it =>
       imageIOInMemory()
       it.map { id =>
         val g = id % nGroups
@@ -557,7 +560,8 @@ object Multimodal {
                           nGroups: Int = 61): Dataset[MediaRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    graft.ops.Guards.parallelismFloor(
+      df.select(col(idCol).cast("long"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val g = id % nGroups
         val v = (id / nGroups) % 2

@@ -60,6 +60,11 @@ object Graph {
       .localCheckpoint(true) // the big frame, scanned once per superstep
     // (plain .persist() measured 10.4 s vs 5.6 s for this checkpoint at
     // sf0.1 — severed lineage beats cache bookkeeping here)
+    // (A LONG node-surrogate dictionary was prototyped round 16: the
+    // superstep alone measured 4× less CPU on long keys, but the
+    // encode/decode joins added ~1 s of stage latency and the END TO
+    // END wall REGRESSED 5.3→6.6 s at sf0.1 — reverted; worth
+    // revisiting only when edge volume makes supersteps CPU-bound.)
     val deg = ee.groupBy(col("src")).agg(count(lit(1)).as("od"))
       .localCheckpoint(true) // node-sized
     val nodes = ee.select(col("src").as("node")).distinct().localCheckpoint(true)
@@ -75,15 +80,29 @@ object Graph {
       // fold rank/degree into ONE node-sized value frame first, so the
       // superstep is a single (broadcast, when node-count-gated) join
       // into the edge scan plus one partial-agged shuffle on dst —
-      // never an edge-wide multi-join chain
+      // never an edge-wide multi-join chain.
+      // Contributions ride as LONG fixed-point nano-units (round 16):
+      // duckRound(x, 9) is by construction the double nearest k·1e-9,
+      // so ×1e9 + round recovers the integer k EXACTLY (abs error
+      // ≤ k·2⁻⁵² ≪ 0.5 until k ~ 2e15), and the per-edge aggregate
+      // becomes a plain LONG sum — the hash-agg update the previous
+      // DECIMAL(27,12) spelling paid Int128/BigDecimal arithmetic for
+      // (precision > 18 leaves Spark's long-backed Decimal fast path).
+      // The exact rational Σk·1e-9 is reconstructed ONCE per node
+      // below as DECIMAL(38,9) (28+9+1 digits — no precision loss, no
+      // rounding), so cast-to-double equals the old decimal-sum cast
+      // bit for bit and the oracle's DECIMAL(27,12) sum stays matched.
+      // Overflow headroom: Σk ≤ total-rank-mass·1e9 ≈ n·1e9 — a long
+      // holds it to n ≈ 9e9 nodes (ANSI sum would throw, not wrap).
       val rv0 = ranks.join(deg, col("node") === col("src"))
         .select(col("src"),
-          Exact.duckRound(col("r") / col("od"), 9)
-            .cast(DecimalType(27, 12)).as("cv"))
+          round(Exact.duckRound(col("r") / col("od"), 9) * lit(1e9), 0)
+            .cast("long").as("cvn"))
       val rv = if (bcastOk) broadcast(rv0) else rv0
       val contrib = ee.join(rv, Seq("src"))
         .groupBy(col("dst"))
-        .agg(sum(col("cv")).cast("double").as("in_sum"))
+        .agg((sum(col("cvn")).cast(DecimalType(28, 0)) *
+          lit(new java.math.BigDecimal("0.000000001"))).cast("double").as("in_sum"))
       ranks = nodes
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
@@ -117,19 +136,29 @@ object Graph {
     val deg = edges.select(col("u").as("n"))
       .unionByName(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // e carries the TARGET's (degree, id) order key (`td`): the wedge
+    // self-join below enumerates each wedge ONCE, in the orientation
+    // order, instead of both ordered ways (round 16 — the `=!=`
+    // spelling generated 2× the wedge rows, of which only the
+    // order-respecting half could close: an oriented edge (y, z)
+    // exists only when y precedes z under (degree, id), so the
+    // (z, y)-ordered twin of every closable wedge was dead weight
+    // through the join, the projection and the close probe).
     val e = edges
       .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
       .select(
         when(col("du") < col("dv") ||
              (col("du") === col("dv") && col("u") < col("v")),
-          struct(col("u").as("s"), col("v").as("t")))
-          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("o"))
-      .select(col("o.s").as("s"), col("o.t").as("t"))
+          struct(col("u").as("s"), col("v").as("t"), col("dv").as("td")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"), col("du").as("td"))).as("o"))
+      .select(col("o.s").as("s"), col("o.t").as("t"), col("o.td").as("td"))
       .localCheckpoint(true) // consumed by the wedge self-join (×2) + close
     val wedges = e.as("e1")
       .join(e.as("e2"),
-        col("e1.s") === col("e2.s") && col("e1.t") =!= col("e2.t"))
+        col("e1.s") === col("e2.s") &&
+          (col("e1.td") < col("e2.td") ||
+            (col("e1.td") === col("e2.td") && col("e1.t") < col("e2.t"))))
       .select(col("e1.s").as("x"), col("e1.t").as("y"), col("e2.t").as("z"))
     val tri = wedges.join(
       e.select(col("s").as("y"), col("t").as("z")), Seq("y", "z"))

@@ -42,4 +42,24 @@ object Guards {
   def gate(df: DataFrame, id: Column, guard: DataFrame): DataFrame =
     df.withColumn("_g", (pmod(id, lit(1L)) + lit(1L)).cast("int"))
       .join(broadcast(guard), Seq("_g")).drop("_g")
+
+  /** Parallelism FLOOR for CPU-dense stages fed by small scans
+    * (round 16). A parquet file is splittable only at row-group
+    * boundaries, so a catalog/model-sized table in one row group scans
+    * as ONE partition — and every downstream map-side stage (sha-256
+    * shingle ranking, codec decodes, levenshtein scoring, dot-product
+    * fan-outs) inherits single-core execution no matter how many cores
+    * the session has (measured: q46's 4M-pair cosine verify ran its
+    * whole 2.8 s on one task; the ER audit's scoring likewise).
+    * Repartitions ONLY when the frame's planned partition count is
+    * below the session default parallelism: at real scale inputs
+    * already split past the core count and this is a no-op — no
+    * unconditional shuffle is added to any scale path. Keyless
+    * round-robin (with Spark's sort-before-repartition determinism)
+    * so no key skew is introduced. */
+  def parallelismFloor(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // .rdd is illegal on streaming frames
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

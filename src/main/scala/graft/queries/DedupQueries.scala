@@ -811,6 +811,15 @@ object DedupQueries {
         case Some((dir, df)) if dir == d => df
         case prev =>
           prev.foreach(_._2.unpersist(false))
+          // NO parallelism floor here — measured round 16 and
+          // REVERTED: flooring the cached frame to 32 partitions was
+          // a wall WASH for every consumer (the family's first stages
+          // are cheap reads; the heavy joins shuffle anyway) while
+          // QUADRUPLING their billed CPU (32 threads hammering one
+          // shared working set stall on memory — the r8 q118 shape),
+          // which inflated in-suite neighbors. Contrast with
+          // simhashSignatures/spanOccurrences, whose floors KEPT wall
+          // wins (per-row sha dominates there).
           val sh = graft.analytics.TextAnalysis
             .shingleSet(Tables.documents(s, d), 3)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
