@@ -252,6 +252,28 @@ object TableLog {
       }
     }
 
+  /** Post-write enforcement (round 16, closing the r15 ADVICE gap):
+    * CHECK constraints are verified against the FILES writeData just
+    * produced, not by a second evaluation of the incoming frame — a
+    * non-deterministic or re-evaluated source (rand()/uuid()/a
+    * re-read input) could pass a pre-check yet write different,
+    * violating rows, and every batch paid a second full scan of its
+    * source for the pre-check. Reading the freshly written parquet
+    * back is exactly-the-committed-bytes enforcement at the cost of a
+    * narrow columnar re-read, paid only on constraint-bearing tables.
+    * The files are uncommitted at this point, so a violation abort
+    * leaves only orphans (crashed-writer invisibility already covers
+    * that), and fresh files carry no deletion vectors, so the raw
+    * read is DV-sound (the readFiles seam is for COMMITTED files). */
+  private def enforceConstraintsOnFiles(spark: SparkSession, table: String,
+                                        files: Seq[String],
+                                        cs: Map[String, String], verb: String,
+                                        schema: Option[StructType]): Unit =
+    if (cs.nonEmpty && files.nonEmpty)
+      enforceConstraints(
+        spark.read.parquet(files.map(f => new Path(table, f).toString): _*),
+        cs, verb, table, schema)
+
   /** ADD a named CHECK constraint (Delta's `ALTER TABLE … ADD
     * CONSTRAINT`): validates that EVERY existing row satisfies the
     * expression (a full scan — the price Delta charges too; by
@@ -1037,16 +1059,20 @@ object TableLog {
     // CHECK constraints: enforce the batch ONCE against the head's
     // set; a retry re-enforces only if a racing addConstraint changed
     // it (the memo below)
+    val (newFiles, newStats) = writeData(df, table)
+    // enforcement reads the WRITTEN files (checked rows ARE the
+    // committed rows — see enforceConstraintsOnFiles); the memo
+    // re-enforces only if a racing addConstraint changed the set
     var enforcedCs: Option[Map[String, String]] = None
     def ensureConstraints(m: Option[Manifest]): Unit = {
       val cs = m.map(_.constraints).getOrElse(Map.empty[String, String])
       if (!enforcedCs.contains(cs)) {
-        enforceConstraints(df, cs, "append", table, m.flatMap(_.schema))
+        enforceConstraintsOnFiles(spark, table, newFiles, cs, "append",
+          m.flatMap(_.schema))
         enforcedCs = Some(cs)
       }
     }
     ensureConstraints(headResolved(spark, table).map(_.m))
-    val (newFiles, newStats) = writeData(df, table)
     var attempt = 0
     while (attempt <= maxRetries) {
       val r = headResolved(spark, table)
@@ -1089,16 +1115,18 @@ object TableLog {
     // (constraints survive overwrite like the schema does; an
     // overwriteSchema frame that cannot evaluate them fails loudly
     // in analysis — never a silent drop)
+    val (newFiles, newStats) = writeData(df, table)
+    // written-files enforcement, as in append
     var enforcedCs: Option[Map[String, String]] = None
     def ensureConstraints(m: Option[Manifest]): Unit = {
       val cs = m.map(_.constraints).getOrElse(Map.empty[String, String])
       if (!enforcedCs.contains(cs)) {
-        enforceConstraints(df, cs, "overwrite", table, m.flatMap(_.schema))
+        enforceConstraintsOnFiles(spark, table, newFiles, cs, "overwrite",
+          m.flatMap(_.schema))
         enforcedCs = Some(cs)
       }
     }
     ensureConstraints(headResolved(spark, table).map(_.m))
-    val (newFiles, newStats) = writeData(df, table)
     var attempt = 0
     while (attempt <= maxRetries) {
       val m = headResolved(spark, table).map(_.m)
@@ -1107,6 +1135,29 @@ object TableLog {
         else commitSchema(spark, m, df, evolve = false, "overwrite",
           evolveFlag = "overwriteSchema = true")
       val cs = m.map(_.constraints).getOrElse(Map.empty[String, String])
+      // overwriteSchema may not drop a column a standing CHECK
+      // constraint references (round 16, r15 ADVICE): the null-fill
+      // alignment would evaluate the constraint UNKNOWN (= pass)
+      // against the old schema, silently stranding a constraint that
+      // every later append then fails to RESOLVE. Delta blocks
+      // dropping constraint-referenced columns; so do we.
+      if (overwriteSchema) {
+        val have = df.schema.fieldNames
+          .map(_.toLowerCase(Locale.ROOT)).toSet
+        cs.foreach { case (n, e) =>
+          val missing = spark.sessionState.sqlParser.parseExpression(e)
+            .collect {
+              case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                a.nameParts.head
+            }
+            .filterNot(r => have.contains(r.toLowerCase(Locale.ROOT)))
+            .distinct
+          require(missing.isEmpty,
+            s"TableLog.overwrite: overwriteSchema drops column(s) " +
+              s"${missing.mkString(", ")} referenced by CHECK constraint " +
+              s"'$n' ($e) on $table — dropConstraint first")
+        }
+      }
       ensureConstraints(m)
       if (tryCommitFull(spark, table, m.map(_.version).getOrElse(0L), "overwrite",
           newFiles, m.map(_.txns).getOrElse(Map.empty), newStats,
@@ -1348,17 +1399,18 @@ object TableLog {
     // cheap ledger check before paying the data write
     if (headResolved(spark, table)
         .exists(_.m.txns.getOrElse(appId, -1L) >= batchId)) return None
+    val (newFiles, newStats) = writeData(df, table)
+    // written-files enforcement, as in append
     var enforcedCs: Option[Map[String, String]] = None
     def ensureConstraints(m: Option[Manifest]): Unit = {
       val cs = m.map(_.constraints).getOrElse(Map.empty[String, String])
       if (!enforcedCs.contains(cs)) {
-        enforceConstraints(df, cs, "appendStreamBatch", table,
-          m.flatMap(_.schema))
+        enforceConstraintsOnFiles(spark, table, newFiles, cs,
+          "appendStreamBatch", m.flatMap(_.schema))
         enforcedCs = Some(cs)
       }
     }
     ensureConstraints(headResolved(spark, table).map(_.m))
-    val (newFiles, newStats) = writeData(df, table)
     var attempt = 0
     while (attempt <= maxRetries) {
       val r = headResolved(spark, table)
@@ -1410,8 +1462,15 @@ object TableLog {
         if (base == 0) fresh
         else graft.ops.Merge.mergeByKey(read(spark, table, Some(base)), fresh, keys)
       val cs = m.map(_.constraints).getOrElse(Map.empty[String, String])
+      // the INCOMING-side strict contract stays a pre-check: mergeByKey
+      // is existing-rows-win, so a violating incoming row can be
+      // DISCARDED by the merge — the contract (ConstraintsSpec) rejects
+      // it anyway. The written-files check below adds the
+      // non-determinism soundness net over what actually commits.
       enforceConstraints(fresh, cs, "upsert", table, m.flatMap(_.schema))
       val (newFiles, newStats) = writeData(merged, table)
+      enforceConstraintsOnFiles(spark, table, newFiles, cs, "upsert",
+        m.flatMap(_.schema))
       if (tryCommitFull(spark, table, base, "merge", newFiles,
           m.map(_.txns).getOrElse(Map.empty), newStats,
           schema.orElse(Some(deepNullable(merged.schema))), cs))
@@ -1644,10 +1703,12 @@ object TableLog {
       val applied = graft.ops.Cdc.applyChangelog(
           base, ch, keyCol, seqCol, opCol, payloadCols)
         .select(tableSchema.fieldNames.map(col).toIndexedSeq: _*)
-      // post-apply rows must satisfy the contract (carried rows pass
-      // by induction; the scan is touched-sized)
-      enforceConstraints(applied, m.constraints, "merge", table)
       val (rawFiles, rawStats) = writeData(applied, table)
+      // post-apply rows must satisfy the contract (carried rows pass
+      // by induction; the scan is touched-sized) — checked against
+      // the WRITTEN files, the enforceConstraintsOnFiles contract
+      enforceConstraintsOnFiles(spark, table, rawFiles, m.constraints,
+        "merge", None)
       // writeData's keep-one empty is only needed when NOTHING else
       // survives — with carried files present, drop it (bytes too);
       // the delete-path pattern

@@ -111,6 +111,30 @@ class ConstraintsSpec extends SparkSpec {
       "DESCRIBE DETAIL surfaces the constraint count")
   }
 
+  test("overwriteSchema cannot drop a constraint-referenced column; enforcement sees written rows") {
+    val t = tmpTable()
+    TableLog.append(batch(0 until 5), t)
+    TableLog.addConstraint(spark, t, "pay_ok", "payload <> 'bad'")
+    // dropping `payload` via overwriteSchema would strand pay_ok (its
+    // null-fill evaluates UNKNOWN = pass, then every later append dies
+    // unresolved) — the commit must refuse, naming the constraint
+    val ex = intercept[IllegalArgumentException] {
+      TableLog.overwrite(Seq(Tuple1(1L)).toDF("id"), t,
+        overwriteSchema = true)
+    }
+    assert(ex.getMessage.contains("pay_ok") &&
+      ex.getMessage.contains("payload"), ex.getMessage)
+    // a schema overwrite KEEPING the column passes, and enforcement
+    // runs against the written files (violating replacement refuses)
+    assert(intercept[IllegalArgumentException] {
+      TableLog.overwrite(Seq((1L, "bad", 7)).toDF("id", "payload", "extra"),
+        t, overwriteSchema = true)
+    }.getMessage.contains("pay_ok"))
+    TableLog.overwrite(Seq((1L, "fine", 7)).toDF("id", "payload", "extra"),
+      t, overwriteSchema = true)
+    assert(TableLog.read(spark, t).count() == 1)
+  }
+
   test("constraints version with the table: restore brings back the old contract") {
     val t = tmpTable()
     TableLog.append(batch(0 until 5), t)            // v1 — no constraints
