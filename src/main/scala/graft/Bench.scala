@@ -208,7 +208,19 @@ object Bench {
     graft.queries.Q.noOracle("x_sft_scale") { (s, d) =>
       import org.apache.spark.sql.functions.{array, col, explode, lit}
       val r = sys.env.getOrElse("SPARK_GRAFT_SFT_SCALE", "1").toInt
-      val ev = graft.sources.Tables.events(s, d)
+      // id-bound assert (r15 ADVICE): the per-rep offsets below would
+      // silently MERGE users/events across replicas if real ids ever
+      // reached them, bending the "per-user history unchanged" axis
+      val ev0 = graft.sources.Tables.events(s, d)
+      if (r > 1) {
+        import org.apache.spark.sql.functions.max
+        val mx = ev0.agg(max(col("user_id")).cast("long"),
+          max(col("event_id")).cast("long")).first()
+        require(mx.getLong(0) < 1000000L && mx.getLong(1) < 1000000000L,
+          s"x_sft_scale offsets collide: max user_id=${mx.getLong(0)} " +
+            s"(cap 1e6), max event_id=${mx.getLong(1)} (cap 1e9)")
+      }
+      val ev = ev0
         .select(explode(array((0 until r).map(lit): _*)).as("rep"),
           col("event_id"), col("ts"), col("user_id"), col("event_type"))
         .select(

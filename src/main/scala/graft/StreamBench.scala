@@ -259,10 +259,18 @@ object StreamBench {
     // watermark-free; see flagFirstSeen scaladoc) — scoped to this
     // query start and restored.
     val ccKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    // capture + finally-restore (r15 ADVICE): a throw mid-run must not
+    // leave the conservative check disabled for every later query, and
+    // a pre-existing explicit setting must survive
+    val ccPrev = spark.conf.getOption(ccKey)
     spark.conf.set(ccKey, "false")
-    val (sftSec, sftOut) = timeRun(
-      graft.streaming.AssemblyStream.conversationStream(eventStream()).toDF())
-    spark.conf.unset(ccKey)
+    val (sftSec, sftOut) =
+      try timeRun(
+        graft.streaming.AssemblyStream.conversationStream(eventStream()).toDF())
+      finally ccPrev match {
+        case Some(v) => spark.conf.set(ccKey, v)
+        case None    => spark.conf.unset(ccKey)
+      }
 
     // 3e. streaming CDC apply (CdcStream): a changelog derived from
     // the events table (key = user, seq = event id, 5% deletes) folds
