@@ -724,16 +724,12 @@ object DedupOps {
     *    minimum neighborhood member;
     *  - small-star: every node connects its smaller-or-equal
     *    neighbors (and itself) to that minimum.
-    * Each round is a groupBy-min plus an equi-join, lineage truncated
-    * per round; the edge set only contracts. Output contract matches
-    * nearDupComponents: (doc_id, component = min id of the group,
-    * is_keeper). */
+    * Each star half is ONE window-min over its orientation key
+    * ([[lssRound]] — round 17); lineage truncated per round; the edge
+    * set only contracts. Output contract matches nearDupComponents:
+    * (doc_id, component = min id of the group, is_keeper). */
   def componentsLargeSmallStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
-    def canon(df: DataFrame): DataFrame =
-      df.filter(col("u") =!= col("v"))
-        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-        .distinct()
-    var edges = canon(pairs.select(col("d1").as("u"), col("d2").as("v")))
+    var edges = lssCanon(pairs.select(col("d1").as("u"), col("d2").as("v")))
       .localCheckpoint(true)
     // the previous round's cardinality, carried in a driver var: the
     // convergence check needs |edges|, and re-counting the already-
@@ -742,25 +738,7 @@ object DedupOps {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      // large-star over both edge directions
-      val b = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
-      val mL = b.groupBy(col("u")).agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      // NOT canon'd (round 16): every produced edge (old v, m) already
-      // has u > v (m ≤ min-neighborhood ≤ old u < old v), and the only
-      // consumers are a groupBy-min (duplicate-insensitive) and the
-      // join feeding the round's FINAL distinct — the mid-round
-      // distinct was one redundant exchange+stage per round
-      val afterLarge = b.join(mL, Seq("u")).filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-      // small-star over (max -> min) oriented edges
-      val s = afterLarge // already canonical: u > v
-      val mS = s.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val afterSmall = canon(
-        s.join(mS, Seq("u"))
-          .select(col("v").as("u"), col("m").as("v"))
-          .unionByName(mS.select(col("u"), col("m").as("v"))))
-        .localCheckpoint(true)
+      val afterSmall = lssRound(edges).localCheckpoint(true)
       // set equality via count + ONE-way except: both frames are
       // distinct (canon ends in .distinct()), so |A| = |B| ∧ A∖B = ∅
       // ⟹ A = B. A bare one-way except would miss rounds that only
@@ -785,6 +763,53 @@ object DedupOps {
       .distinct()
       .select(col("node").as("doc_id"), col("label").as("component"),
         (col("node") === col("label")).as("is_keeper"))
+  }
+
+  /** Canonical distinct (u > v) edge set — the LSS loop invariant. */
+  private def lssCanon(df: DataFrame): DataFrame =
+    df.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+
+  /** ONE large-star + small-star round over a canonical (u > v,
+    * distinct) edge set — factored out of [[componentsLargeSmallStar]]
+    * so its plan shape is assertable (PlanSpec) and dumpable.
+    *
+    * Round 17: each star half is a single WINDOW-MIN over its
+    * orientation key instead of groupBy-min + join-back — the q186
+    * linear-plan rule. The join spelling paid, per half, one exchange
+    * of the partial-agged mins PLUS one exchange (or broadcast build)
+    * of the full edge frame for the join; the window pays exactly one
+    * edge-frame exchange and evaluates the min in place. 5 exchanges +
+    * 2 join builds per round → 3 exchanges per round; set-identical
+    * output per half (same min, same emitted pairs):
+    *  - large-star over both directions b: m = least(u, min(v) over
+    *    partition u); emit (v, m) for v > u. Identical to joining
+    *    b against groupBy(u).min(v) — per row, same m.
+    *  - small-star over afterLarge (already u > v): m = min(v) over
+    *    partition u; emit (v, m) per row AND (u, m) — the original
+    *    mS.select(u, m) union emitted (u, m) once per group; here it
+    *    rides every row and the k−1 extra copies collapse in the
+    *    final distinct's map-side partial (co-partitioned by
+    *    construction: rows leave the window partitioned by u).
+    * afterLarge stays un-distinct'd mid-round (round 16): its only
+    * consumer is the duplicate-insensitive window-min feeding the
+    * round's FINAL distinct. */
+  private[analytics] def lssRound(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("u"))
+    val b = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    val afterLarge = b
+      .withColumn("m", least(col("u"), min(col("v")).over(w)))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+    val afterSmall = afterLarge
+      .withColumn("m", min(col("v")).over(w))
+      .select(explode(array(
+        struct(col("v").as("u"), col("m").as("v")),
+        struct(col("u").as("u"), col("m").as("v")))).as("t"))
+      .select(col("t.u").as("u"), col("t.v").as("v"))
+    lssCanon(afterSmall)
   }
 
   /** 32 bits / 4 bands of 8: 256 buckets per band keeps the banded

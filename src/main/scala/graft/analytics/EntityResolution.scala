@@ -22,10 +22,10 @@ import org.apache.spark.sql.functions._
   * Scale shape: q65's dictionary-first metric — the Levenshtein
   * runs over DISTINCT names × a ±2 length band (edit distance ≤ 2
   * forces |len Δ| ≤ 2), never rows²; record pairs are recovered
-  * through two equi-join passes on (name, brand) and
-  * (name, first-token) — multi-pass blocking, see [[block2Col]];
-  * the pair list entering connected components is
-  * match-output-sized.
+  * through ONE equi-join on the name-pair dictionary carrying the
+  * multi-pass blocking coverage as a per-dictionary-pair flag
+  * (see [[block2Col]]..[[block6Col]] and [[nameCoverage]]); the
+  * pair list entering connected components is match-output-sized.
   */
 object EntityResolution {
 
@@ -195,6 +195,24 @@ object EntityResolution {
     lit(W_NAME) + when(col("ta") === col("tb"), W_TYPE).otherwise(0) +
       when(abs(col("sa") - col("sb")) <= SIZE_BAND, W_SIZE).otherwise(0)
 
+  /** Name-key blocking coverage of a dictionary pair (n1, n2) — the
+    * plain OR the disjoint passes 2–6 telescope to (each later pass
+    * is its key minus earlier coverage): first-token ∨ last-token ∨
+    * non-empty middle ∨ non-empty stripped-prefix-8 ∨ non-empty
+    * stripped-suffix-8. Evaluated ONCE PER DISTINCT NAME PAIR on the
+    * dictionary (q65's dictionary-first rule applied to the blocking
+    * regexes) — never per record pair. ONE spelling for the audit's
+    * `_nk` flag and the production recovery's `_cov` flag. */
+  private def nameCoverage: org.apache.spark.sql.Column =
+    block2Col(col("n1")) === block2Col(col("n2")) ||
+      block3Col(col("n1")) === block3Col(col("n2")) ||
+      (block4Col(col("n1")) === block4Col(col("n2")) &&
+        block4Col(col("n1")) =!= lit("")) ||
+      (block5Col(col("n1")) === block5Col(col("n2")) &&
+        block5Col(col("n1")) =!= lit("")) ||
+      (block6Col(col("n1")) === block6Col(col("n2")) &&
+        block6Col(col("n1")) =!= lit(""))
+
   private def canonical(pairs: DataFrame): DataFrame =
     pairs.select(least(col("ka"), col("kb")).as("d1"),
         greatest(col("ka"), col("kb")).as("d2"))
@@ -205,21 +223,35 @@ object EntityResolution {
     * audit's unblocked truth arm, and its candidate count all read
     * this body, so the audit can never drift from the rule it audits.
     *
-    * Blocked = MULTI-PASS (round 12, pass 4 round 13): pass 1
-    * recovers record pairs on the (name, brand) equi key; pass 2 on
-    * (name, first-token) with a brands-DIFFER filter; pass 3 on
-    * (name, last-token) with brands-differ AND first-tokens-differ;
-    * pass 4 on (name, middle-section — [[block4Col]]) with all three
-    * earlier keys differing; passes 5/6 (round 14) on the stripped
-    * prefix/suffix windows ([[block5Col]]/[[block6Col]] — the
-    * token-restructuring recovery) with every earlier key differing —
-    * each later pass excludes everything an earlier key covers, so
-    * the passes are DISJOINT by construction (the standard
-    * suppress-in-later-passes rule; ErStream mirrors it per bucket)
-    * and the union needs no cross-pass dedup beyond the final
-    * canonical distinct. Six equi joins, each with the broadcast
-    * name-pair dictionary on the probe side — no new join shape, no
-    * pair blow-up at 100 TB. */
+    * Blocked = the MULTI-PASS coverage (round 12, pass 4 round 13,
+    * passes 5/6 round 14) spelled as ONE equi-join with a
+    * DICTIONARY-LEVEL coverage flag (round 17): passes 2–6's blocking
+    * keys are functions of the NAME PAIR alone, so their disjoint
+    * union telescopes to [[nameCoverage]], evaluated once per
+    * distinct name pair on the (tiny, lev-banded) dictionary; the
+    * record-level residual is `ba = bb ∨ (_cov ∧ ba ≠ bb)` — two
+    * string compares and a boolean, nothing name-derived. NULL
+    * brands fail both arms, exactly as they failed every pass
+    * (pass 1 needed ba = bb, passes 2–6 ba ≠ bb).
+    *
+    * Why this beats BOTH prior spellings (same-boot r17 A/B, sf0.1
+    * AND the 10× mass-duplicate corpus — supersedes the SCALING.md
+    * r14 "don't fold" row): the r14 one-join-OR (432 s vs union
+    * 138 s at 10×) lost for two reasons this spelling removes — it
+    * evaluated six REGEX keys per enumerated record pair (here the
+    * regexes run on dictionary rows only; the residual is two string
+    * compares and a boolean), and it ran the whole enumeration on
+    * the record scan's SINGLE split (the union's six independent
+    * single-task stages at least overlapped ~6-way; the floor gives
+    * the one join the full session parallelism instead). The union
+    * additionally re-enumerates every same-name pair per pass (all
+    * six hash keys match when names are equal; five residuals drop
+    * it after the probe) — exactly the pair class a mass-duplicate
+    * corpus multiplies R². Measured (r17, same boot, isolated,
+    * best-of-2 warm): sf0.1 matchPairs 2.0 → 0.7 s; 10× corpus
+    * (tools/scale_rel_gen.py) 97–101 s (union) → 6.3–7.9 s, 15×,
+    * identical 6,365,800 output pairs. No new join shape, no pair
+    * blow-up at 100 TB. */
   private def recoveredPairs(probe: DataFrame, base: DataFrame,
                              blocked: Boolean, nd: DataFrame): DataFrame = {
     val a = probe.select(col("p_partkey").as("ka"), col("p_brand").as("ba"),
@@ -227,58 +259,20 @@ object EntityResolution {
     val b = base.select(col("p_partkey").as("kb"), col("p_brand").as("bb"),
       col("p_name").as("n2b"), col("p_type").as("tb"), col("p_size").as("sb"))
     val recov = col("n2") === col("n2b") && col("ka") =!= col("kb")
-    val withNames = a.join(broadcast(nd), Seq("n1"))
     if (blocked) {
-      val tok1Eq = block2Col(col("n1")) === block2Col(col("n2b"))
-      val tok3Eq = block3Col(col("n1")) === block3Col(col("n2b"))
-      // pass 4 coverage = middle sections equal AND non-empty (the
-      // empty-block purge) — later passes exclude exactly this
-      val mid4Cov = block4Col(col("n1")) === block4Col(col("n2b")) &&
-        block4Col(col("n1")) =!= lit("")
-      val pre8Eq = block5Col(col("n1")) === block5Col(col("n2b"))
-      val suf8Eq = block6Col(col("n1")) === block6Col(col("n2b"))
-      val pass1 = withNames.join(b, recov && col("ba") === col("bb"))
-      val pass2 = withNames.join(b,
-        recov && tok1Eq && col("ba") =!= col("bb"))
-      val pass3 = withNames.join(b,
-        recov && tok3Eq && col("ba") =!= col("bb") && !tok1Eq)
-      val pass4 = withNames.join(b,
-        recov && mid4Cov
-          && col("ba") =!= col("bb") && !tok1Eq && !tok3Eq)
-      // passes 5/6 (round 14): stripped prefix/suffix windows — the
-      // token-restructuring recovery ([[block5Col]]); same shape as
-      // every pass (a FILTER on the name-dict equi-join, no new join).
-      //
-      // KEEP THE PASSES AS SEPARATE JOINS — measured, do not re-fold
-      // (round 14 tried one join with the blocking as a residual OR,
-      // set-wise identical): at sf0.1 the OR reads slightly better
-      // (19.2 vs 29.8 CPU s — six joins pay fixed overhead at small
-      // fanout), but on the 10x mass-duplicate corpus the union is
-      // 3x FASTER in wall (138 vs 432 s) and 1.3-1.5x in task CPU
-      // (396-435 vs 520-600 s): each pass's blocking equality is an
-      // extra EQUI conjunct Catalyst folds into the join keys, so
-      // pass 1 enumerates (name, brand) groups instead of whole name
-      // groups, and the per-pass residuals short-circuit on one
-      // condition where the OR evaluates all six per enumerated
-      // pair. The q31 fold lesson does not apply: these branches are
-      // finer-keyed joins, not re-evaluations of a shared expensive
-      // subplan. Pre-computing the regex keys per side also measured
-      // slower at both scales (22.7 CPU s at 1x; 394 s wall at 10x).
-      // EMPTY-KEY PURGE on passes 5/6, mirroring pass 4's (the
-      // CLAUDE.md degenerate-blocking rule, r14 ADVICE): an
-      // all-whitespace name strips to "", and "" = "" would admit
-      // every such pair — moot on this corpus but the batch≡stream
-      // parity contract (ErStream already drops the empty buckets)
-      val pass5 = withNames.join(b,
-        recov && pre8Eq && block5Col(col("n1")) =!= lit("")
-          && col("ba") =!= col("bb") && !tok1Eq && !tok3Eq && !mid4Cov)
-      val pass6 = withNames.join(b,
-        recov && suf8Eq && block6Col(col("n1")) =!= lit("")
-          && col("ba") =!= col("bb") && !tok1Eq && !tok3Eq && !mid4Cov
-          && !(pre8Eq && block5Col(col("n1")) =!= lit("")))
-      pass1.unionByName(pass2).unionByName(pass3).unionByName(pass4)
-        .unionByName(pass5).unionByName(pass6)
-    } else withNames.join(b, recov)
+      // parallelism floor on the probe side (the audit's round-16
+      // rationale): the whole per-pair enumeration otherwise runs on
+      // the record scan's split count — ONE task for a single-row-
+      // group file, and unlike the six-pass union (whose independent
+      // single-task stages at least overlapped) the one flagged join
+      // would serialize the entire enumeration. No-op at real scale.
+      val ap = graft.ops.Guards.parallelismFloor(a)
+      val ndc = nd.withColumn("_cov", nameCoverage)
+      ap.join(broadcast(ndc), Seq("n1"))
+        .join(b, recov && (col("ba") === col("bb") ||
+          (col("_cov") && col("ba") =!= col("bb"))))
+        .drop("_cov")
+    } else a.join(broadcast(nd), Seq("n1")).join(b, recov)
   }
 
   /** Blocking-recall audit — the knob-validator the ER family owes
@@ -322,15 +316,7 @@ object EntityResolution {
     // dictionary-first rule applied to the blocking regexes), not per
     // recovered record pair — `_nk` rides through recoveredPairs'
     // broadcast join as an extra nd column.
-    val nkEq = block2Col(col("n1")) === block2Col(col("n2")) ||
-      block3Col(col("n1")) === block3Col(col("n2")) ||
-      (block4Col(col("n1")) === block4Col(col("n2")) &&
-        block4Col(col("n1")) =!= lit("")) ||
-      (block5Col(col("n1")) === block5Col(col("n2")) &&
-        block5Col(col("n1")) =!= lit("")) ||
-      (block6Col(col("n1")) === block6Col(col("n2")) &&
-        block6Col(col("n1")) =!= lit(""))
-    val nd = nameDict(p, p).withColumn("_nk", nkEq).localCheckpoint(true)
+    val nd = nameDict(p, p).withColumn("_nk", nameCoverage).localCheckpoint(true)
     // ROUND-16 SHAPE: ONE unblocked enumeration with the blocking
     // coverage as a PER-ROW FLAG, aggregated per canonical pair —
     // exactly the oracle's max(CASE WHEN <block OR> ...) spelling.

@@ -1515,6 +1515,13 @@ object Similarity {
                       centroids: DataFrame, nProbe: Int = 2,
                       maxInlineDoubles: Long = MAX_INLINE_DOUBLES): DataFrame = {
     val quant = collectQuantizer(centroids)
+    // NO parallelism floor on the candidate side — A/B'd round 17 and
+    // REVERTED: flooring the corpus before the assignment + encode map
+    // passes measured q153 2.86 → 3.63 s / q154 3.65 → 4.24 s warm
+    // isolated (the keyless repartition ships the full embedding
+    // column, ~50 MB at sf0.1, and the exchange costs more than the
+    // single-task map passes it parallelizes — the shingle-cache floor
+    // lesson, r16).
     val nCell = assignWithQuant(candidates, quant, maxInlineDoubles)
       .select(col("vec_id").as("nid"), col("cid").as("cell"))
     val qCell = probeCells(queries, quant, nProbe, maxInlineDoubles)

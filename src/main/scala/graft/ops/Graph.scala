@@ -60,27 +60,39 @@ object Graph {
       .localCheckpoint(true) // the big frame, scanned once per superstep
     // (plain .persist() measured 10.4 s vs 5.6 s for this checkpoint at
     // sf0.1 — severed lineage beats cache bookkeeping here)
+    // (NO parallelism floor on ee — A/B'd round 17 and REVERTED: the
+    // keyless repartition + second checkpoint of the ~1M-row string-
+    // keyed frame measured q139 5.4 → 6.5 s isolated; the sort-before-
+    // repartition and re-materialization cost more than the wider
+    // superstep map side recovered.)
     // (A LONG node-surrogate dictionary was prototyped round 16: the
     // superstep alone measured 4× less CPU on long keys, but the
     // encode/decode joins added ~1 s of stage latency and the END TO
     // END wall REGRESSED 5.3→6.6 s at sf0.1 — reverted; worth
     // revisiting only when edge volume makes supersteps CPU-bound.)
+    // deg doubles as the node list: every node appears as a src in ee
+    // (both directions generated), so deg's key set ≡ distinct nodes —
+    // the separate `nodes` distinct + checkpoint + count of earlier
+    // rounds was a third node-sized frame carrying the same keys
+    // (round 17: one frame, one count job)
     val deg = ee.groupBy(col("src")).agg(count(lit(1)).as("od"))
       .localCheckpoint(true) // node-sized
-    val nodes = ee.select(col("src").as("node")).distinct().localCheckpoint(true)
-    val n = nodes.count()
+    val n = deg.count()
     // broadcast is a HINT gated on n (MAX_BROADCAST_NODES): the rank
     // frame grows linearly with the node count, and forcing it past
     // executor/driver memory would OOM rather than degrade — above
     // the bound the superstep join falls back to the planner's
     // shuffle join (ranks no longer fit one executor anyway)
     val bcastOk = n <= maxBroadcastNodes
-    var ranks = nodes.withColumn("r", lit(1.0 / n))
+    // state carries (src, od, r): folding the out-degree INTO the rank
+    // frame removes the per-superstep ranks ⋈ deg join the previous
+    // spelling paid inside every broadcast build (round 17) — the
+    // contribution value is a row-local expression over the state row.
+    var state = deg.withColumn("r", lit(1.0 / n))
     for (_ <- 1 to iters) {
-      // fold rank/degree into ONE node-sized value frame first, so the
-      // superstep is a single (broadcast, when node-count-gated) join
-      // into the edge scan plus one partial-agged shuffle on dst —
-      // never an edge-wide multi-join chain.
+      // the superstep is a single (broadcast, when node-count-gated)
+      // join into the edge scan plus one partial-agged shuffle on
+      // dst — never an edge-wide multi-join chain.
       // Contributions ride as LONG fixed-point nano-units (round 16):
       // duckRound(x, 9) is by construction the double nearest k·1e-9,
       // so ×1e9 + round recovers the integer k EXACTLY (abs error
@@ -94,18 +106,17 @@ object Graph {
       // bit for bit and the oracle's DECIMAL(27,12) sum stays matched.
       // Overflow headroom: Σk ≤ total-rank-mass·1e9 ≈ n·1e9 — a long
       // holds it to n ≈ 9e9 nodes (ANSI sum would throw, not wrap).
-      val rv0 = ranks.join(deg, col("node") === col("src"))
-        .select(col("src"),
-          round(Exact.duckRound(col("r") / col("od"), 9) * lit(1e9), 0)
-            .cast("long").as("cvn"))
+      val rv0 = state.select(col("src"),
+        round(Exact.duckRound(col("r") / col("od"), 9) * lit(1e9), 0)
+          .cast("long").as("cvn"))
       val rv = if (bcastOk) broadcast(rv0) else rv0
       val contrib = ee.join(rv, Seq("src"))
         .groupBy(col("dst"))
         .agg((sum(col("cvn")).cast(DecimalType(28, 0)) *
           lit(new java.math.BigDecimal("0.000000001"))).cast("double").as("in_sum"))
-      ranks = nodes
-        .join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"),
+      state = deg
+        .join(contrib, col("src") === col("dst"), "left")
+        .select(col("src"), col("od"),
           (lit(teleport) + lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("r"))
         // node-sized; keeps superstep lineage flat. A/B'd against NO
         // per-superstep materialization at iters=5/sf0.1: a wash
@@ -114,7 +125,7 @@ object Graph {
         // re-plans the whole chain into one giant DAG
         .localCheckpoint(true)
     }
-    ranks
+    state.select(col("src").as("node"), col("r"))
   }
 
   /** Exact triangle counting by DEGREE-ORIENTED wedge closing (the

@@ -56,9 +56,33 @@ object Guards {
     * already split past the core count and this is a no-op — no
     * unconditional shuffle is added to any scale path. Keyless
     * round-robin (with Spark's sort-before-repartition determinism)
-    * so no key skew is introduced. */
+    * so no key skew is introduced.
+    *
+    * SHUFFLE-FREE INPUTS ONLY, enforced (round 17, the r16 ADVICE
+    * item): reading the partition count via `df.rdd` finalizes an
+    * adaptive plan, and on a frame with an upstream Exchange that
+    * MATERIALIZES the shuffle stages at floor-call time — the
+    * returned `df.repartition(n)` then builds a fresh plan that
+    * re-executes them (double execution). Every legitimate call site
+    * is a scan/select/generate (the single-row-group fixture shape);
+    * a frame whose optimized plan contains any shuffle-introducing
+    * operator (aggregate, join, window, sort, distinct, repartition,
+    * global limit) gets its parallelism from AQE and is returned
+    * UNCHANGED — and `.rdd` is never touched for it. The check reads
+    * the LOGICAL plan because exchanges are only inserted by the
+    * executedPlan preparation rules, and building THAT under AQE is
+    * exactly the materialization this guard exists to avoid.
+    * Checkpointed inputs (LogicalRDD leaves) hide their upstream and
+    * stay floorable. OpsSpec G1/G2 pin pass-through and floor. */
   def parallelismFloor(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // .rdd is illegal on streaming frames
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val shuffly = df.queryExecution.optimizedPlan.exists {
+      case _: Aggregate | _: Join | _: Window | _: Sort | _: Deduplicate |
+           _: RepartitionOperation | _: GlobalLimit => true
+      case _ => false
+    }
+    if (shuffly) return df // AQE owns post-shuffle parallelism
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -1418,9 +1418,14 @@ object SimilarityQueries {
          |SELECT qid, nid, rnk, sim FROM r WHERE rnk <= $TOP_K
          |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
+      // the two model fits are INDEPENDENT collect chains over the
+      // same corpus — overlapped driver-side (guide §2.6, round 17):
+      // training wall = max(fit walls), not their sum
+      val (books, cent) = graft.ops.Par.both(
+        Similarity.pqTrainCodebooks(e, PQ_SUB, 16),
+        Similarity.kmeansCentroids(e, 16, 1))
       Similarity.ivfPqRerankTopK(e.filter(col("vec_id") < N_QUERIES), e,
-          TOP_K, PQ_RERANK, Similarity.pqTrainCodebooks(e, PQ_SUB, 16),
-          Similarity.kmeansCentroids(e, 16, 1), nProbe = 2)
+          TOP_K, PQ_RERANK, books, cent, nProbe = 2)
         .orderBy("qid", "rnk")
     },
 
@@ -1474,15 +1479,24 @@ object SimilarityQueries {
       // the persisted artifacts (localCheckpoint = the query's analog
       // of reading the nightly store from disk): frozen models +
       // ingested-corpus stores, then O(Δ) delta append with the SAME
-      // models — never a retrain, never a re-encode of old rows
-      val cent = Similarity.kmeansCentroids(ingested, 16, 1)
-        .localCheckpoint(true)
-      val books = Similarity.pqTrainCodebooks(ingested, PQ_SUB, 16)
-      val coarseStore = Similarity.kmeansAssign(ingested, cent)
-        .localCheckpoint(true)
+      // models — never a retrain, never a re-encode of old rows.
+      // The two fit→store lanes are INDEPENDENT job chains (coarse
+      // quantizer → assignment store ∥ PQ books → code store) —
+      // overlapped driver-side (guide §2.6, round 17): store-build
+      // wall = max(lane walls), not their sum
+      val ((cent, coarse0), (books, code0)) = graft.ops.Par.both(
+        {
+          val c = Similarity.kmeansCentroids(ingested, 16, 1)
+            .localCheckpoint(true)
+          (c, Similarity.kmeansAssign(ingested, c).localCheckpoint(true))
+        },
+        {
+          val b = Similarity.pqTrainCodebooks(ingested, PQ_SUB, 16)
+          (b, Similarity.pqEncode(ingested, b).localCheckpoint(true))
+        })
+      val coarseStore = coarse0
         .unionByName(Similarity.kmeansAssign(delta, cent))
-      val codeStore = Similarity.pqEncode(ingested, books)
-        .localCheckpoint(true)
+      val codeStore = code0
         .unionByName(Similarity.pqEncode(delta, books))
       Similarity.ivfPqRerankTopKFromStore(e.filter(col("vec_id") < N_QUERIES),
           coarseStore, codeStore, cent, books, TOP_K, PQ_RERANK, nProbe = 2)

@@ -157,4 +157,26 @@ class OpsSpec extends SparkSpec {
       assert(baseRows ++ deltaRows == full, s"cut at $t")
     }
   }
+
+  test("G1 parallelismFloor passes a post-shuffle frame through untouched") {
+    // A frame with an upstream Exchange must come back AS-IS (same
+    // reference): flooring it would double-execute the shuffle under
+    // AQE (.rdd finalizes the adaptive plan and materializes stages;
+    // the returned repartition re-runs them) — the r16 ADVICE hole.
+    // Zero jobs is implied: the exchange branch never touches .rdd.
+    val shuffled = (1 to 100).toDF("x").groupBy($"x" % 7).count()
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val out = Guards.parallelismFloor(shuffled)
+    assert(out eq shuffled)
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length == jobsBefore,
+      "flooring a post-shuffle frame must not run jobs")
+  }
+
+  test("G2 parallelismFloor still floors a narrow shuffle-free frame") {
+    val narrow = (1 to 100).toDF("x").repartition(1).localCheckpoint(true)
+      .select($"x" + 1 as "y") // checkpointed leaf + project: no exchange
+    val out = Guards.parallelismFloor(narrow)
+    assert(out.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+  }
 }
